@@ -1,0 +1,498 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Exact.{davg, dec, dsum}
+import graft.sources.{Tables => T}
+
+/** Relational completeness pack — SURVEY.md §2.C C1–C8.
+  *
+  * Each query is a thin declarative DataFrame plan (Catalyst handles
+  * pushdown/pruning/join selection); the paired DuckDB SQL computes the same
+  * result with the same arithmetic so values hash-match exactly.
+  *
+  * Scale notes are given per query: what shuffles, what broadcasts, what the
+  * plan must look like at 100 TB.
+  */
+object RelationalPack extends QueryPack {
+
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------------------
+    // C4 aggregation: TPC-H Q1-style pricing summary. Partial (map-side)
+    // aggregation + final: 2-phase hash agg, one shuffle on the 6 distinct
+    // (returnflag, linestatus) groups. Scales linearly; the shuffle carries
+    // only |groups| * partials.
+    QueryDef(
+      "q01_pricing_summary",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        li.filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity"), 2).as("sum_qty"),
+            dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+            col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+            (col("sum_qty") / col("count_order")).as("avg_qty"), col("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+             |       sum_qty / count_order AS avg_qty, count_order
+             |FROM (SELECT l_returnflag, l_linestatus,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |        CAST(SUM(CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             |        CAST(SUM(CAST(l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |        COUNT(*) AS count_order
+             |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+             |      GROUP BY l_returnflag, l_linestatus) t
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C2 projection + filter. All four predicates and the 5-column
+    // projection push into the parquet scan (PushedFilters / ReadSchema).
+    QueryDef(
+      "q02_filter_project",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        li.filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1996-04-01 00:00:00") &&
+            col("l_discount") > lit(0.05) && col("l_quantity") < lit(25.0))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * col("l_discount")).as("disc_amount"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l_extendedprice * l_discount AS disc_amount
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  AND l_discount > 0.05 AND l_quantity < 25
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 multi-way join (TPC-H Q5 shape). region/nation are tiny → broadcast
+    // (AQE picks BHJ under the threshold); customer⋈orders⋈lineitem shuffle
+    // on their keys. At 100 TB: same plan — dims broadcast, facts shuffle
+    // once each on the join key.
+    QueryDef(
+      "q03_regional_revenue",
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        T.region(s, d).filter(col("r_name") === "EUROPE")
+          .join(broadcast(T.nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .join(T.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+          .join(T.orders(s, d).filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1998-01-01 00:00:00")), col("o_custkey") === col("c_custkey"))
+          .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(rev, 6).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |       CAST(SUM(CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |       COUNT(*) AS n_items
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |  JOIN customer ON c_nationkey = n_nationkey
+             |  JOIN orders ON o_custkey = c_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE r_name = 'EUROPE'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 broadcast join: filtered dim explicitly broadcast — zero shuffle of
+    // the fact side beyond the final 1-group-per-type agg.
+    QueryDef(
+      "q04_broadcast_join",
+      (s, d) => {
+        T.lineitem(s, d)
+          .join(broadcast(T.part(s, d).filter(col("p_brand") === "Brand#13")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity"), 2).as("sum_qty"))
+          .orderBy("p_type")
+      },
+      Some("""SELECT p_type, COUNT(*) AS n_items,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand = 'Brand#13'
+             |GROUP BY p_type ORDER BY p_type""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 semi join (EXISTS). left_semi never materializes right columns.
+    QueryDef(
+      "q05_semi_join",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val big = T.orders(s, d).filter(col("o_totalprice") > lit(200000.0))
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 anti join (NOT EXISTS).
+    QueryDef(
+      "q06_anti_join",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val o = T.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 left outer join + agg, preserving 0-order customers.
+    QueryDef(
+      "q07_outer_join_agg",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val o = T.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            coalesce(dsum(col("o_totalprice"), 2), lit(0.0)).as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             |       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0e0) AS total_spent
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C5 window ranking: top-3 orders per customer, unique tiebreak.
+    QueryDef(
+      "q08_window_topn",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C5 analytic window: exact running sum + lag/lead over a total order.
+    QueryDef(
+      "q09_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        T.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(dec(col("l_quantity"), 2)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast(DoubleType).as("running_qty"),
+            lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+            lead(col("l_quantity"), 1).over(w).as("next_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+             |  LAG(l_quantity, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+             |  LEAD(l_quantity, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_qty
+             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C6 top-k: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    // heap + driver merge of k, no global sort.
+    QueryDef(
+      "q10_topk",
+      (s, d) =>
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C4 exact distinct aggregation (Catalyst expands to 2-phase agg).
+    QueryDef(
+      "q11_distinct_agg",
+      (s, d) =>
+        T.customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+            count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C7 set operations (distinct semantics, as in SQL).
+    QueryDef(
+      "q12_setops",
+      (s, d) => {
+        val o = T.orders(s, d)
+        val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val res =
+          a.intersect(b).agg(count(lit(1))).select(lit("both").as("kind"), col("count(1)").as("n"))
+            .unionAll(a.except(b).agg(count(lit(1))).select(lit("open_only").as("kind"), col("count(1)").as("n")))
+            .unionAll(a.union(b).distinct().agg(count(lit(1))).select(lit("either").as("kind"), col("count(1)").as("n")))
+        res.orderBy("kind")
+      },
+      Some("""SELECT 'both' AS kind, COUNT(*) AS n FROM
+             |  (SELECT o_custkey FROM orders WHERE o_orderstatus='O' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='F') t
+             |UNION ALL
+             |SELECT 'open_only', COUNT(*) FROM
+             |  (SELECT o_custkey FROM orders WHERE o_orderstatus='O' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='F') t
+             |UNION ALL
+             |SELECT 'either', COUNT(*) FROM
+             |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus IN ('O','F')) t
+             |ORDER BY kind""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C4 rollup (hierarchical subtotals).
+    QueryDef(
+      "q13_rollup",
+      (s, d) =>
+        T.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+             |       COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C4 cube (all grouping combinations).
+    QueryDef(
+      "q14_cube",
+      (s, d) =>
+        T.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"), col("total"))
+          .orderBy("status", "priority"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+             |       COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C4 grouping sets via the SQL front-end (views registered per-call).
+    QueryDef(
+      "q15_grouping_sets",
+      (s, d) => {
+        T.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+                |       COUNT(*) AS n
+                |FROM lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+                |ORDER BY rf, ls""".stripMargin)
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+             |       COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C8 string function battery (all codegen'd built-ins, no UDFs).
+    QueryDef(
+      "q16_string_funcs",
+      (s, d) =>
+        T.customer(s, d)
+          .filter(col("c_custkey") < 200)
+          .select(col("c_custkey"),
+            upper(col("c_name")).as("up"),
+            lower(col("c_mktsegment")).as("lo"),
+            length(col("c_name")).cast(LongType).as("len"),
+            substring(col("c_name"), 10, 5).as("mid"),
+            regexp_replace(col("c_name"), "0+", "#").as("squashed"),
+            concat_ws("-", col("c_mktsegment"), col("c_custkey").cast(StringType)).as("tag"),
+            translate(col("c_mktsegment"), "AEIOU", "aeiou").as("xlat"),
+            reverse(col("c_name")).as("rev"),
+            lpad(col("c_custkey").cast(StringType), 8, "0").as("padded"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+             |       CAST(LENGTH(c_name) AS BIGINT) AS len, SUBSTRING(c_name, 10, 5) AS mid,
+             |       REGEXP_REPLACE(c_name, '0+', '#', 'g') AS squashed,
+             |       c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tag,
+             |       TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS xlat,
+             |       REVERSE(c_name) AS rev,
+             |       LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
+             |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C8 date/time function battery.
+    QueryDef(
+      "q17_date_funcs",
+      (s, d) =>
+        T.orders(s, d)
+          .filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("yr"),
+            month(col("o_orderdate")).cast(LongType).as("mo"),
+            dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+            date_trunc("quarter", col("o_orderdate")).as("qtr_start"),
+            datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+              .cast(LongType).as("days_to_2002"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("deadline"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+             |       DAYOFMONTH(o_orderdate) AS dom,
+             |       DATE_TRUNC('quarter', o_orderdate) AS qtr_start,
+             |       DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+             |       o_orderdate + INTERVAL 30 DAY AS deadline
+             |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C4 conditional aggregation (CASE inside agg).
+    QueryDef(
+      "q18_conditional_agg",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+            count(when(col("o_totalprice") > 150000.0, lit(1))).as("n_big"),
+            dsum(when(col("o_totalprice") > 150000.0, col("o_totalprice")).otherwise(0.0), 2).as("big_total"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+             |       COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS n_big,
+             |       CAST(SUM(CAST(CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0e0 END AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 range (non-equi) join: supplier pairs with near-equal balances.
+    // Plans as BroadcastNestedLoopJoin on the small side; at scale this
+    // becomes a banded join (bucket by floor(bal/width), join adjacent
+    // buckets) — the banded rewrite is what DedupPack's LSH join does.
+    QueryDef(
+      "q19_range_join",
+      (s, d) => {
+        val sup = T.supplier(s, d)
+        val a = sup.select(col("s_suppkey").as("a_key"), col("s_acctbal").as("a_bal"))
+        val b = sup.select(col("s_suppkey").as("b_key"), col("s_acctbal").as("b_bal"))
+        a.join(b, col("a_key") < col("b_key") && abs(col("a_bal") - col("b_bal")) < lit(1.0))
+          .select(col("a_key"), col("b_key"), (col("a_bal") - col("b_bal")).as("bal_diff"))
+          .orderBy("a_key", "b_key")
+      },
+      Some("""SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key, a.s_acctbal - b.s_acctbal AS bal_diff
+             |FROM supplier a JOIN supplier b
+             |  ON a.s_suppkey < b.s_suppkey AND ABS(a.s_acctbal - b.s_acctbal) < 1
+             |ORDER BY a_key, b_key""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 as-of join: each click matched to the latest preceding purchase of
+    // the same user. Composed as range-join + row_number()=1; DuckDB oracles
+    // it with its native ASOF JOIN.
+    QueryDef(
+      "q20_asof_join",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"), col("event_id").as("p_event"))
+        val w = Window.partitionBy(col("click_id"))
+          .orderBy(col("p_ts").desc_nulls_last, col("p_event").desc_nulls_last)
+        clicks
+          .join(purchases, col("user_id") === col("p_user") && col("p_ts") <= col("click_ts"), "left")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("click_id"), col("user_id"), col("click_ts"), col("p_ts"), col("p_value"))
+          .orderBy("click_id")
+      },
+      Some("""SELECT c.click_id, c.user_id, c.click_ts, p.ts AS p_ts, p.value AS p_value
+             |FROM (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+             |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id AND p.ts <= c.click_ts
+             |ORDER BY c.click_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C8 JSON extraction from the events.props column.
+    QueryDef(
+      "q21_json_extract",
+      (s, d) =>
+        T.events(s, d)
+          .select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C2/C4 scalar subquery: orders well above the (exact) global mean.
+    QueryDef(
+      "q22_scalar_subquery",
+      (s, d) => {
+        val o = T.orders(s, d)
+        val stats = o.agg(davg(col("o_totalprice"), 2).as("avg_price"))
+        o.crossJoin(broadcast(stats))
+          .filter(col("o_totalprice") > col("avg_price") * 1.5)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders) * 1.5
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 cross/theta join over the two tiny dims.
+    QueryDef(
+      "q23_theta_join",
+      (s, d) =>
+        T.nation(s, d)
+          .crossJoin(T.region(s, d))
+          .filter(col("n_regionkey") =!= col("r_regionkey"))
+          .select(col("n_name"), col("r_name"))
+          .orderBy("n_name", "r_name"),
+      Some("""SELECT n_name, r_name FROM nation CROSS JOIN region
+             |WHERE n_regionkey <> r_regionkey ORDER BY n_name, r_name""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C7 unionByName across differently-ordered schemas.
+    QueryDef(
+      "q24_union_by_name",
+      (s, d) => {
+        val c = T.customer(s, d)
+          .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
+        val sup = T.supplier(s, d)
+          .select(lit("supplier").as("kind"), col("s_acctbal").as("acctbal"), col("s_name").as("name"))
+        c.unionByName(sup).filter(col("acctbal") > 9000.0).orderBy("kind", "name")
+      },
+      Some("""SELECT name, acctbal, kind FROM (
+             |  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+             |  UNION ALL
+             |  SELECT s_name, s_acctbal, 'supplier' FROM supplier) t
+             |WHERE acctbal > 9000 ORDER BY kind, name""".stripMargin))
+  )
+}

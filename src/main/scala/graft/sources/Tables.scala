@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * One parquet file per table under `<dir>/<name>.parquet`. Reading is a
+  * plain columnar parquet scan, so Catalyst pushes filters and prunes
+  * columns into the scan (verify via `.explain`: `PushedFilters`,
+  * `ReadSchema`).
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` front-end queries
+    * (GROUPING SETS, FHIR-search-generated SQL, ad-hoc) resolve by name.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
