@@ -1,24 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench harness: runs every SparkEntry query against SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line the driver records as BENCH_r{N}.json.
+  *
+  * Each query is forced through a `noop` sink so the FULL plan executes
+  * (a bare `count()` lets Catalyst drop sorts and collapse projections,
+  * systematically understating cost). Failures are recorded per-query as
+  * negative sentinel timings plus an "errors" map — a broken query must
+  * never masquerade as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession
+      .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

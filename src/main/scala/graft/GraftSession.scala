@@ -31,6 +31,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      // events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+      // rejects; read as long nanos and convert in Tables.events (values
+      // are µs-aligned so the conversion is lossless).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
 

@@ -20,14 +20,14 @@ object Exact {
 
   /** Exact sum of a double expression, carrying `scale` decimal digits. */
   def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
 
   /** Exact running/window sum (caller applies `.over(w)` on the result of
     * `sum`); kept here for symmetry.
     */
-  def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+  def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(38, scale))
 
   /** Exact average = exact sum / count, computed in double at the end. */
   def davg(c: Column, scale: Int = 2): Column =
-    (sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(lit(1)))
+    (sum(c.cast(DecimalType(38, scale))).cast(DoubleType) / count(lit(1)))
 }

@@ -299,17 +299,21 @@ object RelationalPack extends QueryPack {
              |ORDER BY status, priority""".stripMargin)),
 
     // ----------------------------------------------------------------
-    // C4 grouping sets via the SQL front-end (views registered per-call).
+    // C4 grouping sets via the native Dataset API (Spark 4 groupingSets) —
+    // no temp-view registration, so no global session-state side effects
+    // and no races when queries run concurrently on one session.
     QueryDef(
       "q15_grouping_sets",
-      (s, d) => {
-        T.lineitem(s, d).createOrReplaceTempView("lineitem")
-        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
-                |       COUNT(*) AS n
-                |FROM lineitem
-                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-                |ORDER BY rf, ls""".stripMargin)
-      },
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+              Seq(col("l_returnflag"), col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+          .orderBy("rf", "ls"),
       Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
              |       COUNT(*) AS n
              |FROM lineitem
@@ -361,7 +365,7 @@ object RelationalPack extends QueryPack {
           .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
              |       DAYOFMONTH(o_orderdate) AS dom,
-             |       DATE_TRUNC('quarter', o_orderdate) AS qtr_start,
+             |       CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS qtr_start,
              |       DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
              |       o_orderdate + INTERVAL 30 DAY AS deadline
              |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
@@ -385,17 +389,24 @@ object RelationalPack extends QueryPack {
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // ----------------------------------------------------------------
-    // C3 range (non-equi) join: supplier pairs with near-equal balances.
-    // Plans as BroadcastNestedLoopJoin on the small side; at scale this
-    // becomes a banded join (bucket by floor(bal/width), join adjacent
-    // buckets) — the banded rewrite is what DedupPack's LSH join does.
+    // C3 range (non-equi) join: supplier pairs with near-equal balances,
+    // executed as a BANDED EQUI-JOIN: each left row probes the 3 adjacent
+    // bands floor(bal/width)±1, so the join has an equi key (band) and
+    // plans as a shuffled hash / sort-merge join — never a quadratic
+    // BroadcastNestedLoopJoin. Each qualifying pair matches exactly once
+    // because the right row's band is unique. Linear in matches at any
+    // scale; band width = the range predicate width (1.0).
     QueryDef(
       "q19_range_join",
       (s, d) => {
         val sup = T.supplier(s, d)
         val a = sup.select(col("s_suppkey").as("a_key"), col("s_acctbal").as("a_bal"))
+          .withColumn("a_band", floor(col("a_bal")))
+          .withColumn("band", explode(array(col("a_band") - 1, col("a_band"), col("a_band") + 1)))
         val b = sup.select(col("s_suppkey").as("b_key"), col("s_acctbal").as("b_bal"))
-        a.join(b, col("a_key") < col("b_key") && abs(col("a_bal") - col("b_bal")) < lit(1.0))
+          .withColumn("band", floor(col("b_bal")))
+        a.join(b, Seq("band"))
+          .filter(col("a_key") < col("b_key") && abs(col("a_bal") - col("b_bal")) < lit(1.0))
           .select(col("a_key"), col("b_key"), (col("a_bal") - col("b_bal")).as("bal_diff"))
           .orderBy("a_key", "b_key")
       },
@@ -406,29 +417,42 @@ object RelationalPack extends QueryPack {
 
     // ----------------------------------------------------------------
     // C3 as-of join: each click matched to the latest preceding purchase of
-    // the same user. Composed as range-join + row_number()=1; DuckDB oracles
-    // it with its native ASOF JOIN.
+    // the same user. SINGLE-PASS plan: union clicks+purchases into one
+    // stream, then `last(purchase_cols, ignoreNulls) over (partition by
+    // user order by ts, kind)` — linear, one shuffle on user_id, no
+    // click×purchase pair materialization (the join-then-rank formulation
+    // explodes on skewed users). Purchases sort before clicks at equal ts
+    // (kind 0 < 1) so `p_ts <= click_ts` is inclusive. Purchases are
+    // pre-deduped to one row per (user_id, ts) via max_by(event_id) on
+    // BOTH sides so DuckDB's arbitrary ASOF tie-pick can't mismatch.
     QueryDef(
       "q20_asof_join",
       (s, d) => {
         val ev = T.events(s, d)
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+            col("event_id").as("click_id"), lit(null).cast(TimestampType).as("pp_ts"),
+            lit(null).cast(DoubleType).as("pp_value"))
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-            col("value").as("p_value"), col("event_id").as("p_event"))
-        val w = Window.partitionBy(col("click_id"))
-          .orderBy(col("p_ts").desc_nulls_last, col("p_event").desc_nulls_last)
-        clicks
-          .join(purchases, col("user_id") === col("p_user") && col("p_ts") <= col("click_ts"), "left")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("click_id"), col("user_id"), col("click_ts"), col("p_ts"), col("p_value"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("value"))
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            lit(null).cast(LongType).as("click_id"), col("ts").as("pp_ts"),
+            col("value").as("pp_value"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("p_ts", last(col("pp_ts"), ignoreNulls = true).over(w))
+          .withColumn("p_value", last(col("pp_value"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("click_id"), col("user_id"), col("ts").as("click_ts"),
+            col("p_ts"), col("p_value"))
           .orderBy("click_id")
       },
       Some("""SELECT c.click_id, c.user_id, c.click_ts, p.ts AS p_ts, p.value AS p_value
              |FROM (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
-             |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, ts, MAX_BY(value, event_id) AS value
+             |                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
              |  ON c.user_id = p.user_id AND p.ts <= c.click_ts
              |ORDER BY c.click_id""".stripMargin)),
 

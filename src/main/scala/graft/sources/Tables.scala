@@ -22,7 +22,10 @@ object Tables {
     * (GROUPING SETS, FHIR-search-generated SQL, ad-hoc) resolve by name.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => load(spark, dir, n).createOrReplaceTempView(n)
+    }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -31,7 +34,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, unsupported by Spark's reader.
+    * With spark.sql.legacy.parquet.nanosAsLong (GraftSession) it surfaces
+    * as LongType nanos; convert to a µs timestamp with integral division
+    * (values are µs-aligned, so this is exact — and `div` avoids the
+    * double-precision loss a `/` would incur on 1e18-scale nanos).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
