@@ -5,7 +5,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All query packs contributing to the correctness/bench surface. */
-  def packs: Seq[QueryPack] = Seq(RelationalPack)
+  def packs: Seq[QueryPack] = Seq(RelationalPack, FhirPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q03: multi-way broadcast+shuffle join with exact aggregation.

@@ -1,0 +1,58 @@
+package graft.fhir
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** NDJSON sources/sinks with the reference's two error modes.
+  *
+  * Mirrors /root/reference/scripts/transform.py:154-169: line-at-a-time JSON
+  * parse with either continue-and-log (PERMISSIVE + corrupt-record side
+  * channel) or abort-on-first-error (FAILFAST) — SURVEY A1/A2/A4/A18/A19.
+  * Spark's distributed line-splitting of NDJSON replaces the reference's
+  * single-threaded loop; each task parses its own line range, so ingestion
+  * scales with input splits at any file size.
+  */
+object FhirIO {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Streaming scan (A1): schema-directed NDJSON read, malformed lines
+    * dropped silently. Explicit schema means NO inference pass over the
+    * data — one scan total, which matters at bulk-import scale (A6/A7:
+    * `path` may be a glob over an object store).
+    */
+  def readNdjson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Read with reject channel (A18 structural half + A19 continue mode):
+    * PERMISSIVE parse keeps malformed lines in `_corrupt_record`; callers
+    * split on `isCorrupt`. This is the Spark-native form of the reference's
+    * log-and-continue loop.
+    */
+  def readNdjsonPermissive(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField(CorruptCol, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** A19 abort mode: any malformed line fails the job (the reference's
+    * --stop-on-first-error).
+    */
+  def readNdjsonFailFast(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  def isCorrupt(df: DataFrame): DataFrame = df.filter(col(CorruptCol).isNotNull)
+
+  def isValid(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** NDJSON sink (A4): one JSON object per line, null fields omitted —
+    * exactly the reference's `json.dumps(resource) + '\n'` semantics
+    * (transform.py:165). Distributed write: one part-file per partition;
+    * a bulk-store sink (A6) is the same call with an object-store URI.
+    */
+  def writeNdjson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("ignoreNullFields", "true").json(path)
+}

@@ -1,0 +1,167 @@
+package graft.fhir
+
+import org.apache.spark.sql.types._
+
+/** Explicit StructTypes for the FHIR resource subset the pipeline touches.
+  *
+  * One schema per resource type, covering the R5 *input* shape plus the R4
+  * *output* fields the transformers add (e.g. `content[].format`,
+  * `reasonReference`) — a single schema per type keeps the R5→R4 transform a
+  * pure column rewrite with no schema surgery. Absent fields read as null and
+  * are omitted again on NDJSON write (`ignoreNullFields`), which mirrors the
+  * reference's dict semantics (fields present iff set).
+  *
+  * Field inventory derives from the operators in
+  * /root/reference/scripts/transform.py:11-109 and assay.py:44-226; see
+  * SURVEY.md §1.2 for the type mapping.
+  */
+object FhirSchemas {
+
+  /** Coding {system, code, display} — SURVEY §1.2. */
+  val coding: StructType = StructType(Seq(
+    StructField("system", StringType),
+    StructField("code", StringType),
+    StructField("display", StringType)))
+
+  /** CodeableConcept = {coding: [Coding], text}. */
+  val codeableConcept: StructType = StructType(Seq(
+    StructField("coding", ArrayType(coding)),
+    StructField("text", StringType)))
+
+  /** Reference = {reference: "Type/id", display?}. */
+  val reference: StructType = StructType(Seq(
+    StructField("reference", StringType),
+    StructField("display", StringType)))
+
+  val attachment: StructType = StructType(Seq(
+    StructField("contentType", StringType),
+    StructField("title", StringType),
+    StructField("url", StringType),
+    StructField("size", LongType)))
+
+  /** content[] element: R5 `profile` in, R4 `format` out (transform.py:14-17). */
+  val docContent: StructType = StructType(Seq(
+    StructField("attachment", attachment),
+    StructField("profile", ArrayType(StructType(Seq(
+      StructField("valueCoding", coding))))),
+    StructField("format", coding)))
+
+  val documentReference: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("version", StringType),
+    StructField("status", StringType),
+    StructField("subject", reference),
+    StructField("content", ArrayType(docContent)),
+    StructField("context", StructType(Seq(
+      StructField("related", ArrayType(reference))))),
+    StructField("basedOn", ArrayType(reference))))
+
+  val bodyStructure: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("patient", reference),
+    StructField("includedStructure", ArrayType(StructType(Seq(
+      StructField("structure", codeableConcept))))),
+    StructField("location", codeableConcept)))
+
+  /** Encounter: R5 `class` is a CodeableConcept, R4 wants a Coding — the
+    * output column type IS the Coding (transform.py:42-45). The R5 `reason`
+    * gate and the top-level `reference` array feed `reasonReference`
+    * (transform.py:40-41 — note the reference reads key "reference", not
+    * "reason": a reference-code quirk preserved verbatim).
+    */
+  val encounter: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("class", codeableConcept),
+    StructField("reason", ArrayType(StructType(Seq(
+      StructField("use", ArrayType(codeableConcept)))))),
+    StructField("reference", ArrayType(reference))))
+
+  val group: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("membership", StringType),
+    StructField("type", StringType),
+    StructField("actual", BooleanType),
+    StructField("member", ArrayType(StructType(Seq(
+      StructField("entity", reference)))))))
+
+  /** ImagingStudy: R5 series[].modality CodeableConcept → R4 Coding. */
+  val imagingStudy: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("basedOn", ArrayType(reference)),
+    StructField("procedureReference", ArrayType(reference)),
+    StructField("series", ArrayType(StructType(Seq(
+      StructField("uid", StringType),
+      StructField("modality", codeableConcept)))))))
+
+  val medicationAdministration: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("subject", reference),
+    StructField("medication", StructType(Seq(
+      StructField("concept", codeableConcept),
+      StructField("reference", reference)))),
+    StructField("medicationCodeableConcept", codeableConcept),
+    StructField("medicationReference", reference),
+    StructField("occurenceDateTime", StringType),
+    StructField("effectiveDateTime", StringType),
+    StructField("category", ArrayType(codeableConcept))))
+
+  val researchStudy: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("status", StringType),
+    StructField("title", StringType)))
+
+  val researchSubject: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("study", reference),
+    StructField("subject", reference),
+    StructField("individual", reference)))
+
+  val specimen: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("subject", reference),
+    StructField("processing", ArrayType(StructType(Seq(
+      StructField("method", codeableConcept),
+      StructField("procedure", codeableConcept))))),
+    StructField("collection", StructType(Seq(
+      StructField("procedure", reference),
+      StructField("bodySite", codeableConcept))))))
+
+  val patient: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("name", ArrayType(StructType(Seq(
+      StructField("family", StringType),
+      StructField("given", ArrayType(StringType)))))),
+    StructField("gender", StringType),
+    StructField("birthDate", StringType),
+    StructField("active", BooleanType)))
+
+  /** Schema by resourceType — the dispatch table's type universe
+    * (transform.py:112-129) plus Patient (search substrate).
+    */
+  val byType: Map[String, StructType] = Map(
+    "DocumentReference" -> documentReference,
+    "BodyStructure" -> bodyStructure,
+    "Encounter" -> encounter,
+    "Group" -> group,
+    "ImagingStudy" -> imagingStudy,
+    "MedicationAdministration" -> medicationAdministration,
+    "ResearchStudy" -> researchStudy,
+    "ResearchSubject" -> researchSubject,
+    "Specimen" -> specimen,
+    "Patient" -> patient)
+}

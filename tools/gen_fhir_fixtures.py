@@ -1,0 +1,345 @@
+#!/usr/bin/env python3
+"""Deterministic FHIR R5 NDJSON fixture generator (seed-free: pure functions
+of index). Emits fixtures/fhir/*.ndjson plus Python-pinned oracle vectors:
+
+- uuid5_vectors.csv: uuid.uuid5(NAMESPACE_DNS, doc_id + '-assay') for every
+  document that reaches assay pass-2 (Specimen subject) — the authoritative
+  RFC-4122 v5 values the Spark expression must reproduce bit-exactly
+  (reference: /root/reference/scripts/assay.py:100).
+- mime_vectors.csv: expected contentType per doc computed with Python's
+  mimetypes configured exactly like the reference (assay.py:11-20,123-140).
+
+Run once; output is committed. Do not regenerate casually (uuid/mime vectors
+are pinned into ScalaTests).
+"""
+import json
+import mimetypes
+import os
+import urllib.parse
+import uuid
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "fhir")
+
+# Replicate the reference's custom mime registrations (assay.py:11-20)
+mimetypes.add_type('text/x-r', '.R', strict=True)
+mimetypes.add_type('text/x-r', '.r', strict=True)
+mimetypes.add_type('text/tab-separated-values', '.maf', strict=True)
+mimetypes.add_type('text/tab-separated-values', '.bed5', strict=True)
+mimetypes.add_type('text/tab-separated-values', '.bed', strict=True)
+mimetypes.add_type('text/tab-separated-values', '.vcf', strict=True)
+mimetypes.add_type('text/tab-separated-values', '.sam', strict=True)
+mimetypes.add_type('text/yaml', '.yaml', strict=True)
+mimetypes.add_type('text/x-markdown', '.md', strict=True)
+mimetypes.add_type('text/x-markdown', '.markdown', strict=True)
+
+
+def w(name, rows):
+    with open(os.path.join(OUT, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def patients():
+    for i in range(1, 41):
+        yield {
+            "resourceType": "Patient", "id": f"p-{i:03d}",
+            "name": [{"family": f"Family{i:03d}", "given": [f"Given{i:03d}"]}],
+            "gender": "female" if i % 2 == 0 else "male",
+            "birthDate": f"{1950 + (i * 7) % 50}-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}",
+            "active": i % 5 != 0,
+        }
+
+
+def specimens():
+    for i in range(1, 61):
+        s = {
+            "resourceType": "Specimen", "id": f"sp-{i:03d}",
+            "subject": {"reference": f"Patient/p-{(i - 1) % 40 + 1:03d}"},
+        }
+        if i % 2 == 0:
+            s["processing"] = [
+                {"method": {"coding": [{"system": "http://snomed.info/sct",
+                                        "code": f"pm-{i}"}]}}]
+        if i % 3 == 0:
+            s["collection"] = {"procedure": {"reference": f"Procedure/pr-{i}"},
+                               "bodySite": {"text": f"site-{i % 7}"}}
+        elif i % 3 == 1:
+            s["collection"] = {"bodySite": {"text": f"site-{i % 7}"}}
+        yield s
+
+
+# Groups: g-01..g-08 and g-12..g-14 are "claimed" (specimen member(s) whose
+# specimen row exists → patient ref found); g-09/g-10/g-11 stay unclaimed.
+def groups():
+    def member(ref):
+        return {"entity": {"reference": ref}}
+    claimed = {
+        "g-01": [member("Specimen/sp-001"), member("Specimen/sp-002")],
+        "g-02": [member("Specimen/sp-003"), member("Specimen/sp-004"),
+                 member("Specimen/sp-005")],
+        # missing specimen contributes a ref but no patient (assay.py:66-69);
+        # last-wins: patient comes from sp-006 even though sp-999 is later
+        "g-03": [member("Specimen/sp-006"), member("Specimen/sp-999")],
+        # member entity without a reference key is skipped (assay.py:64)
+        "g-04": [{"entity": {"display": "no-ref"}}, member("Specimen/sp-007")],
+        # Patient members ignored by the specimen scan (assay.py:65)
+        "g-05": [member("Patient/p-001"), member("Specimen/sp-008"),
+                 member("Specimen/sp-009")],
+        "g-06": [member("Specimen/sp-010"), member("Specimen/sp-011"),
+                 member("Specimen/sp-012"), member("Specimen/sp-013")],
+        "g-07": [member("Specimen/sp-014")],
+        "g-08": [member("Specimen/sp-015"), member("Specimen/sp-016")],
+        "g-12": [member("Specimen/sp-017")],
+        "g-13": [member("Specimen/sp-018"), member("Specimen/sp-019")],
+        "g-14": [member("Specimen/sp-020")],
+    }
+    unclaimed = {
+        "g-09": [member("Patient/p-002"), member("Patient/p-003")],
+        # specimen refs present but none resolvable → no patient → skipped
+        "g-10": [member("Specimen/sp-998")],
+        "g-11": [member("Patient/p-004")],
+    }
+    for gid in sorted(list(claimed) + list(unclaimed)):
+        yield {
+            "resourceType": "Group", "id": gid,
+            "membership": "definitional", "type": "specimen",
+            "member": claimed.get(gid) or unclaimed[gid],
+        }
+
+
+CLAIMED_GROUPS = ["g-01", "g-02", "g-03", "g-04", "g-05", "g-06", "g-07",
+                  "g-08", "g-12", "g-13", "g-14"]
+UNCLAIMED_GROUPS = ["g-09", "g-10", "g-11"]
+
+# attachment variants: (title, url, size). Chosen so file_name is always
+# resolvable (title set, or url path contains '.').
+ATTACHMENTS = [
+    ("sample.maf", "https://portal.example.org/files/sample.maf", 1234),
+    ("counts.tsv", None, 220),
+    (None, "https://x.org/data/run1/reads.bam", 987654),   # .bam → octet-stream
+    ("notes.md", "https://x.org/page", 40),                # url path no dot → title
+    ("script.R", None, 51),                                # exact-case custom type
+    ("variants.vcf", "https://x.org/v/variants.vcf", 777),
+    ("regions.bed", None, 88),
+    ("model.yaml", None, 12),
+    ("aligned.sam", "https://x.org/s/aligned.sam?x=1", 4242),
+    ("readme.txt", None, 9),
+    ("table.csv", "https://x.org/t/table.csv", 33),
+    ("blob.xyz123", None, 5),                              # unguessable → octet-stream
+    ("archive.json", None, 64),
+    ("UPPER.MAF", None, 71),                               # lowercase fallback
+    ("regions.bed5", None, 19),
+    ("doc.markdown", None, 27),
+]
+
+
+def docs():
+    """100 docs: 55 → claimed groups, 3 → unclaimed groups (one each),
+    12 → Specimen subject (pass-2), 30 → Patient subject (untouched)."""
+    n = 0
+
+    def doc(subject_ref):
+        nonlocal n
+        n += 1
+        title, url, size = ATTACHMENTS[(n - 1) % len(ATTACHMENTS)]
+        att = {"size": size}
+        if title:
+            att["title"] = title
+        if url:
+            att["url"] = url
+        content = [{
+            "attachment": att,
+            "profile": [{"valueCoding": {
+                "system": "https://dcc.example.org/format",
+                "code": f"FMT{(n % 5) + 1}"}}],
+        }]
+        # every 7th doc gets a second content element (no profile) so the
+        # transform.py loop over content[] and the [0]-only assay delete
+        # are distinguishable
+        if n % 7 == 0:
+            content.append({"attachment": {"title": f"extra-{n}.txt", "size": n}})
+        d = {
+            "resourceType": "DocumentReference", "id": f"doc-{n:03d}",
+            "version": str((n % 3) + 1), "status": "current",
+            "subject": {"reference": subject_ref},
+            "content": content,
+        }
+        # some docs already carry a context.related to exercise the append
+        # (assay.py:215-222) vs create path
+        if n % 11 == 0:
+            d["context"] = {"related": [{"reference": f"Encounter/e-{n:02d}"}]}
+        return d
+
+    out = []
+    for i in range(55):  # docs into claimed groups (g-07 gets none)
+        gid = [g for g in CLAIMED_GROUPS if g != "g-07"][i % 10]
+        out.append(doc(f"Group/{gid}"))
+    for gid in UNCLAIMED_GROUPS:  # exactly one doc per unclaimed group
+        out.append(doc(f"Group/{gid}"))
+    for i in range(12):  # pass-2 docs; specimen must exist (assay.py:97)
+        out.append(doc(f"Specimen/sp-{21 + i:03d}"))
+    for i in range(30):
+        out.append(doc(f"Patient/p-{(i % 40) + 1:03d}"))
+    return out
+
+
+def encounters():
+    for i in range(1, 13):
+        e = {"resourceType": "Encounter", "id": f"e-{i:02d}", "status": "completed"}
+        if i % 3 != 0:  # class present → first coding
+            first = {"system": "http://terminology.hl7.org/CodeSystem/v3-ActCode",
+                     "code": "AMB" if i % 2 else "IMP"}
+            if i % 2:
+                first["display"] = "ambulatory"
+            e["class"] = {"coding": [first, {"system": "ignored", "code": "second"}]}
+        if i % 4 == 0:  # reason gate present
+            e["reason"] = [{"use": [{"coding": [{"code": f"r-{i}"}]}]}]
+        if i % 8 == 0:  # top-level "reference" key: the quirk source
+            e["reference"] = [{"reference": f"Condition/c-{i}"},
+                              {"reference": f"Condition/c-{i + 100}"}]
+        yield e
+    # reference WITHOUT reason: the pop() is gated on reason, so this
+    # top-level "reference" key survives the transform (transform.py:40-41)
+    yield {"resourceType": "Encounter", "id": "e-13", "status": "planned",
+           "class": {"coding": [{"system": "sys", "code": "VR"}]},
+           "reference": [{"reference": "Condition/c-13"}]}
+
+
+def bodystructures():
+    for i in range(1, 9):
+        b = {"resourceType": "BodyStructure", "id": f"b-{i:02d}",
+             "patient": {"reference": f"Patient/p-{i:03d}"}}
+        if i % 4 != 0:
+            b["includedStructure"] = [
+                {"structure": {"coding": [{"system": "http://snomed.info/sct",
+                                           "code": f"3960700{i}"}]}},
+                {"structure": {"coding": [{"code": "ignored"}]}},
+            ][: 1 + (i % 2)]
+        yield b
+
+
+def imagingstudies():
+    for i in range(1, 11):
+        s = {"resourceType": "ImagingStudy", "id": f"i-{i:02d}", "status": "available"}
+        if i % 2 == 0:
+            s["basedOn"] = [{"reference": f"ServiceRequest/sr-{i}"}]
+        series = []
+        if i % 4 != 3:
+            series.append({"uid": f"1.2.{i}.1", "modality": {"coding": [
+                {"system": " http://dicom.nema.org/resources/ontology/DCM",
+                 "code": "MR" if i % 2 else "CT"}]}})
+        if i % 5 == 0:
+            series.append({"uid": f"1.2.{i}.2"})  # series without modality
+        if series:
+            s["series"] = series
+        yield s
+
+
+def medadmins():
+    for i in range(1, 13):
+        m = {"resourceType": "MedicationAdministration", "id": f"m-{i:02d}",
+             "status": "completed",
+             "subject": {"reference": f"Patient/p-{i:03d}"},
+             "occurenceDateTime": f"2020-{(i % 12) + 1:02d}-01T00:00:00Z"}
+        if i % 3 == 0:  # reference branch
+            m["medication"] = {"reference": {"reference": f"Medication/med-{i}"}}
+        else:  # concept branch; quoted system exercises the strip
+            m["medication"] = {"concept": {"coding": [
+                {"system": f"https://cadsr.cancer.gov'{i}'", "code": f"c-{i}"},
+                {"system": "https://untouched'kept'", "code": "second"}]}}
+        if i % 2 == 0:
+            m["category"] = [{"coding": [{"system": "s", "code": f"cat-{i}"}]},
+                             {"coding": [{"code": "dropped"}]}]
+        yield m
+
+
+def researchstudies():
+    for i in range(1, 5):
+        r = {"resourceType": "ResearchStudy", "id": f"rs-{i}",
+             "status": "active", "title": f"Study {i}"}
+        if i % 2 == 0:
+            r["name"] = f"STUDY-{i}"
+        yield r
+
+
+def researchsubjects():
+    for i in range(1, 9):
+        yield {"resourceType": "ResearchSubject", "id": f"rsub-{i}",
+               "status": "active",
+               "study": {"reference": f"ResearchStudy/rs-{(i % 4) + 1}"},
+               "subject": {"reference": f"Patient/p-{i:03d}"}}
+
+
+def mime_expected(d):
+    att = d["content"][0]["attachment"]
+    title, url = att.get("title"), att.get("url")
+    file_name = title
+    if url:
+        path = urllib.parse.urlparse(url).path
+        if "." in path:
+            file_name = path
+    (mt, _) = mimetypes.guess_type(file_name, strict=False)
+    return mt or "application/octet-stream"
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    all_docs = docs()
+    w("Patient.ndjson", patients())
+    w("Specimen.ndjson", specimens())
+    w("Group.ndjson", groups())
+    w("DocumentReference.ndjson", all_docs)
+    w("Encounter.ndjson", encounters())
+    w("BodyStructure.ndjson", bodystructures())
+    w("ImagingStudy.ndjson", imagingstudies())
+    w("MedicationAdministration.ndjson", medadmins())
+    w("ResearchStudy.ndjson", researchstudies())
+    w("ResearchSubject.ndjson", researchsubjects())
+
+    # mixed-type stream incl. unknown types (dispatch reject channel)
+    mixed = (list(researchstudies()) + list(researchsubjects())
+             + list(bodystructures())
+             + [{"resourceType": "Observation", "id": "obs-1", "status": "final"},
+                {"resourceType": "Device", "id": "dev-1"}])
+    w("mixed.ndjson", mixed)
+
+    # corrupt stream: 10 good docs + 3 broken lines
+    with open(os.path.join(OUT, "corrupt.ndjson"), "w") as f:
+        for i, d in enumerate(all_docs[:10]):
+            f.write(json.dumps(d) + "\n")
+            if i in (2, 5, 8):
+                f.write('{"resourceType": "DocumentReference", "id": broken\n')
+
+    # pinned uuid5 vectors for pass-2 docs (+ generic test vectors)
+    with open(os.path.join(OUT, "uuid5_vectors.csv"), "w") as f:
+        f.write("name,uuid\n")
+        for d in all_docs:
+            if d["subject"]["reference"].startswith("Specimen/"):
+                nm = d["id"] + "-assay"
+                f.write(f"{nm},{uuid.uuid5(uuid.NAMESPACE_DNS, nm)}\n")
+        for nm in ["", "a", "hello world", "doc-042-assay",
+                   "üñïçødé-assay", "x" * 200]:
+            f.write(f"{nm},{uuid.uuid5(uuid.NAMESPACE_DNS, nm)}\n")
+
+    # pinned mime vectors for every doc
+    with open(os.path.join(OUT, "mime_vectors.csv"), "w") as f:
+        f.write("doc_id,content_type\n")
+        for d in all_docs:
+            f.write(f"{d['id']},{mime_expected(d)}\n")
+
+    # print the ext → mime resolution actually used (for the Scala map)
+    exts = set()
+    for t, u, _ in ATTACHMENTS:
+        fn = t
+        if u:
+            p = urllib.parse.urlparse(u).path
+            if "." in p:
+                fn = p
+        exts.add(fn.rsplit(".", 1)[-1] if "." in fn else "")
+    for e in sorted(exts):
+        mt, _ = mimetypes.guess_type(f"f.{e}", strict=False)
+        print(f".{e} -> {mt}")
+
+
+if __name__ == "__main__":
+    main()
