@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators (SURVEY C10) for LLM-corpus curation, designed
+  * for the 100 TB regime:
+  *
+  * - exact dedup: hash-groupBy on a digest, never on the raw text — the
+  *   shuffle carries 16-byte keys, not documents.
+  * - near-dup: MinHash + banded LSH. Candidate generation is a BUCKET
+  *   equi-join on (band index, band signature) — all-pairs comparison never
+  *   happens; cost is Σ|bucket|², controlled by (bands, rows-per-band).
+  * - SimHash: 60-bit fingerprints, banded so any pair within Hamming
+  *   distance ≤ 3 shares one of 4 exact 15-bit band keys (pigeonhole) —
+  *   again an equi-join, no cross product.
+  *
+  * All hashing is md5-derived (deterministic, engine-portable) so results
+  * are reproducible across engines and cluster sizes.
+  */
+object Dedup {
+
+  /** 60-bit hash from md5 — portable across engines (DuckDB can reproduce
+    * it with substr(md5(x),1,15)::hex). 60 bits keeps conv() inside a
+    * signed long.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles. Guarded so short docs yield []. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** MinHash signature table: (doc_id, mh array<int>[numPerms]).
+    *
+    * Deliberately NOT a nested-lambda column expression: higher-order
+    * functions run interpreted (outside whole-stage codegen), which
+    * measured ~13ms/doc for 32 perms. Instead: explode shingles once,
+    * xxhash64 each, then numPerms static `min(hash(h, k))` aggregates —
+    * everything codegen'd, partial (map-side) aggregation halves the
+    * shuffle, and min() is order-free so any partitioning yields
+    * identical signatures.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3,
+      numPerms: Int = 32): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val minCols = (0 until numPerms).map(k => min(hash(col("h"), lit(k))).as(s"_m$k"))
+    exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerms).map(k => col(s"_m$k")): _*).as("mh"))
+  }
+
+  /** Exact-dedup survivors: first (min orderCol) row per digest of `key`.
+    * Shuffles md5 digests only.
+    */
+  def exactSurvivors(df: DataFrame, key: Column, orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(md5(key)).orderBy(orderCol)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Deterministic near-dup test corpus: every document plus a mutant copy
+    * (every 10th token dropped, id offset by `mutantOffset`). Used by the
+    * near-dup queries so ground-truth pairs exist at any scale factor.
+    */
+  def withMutants(docs: DataFrame, mutantOffset: Long = 1000000L): DataFrame = {
+    val toks = tokens(col("text"))
+    val mutants = docs.select(
+      (col("doc_id") + mutantOffset).as("doc_id"),
+      concat_ws(" ", filter(toks, (_, i) => (i + 1) % 10 =!= 0)).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(mutants)
+  }
+
+  /** Exact n-gram Jaccard similarity for ALL pairs sharing ≥1 shingle —
+    * the brute-force ground truth. The join is on shingle (not cross), so
+    * disjoint documents never pair; still O(Σ|posting list|²) and thus a
+    * verification/oracle tool, not the scale path (that's [[lshCandidates]]).
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+      .withColumn("jaccard", col("i") / (col("sa") + col("sb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** Banded-LSH candidate pairs: band the minhash signature (rows-per-band
+    * hashes per band), bucket-join on (band, signature). For threshold τ,
+    * candidate probability is 1-(1-τ^r)^b; the default r=2,b=16 gives
+    * ~0.997 recall at τ=0.5 with a ~0.6% false-candidate rate at j=0.02.
+    */
+  def lshCandidates(docs: DataFrame, n: Int = 3, numPerms: Int = 32,
+      rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numPerms / rowsPerBand
+    val sig = minhashSignatures(docs, n, numPerms)
+    // band signature = murmur mix of the band's minhash slice (codegen'd)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until numBands).map { b =>
+        val slots = (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r))
+        struct(lit(b).as("band"), hash(slots :+ lit(b): _*).as("bsig"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pipeline: LSH candidates → exact Jaccard verify.
+    * Only candidate pairs are verified — the scale path end to end.
+    */
+  def lshNearDups(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      numPerms: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val cands = lshCandidates(docs, n, numPerms, rowsPerBand)
+    val sets = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    cands
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+      .withColumn("jaccard",
+        col("i") / (size(col("sha")) + size(col("shb")) - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash over the token multiset: bit j is the sign of
+    * Σ_tokens cnt·(±1 from bit j of the token hash). The bit axis is
+    * generated by explode (variable shifts via `expr`); two shuffles on
+    * doc_id, no widening joins.
+    */
+  def simhashSigs(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", hash60(col("t")))
+    tok
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("j"))
+      .withColumn("bit", expr("CAST((h >> j) & 1 AS INT)"))
+      .withColumn("v", (col("bit") * 2 - 1) * col("cnt"))
+      .groupBy("doc_id", "j").agg(sum(col("v")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Hamming-≤3 near-dup pairs via 4×15-bit banding of the simhash
+    * (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands identical).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSigs(docs)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("(simhash >> (band * 15)) & 32767"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.simhash").as("ha"),
+        col("b.doc_id").as("db"), col("b.simhash").as("hb"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(expr("ha ^ hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming").cast(LongType).as("hamming"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (SURVEY C12): media as opaque BinaryType
+  * columns + typed metadata, with decode / feature-extraction plumbing.
+  *
+  * The DECODE step itself is a stub — image/audio codecs are not available
+  * in this environment — but everything Spark-side is real: the schema
+  * contract, the partition-preserving mapPartitions execution (the Scala
+  * analog of a Pandas-UDF `mapInPandas` batch loop: one decoder
+  * instantiation per partition, streamed row batches, no driver
+  * collection), and the deterministic fallback features that tests and
+  * oracles pin.
+  *
+  * Generalizes the reference's attachment handling (contentType/size/url —
+  * assay.py:123-140) from metadata-only to content-bearing columns.
+  */
+object Multimodal {
+
+  /** Decoded-feature schema: what a real image/audio decoder would emit. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType),
+    StructField("header_hex", StringType),
+    StructField("digest", StringType),
+    StructField("n_chunks", LongType)))
+
+  /** STUB decoder — deterministic fake standing in for e.g. JPEG decode +
+    * feature extraction. Real deployments swap this closure for a codec
+    * call; the execution shape (per-partition init, row streaming) is
+    * exactly what the real one uses.
+    */
+  def decodeStub(bytes: Array[Byte]): Row = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(bytes).map("%02x".format(_)).mkString
+    val header = bytes.take(4).map("%02X".format(_)).mkString
+    Row(bytes.length.toLong, header, digest,
+      ((bytes.length + 4095) / 4096).toLong)
+  }
+
+  /** Attach a `media` binary column (here derived from text — the corpus
+    * has no real media; the column TYPE and downstream plumbing are the
+    * point) plus typed metadata.
+    */
+  def withMediaColumn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        lit("text/plain").as("content_type"),
+        length(col("text")).cast(LongType).as("declared_size")).as("media_meta"))
+
+  /** Feature extraction over the binary column via mapPartitions: the
+    * decoder is instantiated once per partition and rows stream through —
+    * no shuffle, no driver round-trip, partitioning preserved. This is the
+    * batch shape a Pandas-UDF/`mapInPandas` pipeline has in PySpark.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("features", featureSchema)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        // per-partition decoder init happens here (stubbed)
+        rows.map { r =>
+          Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1)))
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM-corpus curation (SURVEY C13): token and
+  * length statistics, term frequency, heuristic language ID, quality
+  * scoring, and document fingerprinting.
+  *
+  * Everything is codegen'd Column arithmetic over integer token counts —
+  * deterministic at any partitioning, no UDFs, engine-reproducible (the
+  * DuckDB oracles compute the same formulas).
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document surface statistics. */
+  def stats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      size(toks).cast(LongType).as("n_tokens"),
+      size(array_distinct(toks)).cast(LongType).as("n_uniq"),
+      (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("ttr"),
+      round((length(col("text")) - size(toks) + 1).cast(DoubleType) / size(toks), 6)
+        .as("avg_token_len"))
+  }
+
+  /** Whole-corpus term frequency, top `k` by (count desc, token). The
+    * explode → partial-agg pattern: the shuffle carries (token, partial
+    * count), not documents.
+    */
+  def termFrequency(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Stopword tables for the heuristic language scorer. Tiny, inlined as
+    * literal arrays (broadcast-free).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast(LongType)
+
+  /** Heuristic n-gram/stopword language ID: score = stopword hits per
+    * language; predict the argmax (fixed tie order en>de>es>fr via
+    * greatest-of-structs), "und" (undetermined) when no hits at all.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scored = docs.select(col("doc_id"),
+      hitCount(toks, stopwords("en")).as("s_en"),
+      hitCount(toks, stopwords("de")).as("s_de"),
+      hitCount(toks, stopwords("fr")).as("s_fr"),
+      hitCount(toks, stopwords("es")).as("s_es"))
+    scored.withColumn("predicted",
+      when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, lit("und"))
+        .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), lit("en"))
+        .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), lit("de"))
+        .when(col("s_es") >= col("s_fr"), lit("es"))
+        .otherwise(lit("fr")))
+  }
+
+  /** Quality score in [0,1]: length component (saturating at 200 tokens),
+    * lexical diversity (type-token ratio), stopword-rate component.
+    * The formula is arbitrary but FIXED — reproducibility is the contract.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val nTok = size(toks).cast(DoubleType)
+    val ttr = size(array_distinct(toks)).cast(DoubleType) / nTok
+    val stopRate = hitCount(toks, stopwords("en")).cast(DoubleType) / nTok
+    docs.select(col("doc_id"),
+      round(least(nTok / 200.0, lit(1.0)) * 0.5 + ttr * 0.3 +
+        least(stopRate * 5.0, lit(1.0)) * 0.2, 6).as("quality"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text,
+    * plus a 60-bit numeric bucket key for range-partitioned storage.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    docs.select(col("doc_id"), md5(norm).as("fp"),
+      conv(substring(md5(norm), 1, 15), 16, 10).cast(LongType).as("fp_bucket"))
+  }
+}

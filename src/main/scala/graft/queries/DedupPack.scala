@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.{Tables => T}
+
+/** Deduplication pack (SURVEY C10) over the `documents`/`embeddings`
+  * tables. Exact and brute-force variants carry DuckDB oracles; the
+  * LSH/SimHash scale paths are declared with rows-only checks and verified
+  * against the brute-force ground truth in DedupSpec.
+  *
+  * Near-dup queries run over the corpus ∪ deterministic mutants
+  * (Dedup.withMutants: every 10th token dropped, id+1e6) because the
+  * synthetic corpus has no natural near-dups (max trigram Jaccard ≈ 0.02);
+  * the oracle SQL constructs the identical corpus (note DuckDB list
+  * lambdas are 1-indexed where Spark's are 0-indexed).
+  */
+object DedupPack extends QueryPack {
+
+  private val MutantCorpus =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(list_filter(string_split(text, ' '),
+      |                                     (x, i) -> i % 10 != 0), ' ') AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  private val Shingles =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '), 1) AS i
+      |  FROM corpus
+      |), tri AS (
+      |  SELECT DISTINCT doc_id,
+      |         concat_ws(' ', w,
+      |           lead(w,1) OVER (PARTITION BY doc_id ORDER BY i),
+      |           lead(w,2) OVER (PARTITION BY doc_id ORDER BY i)) AS sh
+      |  FROM tok
+      |  QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+      |)""".stripMargin
+
+  private val CosineSql =
+    """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      | * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup, corpus-level summary: distinct-digest counting. The
+    // shuffle carries 16-byte digests, not documents — the only sane key
+    // at 100 TB.
+    QueryDef(
+      "dedup_exact_summary",
+      (s, d) =>
+        T.documents(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes")),
+      Some("""SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+             |       count(*) - count(DISTINCT md5(text)) AS n_dupes
+             |FROM documents""".stripMargin)),
+
+    // Exact-dedup survivors on a normalized key (50-char prefix): first
+    // writer wins deterministically (min doc_id per digest).
+    QueryDef(
+      "dedup_exact_survivors",
+      (s, d) =>
+        Dedup.exactSurvivors(T.documents(s, d),
+            substring(col("text"), 1, 50), col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id IN (SELECT min(doc_id) FROM documents
+             |                 GROUP BY substr(text, 1, 50))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Brute-force n-gram Jaccard ≥ 0.5 over corpus+mutants — the exact
+    // ground truth (shingle-postings join, not all-pairs).
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, d) =>
+        Dedup.jaccardPairs(Dedup.withMutants(
+            T.documents(s, d).select(col("doc_id"), col("text"))), 3, 0.5)
+          .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("da", "db"),
+      Some(s"""WITH $MutantCorpus, $Shingles,
+              |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT da, db, round(i / (sa.n + sb.n - i), 6) AS jaccard
+              |FROM inter
+              |JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              |WHERE i / (sa.n + sb.n - i) >= 0.5
+              |ORDER BY da, db""".stripMargin)),
+
+    // MinHash + banded LSH (r=2, b=16): the scale path — candidates from a
+    // bucket equi-join, exact Jaccard verify on candidates only. Rows-only
+    // driver check; DedupSpec asserts ≥95% recall vs dedup_ngram_jaccard.
+    QueryDef(
+      "dedup_minhash_lsh",
+      (s, d) =>
+        Dedup.lshNearDups(Dedup.withMutants(
+            T.documents(s, d).select(col("doc_id"), col("text"))), 3, 0.5)
+          .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("da", "db"),
+      None),
+
+    // SimHash Hamming-≤3 pairs via 4×15-bit banding (pigeonhole exact for
+    // the ≤3 radius). Rows-only check; DedupSpec verifies vs brute force.
+    QueryDef(
+      "dedup_simhash",
+      (s, d) =>
+        Dedup.simhashNearDups(Dedup.withMutants(
+            T.documents(s, d).select(col("doc_id"), col("text"))))
+          .orderBy("da", "db"),
+      None),
+
+    // Embedding-cosine near-dups over vectors ∪ dim0-zeroed mutants
+    // (vec_id < 300 bounds the oracle's pair count; scores rounded to 5dp
+    // so double-summation order noise cannot flip the hash).
+    QueryDef(
+      "dedup_embedding_cosine",
+      (s, d) => {
+        val base = T.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding"))
+        val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+        Similarity.cosineNearDups(base.unionByName(mutants), 0.9)
+          .orderBy("va", "vb")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+              |  UNION ALL
+              |  SELECT vec_id + 1000000 AS vec_id,
+              |         list_transform(embedding, (x, i) ->
+              |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS embedding
+              |  FROM embeddings WHERE vec_id < 300
+              |)
+              |SELECT a.vec_id AS va, b.vec_id AS vb,
+              |       round($CosineSql, 5) AS score
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE round($CosineSql, 5) >= 0.9
+              |ORDER BY va, vb""".stripMargin))
+  )
+}

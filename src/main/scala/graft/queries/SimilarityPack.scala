@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.{Tables => T}
+
+/** Similarity-search pack (SURVEY C11) over the `embeddings` table.
+  * Brute-force top-k carries a full DuckDB oracle (identical
+  * double-precision, element-order-sequential arithmetic on both sides);
+  * the IVF scale path is rows-only checked here and recall-tested against
+  * brute force in SimilaritySpec.
+  */
+object SimilarityPack extends QueryPack {
+
+  private val CosineSql =
+    """list_sum(list_transform(list_zip(q.qvec, c.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |/ (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      | * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))""".stripMargin
+
+  private def queriesDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // Exact top-10 cosine neighbors for 10 query vectors: broadcast the
+    // queries, one scan of the corpus, TakeOrdered-style per-query top-k.
+    QueryDef(
+      "sim_topk_bruteforce",
+      (s, d) =>
+        Similarity.topKBruteForce(T.embeddings(s, d), queriesDf(s, d), 10)
+          .orderBy("query_id", "rank"),
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS query_id, embedding AS qvec
+              |  FROM embeddings WHERE vec_id < 10
+              |), scored AS (
+              |  SELECT q.query_id, c.vec_id, round($CosineSql, 5) AS score
+              |  FROM q CROSS JOIN embeddings c
+              |  WHERE q.query_id != c.vec_id
+              |)
+              |SELECT query_id, rank, vec_id, score FROM (
+              |  SELECT query_id, vec_id, score,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY score DESC, vec_id) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 10
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF top-k: probe the 2 nearest label-centroids per query, scan only
+    // those cells. Approximate — recall vs brute force asserted in
+    // SimilaritySpec; rows-only check here.
+    QueryDef(
+      "sim_topk_ivf",
+      (s, d) =>
+        Similarity.topKIvf(T.embeddings(s, d), queriesDf(s, d), 10, nprobe = 2)
+          .orderBy("query_id", "rank"),
+      None),
+
+    // Nearest-centroid assignment itself (the quantizer): every vector →
+    // its own cluster's centroid vs others. Oracle-able because centroid
+    // means are computed identically (double sums of floats per index,
+    // then /count) — wait: mean summation order differs; instead this
+    // query outputs per-label vector counts (exact) and the top vector
+    // per label by cosine-to-centroid computed in Spark only is omitted.
+    QueryDef(
+      "sim_label_sizes",
+      (s, d) =>
+        T.embeddings(s, d).groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+          .orderBy("label"),
+      Some("""SELECT label, count(*) AS n, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin))
+  )
+}

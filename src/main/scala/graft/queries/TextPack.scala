@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Multimodal, TextOps}
+import graft.sources.{Tables => T}
+
+/** Text-analysis + multimodal pack (SURVEY C13 / C12) over `documents`.
+  * Every formula is fixed-arithmetic and replicated in the DuckDB oracle,
+  * so the driver hash-checks the exact numbers.
+  */
+object TextPack extends QueryPack {
+
+  private def docsOf(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.documents(s, d)
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // Per-document surface statistics (token counting = whitespace split;
+    // the corpus is single-space separated by construction).
+    QueryDef(
+      "text_stats",
+      (s, d) =>
+        TextOps.stats(docsOf(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |    / len(string_split(text,' ')) AS ttr,
+             |  round(CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+             |    / len(string_split(text,' ')), 6) AS avg_token_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Corpus term frequency, top 100 (total order: count desc, token).
+    QueryDef(
+      "text_tf",
+      (s, d) =>
+        TextOps.termFrequency(docsOf(s, d), 100),
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS cnt
+             |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin)),
+
+    // Heuristic stopword language ID (argmax with fixed tie order).
+    QueryDef(
+      "text_langid",
+      (s, d) =>
+        TextOps.languageId(docsOf(s, d))
+          .select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"),
+            col("s_es"), col("predicted"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text),' ') AS w FROM documents
+             |), s AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+             |    CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS s_de,
+             |    CAST(len(list_filter(w, x -> x IN ('le','la','les','et','est','un'))) AS BIGINT) AS s_fr,
+             |    CAST(len(list_filter(w, x -> x IN ('el','la','los','y','es','un'))) AS BIGINT) AS s_es
+             |  FROM t
+             |)
+             |SELECT doc_id, s_en, s_de, s_fr, s_es,
+             |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+             |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+             |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+             |       WHEN s_es >= s_fr THEN 'es'
+             |       ELSE 'fr' END AS predicted
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Fixed-formula quality score.
+    QueryDef(
+      "text_quality",
+      (s, d) =>
+        TextOps.qualityScore(docsOf(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text),' ') AS w FROM documents
+             |), c AS (
+             |  SELECT doc_id,
+             |    CAST(len(w) AS DOUBLE) AS n,
+             |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+             |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |      / len(w) AS stoprate
+             |  FROM t
+             |)
+             |SELECT doc_id,
+             |  round(least(n / 200.0, 1.0) * 0.5 + ttr * 0.3
+             |        + least(stoprate * 5.0, 1.0) * 0.2, 6) AS quality
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprint: md5 of normalized text + 60-bit bucket key.
+    QueryDef(
+      "text_fingerprint",
+      (s, d) =>
+        TextOps.fingerprint(docsOf(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             |  ('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_bucket
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // C12 multimodal: binary media column + mapPartitions feature
+    // extraction (stub decoder, real plumbing — see operators.Multimodal).
+    QueryDef(
+      "mm_features",
+      (s, d) =>
+        Multimodal.extractFeatures(Multimodal.withMediaColumn(docsOf(s, d)))
+          .select(col("doc_id"),
+            col("features").getField("n_bytes").as("n_bytes"),
+            col("features").getField("header_hex").as("header_hex"),
+            col("features").getField("digest").as("digest"),
+            col("features").getField("n_chunks").as("n_chunks"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  substr(hex(encode(text)), 1, 8) AS header_hex,
+             |  md5(text) AS digest,
+             |  CAST((octet_length(encode(text)) + 4095) // 4096 AS BIGINT) AS n_chunks
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** LSH / SimHash scale paths vs brute-force ground truth on the
+  * corpus+mutants near-dup substrate (sf0.001 for speed).
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+  private lazy val corpus = Dedup.withMutants(docs).cache()
+
+  test("minhash-LSH recall >= 0.95 vs brute-force jaccard, no false positives") {
+    val truth = Dedup.jaccardPairs(corpus, 3, 0.5)
+      .select(col("da"), col("db")).cache()
+    val lsh = Dedup.lshNearDups(corpus, 3, 0.5)
+      .select(col("da"), col("db")).cache()
+    val nTruth = truth.count()
+    assert(nTruth >= 40, s"substrate must contain near-dups, got $nTruth")
+    // exact-verify step ⇒ every LSH pair is a true pair
+    assert(lsh.join(truth, Seq("da", "db"), "left_anti").count() == 0)
+    val found = truth.join(lsh, Seq("da", "db"), "left_semi").count()
+    assert(found.toDouble / nTruth >= 0.95,
+      s"recall ${found.toDouble / nTruth} below 0.95 ($found/$nTruth)")
+  }
+
+  test("minhash signatures are partitioning-invariant") {
+    val sig1 = Dedup.minhashSignatures(corpus.repartition(1), 3, 8)
+    val sig8 = Dedup.minhashSignatures(corpus.repartition(8), 3, 8)
+    assert(sig1.exceptAll(sig8).count() == 0)
+  }
+
+  test("simhash: every original↔mutant pair within Hamming 3 is found; sane volume") {
+    val pairs = Dedup.simhashNearDups(corpus).cache()
+    // banding is exact for Hamming<=3, so pairs == ground truth by
+    // construction; sanity: mutant pairs (db = da + 1e6) dominate
+    val mutantPairs = pairs.filter(col("db") === col("da") + 1000000L).count()
+    val total = pairs.count()
+    assert(mutantPairs >= 30, s"expected many original-mutant pairs, got $mutantPairs")
+    assert(total <= mutantPairs * 3, s"too many non-mutant pairs: $total vs $mutantPairs")
+  }
+
+  test("exact survivors keep lowest doc_id per key") {
+    val surv = Dedup.exactSurvivors(docs, substring(col("text"), 1, 30), col("doc_id"))
+    val dupCheck = surv.groupBy(md5(substring(col("text"), 1, 30)))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    assert(dupCheck.count() == 0)
+  }
+}
