@@ -1,0 +1,279 @@
+package graft.fhir
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** FHIR search front-end (SURVEY B1–B15): parses a search request string
+  * ("Patient?gender=male&_sort=birthdate&_count=10") into a DataFrame plan
+  * over per-type resource frames.
+  *
+  * The reference delegates this exact surface to its managed store
+  * (/root/reference/README.md:97-105); semantics follow the public FHIR R4
+  * search spec. This is a planner FRONT-END that emits ordinary Catalyst
+  * plans — filters land in scans (pushdown), chains/_has become joins,
+  * _include/_revinclude become unions of projections; no custom strategy
+  * is needed (SURVEY §4.4).
+  *
+  * Supported: type search (B1), token `system|code` (B2), string
+  * :exact/:contains/prefix (B3), date prefixes ge/gt/le/lt/eq (B4),
+  * reference (B5), chained param.param (B6), _has reverse chain (B7),
+  * _include (B8), _revinclude (B9), _count/_page paging (B10), _sort with
+  * -desc keys (B11), _total=accurate (B12), _elements (B13), Type/id read
+  * (B14), :missing/:not modifiers (B15).
+  */
+class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
+
+  import FhirSearch._
+
+  private def table(t: String): DataFrame =
+    tables.getOrElse(t, sys.error(s"unknown resource type: $t"))
+
+  /** Entry point: FHIR search request → DataFrame.
+    *
+    * Result shape: the matched resources' columns, unless _total (a single
+    * `total` row), _elements (projected), or _include/_revinclude (rows of
+    * (resourceType, id, mode) across types).
+    */
+  def search(request: String): DataFrame = {
+    // B14: direct read "Type/id"
+    if (!request.contains("?") && request.contains("/")) {
+      val Array(t, id) = request.split("/", 2)
+      return table(t).filter(col("id") === id)
+    }
+    val (resType, params) = parse(request)
+    val base = table(resType)
+
+    val (controls, filters) = params.partition(_._1.startsWith("_"))
+    var df = filters.foldLeft(base) { case (acc, (name, value)) =>
+      applyParam(resType, acc, name, value)
+    }
+
+    // B7 _has:Type:refParam:param=value — keep resources referenced by a
+    // matching resource of another type (left-semi join)
+    controls.collect { case (n, v) if n.startsWith("_has:") => (n, v) }
+      .foreach { case (n, v) =>
+        val Array(_, hasType, refParam, param) = n.split(":", 4)
+        val refPath = referencePath(hasType, refParam)
+        val matching = applyParam(hasType, table(hasType), param, v)
+          .select(split(refPath, "/").getItem(1).as("_ref_id"))
+        df = df.join(matching, df("id") === col("_ref_id"), "left_semi")
+      }
+
+    val sortKeys = controls.collectFirst { case ("_sort", v) => v }
+      .map(_.split(",").toSeq).getOrElse(Seq("id"))
+    val orderCols = sortKeys.map {
+      case k if k.startsWith("-") => col(k.drop(1)).desc_nulls_last
+      case k => col(k).asc_nulls_last
+    } :+ col("id").asc // total order for deterministic paging
+
+    // B12 _total=accurate (with _count=0: count only — the reference's own
+    // acceptance query, README.md:99-103)
+    if (controls.exists(c => c._1 == "_total" && c._2 == "accurate")) {
+      return df.agg(count(lit(1)).as("total"))
+    }
+
+    // B8/B9: _include / _revinclude produce (resourceType, id, mode) rows
+    val includes = controls.filter(c => c._1 == "_include" || c._1 == "_revinclude")
+    if (includes.nonEmpty) {
+      val matchRows = df.select(lit(resType).as("resourceType"), col("id"),
+        lit("match").as("mode"))
+      val extra = includes.map {
+        case ("_include", spec) => // Type:refParam → referenced resources
+          val Array(t, refParam) = spec.split(":", 2)
+          val refIds = df.select(split(referencePath(t, refParam), "/").as("_r"))
+            .select(col("_r").getItem(0).as("_t"), col("_r").getItem(1).as("_id"))
+            .filter(col("_t").isNotNull).distinct()
+          refIds.select(col("_t").as("resourceType"), col("_id").as("id"),
+            lit("include").as("mode"))
+        case ("_revinclude", spec) => // Type:refParam → referencing resources
+          val Array(t, refParam) = spec.split(":", 2)
+          val matchedIds = df.select(col("id").as("_mid"))
+          table(t)
+            .withColumn("_rid", split(referencePath(t, refParam), "/").getItem(1))
+            .join(matchedIds, col("_rid") === col("_mid"), "left_semi")
+            .select(lit(t).as("resourceType"), col("id"), lit("revinclude").as("mode"))
+        case other => sys.error(s"unsupported include $other")
+      }
+      return extra.foldLeft(matchRows)(_ unionByName _)
+        .orderBy("mode", "resourceType", "id")
+    }
+
+    var out = df.orderBy(orderCols: _*)
+
+    // B10 paging: _count (page size) + _page (1-based page number)
+    val pageSize = controls.collectFirst { case ("_count", v) => v.toInt }
+    val page = controls.collectFirst { case ("_page", v) => v.toInt }.getOrElse(1)
+    pageSize.foreach { sz =>
+      val w = Window.orderBy(orderCols: _*)
+      out = out.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") > (page - 1) * sz && col("_rn") <= page.toLong * sz)
+        .drop("_rn")
+    }
+
+    // B13 _elements projection
+    controls.collectFirst { case ("_elements", v) => v }.foreach { els =>
+      out = out.select(els.split(",").map(e => col(e.trim)): _*)
+    }
+    out
+  }
+
+  /** One search parameter (possibly modified/chained) → filter. */
+  private def applyParam(resType: String, df: DataFrame, rawName: String,
+      value: String): DataFrame = {
+    val (name, modifier) = rawName.split(":", 2) match {
+      case Array(n, m) => (n, Some(m))
+      case Array(n) => (n, None)
+    }
+    // B6 chained search: refParam.targetParam
+    if (name.contains(".")) {
+      val Array(refParam, targetParam) = name.split("\\.", 2)
+      val targetType = chainTarget(resType, refParam)
+      val target = applyParam(targetType, table(targetType), targetParam, value)
+        .select(concat(lit(targetType + "/"), col("id")).as("_target_ref"))
+      val refPath = referencePath(resType, refParam)
+      return df.join(broadcast(target), refPath === col("_target_ref"), "left_semi")
+    }
+    val defn = paramDef(resType, name)
+    // B15 :missing
+    if (modifier.contains("missing")) {
+      val isMissing = defn.missingTest(df)
+      return df.filter(if (value == "true") isMissing else !isMissing)
+    }
+    val pred = defn.predicate(value, modifier)
+    modifier match {
+      case Some("not") => df.filter(!coalesce(pred, lit(false))) // B15 :not
+      case _ => df.filter(pred)
+    }
+  }
+}
+
+object FhirSearch {
+
+  /** Parameter definition: how a named search param maps onto columns. */
+  final case class ParamDef(
+      predicate: (String, Option[String]) => Column,
+      missingTest: DataFrame => Column)
+
+  private def strParam(path: Column): ParamDef = ParamDef(
+    predicate = (v, m) => m match {
+      case Some("exact") => path === v // B3 :exact
+      case Some("contains") => lower(path).contains(v.toLowerCase) // B3 :contains
+      case Some("not") => path === v // negated by caller
+      case _ => lower(path).startsWith(v.toLowerCase) // B3 default prefix
+    },
+    missingTest = _ => path.isNull)
+
+  /** B4: date prefixes over ISO-8601 strings (lexicographic-safe). */
+  private def dateParam(path: Column): ParamDef = ParamDef(
+    predicate = (v, _) => v.take(2) match {
+      case "ge" => path >= v.drop(2)
+      case "gt" => path > v.drop(2)
+      case "le" => path <= v.drop(2)
+      case "lt" => path < v.drop(2)
+      case "eq" => path.startsWith(v.drop(2))
+      case _ => path.startsWith(v)
+    },
+    missingTest = _ => path.isNull)
+
+  /** B2: token over a CodeableConcept coding array: `system|code`, bare
+    * `code`, or `system|` (any code in system).
+    */
+  private def tokenCodingParam(codingArr: Column): ParamDef = ParamDef(
+    predicate = (v, _) => {
+      val test: Column => Column = v.split("\\|", -1) match {
+        case Array(sys, code) if code.nonEmpty && sys.nonEmpty =>
+          c => c.getField("system") === sys && c.getField("code") === code
+        case Array(sys, "") => c => c.getField("system") === sys
+        case Array(code) => c => c.getField("code") === code
+        case _ => _ => lit(false)
+      }
+      exists(codingArr, test)
+    },
+    missingTest = _ => codingArr.isNull)
+
+  /** B5: reference param, exact `Type/id` match. */
+  private def refParam(path: Column): ParamDef = ParamDef(
+    predicate = (v, _) => path === v,
+    missingTest = _ => path.isNull)
+
+  /** Search-parameter registry for the fixture resource types. Paths cite
+    * the schemas in FhirSchemas.
+    */
+  def paramDef(resType: String, name: String): ParamDef = (resType, name) match {
+    case ("Patient", "_id") => strParam(col("id"))
+    case ("Patient", "gender") => strParam(col("gender"))
+    case ("Patient", "birthdate") => dateParam(col("birthDate"))
+    case ("Patient", "active") => ParamDef(
+      (v, _) => col("active") === (v == "true"), _ => col("active").isNull)
+    case ("Patient", "name") => ParamDef(
+      predicate = (v, m) => exists(col("name"), n => m match {
+        case Some("exact") => n.getField("family") === v ||
+          exists(n.getField("given"), g => g === v)
+        case Some("contains") => lower(n.getField("family")).contains(v.toLowerCase) ||
+          exists(n.getField("given"), g => lower(g).contains(v.toLowerCase))
+        case _ => lower(n.getField("family")).startsWith(v.toLowerCase) ||
+          exists(n.getField("given"), g => lower(g).startsWith(v.toLowerCase))
+      }),
+      missingTest = _ => col("name").isNull)
+    case ("Encounter", "status") => strParam(col("status"))
+    case ("Encounter", "class") => tokenCodingParam(col("class").getField("coding"))
+    case ("Specimen", "subject") => refParam(col("subject").getField("reference"))
+    case ("Specimen", "processing") =>
+      ParamDef((v, _) => exists(col("processing"), p =>
+        exists(p.getField("method").getField("coding"), c => c.getField("code") === v)),
+        _ => col("processing").isNull)
+    case ("ResearchSubject", "study") => refParam(col("study").getField("reference"))
+    case ("ResearchSubject", "subject") => refParam(col("subject").getField("reference"))
+    case ("ResearchSubject", "status") => strParam(col("status"))
+    case ("DocumentReference", "status") => strParam(col("status"))
+    case ("DocumentReference", "subject") => refParam(col("subject").getField("reference"))
+    case ("Group", "type") => strParam(col("type"))
+    case _ => sys.error(s"unknown search param $resType.$name")
+  }
+
+  /** Reference-valued param → its reference-string column (for chains,
+    * _has, _include/_revinclude).
+    */
+  def referencePath(resType: String, refParam: String): Column = (resType, refParam) match {
+    case ("ResearchSubject", "subject") => col("subject").getField("reference")
+    case ("ResearchSubject", "study") => col("study").getField("reference")
+    case ("Specimen", "subject") => col("subject").getField("reference")
+    case ("DocumentReference", "subject") => col("subject").getField("reference")
+    case _ => sys.error(s"unknown reference param $resType.$refParam")
+  }
+
+  /** Chain target type for `refParam.targetParam` (B6). */
+  def chainTarget(resType: String, refParam: String): String = (resType, refParam) match {
+    case ("ResearchSubject", "subject") => "Patient"
+    case ("Specimen", "subject") => "Patient"
+    case ("ResearchSubject", "study") => "ResearchStudy"
+    case _ => sys.error(s"unknown chain $resType.$refParam")
+  }
+
+  /** "Type?k=v&k2=v2" → (Type, ordered params). */
+  def parse(request: String): (String, Seq[(String, String)]) = {
+    val Array(t, qs @ _*) = request.split("\\?", 2)
+    val params = qs.headOption.filter(_.nonEmpty).map(_.split("&").toSeq
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k, v)
+      }).getOrElse(Seq())
+    (t, params)
+  }
+
+  /** Build a search engine over the NDJSON fixture tables. */
+  def overFixtures(spark: SparkSession, dir: String): FhirSearch = {
+    val load = (name: String, schema: org.apache.spark.sql.types.StructType) =>
+      FhirIO.readNdjson(spark, s"$dir/$name.ndjson", schema)
+    new FhirSearch(spark, Map(
+      "Patient" -> load("Patient", FhirSchemas.patient),
+      "Specimen" -> load("Specimen", FhirSchemas.specimen),
+      "Group" -> load("Group", FhirSchemas.group),
+      "Encounter" -> load("Encounter", FhirSchemas.encounter),
+      "DocumentReference" -> load("DocumentReference", FhirSchemas.documentReference),
+      "ResearchStudy" -> load("ResearchStudy", FhirSchemas.researchStudy),
+      "ResearchSubject" -> load("ResearchSubject", FhirSchemas.researchSubject)))
+  }
+}

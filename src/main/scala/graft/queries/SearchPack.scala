@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.fhir.FhirSearch
+
+/** FHIR search surface pack (SURVEY B1–B15): every search feature the
+  * reference delegates to its managed store, executed natively by the
+  * FhirSearch front-end over the NDJSON fixture store and hash-checked
+  * against DuckDB SQL expressing the same search relationally.
+  */
+object SearchPack extends QueryPack {
+
+  private val Fix = "/root/repo/fixtures/fhir"
+  private def rj(name: String) =
+    s"read_json('$Fix/$name.ndjson', format='newline_delimited')"
+
+  private def eng(s: org.apache.spark.sql.SparkSession) =
+    FhirSearch.overFixtures(s, Fix)
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // B1: type-level search, conjunctive params
+    QueryDef(
+      "search_type_filter",
+      (s, _) => eng(s).search("Patient?gender=male&active=true")
+        .select(col("id"), col("gender"), col("birthDate")).orderBy("id"),
+      Some(s"""SELECT id, gender, birthDate FROM ${rj("Patient")}
+              |WHERE gender = 'male' AND active ORDER BY id""".stripMargin)),
+
+    // B2: token search system|code over a coding array
+    QueryDef(
+      "search_token",
+      (s, _) => eng(s).search(
+        "Encounter?class=http://terminology.hl7.org/CodeSystem/v3-ActCode|AMB")
+        .select(col("id"), col("status")).orderBy("id"),
+      Some(s"""SELECT id, status FROM ${rj("Encounter")} e
+              |WHERE len(list_filter(e."class".coding, c ->
+              |  c."system" = 'http://terminology.hl7.org/CodeSystem/v3-ActCode'
+              |  AND c.code = 'AMB')) > 0
+              |ORDER BY id""".stripMargin)),
+
+    // B3: string search with :contains
+    QueryDef(
+      "search_string",
+      (s, _) => eng(s).search("Patient?name:contains=ily02")
+        .select(col("id")).orderBy("id"),
+      Some(s"""SELECT id FROM ${rj("Patient")}
+              |WHERE len(list_filter(name, n ->
+              |  contains(lower(n.family), 'ily02')
+              |  OR len(list_filter(n.given, g -> contains(lower(g), 'ily02'))) > 0)) > 0
+              |ORDER BY id""".stripMargin)),
+
+    // B4: date range with ge/lt prefixes
+    QueryDef(
+      "search_date_range",
+      (s, _) => eng(s).search("Patient?birthdate=ge1960-01-01&birthdate=lt1985-01-01")
+        .select(col("id"), col("birthDate")).orderBy("id"),
+      Some(s"""SELECT id, birthDate FROM ${rj("Patient")}
+              |WHERE birthDate >= '1960-01-01' AND birthDate < '1985-01-01'
+              |ORDER BY id""".stripMargin)),
+
+    // B5: reference search
+    QueryDef(
+      "search_reference",
+      (s, _) => eng(s).search("ResearchSubject?study=ResearchStudy/rs-2")
+        .select(col("id"), col("study.reference").as("study_ref")).orderBy("id"),
+      Some(s"""SELECT id, study.reference AS study_ref FROM ${rj("ResearchSubject")}
+              |WHERE study.reference = 'ResearchStudy/rs-2' ORDER BY id""".stripMargin)),
+
+    // B6: chained search through a reference (join to Patient)
+    QueryDef(
+      "search_chained",
+      (s, _) => eng(s).search("ResearchSubject?subject.gender=female")
+        .select(col("id"), col("subject.reference").as("subject_ref")).orderBy("id"),
+      Some(s"""SELECT r.id, r.subject.reference AS subject_ref
+              |FROM ${rj("ResearchSubject")} r
+              |JOIN ${rj("Patient")} p ON r.subject.reference = 'Patient/' || p.id
+              |WHERE p.gender = 'female' ORDER BY r.id""".stripMargin)),
+
+    // B7: _has reverse chain (semi-join from referencing type)
+    QueryDef(
+      "search_has",
+      (s, _) => eng(s).search("Patient?_has:ResearchSubject:subject:status=active")
+        .select(col("id"), col("gender")).orderBy("id"),
+      Some(s"""SELECT id, gender FROM ${rj("Patient")} p
+              |WHERE EXISTS (SELECT 1 FROM ${rj("ResearchSubject")} r
+              |  WHERE r.subject.reference = 'Patient/' || p.id AND r.status = 'active')
+              |ORDER BY id""".stripMargin)),
+
+    // B8: _include — matches plus referenced resources
+    QueryDef(
+      "search_include",
+      (s, _) => eng(s).search(
+        "ResearchSubject?study=ResearchStudy/rs-1&_include=ResearchSubject:subject"),
+      Some(s"""SELECT 'ResearchSubject' AS resourceType, id, 'match' AS mode
+              |FROM ${rj("ResearchSubject")} WHERE study.reference = 'ResearchStudy/rs-1'
+              |UNION ALL
+              |SELECT DISTINCT split_part(subject.reference, '/', 1),
+              |       split_part(subject.reference, '/', 2), 'include'
+              |FROM ${rj("ResearchSubject")} WHERE study.reference = 'ResearchStudy/rs-1'
+              |ORDER BY mode, resourceType, id""".stripMargin)),
+
+    // B9: _revinclude — matches plus referencing resources
+    QueryDef(
+      "search_revinclude",
+      (s, _) => eng(s).search("Patient?gender=female&_revinclude=ResearchSubject:subject"),
+      Some(s"""SELECT 'Patient' AS resourceType, id, 'match' AS mode
+              |FROM ${rj("Patient")} WHERE gender = 'female'
+              |UNION ALL
+              |SELECT 'ResearchSubject', r.id, 'revinclude'
+              |FROM ${rj("ResearchSubject")} r
+              |WHERE EXISTS (SELECT 1 FROM ${rj("Patient")} p
+              |  WHERE p.gender = 'female' AND r.subject.reference = 'Patient/' || p.id)
+              |ORDER BY mode, resourceType, id""".stripMargin)),
+
+    // B10: paging (_count + _page over a total sort order)
+    QueryDef(
+      "search_paging",
+      (s, _) => eng(s).search("Patient?_sort=birthdate&_count=10&_page=2")
+        .select(col("id"), col("birthDate")),
+      Some(s"""SELECT id, birthDate FROM (
+              |  SELECT id, birthDate,
+              |         row_number() OVER (ORDER BY birthDate, id) AS rn
+              |  FROM ${rj("Patient")}) t
+              |WHERE rn > 10 AND rn <= 20""".stripMargin)),
+
+    // B11: _sort with descending key
+    QueryDef(
+      "search_sort",
+      (s, _) => eng(s).search("Patient?active=true&_sort=-birthdate&_count=15")
+        .select(col("id"), col("birthDate")),
+      Some(s"""SELECT id, birthDate FROM (
+              |  SELECT id, birthDate,
+              |         row_number() OVER (ORDER BY birthDate DESC, id) AS rn
+              |  FROM ${rj("Patient")} WHERE active) t
+              |WHERE rn <= 15""".stripMargin)),
+
+    // B12: _total=accurate&_count=0 — the reference's acceptance query
+    // shape (README.md:99-103)
+    QueryDef(
+      "search_total",
+      (s, _) => eng(s).search("Patient?gender=female&_total=accurate&_count=0"),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS total FROM ${rj("Patient")}
+              |WHERE gender = 'female'""".stripMargin)),
+
+    // B13: _elements projection
+    QueryDef(
+      "search_elements",
+      (s, _) => eng(s).search("Patient?active=false&_elements=id,gender").orderBy("id"),
+      Some(s"""SELECT id, gender FROM ${rj("Patient")}
+              |WHERE NOT active ORDER BY id""".stripMargin)),
+
+    // B14: Type/id point read
+    QueryDef(
+      "search_read",
+      (s, _) => eng(s).search("Patient/p-007")
+        .select(col("id"), col("gender"), col("birthDate")),
+      Some(s"""SELECT id, gender, birthDate FROM ${rj("Patient")}
+              |WHERE id = 'p-007'""".stripMargin)),
+
+    // B15: :not and :missing modifiers
+    QueryDef(
+      "search_modifiers",
+      (s, _) => eng(s).search("Patient?gender:not=male&name:missing=false")
+        .select(col("id"), col("gender")).orderBy("id"),
+      Some(s"""SELECT id, gender FROM ${rj("Patient")}
+              |WHERE NOT coalesce(gender = 'male', false) AND name IS NOT NULL
+              |ORDER BY id""".stripMargin))
+  )
+}
