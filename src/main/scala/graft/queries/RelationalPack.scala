@@ -517,6 +517,154 @@ object RelationalPack extends QueryPack {
              |  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
              |  UNION ALL
              |  SELECT s_name, s_acctbal, 'supplier' FROM supplier) t
-             |WHERE acctbal > 9000 ORDER BY kind, name""".stripMargin))
+             |WHERE acctbal > 9000 ORDER BY kind, name""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 right outer join (form-distinct from q07's left).
+    QueryDef(
+      "q25_right_outer_join",
+      (s, d) => {
+        val o = T.orders(s, d).filter(col("o_totalprice") > 300000.0)
+        val c = T.customer(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(col("o_orderkey")).as("n_big_orders"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(o_orderkey) AS n_big_orders, COUNT(*) AS n_rows
+             |FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+             |RIGHT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 full outer join over per-nation aggregates (either side may be
+    // missing a nation; both null-sides must survive).
+    QueryDef(
+      "q26_full_outer_join",
+      (s, d) => {
+        val c = T.customer(s, d).filter(col("c_acctbal") > 9500.0)
+          .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+        val sup = T.supplier(s, d).filter(col("s_acctbal") > 9500.0)
+          .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("nk") === col("nk2"), "full")
+          .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT COALESCE(c.nk, s.nk2) AS nationkey,
+             |       COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+             |      WHERE c_acctbal > 9500 GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey AS nk2, COUNT(*) AS n_supp FROM supplier
+             |      WHERE s_acctbal > 9500 GROUP BY 1) s ON c.nk = s.nk2
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C4 approx_count_distinct (HLL++). Sketch values are engine-specific
+    // → no SQL oracle (rows-only check); RelationalSpec bounds the error
+    // vs the exact count.
+    QueryDef(
+      "q27_approx_distinct",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .orderBy("l_returnflag"),
+      None),
+
+    // ----------------------------------------------------------------
+    // C4 collect_list / collect_set — sorted post-hoc for determinism
+    // (Spark aggregation order is partition-dependent; sort_array makes
+    // the result partitioning-invariant).
+    QueryDef(
+      "q28_collect",
+      (s, d) =>
+        T.orders(s, d).filter(col("o_custkey") < 100)
+          .groupBy(col("o_custkey"))
+          .agg(
+            concat_ws(",", array_sort(collect_list(col("o_orderpriority")))).as("all_prios"),
+            concat_ws(",", array_sort(collect_set(col("o_orderpriority")))).as("uniq_prios"),
+            count(lit(1)).as("n"))
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+             |       array_to_string(list_sort(list(o_orderpriority)), ',') AS all_prios,
+             |       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS uniq_prios,
+             |       COUNT(*) AS n
+             |FROM orders WHERE o_custkey < 100
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C8 array higher-order functions: transform/filter/exists/aggregate
+    // over per-order quantity arrays.
+    QueryDef(
+      "q29_array_hofs",
+      (s, d) => {
+        val arr = T.lineitem(s, d).filter(col("l_orderkey") < 2000)
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_list(col("l_quantity"))).as("qs"))
+        arr.select(col("l_orderkey"),
+            size(col("qs")).cast(LongType).as("n_items"),
+            size(filter(col("qs"), q => q > 25.0)).cast(LongType).as("n_big"),
+            exists(col("qs"), q => q === 50.0).as("has_max"),
+            aggregate(col("qs"), lit(0.0).cast(DecimalType(38, 2)),
+              (acc, q) => acc + q.cast(DecimalType(38, 2)))
+              .cast(DoubleType).as("total_qty"),
+            transform(col("qs"), q => q * 2).getItem(0).as("first_doubled"))
+          .orderBy("l_orderkey")
+      },
+      Some("""WITH arr AS (
+             |  SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+             |  FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey
+             |)
+             |SELECT l_orderkey,
+             |       len(qs) AS n_items,
+             |       len(list_filter(qs, q -> q > 25)) AS n_big,
+             |       len(list_filter(qs, q -> q = 50)) > 0 AS has_max,
+             |       CAST(SUM(CAST(q AS DECIMAL(38,2))) AS DOUBLE) AS total_qty,
+             |       qs[1] * 2 AS first_doubled
+             |FROM arr, unnest(qs) AS u(q)
+             |GROUP BY l_orderkey, qs ORDER BY l_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C8 map functions: literal map lookup + map_from_entries round-trip.
+    QueryDef(
+      "q30_map_funcs",
+      (s, d) => {
+        val regionNames = typedlit(Map(
+          0 -> "AFRICA", 1 -> "AMERICA", 2 -> "ASIA", 3 -> "EUROPE", 4 -> "MIDDLE EAST"))
+        T.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"),
+            element_at(regionNames, col("n_regionkey")).as("region_name"),
+            map_from_entries(array(
+              struct(lit("nation").as("k"), col("n_name").as("v")),
+              struct(lit("key").as("k"), col("n_nationkey").cast(StringType).as("v"))))
+              .getItem("nation").as("roundtrip"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+             |       CASE n_regionkey WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA'
+             |            WHEN 2 THEN 'ASIA' WHEN 3 THEN 'EUROPE' ELSE 'MIDDLE EAST' END AS region_name,
+             |       n_name AS roundtrip
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C8 from_json / to_json over the events.props JSON column.
+    QueryDef(
+      "q31_from_to_json",
+      (s, d) =>
+        T.events(s, d).filter(col("event_id") < 500)
+          .select(col("event_id"),
+            from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+              .getField("k").as("k"),
+            to_json(struct(col("event_type").as("t"),
+              get_json_object(col("props"), "$.k").cast(LongType).as("k"))).as("j"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |       '{"t":"' || event_type || '","k":' || json_extract_string(props, '$.k') || '}' AS j
+             |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin))
   )
 }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Tables => T}
+import graft.streaming.EventStreams
+
+/** Windowed event-time pack (SURVEY C9, batch face). The window semantics
+  * are checked against DuckDB here; StreamingSpec proves the SAME
+  * EventStreams functions produce identical results under Structured
+  * Streaming with a MemoryStream + watermark.
+  */
+object StreamPack extends QueryPack {
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 10-minute windows (epoch-aligned, same as time_bucket).
+    QueryDef(
+      "stream_tumbling",
+      (s, d) =>
+        EventStreams.tumblingAgg(T.events(s, d))
+          .orderBy("window_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+             |       event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(38,3))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Sliding 10-minute windows every 5 minutes: each event belongs to
+    // exactly two windows (the two 5-min-grid starts covering it).
+    QueryDef(
+      "stream_sliding",
+      (s, d) =>
+        EventStreams.slidingAgg(T.events(s, d))
+          .orderBy("window_start", "event_type"),
+      Some("""WITH b AS (
+             |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, event_type FROM events
+             |), w AS (
+             |  SELECT b5 AS window_start, event_type FROM b
+             |  UNION ALL
+             |  SELECT b5 - INTERVAL '5 minutes', event_type FROM b
+             |)
+             |SELECT window_start, event_type, COUNT(*) AS n
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Per-user session windows, 6h inactivity gap (gaps-and-islands in the
+    // oracle; session end = last event + gap, matching Spark's definition).
+    QueryDef(
+      "stream_session",
+      (s, d) =>
+        EventStreams.sessionAgg(T.events(s, d))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, value,
+             |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                   > INTERVAL '6 hours' OR
+             |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |), isl AS (
+             |  SELECT user_id, ts, value,
+             |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g
+             |)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |       MAX(ts) + INTERVAL '6 hours' AS session_end,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(38,3))) AS DOUBLE) AS sum_value
+             |FROM isl GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
+  )
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact.dsum
+
+/** Event-time windowed aggregations (SURVEY C9) written once and used by
+  * BOTH the batch pack (StreamPack, DuckDB-oracled) and Structured
+  * Streaming (StreamingSpec drives them through MemoryStream) — the same
+  * `window`/`session_window` expressions plan in either mode, which is the
+  * point: the streaming path is the batch semantics plus watermark-driven
+  * state eviction.
+  *
+  * Scale notes: windowed aggregation shuffles on (window, key) with
+  * map-side partials; session windows keep per-key state bounded by the
+  * watermark delay. At 100 TB/day the shuffle carries only per-window
+  * partials, and late data past the watermark is dropped instead of
+  * exploding state.
+  */
+object EventStreams {
+
+  /** Tumbling windows: one window per event. */
+  def tumblingAgg(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows: width/slide overlapping windows per event. */
+  def slidingAgg(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Per-user session windows with an inactivity gap. */
+  def sessionAgg(events: DataFrame, gap: String = "6 hours"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("sum_value"))
+
+  /** Streaming-only: exactly-once-style dedup bounded by the watermark
+    * (C9 stateful dedup). Batch analog is dropDuplicates.
+    */
+  def dedupWithinWatermark(stream: DataFrame, delay: String = "30 minutes"): DataFrame =
+    stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming tumbling aggregation with watermark (late data dropped). */
+  def streamingTumbling(stream: DataFrame, width: String = "10 minutes",
+      delay: String = "30 minutes"): DataFrame =
+    stream.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+
+  test("q27 approx_count_distinct within 10% of exact (HLL++ rsd 5% ≈ 2σ)") {
+    val df = RelationalPack.queries("q27_approx_distinct")(spark, "/root/testdata/sf0.01")
+    val bad = df.filter(
+      abs(col("approx_orders") - col("exact_orders")) >
+        col("exact_orders") * 0.10)
+    assert(bad.count() == 0)
+  }
+
+  test("q19 banded range join plans with an equi-join key (no BNLJ)") {
+    val plan = RelationalPack.queries("q19_range_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("q20 as-of join has no join at all (single-pass window)") {
+    val plan = RelationalPack.queries("q20_asof_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan.take(2000))
+    assert(plan.contains("Window"))
+  }
+}

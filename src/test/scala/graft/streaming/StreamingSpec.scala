@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming semantics (SURVEY C9): the same EventStreams
+  * functions that the batch pack oracles, driven through MemoryStream —
+  * stream results must equal batch results on the same data; watermarks
+  * must drop late data; dropDuplicatesWithinWatermark must dedup keys.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(
+    f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private val base = Seq(
+    Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(4), 1, "click", 2.0),
+    Ev(3, ts(11), 2, "view", 3.0), Ev(4, ts(14), 1, "click", 4.0),
+    Ev(5, ts(21), 2, "view", 5.0), Ev(6, ts(25), 1, "view", 6.0),
+    Ev(7, ts(33), 2, "click", 7.0), Ev(8, ts(41), 1, "click", 8.0))
+
+  private def runStream(input: Seq[Seq[Ev]],
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val mem = MemoryStream[Ev](spark)
+    val q = f(mem.toDF()).writeStream.format("memory")
+      .queryName(s"t${Math.abs(input.hashCode)}").outputMode(mode).start()
+    input.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    val out = spark.table(s"t${Math.abs(input.hashCode)}")
+    q.stop()
+    out
+  }
+
+  test("streaming tumbling agg (complete mode) == batch agg on same data") {
+    val stream = runStream(Seq(base.take(4), base.drop(4)),
+      df => EventStreams.tumblingAgg(df, "10 minutes"), mode = "complete")
+    val batch = EventStreams.tumblingAgg(base.toDF(), "10 minutes")
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0)
+  }
+
+  test("watermark drops data later than the delay") {
+    // batch 1 advances event time to 0:41; batch 2 delivers an event at
+    // 0:01 — 40 min late, beyond the 10 min watermark → excluded from the
+    // (append-mode, finalized) windows
+    val late = Ev(99, ts(1), 9, "late", 1.0)
+    val out = runStream(Seq(base, Seq(late), Seq(Ev(100, ts(120), 9, "flush", 0.0))),
+      df => EventStreams.streamingTumbling(df, "10 minutes", "10 minutes"))
+    assert(out.filter(col("event_type") === "late").count() == 0)
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-window duplicate keys") {
+    val dup = Ev(1, ts(2), 1, "click", 1.0) // same event_id as base(0)
+    val out = runStream(Seq(base.take(2) :+ dup, base.drop(2)),
+      df => EventStreams.dedupWithinWatermark(df, "30 minutes"))
+    assert(out.filter(col("event_id") === 1).count() == 1)
+    assert(out.count() == base.length)
+  }
+
+  test("streaming session windows (complete mode) == batch session windows") {
+    val stream = runStream(Seq(base.take(5), base.drop(5)),
+      df => EventStreams.sessionAgg(df, "10 minutes"), mode = "complete")
+    val batch = EventStreams.sessionAgg(base.toDF(), "10 minutes")
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0)
+  }
+}
