@@ -112,13 +112,17 @@ object Dedup {
       rowsPerBand: Int = 2): DataFrame = {
     val numBands = numPerms / rowsPerBand
     val sig = minhashSignatures(docs, n, numPerms)
-    // band signature = murmur mix of the band's minhash slice (codegen'd)
+    // band signature = murmur mix of the band's minhash slice (codegen'd).
+    // The band table is the LSH INDEX: materialize it (cache) so the
+    // self-join's two sides don't each recompute the signature pipeline —
+    // the same reason a real system persists its minhash index.
     val bands = sig.select(col("doc_id"),
       explode(array((0 until numBands).map { b =>
         val slots = (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r))
         struct(lit(b).as("band"), hash(slots :+ lit(b): _*).as("bsig"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .cache()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -132,7 +136,7 @@ object Dedup {
   def lshNearDups(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       numPerms: Int = 32, rowsPerBand: Int = 2): DataFrame = {
     val cands = lshCandidates(docs, n, numPerms, rowsPerBand)
-    val sets = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val sets = docs.select(col("doc_id"), shingles(col("text"), n).as("sh")).cache()
     cands
       .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")

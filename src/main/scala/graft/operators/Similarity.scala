@@ -111,7 +111,11 @@ object Similarity {
     val elems = corpus.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"), col("x").cast(DoubleType).as("x"))
-    val dots = elems.as("a").join(elems.as("b"),
+    // broadcast one exploded side: the dimension index has only ~64
+    // distinct values, so a shuffled hash join would collapse onto 64
+    // keys (no parallelism); a broadcast join streams the probe side
+    // through every partition instead
+    val dots = elems.as("a").join(broadcast(elems.as("b")),
         col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
       .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .agg(sum(col("a.x") * col("b.x")).as("dot"))
