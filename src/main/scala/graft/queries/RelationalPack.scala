@@ -651,6 +651,20 @@ object RelationalPack extends QueryPack {
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // C1 CSV sink + scan roundtrip (schema-directed re-read; header on).
+    QueryDef(
+      "q32_csv_roundtrip",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+        T.nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .csv(out)
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // ----------------------------------------------------------------
     // C8 from_json / to_json over the events.props JSON column.
     QueryDef(
       "q31_from_to_json",

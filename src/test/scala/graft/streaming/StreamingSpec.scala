@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-    event_type: String, value: Double)
+    event_type: String, value: Double) // untyped-path twin of streaming.Event
 
 /** Structured Streaming semantics (SURVEY C9): the same EventStreams
   * functions that the batch pack oracles, driven through MemoryStream —
@@ -64,6 +64,29 @@ class StreamingSpec extends SparkSpec {
       df => EventStreams.dedupWithinWatermark(df, "30 minutes"))
     assert(out.filter(col("event_id") === 1).count() == 1)
     assert(out.count() == base.length)
+  }
+
+  test("flatMapGroupsWithState sessionization == session_window on same data") {
+    // events for two users; sessions split by >10-min gaps; a final
+    // far-future event advances the watermark so timeouts flush the
+    // remaining open sessions
+    val evs = base.map(e => Event(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+    val flush = Event(999, ts(600), 99, "flush", 0.0)
+    val mem = MemoryStream[Event](spark)
+    val q = StatefulSessions.sessionize(mem.toDS(), gapMinutes = 10)
+      .toDF().writeStream.format("memory").queryName("statesess")
+      .outputMode("append").start()
+    mem.addData(evs.take(4)); q.processAllAvailable()
+    mem.addData(evs.drop(4)); q.processAllAvailable()
+    mem.addData(Seq(flush)); q.processAllAvailable()
+    mem.addData(Seq(flush.copy(event_id = 1000, ts = ts(1200)))); q.processAllAvailable()
+    val got = spark.table("statesess")
+      .filter(col("user_id") =!= 99)
+      .select(col("user_id"), col("session_start"), col("n"))
+    val want = EventStreams.sessionAgg(base.toDF(), "10 minutes")
+      .select(col("user_id"), col("session_start"), col("n"))
+    q.stop()
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
   test("streaming session windows (complete mode) == batch session windows") {
