@@ -13,6 +13,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) serializes only the FINAL write of the sf0.01 oracle
+      // dump (single-file output for the driver's DuckDB compare); it is
+      // an oracle-harness convenience, never a production sink pattern —
+      // real sinks write one file per partition (FhirIO.writeNdjson).
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -665,6 +665,31 @@ object RelationalPack extends QueryPack {
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
     // ----------------------------------------------------------------
+    // C14 typed UDAF: exact weighted mean via Aggregator[IN,BUF,OUT]
+    // (order-independent long buffer — see functions.WeightedMean). The
+    // oracle replicates the fixed-point arithmetic digit for digit.
+    QueryDef(
+      "q33_udaf_weighted_mean",
+      (s, d) => {
+        val wm = udaf(graft.functions.WeightedMean,
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaDouble))
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(wm(col("l_discount"), col("l_quantity")).as("wavg_discount"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)
+             |                 * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             |         / 100 / CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             |         AS wavg_discount,
+             |       COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // C8 from_json / to_json over the events.props JSON column.
     QueryDef(
       "q31_from_to_json",

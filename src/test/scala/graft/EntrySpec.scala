@@ -1,0 +1,14 @@
+package graft
+
+/** Driver t1 smoke contract: entry() must return >0 rows on sf0.001. */
+class EntrySpec extends SparkSpec {
+  test("entry() flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+  test("every declared query has either an oracle or a rows-only rationale") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries are exactly the approximate/engine-specific ones
+    assert(noOracle == Set("dedup_minhash_lsh", "dedup_simhash",
+      "sim_topk_ivf", "q27_approx_distinct"))
+  }
+}

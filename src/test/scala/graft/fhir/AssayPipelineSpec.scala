@@ -91,6 +91,22 @@ class AssayPipelineSpec extends SparkSpec {
     assert(d.getString(2) == "Group/g-09")
   }
 
+  test("A5 three-sink fan-out: assays + rewritten docs + filtered groups") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_fanout"
+    FhirIO.writeNdjson(result.assays, s"$base/Assay")
+    FhirIO.writeNdjson(result.documents, s"$base/DocumentReference")
+    FhirIO.writeNdjson(result.groups, s"$base/Group")
+    assert(spark.read.json(s"$base/Assay").count() == 23)
+    assert(spark.read.json(s"$base/DocumentReference").count() == 100)
+    assert(spark.read.json(s"$base/Group").count() == 3)
+    // NDJSON writer must omit null fields (dict semantics): rewritten docs
+    // have no `version` key at all
+    val doc1 = spark.read.json(s"$base/DocumentReference")
+      .filter(col("id") === "doc-001")
+    assert(!doc1.schema.fieldNames.contains("version") ||
+      doc1.filter(col("version").isNotNull).count() == 0)
+  }
+
   test("assay struct constants (A30)") {
     val a = result.assays.filter(col("id") === "g-01").select(
       col("resourceType"), col("status"), col("intent"),
