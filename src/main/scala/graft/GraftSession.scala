@@ -37,6 +37,8 @@ object GraftSession {
       // are µs-aligned so the conversion is lossless).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {

@@ -88,8 +88,10 @@ object Dedup {
     * verification/oracle tool, not the scale path (that's [[lshCandidates]]).
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // cached: the postings self-join and the size table all reuse it
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

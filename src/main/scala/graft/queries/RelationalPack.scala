@@ -665,6 +665,31 @@ object RelationalPack extends QueryPack {
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
     // ----------------------------------------------------------------
+    // Skew pattern: two-phase salted aggregation. Phase 1 splits each hot
+    // group key across 16 salt buckets (map-side + 16-way parallel
+    // reduce), phase 2 merges the 16 partials per key. With only 3 group
+    // keys over 600 K rows, a direct groupBy would reduce on 3 tasks;
+    // salting keeps all cores busy. Decimal partials make the two-phase
+    // sum bit-identical to the direct one.
+    QueryDef(
+      "q34_salted_skew_agg",
+      (s, d) => {
+        val salted = T.lineitem(s, d)
+          .withColumn("_salt", pmod(hash(col("l_orderkey")), lit(16)))
+          .groupBy(col("l_returnflag"), col("_salt"))
+          .agg(sum(dec(col("l_quantity"), 2)).as("partial_qty"),
+            count(lit(1)).as("partial_n"))
+        salted.groupBy(col("l_returnflag"))
+          .agg(sum(col("partial_qty")).cast(DoubleType).as("sum_qty"),
+            sum(col("partial_n")).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+             |       COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // C14 typed UDAF: exact weighted mean via Aggregator[IN,BUF,OUT]
     // (order-independent long buffer — see functions.WeightedMean). The
     // oracle replicates the fixed-point arithmetic digit for digit.

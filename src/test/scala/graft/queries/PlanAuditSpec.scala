@@ -41,6 +41,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("q19_range_join").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("assay pass-1: specimen dimension joins are broadcast (A3 build side)") {
+    val p = plan("fhir_assay_pass1")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q34: salted aggregation keeps decimal partials (no double partials)") {
+    val p = plan("q34_salted_skew_agg")
+    assert(p.contains("partial_sum") && p.contains("pmod"), p.take(1500))
+  }
+
   test("q01: two-phase aggregation (map-side partials) + codegen in final plan") {
     val df = graft.SparkEntry.queries("q01_pricing_summary")(spark, d)
     val pre = df.queryExecution.executedPlan.toString
