@@ -665,6 +665,37 @@ object RelationalPack extends QueryPack {
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
     // ----------------------------------------------------------------
+    // C8 math battery — restricted to IEEE-exact operations (abs, ceil,
+    // floor, round-half-up on 2dp, sqrt, sign, mod, greatest/least) so
+    // results are bit-identical across engines; transcendental functions
+    // (ln/exp/pow) are deliberately excluded — libm rounding differs.
+    QueryDef(
+      "q35_math_funcs",
+      (s, d) =>
+        T.lineitem(s, d).filter(col("l_orderkey") < 300)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            abs(col("l_discount") - 0.05).as("abs_d"),
+            ceil(col("l_extendedprice")).as("ceil_p"),
+            floor(col("l_extendedprice")).as("floor_p"),
+            sqrt(col("l_quantity")).as("sqrt_q"),
+            signum(col("l_discount") - 0.05).as("sign_d"),
+            pmod(col("l_orderkey"), lit(7L)).as("mod7"),
+            greatest(col("l_tax"), col("l_discount")).as("g"),
+            least(col("l_tax"), col("l_discount")).as("l"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       abs(l_discount - 0.05) AS abs_d,
+             |       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+             |       CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+             |       sqrt(l_quantity) AS sqrt_q,
+             |       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d,
+             |       l_orderkey % 7 AS mod7,
+             |       greatest(l_tax, l_discount) AS g,
+             |       least(l_tax, l_discount) AS l
+             |FROM lineitem WHERE l_orderkey < 300
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // Skew pattern: two-phase salted aggregation. Phase 1 splits each hot
     // group key across 16 salt buckets (map-side + 16-way parallel
     // reduce), phase 2 merges the 16 partials per key. With only 3 group
