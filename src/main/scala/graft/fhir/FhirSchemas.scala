@@ -150,6 +150,40 @@ object FhirSchemas {
     StructField("birthDate", StringType),
     StructField("active", BooleanType)))
 
+  /** R4 OUTPUT shapes for the transformers that change a field's type
+    * (not just presence): Encounter.class cc→Coding, ImagingStudy
+    * series.modality cc→Coding, MedicationAdministration.category
+    * array→scalar. Used to re-read transformed NDJSON (golden tests).
+    */
+  val encounterR4: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("class", coding),
+    StructField("reason", ArrayType(StructType(Seq(
+      StructField("use", ArrayType(codeableConcept)))))),
+    StructField("reference", ArrayType(reference)),
+    StructField("reasonReference", ArrayType(StringType))))
+
+  val imagingStudyR4: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("procedureReference", ArrayType(reference)),
+    StructField("series", ArrayType(StructType(Seq(
+      StructField("uid", StringType),
+      StructField("modality", coding)))))))
+
+  val medicationAdministrationR4: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("subject", reference),
+    StructField("medicationCodeableConcept", codeableConcept),
+    StructField("medicationReference", reference),
+    StructField("effectiveDateTime", StringType),
+    StructField("category", codeableConcept)))
+
   /** Schema by resourceType — the dispatch table's type universe
     * (transform.py:112-129) plus Patient (search substrate).
     */

@@ -132,9 +132,11 @@ object Transformers {
         when(hasMed, col("occurenceDateTime")).otherwise(col("effectiveDateTime")))
       .withColumn("occurenceDateTime",
         when(hasMed, lit(null).cast(StringType)).otherwise(col("occurenceDateTime")))
+      // R4 category is SCALAR: category = category[0] (transform.py:80-81).
+      // The column type changes array<cc> → cc; medication-absent rows
+      // yield null (see NOTE above — no such rows exist in reference data).
       .withColumn("category",
-        when(hasMed && col("category").isNotNull, array(element_at(col("category"), 1)))
-          .otherwise(col("category")))
+        when(hasMed, element_at(col("category"), 1)))
       .drop("medication")
     // quote-strip on coding[0].system of the (possibly just-set) concept
     val mcc = col("medicationCodeableConcept")

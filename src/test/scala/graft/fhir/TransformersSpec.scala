@@ -98,9 +98,10 @@ class TransformersSpec extends SparkSpec {
     val m3 = out.filter(col("id") === "m-03")
       .select(col("medicationReference.reference"), col("medicationCodeableConcept")).head()
     assert(m3.getString(0) == "Medication/med-3" && m3.isNullAt(1))
-    // category scalarized to exactly one element when present
-    assert(out.filter(col("category").isNotNull && size(col("category")) =!= 1)
-      .count() == 0)
+    // category scalarized (array<cc> → cc, first element kept)
+    val m2 = out.filter(col("id") === "m-02")
+      .select(col("category.coding").getItem(0).getField("code")).head()
+    assert(m2.getString(0) == "cat-2")
   }
 
   test("A17 Specimen: method→procedure, collection.procedure removed from type") {
