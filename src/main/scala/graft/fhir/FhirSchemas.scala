@@ -184,6 +184,20 @@ object FhirSchemas {
     StructField("effectiveDateTime", StringType),
     StructField("category", codeableConcept)))
 
+  /** ServiceRequest ("Assay") output shape — assay.py:156-191. */
+  val serviceRequest: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("intent", StringType),
+    StructField("category", ArrayType(codeableConcept)),
+    StructField("code", codeableConcept),
+    StructField("subject", reference),
+    StructField("text", StructType(Seq(
+      StructField("status", StringType),
+      StructField("div", StringType)))),
+    StructField("specimen", ArrayType(reference))))
+
   /** Schema by resourceType — the dispatch table's type universe
     * (transform.py:112-129) plus Patient (search substrate).
     */
