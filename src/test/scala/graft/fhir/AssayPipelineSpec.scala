@@ -107,6 +107,25 @@ class AssayPipelineSpec extends SparkSpec {
       doc1.filter(col("version").isNotNull).count() == 0)
   }
 
+  test("A32 non-R4 rewrite: basedOn append, stringified size, version kept") {
+    val docs = FhirIO.readNdjson(spark, s"$fix/DocumentReference.ndjson",
+      FhirSchemas.documentReference)
+      .filter(col("id") === "doc-001")
+      .withColumn("assay_id", lit("g-01"))
+      .withColumn("patient_ref", lit("Patient/p-002"))
+      .withColumn("doc_key", lit("g-01"))
+    val out = AssayPipeline.rewriteDocsNonR4(docs).head()
+    val row = AssayPipeline.rewriteDocsNonR4(docs)
+    assert(row.select(element_at(col("basedOn"), -1).getField("reference"))
+      .head().getString(0) == "ServiceRequest/g-01")
+    // size stringified, version and profile retained (non-R4 keeps them)
+    val c0 = row.select(
+      element_at(col("content"), 1).getField("attachment").getField("size"),
+      col("version"),
+      element_at(col("content"), 1).getField("profile").isNotNull).head()
+    assert(c0.getString(0) == "1234" && c0.getString(1) != null && c0.getBoolean(2))
+  }
+
   test("assay struct constants (A30)") {
     val a = result.assays.filter(col("id") === "g-01").select(
       col("resourceType"), col("status"), col("intent"),
