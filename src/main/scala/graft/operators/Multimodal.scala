@@ -51,6 +51,22 @@ object Multimodal {
         lit("text/plain").as("content_type"),
         length(col("text")).cast(LongType).as("declared_size")).as("media_meta"))
 
+  /** Chunk/frame-sample analog: slice each media blob into fixed-size
+    * chunk ROWS (doc_id, chunk_idx, chunk bytes). This is the shape a
+    * video frame-sampler or audio windower produces — one row per unit of
+    * decode work — so downstream extraction parallelizes across chunks,
+    * not documents (matters when single blobs are GB-scale: no task ever
+    * holds more than `chunkSize` of one blob after the explode).
+    */
+  def chunk(media: DataFrame, chunkSize: Int = 64): DataFrame = {
+    val nChunks = ceil(length(col("media")) / chunkSize.toDouble).cast("int")
+    media.select(col("doc_id"), col("media"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("media").substr(col("chunk_idx") * chunkSize + 1, lit(chunkSize))
+          .as("chunk"))
+  }
+
   /** Feature extraction over the binary column via mapPartitions: the
     * decoder is instantiated once per partition and rows stream through —
     * no shuffle, no driver round-trip, partitioning preserved. This is the

@@ -98,6 +98,28 @@ object TextPack extends QueryPack {
              |  ('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_bucket
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // C12 multimodal chunking (frame-sample analog): blob → chunk rows.
+    // The corpus is ASCII so a 64-byte binary chunk equals the 64-char
+    // text substring — which is what lets DuckDB oracle the digests.
+    QueryDef(
+      "mm_chunks",
+      (s, d) =>
+        Multimodal.chunk(Multimodal.withMediaColumn(
+            docsOf(s, d).filter(col("doc_id") < 50)), 64)
+          .select(col("doc_id"), col("chunk_idx"),
+            md5(col("chunk")).as("chunk_md5"),
+            length(col("chunk")).cast(LongType).as("chunk_len"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH c AS (
+             |  SELECT doc_id, unnest(range(CAST(ceil(length(text) / 64.0) AS BIGINT))) AS chunk_idx,
+             |         text
+             |  FROM documents WHERE doc_id < 50
+             |)
+             |SELECT doc_id, chunk_idx,
+             |       md5(substr(text, CAST(chunk_idx * 64 + 1 AS BIGINT), 64)) AS chunk_md5,
+             |       CAST(length(substr(text, CAST(chunk_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS chunk_len
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // C12 multimodal: binary media column + mapPartitions feature
     // extraction (stub decoder, real plumbing — see operators.Multimodal).
     QueryDef(
