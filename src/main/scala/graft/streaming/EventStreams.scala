@@ -50,6 +50,25 @@ object EventStreams {
   def dedupWithinWatermark(stream: DataFrame, delay: String = "30 minutes"): DataFrame =
     stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click matched to same-user
+    * purchases in the preceding `lookback`. Both sides carry watermarks,
+    * and the join condition bounds event-time distance, so Spark can
+    * evict join state — the pair of constraints that makes stream-stream
+    * joins run with bounded memory at any throughput. Executes
+    * identically in batch mode (spec asserts equality).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      lookback: String = "10 minutes", delay: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay).alias("c")
+    val p = purchases.withWatermark("ts", delay).alias("p")
+    c.join(p, expr(
+      s"""c.user_id = p.user_id AND
+         |p.ts BETWEEN c.ts - INTERVAL $lookback AND c.ts""".stripMargin))
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("p.event_id").as("purchase_id"),
+        col("p.ts").as("purchase_ts"), col("p.value").as("purchase_value"))
+  }
+
   /** Streaming tumbling aggregation with watermark (late data dropped). */
   def streamingTumbling(stream: DataFrame, width: String = "10 minutes",
       delay: String = "30 minutes"): DataFrame =

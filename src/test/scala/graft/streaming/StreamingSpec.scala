@@ -66,6 +66,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == base.length)
   }
 
+  test("stream-stream interval join == batch join on same data") {
+    val clicks = base.filter(_.event_type == "click")
+    val purchases = base.filter(_.event_type == "view") // stand-in purchases
+    val memC = MemoryStream[Ev](spark)
+    val memP = MemoryStream[Ev](spark)
+    val q = EventStreams.clickPurchaseJoin(memC.toDF(), memP.toDF(), "20 minutes")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    memC.addData(clicks.take(2)); memP.addData(purchases.take(1))
+    q.processAllAvailable()
+    memC.addData(clicks.drop(2)); memP.addData(purchases.drop(1))
+    q.processAllAvailable()
+    // flush watermarks so all joinable pairs emit
+    memC.addData(Seq(Ev(900, ts(300), 98, "click", 0.0)))
+    memP.addData(Seq(Ev(901, ts(300), 98, "view", 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("ssjoin").filter(col("user_id") =!= 98)
+    val want = EventStreams.clickPurchaseJoin(
+      clicks.toDF(), purchases.toDF(), "20 minutes") // same code path, batch mode
+      .filter(col("user_id") =!= 98)
+    q.stop()
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("flatMapGroupsWithState sessionization == session_window on same data") {
     // events for two users; sessions split by >10-min gaps; a final
     // far-future event advances the watermark so timeouts flush the
