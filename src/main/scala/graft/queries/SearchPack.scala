@@ -159,6 +159,18 @@ object SearchPack extends QueryPack {
       Some(s"""SELECT id, gender, birthDate FROM ${rj("Patient")}
               |WHERE id = 'p-007'""".stripMargin)),
 
+    // B2 (deep variant): token search over a nested array-of-array coding
+    // path (processing[].method.coding[].code) — the shape FHIR token
+    // params take on repeating backbone elements.
+    QueryDef(
+      "search_token_nested",
+      (s, _) => eng(s).search("Specimen?processing=pm-4")
+        .select(col("id"), col("subject.reference").as("subject_ref")).orderBy("id"),
+      Some(s"""SELECT id, subject.reference AS subject_ref FROM ${rj("Specimen")}
+              |WHERE len(list_filter(processing, p ->
+              |  len(list_filter(p.method.coding, c -> c.code = 'pm-4')) > 0)) > 0
+              |ORDER BY id""".stripMargin)),
+
     // B15: :not and :missing modifiers
     QueryDef(
       "search_modifiers",
