@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * systematically understating cost). Failures are recorded per-query as
   * negative sentinel timings plus an "errors" map — a broken query must
   * never masquerade as a fast success.
+  *
+  * Isolation: `clearCache()` after every query. Several operators cache
+  * intermediate frames (LSH band index, assay pipeline); leaking those
+  * across the 90+ shared-JVM queries builds storage-memory pressure that
+  * inflates later timings (observed 5–40× mid-run in round 2's driver
+  * bench). The JSON line is additionally persisted to
+  * target/bench_latest.json so a truncated stdout capture can't lose it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,7 +35,7 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           name -> -1.0
-      }
+      } finally spark.catalog.clearCache()
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -38,7 +45,14 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("target/bench_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case _: Throwable => () } // file copy is best-effort
     spark.stop()
   }
 }

@@ -22,6 +22,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same isolation as Bench: per-query caches must not leak across the
+      // shared-JVM run (storage-memory pressure skews later queries)
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

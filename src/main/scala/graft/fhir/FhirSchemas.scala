@@ -140,6 +140,48 @@ object FhirSchemas {
       StructField("procedure", reference),
       StructField("bodySite", codeableConcept))))))
 
+  /** Quantity {value, unit, system, code} — quantity search params. */
+  val quantity: StructType = StructType(Seq(
+    StructField("value", DoubleType),
+    StructField("unit", StringType),
+    StructField("system", StringType),
+    StructField("code", StringType)))
+
+  /** Pass-through analytical types: present in the reference's populated
+    * store graph (docs/images/graph-view.png — Observation 24,911,
+    * Procedure 1,616, Condition 537 resources) but untouched by
+    * transform.py, so they carry no transformer — schema + search surface
+    * only.
+    */
+  val observation: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("code", codeableConcept),
+    StructField("subject", reference),
+    StructField("effectiveDateTime", StringType),
+    StructField("category", ArrayType(codeableConcept)),
+    StructField("valueQuantity", quantity),
+    StructField("encounter", reference)))
+
+  val condition: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("clinicalStatus", codeableConcept),
+    StructField("code", codeableConcept),
+    StructField("subject", reference),
+    StructField("onsetDateTime", StringType),
+    StructField("recordedDate", StringType)))
+
+  val procedure: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("code", codeableConcept),
+    StructField("subject", reference),
+    StructField("performedDateTime", StringType),
+    StructField("encounter", reference)))
+
   val patient: StructType = StructType(Seq(
     StructField("resourceType", StringType),
     StructField("id", StringType),
@@ -211,5 +253,8 @@ object FhirSchemas {
     "ResearchStudy" -> researchStudy,
     "ResearchSubject" -> researchSubject,
     "Specimen" -> specimen,
-    "Patient" -> patient)
+    "Patient" -> patient,
+    "Observation" -> observation,
+    "Condition" -> condition,
+    "Procedure" -> procedure)
 }

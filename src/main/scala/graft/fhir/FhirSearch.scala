@@ -1,7 +1,6 @@
 package graft.fhir
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -22,6 +21,13 @@ import org.apache.spark.sql.types.LongType
   * _include (B8), _revinclude (B9), _count/_page paging (B10), _sort with
   * -desc keys (B11), _total=accurate (B12), _elements (B13), Type/id read
   * (B14), :missing/:not modifiers (B15).
+  *
+  * Advanced surface (README.md:97-105 "Advanced FHIR search features"):
+  * token :text over CodeableConcept text/display, quantity params with
+  * eq/ne/gt/ge/lt/le prefixes and optional |system|code, composite params
+  * (component values joined by '$'), type-qualified multi-target chains
+  * (`subject:Patient.name=...`), and _summary (true → summary-element
+  * projection, count → total row).
   */
 class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
 
@@ -69,8 +75,10 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
     } :+ col("id").asc // total order for deterministic paging
 
     // B12 _total=accurate (with _count=0: count only — the reference's own
-    // acceptance query, README.md:99-103)
-    if (controls.exists(c => c._1 == "_total" && c._2 == "accurate")) {
+    // acceptance query, README.md:99-103); _summary=count is the same
+    // count-only contract under the _summary spelling
+    if (controls.exists(c => c._1 == "_total" && c._2 == "accurate") ||
+        controls.exists(c => c._1 == "_summary" && c._2 == "count")) {
       return df.agg(count(lit(1)).as("total"))
     }
 
@@ -102,19 +110,27 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
 
     var out = df.orderBy(orderCols: _*)
 
-    // B10 paging: _count (page size) + _page (1-based page number)
+    // B10 paging: _count (page size) + _page (1-based page number).
+    // offset+limit over the total sort order plans as a single
+    // TakeOrderedAndProject (each partition keeps only page·size rows,
+    // merged on the driver) — never the single-partition global-window
+    // sort a row_number() pager degenerates to. Deep paging at scale
+    // should switch to keyset continuation on the (sort keys, id) total
+    // order; _page is the reference surface's offset-style contract.
     val pageSize = controls.collectFirst { case ("_count", v) => v.toInt }
     val page = controls.collectFirst { case ("_page", v) => v.toInt }.getOrElse(1)
     pageSize.foreach { sz =>
-      val w = Window.orderBy(orderCols: _*)
-      out = out.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") > (page - 1) * sz && col("_rn") <= page.toLong * sz)
-        .drop("_rn")
+      out = out.offset((page - 1) * sz).limit(sz)
     }
 
     // B13 _elements projection
     controls.collectFirst { case ("_elements", v) => v }.foreach { els =>
       out = out.select(els.split(",").map(e => col(e.trim)): _*)
+    }
+    // _summary=true: project the type's summary element set (the columns
+    // prune into the scan exactly like _elements)
+    if (controls.exists(c => c._1 == "_summary" && c._2 == "true")) {
+      out = out.select(summaryElements(resType).map(col): _*)
     }
     out
   }
@@ -122,18 +138,26 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
   /** One search parameter (possibly modified/chained) → filter. */
   private def applyParam(resType: String, df: DataFrame, rawName: String,
       value: String): DataFrame = {
-    val (name, modifier) = rawName.split(":", 2) match {
-      case Array(n, m) => (n, Some(m))
-      case Array(n) => (n, None)
-    }
-    // B6 chained search: refParam.targetParam
-    if (name.contains(".")) {
-      val Array(refParam, targetParam) = name.split("\\.", 2)
-      val targetType = chainTarget(resType, refParam)
+    // B6 chained search: refParam.targetParam, optionally type-qualified
+    // for multi-target reference params: refParam:TargetType.targetParam
+    // (the qualifier resolves which target type the chain traverses when
+    // the reference can point at several — FHIR's `subject:Patient.name`).
+    // Checked on the RAW name: the ':' here is a target qualifier, not a
+    // value modifier.
+    if (rawName.contains(".") && !rawName.startsWith("_")) {
+      val Array(refSpec, targetParam) = rawName.split("\\.", 2)
+      val (refParam, targetType) = refSpec.split(":", 2) match {
+        case Array(r, t) => (r, t)
+        case Array(r) => (r, chainTarget(resType, r))
+      }
       val target = applyParam(targetType, table(targetType), targetParam, value)
         .select(concat(lit(targetType + "/"), col("id")).as("_target_ref"))
       val refPath = referencePath(resType, refParam)
       return df.join(broadcast(target), refPath === col("_target_ref"), "left_semi")
+    }
+    val (name, modifier) = rawName.split(":", 2) match {
+      case Array(n, m) => (n, Some(m))
+      case Array(n) => (n, None)
     }
     val defn = paramDef(resType, name)
     // B15 :missing
@@ -198,6 +222,64 @@ object FhirSearch {
     predicate = (v, _) => path === v,
     missingTest = _ => path.isNull)
 
+  /** Token over a full CodeableConcept: `system|code` forms against the
+    * coding array, plus `:text` (case-insensitive prefix on the concept
+    * text or any coding display — the FHIR :text contract).
+    */
+  private def tokenConceptParam(cc: Column): ParamDef = ParamDef(
+    predicate = (v, m) => m match {
+      case Some("text") =>
+        lower(cc.getField("text")).startsWith(v.toLowerCase) ||
+          exists(cc.getField("coding"),
+            c => lower(c.getField("display")).startsWith(v.toLowerCase))
+      case _ => tokenCodingParam(cc.getField("coding")).predicate(v, m)
+    },
+    missingTest = _ => cc.isNull)
+
+  /** Quantity param over a Quantity struct: `[prefix]number[|system|code]`
+    * (e.g. `gt50`, `ge40|http://unitsofmeasure.org|g/dL`). Bare numbers
+    * are exact equality; system/code must both match when given.
+    */
+  private def quantityParam(q: Column): ParamDef = ParamDef(
+    predicate = (v, _) => {
+      val parts = v.split("\\|", -1)
+      val numSpec = parts(0)
+      val (prefix, numStr) =
+        if (numSpec.length >= 2 && numSpec.take(2).forall(_.isLetter))
+          (numSpec.take(2), numSpec.drop(2))
+        else ("eq", numSpec)
+      val num = numStr.toDouble
+      val value = q.getField("value")
+      val numPred = prefix match {
+        case "gt" => value > num
+        case "ge" => value >= num
+        case "lt" => value < num
+        case "le" => value <= num
+        case "ne" => value =!= num
+        case _ => value === num
+      }
+      if (parts.length >= 3)
+        numPred && q.getField("system") === parts(1) && q.getField("code") === parts(2)
+      else numPred
+    },
+    missingTest = _ => q.isNull)
+
+  /** Composite param: component values joined by '$' are applied to the
+    * paired component params as a conjunction on the same element (for
+    * the singleton code/value backbone of Observation this is exact
+    * composite semantics; repeating components would need a per-element
+    * exists).
+    */
+  private def compositeParam(components: Seq[ParamDef]): ParamDef = ParamDef(
+    predicate = (v, m) => {
+      val vals = v.split("\\$", -1)
+      require(vals.length == components.length,
+        s"composite expects ${components.length} '$$'-separated components")
+      components.zip(vals).map { case (c, cv) => c.predicate(cv, None) }
+        .reduce(_ && _)
+    },
+    missingTest = df => components.head.missingTest(df))
+
   /** Search-parameter registry for the fixture resource types. Paths cite
     * the schemas in FhirSchemas.
     */
@@ -230,7 +312,46 @@ object FhirSearch {
     case ("DocumentReference", "status") => strParam(col("status"))
     case ("DocumentReference", "subject") => refParam(col("subject").getField("reference"))
     case ("Group", "type") => strParam(col("type"))
+    // Observation — the store graph's largest analytical type
+    case ("Observation", "_id") => strParam(col("id"))
+    case ("Observation", "status") => strParam(col("status"))
+    case ("Observation", "code") => tokenConceptParam(col("code"))
+    case ("Observation", "category") => ParamDef(
+      (v, _) => exists(col("category"), cc =>
+        tokenCodingParam(cc.getField("coding")).predicate(v, None)),
+      _ => col("category").isNull)
+    case ("Observation", "date") => dateParam(col("effectiveDateTime"))
+    case ("Observation", "subject") => refParam(col("subject").getField("reference"))
+    case ("Observation", "patient") => refParam(col("subject").getField("reference"))
+    case ("Observation", "encounter") => refParam(col("encounter").getField("reference"))
+    case ("Observation", "value-quantity") => quantityParam(col("valueQuantity"))
+    case ("Observation", "code-value-quantity") => compositeParam(Seq(
+      tokenConceptParam(col("code")), quantityParam(col("valueQuantity"))))
+    case ("Condition", "code") => tokenConceptParam(col("code"))
+    case ("Condition", "clinical-status") => tokenConceptParam(col("clinicalStatus"))
+    case ("Condition", "subject") => refParam(col("subject").getField("reference"))
+    case ("Condition", "patient") => refParam(col("subject").getField("reference"))
+    case ("Condition", "onset-date") => dateParam(col("onsetDateTime"))
+    case ("Condition", "recorded-date") => dateParam(col("recordedDate"))
+    case ("Procedure", "code") => tokenConceptParam(col("code"))
+    case ("Procedure", "status") => strParam(col("status"))
+    case ("Procedure", "subject") => refParam(col("subject").getField("reference"))
+    case ("Procedure", "patient") => refParam(col("subject").getField("reference"))
+    case ("Procedure", "date") => dateParam(col("performedDateTime"))
+    case ("Procedure", "encounter") => refParam(col("encounter").getField("reference"))
     case _ => sys.error(s"unknown search param $resType.$name")
+  }
+
+  /** _summary=true element sets (the FHIR summary-flagged subset of each
+    * type's columns this engine serves).
+    */
+  def summaryElements(resType: String): Seq[String] = resType match {
+    case "Patient" => Seq("id", "gender", "birthDate", "active")
+    case "Observation" => Seq("id", "status", "effectiveDateTime")
+    case "Condition" => Seq("id", "onsetDateTime", "recordedDate")
+    case "Procedure" => Seq("id", "status", "performedDateTime")
+    case "Encounter" => Seq("id", "status")
+    case _ => Seq("id")
   }
 
   /** Reference-valued param → its reference-string column (for chains,
@@ -241,14 +362,28 @@ object FhirSearch {
     case ("ResearchSubject", "study") => col("study").getField("reference")
     case ("Specimen", "subject") => col("subject").getField("reference")
     case ("DocumentReference", "subject") => col("subject").getField("reference")
+    case ("Observation", "subject" | "patient") => col("subject").getField("reference")
+    case ("Observation", "encounter") => col("encounter").getField("reference")
+    case ("Condition", "subject" | "patient") => col("subject").getField("reference")
+    case ("Procedure", "subject" | "patient") => col("subject").getField("reference")
+    case ("Procedure", "encounter") => col("encounter").getField("reference")
     case _ => sys.error(s"unknown reference param $resType.$refParam")
   }
 
-  /** Chain target type for `refParam.targetParam` (B6). */
+  /** Chain target type for an UNQUALIFIED `refParam.targetParam` (B6).
+    * Multi-target reference params (Observation.subject can point at
+    * Patient or Group) have no unqualified default — the request must
+    * type-qualify (`subject:Patient.name`), matching the FHIR rule that
+    * ambiguous chains are errors.
+    */
   def chainTarget(resType: String, refParam: String): String = (resType, refParam) match {
     case ("ResearchSubject", "subject") => "Patient"
     case ("Specimen", "subject") => "Patient"
     case ("ResearchSubject", "study") => "ResearchStudy"
+    case ("Condition", "subject" | "patient") => "Patient"
+    case ("Observation", "subject") =>
+      sys.error("ambiguous chain Observation.subject (Patient|Group): " +
+        "qualify the target type, e.g. subject:Patient.name")
     case _ => sys.error(s"unknown chain $resType.$refParam")
   }
 
@@ -274,6 +409,9 @@ object FhirSearch {
       "Encounter" -> load("Encounter", FhirSchemas.encounter),
       "DocumentReference" -> load("DocumentReference", FhirSchemas.documentReference),
       "ResearchStudy" -> load("ResearchStudy", FhirSchemas.researchStudy),
-      "ResearchSubject" -> load("ResearchSubject", FhirSchemas.researchSubject)))
+      "ResearchSubject" -> load("ResearchSubject", FhirSchemas.researchSubject),
+      "Observation" -> load("Observation", FhirSchemas.observation),
+      "Condition" -> load("Condition", FhirSchemas.condition),
+      "Procedure" -> load("Procedure", FhirSchemas.procedure)))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -52,25 +52,97 @@ object Similarity {
         col("vec_id"), col("score"))
   }
 
-  /** Coarse quantizer for IVF: k-means over the corpus (deterministic
-    * seed). Returns (corpus + `cell` column, tiny broadcastable centroid
-    * table). At 100 TB the model is fit on a sample and the assignment is
-    * one narrow map pass; the corpus can then be physically partitioned by
-    * cell so probes prune partitions/files at scan time.
+  /** Coarse quantizer for IVF: k-means fitted LOCALLY on a bounded sample
+    * (`sampleCap` rows collected to the driver), centroids broadcast,
+    * cells assigned by a codegen'd exploded-dot argmax pass over the full
+    * corpus. This is how production IVF indexes train (faiss et al.: the
+    * quantizer sees a sample, never the corpus): the driver-side collect
+    * is O(sampleCap·dims) — constant in corpus size — and it removes the
+    * per-iteration distributed-job scheduling that dominates a cluster
+    * k-means at index-build time. Deterministic: seeded init over a
+    * deterministic sample. Returns (corpus + `cell`, centroid table); at
+    * 100 TB the corpus is then physically partitioned by cell so probes
+    * prune partitions/files at scan time.
     */
-  def ivfIndex(corpus: DataFrame, ncells: Int = 8,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = corpus.withColumn("_fv", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(ncells).setSeed(seed)
-      .setFeaturesCol("_fv").setPredictionCol("cell").fit(feat)
-    val assigned = model.transform(feat).drop("_fv")
+  def ivfIndex(corpus: DataFrame, ncells: Int = 8, seed: Long = 42L,
+      sampleCap: Int = 4096, iters: Int = 20): (DataFrame, DataFrame) = {
+    val sample: Array[Array[Double]] = corpus.select(col("embedding"))
+      .limit(sampleCap).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.length >= ncells, s"corpus smaller than ncells=$ncells")
+    val dims = sample.head.length
+    // seeded init: k distinct sample points
+    val rnd = new java.util.Random(seed)
+    val centers = rnd.ints(0, sample.length).distinct().limit(ncells)
+      .toArray.map(sample(_).clone())
+    // Lloyd iterations on the sample (squared-Euclidean assignment)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(ncells)(new Array[Double](dims))
+      val counts = new Array[Long](ncells)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var k = 0
+        while (k < ncells) {
+          var d = 0.0; var i = 0
+          while (i < dims) { val t = v(i) - centers(k)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      for (k <- 0 until ncells if counts(k) > 0; i <- 0 until dims)
+        centers(k)(i) = sums(k)(i) / counts(k)
+    }
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val cents = centers.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+    // full-corpus assignment: one codegen'd exploded-join pass (argmin of
+    // squared distance ≡ argmax of dot − ‖c‖²/2 for each vector)
+    val centElems = cents.select(col("cell"),
+      posexplode(col("centroid")).as(Seq("i", "c")))
+    val chalf = cents.select(col("cell"),
+      (aggregate(transform(col("centroid"), x => x * x),
+        lit(0.0), (a, v) => a + v) / 2).as("chalf"))
+    val vecElems = corpus.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast(DoubleType).as("x"))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell"))
+    val assignment = vecElems.join(broadcast(centElems), Seq("i"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(col("x") * col("c")).as("cdot"))
+      .join(broadcast(chalf), Seq("cell"))
+      .withColumn("cscore", col("cdot") - col("chalf"))
+      .withColumn("crank", row_number().over(wv))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cell"))
+    val assigned = corpus.join(assignment, Seq("vec_id"))
     (assigned, cents)
+  }
+
+  /** Session-scoped IVF index memoization: a real engine fits the coarse
+    * quantizer ONCE and reuses it across queries, rather than re-running
+    * k-means per invocation. Keyed by the owning SparkSession via a weak
+    * map (entries die with the session — no identity-hash collisions, no
+    * dead-session plan pinning), then by caller tag.
+    */
+  private val indexCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
+
+  def ivfIndexCached(spark: SparkSession, tag: String, ncells: Int = 8)(
+      corpus: => DataFrame): (DataFrame, DataFrame) = {
+    val per = indexCache.synchronized {
+      var m = indexCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        indexCache.put(spark, m)
+      }
+      m
+    }
+    per.getOrElseUpdate(s"$tag:$ncells", ivfIndex(corpus, ncells))
   }
 
   /** IVF top-k: assign each query to its `nprobe` nearest centroids, scan
@@ -79,8 +151,9 @@ object Similarity {
     * [[topKBruteForce]].
     */
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-      ncells: Int = 8, nprobe: Int = 2, scale: Int = 5): DataFrame = {
-    val (assigned, cents) = ivfIndex(corpus, ncells)
+      ncells: Int = 8, nprobe: Int = 2, scale: Int = 5,
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (assigned, cents) = index.getOrElse(ivfIndex(corpus, ncells))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc, col("cell"))
     val probes = queries.crossJoin(broadcast(cents))
@@ -99,12 +172,14 @@ object Similarity {
         col("vec_id"), col("score"))
   }
 
-  /** Embedding near-dup pairs (cosine ≥ threshold). Computed via a
-    * dimension-exploded equi-join + hash aggregation instead of a lambda
-    * cosine on a cross join: HOFs run interpreted (~60× slower than
-    * codegen), while explode/join/agg is fully whole-stage-codegen'd.
-    * The join is still all-pairs in the worst case — the scale path
-    * pre-buckets by IVF cell ([[ivfIndex]]) so only same-cell pairs meet.
+  /** Exact embedding near-dup pairs (cosine ≥ threshold) — the SMALL-N
+    * VERIFICATION ORACLE, not the scale path ([[cosineNearDupsIvf]] is).
+    * Computed via a dimension-exploded equi-join + hash aggregation instead
+    * of a lambda cosine on a cross join: HOFs run interpreted (~60× slower
+    * than codegen), while explode/join/agg is fully whole-stage-codegen'd.
+    * The broadcast of the exploded corpus and the all-pairs worst case
+    * bound this to corpora that fit a broadcast — exactly the regime where
+    * exact ground truth is computable at all.
     */
   def cosineNearDups(corpus: DataFrame, threshold: Double, scale: Int = 5): DataFrame = {
     val norms = corpus.select(col("vec_id"), norm(col("embedding")).as("nrm"))
@@ -119,6 +194,68 @@ object Similarity {
         col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
       .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .agg(sum(col("a.x") * col("b.x")).as("dot"))
+    dots
+      .join(norms.select(col("vec_id").as("va"), col("nrm").as("na")), "va")
+      .join(norms.select(col("vec_id").as("vb"), col("nrm").as("nb")), "vb")
+      .withColumn("score", round(col("dot") / (col("na") * col("nb")), scale))
+      .filter(col("score") >= threshold)
+      .select(col("va"), col("vb"), col("score"))
+  }
+
+  /** Embedding near-dup pairs at scale: IVF-bucketed. Each vector is
+    * assigned to its `nassign` nearest coarse cells (multi-assignment
+    * recovers pairs that straddle a cell boundary), dims are exploded
+    * WITHIN cells, and the pair dot products come from an equi-join on
+    * (cell, dim) — shuffle-key cardinality ncells×dims, so parallelism
+    * never collapses, no side is broadcast, and the pair space is
+    * Σ|cell|² instead of n². Approximate by construction (a pair sharing
+    * no assigned cell is never scored) — recall vs [[cosineNearDups]] is
+    * asserted in SimilaritySpec; at the high thresholds near-dup pruning
+    * uses (≥0.9), near-identical vectors quantize identically and recall
+    * is ~1. At 100 TB: ncells scales with corpus size (cells of ~10⁴–10⁵
+    * vectors), and the celled corpus can be written partitioned by cell
+    * so the pair join is co-located.
+    */
+  def cosineNearDupsIvf(corpus: DataFrame, threshold: Double,
+      ncells: Int = 16, nassign: Int = 2, scale: Int = 5,
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val cents = index.map(_._2).getOrElse(ivfIndex(corpus, ncells)._2)
+    // cell assignment via exploded dot products, NOT a lambda cosine over
+    // a cross join: HOFs run interpreted, while explode→join→agg is
+    // whole-stage-codegen'd (~20× on this shape). Ranking by dot/|c| per
+    // vector equals ranking by cosine (the vector's own norm is constant
+    // within its window). Both centroid tables are ncells(-×dims) rows —
+    // legitimately broadcast.
+    val centElems = cents.select(col("cell"),
+      posexplode(col("centroid")).as(Seq("i", "c")))
+    val cnorms = cents.select(col("cell"), norm(col("centroid")).as("cnorm"))
+    val vecElems = corpus.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast(DoubleType).as("x"))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cell"))
+    val assignments = vecElems.join(broadcast(centElems), Seq("i"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(col("x") * col("c")).as("cdot"))
+      .join(broadcast(cnorms), Seq("cell"))
+      .withColumn("cscore", col("cdot") / col("cnorm"))
+      .withColumn("crank", row_number().over(wv))
+      .filter(col("crank") <= nassign)
+      .select(col("vec_id"), col("cell"))
+    val norms = corpus.select(col("vec_id"), norm(col("embedding")).as("nrm"))
+    // the (cell, dim)-keyed element table is the index: materialize it so
+    // the pair self-join's two sides don't each recompute the assignment
+    val elems = vecElems.join(assignments, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("i"), col("x"))
+      .cache()
+    val partials = elems.as("a").join(elems.as("b"),
+        col("a.cell") === col("b.cell") && col("a.i") === col("b.i") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.cell").as("cell"))
+      .agg(sum(col("a.x") * col("b.x")).as("dot"))
+    // a pair sharing BOTH assigned cells is scored once per shared cell
+    // with identical dots — max() dedupes
+    val dots = partials.groupBy("va", "vb").agg(max(col("dot")).as("dot"))
     dots
       .join(norms.select(col("vec_id").as("va"), col("nrm").as("na")), "va")
       .join(norms.select(col("vec_id").as("vb"), col("nrm").as("nb")), "vb")

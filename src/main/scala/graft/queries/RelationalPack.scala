@@ -655,7 +655,9 @@ object RelationalPack extends QueryPack {
     QueryDef(
       "q32_csv_roundtrip",
       (s, d) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+        // per-session unique dir: concurrent JVMs (Bench + Verify) must
+        // not race on mode(overwrite) of a shared path
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation_${s.sparkContext.applicationId}"
         T.nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
         s.read.option("header", "true")
           .schema("n_nationkey INT, n_name STRING, n_regionkey INT")

@@ -178,6 +178,127 @@ object SearchPack extends QueryPack {
         .select(col("id"), col("gender")).orderBy("id"),
       Some(s"""SELECT id, gender FROM ${rj("Patient")}
               |WHERE NOT coalesce(gender = 'male', false) AND name IS NOT NULL
-              |ORDER BY id""".stripMargin))
+              |ORDER BY id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Observation/Condition/Procedure: the reference store's largest
+    // uncovered types (graph-view.png: Observation 24,911, Procedure
+    // 1,616, Condition 537) — pass-through schemas + full search surface.
+
+    // Observation token search on code (LOINC system|code)
+    QueryDef(
+      "search_obs_token",
+      (s, _) => eng(s).search("Observation?code=http://loinc.org|718-7")
+        .select(col("id"), col("status")).orderBy("id"),
+      Some(s"""SELECT id, status FROM ${rj("Observation")}
+              |WHERE len(list_filter(code.coding, c ->
+              |  c."system" = 'http://loinc.org' AND c.code = '718-7')) > 0
+              |ORDER BY id""".stripMargin)),
+
+    // Observation date range on effectiveDateTime
+    QueryDef(
+      "search_obs_date",
+      (s, _) => eng(s).search("Observation?date=ge2021-01-01&date=lt2022-01-01")
+        .select(col("id"), col("effectiveDateTime")).orderBy("id"),
+      Some(s"""SELECT id, effectiveDateTime
+              |FROM read_json('$Fix/Observation.ndjson', format='newline_delimited',
+              |               timestampformat='%d__%m')
+              |WHERE effectiveDateTime >= '2021-01-01' AND effectiveDateTime < '2022-01-01'
+              |ORDER BY id""".stripMargin)),
+              // unmatched timestampformat keeps ISO strings VARCHAR — the
+              // engine also treats FHIR dateTimes as ISO strings
+
+    // Observation reference search on subject
+    QueryDef(
+      "search_obs_reference",
+      (s, _) => eng(s).search("Observation?subject=Patient/p-007")
+        .select(col("id"), col("subject.reference").as("subject_ref")).orderBy("id"),
+      Some(s"""SELECT id, subject.reference AS subject_ref FROM ${rj("Observation")}
+              |WHERE subject.reference = 'Patient/p-007' ORDER BY id""".stripMargin)),
+
+    // Quantity param with prefix + system/code qualifier
+    QueryDef(
+      "search_quantity",
+      (s, _) => eng(s).search(
+        "Observation?value-quantity=gt120|http://unitsofmeasure.org|g/dL")
+        .select(col("id"), col("valueQuantity.value").as("value")).orderBy("id"),
+      Some(s"""SELECT id, valueQuantity."value" AS "value" FROM ${rj("Observation")}
+              |WHERE valueQuantity."value" > 120
+              |  AND valueQuantity."system" = 'http://unitsofmeasure.org'
+              |  AND valueQuantity.code = 'g/dL'
+              |ORDER BY id""".stripMargin)),
+
+    // Composite param: code + value-quantity components joined by '$'
+    QueryDef(
+      "search_composite",
+      (s, _) => eng(s).search(
+        "Observation?code-value-quantity=http://loinc.org|2339-0$gt60")
+        .select(col("id"), col("valueQuantity.value").as("value")).orderBy("id"),
+      Some(s"""SELECT id, valueQuantity."value" AS "value" FROM ${rj("Observation")}
+              |WHERE len(list_filter(code.coding, c ->
+              |  c."system" = 'http://loinc.org' AND c.code = '2339-0')) > 0
+              |  AND valueQuantity."value" > 60
+              |ORDER BY id""".stripMargin)),
+
+    // Token :text — case-insensitive prefix over CodeableConcept text
+    QueryDef(
+      "search_token_text",
+      (s, _) => eng(s).search("Condition?code:text=hyperten")
+        .select(col("id"), col("code.text").as("code_text")).orderBy("id"),
+      Some(s"""SELECT id, code.text AS code_text FROM ${rj("Condition")}
+              |WHERE starts_with(lower(code.text), 'hyperten')
+              |ORDER BY id""".stripMargin)),
+
+    // Type-qualified multi-target chain: Observation.subject can target
+    // Patient or Group — the qualifier picks the traversal
+    QueryDef(
+      "search_chain_typed",
+      (s, _) => eng(s).search("Observation?subject:Patient.gender=female&status=final")
+        .select(col("id"), col("subject.reference").as("subject_ref")).orderBy("id"),
+      Some(s"""SELECT o.id, o.subject.reference AS subject_ref
+              |FROM ${rj("Observation")} o
+              |JOIN ${rj("Patient")} p ON o.subject.reference = 'Patient/' || p.id
+              |WHERE p.gender = 'female' AND o.status = 'final'
+              |ORDER BY o.id""".stripMargin)),
+
+    // Condition date param on onsetDateTime
+    QueryDef(
+      "search_condition_date",
+      (s, _) => eng(s).search("Condition?onset-date=ge2018-01-01&clinical-status=active")
+        .select(col("id"), col("onsetDateTime")).orderBy("id"),
+      Some(s"""SELECT id, CAST(onsetDateTime AS VARCHAR) AS onsetDateTime
+              |FROM ${rj("Condition")}
+              |WHERE onsetDateTime >= '2018-01-01'
+              |  AND len(list_filter(clinicalStatus.coding, c -> c.code = 'active')) > 0
+              |ORDER BY id""".stripMargin)),
+
+    // Procedure: token + string + date conjunction
+    QueryDef(
+      "search_procedure",
+      (s, _) => eng(s).search(
+        "Procedure?code=http://snomed.info/sct|80150001&status=completed&date=ge2019-01-01")
+        .select(col("id"), col("performedDateTime")).orderBy("id"),
+      Some(s"""SELECT id, performedDateTime
+              |FROM read_json('$Fix/Procedure.ndjson', format='newline_delimited',
+              |               timestampformat='%d__%m')
+              |WHERE len(list_filter(code.coding, c ->
+              |  c."system" = 'http://snomed.info/sct' AND c.code = '80150001')) > 0
+              |  AND status = 'completed' AND performedDateTime >= '2019-01-01'
+              |ORDER BY id""".stripMargin)),
+
+    // _summary=true: summary-element projection
+    QueryDef(
+      "search_summary",
+      (s, _) => eng(s).search("Patient?gender=male&_summary=true").orderBy("id"),
+      Some(s"""SELECT id, gender, birthDate, active FROM ${rj("Patient")}
+              |WHERE gender = 'male' ORDER BY id""".stripMargin)),
+
+    // _summary=count: count-only contract under the _summary spelling
+    QueryDef(
+      "search_summary_count",
+      (s, _) => eng(s).search("Observation?category=laboratory&_summary=count"),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS total FROM ${rj("Observation")}
+              |WHERE len(list_filter(category, cc ->
+              |  len(list_filter(cc.coding, c -> c.code = 'laboratory')) > 0)) > 0""".stripMargin))
   )
 }

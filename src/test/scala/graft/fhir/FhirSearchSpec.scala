@@ -35,7 +35,44 @@ class FhirSearchSpec extends SparkSpec {
   }
 
   test("unknown type and unknown param raise") {
-    intercept[RuntimeException](eng.search("Observation?code=x"))
+    intercept[RuntimeException](eng.search("Device?status=active"))
     intercept[RuntimeException](eng.search("Patient?nosuchparam=1"))
+  }
+
+  test("quantity param: prefixes and bare-number equality") {
+    val gt = eng.search("Observation?value-quantity=gt100").count()
+    val le = eng.search("Observation?value-quantity=le100").count()
+    val missing = eng.search("Observation?value-quantity:missing=true").count()
+    assert(gt + le + missing == eng.search("Observation?_total=accurate").head().getLong(0))
+    // bare number = exact equality on the double value
+    val one = eng.search("Observation?value-quantity=47.1")
+    assert(one.count() >= 1)
+  }
+
+  test("composite equals the conjunction of its components on singleton elements") {
+    val composite = eng.search(
+      "Observation?code-value-quantity=http://loinc.org|2339-0$gt60").select("id")
+    val conj = eng.search(
+      "Observation?code=http://loinc.org|2339-0&value-quantity=gt60").select("id")
+    assert(composite.exceptAll(conj).count() == 0 &&
+      conj.exceptAll(composite).count() == 0)
+  }
+
+  test("token :text is a case-insensitive prefix over concept text/display") {
+    assert(eng.search("Condition?code:text=HYPERTEN").count() ==
+      eng.search("Condition?code:text=hyperten").count())
+    assert(eng.search("Condition?code:text=zzz").count() == 0)
+  }
+
+  test("multi-target chain requires a type qualifier; qualified chain joins") {
+    intercept[RuntimeException](eng.search("Observation?subject.gender=female"))
+    val typed = eng.search("Observation?subject:Patient.gender=female")
+    assert(typed.count() > 0)
+  }
+
+  test("_summary=true projects the summary element set; _summary=count counts") {
+    val s = eng.search("Patient?_summary=true")
+    assert(s.columns.toSeq == Seq("id", "gender", "birthDate", "active"))
+    assert(eng.search("Observation?_summary=count").head().getLong(0) == 60)
   }
 }

@@ -24,6 +24,15 @@ class MimeSpec extends SparkSpec {
     assert(joined.filter(col("got") =!= col("content_type")).count() == 0)
   }
 
+  test("encoding suffixes, suffix_map, common_types, and odd URLs match Python") {
+    val want = spark.read.option("header", "true")
+      .csv("/root/repo/fixtures/fhir/mime_extra_vectors.csv")
+    val got = want.select(col("title"), col("url"), col("content_type"),
+      Mime.infer(col("title"), col("url")).as("got"))
+    val bad = got.filter(col("got") =!= col("content_type"))
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+  }
+
   test("url path wins over title only when it contains a dot") {
     val df = spark.sql(
       """SELECT * FROM VALUES

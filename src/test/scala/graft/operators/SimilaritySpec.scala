@@ -50,6 +50,29 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall ${hit.toDouble / nBrute} ($hit/$nBrute)")
   }
 
+  test("IVF-bucketed near-dups: full recall vs the exact all-pairs oracle") {
+    // corpus ∪ dim0-zeroed mutants (the gate query's shape): every ≥0.9
+    // pair the exact broadcast oracle finds must also come out of the
+    // bucketed path, with identical rounded scores
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val all = base.unionByName(mutants)
+    val exact = Similarity.cosineNearDups(all, 0.9)
+    val ivf = Similarity.cosineNearDupsIvf(all, 0.9)
+    assert(exact.count() > 0)
+    assert(exact.exceptAll(ivf).count() == 0 && ivf.exceptAll(exact).count() == 0)
+  }
+
+  test("ivfIndexCached fits the quantizer once per (session, tag)") {
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val a = Similarity.ivfIndexCached(spark, "spec-cache-test")(c)
+    val b = Similarity.ivfIndexCached(spark, "spec-cache-test")(
+      sys.error("by-name corpus must not be re-evaluated on a cache hit"))
+    assert(a eq b)
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val e = corpus.limit(5).select(col("vec_id"), col("embedding"))
     val self = e.select(round(Similarity.cosine(col("embedding"), col("embedding")), 9))

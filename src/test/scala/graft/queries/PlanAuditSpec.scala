@@ -51,6 +51,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum") && p.contains("pmod"), p.take(1500))
   }
 
+  test("search_paging: offset+limit plans as TakeOrderedAndProject, no global window") {
+    val df = graft.SparkEntry.queries("search_paging")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("dedup_embedding_cosine: only the tiny centroid table is broadcast, never the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LocalRelation, ResolvedHint}
+    val df = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, d)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "expected the centroid broadcast hint")
+    // every broadcast hint must cover a plan whose leaves are all local
+    // (the k-means centroid LocalRelation) — a file scan under a hint
+    // would mean the corpus itself is being broadcast
+    hints.foreach { h =>
+      val leaves = h.child.collect { case l: LeafNode => l }
+      assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation]),
+        s"broadcast hint over non-local subtree:\n${h.child.treeString.take(800)}")
+    }
+  }
+
   test("q01: two-phase aggregation (map-side partials) + codegen in final plan") {
     val df = graft.SparkEntry.queries("q01_pricing_summary")(spark, d)
     val pre = df.queryExecution.executedPlan.toString

@@ -253,6 +253,77 @@ def medadmins():
         yield m
 
 
+# Pass-through analytical types (present in the reference's populated store
+# graph — docs/images/graph-view.png: Observation 24,911, Procedure 1,616,
+# Condition 537 — but with no transform in transform.py): search substrate
+# only. Shapes chosen to exercise token, date, reference, quantity,
+# composite, and :text search params.
+
+LOINC = [("718-7", "Hemoglobin"), ("2339-0", "Glucose"),
+         ("2160-0", "Creatinine"), ("6690-2", "Leukocytes")]
+
+
+def observations():
+    for i in range(1, 61):
+        code, display = LOINC[i % 4]
+        o = {
+            "resourceType": "Observation", "id": f"obs-{i:03d}",
+            "status": "final" if i % 5 else "preliminary",
+            "code": {"coding": [{"system": "http://loinc.org", "code": code,
+                                 "display": display}],
+                     "text": display.lower()},
+            "subject": {"reference": f"Patient/p-{(i - 1) % 40 + 1:03d}"},
+            "effectiveDateTime":
+                f"{2020 + i % 3}-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}T08:00:00Z",
+            "category": [{"coding": [
+                {"system": "http://terminology.hl7.org/CodeSystem/observation-category",
+                 "code": "laboratory" if i % 3 else "vital-signs"}]}],
+        }
+        if i % 7 != 0:  # some observations carry no value (:missing target)
+            o["valueQuantity"] = {"value": round(10 + (i * 37) % 130 + i / 8, 1),
+                                  "unit": "g/dL", "system": "http://unitsofmeasure.org",
+                                  "code": "g/dL"}
+        if i % 6 == 0:
+            o["encounter"] = {"reference": f"Encounter/e-{(i % 12) + 1:02d}"}
+        yield o
+
+
+CONDITION_CODES = [("38341003", "hypertension"), ("44054006", "diabetes"),
+                   ("195967001", "asthma")]
+
+
+def conditions():
+    for i in range(1, 21):
+        code, text = CONDITION_CODES[i % 3]
+        yield {
+            "resourceType": "Condition", "id": f"cond-{i:03d}",
+            "clinicalStatus": {"coding": [
+                {"system": "http://terminology.hl7.org/CodeSystem/condition-clinical",
+                 "code": "active" if i % 4 else "resolved"}]},
+            "code": {"coding": [{"system": "http://snomed.info/sct", "code": code}],
+                     "text": text},
+            "subject": {"reference": f"Patient/p-{(i * 3 - 2) % 40 + 1:03d}"},
+            "onsetDateTime": f"{2015 + i % 8}-{(i % 12) + 1:02d}-01",
+            "recordedDate": f"{2019 + i % 5}-{(i % 12) + 1:02d}-15",
+        }
+
+
+def procedures():
+    for i in range(1, 26):
+        p = {
+            "resourceType": "Procedure", "id": f"proc-{i:03d}",
+            "status": "completed" if i % 5 else "in-progress",
+            "code": {"coding": [{"system": "http://snomed.info/sct",
+                                 "code": f"8015000{i % 4}"}],
+                     "text": f"procedure-{i % 4}"},
+            "subject": {"reference": f"Patient/p-{(i * 7 - 6) % 40 + 1:03d}"},
+            "performedDateTime": f"{2018 + i % 6}-{(i % 12) + 1:02d}-10T12:00:00Z",
+        }
+        if i % 4 == 0:
+            p["encounter"] = {"reference": f"Encounter/e-{(i % 12) + 1:02d}"}
+        yield p
+
+
 def researchstudies():
     for i in range(1, 5):
         r = {"resourceType": "ResearchStudy", "id": f"rs-{i}",
@@ -295,6 +366,9 @@ def main():
     w("MedicationAdministration.ndjson", medadmins())
     w("ResearchStudy.ndjson", researchstudies())
     w("ResearchSubject.ndjson", researchsubjects())
+    w("Observation.ndjson", observations())
+    w("Condition.ndjson", conditions())
+    w("Procedure.ndjson", procedures())
 
     # mixed-type stream incl. unknown types (dispatch reject channel)
     mixed = (list(researchstudies()) + list(researchsubjects())
@@ -326,6 +400,32 @@ def main():
         f.write("doc_id,content_type\n")
         for d in all_docs:
             f.write(f"{d['id']},{mime_expected(d)}\n")
+
+    # extended mime vectors: encoding suffixes (.gz/.Z/.bz2/.xz/.br),
+    # suffix_map (.tgz/.svgz), non-strict common_types (.rtf), and URL
+    # shapes java.net.URI rejects (relative path, spaces) — the divergence
+    # cases Python handles that doc fixtures never exercise
+    extra = [
+        ("sample.vcf.gz", None), ("calls.maf.gz", None),
+        ("regions.bed.Z", None), ("notes.txt.bz2", None),
+        ("data.tsv.xz", None), ("doc.md.br", None),
+        ("archive.tgz", None), ("img.svgz", None), ("x.tar.gz", None),
+        ("paper.rtf", None), ("UPPER.VCF.GZ", None),
+        (None, "https://x.org/files/run.vcf.gz?x=1"),
+        (None, "files/x.vcf"),
+        (None, "https://x.org/a b/f.maf"),
+        ("title.txt", "https://x.org/page"),
+    ]
+    with open(os.path.join(OUT, "mime_extra_vectors.csv"), "w") as f:
+        f.write("title,url,content_type\n")
+        for title, url in extra:
+            file_name = title
+            if url:
+                path = urllib.parse.urlparse(url).path
+                if "." in path:
+                    file_name = path
+            mt, _ = mimetypes.guess_type(file_name, strict=False)
+            f.write(f"{title or ''},{url or ''},{mt or 'application/octet-stream'}\n")
 
     # print the ext → mime resolution actually used (for the Scala map)
     exts = set()
