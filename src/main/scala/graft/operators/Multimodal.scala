@@ -67,6 +67,20 @@ object Multimodal {
           .as("chunk"))
   }
 
+  /** Deterministic stride frame-sampling over chunk rows: keep every
+    * `stride`-th chunk, up to `maxFrames` per document — the video
+    * frame-sampler contract (inspect k frames without touching the rest).
+    * The filter sits directly on the chunk explode, so skipped frames are
+    * discarded before any decode work, and parallelism stays per-frame.
+    */
+  def frameSample(media: DataFrame, chunkSize: Int = 64, stride: Int = 4,
+      maxFrames: Int = 3): DataFrame =
+    chunk(media, chunkSize)
+      .filter(col("chunk_idx") % stride === 0 &&
+        col("chunk_idx") / stride < maxFrames)
+      .select(col("doc_id"), (col("chunk_idx") / stride).cast(LongType).as("frame_no"),
+        col("chunk").as("frame"))
+
   /** Feature extraction over the binary column via mapPartitions: the
     * decoder is instantiated once per partition and rows stream through —
     * no shuffle, no driver round-trip, partitioning preserved. This is the

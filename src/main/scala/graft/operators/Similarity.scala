@@ -202,6 +202,63 @@ object Similarity {
       .select(col("va"), col("vb"), col("score"))
   }
 
+  /** Embedding near-dup pairs at scale, variant 2: random-hyperplane LSH
+    * (sign-of-projection signatures, banded). INDEX-FREE — no quantizer
+    * fit, no data-dependent state: the hyperplanes are a seeded constant,
+    * so this path is one shot over the corpus and composes with
+    * incremental ingest (new vectors hash independently — the property
+    * IVF lacks, since its centroids age). Recall is probabilistic:
+    * P(bit flip) = θ/π per bit; with `nbits`/`rowsPerBand` banding a pair
+    * survives if ANY band matches exactly — defaults (120 bits, 8 bands
+    * of 15) give ~0.998 recall at cosine 0.99 and ~3·10⁻⁵ false-candidate
+    * rate per band for uncorrelated vectors. Candidates are verified with
+    * the exact cosine, so precision is exact; only recall is approximate
+    * (SimilaritySpec asserts ≥ 0.95 vs the exact oracle).
+    *
+    * Plan shape: explode dims → broadcast-join the (nbits×dims) hyperplane
+    * table → two hash aggs to band keys → bucket equi-join on
+    * (band, key) → exact verify on candidates only. Every join key has
+    * high cardinality; nothing corpus-sized is broadcast.
+    */
+  def cosineNearDupsRhp(corpus: DataFrame, threshold: Double,
+      nbits: Int = 120, rowsPerBand: Int = 15, seed: Long = 42L,
+      scale: Int = 5): DataFrame = {
+    val dims = corpus.select(size(col("embedding"))).head().getInt(0)
+    val rnd = new java.util.Random(seed)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // seeded hyperplane components ~ N(0,1): a tiny (nbits·dims) constant
+    val hyper = (for (k <- 0 until nbits; i <- 0 until dims)
+      yield (k, i, rnd.nextGaussian())).toDF("k", "i", "h")
+    val vecElems = corpus.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast(DoubleType).as("x"))
+    // band keys assembled directly from sign bits (no 120-bit integer)
+    val bands = vecElems.join(broadcast(hyper), Seq("i"))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(col("x") * col("h")).as("proj"))
+      .withColumn("band", (col("k") / rowsPerBand).cast(IntegerType))
+      .withColumn("bit",
+        when(col("proj") > 0, expr(s"shiftleft(1L, k % $rowsPerBand)"))
+          .otherwise(0L))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bit")).as("bkey"))
+      .cache() // the LSH index: both self-join sides reuse it
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    // exact verify on candidates only
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    cands
+      .join(vecs.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(vecs.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .withColumn("score", round(cosine(col("ea"), col("eb")), scale))
+      .filter(col("score") >= threshold)
+      .select(col("va"), col("vb"), col("score"))
+  }
+
   /** Embedding near-dup pairs at scale: IVF-bucketed. Each vector is
     * assigned to its `nassign` nearest coarse cells (multi-assignment
     * recovers pairs that straddle a cell boundary), dims are exploded

@@ -169,6 +169,24 @@ object DedupPack extends QueryPack {
               |       round($CosineSql, 5) AS score
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE round($CosineSql, 5) >= 0.9
-              |ORDER BY va, vb""".stripMargin))
+              |ORDER BY va, vb""".stripMargin)),
+
+    // Embedding near-dups, random-hyperplane LSH variant: index-free
+    // (seeded constant hyperplanes — composes with incremental ingest,
+    // unlike IVF whose centroids age), banded sign-bit signatures →
+    // bucket equi-join candidates → exact cosine verify. Probabilistic
+    // recall ⇒ rows-only driver check; SimilaritySpec asserts ≥ 0.95
+    // recall and exact-score parity vs the all-pairs oracle.
+    QueryDef(
+      "dedup_embedding_rhp",
+      (s, d) => {
+        val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+        Similarity.cosineNearDupsRhp(base.unionByName(mutants), 0.9)
+          .orderBy("va", "vb")
+      },
+      None)
   )
 }

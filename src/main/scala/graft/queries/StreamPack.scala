@@ -68,6 +68,45 @@ object StreamPack extends QueryPack {
              |       COUNT(*) AS n,
              |       CAST(SUM(CAST(value AS DECIMAL(38,3))) AS DOUBLE) AS sum_value
              |FROM isl GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Stream-stream interval join, batch face: every click matched to
+    // same-user purchases in the preceding 30 minutes. The SAME
+    // clickPurchaseJoin runs under Structured Streaming in StreamingSpec
+    // (watermarks + time-bound condition ⇒ bounded join state); here its
+    // batch semantics are hash-checked against DuckDB.
+    QueryDef(
+      "stream_join",
+      (s, d) => {
+        val ev = T.events(s, d)
+        EventStreams.clickPurchaseJoin(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"), "30 minutes")
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, c.user_id AS user_id,
+             |       c.ts AS click_ts, p.event_id AS purchase_id,
+             |       p.ts AS purchase_ts, p.value AS purchase_value
+             |FROM events c JOIN events p
+             |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND c.user_id = p.user_id
+             | AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
+    // Stateful dedup, batch face: a doubled input through the SAME
+    // dedupWithinWatermark the streaming spec drives — batch mode planning
+    // drops the watermark and dedups by key; duplicates are bit-identical
+    // so the survivor set is deterministic.
+    QueryDef(
+      "stream_dedup",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        EventStreams.dedupWithinWatermark(ev.unionByName(ev), "30 minutes")
+          .orderBy("event_id")
+      },
+      Some("""SELECT DISTINCT event_id, ts, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

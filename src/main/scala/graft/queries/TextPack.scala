@@ -120,6 +120,28 @@ object TextPack extends QueryPack {
              |       CAST(length(substr(text, CAST(chunk_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS chunk_len
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // C12 multimodal frame-sampling: every 4th chunk, max 3 frames per
+    // document — the "sample k frames of a video" shape; the filter lands
+    // on the chunk explode so unsampled frames cost nothing downstream.
+    QueryDef(
+      "mm_frames",
+      (s, d) =>
+        Multimodal.frameSample(Multimodal.withMediaColumn(
+            docsOf(s, d).filter(col("doc_id") < 50)), 64, 4, 3)
+          .select(col("doc_id"), col("frame_no"),
+            md5(col("frame")).as("frame_md5"),
+            length(col("frame")).cast(LongType).as("frame_len"))
+          .orderBy("doc_id", "frame_no"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, unnest([0, 1, 2]) AS frame_no, text
+             |  FROM documents WHERE doc_id < 50
+             |)
+             |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+             |       md5(substr(text, frame_no * 256 + 1, 64)) AS frame_md5,
+             |       CAST(length(substr(text, frame_no * 256 + 1, 64)) AS BIGINT) AS frame_len
+             |FROM f WHERE frame_no * 4 < ceil(length(text) / 64.0)
+             |ORDER BY doc_id, frame_no""".stripMargin)),
+
     // C12 multimodal: binary media column + mapPartitions feature
     // extraction (stub decoder, real plumbing — see operators.Multimodal).
     QueryDef(

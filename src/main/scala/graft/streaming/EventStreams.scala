@@ -44,11 +44,15 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n"), col("sum_value"))
 
-  /** Streaming-only: exactly-once-style dedup bounded by the watermark
-    * (C9 stateful dedup). Batch analog is dropDuplicates.
+  /** Stateful dedup bounded by the watermark (C9). Spark restricts
+    * dropDuplicatesWithinWatermark to streaming plans, so the batch face
+    * of the same operator is its documented analog dropDuplicates — the
+    * semantics coincide whenever duplicates arrive within the watermark.
     */
   def dedupWithinWatermark(stream: DataFrame, delay: String = "30 minutes"): DataFrame =
-    stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+    if (stream.isStreaming)
+      stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+    else stream.dropDuplicates("event_id")
 
   /** Stream-stream interval join: each click matched to same-user
     * purchases in the preceding `lookback`. Both sides carry watermarks,

@@ -65,6 +65,23 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.exceptAll(ivf).count() == 0 && ivf.exceptAll(exact).count() == 0)
   }
 
+  test("RHP-LSH near-dups: recall >= 0.95 and exact scores on found pairs") {
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val all = base.unionByName(mutants)
+    val exact = Similarity.cosineNearDups(all, 0.9).cache()
+    val rhp = Similarity.cosineNearDupsRhp(all, 0.9).cache()
+    val nExact = exact.count()
+    val hit = exact.join(rhp, Seq("va", "vb"), "left_semi").count()
+    assert(nExact > 0 && hit.toDouble / nExact >= 0.95,
+      s"RHP recall ${hit.toDouble / nExact} ($hit/$nExact)")
+    // precision is exact: every emitted pair appears in the oracle with
+    // the identical rounded score
+    assert(rhp.exceptAll(exact).count() == 0)
+  }
+
   test("ivfIndexCached fits the quantizer once per (session, tag)") {
     val c = corpus.select(col("vec_id"), col("embedding"))
     val a = Similarity.ivfIndexCached(spark, "spec-cache-test")(c)
