@@ -52,7 +52,21 @@ object FhirIO {
     * exactly the reference's `json.dumps(resource) + '\n'` semantics
     * (transform.py:165). Distributed write: one part-file per partition;
     * a bulk-store sink (A6) is the same call with an object-store URI.
+    *
+    * `storageOptions` passes connector options through to the writer —
+    * the object-store half of A6. The reference's upload sets
+    * `Content-Type: application/fhir+ndjson` on every object
+    * (scripts/upload.sh:23); with a cloud-storage Hadoop connector on the
+    * classpath that is e.g. `fs.gs.outputstream.type` /
+    * `fs.gs.content.type`-style options or a committer setting — the hook
+    * is exercised here, the connector itself is deployment-provided.
     */
-  def writeNdjson(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("ignoreNullFields", "true").json(path)
+  val FhirNdjsonContentType = "application/fhir+ndjson"
+
+  def writeNdjson(df: DataFrame, path: String,
+      storageOptions: Map[String, String] = Map.empty): Unit =
+    df.write.mode("overwrite")
+      .option("ignoreNullFields", "true")
+      .options(storageOptions)
+      .json(path)
 }
