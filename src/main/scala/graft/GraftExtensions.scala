@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.Uuid5Expr
+import graft.functions.{ArrayCosineExpr, Uuid5Expr}
 
 /** Engine extensions, injected via spark.sql.extensions (GraftSession).
   *
@@ -23,6 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "uuid5_dns expects exactly one argument")
         Uuid5Expr(children.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("array_cosine"),
+      new ExpressionInfo("graft.functions.ArrayCosineExpr", null, "array_cosine",
+        "array_cosine(a, b) - cosine similarity of two float/double arrays " +
+          "(codegen'd fused loop; element-order-sequential double arithmetic).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "array_cosine expects exactly two arguments")
+        ArrayCosineExpr(children.head, children(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Cosine similarity of two numeric arrays as a NATIVE Catalyst expression
+  * (SURVEY §4.4 / C11): one fused loop accumulating dot and both squared
+  * norms, inlined into whole-stage codegen via a static call. The
+  * higher-order-function formulation (`aggregate(zip_with(...))`) runs
+  * INTERPRETED — measured ~20× slower per row on this engine's minhash
+  * path — so the hot similarity operators use this expression instead.
+  *
+  * Arithmetic is double-precision and element-order-sequential, summing
+  * in index order exactly like the HOF version it replaces, so scores are
+  * bit-identical and oracle hashes are unaffected.
+  */
+object ArrayCosineFn {
+
+  /** Sequential-order cosine; arrays are expected equal-length (the
+    * shared prefix is used — embedding columns are fixed-width).
+    */
+  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var ab = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      ab += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+}
+
+/** `array_cosine(a, b)` — null iff either side is null; elements must be
+  * FLOAT or DOUBLE arrays (mixed is fine, floats are widened).
+  */
+case class ArrayCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "array_cosine expects two array<float|double> arguments, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayCosineFn.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayCosineFn.compute($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayCosineExpr =
+    copy(left = newLeft, right = newRight)
+}

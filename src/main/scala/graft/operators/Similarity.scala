@@ -32,7 +32,13 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native codegen'd ArrayCosineExpr (one fused loop
+    * inside whole-stage codegen) — bit-identical to the HOF formulation
+    * `dot(a,b)/(norm(a)·norm(b))` (same element-order-sequential double
+    * sums), but not interpreted. The HOF forms above remain as the
+    * readable spec of the arithmetic.
+    */
+  def cosine(a: Column, b: Column): Column = call_function("array_cosine", a, b)
 
   /** Exact top-k cosine neighbors for each query vector. `queries` is
     * expected to be small (it is broadcast); ranking is by score rounded
