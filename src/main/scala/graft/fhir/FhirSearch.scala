@@ -165,7 +165,13 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
       val isMissing = defn.missingTest(df)
       return df.filter(if (value == "true") isMissing else !isMissing)
     }
-    val pred = defn.predicate(value, modifier)
+    // FHIR value-OR: comma-separated values within ONE parameter are a
+    // disjunction (repeating the parameter is the conjunction) — spec
+    // section "composite-or". Applies uniformly across param types.
+    val pred = value.split(",", -1).toSeq match {
+      case Seq(single) => defn.predicate(single, modifier)
+      case many => many.map(v => defn.predicate(v, modifier)).reduce(_ || _)
+    }
     modifier match {
       case Some("not") => df.filter(!coalesce(pred, lit(false))) // B15 :not
       case _ => df.filter(pred)

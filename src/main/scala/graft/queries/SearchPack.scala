@@ -293,6 +293,19 @@ object SearchPack extends QueryPack {
       Some(s"""SELECT id, gender, birthDate, active FROM ${rj("Patient")}
               |WHERE gender = 'male' ORDER BY id""".stripMargin)),
 
+    // Value-OR: comma-joined values in one param are a disjunction
+    // (repeating the param stays a conjunction) — here OR of two LOINC
+    // codes AND a status filter
+    QueryDef(
+      "search_or_values",
+      (s, _) => eng(s).search("Observation?code=718-7,2339-0&status=final")
+        .select(col("id"), col("status")).orderBy("id"),
+      Some(s"""SELECT id, status FROM ${rj("Observation")}
+              |WHERE len(list_filter(code.coding, c ->
+              |  c.code = '718-7' OR c.code = '2339-0')) > 0
+              |  AND status = 'final'
+              |ORDER BY id""".stripMargin)),
+
     // _summary=count: count-only contract under the _summary spelling
     QueryDef(
       "search_summary_count",

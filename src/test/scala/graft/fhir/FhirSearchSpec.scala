@@ -70,6 +70,15 @@ class FhirSearchSpec extends SparkSpec {
     assert(typed.count() > 0)
   }
 
+  test("comma value-OR equals the union; repeated params stay a conjunction") {
+    val or = eng.search("Patient?gender=male,female").select("id")
+    val union = eng.search("Patient?gender=male").select("id")
+      .unionByName(eng.search("Patient?gender=female").select("id"))
+    assert(or.exceptAll(union).count() == 0 && union.exceptAll(or).count() == 0)
+    // same param repeated = AND (the date-range idiom)
+    assert(eng.search("Patient?gender=male&gender=female").count() == 0)
+  }
+
   test("_summary=true projects the summary element set; _summary=count counts") {
     val s = eng.search("Patient?_summary=true")
     assert(s.columns.toSeq == Seq("id", "gender", "birthDate", "active"))
