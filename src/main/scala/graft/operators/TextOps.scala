@@ -84,6 +84,27 @@ object TextOps {
         least(stopRate * 5.0, lit(1.0)) * 0.2, 6).as("quality"))
   }
 
+  /** GPT-2-style pre-tokenizer regex, restricted to a lookahead-free,
+    * ASCII form so the SAME pattern runs identically under Java regex
+    * (Spark) and RE2 (DuckDB oracle; RE2 has no lookarounds): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * residual whitespace. This is the cheap token-budget estimator a
+    * corpus pipeline runs before the real BPE merge table is applied.
+    */
+  val BpeSplitPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+"
+
+  /** Whitespace vs BPE-ish token counts per document + their ratio (the
+    * usual chars-per-token sanity metric).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val ws = size(tokens(col("text"))).cast(LongType)
+    val bpe = size(regexp_extract_all(lower(col("text")),
+      lit(BpeSplitPattern), lit(0))).cast(LongType)
+    docs.select(col("doc_id"), ws.as("n_ws_tokens"), bpe.as("n_bpe_tokens"),
+      round(length(col("text")).cast(DoubleType) / bpe, 6).as("chars_per_token"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 60-bit numeric bucket key for range-partitioned storage.
     */

@@ -88,6 +88,22 @@ object TextPack extends QueryPack {
              |        + least(stoprate * 5.0, 1.0) * 0.2, 6) AS quality
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Token counting, whitespace + BPE-ish regex (the token-budget
+    // estimator of a training-data pipeline). The split pattern is
+    // lookahead-free so Java regex (engine) and RE2 (oracle) agree.
+    QueryDef(
+      "text_tokens",
+      (s, d) =>
+        TextOps.tokenCounts(docsOf(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(lower(text),
+             |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+')) AS BIGINT) AS n_bpe_tokens,
+             |  round(CAST(length(text) AS DOUBLE)
+             |    / len(regexp_extract_all(lower(text),
+             |        '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+')), 6) AS chars_per_token
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprint: md5 of normalized text + 60-bit bucket key.
     QueryDef(
       "text_fingerprint",
