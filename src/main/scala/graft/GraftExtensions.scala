@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "array_cosine expects exactly two arguments")
         ArrayCosineExpr(children.head, children(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    // §4.4c optimizer rule: size(filter(arr,f)) > 0 → exists(arr,f)
+    // (short-circuit instead of materialize-and-count)
+    ext.injectOptimizerRule(_ => graft.plans.SimplifyArrayExistence)
   }
 }

@@ -63,6 +63,8 @@ case class ArrayCosineExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_cosine"
+  // deterministic pure function ⇒ constant-foldable over literal inputs
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayCosineFn.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],

@@ -63,6 +63,9 @@ case class Uuid5Expr(child: Expression)
       s"uuid5_dns expects a string argument, got ${child.dataType.catalogString}")
   override def dataType: DataType = StringType
   override def prettyName: String = "uuid5_dns"
+  // deterministic pure function ⇒ constant-foldable over literal input
+  // (ConstantFolding then evaluates it once at plan time)
+  override def foldable: Boolean = child.foldable
 
   override protected def nullSafeEval(input: Any): Any =
     Uuid5Fn.computeDns(input.asInstanceOf[UTF8String])

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{ArrayExists, ArrayFilter}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The injected §4.4c optimizer rule: size(filter(arr,f)) > 0 must plan
+  * as a short-circuiting exists, with identical results (three-valued
+  * logic included).
+  */
+class SimplifyArrayExistenceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def optimized(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan
+
+  // parquet-backed so ConvertToLocalRelation can't pre-evaluate the plan
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("size(filter(...)) > 0 rewrites to exists; filter disappears") {
+    val df = emb.filter(size(filter(col("embedding"), x => x > 2.0f)) > 0)
+      .select("vec_id")
+    val exprs = optimized(df).collect { case n => n }
+      .flatMap(_.expressions).flatMap(_.collect {
+        case _: ArrayExists => "exists"
+        case _: ArrayFilter => "filter"
+      })
+    assert(exprs.contains("exists"), optimized(df).treeString)
+    assert(!exprs.contains("filter"), optimized(df).treeString)
+    // result parity vs the explicit exists form
+    val viaExists = emb.filter(exists(col("embedding"), x => x > 2.0f))
+      .select("vec_id")
+    assert(df.exceptAll(viaExists).count() == 0 &&
+      viaExists.exceptAll(df).count() == 0)
+  }
+
+  test("= 0 form rewrites to NOT exists with identical null semantics") {
+    val withNulls = emb.select(col("vec_id"),
+      when(col("vec_id") % 3 === 0, lit(null)).otherwise(col("embedding")).as("arr"))
+    val df = withNulls.select(col("vec_id"),
+      (size(filter(col("arr"), x => x > 2.0f)) === 0).as("none_match"))
+    assert(optimized(df).collect { case n => n }
+      .flatMap(_.expressions).flatMap(_.collect {
+        case _: ArrayExists => true
+      }).nonEmpty, optimized(df).treeString)
+    // null arrays stay NULL (non-legacy size semantics preserved)
+    assert(df.filter(col("vec_id") % 3 === 0 && col("none_match").isNotNull)
+      .count() == 0)
+    val ref = withNulls.select(col("vec_id"),
+      (!exists(col("arr"), x => x > 2.0f)).as("none_match"))
+    assert(df.exceptAll(ref).count() == 0 && ref.exceptAll(df).count() == 0)
+  }
+
+  test("rewritten search predicate equals the unrewritten computation") {
+    // the FHIR-token shape: membership over a coding-like array
+    val data = Seq((1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq.empty[String]))
+      .toDF("id", "codes")
+    val viaSize = data.filter(size(filter(col("codes"), c => c === "c")) > 0)
+      .select("id")
+    val viaExists = data.filter(exists(col("codes"), c => c === "c"))
+      .select("id")
+    assert(viaSize.exceptAll(viaExists).count() == 0 &&
+      viaExists.exceptAll(viaSize).count() == 0)
+  }
+}
