@@ -101,4 +101,28 @@ object FilePipelines {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming face of the reference's R5→R4 transform job: NDJSON
+    * resources stream in (schema-directed, no inference pass), a pure
+    * column transform (graft.fhir.Transformers.*) applies unchanged —
+    * the SAME function the batch gates hash-check — and null-omitting
+    * NDJSON streams out under the sink commit log. With a checkpoint this
+    * is the continuous-ingest deployment of transform.py: drop new
+    * exports into `inDir`, each is transformed exactly once, restarts
+    * resume from committed offsets.
+    */
+  def fhirTransformStream(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, schema: StructType)(
+      transform: DataFrame => DataFrame): StreamingQuery =
+    transform(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(inDir))
+      .writeStream.format("json")
+      .option("ignoreNullFields", "true")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
 }
