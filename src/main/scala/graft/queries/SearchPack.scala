@@ -293,6 +293,18 @@ object SearchPack extends QueryPack {
       Some(s"""SELECT id, gender, birthDate, active FROM ${rj("Patient")}
               |WHERE gender = 'male' ORDER BY id""".stripMargin)),
 
+    // _sort on a NESTED path (reference column inside a struct) with
+    // paging on top — sort keys resolve through struct fields
+    QueryDef(
+      "search_sort_nested",
+      (s, _) => eng(s).search("Specimen?_sort=-subject.reference&_count=5")
+        .select(col("id"), col("subject.reference").as("subject_ref")),
+      Some(s"""SELECT id, subject_ref FROM (
+              |  SELECT id, subject.reference AS subject_ref,
+              |         row_number() OVER (ORDER BY subject.reference DESC, id) AS rn
+              |  FROM ${rj("Specimen")}) t
+              |WHERE rn <= 5""".stripMargin)),
+
     // Value-OR: comma-joined values in one param are a disjunction
     // (repeating the param stays a conjunction) — here OR of two LOINC
     // codes AND a status filter
