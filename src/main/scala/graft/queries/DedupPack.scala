@@ -110,6 +110,48 @@ object DedupPack extends QueryPack {
               |WHERE i / (sa.n + sb.n - i) >= 0.5
               |ORDER BY da, db""".stripMargin)),
 
+    // Dedup endgame: exact-Jaccard pairs → connected components →
+    // survivor election (min doc_id per component). Components via
+    // distributed min-label propagation; oracle via recursive CTE.
+    QueryDef(
+      "dedup_components",
+      (s, d) => {
+        val corpus = Dedup.withMutants(
+          T.documents(s, d).filter(col("doc_id") < JaccardCap)
+            .select(col("doc_id"), col("text")))
+        val comp = Dedup.connectedComponents(Dedup.jaccardPairs(corpus, 3, 0.5))
+        corpus.select(col("doc_id"))
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .withColumn("is_survivor", col("component") === col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $MutantCorpus, $Shingles,
+              |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |), pairs AS (
+              |  SELECT da, db FROM inter
+              |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              |  WHERE i / (sa.n + sb.n - i) >= 0.5
+              |), edges AS (
+              |  SELECT da AS a, db AS b FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs
+              |), reach(id, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+              |), comp AS (
+              |  SELECT id, min(r) AS component FROM reach GROUP BY id
+              |)
+              |SELECT c.doc_id,
+              |       coalesce(comp.component, c.doc_id) AS component,
+              |       coalesce(comp.component, c.doc_id) = c.doc_id AS is_survivor
+              |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+              |ORDER BY c.doc_id""".stripMargin)),
+
     // MinHash + banded LSH (r=2, b=16): the scale path — candidates from a
     // bucket equi-join, exact Jaccard verify on candidates only. Rows-only
     // driver check; DedupSpec asserts ≥95% recall vs dedup_ngram_jaccard.

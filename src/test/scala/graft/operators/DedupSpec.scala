@@ -14,6 +14,15 @@ class DedupSpec extends SparkSpec {
     .select(col("doc_id"), col("text"))
   private lazy val corpus = Dedup.withMutants(docs).cache()
 
+  test("connected components: transitive chains collapse to the min label") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 only transitively), island 10-11, singleton absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val comp = Dedup.connectedComponents(pairs).orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash-LSH recall >= 0.95 vs brute-force jaccard, no false positives") {
     val truth = Dedup.jaccardPairs(corpus, 3, 0.5)
       .select(col("da"), col("db")).cache()
