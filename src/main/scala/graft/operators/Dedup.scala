@@ -163,20 +163,30 @@ object Dedup {
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
       .cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
-    var changed = 1L
+    // seed = round one fused into the init: min(self, neighbors). Near-dup
+    // graphs are mostly cliques of mutual duplicates, so this alone is
+    // usually the fixpoint and the loop runs once just to confirm.
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("component"))
+      .select(col("a").as("id"), col("component"))
+      .cache()
+    // labels only ever decrease, so Σcomponent strictly decreases until
+    // the fixpoint — one scalar aggregate per round replaces a
+    // join-with-previous change count (fewer driver actions; at tiny
+    // per-round cost the fixed action overhead IS the runtime)
+    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (!converged && rounds < 50) {
       val viaNbr = edges
         .join(labels.select(col("id").as("b"), col("component")), Seq("b"))
         .select(col("a").as("id"), col("component"))
       val next = labels.unionByName(viaNbr)
         .groupBy("id").agg(min(col("component")).as("component"))
         .cache()
-      changed = next
-        .join(labels.select(col("id"), col("component").as("_old")), Seq("id"))
-        .filter(col("component") =!= col("_old")).count()
+      val newSum = next.agg(sum(col("component"))).head().getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels.unpersist()
       labels = next
       rounds += 1
