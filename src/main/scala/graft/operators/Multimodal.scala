@@ -27,11 +27,56 @@ object Multimodal {
     StructField("digest", StringType),
     StructField("n_chunks", LongType)))
 
-  /** STUB decoder — deterministic fake standing in for e.g. JPEG decode +
-    * feature extraction. Real deployments swap this closure for a codec
-    * call; the execution shape (per-partition init, row streaming) is
-    * exactly what the real one uses.
+  /** Pluggable per-partition decoder: `featureType` is the emitted struct,
+    * `decode` runs once per blob inside mapPartitions. Implementations are
+    * serializable closures shipped to executors; heavyweight codec state
+    * belongs in a lazy field so it initializes once per partition, not per
+    * row (the mapInPandas iterator contract, JVM-side).
     */
+  trait MediaCodec extends Serializable {
+    def featureType: StructType
+    def decode(bytes: Array[Byte]): Row
+  }
+
+  /** STUB decoder — deterministic fake standing in for e.g. JPEG decode +
+    * feature extraction (image/audio codecs are not in this environment).
+    */
+  object StubCodec extends MediaCodec {
+    override val featureType: StructType = featureSchema
+    override def decode(bytes: Array[Byte]): Row = decodeStub(bytes)
+  }
+
+  /** A REAL codec: strict UTF-8 decode with malformed-input detection and
+    * replacement-character repair — the text-modality analog of an image
+    * decode (bytes in, validated/normalized content + features out).
+    */
+  object Utf8TextCodec extends MediaCodec {
+    override val featureType: StructType = StructType(Seq(
+      StructField("n_bytes", LongType),
+      StructField("n_chars", LongType),
+      StructField("n_lines", LongType),
+      StructField("valid_utf8", BooleanType),
+      StructField("digest", StringType)))
+
+    override def decode(bytes: Array[Byte]): Row = {
+      import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+      val strict = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val (text, valid) =
+        try (strict.decode(java.nio.ByteBuffer.wrap(bytes)).toString, true)
+        catch {
+          case _: CharacterCodingException =>
+            (new String(bytes, StandardCharsets.UTF_8), false) // U+FFFD repair
+        }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(bytes).map("%02x".format(_)).mkString
+      Row(bytes.length.toLong, text.length.toLong,
+        (text.count(_ == '\n') + 1).toLong, valid, digest)
+    }
+  }
+
+  /** STUB decode function (kept for the original feature face). */
   def decodeStub(bytes: Array[Byte]): Row = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val digest = md.digest(bytes).map("%02x".format(_)).mkString
@@ -86,16 +131,16 @@ object Multimodal {
     * no shuffle, no driver round-trip, partitioning preserved. This is the
     * batch shape a Pandas-UDF/`mapInPandas` pipeline has in PySpark.
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
+  def extractFeatures(media: DataFrame, codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
-      StructField("features", featureSchema)))
+      StructField("features", codec.featureType)))
     val enc = Encoders.row(outSchema)
     media.select(col("doc_id"), col("media"))
       .mapPartitions { rows =>
-        // per-partition decoder init happens here (stubbed)
+        // per-partition decoder init happens here
         rows.map { r =>
-          Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1)))
+          Row(r.getLong(0), codec.decode(r.getAs[Array[Byte]](1)))
         }
       }(enc)
   }

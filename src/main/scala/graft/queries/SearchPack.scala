@@ -293,6 +293,37 @@ object SearchPack extends QueryPack {
       Some(s"""SELECT id, gender, birthDate, active FROM ${rj("Patient")}
               |WHERE gender = 'male' ORDER BY id""".stripMargin)),
 
+    // _include traversing the new Observation type's encounter reference
+    QueryDef(
+      "search_include_obs",
+      (s, _) => eng(s).search(
+        "Observation?code=http://loinc.org|718-7&_include=Observation:encounter"),
+      Some(s"""SELECT 'Observation' AS resourceType, id, 'match' AS mode
+              |FROM ${rj("Observation")}
+              |WHERE len(list_filter(code.coding, c ->
+              |  c."system" = 'http://loinc.org' AND c.code = '718-7')) > 0
+              |UNION ALL
+              |SELECT DISTINCT split_part(encounter.reference, '/', 1),
+              |       split_part(encounter.reference, '/', 2), 'include'
+              |FROM ${rj("Observation")}
+              |WHERE len(list_filter(code.coding, c ->
+              |  c."system" = 'http://loinc.org' AND c.code = '718-7')) > 0
+              |  AND encounter.reference IS NOT NULL
+              |ORDER BY mode, resourceType, id""".stripMargin)),
+
+    // _has reverse chain from Patient through Observation.patient
+    QueryDef(
+      "search_has_obs",
+      (s, _) => eng(s).search(
+        "Patient?_has:Observation:patient:code=http://loinc.org|2160-0")
+        .select(col("id"), col("gender")).orderBy("id"),
+      Some(s"""SELECT id, gender FROM ${rj("Patient")} p
+              |WHERE EXISTS (SELECT 1 FROM ${rj("Observation")} o
+              |  WHERE o.subject.reference = 'Patient/' || p.id
+              |    AND len(list_filter(o.code.coding, c ->
+              |      c."system" = 'http://loinc.org' AND c.code = '2160-0')) > 0)
+              |ORDER BY id""".stripMargin)),
+
     // _sort on a NESTED path (reference column inside a struct) with
     // paging on top — sort keys resolve through struct fields
     QueryDef(

@@ -158,6 +158,29 @@ object TextPack extends QueryPack {
              |FROM f WHERE frame_no * 4 < ceil(length(text) / 64.0)
              |ORDER BY doc_id, frame_no""".stripMargin)),
 
+    // C12 multimodal with a REAL codec: strict UTF-8 decode + repair over
+    // the binary column (the text-modality analog of image decode), same
+    // mapPartitions plumbing as the stub path.
+    QueryDef(
+      "mm_utf8",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withMediaColumn(docsOf(s, d)), Multimodal.Utf8TextCodec)
+          .select(col("doc_id"),
+            col("features").getField("n_bytes").as("n_bytes"),
+            col("features").getField("n_chars").as("n_chars"),
+            col("features").getField("n_lines").as("n_lines"),
+            col("features").getField("valid_utf8").as("valid_utf8"),
+            col("features").getField("digest").as("digest"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(1 + length(text) - length(replace(text, chr(10), '')) AS BIGINT) AS n_lines,
+             |  true AS valid_utf8,
+             |  md5(text) AS digest
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // C12 multimodal: binary media column + mapPartitions feature
     // extraction (stub decoder, real plumbing — see operators.Multimodal).
     QueryDef(

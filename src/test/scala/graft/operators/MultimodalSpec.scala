@@ -24,4 +24,13 @@ class MultimodalSpec extends SparkSpec {
     val feats1 = Multimodal.extractFeatures(media.repartition(1))
     assert(feats.exceptAll(feats1).count() == 0)
   }
+
+  test("UTF-8 codec: valid text decodes clean; malformed bytes flagged and repaired") {
+    val ok = Multimodal.Utf8TextCodec.decode("héllo\nwörld".getBytes("UTF-8"))
+    assert(ok.getBoolean(3) && ok.getLong(1) == 11L && ok.getLong(2) == 2L)
+    // 0xC3 with no continuation byte = malformed UTF-8
+    val bad = Multimodal.Utf8TextCodec.decode(Array[Byte]('a', 0xC3.toByte))
+    assert(!bad.getBoolean(3))
+    assert(bad.getLong(1) == 2L) // 'a' + U+FFFD replacement
+  }
 }
