@@ -105,6 +105,38 @@ object TextOps {
       round(length(col("text")).cast(DoubleType) / bpe, 6).as("chars_per_token"))
   }
 
+  /** Character-bigram corpus-typicality score — the n-gram-LM quality
+    * filter of a training-data pipeline, in its exactly-reproducible form:
+    * the "model" is the corpus' own conditional bigram frequencies
+    * P(c₂|c₁) = cnt(c₁c₂)/cnt(c₁·), a document scores the MEAN probability
+    * of its bigrams under that model (higher = more corpus-typical; junk
+    * and boilerplate outliers score low). Probabilities are integer-count
+    * ratios (bit-identical IEEE division in any engine) and the per-doc
+    * mean uses the exact-decimal sum, so scores hash-match an independent
+    * engine — the property a log-space perplexity cannot give (ln differs
+    * in the last ulp across math libraries).
+    *
+    * Plan shape: one explode over character positions, two hash aggs for
+    * the model (a few KB for ASCII — broadcast to the scoring join), one
+    * partial-aggregated mean per doc. No driver materialization.
+    */
+  def lmTypicality(docs: DataFrame): DataFrame = {
+    import graft.functions.Exact.dsum
+    // variable-start substring inside the position lambda needs expr form
+    val bg = docs.select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))")).as("bigram"))
+    val counts = bg.groupBy("bigram").agg(count(lit(1)).as("b_cnt"))
+    val prefixTotals = counts
+      .groupBy(substring(col("bigram"), 1, 1).as("prefix"))
+      .agg(sum(col("b_cnt")).as("p_cnt"))
+    val model = counts.withColumn("prefix", substring(col("bigram"), 1, 1))
+      .join(prefixTotals, "prefix")
+      .select(col("bigram"), (col("b_cnt").cast(DoubleType) / col("p_cnt")).as("p"))
+    bg.join(broadcast(model), "bigram")
+      .groupBy("doc_id")
+      .agg(round((dsum(col("p"), 12) / count(lit(1))), 6).as("typicality"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 60-bit numeric bucket key for range-partitioned storage.
     */

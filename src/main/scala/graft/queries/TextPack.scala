@@ -104,6 +104,33 @@ object TextPack extends QueryPack {
              |        '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+')), 6) AS chars_per_token
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // n-gram-LM quality scoring: mean bigram probability under the
+    // corpus' own conditional bigram model (exactly-reproducible
+    // perplexity stand-in — see TextOps.lmTypicality).
+    QueryDef(
+      "text_lm_typicality",
+      (s, d) =>
+        TextOps.lmTypicality(docsOf(s, d)).orderBy("doc_id"),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, unnest(range(1, length(text))) AS i, text
+             |  FROM documents
+             |), bg AS (
+             |  SELECT doc_id, substr(text, CAST(i AS BIGINT), 2) AS bigram FROM pos
+             |), counts AS (
+             |  SELECT bigram, count(*) AS b_cnt FROM bg GROUP BY bigram
+             |), prefix AS (
+             |  SELECT substr(bigram, 1, 1) AS p1, sum(b_cnt) AS p_cnt
+             |  FROM counts GROUP BY 1
+             |), model AS (
+             |  SELECT bigram, CAST(b_cnt AS DOUBLE) / p_cnt AS p
+             |  FROM counts JOIN prefix ON substr(bigram, 1, 1) = p1
+             |)
+             |SELECT doc_id,
+             |  round(CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+             |    AS typicality
+             |FROM bg JOIN model USING (bigram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprint: md5 of normalized text + 60-bit bucket key.
     QueryDef(
       "text_fingerprint",
