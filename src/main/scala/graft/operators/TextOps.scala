@@ -122,9 +122,18 @@ object TextOps {
     */
   def lmTypicality(docs: DataFrame): DataFrame = {
     import graft.functions.Exact.dsum
-    // variable-start substring inside the position lambda needs expr form
-    val bg = docs.select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))")).as("bigram"))
+    // explode positions FIRST, slice after: sequence/explode/substr are
+    // all codegen'd, whereas a transform(...) position LAMBDA runs
+    // interpreted (the minhash pitfall — ~20× on this shape). Cached:
+    // the model aggregation and the scoring join both consume it.
+    val bg = docs
+      // guard: Spark sequence(1, 0) is DESCENDING, so a 1-char doc would
+      // fabricate positions — single-char docs have no bigrams
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
+      .select(col("doc_id"), expr("substr(text, i, 2)").as("bigram"))
+      .cache()
     val counts = bg.groupBy("bigram").agg(count(lit(1)).as("b_cnt"))
     val prefixTotals = counts
       .groupBy(substring(col("bigram"), 1, 1).as("prefix"))
