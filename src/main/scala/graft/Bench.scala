@@ -14,8 +14,15 @@ import org.apache.spark.sql.SparkSession
   * intermediate frames (LSH band index, assay pipeline); leaking those
   * across the 90+ shared-JVM queries builds storage-memory pressure that
   * inflates later timings (observed 5–40× mid-run in round 2's driver
-  * bench). The JSON line is additionally persisted to
-  * target/bench_latest.json so a truncated stdout capture can't lose it.
+  * bench).
+  *
+  * Output budget: the driver records only the LAST 2000 chars of stdout
+  * (BENCH_r02/r03 both captured a decapitated JSON line — a full
+  * 118-query map is ~3.7 KB and can never fit). So the stdout line is
+  * kept compact: totals + the `topn` slowest queries, values rounded to
+  * milliseconds. The FULL per-query map (same schema, unrounded) is
+  * written to target/bench_latest.json, and BASELINE.md carries the
+  * committed per-query table.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,16 +49,23 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def ms3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def qmap(rs: Seq[(String, Double)], round: Boolean): String =
+      rs.map { case (k, v) => jstr(k) + ":" + (if (round) ms3(v) else v.toString) }
+        .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","nqueries":${results.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // stdout: slowest `topn` only, so the line fits the driver's
+    // 2000-char tail capture with room to spare
+    val topn = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPN", "25").toInt
+    val slowest = results.sortBy(-_._2).take(topn).sortBy(_._1)
+    println(line(qmap(slowest, round = true)))
     try {
       val out = java.nio.file.Paths.get("target/bench_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, line + "\n")
+      java.nio.file.Files.writeString(out, line(qmap(results, round = false)) + "\n")
     } catch { case _: Throwable => () } // file copy is best-effort
     spark.stop()
   }

@@ -174,7 +174,11 @@ object Dedup {
     // the fixpoint — one scalar aggregate per round replaces a
     // join-with-previous change count (fewer driver actions; at tiny
     // per-round cost the fixed action overhead IS the runtime)
-    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    // coalesce: on an empty edge set (corpus with no near-dup pairs) the
+    // sum aggregate is NULL — the loop must converge to an empty labeling,
+    // not NPE on getLong
+    var prevSum = labels.agg(coalesce(sum(col("component")), lit(0L)))
+      .head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -184,7 +188,8 @@ object Dedup {
       val next = labels.unionByName(viaNbr)
         .groupBy("id").agg(min(col("component")).as("component"))
         .cache()
-      val newSum = next.agg(sum(col("component"))).head().getLong(0)
+      val newSum = next.agg(coalesce(sum(col("component")), lit(0L)))
+        .head().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
       labels.unpersist()

@@ -72,9 +72,13 @@ object Similarity {
     */
   def ivfIndex(corpus: DataFrame, ncells: Int = 8, seed: Long = 42L,
       sampleCap: Int = 4096, iters: Int = 20): (DataFrame, DataFrame) = {
-    val sample: Array[Array[Double]] = corpus.select(col("embedding"))
+    // cast before collecting: embeddings may arrive as array<float> (the
+    // parquet tables) or array<double> (every other path here accepts
+    // both); a fixed getSeq[Float] would CCE on the latter
+    val sample: Array[Array[Double]] = corpus
+      .select(col("embedding").cast(ArrayType(DoubleType)))
       .limit(sampleCap).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(_.getSeq[Double](0).toArray)
     require(sample.length >= ncells, s"corpus smaller than ncells=$ncells")
     val dims = sample.head.length
     // seeded init: k distinct sample points
@@ -131,25 +135,15 @@ object Similarity {
 
   /** Session-scoped IVF index memoization: a real engine fits the coarse
     * quantizer ONCE and reuses it across queries, rather than re-running
-    * k-means per invocation. Keyed by the owning SparkSession via a weak
-    * map (entries die with the session — no identity-hash collisions, no
-    * dead-session plan pinning), then by caller tag.
+    * k-means per invocation. Entries are evicted when the owning
+    * application ends (see [[graft.util.SessionCache]] for why a weak map
+    * cannot provide that lifecycle here).
     */
-  private val indexCache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
+  private val indexCache = new graft.util.SessionCache[(DataFrame, DataFrame)]
 
   def ivfIndexCached(spark: SparkSession, tag: String, ncells: Int = 8)(
-      corpus: => DataFrame): (DataFrame, DataFrame) = {
-    val per = indexCache.synchronized {
-      var m = indexCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        indexCache.put(spark, m)
-      }
-      m
-    }
-    per.getOrElseUpdate(s"$tag:$ncells", ivfIndex(corpus, ncells))
-  }
+      corpus: => DataFrame): (DataFrame, DataFrame) =
+    indexCache.getOrElseUpdate(spark, s"$tag:$ncells")(ivfIndex(corpus, ncells))
 
   /** IVF top-k: assign each query to its `nprobe` nearest centroids, scan
     * only corpus rows in those cells. Approximate (recall < 1 when true

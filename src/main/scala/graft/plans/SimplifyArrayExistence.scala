@@ -19,11 +19,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the legacy flag `size(null) = -1` makes the left form FALSE where
   * `exists` is NULL — same filter behavior but a different projected
   * value — so the rule leaves those untouched.)
+  *
+  * The substituted `exists` is pinned to `followThreeValuedLogic = false`
+  * regardless of the session default: `filter` DROPS elements whose
+  * predicate evaluates to NULL, so `size(filter(a, f))` compares a
+  * null-free count and is two-valued for any non-null array. Three-valued
+  * `exists` would instead return NULL when the lambda is NULL for some
+  * element and TRUE for none — silently dropping rows a WHERE clause on
+  * the original form kept (FHIR-style predicates over nullable struct
+  * fields hit exactly this). Non-3VL `exists` — TRUE iff some element is
+  * TRUE, else FALSE, NULL only for a null array — matches the size/filter
+  * form bit-for-bit on all inputs.
   */
 object SimplifyArrayExistence extends Rule[LogicalPlan] {
 
   private def existsOf(arg: Expression, fn: Expression): Expression =
-    ArrayExists(arg, fn)
+    ArrayExists(arg, fn, followThreeValuedLogic = false)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {

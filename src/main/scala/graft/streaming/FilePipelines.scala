@@ -66,11 +66,14 @@ object FilePipelines {
     */
   def upsertBatch(batch: DataFrame, targetDir: String): Unit = {
     val spark = batch.sparkSession
-    val target = new java.io.File(targetDir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    recoverTarget(fs, targetDir)
+    val tPath = new org.apache.hadoop.fs.Path(targetDir)
     val incoming = batch.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"), lit(1).as("_gen"))
     val merged =
-      if (!target.exists()) incoming
+      if (!fs.exists(tPath)) incoming
       else spark.read.parquet(targetDir)
         .withColumn("_gen", lit(0))
         .unionByName(incoming)
@@ -83,11 +86,31 @@ object FilePipelines {
     // dir before replacing the target (never overwrite what you read)
     val tmp = targetDir + ".new"
     winners.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    val tPath = new org.apache.hadoop.fs.Path(targetDir)
-    fs.delete(tPath, true)
+    // Crash-safe generation swap: park the live generation aside rather
+    // than deleting it, so every crash window leaves a complete
+    // generation on disk for recoverTarget to restore:
+    //   target → target.old ; target.new → target ; delete target.old
+    val oldPath = new org.apache.hadoop.fs.Path(targetDir + ".old")
+    if (fs.exists(tPath)) fs.rename(tPath, oldPath)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), tPath)
+    if (fs.exists(oldPath)) fs.delete(oldPath, true)
+  }
+
+  /** Restore a consistent table generation after a crash mid-swap.
+    * Idempotent; run before every merge (and safe for readers to call).
+    * - target missing + target.old present → the crash hit between the
+    *   two renames: restore the previous generation (the replayed
+    *   microbatch re-merges into it, and last-wins converges).
+    * - target present + target.old present → the crash hit after the new
+    *   generation landed but before cleanup: drop the stale old.
+    */
+  def recoverTarget(fs: org.apache.hadoop.fs.FileSystem, targetDir: String): Unit = {
+    val tPath = new org.apache.hadoop.fs.Path(targetDir)
+    val oldPath = new org.apache.hadoop.fs.Path(targetDir + ".old")
+    if (fs.exists(oldPath)) {
+      if (!fs.exists(tPath)) fs.rename(oldPath, tPath)
+      else fs.delete(oldPath, true)
+    }
   }
 
   /** foreachBatch upsert pipeline: NDJSON events merged last-wins by

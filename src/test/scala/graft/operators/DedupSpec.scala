@@ -23,6 +23,14 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: empty pair set yields an empty labeling") {
+    import spark.implicits._
+    // a corpus with no near-dups must produce an empty frame, not NPE on
+    // the NULL convergence aggregate
+    val none = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.connectedComponents(none).count() == 0)
+  }
+
   test("minhash-LSH recall >= 0.95 vs brute-force jaccard, no false positives") {
     val truth = Dedup.jaccardPairs(corpus, 3, 0.5)
       .select(col("da"), col("db")).cache()

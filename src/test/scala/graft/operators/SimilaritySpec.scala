@@ -90,6 +90,21 @@ class SimilaritySpec extends SparkSpec {
     assert(a eq b)
   }
 
+  test("ivfIndex accepts array<double> embeddings (not only array<float>)") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dbl = corpus.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val (assigned, cents) = Similarity.ivfIndex(dbl, ncells = 4)
+    assert(cents.count() == 4)
+    assert(assigned.count() == dbl.count())
+    // same quantizer as the float corpus: identical cell assignment
+    val (assignedF, _) = Similarity.ivfIndex(
+      corpus.select(col("vec_id"), col("embedding")), ncells = 4)
+    val a = assigned.select("vec_id", "cell")
+    val b = assignedF.select("vec_id", "cell")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val e = corpus.limit(5).select(col("vec_id"), col("embedding"))
     val self = e.select(round(Similarity.cosine(col("embedding"), col("embedding")), 9))

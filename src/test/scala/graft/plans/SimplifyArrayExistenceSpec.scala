@@ -54,6 +54,39 @@ class SimplifyArrayExistenceSpec extends SparkSpec {
     assert(df.exceptAll(ref).count() == 0 && ref.exceptAll(df).count() == 0)
   }
 
+  test("NULL-returning lambda: rewrite stays two-valued, rows are kept") {
+    // Element predicate NULL for some elements (null struct-ish field) and
+    // TRUE for none: filter DROPS the null-predicate element, so
+    // size(filter) = 0 is TRUE. A three-valued exists would make
+    // NOT(exists) NULL there — silently dropping the row from a WHERE.
+    val dir = java.nio.file.Files.createTempDirectory("sae-null").toString
+    Seq(
+      (1L, Seq(Option("x"), Option("y"))),      // some TRUE
+      (2L, Seq(Option.empty[String], Option("y"))), // NULL elem, no TRUE
+      (3L, Seq(Option.empty[String], Option("x"))), // NULL elem + TRUE
+      (4L, Seq.empty[Option[String]]))          // empty array
+      .toDF("id", "vals").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      v => v === "x"
+
+    val zeroForm = t.filter(size(filter(col("vals"), pred)) === 0).select("id")
+    // the rewrite fired: exists present, filter gone
+    val exprs = optimized(zeroForm).collect { case n => n }
+      .flatMap(_.expressions).flatMap(_.collect {
+        case e: ArrayExists => e
+      })
+    assert(exprs.nonEmpty, optimized(zeroForm).treeString)
+    assert(exprs.forall(!_.followThreeValuedLogic), optimized(zeroForm).treeString)
+    assert(zeroForm.as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+
+    // > 0 form as a projected value: two-valued FALSE, never NULL
+    val proj = t.select(col("id"), (size(filter(col("vals"), pred)) > 0).as("m"))
+    assert(proj.filter(col("m").isNull).count() == 0)
+    assert(proj.filter(col("m")).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
   test("rewritten search predicate equals the unrewritten computation") {
     // the FHIR-token shape: membership over a coding-like array
     val data = Seq((1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq.empty[String]))

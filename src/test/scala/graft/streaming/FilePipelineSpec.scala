@@ -116,4 +116,38 @@ class FilePipelineSpec extends SparkSpec {
     assert(t2.count() == 4)
     assert(t2.filter(col("event_id") === 2).head().getAs[Double]("value") == 99.0)
   }
+
+  test("upsert swap is crash-safe: both interrupted-swap windows recover") {
+    import spark.implicits._
+    val target = tmpDir("ctgt") + "/table"
+    def row(id: Long, min: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"), 1L, "click", v)
+    def batch(rows: (Long, java.sql.Timestamp, Long, String, Double)*) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    FilePipelines.upsertBatch(batch(row(1, 1, 1.0), row(2, 2, 2.0)), target)
+    assert(spark.read.parquet(target).count() == 2)
+
+    // window 1: crash BETWEEN the two renames — the live generation is
+    // parked at .old, target is missing. The next (replayed) upsert must
+    // restore it and merge, losing nothing.
+    val tDir = new File(target); val oldDir = new File(target + ".old")
+    assert(tDir.renameTo(oldDir))
+    FilePipelines.upsertBatch(batch(row(2, 9, 9.0), row(3, 3, 3.0)), target)
+    val afterRecovery = spark.read.parquet(target)
+    assert(afterRecovery.count() == 3) // 1 recovered, 2 updated, 3 inserted
+    assert(afterRecovery.filter(col("event_id") === 1).count() == 1)
+    assert(afterRecovery.filter(col("event_id") === 2)
+      .head().getAs[Double]("value") == 9.0)
+    assert(!oldDir.exists())
+
+    // window 2: crash AFTER the new generation landed but before cleanup —
+    // a stale .old remains next to a complete target. It must be dropped,
+    // never merged back.
+    batch(row(99, 1, 99.0)).write.parquet(target + ".old")
+    FilePipelines.upsertBatch(batch(row(4, 4, 4.0)), target)
+    val t2 = spark.read.parquet(target)
+    assert(t2.count() == 4)
+    assert(t2.filter(col("event_id") === 99).count() == 0)
+    assert(!oldDir.exists())
+  }
 }
