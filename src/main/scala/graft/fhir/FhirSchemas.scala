@@ -256,5 +256,21 @@ object FhirSchemas {
     "Patient" -> patient,
     "Observation" -> observation,
     "Condition" -> condition,
-    "Procedure" -> procedure)
+    "Procedure" -> procedure,
+    "ValueSet" -> valueSet)
+
+  /** ValueSet — the terminology dimension behind token :in/:not-in
+    * (compose.include is the portion the expansion walks).
+    */
+  val valueSet: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("url", StringType),
+    StructField("status", StringType),
+    StructField("compose", StructType(Seq(
+      StructField("include", ArrayType(StructType(Seq(
+        StructField("system", StringType),
+        StructField("concept", ArrayType(StructType(Seq(
+          StructField("code", StringType),
+          StructField("display", StringType))))))))))))))
 }

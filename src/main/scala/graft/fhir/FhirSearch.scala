@@ -26,8 +26,10 @@ import org.apache.spark.sql.types.LongType
   * token :text over CodeableConcept text/display, quantity params with
   * eq/ne/gt/ge/lt/le prefixes and optional |system|code, composite params
   * (component values joined by '$'), type-qualified multi-target chains
-  * (`subject:Patient.name=...`), and _summary (true → summary-element
-  * projection, count → total row).
+  * (`subject:Patient.name=...`), _summary (true → summary-element
+  * projection, count → total row), the `_filter` expression language
+  * (see [[FhirFilter]]), token :in/:not-in against ValueSet expansions,
+  * and patient-compartment requests (`Patient/{id}/{Type}?params`).
   */
 class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
 
@@ -43,6 +45,18 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
     * (resourceType, id, mode) across types).
     */
   def search(request: String): DataFrame = {
+    // Compartment search: "Patient/{id}/{Type}?params" — all {Type}
+    // resources in that patient's compartment. Rewrites into the ordinary
+    // type search on the compartment's reference param, so it plans (and
+    // pushes down) exactly like any reference filter.
+    request match {
+      case compartmentRx(compType, id, childType, rest) =>
+        require(compType == "Patient", s"unsupported compartment: $compType")
+        val qs = Option(rest).filter(_.nonEmpty).map("&" + _).getOrElse("")
+        return search(
+          s"$childType?${compartmentRefParam(childType)}=$compType/$id$qs")
+      case _ => ()
+    }
     // B14: direct read "Type/id"
     if (!request.contains("?") && request.contains("/")) {
       val Array(t, id) = request.split("/", 2)
@@ -54,6 +68,13 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
     val (controls, filters) = params.partition(_._1.startsWith("_"))
     var df = filters.foldLeft(base) { case (acc, (name, value)) =>
       applyParam(resType, acc, name, value)
+    }
+
+    // _filter expression language: parsed once, compiled onto the same
+    // param registry; conjoined with any plain params (the FHIR rule:
+    // _filter is one more AND-ed criterion)
+    controls.collect { case ("_filter", expr) => expr }.foreach { expr =>
+      df = df.filter(FhirFilter.compile(resType, df, FhirFilter.parse(expr)))
     }
 
     // B7 _has:Type:refParam:param=value — keep resources referenced by a
@@ -165,6 +186,21 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
       val isMissing = defn.missingTest(df)
       return df.filter(if (value == "true") isMissing else !isMissing)
     }
+    // Token :in / :not-in — membership of any coding in a ValueSet
+    // expansion. Expansion happens at PLAN time: the ValueSet table is
+    // terminology metadata (dimension-scale, not data-scale), and the
+    // expanded codes become literal predicates that push into the scan —
+    // the same way partition-pruning literals are burned into plans.
+    if (modifier.contains("in") || modifier.contains("not-in")) {
+      val codes = expandValueSet(value)
+      require(codes.nonEmpty, s"empty or unknown ValueSet: $value")
+      val anyMatch = codes.map { case (sys0, code0) =>
+        defn.predicate(s"$sys0|$code0", None)
+      }.reduce(_ || _)
+      return df.filter(
+        if (modifier.contains("in")) anyMatch
+        else !coalesce(anyMatch, lit(false)))
+    }
     // FHIR value-OR: comma-separated values within ONE parameter are a
     // disjunction (repeating the parameter is the conjunction) — spec
     // section "composite-or". Applies uniformly across param types.
@@ -177,9 +213,34 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
       case _ => df.filter(pred)
     }
   }
+
+  /** ValueSet expansion: url → (system, code) pairs from compose.include.
+    * Collected to the driver at plan time — terminology tables are
+    * metadata-scale (thousands of rows), never corpus-scale.
+    */
+  private def expandValueSet(url: String): Seq[(String, String)] =
+    table("ValueSet").filter(col("url") === url)
+      .select(explode(col("compose").getField("include")).as("inc"))
+      .select(col("inc").getField("system").as("system"),
+        explode(col("inc").getField("concept")).as("con"))
+      .select(col("system"), col("con").getField("code").as("code"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
 }
 
 object FhirSearch {
+
+  /** `CompType/{id}/{Type}` compartment request, optionally with ?params. */
+  private val compartmentRx = "^([A-Za-z]+)/([^/?]+)/([A-Za-z]+)(?:\\?(.*))?$".r
+
+  /** The reference param that places a resource type in the patient
+    * compartment (the FHIR patient CompartmentDefinition, restricted to
+    * the types this store serves).
+    */
+  def compartmentRefParam(childType: String): String = childType match {
+    case "Observation" | "Condition" | "Procedure" => "patient"
+    case "Specimen" | "DocumentReference" | "ResearchSubject" => "subject"
+    case other => sys.error(s"type not in the patient compartment: $other")
+  }
 
   /** Parameter definition: how a named search param maps onto columns. */
   final case class ParamDef(
@@ -190,6 +251,7 @@ object FhirSearch {
     predicate = (v, m) => m match {
       case Some("exact") => path === v // B3 :exact
       case Some("contains") => lower(path).contains(v.toLowerCase) // B3 :contains
+      case Some("ew") => lower(path).endsWith(v.toLowerCase) // _filter ew
       case Some("not") => path === v // negated by caller
       case _ => lower(path).startsWith(v.toLowerCase) // B3 default prefix
     },
@@ -301,6 +363,8 @@ object FhirSearch {
           exists(n.getField("given"), g => g === v)
         case Some("contains") => lower(n.getField("family")).contains(v.toLowerCase) ||
           exists(n.getField("given"), g => lower(g).contains(v.toLowerCase))
+        case Some("ew") => lower(n.getField("family")).endsWith(v.toLowerCase) ||
+          exists(n.getField("given"), g => lower(g).endsWith(v.toLowerCase))
         case _ => lower(n.getField("family")).startsWith(v.toLowerCase) ||
           exists(n.getField("given"), g => lower(g).startsWith(v.toLowerCase))
       }),
@@ -418,6 +482,7 @@ object FhirSearch {
       "ResearchSubject" -> load("ResearchSubject", FhirSchemas.researchSubject),
       "Observation" -> load("Observation", FhirSchemas.observation),
       "Condition" -> load("Condition", FhirSchemas.condition),
-      "Procedure" -> load("Procedure", FhirSchemas.procedure)))
+      "Procedure" -> load("Procedure", FhirSchemas.procedure),
+      "ValueSet" -> load("ValueSet", FhirSchemas.valueSet)))
   }
 }

@@ -355,6 +355,94 @@ object SearchPack extends QueryPack {
       (s, _) => eng(s).search("Observation?category=laboratory&_summary=count"),
       Some(s"""SELECT CAST(count(*) AS BIGINT) AS total FROM ${rj("Observation")}
               |WHERE len(list_filter(category, cc ->
-              |  len(list_filter(cc.coding, c -> c.code = 'laboratory')) > 0)) > 0""".stripMargin))
+              |  len(list_filter(cc.coding, c -> c.code = 'laboratory')) > 0)) > 0""".stripMargin)),
+
+    // _filter expression language: and/or with parentheses, mixed param
+    // types (string eq, date ge, boolean token eq as a bare value)
+    QueryDef(
+      "search_filter_logic",
+      (s, _) => eng(s).search(
+        "Patient?_filter=gender eq \"female\" and (birthdate ge 1970-01-01 or active eq true)")
+        .select(col("id"), col("gender"), col("birthDate")).orderBy("id"),
+      Some(s"""SELECT id, gender, birthDate FROM ${rj("Patient")}
+              |WHERE gender = 'female' AND (birthDate >= '1970-01-01' OR active)
+              |ORDER BY id""".stripMargin)),
+
+    // _filter not(...) + pr (presence): non-final observations that ARE
+    // linked to an encounter
+    QueryDef(
+      "search_filter_not",
+      (s, _) => eng(s).search(
+        "Observation?_filter=not (status eq \"final\") and encounter pr true")
+        .select(col("id"), col("status")).orderBy("id"),
+      Some(s"""SELECT id, status FROM ${rj("Observation")}
+              |WHERE NOT (status = 'final') AND encounter.reference IS NOT NULL
+              |ORDER BY id""".stripMargin)),
+
+    // _filter string ops: co (contains) and ew (ends-with) over the
+    // name HumanName array
+    QueryDef(
+      "search_filter_string",
+      (s, _) => eng(s).search(
+        "Patient?_filter=name co \"ily02\" or name ew \"03\"")
+        .select(col("id")).orderBy("id"),
+      Some(s"""SELECT id FROM ${rj("Patient")}
+              |WHERE len(list_filter(name, n ->
+              |    contains(lower(n.family), 'ily02')
+              |    OR len(list_filter(n.given, g -> contains(lower(g), 'ily02'))) > 0)) > 0
+              |  OR len(list_filter(name, n ->
+              |    lower(n.family) LIKE '%03'
+              |    OR len(list_filter(n.given, g -> lower(g) LIKE '%03')) > 0)) > 0
+              |ORDER BY id""".stripMargin)),
+
+    // token :in — membership in a ValueSet expansion (terminology join)
+    QueryDef(
+      "search_token_in",
+      (s, _) => eng(s).search(
+        "Condition?code:in=http://example.org/fhir/ValueSet/metabolic-conditions")
+        .select(col("id"), col("code.text").as("code_text")).orderBy("id"),
+      Some(s"""SELECT DISTINCT c.id, c.code.text AS code_text
+              |FROM ${rj("Condition")} c, UNNEST(c.code.coding) AS t(cd)
+              |JOIN (SELECT inc."system" AS vsys, con.code AS vcode
+              |      FROM ${rj("ValueSet")} v,
+              |           UNNEST(v.compose."include") AS i(inc),
+              |           UNNEST(inc.concept) AS cc(con)
+              |      WHERE v.url = 'http://example.org/fhir/ValueSet/metabolic-conditions') vs
+              |  ON cd."system" = vs.vsys AND cd.code = vs.vcode
+              |ORDER BY id""".stripMargin)),
+
+    // token :not-in — the complement against the same expansion
+    QueryDef(
+      "search_token_not_in",
+      (s, _) => eng(s).search(
+        "Condition?code:not-in=http://example.org/fhir/ValueSet/metabolic-conditions")
+        .select(col("id"), col("code.text").as("code_text")).orderBy("id"),
+      Some(s"""SELECT c.id, c.code.text AS code_text FROM ${rj("Condition")} c
+              |WHERE c.id NOT IN (
+              |  SELECT c2.id FROM ${rj("Condition")} c2, UNNEST(c2.code.coding) AS t(cd)
+              |  JOIN (SELECT inc."system" AS vsys, con.code AS vcode
+              |        FROM ${rj("ValueSet")} v,
+              |             UNNEST(v.compose."include") AS i(inc),
+              |             UNNEST(inc.concept) AS cc(con)
+              |        WHERE v.url = 'http://example.org/fhir/ValueSet/metabolic-conditions') vs
+              |    ON cd."system" = vs.vsys AND cd.code = vs.vcode)
+              |ORDER BY id""".stripMargin)),
+
+    // patient-compartment search with an extra param
+    QueryDef(
+      "search_compartment_obs",
+      (s, _) => eng(s).search("Patient/p-001/Observation?status=final")
+        .select(col("id"), col("status")).orderBy("id"),
+      Some(s"""SELECT id, status FROM ${rj("Observation")}
+              |WHERE subject.reference = 'Patient/p-001' AND status = 'final'
+              |ORDER BY id""".stripMargin)),
+
+    // bare compartment search (no extra params)
+    QueryDef(
+      "search_compartment_cond",
+      (s, _) => eng(s).search("Patient/p-002/Condition")
+        .select(col("id"), col("subject.reference").as("subject_ref")).orderBy("id"),
+      Some(s"""SELECT id, subject.reference AS subject_ref FROM ${rj("Condition")}
+              |WHERE subject.reference = 'Patient/p-002' ORDER BY id""".stripMargin))
   )
 }
