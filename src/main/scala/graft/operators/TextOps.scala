@@ -116,9 +116,14 @@ object TextOps {
     * engine — the property a log-space perplexity cannot give (ln differs
     * in the last ulp across math libraries).
     *
-    * Plan shape: one explode over character positions, two hash aggs for
-    * the model (a few KB for ASCII — broadcast to the scoring join), one
-    * partial-aggregated mean per doc. No driver materialization.
+    * Plan shape: one explode over character positions, immediately
+    * collapsed to per-(doc, bigram) COUNTS — a document reuses its
+    * bigrams heavily (~4× here, more in prose), so everything downstream
+    * of that first partial-aggregated groupBy carries weighted rows, not
+    * bigram instances. The model aggregation, the broadcast scoring join,
+    * and the per-doc weighted mean all run on the collapsed frame; only
+    * the explode itself ever sees instance-cardinality data, and it
+    * feeds straight into a map-side combine. No driver materialization.
     */
   def lmTypicality(docs: DataFrame): DataFrame = {
     import graft.functions.Exact.dsum
@@ -126,24 +131,30 @@ object TextOps {
     // all codegen'd, whereas a transform(...) position LAMBDA runs
     // interpreted (the minhash pitfall — ~20× on this shape). Cached:
     // the model aggregation and the scoring join both consume it.
-    val bg = docs
+    val bgCounts = docs
       // guard: Spark sequence(1, 0) is DESCENDING, so a 1-char doc would
       // fabricate positions — single-char docs have no bigrams
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
       .select(col("doc_id"), expr("substr(text, i, 2)").as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("dcnt"))
       .cache()
-    val counts = bg.groupBy("bigram").agg(count(lit(1)).as("b_cnt"))
+    val counts = bgCounts.groupBy("bigram").agg(sum(col("dcnt")).as("b_cnt"))
     val prefixTotals = counts
       .groupBy(substring(col("bigram"), 1, 1).as("prefix"))
       .agg(sum(col("b_cnt")).as("p_cnt"))
     val model = counts.withColumn("prefix", substring(col("bigram"), 1, 1))
       .join(prefixTotals, "prefix")
       .select(col("bigram"), (col("b_cnt").cast(DoubleType) / col("p_cnt")).as("p"))
-    bg.join(broadcast(model), "bigram")
+    // weighted mean over instances: Σ dcnt·p / Σ dcnt. The product is one
+    // IEEE multiply before the exact-decimal sum — the oracle computes
+    // the identical expression, so parity is bit-for-bit.
+    bgCounts.join(broadcast(model), "bigram")
       .groupBy("doc_id")
-      .agg(round((dsum(col("p"), 12) / count(lit(1))), 6).as("typicality"))
+      .agg(round(
+        dsum(col("dcnt").cast(DoubleType) * col("p"), 12) /
+          sum(col("dcnt")).cast(DoubleType), 6).as("typicality"))
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,

@@ -565,13 +565,21 @@ object RelationalPack extends QueryPack {
     // C4 approx_count_distinct (HLL++). Sketch values are engine-specific
     // → no SQL oracle (rows-only check); RelationalSpec bounds the error
     // vs the exact count.
+    // Plan note: mixing countDistinct with another aggregate makes Spark
+    // plan an Expand (input duplicated per distinct-agg group) — 2× the
+    // shuffled rows. Deduplicating the (flag, orderkey) pairs first and
+    // counting feeds BOTH aggregates from one partial-aggregated shuffle;
+    // the HLL sketch is set-semantics, so approx over deduped input is
+    // bit-identical to approx over the raw rows. (Approx ALONE would skip
+    // the dedup entirely — the dedup exists to serve the exact count.)
     QueryDef(
       "q27_approx_distinct",
       (s, d) =>
         T.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey")).distinct()
           .groupBy(col("l_returnflag"))
           .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-            countDistinct(col("l_orderkey")).as("exact_orders"))
+            count(col("l_orderkey")).as("exact_orders"))
           .orderBy("l_returnflag"),
       None),
 

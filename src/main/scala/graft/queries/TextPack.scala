@@ -124,11 +124,13 @@ object TextPack extends QueryPack {
              |), model AS (
              |  SELECT bigram, CAST(b_cnt AS DOUBLE) / p_cnt AS p
              |  FROM counts JOIN prefix ON substr(bigram, 1, 1) = p1
+             |), doc_counts AS (
+             |  SELECT doc_id, bigram, count(*) AS dcnt FROM bg GROUP BY 1, 2
              |)
              |SELECT doc_id,
-             |  round(CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
-             |    AS typicality
-             |FROM bg JOIN model USING (bigram)
+             |  round(CAST(SUM(CAST(CAST(dcnt AS DOUBLE) * p AS DECIMAL(38,12))) AS DOUBLE)
+             |    / CAST(SUM(dcnt) AS DOUBLE), 6) AS typicality
+             |FROM doc_counts JOIN model USING (bigram)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Document fingerprint: md5 of normalized text + 60-bit bucket key.
