@@ -7,7 +7,7 @@ object SparkEntry {
   /** All query packs contributing to the correctness/bench surface. */
   def packs: Seq[QueryPack] =
     Seq(RelationalPack, FhirPack, SearchPack, DedupPack, SimilarityPack,
-      TextPack, StreamPack)
+      TextPack, StreamPack, SamplePack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q03: multi-way broadcast+shuffle join with exact aggregation.

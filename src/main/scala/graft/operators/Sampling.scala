@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling / corpus-curation operators for large-scale training-data
+  * pipelines. Everything here is DETERMINISTIC — sampling decisions come
+  * from a cryptographic hash of the record key, never from an RNG — so a
+  * pipeline re-run (or a lost-executor retry) selects the identical
+  * subset, and the same predicate evaluated by any other engine (the
+  * DuckDB oracle, a validation notebook) agrees bit-for-bit.
+  *
+  * 100 TB design notes:
+  * - Bernoulli / stratified sampling are pure map-side FILTERS on a hash
+  *   of the key: no shuffle, no state, pushed right above the scan;
+  *   selectivity is exactly the threshold fraction of the 32-bit hash
+  *   space regardless of key distribution.
+  * - Shard assignment is the same hash truncated to a prefix — a stable
+  *   16/256-way split whose balance follows from md5 uniformity, used to
+  *   route a corpus to training workers without a global sort.
+  * - Sequence packing is one window per source partition (running token
+  *   sum → integer-divide by the budget). The window key is the
+  *   pipeline's natural partition unit (source shard); a skewed source
+  *   is pre-split upstream by the sharder, so no single window grows
+  *   unbounded.
+  * - Decontamination shuffles 16-byte shingle digests, never text, and
+  *   deduplicates per document BEFORE the join so a repeated shingle
+  *   inside one document contributes one row.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(key) — a uniform draw from [0, 2^32) that
+    * both Spark and any md5-capable engine reproduce. Compared
+    * lexicographically against a hex threshold (lowercase hex sorts the
+    * same as the integers it encodes, zero-padded fixed width).
+    */
+  def hashDraw(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** Threshold for rate p as an 8-hex-digit lowercase string. */
+  def rateThreshold(p: Double): String = {
+    require(p >= 0.0 && p <= 1.0, s"rate $p out of [0,1]")
+    f"${math.round(p * 4294967296.0).min(4294967295L)}%08x"
+  }
+
+  /** Deterministic Bernoulli sample: keep a row iff hash(key) < p·2^32. */
+  def bernoulli(df: DataFrame, key: Column, p: Double): DataFrame =
+    df.filter(hashDraw(key) < lit(rateThreshold(p)))
+
+  /** Stratified sample: per-stratum keep rates; strata absent from the
+    * map keep everything (rate 1.0). Still one map-side filter — the
+    * rate lookup is a literal CASE over the (tiny) strata map, not a
+    * join.
+    */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double]): DataFrame = {
+    val thresh = rates.foldLeft(lit("ffffffff")) { case (acc, (s, p)) =>
+      when(stratum === s, lit(rateThreshold(p))).otherwise(acc)
+    }
+    df.filter(hashDraw(key) < thresh)
+  }
+
+  /** Stable shard id in [0, 16^prefixLen): hex prefix of the key hash.
+    * Routing a 100 TB corpus to N training readers needs exactly this —
+    * a deterministic, rebalance-free split with no global sort.
+    */
+  def shard(key: Column, prefixLen: Int = 1): Column =
+    substring(md5(key.cast("string")), 1, prefixLen)
+
+  /** Chars/4 token estimate (BPE-free, engine-portable); ≥ 1 so empty
+    * docs still occupy space in a packed sequence.
+    */
+  def tokenEstimate(text: Column): Column =
+    greatest(lit(1L), ceil(length(text) / lit(4.0)).cast("long"))
+
+  /** Greedy fixed-boundary sequence packing: within each source
+    * partition, in deterministic key order, a document joins sequence
+    * floor(tokens-before-it / budget). Every sequence holds ≤ budget
+    * tokens of *preceding* documents, i.e. the standard streaming
+    * concat-and-cut packing used to build training batches.
+    *
+    * Output: input columns + tok + seq_id.
+    */
+  def packSequences(df: DataFrame, key: Column, source: Column,
+      text: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(source).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("tok", tokenEstimate(text))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - tok) div $budget"))
+      .drop("cum")
+  }
+
+  /** Distinct word-8-gram digests per document. The digest (md5 of the
+    * shingle text) is what ships through the join shuffle — 16 bytes per
+    * shingle instead of the ~50-char string.
+    */
+  def shingleDigests(df: DataFrame, key: Column, text: Column,
+      n: Int = 8): DataFrame = {
+    val words = df.select(key.as("doc_key"), split(text, " ").as("w"))
+    words
+      .filter(size(col("w")) >= n)
+      // sequence(1, size-n+1) is ascending-safe under the >= n guard
+      // (Spark's sequence(1, 0) would be DESCENDING — the lmTypicality
+      // trap)
+      .select(col("doc_key"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
+      .select(col("doc_key"),
+        md5(array_join(slice(col("w"), col("i"), lit(n)), " ")).as("sh"))
+      .distinct()
+  }
+
+  /** Benchmark decontamination: count, per training document, how many
+    * of its distinct 8-gram shingles also occur anywhere in the
+    * benchmark corpus. Join key = shingle digest; both sides are
+    * per-document distinct so the count is exactly |shingles(doc) ∩
+    * shingles(benchmark)|. Emits only contaminated docs (n_hits ≥ 1).
+    *
+    * At scale the benchmark side (a few thousand eval documents) is
+    * broadcast; the training side streams through map-side.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      key: Column, text: Column, n: Int = 8): DataFrame = {
+    val trainSh = shingleDigests(train, key, text, n)
+    val benchSh = shingleDigests(benchmark, key, text, n)
+      .select(col("sh")).distinct()
+    trainSh.join(broadcast(benchSh), "sh")
+      .groupBy(col("doc_key"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Mixture planning: per-stratum sampling/repeat weight that reshapes
+    * the corpus token distribution to a target share map. weight > 1 ⇒
+    * repeat (epochs), < 1 ⇒ subsample — the standard knob for data
+    * mixing. One tiny aggregate (|strata| rows); the global total comes
+    * from an unpartitioned window over that aggregate, never a driver
+    * collect.
+    */
+  def mixturePlan(df: DataFrame, stratum: Column, text: Column,
+      targets: Map[String, Double]): DataFrame = {
+    val target = targets.foldLeft(lit(0.0)) { case (acc, (s, p)) =>
+      when(col("stratum") === s, lit(p)).otherwise(acc)
+    }
+    val agg = df
+      .select(stratum.as("stratum"), tokenEstimate(text).as("tok"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("tok")).as("stratum_toks"))
+    val w = Window.partitionBy()
+    agg
+      .withColumn("total_toks", sum(col("stratum_toks")).over(w))
+      .select(col("stratum"), col("stratum_toks"),
+        round(col("stratum_toks").cast("double") /
+          col("total_toks").cast("double"), 6).as("actual_share"),
+        round(target * col("total_toks").cast("double") /
+          col("stratum_toks").cast("double"), 6).as("mix_weight"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.sources.{Tables => T}
+
+/** Training-data sampling / curation pack over `documents` — the
+  * corpus-preparation operations a 100 TB pretraining pipeline runs after
+  * dedup and quality filtering: deterministic subsampling, stratified
+  * rates, shard routing, sequence packing, benchmark decontamination, and
+  * mixture planning. All decisions hash-derived (md5), so every query has
+  * an exact DuckDB oracle. Operators in `operators/Sampling.scala`.
+  */
+object SamplePack extends QueryPack {
+
+  private val stratRates =
+    Map("en" -> 0.125, "de" -> 0.5, "fr" -> 0.75)
+
+  private val mixTargets =
+    Map("en" -> 0.40, "de" -> 0.20, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.10)
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // Deterministic Bernoulli sample at p = 0.25: pure map-side filter on
+    // md5(doc_id) — no shuffle, no RNG, retry-stable, engine-portable.
+    QueryDef(
+      "sample_bernoulli",
+      (s, d) =>
+        Sampling.bernoulli(T.documents(s, d), col("doc_id"), 0.25)
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, lang FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '40000000'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Stratified rates per language (unlisted strata keep rate 1.0):
+    // downsample dominant en, keep the rare tail whole — the standard
+    // rebalancing move before mixture training. Still one map-side CASE
+    // filter.
+    QueryDef(
+      "sample_stratified",
+      (s, d) =>
+        Sampling.stratified(T.documents(s, d), col("doc_id"), col("lang"),
+            stratRates)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) <
+             |  CASE lang WHEN 'fr' THEN 'c0000000'
+             |            WHEN 'de' THEN '80000000'
+             |            WHEN 'en' THEN '20000000'
+             |            ELSE 'ffffffff' END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic 16-way shard routing: hex-prefix of the key hash.
+    // Shard balance (count + token mass) is the thing an operator checks
+    // before pointing 16 training readers at the split.
+    QueryDef(
+      "sample_shard_sizes",
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy(Sampling.shard(col("doc_id")).as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+          .orderBy("shard"),
+      Some("""SELECT substr(md5(CAST(doc_id AS VARCHAR)),1,1) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // Fixed-boundary sequence packing at budget 512: per-source running
+    // token sum → seq_id = tokens-before-me div 512. One window per
+    // source partition; deterministic doc_id order.
+    QueryDef(
+      "sample_pack_sequences",
+      (s, d) =>
+        Sampling.packSequences(T.documents(s, d), col("doc_id"),
+            col("source"), col("text"), 512)
+          .select(col("doc_id"), col("source"), col("tok"), col("seq_id"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    greatest(1, CAST(ceil(length(text)/4.0) AS BIGINT)) AS tok
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, source, tok,
+             |    SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t
+             |)
+             |SELECT doc_id, source, tok,
+             |  CAST((cum - tok) // 512 AS BIGINT) AS seq_id
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: docs sharing ≥1 distinct word-8-gram
+    // with the benchmark set (here: doc_id % 10 = 0 plays the eval set).
+    // Join key = md5 digest of the shingle (16-byte shuffle rows, text
+    // never shuffles); benchmark side broadcast.
+    QueryDef(
+      "sample_decontaminate",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Sampling.decontaminate(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            col("doc_id"), col("text"))
+          .withColumnRenamed("doc_key", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text,' ') AS w FROM documents
+             |), sg AS (
+             |  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7],' ')) AS sh
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
+             |        FROM w WHERE len(w) >= 8)
+             |), bench AS (
+             |  SELECT DISTINCT sh FROM sg WHERE doc_id % 10 = 0
+             |)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+             |FROM sg JOIN bench USING (sh) WHERE doc_id % 10 <> 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Mixture planning: per-language repeat/sample weight that moves the
+    // token distribution to the target mixture. |strata|-row aggregate;
+    // global total via an unpartitioned window over those few rows.
+    QueryDef(
+      "sample_mixture_plan",
+      (s, d) =>
+        Sampling.mixturePlan(T.documents(s, d), col("lang"), col("text"),
+            mixTargets)
+          .withColumnRenamed("stratum", "lang")
+          .orderBy("lang"),
+      Some("""WITH t AS (
+             |  SELECT lang,
+             |    greatest(1, CAST(ceil(length(text)/4.0) AS BIGINT)) AS tok
+             |  FROM documents
+             |), a AS (
+             |  SELECT lang, CAST(sum(tok) AS BIGINT) AS stratum_toks FROM t GROUP BY lang
+             |), g AS (
+             |  SELECT lang, stratum_toks,
+             |    CAST(SUM(stratum_toks) OVER () AS BIGINT) AS total_toks
+             |  FROM a
+             |)
+             |SELECT lang, stratum_toks,
+             |  round(CAST(stratum_toks AS DOUBLE) / CAST(total_toks AS DOUBLE), 6)
+             |    AS actual_share,
+             |  round(CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.20
+             |                  WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.15
+             |                  WHEN 'zh' THEN 0.10 ELSE 0.0 END
+             |    * CAST(total_toks AS DOUBLE) / CAST(stratum_toks AS DOUBLE), 6)
+             |    AS mix_weight
+             |FROM g ORDER BY lang""".stripMargin))
+  )
+}

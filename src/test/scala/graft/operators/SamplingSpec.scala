@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("bernoulli rate lands near p and is retry-deterministic") {
+    val total = docs.count()
+    val kept = Sampling.bernoulli(docs, col("doc_id"), 0.25).count()
+    val rate = kept.toDouble / total
+    // md5 uniformity over 500 keys: generous ±0.08 band around 0.25
+    assert(rate > 0.17 && rate < 0.33, s"rate $rate")
+    val again = Sampling.bernoulli(docs, col("doc_id"), 0.25)
+      .agg(sum(col("doc_id"))).as[Long].head()
+    val first = Sampling.bernoulli(docs, col("doc_id"), 0.25)
+      .agg(sum(col("doc_id"))).as[Long].head()
+    assert(again == first)
+  }
+
+  test("bernoulli samples are nested: p=0.1 subset of p=0.25") {
+    val small = Sampling.bernoulli(docs, col("doc_id"), 0.1)
+      .select("doc_id")
+    val big = Sampling.bernoulli(docs, col("doc_id"), 0.25)
+      .select("doc_id")
+    assert(small.exceptAll(big).count() == 0)
+  }
+
+  test("stratified honors per-stratum rates; unlisted strata kept whole") {
+    val rates = Map("en" -> 0.125, "de" -> 0.5)
+    val out = Sampling.stratified(docs, col("doc_id"), col("lang"), rates)
+    val perLang = out.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(perLang("zh") == totals("zh")) // unlisted ⇒ rate 1.0
+    assert(perLang("en") < totals("en") / 4) // 0.125 ± noise
+    assert(perLang("de") < totals("de"))
+  }
+
+  test("packSequences: every sequence fits the budget (overflow-free corpus)") {
+    val budget = 512
+    val packed = Sampling.packSequences(docs, col("doc_id"), col("source"),
+      col("text"), budget)
+    // invariant: the tokens BEFORE each doc within its sequence stay
+    // under budget, i.e. sum(tok) per (source, seq) ≤ budget + last tok
+    val bad = packed.groupBy("source", "seq_id")
+      .agg(sum(col("tok")).as("seq_toks"), max(col("tok")).as("max_tok"))
+      .filter(col("seq_toks") - col("max_tok") >= budget)
+    assert(bad.count() == 0)
+    // sequences are contiguous from 0 within each source
+    val holes = packed.groupBy("source")
+      .agg(countDistinct(col("seq_id")).as("n"), max(col("seq_id")).as("mx"))
+      .filter(col("mx") =!= col("n") - 1)
+    assert(holes.count() == 0)
+  }
+
+  test("decontaminate finds a planted 8-gram overlap and nothing else") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // shares the 8-gram starting at 'alpha' and at 'beta' (2 hits)
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // same words, one swapped ⇒ no 8-gram in common
+      (11L, "alpha beta gamma delta epsilon zeta eta iota theta"),
+      (12L, "totally unrelated words that never overlap anything at all"))
+      .toDF("doc_id", "text")
+    val out = Sampling.decontaminate(train, bench, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 2L))
+  }
+
+  test("mixturePlan weights reshape token mass to the target shares") {
+    val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.15,
+      "es" -> 0.15, "zh" -> 0.1)
+    val plan = Sampling.mixturePlan(docs, col("lang"), col("text"), targets)
+      .as[(String, Long, Double, Double)].collect()
+    val shareSum = plan.map(_._3).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    // applying the weight makes every stratum's token mass proportional
+    // to its target: weight · toks / total == target (up to rounding)
+    val total = plan.map(_._2).sum.toDouble
+    plan.foreach { case (lang, toks, _, w) =>
+      assert(math.abs(w * toks / total - targets(lang)) < 1e-4, lang)
+    }
+  }
+}
