@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // §4.4c optimizer rule: size(filter(arr,f)) > 0 → exists(arr,f)
     // (short-circuit instead of materialize-and-count)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyArrayExistence)
+    // §4.4c whole-operator plan: native bounded-heap top-k per key
+    // (logical node + strategy + partial/final SparkPlan pair)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -770,6 +770,39 @@ object RelationalPack extends QueryPack {
       Some("""SELECT event_id,
              |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              |       '{"t":"' || event_type || '","k":' || json_extract_string(props, '$.k') || '}' AS j
-             |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin))
+             |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // §4.4c whole-operator custom plan: native bounded-heap top-k per
+    // key (graft.plans.TopKPerKey — logical node + strategy + partial/
+    // final SparkPlan). Same row set as the window row_number form, but
+    // no per-partition sort and the shuffle carries ≤ k·|keys| rows per
+    // input partition. Total (tie-free) ordering ⇒ deterministic.
+    QueryDef(
+      "q36_native_topk",
+      (s, d) =>
+        graft.operators.TopK.perKey(
+            T.lineitem(s, d),
+            Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_extendedprice").desc, col("l_orderkey"),
+              col("l_linenumber")),
+            3)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy("l_returnflag", "l_linestatus", "l_orderkey",
+            "l_linenumber"),
+      Some("""SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+             |       l_extendedprice
+             |FROM (
+             |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+             |         l_extendedprice,
+             |         row_number() OVER (
+             |           PARTITION BY l_returnflag, l_linestatus
+             |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |         ) AS rn
+             |  FROM lineitem
+             |)
+             |WHERE rn <= 3
+             |ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""".stripMargin))
   )
 }

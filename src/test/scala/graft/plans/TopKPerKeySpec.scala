@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TopK
+
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read
+    .parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  test("native top-k matches the window row_number form") {
+    val native = TopK.perKey(li,
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        3)
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+    val w = Window.partitionBy("l_returnflag", "l_linestatus")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val windowed = li
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+    assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty)
+  }
+
+  test("plan is the two-phase heap operator, not a Window sort") {
+    val df = TopK.perKey(li, Seq(col("l_returnflag")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), 5)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("partial phase bounds what the shuffle carries") {
+    // 8 input partitions, 3 keys, k=2 ⇒ ≤ 48 rows enter the exchange
+    val events = spark.range(0, 10000, 1, 8)
+      .select(col("id"), (col("id") % 3).as("key"),
+        (col("id") * 37 % 9973).as("score"))
+    val out = TopK.perKey(events, Seq(col("key")),
+      Seq(col("score").desc, col("id")), 2)
+    assert(out.count() == 6)
+    // ground truth via window on the same frame
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    val expect = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    assert(out.exceptAll(expect).isEmpty)
+  }
+
+  test("ascending default and k larger than group size degrade gracefully") {
+    val tiny = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "v")
+    val out = TopK.perKey(tiny, Seq(col("g")), Seq(col("v")), 10)
+      .as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 1), ("a", 2), ("b", 3)))
+  }
+}
