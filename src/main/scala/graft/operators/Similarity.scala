@@ -320,4 +320,168 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("va"), col("vb"), col("score"))
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (PQ): the memory-bound ANN path. A d-dim float
+  // vector (d·4 bytes) is split into `m` subspaces, each coarse-coded
+  // against a per-subspace codebook of `kcodes` centroids → m small ints
+  // (m bytes at kcodes ≤ 256): 32× compression at d=64, m=8. Search
+  // scans CODES, not vectors — per (query, vector) cost is m table
+  // lookups instead of d multiplies, and at 100 TB the scan reads the
+  // code column only (d·4/m bytes per row saved is the difference
+  // between a memory-resident index and not). The asymmetric-distance
+  // shortlist is then exactly re-ranked on the (tiny) candidate set —
+  // the standard IVF-ADC + rerank production shape (faiss).
+  //
+  // Vectors are L2-normalized before coding so squared-L2 ranking equals
+  // cosine ranking (‖a−b‖² = 2−2·cos on unit vectors): PQ results are
+  // directly comparable against [[topKBruteForce]]'s cosine oracle.
+  // -------------------------------------------------------------------
+
+  /** Per-subspace codebooks, fitted LOCALLY on a bounded normalized
+    * sample (the ivfIndex pattern: the quantizer sees a sample, never
+    * the corpus; O(sampleCap·dims) driver cost, constant in corpus
+    * size). Deterministic: seeded init, fixed iteration count. Shape:
+    * codebooks(sub)(code)(i) over `dims/m`-wide subvectors.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, kcodes: Int = 16,
+      seed: Long = 42L, sampleCap: Int = 4096, iters: Int = 20): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .limit(sampleCap).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    require(sample.nonEmpty, "empty corpus")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    Array.tabulate(m) { s =>
+      val pts = sample.map(_.slice(s * sub, (s + 1) * sub))
+      val rnd = new java.util.Random(seed + s)
+      val centers = rnd.ints(0, pts.length).distinct().limit(kcodes)
+        .toArray.map(pts(_).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(kcodes)(new Array[Double](sub))
+        val counts = new Array[Long](kcodes)
+        pts.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kcodes) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = v(i) - centers(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        for (c <- 0 until kcodes if counts(c) > 0; i <- 0 until sub)
+          centers(c)(i) = sums(c)(i) / counts(c)
+      }
+      centers
+    }
+  }
+
+  /** Session-scoped codebook memoization (a real engine trains the
+    * quantizer once and persists it — the ivfIndexCached pattern).
+    */
+  private val pqCache = new graft.util.SessionCache[Array[Array[Array[Double]]]]
+
+  def pqCodebooksCached(spark: SparkSession, tag: String, m: Int = 8,
+      kcodes: Int = 16)(corpus: => DataFrame): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate(spark, s"$tag:$m:$kcodes")(pqCodebooks(corpus, m, kcodes))
+
+  /** Normalized element i (1-based wire position i+1) of an embedding. */
+  private def normedElem(emb: Column, nrm: Column, i: Int): Column =
+    element_at(emb, i + 1).cast(DoubleType) / nrm
+
+  /** Squared L2 distance between a (normalized) vector's subspace `s`
+    * and codebook entry `c`, fully unrolled against the LITERAL codebook
+    * — a static, whole-stage-codegen'd expression (the minhash lesson:
+    * unrolled built-ins beat interpreted HOF lambdas ~20×).
+    */
+  private def subDist(emb: Column, nrm: Column,
+      cb: Array[Array[Array[Double]]], s: Int, c: Int): Column = {
+    val sub = cb(s)(c).length
+    (0 until sub).map { i =>
+      val d = normedElem(emb, nrm, s * sub + i) - lit(cb(s)(c)(i))
+      d * d
+    }.reduce(_ + _)
+  }
+
+  /** PQ-encode: vec_id + `codes` (array<int>, length m). argmin per
+    * subspace via array_position(dists, array_min(dists)) — first-min
+    * tie-break, deterministic. The result column is the INDEX a real
+    * deployment persists (m bytes/vector) and scans instead of
+    * embeddings.
+    */
+  def pqEncode(corpus: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val kcodes = cb(0).length
+    val withNorm = corpus.withColumn("nrm", norm(col("embedding")))
+    val codes = (0 until m).map { s =>
+      val dists = array((0 until kcodes).map(c =>
+        subDist(col("embedding"), col("nrm"), cb, s, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+    }
+    withNorm.select(col("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** Per-query asymmetric-distance lookup table: lut(s)(c) = ‖q_s −
+    * codebook(s)(c)‖² as an array<array<double>> column, built from the
+    * literal codebook (static codegen'd expressions, no collect of the
+    * query set, no join).
+    */
+  def pqQueryLut(queries: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val kcodes = cb(0).length
+    queries
+      .withColumn("qnrm", norm(col("qvec")))
+      .withColumn("lut", array((0 until m).map { s =>
+        array((0 until kcodes).map(c =>
+          subDist(col("qvec"), col("qnrm"), cb, s, c)): _*)
+      }: _*))
+      .select(col("query_id"), col("qvec"), col("lut"))
+  }
+
+  /** PQ top-k with exact rerank. Phase 1 (approximate shortlist): scan
+    * the CODE table × broadcast query LUTs; adist = Σ_s lut[s][code_s],
+    * a fixed-order m-term sum of array lookups (deterministic, no
+    * aggregation); keep `rerank·k` per query via the native bounded-heap
+    * [[graft.plans.TopKPerKey]] operator — no sort, shuffle carries only
+    * survivors. Phase 2 (exact): join the shortlist's embeddings back,
+    * exact cosine, final top-k. Recall vs the brute-force oracle is
+    * asserted in SimilaritySpec; precision of returned scores is exact
+    * by construction.
+    */
+  def topKPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, kcodes: Int = 16, rerank: Int = 8, scale: Int = 5,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cb = codebooks.getOrElse(pqCodebooks(corpus, m, kcodes))
+    val encoded = pqEncode(corpus, cb)
+    val luts = pqQueryLut(queries, cb)
+    val adist = (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val shortlist = graft.operators.TopK.perKey(
+      encoded.crossJoin(broadcast(luts))
+        .filter(col("query_id") =!= col("vec_id"))
+        // round so the heap boundary doesn't flip on last-ulp noise
+        .select(col("query_id"), col("vec_id"), round(adist, 9).as("adist")),
+      Seq(col("query_id")), Seq(col("adist"), col("vec_id")), rerank * k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(queries.select(col("query_id"), col("qvec").as("qv")), "query_id")
+      .withColumn("score", round(cosine(col("qv"), col("embedding")), scale))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("score"))
+  }
 }

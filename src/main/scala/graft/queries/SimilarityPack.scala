@@ -63,6 +63,23 @@ object SimilarityPack extends QueryPack {
       },
       None),
 
+    // PQ + exact rerank (rows-only: quantization boundaries are engine-
+    // specific; SimilaritySpec asserts recall ≥ 0.6 vs the brute-force
+    // oracle on this deliberately adversarial ISOTROPIC corpus — real
+    // embedding corpora cluster, where PQ recall is far higher — plus
+    // exactness of returned scores and rank-1 recovery of planted
+    // near-dups). The scan side reads the m-byte code table — the
+    // memory-bound ANN path at 100 TB.
+    QueryDef(
+      "sim_topk_pq",
+      (s, d) => {
+        val cb = Similarity.pqCodebooksCached(s, s"pq:$d")(T.embeddings(s, d))
+        Similarity.topKPq(T.embeddings(s, d), queriesDf(s, d), 10,
+            codebooks = Some(cb))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // Nearest-centroid assignment itself (the quantizer): every vector →
     // its own cluster's centroid vs others. Oracle-able because centroid
     // means are computed identically (double sums of floats per index,

@@ -111,4 +111,45 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(self.forall(_ == 1.0))
   }
+
+  test("PQ encode: m codes per vector, all within the codebook range") {
+    val cb = Similarity.pqCodebooks(corpus, m = 8, kcodes = 16)
+    val enc = Similarity.pqEncode(corpus, cb).cache()
+    assert(enc.filter(size(col("codes")) =!= 8).count() == 0)
+    val outOfRange = enc
+      .select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 16)
+    assert(outOfRange.count() == 0)
+    assert(enc.count() == corpus.count())
+  }
+
+  test("PQ+rerank finds planted near-duplicates at rank 1") {
+    val planted = corpus.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("query_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, lit(0.0f)).otherwise(x)).as("qvec"))
+    val pq = Similarity.topKPq(corpus, planted, 10)
+    val rank1 = pq.filter(col("rank") === 1 &&
+      col("vec_id") === col("query_id") - 5000)
+    assert(rank1.count() == 10)
+  }
+
+  test("PQ recall vs brute force; returned scores are exact") {
+    val brute = Similarity.topKBruteForce(corpus, queries, 10)
+      .select(col("query_id"), col("vec_id"), col("score")).cache()
+    val pq = Similarity.topKPq(corpus, queries, 10)
+      .select(col("query_id"), col("vec_id"), col("score")).cache()
+    val nBrute = brute.count()
+    val hit = brute.drop("score")
+      .join(pq.drop("score"), Seq("query_id", "vec_id"), "left_semi").count()
+    // isotropic data (see the IVF recall note): 16^8 effective cells +
+    // 4k-deep exact rerank keeps recall far above the IVF floor
+    assert(nBrute > 0 && hit.toDouble / nBrute >= 0.60,
+      s"PQ recall ${hit.toDouble / nBrute} ($hit/$nBrute)")
+    // phase-2 scores are the exact cosine: any (query, vec) present in
+    // both results carries the identical rounded score
+    val mismatch = pq.join(brute, Seq("query_id", "vec_id"))
+      .filter(pq("score") =!= brute("score"))
+    assert(mismatch.count() == 0)
+  }
 }
