@@ -107,6 +107,26 @@ object StreamPack extends QueryPack {
           .orderBy("event_id")
       },
       Some("""SELECT DISTINCT event_id, ts, user_id, event_type, value
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Online exact-dedup index, batch face: the SAME mapGroupsWithState
+    // function StreamingSpec drives through MemoryStream (batch mode =
+    // every group once, empty state). Canonical = min(doc_id) — order-
+    // free, so the streaming and batch answers are bit-identical and the
+    // DuckDB oracle reproduces them.
+    QueryDef(
+      "stream_dedup_index",
+      (s, d) => {
+        import s.implicits._
+        val keyed = T.documents(s, d)
+          // same digest the batch exact-dedup gate keys on (50-char
+          // prefix), so this index actually accumulates n>1 buckets
+          .select(md5(substring(col("text"), 1, 50)).as("h"), col("doc_id"))
+          .as[graft.streaming.KeyedDoc]
+        graft.streaming.DedupIndex.buckets(keyed).toDF().orderBy("h")
+      },
+      Some("""SELECT md5(substr(text, 1, 50)) AS h, min(doc_id) AS canonical,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM documents GROUP BY 1 ORDER BY h""".stripMargin))
   )
 }

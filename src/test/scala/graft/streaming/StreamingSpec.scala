@@ -120,4 +120,32 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exceptAll(batch).count() == 0 &&
       batch.exceptAll(stream).count() == 0)
   }
+
+  test("online dedup index: streaming state across microbatches == batch face") {
+    // duplicates split ACROSS batch boundaries: the bucket for digest of
+    // "aa" receives docs in batches 1, 2 and 3 and must keep canonical=1
+    // while its count grows; a later batch delivering a SMALLER doc_id
+    // (digest "cc": 9 then 7) must lower the canonical — exercises the
+    // min-merge against carried state, not just first-write
+    val docs = Seq(
+      KeyedDoc("aa", 1), KeyedDoc("bb", 2),          // batch 1
+      KeyedDoc("aa", 3), KeyedDoc("cc", 9),          // batch 2
+      KeyedDoc("aa", 5), KeyedDoc("cc", 7), KeyedDoc("dd", 8)) // batch 3
+    val mem = MemoryStream[KeyedDoc](spark)
+    val q = DedupIndex.run(mem.toDS(), "dedupidx")
+    Seq(docs.take(2), docs.slice(2, 4), docs.drop(4)).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    // update mode re-emits a bucket per change: keep the LAST row per h
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col("n").desc)
+    val got = spark.table("dedupidx")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("h"), col("canonical"), col("n"))
+    q.stop()
+    val want = DedupIndex.buckets(docs.toDS()).toDF()
+      .select(col("h"), col("canonical"), col("n"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.filter(col("h") === "cc" && col("canonical") === 7).count() == 1)
+  }
 }
