@@ -70,6 +70,13 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
       applyParam(resType, acc, name, value)
     }
 
+    // _id: resource-id filter (comma = value-OR, like any token param) —
+    // the portable "fetch these n resources" form that, unlike n reads,
+    // is ONE pruned scan
+    controls.collect { case ("_id", v) => v }.foreach { v =>
+      df = df.filter(col("id").isin(v.split(",").toSeq: _*))
+    }
+
     // _filter expression language: parsed once, compiled onto the same
     // param registry; conjoined with any plain params (the FHIR rule:
     // _filter is one more AND-ed criterion)

@@ -395,57 +395,37 @@ object Similarity {
       kcodes: Int = 16)(corpus: => DataFrame): Array[Array[Array[Double]]] =
     pqCache.getOrElseUpdate(spark, s"$tag:$m:$kcodes")(pqCodebooks(corpus, m, kcodes))
 
-  /** Normalized element i (1-based wire position i+1) of an embedding. */
-  private def normedElem(emb: Column, nrm: Column, i: Int): Column =
-    element_at(emb, i + 1).cast(DoubleType) / nrm
+  private def cbFlat(cb: Array[Array[Array[Double]]]): Array[Double] =
+    cb.flatMap(_.flatMap(_.toSeq))
 
-  /** Squared L2 distance between a (normalized) vector's subspace `s`
-    * and codebook entry `c`, fully unrolled against the LITERAL codebook
-    * — a static, whole-stage-codegen'd expression (the minhash lesson:
-    * unrolled built-ins beat interpreted HOF lambdas ~20×).
-    */
-  private def subDist(emb: Column, nrm: Column,
-      cb: Array[Array[Array[Double]]], s: Int, c: Int): Column = {
-    val sub = cb(s)(c).length
-    (0 until sub).map { i =>
-      val d = normedElem(emb, nrm, s * sub + i) - lit(cb(s)(c)(i))
-      d * d
-    }.reduce(_ + _)
-  }
-
-  /** PQ-encode: vec_id + `codes` (array<int>, length m). argmin per
-    * subspace via array_position(dists, array_min(dists)) — first-min
-    * tie-break, deterministic. The result column is the INDEX a real
-    * deployment persists (m bytes/vector) and scans instead of
-    * embeddings.
+  /** PQ-encode: vec_id + `codes` (array<int>, length m), via the native
+    * fused-loop [[graft.functions.PqEncodeExpr]] (first-min tie-break,
+    * deterministic; bit-identical to the unrolled-Column formulation it
+    * replaced, whose codegen COMPILE time dominated the whole query).
+    * The result column is the INDEX a real deployment persists (m bytes/
+    * vector) and scans instead of embeddings.
     */
   def pqEncode(corpus: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
-    val m = cb.length
-    val kcodes = cb(0).length
-    val withNorm = corpus.withColumn("nrm", norm(col("embedding")))
-    val codes = (0 until m).map { s =>
-      val dists = array((0 until kcodes).map(c =>
-        subDist(col("embedding"), col("nrm"), cb, s, c)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
-    }
-    withNorm.select(col("vec_id"), array(codes: _*).as("codes"))
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    corpus.select(col("vec_id"),
+      GraftSqlShims.columnOf(graft.functions.PqEncodeExpr(
+        UnresolvedAttribute("embedding"), cbFlat(cb), cb.length, cb(0).length))
+        .as("codes"))
   }
 
   /** Per-query asymmetric-distance lookup table: lut(s)(c) = ‖q_s −
-    * codebook(s)(c)‖² as an array<array<double>> column, built from the
-    * literal codebook (static codegen'd expressions, no collect of the
-    * query set, no join).
+    * codebook(s)(c)‖² as an array<array<double>> column
+    * ([[graft.functions.PqLutExpr]] — no collect of the query set, no
+    * join).
     */
   def pqQueryLut(queries: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
-    val m = cb.length
-    val kcodes = cb(0).length
-    queries
-      .withColumn("qnrm", norm(col("qvec")))
-      .withColumn("lut", array((0 until m).map { s =>
-        array((0 until kcodes).map(c =>
-          subDist(col("qvec"), col("qnrm"), cb, s, c)): _*)
-      }: _*))
-      .select(col("query_id"), col("qvec"), col("lut"))
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    queries.select(col("query_id"), col("qvec"),
+      GraftSqlShims.columnOf(graft.functions.PqLutExpr(
+        UnresolvedAttribute("qvec"), cbFlat(cb), cb.length, cb(0).length))
+        .as("lut"))
   }
 
   /** PQ top-k with exact rerank. Phase 1 (approximate shortlist): scan

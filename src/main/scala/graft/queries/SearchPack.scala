@@ -443,6 +443,16 @@ object SearchPack extends QueryPack {
       (s, _) => eng(s).search("Patient/p-002/Condition")
         .select(col("id"), col("subject.reference").as("subject_ref")).orderBy("id"),
       Some(s"""SELECT id, subject.reference AS subject_ref FROM ${rj("Condition")}
-              |WHERE subject.reference = 'Patient/p-002' ORDER BY id""".stripMargin))
+              |WHERE subject.reference = 'Patient/p-002' ORDER BY id""".stripMargin)),
+
+    // _id multi-read: n resources in ONE pruned scan (comma = value-OR),
+    // composable with ordinary params
+    QueryDef(
+      "search_id",
+      (s, _) => eng(s).search("Patient?_id=p-003,p-007,p-010&gender=female")
+        .select(col("id"), col("gender")).orderBy("id"),
+      Some(s"""SELECT id, gender FROM ${rj("Patient")}
+              |WHERE id IN ('p-003','p-007','p-010') AND gender = 'female'
+              |ORDER BY id""".stripMargin))
   )
 }

@@ -22,4 +22,13 @@ object GraftSqlShims {
     */
   def expressionOf(spark: SparkSession, c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Wrap a raw Catalyst expression as a user-facing Column (the reverse
+    * direction) — for custom expressions that carry non-expression state
+    * (e.g. a fitted codebook) and so cannot go through function
+    * registration. Children like `UnresolvedAttribute` resolve normally
+    * inside standard operators.
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
