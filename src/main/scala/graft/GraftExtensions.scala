@@ -38,7 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (short-circuit instead of materialize-and-count)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyArrayExistence)
     // §4.4c whole-operator plan: native bounded-heap top-k per key
-    // (logical node + strategy + partial/final SparkPlan pair)
+    // (logical node + strategy + partial/final SparkPlan pair), plus the
+    // rule that rewrites the standard window row_number-filter-drop idiom
+    // onto it transparently
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
   }
 }

@@ -803,6 +803,40 @@ object RelationalPack extends QueryPack {
              |  FROM lineitem
              |)
              |WHERE rn <= 3
+             |ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""".stripMargin)),
+
+    // Same top-k, written as the STANDARD window idiom — the injected
+    // RewriteWindowTopK rule retargets it onto the native heap operator
+    // transparently (TopKPerKeySpec asserts the plan). One query surface,
+    // two spellings, one physical plan.
+    QueryDef(
+      "q37_auto_topk",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag", "l_linestatus")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"))
+        T.lineitem(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .drop("rn")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy("l_returnflag", "l_linestatus", "l_orderkey",
+            "l_linenumber")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+             |       l_extendedprice
+             |FROM (
+             |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+             |         l_extendedprice,
+             |         row_number() OVER (
+             |           PARTITION BY l_returnflag, l_linestatus
+             |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |         ) AS rn
+             |  FROM lineitem
+             |)
+             |WHERE rn <= 3
              |ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""".stripMargin))
   )
 }

@@ -61,4 +61,31 @@ class TopKPerKeySpec extends SparkSpec {
       .as[(String, Int)].collect().toSet
     assert(out == Set(("a", 1), ("a", 2), ("b", 3)))
   }
+
+  test("RewriteWindowTopK: the window-filter-drop idiom plans as the heap operator") {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val idiom = li
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .drop("rn")
+    idiom.write.format("noop").mode("overwrite").save()
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    assert(!plan.contains("Window"), plan)
+    // row set matches the native API (same node, same semantics)
+    val direct = TopK.perKey(li, Seq(col("l_returnflag")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), 4)
+      .select(idiom.columns.map(col): _*)
+    assert(idiom.exceptAll(direct).isEmpty && direct.exceptAll(idiom).isEmpty)
+  }
+
+  test("RewriteWindowTopK leaves rank-keeping and rank-projecting plans alone") {
+    val w = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc)
+    val kept = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+    kept.write.format("noop").mode("overwrite").save()
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("TopKPerKey"), plan)
+  }
 }
