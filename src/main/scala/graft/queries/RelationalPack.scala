@@ -837,6 +837,60 @@ object RelationalPack extends QueryPack {
              |  FROM lineitem
              |)
              |WHERE rn <= 3
-             |ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""".stripMargin))
+             |ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C4 exact quantiles: Spark `percentile` and DuckDB `quantile_cont`
+    // share the interpolated-rank definition, so grouped quartiles
+    // hash-match exactly. (approx_percentile's merge order is partial-
+    // aggregation-dependent — deliberately NOT gated.) At scale exact
+    // percentile sorts per group in the agg buffer: fine on grouped
+    // data; a global quantile over 100 TB would use approx_percentile.
+    QueryDef(
+      "q38_percentiles",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("q25"),
+            round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("q50"),
+            round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("q75"),
+            round(percentile(col("l_quantity"), lit(0.5)), 6).as("med_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+             |  round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
+             |  round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // C4/C8 fixed-width histogram (the distribution profile a curation
+    // pipeline runs on quality scores): global min/max via a 1-row
+    // broadcast, bucket arithmetic identical on both engines, exact
+    // count/min/max per bucket (no order-dependent double sums).
+    QueryDef(
+      "q39_histogram",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        val mm = li.agg(min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))
+        li.crossJoin(broadcast(mm))
+          .withColumn("bucket",
+            least(lit(15), floor((col("l_extendedprice") - col("mn")) /
+              (col("mx") - col("mn")) * 16)).cast(LongType))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH mm AS (
+             |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+             |  FROM lineitem
+             |)
+             |SELECT CAST(least(15, floor((l_extendedprice - mn)/(mx - mn)*16)) AS BIGINT)
+             |         AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+             |FROM lineitem, mm GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }

@@ -83,4 +83,30 @@ class PlanAuditSpec extends SparkSpec {
     // "*(n) " prefixes = whole-stage-codegen'd stages
     assert(post.contains("*("), post.take(1500))
   }
+
+  test("sample_bernoulli: pure map-side filter — no exchange before the sort") {
+    // sampling must never shuffle: scan → filter → (output sort only)
+    val df = graft.SparkEntry.queries("sample_bernoulli")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val beforeSort = p.substring(p.indexOf("Filter"))
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"hash exchange under the sampling filter:\n${p.take(1500)}")
+  }
+
+  test("sample_decontaminate: benchmark shingle set is broadcast, train side streams") {
+    val p = plan("sample_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q27: no Expand — exact+approx distinct feed from one pre-deduped shuffle") {
+    val p = plan("q27_approx_distinct")
+    assert(!p.contains("Expand"), p.take(1500))
+  }
+
+  test("sim_topk_pq: shortlist runs through the native heap operator, not a Window") {
+    val df = graft.SparkEntry.queries("sim_topk_pq")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      p.take(1500))
+  }
 }
