@@ -38,10 +38,13 @@ object Sampling {
   def hashDraw(key: Column): Column =
     substring(md5(key.cast("string")), 1, 8)
 
-  /** Threshold for rate p as an 8-hex-digit lowercase string. */
+  /** Threshold for rate p as an 8-hex-digit lowercase string; p = 1.0
+    * maps to "g" (lexicographically above every hex digest) so a full
+    * keep-rate really keeps the hash-max row too.
+    */
   def rateThreshold(p: Double): String = {
     require(p >= 0.0 && p <= 1.0, s"rate $p out of [0,1]")
-    f"${math.round(p * 4294967296.0).min(4294967295L)}%08x"
+    if (p >= 1.0) "g" else f"${math.round(p * 4294967296.0).min(4294967295L)}%08x"
   }
 
   /** Deterministic Bernoulli sample: keep a row iff hash(key) < p·2^32. */
@@ -55,7 +58,7 @@ object Sampling {
     */
   def stratified(df: DataFrame, key: Column, stratum: Column,
       rates: Map[String, Double]): DataFrame = {
-    val thresh = rates.foldLeft(lit("ffffffff")) { case (acc, (s, p)) =>
+    val thresh = rates.foldLeft(lit(rateThreshold(1.0))) { case (acc, (s, p)) =>
       when(stratum === s, lit(rateThreshold(p))).otherwise(acc)
     }
     df.filter(hashDraw(key) < thresh)

@@ -50,7 +50,7 @@ object SamplePack extends QueryPack {
              |  CASE lang WHEN 'fr' THEN 'c0000000'
              |            WHEN 'de' THEN '80000000'
              |            WHEN 'en' THEN '20000000'
-             |            ELSE 'ffffffff' END
+             |            ELSE 'g' END
              |ORDER BY doc_id""".stripMargin)),
 
     // Deterministic 16-way shard routing: hex-prefix of the key hash.

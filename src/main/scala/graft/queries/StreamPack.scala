@@ -127,6 +127,28 @@ object StreamPack extends QueryPack {
       },
       Some("""SELECT md5(substr(text, 1, 50)) AS h, min(doc_id) AS canonical,
              |       CAST(count(*) AS BIGINT) AS n
-             |FROM documents GROUP BY 1 ORDER BY h""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
+
+    // Continuous top-k leaderboard, batch face: same flatMapGroupsWithState
+    // function StreamingSpec drives through MemoryStream. The bounded
+    // top-k merge is associative + commutative, so batching cannot change
+    // the board and the window oracle reproduces it exactly.
+    QueryDef(
+      "stream_leaderboard",
+      (s, d) => {
+        import s.implicits._
+        val scored = T.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .as[graft.streaming.Scored]
+        graft.streaming.Leaderboard.top(scored, 5).toDF()
+          .orderBy("event_type", "rank")
+      },
+      Some("""SELECT event_type, rank, event_id, value FROM (
+             |  SELECT event_type, event_id, value,
+             |         CAST(row_number() OVER (PARTITION BY event_type
+             |           ORDER BY value DESC, event_id) AS BIGINT) AS rank
+             |  FROM events
+             |)
+             |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin))
   )
 }

@@ -148,4 +148,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
     assert(got.filter(col("h") === "cc" && col("canonical") === 7).count() == 1)
   }
+
+  test("leaderboard: final board after microbatched input == batch face") {
+    // scores arrive out of order across 3 batches; a later batch (id 30)
+    // dethrones an earlier leader — the merged board must reflect it
+    val rows = Seq(
+      Scored("a", 1, 5.0), Scored("a", 2, 9.0), Scored("b", 3, 1.0), // b1
+      Scored("a", 4, 7.0), Scored("a", 5, 3.0), Scored("b", 6, 2.0), // b2
+      Scored("a", 30, 9.5), Scored("a", 7, 1.0), Scored("b", 8, 0.5)) // b3
+    val mem = MemoryStream[Scored](spark)
+    val q = Leaderboard.run(mem.toDS(), 3, "board")
+    val batches = Seq(rows.take(3), rows.slice(3, 6), rows.drop(6))
+    var before = 0L
+    batches.foreach { b =>
+      before = spark.table("board").count()
+      mem.addData(b); q.processAllAvailable()
+    }
+    // update mode re-emits per batch: the rows appended by the LAST batch
+    // are the final board
+    val all = spark.table("board").collect()
+    q.stop()
+    val finalBoard = all.drop(before.toInt)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Leaderboard.top(rows.toDS(), 3).collect()
+      .map(r => (r.event_type, r.rank, r.event_id)).toSet
+    assert(finalBoard == want, s"$finalBoard vs $want")
+    // the dethroning actually happened
+    assert(want.contains(("a", 1L, 30L)))
+  }
 }
