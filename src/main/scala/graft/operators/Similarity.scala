@@ -438,11 +438,40 @@ object Similarity {
     * asserted in SimilaritySpec; precision of returned scores is exact
     * by construction.
     */
+  /** Persist a PQ index: the code table as parquet (the thing a 100 TB
+    * deployment scans — m bytes/vector, partitionable like any table)
+    * and the codebook alongside it as one JSON line. "The index is just
+    * data": rebuilding is a write, shipping it is a copy, and any
+    * session can [[readPqIndex]] and query without refitting.
+    */
+  def writePqIndex(corpus: DataFrame, cb: Array[Array[Array[Double]]],
+      path: String): Unit = {
+    pqEncode(corpus, cb).write.mode("overwrite").parquet(s"$path/codes")
+    val json = cb.map(_.map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(json).toDF("codebook").coalesce(1)
+      .write.mode("overwrite").json(s"$path/codebook")
+  }
+
+  def readPqIndex(spark: SparkSession, path: String): (DataFrame, Array[Array[Array[Double]]]) = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val json = spark.read.json(s"$path/codebook")
+      .select(col("codebook")).head().getString(0)
+    // tiny fixed-shape parse (m × kcodes × sub doubles), no JSON library
+    val cb = json.stripPrefix("[[[").stripSuffix("]]]")
+      .split("\\]\\],\\[\\[").map(_.split("\\],\\[").map(
+        _.split(",").map(_.toDouble)))
+    (codes, cb)
+  }
+
   def topKPq(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, kcodes: Int = 16, rerank: Int = 8, scale: Int = 5,
-      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      encodedIndex: Option[DataFrame] = None): DataFrame = {
     val cb = codebooks.getOrElse(pqCodebooks(corpus, m, kcodes))
-    val encoded = pqEncode(corpus, cb)
+    val encoded = encodedIndex.getOrElse(pqEncode(corpus, cb))
     val luts = pqQueryLut(queries, cb)
     val adist = (0 until m).map(s =>
       element_at(element_at(col("lut"), s + 1),

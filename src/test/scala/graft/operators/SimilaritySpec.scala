@@ -152,4 +152,19 @@ class SimilaritySpec extends SparkSpec {
       .filter(pq("score") =!= brute("score"))
     assert(mismatch.count() == 0)
   }
+
+  test("PQ index persists as data: load + query == fit + query") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/pqidx_${spark.sparkContext.applicationId}"
+    val cb = Similarity.pqCodebooks(corpus)
+    Similarity.writePqIndex(corpus, cb, dir)
+    val (codes, cbLoaded) = Similarity.readPqIndex(spark, dir)
+    // codebook roundtrips bit-exactly (toString/parse of doubles is lossless)
+    assert(cbLoaded.length == cb.length &&
+      cb.indices.forall(s => cbLoaded(s).length == cb(s).length &&
+        cb(s).indices.forall(c => cbLoaded(s)(c).sameElements(cb(s)(c)))))
+    val fresh = Similarity.topKPq(corpus, queries, 10, codebooks = Some(cb))
+    val loaded = Similarity.topKPq(corpus, queries, 10,
+      codebooks = Some(cbLoaded), encodedIndex = Some(codes))
+    assert(fresh.exceptAll(loaded).isEmpty && loaded.exceptAll(fresh).isEmpty)
+  }
 }
