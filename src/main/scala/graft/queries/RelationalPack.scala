@@ -851,10 +851,17 @@ object RelationalPack extends QueryPack {
       (s, d) =>
         T.lineitem(s, d)
           .groupBy(col("l_returnflag"))
-          .agg(round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("q25"),
-            round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("q50"),
-            round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("q75"),
+          // one buffer for all three price quartiles (array form), not
+          // three separate percentile aggregates — the buffer (a per-
+          // group value multiset) is the dominant cost
+          .agg(percentile(col("l_extendedprice"),
+              array(lit(0.25), lit(0.5), lit(0.75))).as("qs"),
             round(percentile(col("l_quantity"), lit(0.5)), 6).as("med_qty"))
+          .select(col("l_returnflag"),
+            round(element_at(col("qs"), 1), 6).as("q25"),
+            round(element_at(col("qs"), 2), 6).as("q50"),
+            round(element_at(col("qs"), 3), 6).as("q75"),
+            col("med_qty"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
