@@ -34,6 +34,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "array_cosine expects exactly two arguments")
         ArrayCosineExpr(children.head, children(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo("graft.functions.NGramHashExpr", null, "ngram_hashes",
+        "ngram_hashes(text, n) - distinct xxhash64 values of the text's " +
+          "word n-grams (fused tokenize+shingle+hash loop).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "ngram_hashes expects (text, n)")
+        require(children(1).foldable, "ngram size must be a literal")
+        graft.functions.NGramHashExpr(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     // §4.4c optimizer rule: size(filter(arr,f)) > 0 → exists(arr,f)
     // (short-circuit instead of materialize-and-count)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyArrayExistence)

@@ -67,4 +67,22 @@ class DedupSpec extends SparkSpec {
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
     assert(dupCheck.count() == 0)
   }
+
+  test("native ngram_hashes == xxhash64 over the HOF shingle form") {
+    // the fused-loop expression must produce the exact hash SET the
+    // interpreted shingle pipeline produced, per document — minhash
+    // signatures and band keys are then bit-identical
+    val native = docs.select(col("doc_id"),
+      explode(Dedup.shingleHashes(col("text"), 3)).as("h"))
+    val hof = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0)
+    // short/empty docs: no shingles, no rows, no nulls
+    import spark.implicits._
+    val edge = Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+    val out = edge.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1))
+  }
 }
