@@ -80,6 +80,22 @@ class TopKPerKeySpec extends SparkSpec {
     assert(idiom.exceptAll(direct).isEmpty && direct.exceptAll(idiom).isEmpty)
   }
 
+  test("null ordering values rank identically to the window form") {
+    val data = Seq[(String, java.lang.Integer, Long)](
+      ("a", 5, 1), ("a", null, 2), ("a", 3, 3), ("a", null, 4), ("a", 8, 5),
+      ("b", null, 6), ("b", 1, 7))
+      .toDF("g", "v", "id")
+    for (ord <- Seq(col("v").asc, col("v").desc,
+        col("v").asc_nulls_first, col("v").desc_nulls_last)) {
+      val native = TopK.perKey(data, Seq(col("g")), Seq(ord, col("id")), 2)
+      val w = Window.partitionBy("g").orderBy(ord, col("id"))
+      val windowed = data.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      assert(native.exceptAll(windowed).isEmpty &&
+        windowed.exceptAll(native).isEmpty, s"ordering $ord")
+    }
+  }
+
   test("RewriteWindowTopK leaves rank-keeping and rank-projecting plans alone") {
     val w = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc)
     val kept = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
