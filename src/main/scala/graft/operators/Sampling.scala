@@ -140,6 +140,31 @@ object Sampling {
     * from an unpartitioned window over that aggregate, never a driver
     * collect.
     */
+  /** Apply a mixture plan: per document, the number of copies the
+    * reshaped corpus contains — floor(weight) guaranteed epochs plus one
+    * more with probability frac(weight), decided by a deterministic
+    * per-key draw (Knuth multiplicative hash — integer-exact in any
+    * engine, no overflow for keys < 2^31). In expectation every
+    * stratum's token mass lands on its target share; a re-run (or a
+    * retried partition) reproduces the identical copy counts.
+    */
+  def mixtureApply(df: DataFrame, key: Column, stratum: Column,
+      text: Column, targets: Map[String, Double]): DataFrame = {
+    val plan = mixturePlan(df, stratum, text, targets)
+      .select(col("stratum"), col("mix_weight"))
+    // key folded to 20 bits BEFORE the multiply so the product stays
+    // under 2^52 — no ANSI long-overflow at any key value
+    val u = (key % lit(1048576L)) * lit(2654435761L) % lit(4294967296L) /
+      lit(4294967296.0)
+    df.select(key.as("doc_key"), stratum.as("stratum"), u.as("u"))
+      .join(broadcast(plan), "stratum")
+      .withColumn("n_copies",
+        (floor(col("mix_weight")) +
+          when(col("u") < col("mix_weight") - floor(col("mix_weight")), 1)
+            .otherwise(0)).cast("long"))
+      .select(col("doc_key"), col("stratum"), col("n_copies"))
+  }
+
   def mixturePlan(df: DataFrame, stratum: Column, text: Column,
       targets: Map[String, Double]): DataFrame = {
     val target = targets.foldLeft(lit(0.0)) { case (acc, (s, p)) =>

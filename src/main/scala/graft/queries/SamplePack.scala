@@ -121,6 +121,44 @@ object SamplePack extends QueryPack {
              |FROM sg JOIN bench USING (sh) WHERE doc_id % 10 <> 0
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Applied mixture: per-document copy counts materializing the plan —
+    // floor(weight) epochs + deterministic fractional Bernoulli (Knuth
+    // multiplicative draw, integer-exact in both engines). Expectation =
+    // the target token shares; re-runs reproduce identical counts.
+    QueryDef(
+      "sample_mixture_apply",
+      (s, d) =>
+        Sampling.mixtureApply(T.documents(s, d), col("doc_id"), col("lang"),
+            col("text"), mixTargets)
+          .withColumnRenamed("doc_key", "doc_id")
+          .withColumnRenamed("stratum", "lang")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT lang,
+             |    greatest(1, CAST(ceil(length(text)/4.0) AS BIGINT)) AS tok
+             |  FROM documents
+             |), a AS (
+             |  SELECT lang, CAST(sum(tok) AS BIGINT) AS stratum_toks FROM t GROUP BY lang
+             |), g AS (
+             |  SELECT lang, stratum_toks,
+             |    CAST(SUM(stratum_toks) OVER () AS BIGINT) AS total_toks
+             |  FROM a
+             |), p AS (
+             |  SELECT lang,
+             |    round(CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.20
+             |                    WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.15
+             |                    WHEN 'zh' THEN 0.10 ELSE 0.0 END
+             |      * CAST(total_toks AS DOUBLE) / CAST(stratum_toks AS DOUBLE), 6)
+             |      AS w
+             |  FROM g
+             |)
+             |SELECT doc_id, lang,
+             |  CAST(floor(w) + CASE WHEN
+             |      ((doc_id % 1048576) * 2654435761 % 4294967296) / 4294967296.0
+             |        < w - floor(w)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+             |FROM documents JOIN p USING (lang) ORDER BY doc_id""".stripMargin)),
+
     // Mixture planning: per-language repeat/sample weight that moves the
     // token distribution to the target mixture. |strata|-row aggregate;
     // global total via an unpartitioned window over those few rows.

@@ -75,6 +75,34 @@ class SamplingSpec extends SparkSpec {
     assert(out == Map(10L -> 2L))
   }
 
+  test("mixtureApply: copies are floor(w) or ceil(w); applied mass nears targets") {
+    val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.15,
+      "es" -> 0.15, "zh" -> 0.1)
+    val applied = Sampling.mixtureApply(docs, col("doc_id"), col("lang"),
+      col("text"), targets).cache()
+    val plan = Sampling.mixturePlan(docs, col("lang"), col("text"), targets)
+      .select(col("stratum"), col("mix_weight")).as[(String, Double)]
+      .collect().toMap
+    val bad = applied.as[(Long, String, Long)].collect().filter {
+      case (_, lang, n) =>
+        val w = plan(lang)
+        n != math.floor(w).toLong && n != math.ceil(w).toLong
+    }
+    assert(bad.isEmpty, s"copies outside {floor,ceil}: ${bad.take(3).toSeq}")
+    // applied token mass per stratum ≈ target share (fractional Bernoulli
+    // expectation; generous ±35% relative band at this corpus size)
+    val toks = docs.select(col("doc_id"),
+      Sampling.tokenEstimate(col("text")).as("tok"))
+    val mass = applied.join(toks, applied("doc_key") === toks("doc_id"))
+      .groupBy("stratum").agg(sum(col("n_copies") * col("tok")).as("m"))
+      .as[(String, Long)].collect().toMap
+    val total = mass.values.sum.toDouble
+    targets.foreach { case (lang, share) =>
+      val got = mass(lang) / total
+      assert(math.abs(got - share) / share < 0.35, s"$lang: $got vs $share")
+    }
+  }
+
   test("mixturePlan weights reshape token mass to the target shares") {
     val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.15,
       "es" -> 0.15, "zh" -> 0.1)
