@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract is ONE machine-parseable JSON line on stdout. sbt's
+// default LoggedOutput prefixes every forked line with "[info] " and
+// appends a "[success] Total time" footer — both of which have broken the
+// driver's JSON tail-parse every round so far. Pass the forked process's
+// stdout through verbatim and drop the success footer so the bench JSON
+// is the final raw line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -68,12 +68,18 @@ object Bench {
     // 2000-char tail capture with room to spare
     val topn = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPN", "25").toInt
     val slowest = results.sortBy(-_._2).take(topn).sortBy(_._1)
-    println(line(qmap(slowest, round = true)))
+    val stdoutLine = line(qmap(slowest, round = true))
     try {
       val out = java.nio.file.Paths.get("target/bench_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, line(qmap(results, round = false)) + "\n")
     } catch { case _: Throwable => () } // file copy is best-effort
-    spark.stop()
+    // The JSON line must be the LAST stdout line (the driver tail-parses
+    // it): silence Spark's shutdown chatter, stop the session first, and
+    // print after everything else has had its say.
+    spark.sparkContext.setLogLevel("ERROR")
+    try spark.stop() catch { case _: Throwable => () }
+    println(stdoutLine)
+    System.out.flush()
   }
 }

@@ -49,10 +49,25 @@ object FhirFilter {
         case '(' => out += "("; i += 1
         case ')' => out += ")"; i += 1
         case '"' =>
-          val end = s.indexOf('"', i + 1)
-          require(end > 0, s"unterminated string literal in _filter: $s")
-          out += "\"" + s.substring(i + 1, end)
-          i = end + 1
+          // the _filter grammar allows \" and \\ inside string literals;
+          // scanning for the bare closing quote would mis-tokenize them
+          val sb = new StringBuilder("\"")
+          var j = i + 1
+          var closed = false
+          while (j < s.length && !closed) {
+            s(j) match {
+              case '\\' =>
+                require(j + 1 < s.length, s"dangling escape in _filter: $s")
+                val c = s(j + 1)
+                require(c == '"' || c == '\\', s"unsupported escape \\$c in _filter: $s")
+                sb += c; j += 2
+              case '"' => closed = true; j += 1
+              case c => sb += c; j += 1
+            }
+          }
+          require(closed, s"unterminated string literal in _filter: $s")
+          out += sb.toString
+          i = j
         case _ =>
           val stop = s.indexWhere(c => c.isWhitespace || c == '(' || c == ')', i)
           val end = if (stop < 0) s.length else stop

@@ -242,8 +242,11 @@ object FhirSchemas {
 
   /** Schema by resourceType — the dispatch table's type universe
     * (transform.py:112-129) plus Patient (search substrate).
+    *
+    * lazy: `valueSet` is declared below; object vals initialize in
+    * declaration order, so an eager map here would capture null for it.
     */
-  val byType: Map[String, StructType] = Map(
+  lazy val byType: Map[String, StructType] = Map(
     "DocumentReference" -> documentReference,
     "BodyStructure" -> bodyStructure,
     "Encounter" -> encounter,

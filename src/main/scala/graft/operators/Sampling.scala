@@ -144,7 +144,8 @@ object Sampling {
     * reshaped corpus contains — floor(weight) guaranteed epochs plus one
     * more with probability frac(weight), decided by a deterministic
     * per-key draw (Knuth multiplicative hash — integer-exact in any
-    * engine, no overflow for keys < 2^31). In expectation every
+    * engine, no overflow for |keys| < 2^31, negative keys folded by
+    * pmod). In expectation every
     * stratum's token mass lands on its target share; a re-run (or a
     * retried partition) reproduces the identical copy counts.
     */
@@ -154,7 +155,7 @@ object Sampling {
       .select(col("stratum"), col("mix_weight"))
     // key folded to 20 bits BEFORE the multiply so the product stays
     // under 2^52 — no ANSI long-overflow at any key value
-    val u = (key % lit(1048576L)) * lit(2654435761L) % lit(4294967296L) /
+    val u = pmod(key, lit(1048576L)) * lit(2654435761L) % lit(4294967296L) /
       lit(4294967296.0)
     df.select(key.as("doc_key"), stratum.as("stratum"), u.as("u"))
       .join(broadcast(plan), "stratum")

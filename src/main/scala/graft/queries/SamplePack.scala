@@ -154,7 +154,7 @@ object SamplePack extends QueryPack {
              |)
              |SELECT doc_id, lang,
              |  CAST(floor(w) + CASE WHEN
-             |      ((doc_id % 1048576) * 2654435761 % 4294967296) / 4294967296.0
+             |      (((doc_id % 1048576 + 1048576) % 1048576) * 2654435761 % 4294967296) / 4294967296.0
              |        < w - floor(w)
              |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
              |FROM documents JOIN p USING (lang) ORDER BY doc_id""".stripMargin)),

@@ -91,8 +91,15 @@ object FilePipelines {
     // generation on disk for recoverTarget to restore:
     //   target → target.old ; target.new → target ; delete target.old
     val oldPath = new org.apache.hadoop.fs.Path(targetDir + ".old")
-    if (fs.exists(tPath)) fs.rename(tPath, oldPath)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), tPath)
+    // rename returns false instead of throwing on several filesystems
+    // (permissions, cross-device); a silent false here drops the merge
+    // and leaves a stale generation with no signal — fail the batch so
+    // foreachBatch surfaces/retries it.
+    def renameOrFail(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"generation swap: rename $src -> $dst failed")
+    if (fs.exists(tPath)) renameOrFail(tPath, oldPath)
+    renameOrFail(new org.apache.hadoop.fs.Path(tmp), tPath)
     if (fs.exists(oldPath)) fs.delete(oldPath, true)
   }
 
