@@ -19,6 +19,9 @@ run / fork := true
 // is the final raw line.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's logger, not a task, so the unused-key
+// lint flags it on every load; exclude it to keep startup stdout clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -115,8 +115,15 @@ object FilePipelines {
     val tPath = new org.apache.hadoop.fs.Path(targetDir)
     val oldPath = new org.apache.hadoop.fs.Path(targetDir + ".old")
     if (fs.exists(oldPath)) {
-      if (!fs.exists(tPath)) fs.rename(oldPath, tPath)
-      else fs.delete(oldPath, true)
+      if (!fs.exists(tPath)) {
+        // rename returns false instead of throwing on several filesystems;
+        // proceeding after a silent false would make upsertBatch merge into
+        // an "empty" table and then delete target.old — losing the only
+        // surviving generation. Fail the batch instead.
+        if (!fs.rename(oldPath, tPath))
+          throw new java.io.IOException(
+            s"generation recovery: rename $oldPath -> $tPath failed")
+      } else fs.delete(oldPath, true)
     }
   }
 
