@@ -5,14 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: regex over query names (builder-side focused
+    // iteration only; the driver always runs the full surface)
+    val nameFilter = args.lift(2).map(_.r)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       // coalesce(1) serializes only the FINAL write of the sf0.01 oracle
       // dump (single-file output for the driver's DuckDB compare); it is
       // an oracle-harness convenience, never a production sink pattern —

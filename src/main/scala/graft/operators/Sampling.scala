@@ -175,9 +175,13 @@ object Sampling {
       .select(stratum.as("stratum"), tokenEstimate(text).as("tok"))
       .groupBy(col("stratum"))
       .agg(sum(col("tok")).as("stratum_toks"))
-    val w = Window.partitionBy()
+    // grand total via a broadcast 1-row frame, not an unpartitioned window:
+    // the window form funnels the (tiny) stratum frame through a single
+    // partition and spams WindowExec warnings; the cross-join keeps every
+    // stage partition-parallel and the broadcast is one row.
+    val tot = agg.agg(sum(col("stratum_toks")).as("total_toks"))
     agg
-      .withColumn("total_toks", sum(col("stratum_toks")).over(w))
+      .crossJoin(broadcast(tot))
       .select(col("stratum"), col("stratum_toks"),
         round(col("stratum_toks").cast("double") /
           col("total_toks").cast("double"), 6).as("actual_share"),

@@ -898,6 +898,107 @@ object RelationalPack extends QueryPack {
              |         AS bucket,
              |       CAST(count(*) AS BIGINT) AS n,
              |       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
-             |FROM lineitem, mm GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM lineitem, mm GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C4 pivot (wide conditional aggregation). Spark's relational pivot
+    // with an explicit value list — no extra pass to discover values —
+    // plans as ONE two-phase hash aggregate over |priorities| × 3 cells;
+    // the shuffle carries only group partials, same as q01. At 100 TB the
+    // plan is identical: pivot never materializes a wide intermediate.
+    QueryDef(
+      "q40_pivot",
+      (s, d) =>
+        T.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(dsum(col("o_totalprice"), 2))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C4 unpivot/melt (wide→long). Runs on an already-aggregated 3-row
+    // frame here; on a raw table unpivot is a zero-shuffle narrow map
+    // (each row expands to |measures| rows in place), so it composes with
+    // any downstream groupBy at scale.
+    QueryDef(
+      "q41_unpivot",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+            dsum(col("l_extendedprice"), 2).as("sum_price"),
+            dsum(col("l_discount"), 6).as("sum_disc"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+            "metric", "value")
+          .orderBy("l_returnflag", "metric"),
+      Some("""WITH g AS (
+             |  SELECT l_returnflag,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, metric, value FROM (
+             |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM g
+             |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM g
+             |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM g) u
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3/C8 SQL front-end with correlated EXISTS / NOT EXISTS. Catalyst
+    // decorrelates both subqueries into a left-semi and a left-anti join
+    // on l_orderkey — the same scale-safe shuffled joins as q05/q06, but
+    // arrived at from the declarative SQL a user would actually write.
+    QueryDef(
+      "q42_exists_subquery",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("orders")
+        T.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders o
+                |WHERE EXISTS (SELECT 1 FROM lineitem l
+                |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+                |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+             |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C5 RANGE-frame window (trailing 7-day totals per priority class —
+    // the event-time rolling metric shape). The frame is value-based, so
+    // ties on the same date share one frame; partitioned by priority the
+    // sort is distributed (no single-partition window). Exact decimal sum
+    // keeps the window aggregate order-independent.
+    QueryDef(
+      "q43_window_range",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          // NTZ has no direct long cast in Spark 4; the UTC session makes
+          // NTZ→TZ→epoch-seconds exact and tz-independent
+          .orderBy(col("o_orderdate").cast(TimestampType).cast(LongType))
+          .rangeBetween(-7L * 86400L, 0L)
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"),
+            count(lit(1)).over(w).as("n_7d"),
+            sum(dec(col("o_totalprice"), 2)).over(w).cast(DoubleType).as("sum_7d"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_orderdate,
+             |  COUNT(*) OVER w AS n_7d,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+             |             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
