@@ -39,6 +39,22 @@ object Bench {
     // query touches scan+join+agg+shuffle codepaths in ~1 s.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Host-speed calibration: a fixed single-threaded integer loop, timed
+    // before and after the measured queries. Query timings only compare
+    // across runs when the host was equally loaded; the calibration pair
+    // makes that visible (cal ≈ baseline cal ⇒ timings comparable;
+    // cal 2-4× baseline ⇒ the host was contended and the query totals
+    // inflate with it — observed on the round-2 and round-5 driver runs).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < (1 << 27)) { // xorshift64*, ~0.2 s on an idle core
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27; i += 1
+      }
+      if (x == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calPre = calibrate()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -61,9 +77,10 @@ object Bench {
       rs.map { case (k, v) => jstr(k) + ":" + (if (round) ms3(v) else v.toString) }
         .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val calPost = calibrate()
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def line(qs: String): String =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","nqueries":${results.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","nqueries":${results.size},"cal_pre":${ms3(calPre)},"cal_post":${ms3(calPost)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // stdout: slowest `topn` only, so the line fits the driver's
     // 2000-char tail capture with room to spare
     val topn = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPN", "25").toInt

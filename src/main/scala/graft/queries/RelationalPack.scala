@@ -999,6 +999,66 @@ object RelationalPack extends QueryPack {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
              |             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C1/C2 hive-style partitioned write + partition-pruned read — THE
+    // 100 TB scan pattern: a month-partitioned fact table turns a
+    // one-month query into a directory prune that never opens the other
+    // ~71 partitions' files. PartitionPruningSpec asserts the
+    // PartitionFilters land in the scan; this gate proves the values.
+    QueryDef(
+      "q44_partition_pruning",
+      (s, d) => {
+        // per-session unique dir (same rationale as q32): Bench and
+        // Verify JVMs must not race on overwrite of a shared path
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_${s.sparkContext.applicationId}"
+        T.orders(s, d)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("o_month").parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_month") === "1997-03")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C1/C3 bucketed write + co-located join — the shuffle-elimination
+    // pattern for a stable join key: both sides bucketed+sorted on the
+    // key, the sort-merge join reads bucket i against bucket i with NO
+    // exchange and NO sort (BucketingSpec asserts the plan). At 100 TB
+    // the one-time bucketed write amortizes over every subsequent join.
+    QueryDef(
+      "q45_bucketed_join",
+      (s, d) => {
+        val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+        val (to, tl) = (s"graft_b_orders_$tag", s"graft_b_lineitem_$tag")
+        T.orders(s, d)
+          .select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").saveAsTable(to)
+        T.lineitem(s, d)
+          .select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").saveAsTable(tl)
+        // MERGE hint: the small sf side would otherwise broadcast, which
+        // is a fine plan but not the bucketed pattern under test
+        s.table(to).hint("merge")
+          .join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_quantity"), 2).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

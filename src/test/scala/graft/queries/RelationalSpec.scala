@@ -26,4 +26,22 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), plan.take(2000))
     assert(plan.contains("Window"))
   }
+
+  test("q44 read side prunes partitions (PartitionFilters on o_month)") {
+    val plan = RelationalPack
+      .queries("q44_partition_pruning")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_month"),
+      plan.take(3000))
+  }
+
+  test("q45 bucketed join shuffles neither side on the join key") {
+    val plan = RelationalPack
+      .queries("q45_bucketed_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey")
+      && !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      plan.take(3000))
+  }
 }
