@@ -190,7 +190,14 @@ object FhirSchemas {
       StructField("given", ArrayType(StringType)))))),
     StructField("gender", StringType),
     StructField("birthDate", StringType),
-    StructField("active", BooleanType)))
+    StructField("active", BooleanType),
+    // server-maintained metadata: _lastUpdated (date) and _tag (token)
+    // search substrate
+    StructField("meta", StructType(Seq(
+      StructField("lastUpdated", StringType),
+      StructField("tag", ArrayType(StructType(Seq(
+        StructField("system", StringType),
+        StructField("code", StringType))))))))))
 
   /** R4 OUTPUT shapes for the transformers that change a field's type
     * (not just presence): Encounter.class cc→Coding, ImagingStudy

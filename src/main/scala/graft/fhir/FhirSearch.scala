@@ -77,6 +77,13 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
       df = df.filter(col("id").isin(v.split(",").toSeq: _*))
     }
 
+    // _lastUpdated/_tag: server-meta params that share date/token
+    // semantics with ordinary params — route through the registry (they
+    // land here rather than in `filters` because of the `_` prefix)
+    controls.collect {
+      case (n @ ("_lastUpdated" | "_tag"), v) => (n, v)
+    }.foreach { case (n, v) => df = applyParam(resType, df, n, v) }
+
     // _filter expression language: parsed once, compiled onto the same
     // param registry; conjoined with any plain params (the FHIR rule:
     // _filter is one more AND-ed criterion)
@@ -360,6 +367,12 @@ object FhirSearch {
     */
   def paramDef(resType: String, name: String): ParamDef = (resType, name) match {
     case ("Patient", "_id") => strParam(col("id"))
+    // server-meta params: _lastUpdated is an instant (date semantics over
+    // the ISO-8601 string), _tag an ordinary token over meta.tag
+    case ("Patient", "_lastUpdated") =>
+      dateParam(col("meta").getField("lastUpdated"))
+    case ("Patient", "_tag") =>
+      tokenCodingParam(col("meta").getField("tag"))
     case ("Patient", "gender") => strParam(col("gender"))
     case ("Patient", "birthdate") => dateParam(col("birthDate"))
     case ("Patient", "active") => ParamDef(

@@ -453,6 +453,32 @@ object SearchPack extends QueryPack {
         .select(col("id"), col("gender")).orderBy("id"),
       Some(s"""SELECT id, gender FROM ${rj("Patient")}
               |WHERE id IN ('p-003','p-007','p-010') AND gender = 'female'
+              |ORDER BY id""".stripMargin)),
+
+    // _lastUpdated: server-meta instant param with date prefix semantics
+    QueryDef(
+      "search_lastupdated",
+      (s, _) => eng(s).search("Patient?_lastUpdated=ge2024-06")
+        .select(col("id"), col("meta.lastUpdated").as("last_updated"))
+        .orderBy("id"),
+      Some(s"""SELECT id, meta.lastUpdated AS last_updated
+              |FROM read_json('$Fix/Patient.ndjson', format='newline_delimited',
+              |               timestampformat='%d__%m')
+              |WHERE meta.lastUpdated >= '2024-06' ORDER BY id""".stripMargin)),
+              // unmatched timestampformat keeps the ISO instant VARCHAR,
+              // matching the engine's lexicographic date semantics
+
+    // _tag: server-meta token param (system|code over meta.tag)
+    QueryDef(
+      "search_tag",
+      (s, _) => eng(s).search(
+        "Patient?_tag=https://example.org/tags|batch-a&gender=male")
+        .select(col("id"), col("gender")).orderBy("id"),
+      Some(s"""SELECT id, gender FROM ${rj("Patient")} p
+              |WHERE len(list_filter(p.meta.tag, t ->
+              |  t."system" = 'https://example.org/tags'
+              |  AND t.code = 'batch-a')) > 0
+              |  AND gender = 'male'
               |ORDER BY id""".stripMargin))
   )
 }

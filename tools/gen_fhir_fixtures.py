@@ -47,6 +47,14 @@ def patients():
             "gender": "female" if i % 2 == 0 else "male",
             "birthDate": f"{1950 + (i * 7) % 50}-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}",
             "active": i % 5 != 0,
+            # server-maintained meta: substrate for _lastUpdated (date
+            # param on meta.lastUpdated) and _tag (token param on meta.tag)
+            "meta": {
+                "lastUpdated": f"2024-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}"
+                               f"T{i % 24:02d}:00:00Z",
+                "tag": [{"system": "https://example.org/tags",
+                         "code": "batch-a" if i % 3 == 0 else "batch-b"}],
+            },
         }
 
 
