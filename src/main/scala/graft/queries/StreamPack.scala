@@ -149,6 +149,21 @@ object StreamPack extends QueryPack {
              |           ORDER BY value DESC, event_id) AS BIGINT) AS rank
              |  FROM events
              |)
-             |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin)),
+
+    // Stream-static enrichment join, batch face: events enriched against
+    // the (bounded) customer dimension, aggregated per market segment.
+    // The SAME enrichAgg runs under Structured Streaming in StreamingSpec
+    // — there the broadcast dim is re-planned per microbatch and only the
+    // per-segment aggregate is state.
+    QueryDef(
+      "stream_enrich",
+      (s, d) =>
+        EventStreams.enrichAgg(T.events(s, d), T.customer(s, d))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(38,3))) AS DOUBLE) AS sum_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

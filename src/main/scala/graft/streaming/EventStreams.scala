@@ -54,6 +54,22 @@ object EventStreams {
       stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
     else stream.dropDuplicates("event_id")
 
+  /** Stream-static enrichment join (the dimension-lookup shape every
+    * event pipeline runs first): the unbounded event stream joins a
+    * bounded dimension table, then aggregates per dimension attribute.
+    * The static side is broadcast — in streaming mode Spark re-plans the
+    * join per microbatch, so the dim rides as a broadcast hash table and
+    * the stream side never shuffles for the join; state is only the
+    * (tiny) per-segment aggregate. Identical semantics in batch mode
+    * (StreamingSpec asserts stream == batch == oracle).
+    */
+  def enrichAgg(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
+
   /** Stream-stream interval join: each click matched to same-user
     * purchases in the preceding `lookback`. Both sides carry watermarks,
     * and the join condition bounds event-time distance, so Spark can

@@ -48,6 +48,16 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(stream).count() == 0)
   }
 
+  test("stream-static enrichment join (complete mode) == batch on same data") {
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val stream = runStream(Seq(base.take(4), base.drop(4)),
+      df => EventStreams.enrichAgg(df, dim), mode = "complete")
+    val batch = EventStreams.enrichAgg(base.toDF(), dim)
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0)
+  }
+
   test("watermark drops data later than the delay") {
     // batch 1 advances event time to 0:41; batch 2 delivers an event at
     // 0:01 — 40 min late, beyond the 10 min watermark → excluded from the
