@@ -1059,6 +1059,46 @@ object RelationalPack extends QueryPack {
       Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C3 shuffled-hash join, explicitly selected. When the build side is
+    // far smaller than the probe side but above the broadcast threshold,
+    // SHJ skips the sort SMJ would pay on BOTH shuffled sides — the right
+    // call at 100 TB for medium-dim⋈fact. The hint demonstrates strategy
+    // control; RelationalSpec asserts the physical operator.
+    QueryDef(
+      "q46_shuffled_hash_join",
+      (s, d) =>
+        T.customer(s, d).hint("shuffle_hash")
+          .join(T.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), 2).as("sum_price"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C4 approximate grouped quantiles (G-K sketch): the mergeable-sketch
+    // path for percentile at 100 TB — bounded memory per group vs the
+    // exact multiset buffer of q38. Rows-only gate (sketch internals are
+    // engine-specific); RelationalSpec bounds its error against q38's
+    // exact quartiles.
+    QueryDef(
+      "q47_approx_quantile",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_percentile(col("l_extendedprice"),
+              array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+          .select(col("l_returnflag"),
+            element_at(col("qs"), 1).as("q25"),
+            element_at(col("qs"), 2).as("q50"),
+            element_at(col("qs"), 3).as("q75"))
+          .orderBy("l_returnflag"),
+      None)
   )
 }

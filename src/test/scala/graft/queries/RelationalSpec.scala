@@ -35,6 +35,26 @@ class RelationalSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("q46 hint selects a shuffled hash join (no sort on either side)") {
+    val plan = RelationalPack
+      .queries("q46_shuffled_hash_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
+  test("q47 approx quartiles within 5% of q38 exact quartiles") {
+    val d = "/root/testdata/sf0.01"
+    val approx = RelationalPack.queries("q47_approx_quantile")(spark, d)
+    val exact = RelationalPack.queries("q38_percentiles")(spark, d)
+      .select(col("l_returnflag"), col("q25").as("e25"), col("q50").as("e50"),
+        col("q75").as("e75"))
+    val bad = approx.join(exact, "l_returnflag").filter(
+      abs(col("q25") - col("e25")) > col("e25") * 0.05 ||
+      abs(col("q50") - col("e50")) > col("e50") * 0.05 ||
+      abs(col("q75") - col("e75")) > col("e75") * 0.05)
+    assert(bad.count() == 0)
+  }
+
   test("q45 bucketed join shuffles neither side on the join key") {
     val plan = RelationalPack
       .queries("q45_bucketed_join")(spark, "/root/testdata/sf0.001")
