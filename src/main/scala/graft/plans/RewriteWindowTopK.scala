@@ -48,10 +48,28 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
       boundOf(cond, rn) match {
         case Some(k) if k > 0 && !keepsRank =>
           Project(projectList, TopKPerKey(part, order, k, child))
-        case Some(k) if k <= 0 && !keepsRank =>
+        case Some(k) if k > 0 && keepsRank =>
+          // rank kept: the rank-preserving operator emits the 1..k
+          // position under the SAME attribute (exprId) the window alias
+          // bound, so the project resolves unchanged and the filter is
+          // subsumed by the bound
+          Project(projectList, TopKPerKey(part, order, k, child, Some(rn)))
+        case Some(k) if k <= 0 =>
           // rn <= 0 is the empty result; leave it to the normal planner
           p
         case _ => p
+      }
+
+    // bare Filter(Window) — no project above, so the rank column is part
+    // of the output by construction: rank-preserving rewrite
+    case f @ Filter(cond, Window(Seq(al @ Alias(
+        WindowExpression(RowNumber(), WindowSpecDefinition(part, order, _)),
+        _)), _, _, child, _))
+        if part.nonEmpty && order.nonEmpty =>
+      val rn = al.toAttribute
+      boundOf(cond, rn) match {
+        case Some(k) if k > 0 => TopKPerKey(part, order, k, child, Some(rn))
+        case _ => f
       }
   }
 }

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression,
-  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+  GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection,
+  UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, UnspecifiedDistribution}
@@ -37,10 +38,14 @@ case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
   require(k > 0, s"top-k needs k > 0, got $k")
   require(keys.nonEmpty, "top-k per key needs at least one key")
-  override def output: Seq[Attribute] = child.output
+  // rank-preserving form: emit the 1..k position under `order` as one
+  // extra column (the attribute — same exprId — the rewritten window's
+  // row_number alias bound, so parents resolve unchanged)
+  override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -53,10 +58,12 @@ case class TopKPerKey(
   */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case TopKPerKey(keys, order, k, child, rankAttr) =>
+      // only the final phase ranks: partial survivors are per-input-
+      // partition candidates whose position is not yet meaningful
       val partial =
         TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+      TopKPerKeyExec(keys, order, k, partial = false, partial, rankAttr) :: Nil
     case _ => Nil
   }
 }
@@ -77,9 +84,10 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
 
   override def nodeName: String =
     if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
@@ -97,6 +105,7 @@ case class TopKPerKeyExec(
     val limit = k
     val childOutput = child.output
     val numOutputRows = longMetric("numOutputRows")
+    val rank = rankAttr.isDefined
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord: Ordering[InternalRow] = RowOrdering.create(sortOrder, childOutput)
@@ -117,9 +126,30 @@ case class TopKPerKeyExec(
           heap.add(row.copy())
         }
       }
-      heaps.values().iterator().asScala.flatMap { h =>
-        numOutputRows += h.size()
-        h.iterator().asScala
+      if (rank) {
+        // rank-preserving emit: k is small, so sorting each key's ≤k
+        // survivors is O(k log k) per key — still no partition-wide sort.
+        // Downstream consumers (collect, shuffle writers) require
+        // UnsafeRow, so the joined (row, rank) is run through an unsafe
+        // projection; buffers are reused per Spark operator convention.
+        val toUnsafe = UnsafeProjection.create(
+          (childOutput.map(_.dataType) :+
+            org.apache.spark.sql.types.IntegerType).toArray)
+        val rankCell = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        heaps.values().iterator().asScala.flatMap { h =>
+          numOutputRows += h.size()
+          val rows = h.iterator().asScala.toArray.sorted(ord)
+          rows.iterator.zipWithIndex.map { case (r, i) =>
+            rankCell.setInt(0, i + 1)
+            toUnsafe(joined(r, rankCell))
+          }
+        }
+      } else {
+        heaps.values().iterator().asScala.flatMap { h =>
+          numOutputRows += h.size()
+          h.iterator().asScala
+        }
       }
     }, preservesPartitioning = true)
   }

@@ -96,12 +96,33 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
-  test("RewriteWindowTopK leaves rank-keeping and rank-projecting plans alone") {
-    val w = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc)
+  test("RewriteWindowTopK rank-preserving: kept rank plans as the heap " +
+      "operator and matches the window form") {
+    // tie-free ordering (unique key appended) so row_number is
+    // deterministic and the two forms are value-identical
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
     val kept = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
-    kept.write.format("noop").mode("overwrite").save()
     val plan = kept.queryExecution.executedPlan.toString
-    assert(plan.contains("Window"), plan)
-    assert(!plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("TopKPerKeyFinal"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // values (including the rank column) equal the un-rewritten window's:
+    // rank() over the same TIE-FREE ordering computes the identical
+    // column but is not matched by the rewrite, so it still plans as a
+    // real Window — an in-engine oracle
+    val noRewrite = li.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 4)
+    assert(noRewrite.queryExecution.executedPlan.toString.contains("Window"))
+    assert(kept.collect().map(_.toSeq).toSet ==
+      noRewrite.collect().map(_.toSeq).toSet)
+  }
+
+  test("RewriteWindowTopK leaves rank()/dense_rank() windows alone") {
+    val w = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc)
+    val kept = li.withColumn("rk", rank().over(w)).filter(col("rk") <= 4)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("TopKPerKey"), plan.take(3000))
   }
 }
