@@ -1099,6 +1099,60 @@ object RelationalPack extends QueryPack {
             element_at(col("qs"), 2).as("q50"),
             element_at(col("qs"), 3).as("q75"))
           .orderBy("l_returnflag"),
-      None)
+      None),
+
+    // ----------------------------------------------------------------
+    // C5 ranking-function battery: dense_rank / ntile / percent_rank /
+    // cume_dist over one per-key total order — one Window pass, one
+    // shuffle on the partition key. Rank VALUES depend only on the
+    // ordering keys, so the output is deterministic even under ties.
+    QueryDef(
+      "q48_rank_battery",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        T.customer(s, d)
+          .filter(col("c_custkey") < 500)
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            dense_rank().over(w).cast(LongType).as("drk"),
+            ntile(4).over(w).cast(LongType).as("quartile"),
+            round(percent_rank().over(w), 6).as("prk"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+             |  DENSE_RANK() OVER w AS drk,
+             |  NTILE(4) OVER w AS quartile,
+             |  ROUND(PERCENT_RANK() OVER w, 6) AS prk,
+             |  ROUND(CUME_DIST() OVER w, 6) AS cd
+             |FROM customer
+             |WHERE c_custkey < 500
+             |WINDOW w AS (PARTITION BY c_mktsegment
+             |             ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C1 schema evolution: two writer generations with diverging schemas
+    // (a column added later), one mergeSchema read presenting the union
+    // schema with nulls where the old generation lacks the column — the
+    // long-lived-dataset pattern (at 100 TB you never rewrite history to
+    // add a column).
+    QueryDef(
+      "q49_schema_merge",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_${s.sparkContext.applicationId}"
+        val o = T.orders(s, d)
+        o.filter(col("o_orderkey") < 1000)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        o.filter(col("o_orderkey") >= 1000)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/gen=1", s"$out/gen=2")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CASE WHEN o_orderkey >= 1000 THEN o_orderstatus END AS o_orderstatus
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }
