@@ -27,6 +27,15 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("q42 correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val plan = RelationalPack
+      .queries("q42_exists_subquery")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("NestedLoop"), plan.take(3000))
+  }
+
   test("q44 read side prunes partitions (PartitionFilters on o_month)") {
     val plan = RelationalPack
       .queries("q44_partition_pruning")(spark, "/root/testdata/sf0.001")
