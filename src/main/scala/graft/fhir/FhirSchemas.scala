@@ -153,6 +153,15 @@ object FhirSchemas {
     * transform.py, so they carry no transformer — schema + search surface
     * only.
     */
+  /** Server-maintained metadata — the `_lastUpdated` (instant) and `_tag`
+    * (token) search substrate, shared by every type that declares meta.
+    */
+  val resourceMeta: StructType = StructType(Seq(
+    StructField("lastUpdated", StringType),
+    StructField("tag", ArrayType(StructType(Seq(
+      StructField("system", StringType),
+      StructField("code", StringType)))))))
+
   val observation: StructType = StructType(Seq(
     StructField("resourceType", StringType),
     StructField("id", StringType),
@@ -162,7 +171,8 @@ object FhirSchemas {
     StructField("effectiveDateTime", StringType),
     StructField("category", ArrayType(codeableConcept)),
     StructField("valueQuantity", quantity),
-    StructField("encounter", reference)))
+    StructField("encounter", reference),
+    StructField("meta", resourceMeta)))
 
   val condition: StructType = StructType(Seq(
     StructField("resourceType", StringType),
@@ -191,13 +201,7 @@ object FhirSchemas {
     StructField("gender", StringType),
     StructField("birthDate", StringType),
     StructField("active", BooleanType),
-    // server-maintained metadata: _lastUpdated (date) and _tag (token)
-    // search substrate
-    StructField("meta", StructType(Seq(
-      StructField("lastUpdated", StringType),
-      StructField("tag", ArrayType(StructType(Seq(
-        StructField("system", StringType),
-        StructField("code", StringType))))))))))
+    StructField("meta", resourceMeta)))
 
   /** R4 OUTPUT shapes for the transformers that change a field's type
     * (not just presence): Encounter.class cc→Coding, ImagingStudy

@@ -368,10 +368,11 @@ object FhirSearch {
   def paramDef(resType: String, name: String): ParamDef = (resType, name) match {
     case ("Patient", "_id") => strParam(col("id"))
     // server-meta params: _lastUpdated is an instant (date semantics over
-    // the ISO-8601 string), _tag an ordinary token over meta.tag
-    case ("Patient", "_lastUpdated") =>
+    // the ISO-8601 string), _tag an ordinary token over meta.tag — one
+    // definition per meta-carrying type (FhirSchemas.resourceMeta)
+    case ("Patient" | "Observation", "_lastUpdated") =>
       dateParam(col("meta").getField("lastUpdated"))
-    case ("Patient", "_tag") =>
+    case ("Patient" | "Observation", "_tag") =>
       tokenCodingParam(col("meta").getField("tag"))
     case ("Patient", "gender") => strParam(col("gender"))
     case ("Patient", "birthdate") => dateParam(col("birthDate"))

@@ -479,6 +479,22 @@ object SearchPack extends QueryPack {
               |  t."system" = 'https://example.org/tags'
               |  AND t.code = 'batch-a')) > 0
               |  AND gender = 'male'
+              |ORDER BY id""".stripMargin)),
+
+    // server-meta params on a second type (Observation), _tag composed
+    // with an ordinary param and an _lastUpdated range
+    QueryDef(
+      "search_obs_meta",
+      (s, _) => eng(s).search(
+        "Observation?_tag=routine&status=final&_lastUpdated=lt2024-10")
+        .select(col("id"), col("status"),
+          col("meta.lastUpdated").as("last_updated"))
+        .orderBy("id"),
+      Some(s"""SELECT id, status, meta.lastUpdated AS last_updated
+              |FROM read_json('$Fix/Observation.ndjson', format='newline_delimited',
+              |               timestampformat='%d__%m')
+              |WHERE len(list_filter(meta.tag, t -> t.code = 'routine')) > 0
+              |  AND status = 'final' AND meta.lastUpdated < '2024-10'
               |ORDER BY id""".stripMargin))
   )
 }

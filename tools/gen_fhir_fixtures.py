@@ -286,6 +286,13 @@ def observations():
             "category": [{"coding": [
                 {"system": "http://terminology.hl7.org/CodeSystem/observation-category",
                  "code": "laboratory" if i % 3 else "vital-signs"}]}],
+            # server meta for _lastUpdated/_tag (same shape as Patient)
+            "meta": {
+                "lastUpdated": f"2024-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}"
+                               f"T{i % 24:02d}:30:00Z",
+                "tag": [{"system": "https://example.org/tags",
+                         "code": "lab-load" if i % 4 == 0 else "routine"}],
+            },
         }
         if i % 7 != 0:  # some observations carry no value (:missing target)
             o["valueQuantity"] = {"value": round(10 + (i * 37) % 130 + i / 8, 1),
