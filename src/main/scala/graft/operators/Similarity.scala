@@ -109,28 +109,36 @@ object Similarity {
     import spark.implicits._
     val cents = centers.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
       .toSeq.toDF("cell", "centroid")
-    // full-corpus assignment: one codegen'd exploded-join pass (argmin of
-    // squared distance ≡ argmax of dot − ‖c‖²/2 for each vector)
-    val centElems = cents.select(col("cell"),
-      posexplode(col("centroid")).as(Seq("i", "c")))
-    val chalf = cents.select(col("cell"),
-      (aggregate(transform(col("centroid"), x => x * x),
-        lit(0.0), (a, v) => a + v) / 2).as("chalf"))
-    val vecElems = corpus.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"), col("x").cast(DoubleType).as("x"))
-    val wv = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cell"))
-    val assignment = vecElems.join(broadcast(centElems), Seq("i"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(sum(col("x") * col("c")).as("cdot"))
-      .join(broadcast(chalf), Seq("cell"))
-      .withColumn("cscore", col("cdot") - col("chalf"))
-      .withColumn("crank", row_number().over(wv))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("cell"))
-    val assigned = corpus.join(assignment, Seq("vec_id"))
+    // full-corpus assignment (argmin squared distance ≡ argmax of
+    // dot − ‖c‖²/2): one fused-loop native expression pass
+    // (functions/IvfAssign). The exploded-join formulation this replaced
+    // shuffled n·ncells aggregate groups — fine at 8 cells, but near-dup
+    // pruning scales ncells WITH the corpus, making the join grow
+    // quadratically-ish; the expression is a map with identical
+    // arithmetic (same element-order double sums, same low-cell
+    // tie-break).
+    val assigned = corpus.withColumn("cell",
+      element_at(assignCells(centers, nassign = 1, euclid = true), 1))
     (assigned, cents)
+  }
+
+  /** Centroids of a (cell, centroid) frame as a cell-indexed local array
+    * (cells are 0..ncells-1 by construction; the frame is metadata-sized).
+    */
+  private def centersOf(cents: DataFrame): Array[Array[Double]] =
+    cents.orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** `nassign` nearest cells per embedding, nearest first, as a native
+    * fused-loop column ([[graft.functions.IvfAssignExpr]]).
+    */
+  private def assignCells(centers: Array[Array[Double]], nassign: Int,
+      euclid: Boolean): Column = {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    GraftSqlShims.columnOf(graft.functions.IvfAssignExpr(
+      UnresolvedAttribute("embedding"), centers.flatten,
+      centers.length, nassign, euclid))
   }
 
   /** Session-scoped IVF index memoization: a real engine fits the coarse
@@ -277,27 +285,16 @@ object Similarity {
       ncells: Int = 16, nassign: Int = 2, scale: Int = 5,
       index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val cents = index.map(_._2).getOrElse(ivfIndex(corpus, ncells)._2)
-    // cell assignment via exploded dot products, NOT a lambda cosine over
-    // a cross join: HOFs run interpreted, while explode→join→agg is
-    // whole-stage-codegen'd (~20× on this shape). Ranking by dot/|c| per
-    // vector equals ranking by cosine (the vector's own norm is constant
-    // within its window). Both centroid tables are ncells(-×dims) rows —
-    // legitimately broadcast.
-    val centElems = cents.select(col("cell"),
-      posexplode(col("centroid")).as(Seq("i", "c")))
-    val cnorms = cents.select(col("cell"), norm(col("centroid")).as("cnorm"))
+    // cell assignment via the fused-loop native expression (same pass as
+    // ivfIndex, cosine scoring: ranking by dot/‖c‖ per vector equals
+    // ranking by cosine — the vector's own norm is constant within its
+    // candidates). nassign > 1 catches boundary pairs.
+    val centers = centersOf(cents)
+    val assignments = corpus.select(col("vec_id"),
+      explode(assignCells(centers, nassign, euclid = false)).as("cell"))
     val vecElems = corpus.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"), col("x").cast(DoubleType).as("x"))
-    val wv = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cell"))
-    val assignments = vecElems.join(broadcast(centElems), Seq("i"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(sum(col("x") * col("c")).as("cdot"))
-      .join(broadcast(cnorms), Seq("cell"))
-      .withColumn("cscore", col("cdot") / col("cnorm"))
-      .withColumn("crank", row_number().over(wv))
-      .filter(col("crank") <= nassign)
-      .select(col("vec_id"), col("cell"))
     val norms = corpus.select(col("vec_id"), norm(col("embedding")).as("nrm"))
     // the (cell, dim)-keyed element table is the index: materialize it so
     // the pair self-join's two sides don't each recompute the assignment

@@ -58,14 +58,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
-  test("dedup_embedding_cosine: only the tiny centroid table is broadcast, never the corpus") {
+  test("dedup_embedding_cosine: cells assigned by the fused expression; nothing corpus-sized broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LocalRelation, ResolvedHint}
     val df = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, d)
+    // assignment is the native ivf_cells expression (a map over the
+    // corpus), not a broadcast join — round 6 replaced the exploded
+    // centroid join whose aggregate grew with n·ncells
+    assert(df.queryExecution.analyzed.toString.contains("ivf_cells"),
+      df.queryExecution.analyzed.toString.take(1500))
+    // any remaining broadcast hint must cover only metadata-sized local
+    // relations (centroids) — a file scan under a hint would mean the
+    // corpus itself is being broadcast
     val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
-    assert(hints.nonEmpty, "expected the centroid broadcast hint")
-    // every broadcast hint must cover a plan whose leaves are all local
-    // (the k-means centroid LocalRelation) — a file scan under a hint
-    // would mean the corpus itself is being broadcast
     hints.foreach { h =>
       val leaves = h.child.collect { case l: LeafNode => l }
       assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation]),
