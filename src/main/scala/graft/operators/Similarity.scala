@@ -290,30 +290,29 @@ object Similarity {
     // ranking by cosine — the vector's own norm is constant within its
     // candidates). nassign > 1 catches boundary pairs.
     val centers = centersOf(cents)
-    val assignments = corpus.select(col("vec_id"),
-      explode(assignCells(centers, nassign, euclid = false)).as("cell"))
-    val vecElems = corpus.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"), col("x").cast(DoubleType).as("x"))
-    val norms = corpus.select(col("vec_id"), norm(col("embedding")).as("nrm"))
-    // the (cell, dim)-keyed element table is the index: materialize it so
-    // the pair self-join's two sides don't each recompute the assignment
-    val elems = vecElems.join(assignments, Seq("vec_id"))
-      .select(col("vec_id"), col("cell"), col("i"), col("x"))
+    // the celled VECTOR table is the index: materialize it so the pair
+    // self-join's two sides don't each recompute the assignment
+    val celled = corpus
+      .select(col("vec_id"),
+        explode(assignCells(centers, nassign, euclid = false)).as("cell"),
+        col("embedding"))
       .cache()
-    val partials = elems.as("a").join(elems.as("b"),
-        col("a.cell") === col("b.cell") && col("a.i") === col("b.i") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        col("a.cell").as("cell"))
-      .agg(sum(col("a.x") * col("b.x")).as("dot"))
+    // within-cell pair join over WHOLE vectors, cosine via the fused
+    // codegen'd array_cosine — one output row per candidate pair. The
+    // earlier element-exploded formulation pushed dims× as many rows
+    // through the join and re-aggregated them; this join's output is
+    // exactly Σ|cell|²/2 rows and the 64-mult dot runs inside codegen.
+    // array_cosine's sequential double arithmetic is bit-identical to
+    // the old sum-aggregate-of-products / (‖a‖·‖b‖) (verified: all six
+    // affected gate outputs byte-identical across the rewrite).
+    val pairs = celled.as("a").join(celled.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosine(col("a.embedding"), col("b.embedding")).as("raw"))
     // a pair sharing BOTH assigned cells is scored once per shared cell
-    // with identical dots — max() dedupes
-    val dots = partials.groupBy("va", "vb").agg(max(col("dot")).as("dot"))
-    dots
-      .join(norms.select(col("vec_id").as("va"), col("nrm").as("na")), "va")
-      .join(norms.select(col("vec_id").as("vb"), col("nrm").as("nb")), "vb")
-      .withColumn("score", round(col("dot") / (col("na") * col("nb")), scale))
+    // with identical scores — max() dedupes
+    pairs.groupBy("va", "vb").agg(max(col("raw")).as("raw"))
+      .withColumn("score", round(col("raw"), scale))
       .filter(col("score") >= threshold)
       .select(col("va"), col("vb"), col("score"))
   }
