@@ -129,6 +129,41 @@ object Similarity {
     cents.orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
 
+  /** Persist an IVF index: the celled corpus as parquet PARTITIONED BY
+    * cell — so probing nprobe cells is a partition prune, not a scan —
+    * plus the centroid table as JSON metadata (the writePqIndex
+    * pattern). At 100 TB this layout is the whole point of IVF: a
+    * 2-of-64-cell probe reads ~3% of the files, enforced by the
+    * directory structure rather than a filter.
+    */
+  def writeIvfIndex(corpus: DataFrame, ncells: Int, path: String): Unit = {
+    val (assigned, cents) = ivfIndex(corpus, ncells)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val json = centersOf(cents)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    Seq(json).toDF("centroids").coalesce(1)
+      .write.mode("overwrite").json(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index: (celled corpus, centroid table) in the
+    * shape [[ivfIndex]] returns, so every query path accepts either a
+    * fresh or a loaded index interchangeably.
+    */
+  def readIvfIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val assigned = spark.read.parquet(s"$path/cells")
+    val json = spark.read.json(s"$path/centroids")
+      .select(col("centroids")).head().getString(0)
+    val centers = json.stripPrefix("[[").stripSuffix("]]")
+      .split("\\],\\[").map(_.split(",").map(_.toDouble))
+    import spark.implicits._
+    val cents = centers.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+    (assigned, cents)
+  }
+
   /** `nassign` nearest cells per embedding, nearest first, as a native
     * fused-loop column ([[graft.functions.IvfAssignExpr]]).
     */

@@ -167,4 +167,20 @@ class SimilaritySpec extends SparkSpec {
       codebooks = Some(cbLoaded), encodedIndex = Some(codes))
     assert(fresh.exceptAll(loaded).isEmpty && loaded.exceptAll(fresh).isEmpty)
   }
+
+  test("IVF index persists cell-partitioned: load + query == fit + query, " +
+      "and probes prune partitions dynamically") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/ivfidx_${spark.sparkContext.applicationId}"
+    Similarity.writeIvfIndex(corpus, ncells = 8, dir)
+    val idx = Similarity.readIvfIndex(spark, dir)
+    val fresh = Similarity.topKIvf(corpus, queries, 10, ncells = 8)
+    val loaded = Similarity.topKIvf(corpus, queries, 10, ncells = 8,
+      index = Some(idx))
+    assert(fresh.exceptAll(loaded).isEmpty && loaded.exceptAll(fresh).isEmpty)
+    // the probe join against the cell-PARTITIONED store plans a dynamic
+    // partition prune: only the probed cells' directories are read —
+    // at scale THIS is why the index is laid out by cell
+    val plan = loaded.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+  }
 }
