@@ -112,14 +112,17 @@ object DedupPack extends QueryPack {
 
     // Dedup endgame: exact-Jaccard pairs → connected components →
     // survivor election (min doc_id per component). Components via
-    // distributed min-label propagation; oracle via recursive CTE.
+    // alternating large-star/small-star contraction (O(log n) rounds
+    // independent of graph diameter — the 100 TB path; the O(diameter)
+    // label propagation remains as Dedup.connectedComponents); oracle via
+    // recursive CTE.
     QueryDef(
       "dedup_components",
       (s, d) => {
         val corpus = Dedup.withMutants(
           T.documents(s, d).filter(col("doc_id") < JaccardCap)
             .select(col("doc_id"), col("text")))
-        val comp = Dedup.connectedComponents(Dedup.jaccardPairs(corpus, 3, 0.5))
+        val comp = Dedup.connectedComponentsStar(Dedup.jaccardPairs(corpus, 3, 0.5))
         corpus.select(col("doc_id"))
           .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .withColumn("component", coalesce(col("component"), col("doc_id")))

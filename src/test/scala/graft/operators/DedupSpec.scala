@@ -31,6 +31,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(none).count() == 0)
   }
 
+  test("star CC: matches label propagation on chains, islands, cliques") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L),         // chain + island
+      (20L, 21L), (21L, 22L), (20L, 22L),      // clique
+      (30L, 31L), (31L, 30L), (32L, 31L)       // duplicate/reversed edges
+    ).toDF("da", "db")
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    assert(star(3L) == 1L && star(22L) == 20L && star(32L) == 30L)
+  }
+
+  test("star CC: 1000-node path converges within the logarithmic round cap") {
+    import spark.implicits._
+    // Worst case for label propagation (diameter 999 → 999 rounds, far
+    // past the 50-round cap); star contraction must finish in O(log n).
+    // Getting every label right IS the round-count assertion.
+    val path = (0L until 999L).map(i => (i, i + 1)).toDF("da", "db")
+    val star = Dedup.connectedComponentsStar(path).collect()
+    assert(star.length == 1000)
+    assert(star.forall(_.getLong(1) == 0L))
+  }
+
+  test("star CC: empty pair set yields an empty labeling") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.connectedComponentsStar(none).count() == 0)
+  }
+
   test("minhash-LSH recall >= 0.95 vs brute-force jaccard, no false positives") {
     val truth = Dedup.jaccardPairs(corpus, 3, 0.5)
       .select(col("da"), col("db")).cache()
