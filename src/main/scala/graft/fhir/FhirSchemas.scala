@@ -33,6 +33,17 @@ object FhirSchemas {
     StructField("reference", StringType),
     StructField("display", StringType)))
 
+  /** Server-maintained metadata — the `_lastUpdated` (instant) and `_tag`
+    * (token) search substrate, shared by every type that declares meta.
+    * (Declared before the per-type schemas that embed it: object vals
+    * initialize in declaration order.)
+    */
+  val resourceMeta: StructType = StructType(Seq(
+    StructField("lastUpdated", StringType),
+    StructField("tag", ArrayType(StructType(Seq(
+      StructField("system", StringType),
+      StructField("code", StringType)))))))
+
   val attachment: StructType = StructType(Seq(
     StructField("contentType", StringType),
     StructField("title", StringType),
@@ -55,7 +66,8 @@ object FhirSchemas {
     StructField("content", ArrayType(docContent)),
     StructField("context", StructType(Seq(
       StructField("related", ArrayType(reference))))),
-    StructField("basedOn", ArrayType(reference))))
+    StructField("basedOn", ArrayType(reference)),
+    StructField("meta", resourceMeta)))
 
   val bodyStructure: StructType = StructType(Seq(
     StructField("resourceType", StringType),
@@ -78,7 +90,8 @@ object FhirSchemas {
     StructField("class", codeableConcept),
     StructField("reason", ArrayType(StructType(Seq(
       StructField("use", ArrayType(codeableConcept)))))),
-    StructField("reference", ArrayType(reference))))
+    StructField("reference", ArrayType(reference)),
+    StructField("meta", resourceMeta)))
 
   val group: StructType = StructType(Seq(
     StructField("resourceType", StringType),
@@ -87,7 +100,8 @@ object FhirSchemas {
     StructField("type", StringType),
     StructField("actual", BooleanType),
     StructField("member", ArrayType(StructType(Seq(
-      StructField("entity", reference)))))))
+      StructField("entity", reference))))),
+    StructField("meta", resourceMeta)))
 
   /** ImagingStudy: R5 series[].modality CodeableConcept → R4 Coding. */
   val imagingStudy: StructType = StructType(Seq(
@@ -119,7 +133,8 @@ object FhirSchemas {
     StructField("id", StringType),
     StructField("name", StringType),
     StructField("status", StringType),
-    StructField("title", StringType)))
+    StructField("title", StringType),
+    StructField("meta", resourceMeta)))
 
   val researchSubject: StructType = StructType(Seq(
     StructField("resourceType", StringType),
@@ -127,7 +142,8 @@ object FhirSchemas {
     StructField("status", StringType),
     StructField("study", reference),
     StructField("subject", reference),
-    StructField("individual", reference)))
+    StructField("individual", reference),
+    StructField("meta", resourceMeta)))
 
   val specimen: StructType = StructType(Seq(
     StructField("resourceType", StringType),
@@ -138,7 +154,8 @@ object FhirSchemas {
       StructField("procedure", codeableConcept))))),
     StructField("collection", StructType(Seq(
       StructField("procedure", reference),
-      StructField("bodySite", codeableConcept))))))
+      StructField("bodySite", codeableConcept)))),
+    StructField("meta", resourceMeta)))
 
   /** Quantity {value, unit, system, code} — quantity search params. */
   val quantity: StructType = StructType(Seq(
@@ -153,15 +170,6 @@ object FhirSchemas {
     * transform.py, so they carry no transformer — schema + search surface
     * only.
     */
-  /** Server-maintained metadata — the `_lastUpdated` (instant) and `_tag`
-    * (token) search substrate, shared by every type that declares meta.
-    */
-  val resourceMeta: StructType = StructType(Seq(
-    StructField("lastUpdated", StringType),
-    StructField("tag", ArrayType(StructType(Seq(
-      StructField("system", StringType),
-      StructField("code", StringType)))))))
-
   val observation: StructType = StructType(Seq(
     StructField("resourceType", StringType),
     StructField("id", StringType),
@@ -181,7 +189,8 @@ object FhirSchemas {
     StructField("code", codeableConcept),
     StructField("subject", reference),
     StructField("onsetDateTime", StringType),
-    StructField("recordedDate", StringType)))
+    StructField("recordedDate", StringType),
+    StructField("meta", resourceMeta)))
 
   val procedure: StructType = StructType(Seq(
     StructField("resourceType", StringType),
@@ -190,7 +199,8 @@ object FhirSchemas {
     StructField("code", codeableConcept),
     StructField("subject", reference),
     StructField("performedDateTime", StringType),
-    StructField("encounter", reference)))
+    StructField("encounter", reference),
+    StructField("meta", resourceMeta)))
 
   val patient: StructType = StructType(Seq(
     StructField("resourceType", StringType),

@@ -246,6 +246,14 @@ object FhirSearch {
   /** `CompType/{id}/{Type}` compartment request, optionally with ?params. */
   private val compartmentRx = "^([A-Za-z]+)/([^/?]+)/([A-Za-z]+)(?:\\?(.*))?$".r
 
+  /** Types whose fixtures carry server-maintained `meta`
+    * (FhirSchemas.resourceMeta) — the `_lastUpdated`/`_tag` surface.
+    */
+  val MetaTypes: Set[String] = Set(
+    "Patient", "Observation", "Specimen", "Group", "Encounter",
+    "DocumentReference", "ResearchStudy", "ResearchSubject", "Condition",
+    "Procedure")
+
   /** The reference param that places a resource type in the patient
     * compartment (the FHIR patient CompartmentDefinition, restricted to
     * the types this store serves).
@@ -369,10 +377,11 @@ object FhirSearch {
     case ("Patient", "_id") => strParam(col("id"))
     // server-meta params: _lastUpdated is an instant (date semantics over
     // the ISO-8601 string), _tag an ordinary token over meta.tag — one
-    // definition per meta-carrying type (FhirSchemas.resourceMeta)
-    case ("Patient" | "Observation", "_lastUpdated") =>
+    // definition shared by every meta-carrying type
+    // (FhirSchemas.resourceMeta)
+    case (t, "_lastUpdated") if MetaTypes(t) =>
       dateParam(col("meta").getField("lastUpdated"))
-    case ("Patient" | "Observation", "_tag") =>
+    case (t, "_tag") if MetaTypes(t) =>
       tokenCodingParam(col("meta").getField("tag"))
     case ("Patient", "gender") => strParam(col("gender"))
     case ("Patient", "birthdate") => dateParam(col("birthDate"))

@@ -481,6 +481,58 @@ object SearchPack extends QueryPack {
               |  AND gender = 'male'
               |ORDER BY id""".stripMargin)),
 
+    // server-meta params on a TRANSFORMED type (Specimen — proves meta
+    // flows through schemas shared with the R5→R4 transform path)
+    QueryDef(
+      "search_meta_specimen",
+      (s, _) => eng(s).search(
+        "Specimen?_tag=https://example.org/tags|frozen&_lastUpdated=ge2024-04")
+        .select(col("id"), col("meta.lastUpdated").as("last_updated"))
+        .orderBy("id"),
+      Some(s"""SELECT id, meta.lastUpdated AS last_updated
+              |FROM read_json('$Fix/Specimen.ndjson', format='newline_delimited',
+              |               timestampformat='%d__%m')
+              |WHERE len(list_filter(meta.tag, t ->
+              |  t."system" = 'https://example.org/tags'
+              |  AND t.code = 'frozen')) > 0
+              |  AND meta.lastUpdated >= '2024-04' ORDER BY id""".stripMargin)),
+
+    // server-meta on a pass-through analytical type (Condition), _tag
+    // composed with an ordinary token param
+    QueryDef(
+      "search_meta_condition",
+      (s, _) => eng(s).search(
+        "Condition?_tag=claims&clinical-status=active&_lastUpdated=lt2024-09")
+        .select(col("id"), col("meta.lastUpdated").as("last_updated"))
+        .orderBy("id"),
+      Some(s"""SELECT id, meta.lastUpdated AS last_updated
+              |FROM read_json('$Fix/Condition.ndjson', format='newline_delimited',
+              |               timestampformat='%d__%m')
+              |WHERE len(list_filter(meta.tag, t -> t.code = 'claims')) > 0
+              |  AND len(list_filter(clinicalStatus.coding, c ->
+              |    c.code = 'active')) > 0
+              |  AND meta.lastUpdated < '2024-09' ORDER BY id""".stripMargin)),
+
+    // server-meta on DocumentReference composed with a reference param —
+    // the store's highest-cardinality type (27k docs in the reference's
+    // populated store), where an incremental-sync _lastUpdated filter
+    // matters most
+    QueryDef(
+      "search_meta_docref",
+      (s, _) => eng(s).search(
+        "DocumentReference?_tag=ingest-a&status=current&_lastUpdated=ge2024-02&_count=15")
+        .select(col("id"), col("meta.lastUpdated").as("last_updated"))
+        .orderBy("id"),
+      Some(s"""SELECT id, last_updated FROM (
+              |  SELECT id, meta.lastUpdated AS last_updated
+              |  FROM read_json('$Fix/DocumentReference.ndjson',
+              |                 format='newline_delimited',
+              |                 timestampformat='%d__%m')
+              |  WHERE len(list_filter(meta.tag, t -> t.code = 'ingest-a')) > 0
+              |    AND status = 'current' AND meta.lastUpdated >= '2024-02'
+              |  ORDER BY id LIMIT 15
+              |) ORDER BY id""".stripMargin)),
+
     // server-meta params on a second type (Observation), _tag composed
     // with an ordinary param and an _lastUpdated range
     QueryDef(

@@ -33,6 +33,17 @@ mimetypes.add_type('text/x-markdown', '.md', strict=True)
 mimetypes.add_type('text/x-markdown', '.markdown', strict=True)
 
 
+def meta(i, code_a, code_b, minute=15):
+    """Server-maintained meta (the _lastUpdated/_tag search substrate) —
+    deterministic per index, distinct tag vocabulary per caller."""
+    return {
+        "lastUpdated": f"2024-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}"
+                       f"T{i % 24:02d}:{minute:02d}:00Z",
+        "tag": [{"system": "https://example.org/tags",
+                 "code": code_a if i % 3 == 0 else code_b}],
+    }
+
+
 def w(name, rows):
     with open(os.path.join(OUT, name), "w") as f:
         for r in rows:
@@ -63,6 +74,7 @@ def specimens():
         s = {
             "resourceType": "Specimen", "id": f"sp-{i:03d}",
             "subject": {"reference": f"Patient/p-{(i - 1) % 40 + 1:03d}"},
+            "meta": meta(i, "frozen", "ffpe"),
         }
         if i % 2 == 0:
             s["processing"] = [
@@ -107,11 +119,12 @@ def groups():
         "g-10": [member("Specimen/sp-998")],
         "g-11": [member("Patient/p-004")],
     }
-    for gid in sorted(list(claimed) + list(unclaimed)):
+    for gi, gid in enumerate(sorted(list(claimed) + list(unclaimed)), 1):
         yield {
             "resourceType": "Group", "id": gid,
             "membership": "definitional", "type": "specimen",
             "member": claimed.get(gid) or unclaimed[gid],
+            "meta": meta(gi, "cohort", "adhoc"),
         }
 
 
@@ -171,6 +184,7 @@ def docs():
             "version": str((n % 3) + 1), "status": "current",
             "subject": {"reference": subject_ref},
             "content": content,
+            "meta": meta(n, "ingest-a", "ingest-b"),
         }
         # some docs already carry a context.related to exercise the append
         # (assay.py:215-222) vs create path
@@ -193,7 +207,8 @@ def docs():
 
 def encounters():
     for i in range(1, 13):
-        e = {"resourceType": "Encounter", "id": f"e-{i:02d}", "status": "completed"}
+        e = {"resourceType": "Encounter", "id": f"e-{i:02d}", "status": "completed",
+             "meta": meta(i, "ed-load", "clinic")}
         if i % 3 != 0:  # class present → first coding
             first = {"system": "http://terminology.hl7.org/CodeSystem/v3-ActCode",
                      "code": "AMB" if i % 2 else "IMP"}
@@ -210,7 +225,8 @@ def encounters():
     # top-level "reference" key survives the transform (transform.py:40-41)
     yield {"resourceType": "Encounter", "id": "e-13", "status": "planned",
            "class": {"coding": [{"system": "sys", "code": "VR"}]},
-           "reference": [{"reference": "Condition/c-13"}]}
+           "reference": [{"reference": "Condition/c-13"}],
+           "meta": meta(13, "ed-load", "clinic")}
 
 
 def bodystructures():
@@ -320,6 +336,7 @@ def conditions():
             "subject": {"reference": f"Patient/p-{(i * 3 - 2) % 40 + 1:03d}"},
             "onsetDateTime": f"{2015 + i % 8}-{(i % 12) + 1:02d}-01",
             "recordedDate": f"{2019 + i % 5}-{(i % 12) + 1:02d}-15",
+            "meta": meta(i, "problem-list", "claims"),
         }
 
 
@@ -333,6 +350,7 @@ def procedures():
                      "text": f"procedure-{i % 4}"},
             "subject": {"reference": f"Patient/p-{(i * 7 - 6) % 40 + 1:03d}"},
             "performedDateTime": f"{2018 + i % 6}-{(i % 12) + 1:02d}-10T12:00:00Z",
+            "meta": meta(i, "or-log", "claims"),
         }
         if i % 4 == 0:
             p["encounter"] = {"reference": f"Encounter/e-{(i % 12) + 1:02d}"}
@@ -342,7 +360,8 @@ def procedures():
 def researchstudies():
     for i in range(1, 5):
         r = {"resourceType": "ResearchStudy", "id": f"rs-{i}",
-             "status": "active", "title": f"Study {i}"}
+             "status": "active", "title": f"Study {i}",
+             "meta": meta(i, "registry", "manual")}
         if i % 2 == 0:
             r["name"] = f"STUDY-{i}"
         yield r
@@ -353,7 +372,8 @@ def researchsubjects():
         yield {"resourceType": "ResearchSubject", "id": f"rsub-{i}",
                "status": "active",
                "study": {"reference": f"ResearchStudy/rs-{(i % 4) + 1}"},
-               "subject": {"reference": f"Patient/p-{i:03d}"}}
+               "subject": {"reference": f"Patient/p-{i:03d}"},
+               "meta": meta(i, "enrolled", "migrated")}
 
 
 def mime_expected(d):
