@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multi-dimensional file layout (Z-order clustering) for scan pruning at
+  * the 100 TB scale point.
+  *
+  * A table range-partitioned on ONE column prunes scans filtered on that
+  * column, but a filter on any other column touches every file. Z-order
+  * interleaves the bits of k normalized column values into one scalar
+  * whose ordering is a space-filling curve: sorting by it co-locates rows
+  * that are close in ALL k dimensions, so every output file covers a
+  * tight min/max envelope in each dimension and parquet row-group /
+  * file-footer stats prune multi-dimensional range predicates without a
+  * dedicated index. (The same layout idea Delta/Iceberg expose as `ZORDER
+  * BY` / `sort_order(z)` — implemented here on plain parquet with
+  * repartitionByRange + sortWithinPartitions, both ordinary Catalyst
+  * operators.)
+  *
+  * Everything is codegen-friendly column arithmetic: per-column min/max
+  * come from ONE aggregate pass (driver-collected scalars folded into the
+  * expression as literals), normalization is a multiply/shift, and the
+  * bit interleave is an OR-tree of shift/mask terms.
+  */
+object Layout {
+
+  /** Normalize a numeric column to an integer cell index in [0, 2^bits). */
+  private def cellIndex(c: Column, min: Double, max: Double, bits: Int): Column = {
+    val cells = (1L << bits) - 1
+    val span = if (max > min) max - min else 1.0
+    least(lit(cells), greatest(lit(0L),
+      floor((c.cast(DoubleType) - lit(min)) / lit(span) * lit(cells.toDouble))
+        .cast(LongType)))
+  }
+
+  /** Interleave `bits` low bits of each of k cell indices (round-robin:
+    * output bit k*i+j takes bit i of column j) — the Morton/Z-value.
+    * k*bits must stay ≤ 63.
+    */
+  def interleaveBits(cells: Seq[Column], bits: Int): Column = {
+    val k = cells.length
+    require(k * bits <= 63, s"z-value needs $k*$bits bits; max 63")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cells.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), k * i + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-value for the given numeric columns over `df`'s own value ranges
+    * (one aggregate pass for the min/max envelope, folded into literals).
+    */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast(DoubleType)).as(s"_min_$c"),
+      max(col(c).cast(DoubleType)).as(s"_max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val cells = cols.zipWithIndex.map { case (c, i) =>
+      cellIndex(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
+    }
+    interleaveBits(cells, bits)
+  }
+
+  /** Cluster `df` into `numFiles` parquet files ordered along the Z-curve
+    * of `cols`: range-partition on the z-value (equal-frequency file
+    * splits via Spark's range sampler), sort within each partition, write.
+    * Readers filtering a range box over any subset of `cols` then skip
+    * whole files/row-groups on footer stats.
+    */
+  def clusterByZ(df: DataFrame, cols: Seq[String], numFiles: Int,
+      outDir: String, bits: Int = 16): Unit = {
+    val z = zValue(df, cols, bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+}

@@ -731,6 +731,42 @@ object RelationalPack extends QueryPack {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // Skew pattern: salted shuffle JOIN. events has 5 event_type values,
+    // so a shuffle join on event_type reduces on 5 tasks no matter how
+    // many executors exist. Salting the fact with pmod(hash(pk), 8) and
+    // replicating the dim ×8 (one explode — dim rows × salt values)
+    // spreads each hot key over 8 reducers; the merge hint forces the
+    // shuffle path so the gate exercises the salted exchange (a dim this
+    // small would otherwise broadcast — salting is the fallback when the
+    // dim is too big to broadcast and a pre-bucketed layout fixes the
+    // partitioning). Join is 1:1 per (type, salt), so aggregates are
+    // bit-identical to the unsalted plan.
+    QueryDef(
+      "q50_salted_skew_join",
+      (s, d) => {
+        val saltN = 8
+        val ev = T.events(s, d)
+        val dim = ev.select(col("event_type")).distinct()
+          .withColumn("type_weight", length(col("event_type")).cast(LongType))
+        val replicated = dim
+          .withColumn("_salt", explode(sequence(lit(0), lit(saltN - 1))))
+        val salted = ev
+          .withColumn("_salt", pmod(hash(col("event_id")), lit(saltN)))
+        salted.join(replicated.hint("merge"), Seq("event_type", "_salt"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("type_weight")).as("sum_w"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT event_type,
+             |         CAST(length(event_type) AS BIGINT) AS type_weight
+             |  FROM events)
+             |SELECT e.event_type, COUNT(*) AS n, SUM(d.type_weight) AS sum_w
+             |FROM events e JOIN dim d USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // C14 typed UDAF: exact weighted mean via Aggregator[IN,BUF,OUT]
     // (order-independent long buffer — see functions.WeightedMean). The
     // oracle replicates the fixed-point arithmetic digit for digit.
@@ -1027,6 +1063,33 @@ object RelationalPack extends QueryPack {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // C20 Z-order layout: cluster events along the Morton curve of
+    // (user_id, value) so every output file has a tight min/max envelope
+    // in BOTH dimensions — a 2-D box predicate then prunes files on
+    // parquet footer stats, where a 1-D range layout serves only its own
+    // column (FileLayoutSpec asserts the box touches a strict subset of
+    // files). Query result is layout-independent, so the oracle is the
+    // plain filter.
+    QueryDef(
+      "q51_zorder_scan",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_events_${s.sparkContext.applicationId}"
+        graft.operators.Layout.clusterByZ(
+          T.events(s, d).drop("ts"), Seq("user_id", "value"), 8, out)
+        s.read.parquet(out)
+          .filter(col("user_id").between(100, 300) &&
+            col("value").between(10.0, 40.0))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10.0 AND 40.0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ----------------------------------------------------------------
     // C1/C3 bucketed write + co-located join — the shuffle-elimination
