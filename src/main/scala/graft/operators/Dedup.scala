@@ -159,6 +159,36 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs over a bounded prefix,
+    * with LOSSLESS length-band blocking: levenshtein ≤ d forces
+    * |len(a) − len(b)| ≤ d, so with band width > d two matching strings
+    * sit in the same or adjacent bands — one side explodes its band key
+    * to {blk−1, blk, blk+1} and the candidate join is an equi-join on the
+    * band (never a cross product; each qualifying pair matches exactly
+    * one candidate row, so no distinct is needed). The exact distance
+    * then filters candidates. Bounding the compared prefix caps the
+    * O(prefixLen²) DP cost per candidate; fingerprint-identical full
+    * texts are exact dedup's job ([[hash60]]), this operator exists for
+    * the short-edit tail (boilerplate with small insertions).
+    */
+  def editDistanceNearDups(docs: DataFrame, maxDist: Int = 12,
+      prefixLen: Int = 80, band: Int = 16): DataFrame = {
+    require(band > maxDist, s"band $band must exceed maxDist $maxDist")
+    val keyed = docs.select(col("doc_id"),
+        substring(lower(col("text")), 1, prefixLen).as("s"))
+      .withColumn("len", length(col("s")))
+      .withColumn("blk", floor(col("len") / band).cast(LongType))
+    val probe = keyed.withColumn("blk",
+      explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
+    keyed.as("a").join(probe.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("dist"))
+  }
+
   /** Connected components over near-dup pairs: min-label propagation to a
     * fixpoint — each node's component is the smallest id reachable from
     * it. The canonical dedup endgame: pairs → components → elect one
@@ -298,6 +328,57 @@ object Dedup {
       .unionByName(
         edges.select(col("v").as("id"), col("v").as("component")).distinct())
       .distinct()
+  }
+
+  /** Adaptive connected components: pick the physical strategy from the
+    * measured edge count, the same runtime-statistics philosophy AQE
+    * applies to join selection. A near-dup pair graph is orders of
+    * magnitude smaller than its corpus (pairs exist only where the
+    * LSH/Jaccard stage found overlap), so the common case fits ONE task:
+    * repartition(1) + a per-partition union-find with path compression —
+    * a single executor-side pass, no per-round Spark jobs, still never
+    * driver-materialized. Above the threshold (edge list too big for one
+    * task's memory) the O(log n)-round star contraction takes over.
+    * Both paths emit the identical min-label contract.
+    */
+  def connectedComponentsAdaptive(pairs: DataFrame,
+      localThreshold: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cached = pairs.persist()
+    val n = cached.count()
+    val result =
+      if (n > localThreshold) connectedComponentsStar(cached)
+      else {
+        cached.select(col("da").cast(LongType), col("db").cast(LongType))
+          .as[(Long, Long)]
+          .repartition(1) // exchange: upstream pair generation stays parallel
+          .mapPartitions { it =>
+            val parent = scala.collection.mutable.LongMap.empty[Long]
+            val nodes = scala.collection.mutable.LongMap.empty[Unit]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x // path compression
+              while (parent.getOrElse(c, c) != r) {
+                val next = parent(c); parent.update(c, r); c = next
+              }
+              r
+            }
+            it.foreach { case (a, b) =>
+              nodes.update(a, ()); nodes.update(b, ())
+              val (ra, rb) = (find(a), find(b))
+              // smaller root wins → final labels are component minima
+              if (ra < rb) parent.update(rb, ra)
+              else if (rb < ra) parent.update(ra, rb)
+            }
+            nodes.keysIterator.map(x => (x, find(x)))
+          }
+          .toDF("id", "component")
+          .localCheckpoint()
+      }
+    cached.unpersist()
+    result
   }
 
   /** 60-bit SimHash over the token multiset: bit j is the sign of

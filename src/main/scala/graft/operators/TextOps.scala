@@ -157,6 +157,45 @@ object TextOps {
           sum(col("dcnt")).cast(DoubleType), 6).as("typicality"))
   }
 
+  /** BM25 retrieval: score every document against a fixed bag of query
+    * terms and keep the top k. The inverted structure is implicit: the
+    * explode feeds a map-side-combined (doc, term) count, document
+    * frequencies are a tiny per-term aggregate joined back by broadcast,
+    * and the per-doc score sum runs on ≤|terms| rows per doc. Top-k is
+    * orderBy+limit — TakeOrdered, each partition keeps k rows, no global
+    * sort. Per-term score terms are single IEEE expressions summed
+    * exactly in decimal (the lmTypicality parity pattern), so the DuckDB
+    * oracle reproduces the hash bit-for-bit.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.Exact.dsum
+    val lengths = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast(DoubleType).as("dl"))
+    // scalar stats (N, avgdl) as a broadcast 1-row frame — stays a pure
+    // plan, no driver action
+    val stats = lengths.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast(DoubleType).as("df"))
+    val term = tf
+      .join(broadcast(dfreq), "w")
+      .join(lengths, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    term.groupBy("doc_id")
+      .agg(round(dsum(col("contrib"), 12), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 60-bit numeric bucket key for range-partitioned storage.
     */

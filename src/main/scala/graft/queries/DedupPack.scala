@@ -110,19 +110,44 @@ object DedupPack extends QueryPack {
               |WHERE i / (sa.n + sb.n - i) >= 0.5
               |ORDER BY da, db""".stripMargin)),
 
+    // Edit-distance near-dups: lossless length-band blocking + exact
+    // Levenshtein on an 80-char prefix (Dedup.editDistanceNearDups).
+    // The oracle recomputes all length-compatible pairs brute-force —
+    // blocking must lose nothing for the hashes to match.
+    QueryDef(
+      "dedup_editdistance",
+      (s, d) => {
+        val corpus = Dedup.withMutants(
+          T.documents(s, d).filter(col("doc_id") < JaccardCap)
+            .select(col("doc_id"), col("text")))
+        Dedup.editDistanceNearDups(corpus).orderBy("da", "db")
+      },
+      Some(s"""WITH $MutantCorpus,
+              |keyed AS (
+              |  SELECT doc_id, substr(lower(text), 1, 80) AS s,
+              |         length(substr(lower(text), 1, 80)) AS len
+              |  FROM corpus
+              |)
+              |SELECT a.doc_id AS da, b.doc_id AS db,
+              |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+              |FROM keyed a JOIN keyed b
+              |  ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 12
+              |WHERE levenshtein(a.s, b.s) <= 12
+              |ORDER BY da, db""".stripMargin)),
+
     // Dedup endgame: exact-Jaccard pairs → connected components →
-    // survivor election (min doc_id per component). Components via
-    // alternating large-star/small-star contraction (O(log n) rounds
-    // independent of graph diameter — the 100 TB path; the O(diameter)
-    // label propagation remains as Dedup.connectedComponents); oracle via
-    // recursive CTE.
+    // survivor election (min doc_id per component). Components via the
+    // ADAPTIVE strategy: measured edge count picks single-task union-find
+    // (common case — the pair graph is tiny next to the corpus) or the
+    // O(log n)-round large-star/small-star contraction (the 100 TB
+    // long-chain path); oracle via recursive CTE.
     QueryDef(
       "dedup_components",
       (s, d) => {
         val corpus = Dedup.withMutants(
           T.documents(s, d).filter(col("doc_id") < JaccardCap)
             .select(col("doc_id"), col("text")))
-        val comp = Dedup.connectedComponentsStar(Dedup.jaccardPairs(corpus, 3, 0.5))
+        val comp = Dedup.connectedComponentsAdaptive(Dedup.jaccardPairs(corpus, 3, 0.5))
         corpus.select(col("doc_id"))
           .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .withColumn("component", coalesce(col("component"), col("doc_id")))

@@ -133,6 +133,36 @@ object TextPack extends QueryPack {
              |FROM doc_counts JOIN model USING (bigram)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // BM25 retrieval: fixed query bag → per-doc score → top-20. Float
+    // parity via the typicality pattern (single IEEE expression per term,
+    // decimal sum, round 6); the SQL spells k1+1 as (1.2 + 1.0) so both
+    // engines fold the same doubles.
+    QueryDef(
+      "text_bm25_topk",
+      (s, d) =>
+        TextOps.bm25TopK(docsOf(s, d), Seq("hash", "join", "vector"), 20),
+      Some("""WITH dl AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+             |), tf AS (
+             |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE w IN ('hash', 'join', 'vector') GROUP BY doc_id, w
+             |), dfreq AS (
+             |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+             |)
+             |SELECT doc_id, round(CAST(SUM(CAST(
+             |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             |      * (t.tf * (1.2 + 1.0))
+             |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+             |  AS DECIMAL(38, 12))) AS DOUBLE), 6) AS score
+             |FROM tf t JOIN dfreq d USING (w) JOIN dl l USING (doc_id)
+             |CROSS JOIN stats s
+             |GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Document fingerprint: md5 of normalized text + 60-bit bucket key.
     QueryDef(
       "text_fingerprint",

@@ -63,6 +63,41 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsStar(none).count() == 0)
   }
 
+  test("adaptive CC: union-find fast path matches star on both branches") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("da", "db")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // below threshold → single-task union-find
+    val local = Dedup.connectedComponentsAdaptive(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expect)
+    // threshold 0 → forced onto the star path, same labels
+    val viaStar = Dedup.connectedComponentsAdaptive(pairs, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == expect)
+    // empty input stays empty
+    assert(Dedup.connectedComponentsAdaptive(
+      Seq.empty[(Long, Long)].toDF("da", "db")).count() == 0)
+  }
+
+  test("edit-distance near-dups: banded blocking loses no qualifying pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dot"),   // dist 1 from 1
+      (3L, "the quick brown fox leaps over the lazy dog"),   // dist 3 from 1
+      (4L, "completely unrelated text with other words here"),
+      (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG")    // case-folds to 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistanceNearDups(docs, maxDist = 4, prefixLen = 80,
+        band = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 3L, (1L, 5L) -> 0L,
+      (2L, 3L) -> 4L, (2L, 5L) -> 1L, (3L, 5L) -> 3L))
+  }
+
   test("minhash-LSH recall >= 0.95 vs brute-force jaccard, no false positives") {
     val truth = Dedup.jaccardPairs(corpus, 3, 0.5)
       .select(col("da"), col("db")).cache()
