@@ -110,6 +110,25 @@ object DedupPack extends QueryPack {
               |WHERE i / (sa.n + sb.n - i) >= 0.5
               |ORDER BY da, db""".stripMargin)),
 
+    // Persisted LSH index + incremental probe: index the base corpus
+    // once (band-partitioned), then near-dup-check a NEW batch (the
+    // mutants) against it without re-minhashing the corpus — the
+    // incremental path a 100 TB ingest pipeline actually runs. Probe
+    // results verify exact Jaccard, so rows are (q_id, original, j);
+    // rows-only (banding recall < 1), ground truth in LshIndexSpec.
+    QueryDef(
+      "dedup_lsh_probe",
+      (s, d) => {
+        val base = T.documents(s, d).filter(col("doc_id") < JaccardCap)
+          .select(col("doc_id"), col("text"))
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_${s.sparkContext.applicationId}"
+        Dedup.writeLshIndex(base, idx)
+        val probes = Dedup.withMutants(base.filter(col("doc_id") < 25))
+          .filter(col("doc_id") >= 1000000L)
+        Dedup.probeLshIndex(s, idx, probes).orderBy("q_id", "doc_id")
+      },
+      None),
+
     // Edit-distance near-dups: lossless length-band blocking + exact
     // Levenshtein on an 80-char prefix (Dedup.editDistanceNearDups).
     // The oracle recomputes all length-compatible pairs brute-force —

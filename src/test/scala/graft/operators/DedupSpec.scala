@@ -82,6 +82,32 @@ class DedupSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("da", "db")).count() == 0)
   }
 
+  test("persisted LSH index probe: recall >= 0.95, no false positives, pruned scan") {
+    val base = docs
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_spec_lsh_idx"
+    Dedup.writeLshIndex(base, idx)
+    // "new batch": mutants of the first 30 docs — each should rediscover
+    // its original in the index
+    val probes = Dedup.withMutants(base.filter(col("doc_id") < 30))
+      .filter(col("doc_id") >= 1000000L).cache()
+    val result = Dedup.probeLshIndex(spark, idx, probes)
+    // exact ground truth: brute-force Jaccard between probe and corpus
+    val truth = Dedup.jaccardPairs(base.unionByName(probes), 3, 0.5)
+      .filter(col("db") >= 1000000L && col("da") < 1000000L)
+      .select(col("db").as("q_id"), col("da").as("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = result.select(col("q_id"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "substrate must contain probe matches")
+    assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall")
+    // the band equi-join against the partitioned index must plan as a
+    // dynamic partition prune — only probed band directories are read
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+  }
+
   test("edit-distance near-dups: banded blocking loses no qualifying pair") {
     import spark.implicits._
     val docs = Seq(
