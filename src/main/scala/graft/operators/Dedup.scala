@@ -268,8 +268,12 @@ object Dedup {
         col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
-      .filter(aggregate(zip_with(col("a.h"), col("b.h"), (x, y) => abs(x - y)),
-        lit(0), (acc, x) => acc + x) <= maxDist * 2)
+      // codegen'd L1: a fixed 27-term sum of GetArrayItem diffs — a
+      // zip_with/aggregate HOF here runs INTERPRETED per candidate pair
+      // (the minhash pitfall again: 17.5 s vs ~2 s at sf0.1)
+      .filter(alphabet.indices.map(i =>
+          abs(col("a.h").getItem(i) - col("b.h").getItem(i)))
+        .reduce(_ + _) <= maxDist * 2)
       .withColumn("dist", levenshtein(col("a.s"), col("b.s")).cast(LongType))
       .filter(col("dist") <= maxDist)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("dist"))
