@@ -35,6 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayCosineExpr(children.head, children(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("array_l1"),
+      new ExpressionInfo("graft.functions.L1DistExpr", null, "array_l1",
+        "array_l1(a, b) - L1 (Manhattan) distance of two int arrays " +
+          "(codegen'd fused loop).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "array_l1 expects exactly two arguments")
+        graft.functions.L1DistExpr(children.head, children(1))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo("graft.functions.NGramHashExpr", null, "ngram_hashes",
         "ngram_hashes(text, n) - distinct xxhash64 values of the text's " +

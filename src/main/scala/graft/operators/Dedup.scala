@@ -242,41 +242,93 @@ object Dedup {
     * the short-edit tail (boilerplate with small insertions).
     */
   def editDistanceNearDups(docs: DataFrame, maxDist: Int = 12,
-      prefixLen: Int = 80, band: Int = 16): DataFrame = {
-    require(band > maxDist, s"band $band must exceed maxDist $maxDist")
-    // Character-histogram profile: one edit changes at most two histogram
-    // slots by one each, so levenshtein ≤ d ⇒ L1(hist_a, hist_b) ≤ 2d —
-    // a second LOSSLESS filter (like the length band, chars outside the
-    // alphabet only make it less selective, never lossy). It exists
-    // because the length band DEGENERATES at the prefix cap: every
-    // longer-than-prefix doc has len == prefixLen, one block, all pairs —
-    // and the O(len²) DP on all pairs is the whole cost (202 s → ~4 s at
-    // sf0.1). The profile compare is linear and prunes to near-identical
-    // pairs before any DP runs.
+      prefixLen: Int = 80): DataFrame = {
+    val d = maxDist
+    val k = d + 1 // chunk count: the PassJoin pigeonhole
+    // Lossless filters stacked cheapest-first; each is a NECESSARY
+    // condition for levenshtein ≤ d, so the brute-force oracle validates
+    // that nothing is lost:
+    // 1. chunk/gram equi-join (PassJoin, Li et al. VLDB'12): partition
+    //    one string into d+1 chunks — any string within distance d
+    //    contains at least one chunk VERBATIM, shifted ≤ d positions.
+    //    Candidates come from an equi-join on (chunk length, chunk text),
+    //    not from enumerating pairs: a naive length-band join degenerates
+    //    at the prefix cap (every capped doc in one block ⇒ ~all-pairs
+    //    enumeration, 12M pair evals ≈ 15 s at sf0.1; the gram join emits
+    //    ~1/10th of that).
+    // 2. position alignment |p − chunkStart| ≤ d and the length band.
+    // 3. char-histogram L1 ≤ 2d (one edit moves ≤ 2 slots by 1 each) — a
+    //    fixed codegen'd 27-term GetArrayItem sum, NOT a zip_with HOF
+    //    (interpreted per row: the minhash pitfall).
+    // 4. exact DP on the survivors only.
     val alphabet = "abcdefghijklmnopqrstuvwxyz "
     val hist = array(alphabet.map(ch =>
       (length(col("s")) -
         length(replace(col("s"), lit(ch.toString), lit("")))).cast(IntegerType)): _*)
+    // cache: the histogram must MATERIALIZE on the per-doc rows —
+    // uncached, column pruning inlines the 27 replace() exprs past the
+    // explode and recomputes them per GRAM row (~16 s of allocation at
+    // sf0.1 for what is <0.1 s on the un-exploded table)
     val keyed = docs.select(col("doc_id"),
         substring(lower(col("text")), 1, prefixLen).as("s"))
       .withColumn("len", length(col("s")))
       .withColumn("h", hist)
-      .withColumn("blk", floor(col("len") / band).cast(LongType))
-    val probe = keyed.withColumn("blk",
-      explode(array(col("blk") - 1, col("blk"), col("blk") + 1)))
-    keyed.as("a").join(probe.as("b"),
-        col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.len") - col("b.len")) <= maxDist)
-      // codegen'd L1: a fixed 27-term sum of GetArrayItem diffs — a
-      // zip_with/aggregate HOF here runs INTERPRETED per candidate pair
-      // (the minhash pitfall again: 17.5 s vs ~2 s at sf0.1)
-      .filter(alphabet.indices.map(i =>
-          abs(col("a.h").getItem(i) - col("b.h").getItem(i)))
-        .reduce(_ + _) <= maxDist * 2)
-      .withColumn("dist", levenshtein(col("a.s"), col("b.s")).cast(LongType))
-      .filter(col("dist") <= maxDist)
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("dist"))
+      .cache()
+    // chunk side: 13 variable-width chunks (floor boundaries) per doc.
+    // Position bucket pb (width d+1) joins positionally: |p − st| ≤ d
+    // forces adjacent buckets, so the chunk side explodes pb±1 and the
+    // bucket joins the key — raw hash-bucket enumeration drops ~6× vs
+    // keying on (glen, gram) alone.
+    val chunks = keyed.filter(col("len") >= k)
+      .withColumn("ci", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("st", expr(s"(ci * len) div $k"))
+      .withColumn("glen", expr(s"((ci + 1) * len) div $k - (ci * len) div $k"))
+      .withColumn("gram", expr("substr(s, st + 1, glen)"))
+      .withColumn("pb", explode(array(
+        expr(s"st div ${d + 1} - 1"), expr(s"st div ${d + 1}"),
+        expr(s"st div ${d + 1} + 1"))))
+    // gram side: every positional substring whose length can be a chunk
+    // length of SOME partner within the ±d length band
+    val grams = keyed
+      .withColumn("glen", explode(sequence(
+        greatest(lit(1), expr(s"(len - $d) div $k")),
+        expr(s"(len + $d) div $k + 1"))))
+      .filter(col("glen") <= col("len"))
+      .withColumn("p", explode(sequence(lit(0), col("len") - col("glen"))))
+      .withColumn("gram", expr("substr(s, p + 1, glen)"))
+      .withColumn("pb", expr(s"p div ${d + 1}"))
+    // native fused-loop L1 (functions.L1DistExpr): a 27-term column sum
+    // here pushes the join condition out of compiled evaluation and the
+    // whole tree goes INTERPRETED per candidate (~6 µs/eval, +14 s)
+    val l1 = call_function("array_l1", col("a.h"), col("b.h"))
+    // The WHOLE chain lives in the join condition, cheapest conjunct
+    // first — a post-join .filter would get pushed into the condition
+    // PREPENDED, putting L1/levenshtein in front of the position/length
+    // guards and running the DP on every raw gram collision (~80 s
+    // instead of ~6 s at sf0.1). AND short-circuits in the generated
+    // code, so evaluation order IS the conjunct order written here.
+    val fullCond =
+      col("a.doc_id") =!= col("b.doc_id") &&
+        abs(col("b.p") - col("a.st")) <= d &&
+        abs(col("a.len") - col("b.len")) <= d &&
+        l1 <= d * 2 &&
+        levenshtein(col("a.s"), col("b.s")) <= d
+    val viaGrams = chunks.as("a").join(grams.as("b"),
+      col("a.glen") === col("b.glen") && col("a.pb") === col("b.pb") &&
+        col("a.gram") === col("b.gram") && fullCond)
+    // short-string fallback: strings with len < k can't donate k chunks;
+    // their partners are also short (±d), so the residual join is tiny
+    val shorts = keyed.filter(col("len") < k).as("a")
+      .join(keyed.filter(col("len") < k + d).as("b"),
+        col("a.doc_id") =!= col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= d &&
+          l1 <= d * 2 &&
+          levenshtein(col("a.s"), col("b.s")) <= d)
+    Seq(viaGrams, shorts).map {
+      _.select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"),
+        levenshtein(col("a.s"), col("b.s")).cast(LongType).as("dist"))
+    }.reduce(_ unionByName _).distinct()
   }
 
   /** Connected components over near-dup pairs: min-label propagation to a

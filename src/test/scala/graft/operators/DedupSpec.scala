@@ -115,13 +115,13 @@ class DedupSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dot"),   // dist 1 from 1
       (3L, "the quick brown fox leaps over the lazy dog"),   // dist 3 from 1
       (4L, "completely unrelated text with other words here"),
-      (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG")    // case-folds to 1
+      (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),   // case-folds to 1
+      (6L, "tiny"), (7L, "tinier")                           // short-string path
     ).toDF("doc_id", "text")
-    val got = Dedup.editDistanceNearDups(docs, maxDist = 4, prefixLen = 80,
-        band = 8)
+    val got = Dedup.editDistanceNearDups(docs, maxDist = 4, prefixLen = 80)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 3L, (1L, 5L) -> 0L,
-      (2L, 3L) -> 4L, (2L, 5L) -> 1L, (3L, 5L) -> 3L))
+      (2L, 3L) -> 4L, (2L, 5L) -> 1L, (3L, 5L) -> 3L, (6L, 7L) -> 3L))
   }
 
   test("minhash-LSH recall >= 0.95 vs brute-force jaccard, no false positives") {
