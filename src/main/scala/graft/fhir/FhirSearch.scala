@@ -104,9 +104,15 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
 
     val sortKeys = controls.collectFirst { case ("_sort", v) => v }
       .map(_.split(",").toSeq).getOrElse(Seq("id"))
+    // _sort accepts server-meta keys too: _lastUpdated sorts on the
+    // meta.lastUpdated instant (ISO-8601 strings order lexicographically)
+    def sortCol(k: String): Column = k match {
+      case "_lastUpdated" => col("meta").getField("lastUpdated")
+      case other => col(other)
+    }
     val orderCols = sortKeys.map {
-      case k if k.startsWith("-") => col(k.drop(1)).desc_nulls_last
-      case k => col(k).asc_nulls_last
+      case k if k.startsWith("-") => sortCol(k.drop(1)).desc_nulls_last
+      case k => sortCol(k).asc_nulls_last
     } :+ col("id").asc // total order for deterministic paging
 
     // B12 _total=accurate (with _count=0: count only — the reference's own

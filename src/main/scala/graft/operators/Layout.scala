@@ -63,6 +63,39 @@ object Layout {
     interleaveBits(cells, bits)
   }
 
+  /** Compact a fragmented parquet directory into ~advisory-sized files
+    * via AQE REBALANCE — the small-files maintenance pass every
+    * long-lived 100 TB table needs (streaming sinks and fine-grained
+    * partition writes accrete KB-scale files whose per-file open/footer
+    * cost eventually dominates scans). REBALANCE beats the manual
+    * alternatives: `coalesce(n)` can only merge (and needs a magic n),
+    * `repartition(n)` shuffles to a FIXED n blind to data size — the
+    * rebalance hint lets AQE both merge small and SPLIT oversized
+    * shuffle partitions to the advisory byte size at runtime.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, advisory: String = "128MB"): (Long, Long) = {
+    def dataFiles(dir: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .count(f => f.getPath.getName.endsWith(".parquet")).toLong
+    }
+    val before = dataFiles(inDir)
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, advisory)
+      spark.read.parquet(inDir).hint("rebalance")
+        .write.mode("overwrite").parquet(outDir)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    (before, dataFiles(outDir))
+  }
+
   /** Cluster `df` into `numFiles` parquet files ordered along the Z-curve
     * of `cols`: range-partition on the z-value (equal-frequency file
     * splits via Spark's range sampler), sort within each partition, write.

@@ -1092,6 +1092,30 @@ object RelationalPack extends QueryPack {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // C20 small-files compaction: fragment events into 64 KB-scale
+    // files, REBALANCE-compact to advisory-sized output, query the
+    // compacted table. Result is layout-independent (oracle = plain
+    // aggregate); CompactionSpec asserts the file count actually
+    // collapses.
+    QueryDef(
+      "q52_compaction",
+      (s, d) => {
+        val tag = s.sparkContext.applicationId
+        val frag = s"${System.getProperty("java.io.tmpdir")}/graft_frag_events_$tag"
+        val compacted = s"${System.getProperty("java.io.tmpdir")}/graft_compacted_events_$tag"
+        T.events(s, d).drop("ts").repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        graft.operators.Layout.compact(s, frag, compacted, "8MB")
+        s.read.parquet(compacted)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // C1/C3 bucketed write + co-located join — the shuffle-elimination
     // pattern for a stable join key: both sides bucketed+sorted on the
     // key, the sort-merge join reads bucket i against bucket i with NO

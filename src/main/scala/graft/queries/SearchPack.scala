@@ -533,6 +533,17 @@ object SearchPack extends QueryPack {
               |  ORDER BY id LIMIT 15
               |) ORDER BY id""".stripMargin)),
 
+    // _sort on a server-meta key: most-recently-updated-first paging —
+    // the incremental-consumer access pattern
+    QueryDef(
+      "search_sort_meta",
+      (s, _) => eng(s).search("Patient?_sort=-_lastUpdated&_count=5")
+        .select(col("id"), col("meta.lastUpdated").as("last_updated")),
+      Some(s"""SELECT id, meta.lastUpdated AS last_updated
+              |FROM read_json('$Fix/Patient.ndjson', format='newline_delimited',
+              |               timestampformat='%d__%m')
+              |ORDER BY meta.lastUpdated DESC NULLS LAST, id LIMIT 5""".stripMargin)),
+
     // server-meta params on a second type (Observation), _tag composed
     // with an ordinary param and an _lastUpdated range
     QueryDef(
