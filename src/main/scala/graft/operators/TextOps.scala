@@ -196,6 +196,36 @@ object TextOps {
       .limit(k)
   }
 
+  /** Intra-document repetition signals (the Gopher/MassiveText quality
+    * rules): fraction of word-trigram occurrences that are repeats, and
+    * the share of the single most frequent bigram — boilerplate and
+    * looping generations spike both. Two explode→two-phase-count
+    * aggregations (map-side combined); the flag applies the published
+    * thresholds (dup-trigram > 0.30, top-bigram > 0.18) to the ROUNDED
+    * values so the oracle's boundary is identical.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    def gramStats(n: Int): DataFrame = base
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until n).map(j => element_at(col("t"), col("i") + j)): _*).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as(s"max$n"),
+        sum(col("c")).as(s"tot$n"), count(lit(1)).as(s"dist$n"))
+    gramStats(2).join(gramStats(3), "doc_id")
+      .select(col("doc_id"),
+        round(col("max2").cast(DoubleType) / col("tot2").cast(DoubleType), 6)
+          .as("top_bigram_frac"),
+        round((col("tot3") - col("dist3")).cast(DoubleType) /
+          col("tot3").cast(DoubleType), 6).as("dup_trigram_frac"))
+      .withColumn("flagged",
+        col("dup_trigram_frac") > 0.30 || col("top_bigram_frac") > 0.18)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 60-bit numeric bucket key for range-partitioned storage.
     */

@@ -163,6 +163,34 @@ object TextPack extends QueryPack {
              |GROUP BY doc_id
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Gopher repetition rules: dup-trigram fraction + top-bigram share,
+    // flagged at the published thresholds over rounded values.
+    QueryDef(
+      "text_repetition",
+      (s, d) =>
+        TextOps.repetitionSignals(docsOf(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3
+             |), bic AS (
+             |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g, count(*) AS c
+             |  FROM t, unnest(range(1, len(w))) AS r(i) GROUP BY 1, 2
+             |), bia AS (
+             |  SELECT doc_id, max(c) AS max2, sum(c) AS tot2 FROM bic GROUP BY 1
+             |), tric AS (
+             |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g,
+             |         count(*) AS c
+             |  FROM t, unnest(range(1, len(w) - 1)) AS r(i) GROUP BY 1, 2
+             |), tria AS (
+             |  SELECT doc_id, sum(c) AS tot3, count(*) AS dist3 FROM tric GROUP BY 1
+             |)
+             |SELECT doc_id,
+             |  round(CAST(max2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 6) AS top_bigram_frac,
+             |  round(CAST(tot3 - dist3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 6) AS dup_trigram_frac,
+             |  (round(CAST(tot3 - dist3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 6) > 0.30
+             |   OR round(CAST(max2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 6) > 0.18) AS flagged
+             |FROM bia JOIN tria USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprint: md5 of normalized text + 60-bit bucket key.
     QueryDef(
       "text_fingerprint",
