@@ -14,7 +14,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q03_regional_revenue", "q37_auto_topk", "q44_partition_pruning",
-        "q45_bucketed_join", "dedup_minhash_lsh", "sim_topk_pq")
+        "q45_bucketed_join", "q50_salted_skew_join", "q51_zorder_scan",
+        "dedup_minhash_lsh", "dedup_editdistance", "sim_topk_pq")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)

@@ -188,6 +188,92 @@ object SamplePack extends QueryPack {
              |                  WHEN 'zh' THEN 0.10 ELSE 0.0 END
              |    * CAST(total_toks AS DOUBLE) / CAST(stratum_toks AS DOUBLE), 6)
              |    AS mix_weight
-             |FROM g ORDER BY lang""".stripMargin))
+             |FROM g ORDER BY lang""".stripMargin)),
+
+    // CAPSTONE composition — the curation workflow end to end, every
+    // stage an operator that also has its own gate: quality score ≥ 0.35
+    // (text_quality; the synthetic corpus tops out near 0.5) ∧ not repetition-flagged (text_repetition) ∧ exact
+    // fingerprint survivor (text_fingerprint semantics) → deterministic
+    // 60% hash-Bernoulli (sample_bernoulli) → 512-token greedy packing
+    // (sample_pack_sequences) → per-source corpus stats. Each stage is a
+    // map-side filter or broadcast-friendly join on doc_id; the only
+    // wide operations are the fingerprint min-groupBy and the packing
+    // window — shapes whose scale stories their own gates document.
+    QueryDef(
+      "sample_curation_pipeline",
+      (s, d) => {
+        import graft.operators.TextOps
+        val docs = T.documents(s, d)
+        val quality = TextOps.qualityScore(docs).filter(col("quality") >= 0.35)
+        val unflagged = TextOps.repetitionSignals(docs)
+          .filter(!col("flagged")).select("doc_id")
+        val survivors = TextOps.fingerprint(docs)
+          .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val kept = docs
+          .join(quality.select("doc_id"), "doc_id")
+          .join(unflagged, "doc_id")
+          .join(survivors, "doc_id")
+        val sampled = Sampling.bernoulli(kept, col("doc_id"), 0.6)
+        Sampling.packSequences(sampled, col("doc_id"), col("source"),
+            col("text"), 512)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_kept"),
+            countDistinct(col("seq_id")).as("n_sequences"),
+            sum(col("tok")).as("sum_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+              |), q AS (
+              |  SELECT doc_id FROM (
+              |    SELECT doc_id,
+              |      round(least(CAST(len(w) AS DOUBLE) / 200.0, 1.0) * 0.5
+              |        + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.3
+              |        + least(CAST(len(list_filter(w, x ->
+              |            x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+              |            / len(w) * 5.0, 1.0) * 0.2, 6) AS quality
+              |    FROM t) WHERE quality >= 0.35
+              |), t3 AS (
+              |  SELECT doc_id, w FROM t WHERE len(w) >= 3
+              |), bic AS (
+              |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g, count(*) AS c
+              |  FROM t3, unnest(range(1, len(w))) AS r(i) GROUP BY 1, 2
+              |), bia AS (
+              |  SELECT doc_id, max(c) AS max2, sum(c) AS tot2 FROM bic GROUP BY 1
+              |), tric AS (
+              |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g,
+              |         count(*) AS c
+              |  FROM t3, unnest(range(1, len(w) - 1)) AS r(i) GROUP BY 1, 2
+              |), tria AS (
+              |  SELECT doc_id, sum(c) AS tot3, count(*) AS dist3 FROM tric GROUP BY 1
+              |), unflagged AS (
+              |  SELECT doc_id FROM bia JOIN tria USING (doc_id)
+              |  WHERE NOT (round(CAST(tot3 - dist3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 6) > 0.30
+              |         OR round(CAST(max2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 6) > 0.18)
+              |), surv AS (
+              |  SELECT min(doc_id) AS doc_id
+              |  FROM (SELECT doc_id,
+              |          md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+              |        FROM documents) GROUP BY fp
+              |), kept AS (
+              |  SELECT d.doc_id, d.source, d.text FROM documents d
+              |  JOIN q USING (doc_id) JOIN unflagged USING (doc_id)
+              |  JOIN surv USING (doc_id)
+              |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+              |        < '${Sampling.rateThreshold(0.6)}'
+              |), packed AS (
+              |  SELECT doc_id, source, tok,
+              |    CAST((SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok)
+              |      // 512 AS BIGINT) AS seq_id
+              |  FROM (SELECT doc_id, source,
+              |          greatest(1, CAST(ceil(length(text)/4.0) AS BIGINT)) AS tok
+              |        FROM kept)
+              |)
+              |SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+              |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_sequences,
+              |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
+              |FROM packed GROUP BY source ORDER BY source""".stripMargin))
   )
 }
