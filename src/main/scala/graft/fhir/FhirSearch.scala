@@ -125,13 +125,15 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
 
     // B8/B9: _include / _revinclude produce (resourceType, id, mode) rows
     val includes = controls.filter(c => c._1 == "_include" || c._1 == "_revinclude")
-    if (includes.nonEmpty) {
+    val iterSpecs = controls.collect { case ("_include:iterate", v) => v }
+    if (includes.nonEmpty || iterSpecs.nonEmpty) {
       val matchRows = df.select(lit(resType).as("resourceType"), col("id"),
         lit("match").as("mode"))
       val extra = includes.map {
         case ("_include", spec) => // Type:refParam → referenced resources
           val Array(t, refParam) = spec.split(":", 2)
-          val refIds = df.select(split(referencePath(t, refParam), "/").as("_r"))
+          val refIds = refTargets(t, refParam, df)
+            .select(split(col("_ref"), "/").as("_r"))
             .select(col("_r").getItem(0).as("_t"), col("_r").getItem(1).as("_id"))
             .filter(col("_t").isNotNull).distinct()
           refIds.select(col("_t").as("resourceType"), col("_id").as("id"),
@@ -145,8 +147,40 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
             .select(lit(t).as("resourceType"), col("id"), lit("revinclude").as("mode"))
         case other => sys.error(s"unsupported include $other")
       }
-      return extra.foldLeft(matchRows)(_ unionByName _)
-        .orderBy("mode", "resourceType", "id")
+      var all = extra.foldLeft(matchRows)(_ unionByName _)
+      // _include:iterate=Type:refParam — re-apply the include to already
+      // INCLUDED resources of the source type, transitively (spec
+      // §search `:iterate`). Unrolled to a fixed depth of 3 instead of a
+      // driver fixpoint loop: include graphs are shallow by design, and
+      // unrolling keeps search() a pure lazy plan (a convergence count
+      // per round would make every search eager). Each round left-semi
+      // joins the frontier onto the source TABLE (so only resources that
+      // exist contribute refs), and the final max(mode) dedupe keeps
+      // 'match' over 'include' for rows reached both ways.
+      if (iterSpecs.nonEmpty) {
+        var frontier: DataFrame = all
+        (1 to 3).foreach { _ =>
+          val next = iterSpecs.map { spec =>
+            val Array(t, refParam) = spec.split(":", 2)
+            val srcRows = table(t).join(
+              frontier.filter(col("resourceType") === t)
+                .select(col("id").as("_sid")),
+              col("id") === col("_sid"), "left_semi")
+            refTargets(t, refParam, srcRows)
+              .select(split(col("_ref"), "/").as("_r"))
+              .select(col("_r").getItem(0).as("resourceType"),
+                col("_r").getItem(1).as("id"))
+              .filter(col("resourceType").isNotNull)
+              .withColumn("mode", lit("include"))
+          }.reduce(_ unionByName _).distinct()
+          frontier = next
+          all = all.unionByName(next)
+        }
+        return all.groupBy("resourceType", "id")
+          .agg(max(col("mode")).as("mode"))
+          .orderBy("mode", "resourceType", "id")
+      }
+      return all.orderBy("mode", "resourceType", "id")
     }
 
     var out = df.orderBy(orderCols: _*)
@@ -475,6 +509,19 @@ object FhirSearch {
     case ("Procedure", "encounter") => col("encounter").getField("reference")
     case _ => sys.error(s"unknown reference param $resType.$refParam")
   }
+
+  /** Reference VALUES of `refParam` on rows of `src` as a one-column
+    * (`_ref`) frame — the array-valued params (Group.member) explode,
+    * scalars go through [[referencePath]]. Used by `_include` and the
+    * `:iterate` expansion, where the source frame varies per round.
+    */
+  def refTargets(resType: String, refParam: String, src: DataFrame): DataFrame =
+    (resType, refParam) match {
+      case ("Group", "member") => src
+        .select(explode(col("member")).as("_m"))
+        .select(col("_m").getField("entity").getField("reference").as("_ref"))
+      case _ => src.select(referencePath(resType, refParam).as("_ref"))
+    }
 
   /** Chain target type for an UNQUALIFIED `refParam.targetParam` (B6).
     * Multi-target reference params (Observation.subject can point at

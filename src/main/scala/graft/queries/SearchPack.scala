@@ -533,6 +533,38 @@ object SearchPack extends QueryPack {
               |  ORDER BY id LIMIT 15
               |) ORDER BY id""".stripMargin)),
 
+    // _include:iterate — transitive include: Group matches pull their
+    // member Specimens (array-ref _include), and the iterate spec then
+    // follows Specimen.subject to the Patients those specimens came
+    // from. Two hops, one lazy plan.
+    QueryDef(
+      "search_include_iterate",
+      (s, _) => eng(s).search(
+        "Group?_id=g-01,g-02&_include=Group:member&_include:iterate=Specimen:subject"),
+      Some(s"""WITH g AS (
+              |  SELECT * FROM ${rj("Group")} WHERE id IN ('g-01', 'g-02')
+              |), matches AS (
+              |  SELECT 'Group' AS resourceType, id, 'match' AS mode FROM g
+              |), mrefs AS (
+              |  SELECT DISTINCT split_part(m.entity.reference, '/', 1) AS rt,
+              |         split_part(m.entity.reference, '/', 2) AS rid
+              |  FROM g, unnest(g.member) AS t(m)
+              |  WHERE m.entity.reference IS NOT NULL
+              |), inc1 AS (
+              |  SELECT rt AS resourceType, rid AS id, 'include' AS mode FROM mrefs
+              |), pats AS (
+              |  SELECT DISTINCT 'Patient' AS resourceType,
+              |         split_part(s.subject.reference, '/', 2) AS id,
+              |         'include' AS mode
+              |  FROM ${rj("Specimen")} s
+              |  JOIN mrefs ON mrefs.rt = 'Specimen' AND s.id = mrefs.rid
+              |)
+              |SELECT resourceType, id, max(mode) AS mode FROM (
+              |  SELECT * FROM matches UNION ALL
+              |  SELECT * FROM inc1 UNION ALL
+              |  SELECT * FROM pats)
+              |GROUP BY 1, 2 ORDER BY mode, resourceType, id""".stripMargin)),
+
     // _sort on a server-meta key: most-recently-updated-first paging —
     // the incremental-consumer access pattern
     QueryDef(
