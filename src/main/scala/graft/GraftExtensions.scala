@@ -45,6 +45,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.L1DistExpr(children.head, children(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo("graft.functions.SimHash60Expr", null, "simhash60",
+        "simhash60(text) - 60-bit SimHash of the whitespace token multiset " +
+          "(fused tokenize+count+md5+pack loop).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash60 expects exactly one argument")
+        graft.functions.SimHash60Expr(children.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo("graft.functions.NGramHashExpr", null, "ngram_hashes",
         "ngram_hashes(text, n) - distinct xxhash64 values of the text's " +

@@ -528,7 +528,19 @@ object Dedup {
     * generated by explode (variable shifts via `expr`); two shuffles on
     * doc_id, no widening joins.
     */
-  def simhashSigs(docs: DataFrame): DataFrame = {
+  def simhashSigs(docs: DataFrame): DataFrame =
+    // native fused loop (functions.SimHash60Expr) — one map pass. The
+    // Column formulation below multiplies the corpus ×60 through two
+    // shuffles; it stays as the readable spec of the arithmetic, and
+    // DedupSpec asserts the two agree bit for bit.
+    docs.select(col("doc_id"),
+      call_function("simhash60", col("text")).as("simhash"))
+
+  /** The explode-formulated reference of [[simhashSigs]]'s arithmetic:
+    * bit j of the signature is the sign of Σ_tokens cnt·(±1 from bit j of
+    * hash60(token)).
+    */
+  def simhashSigsReference(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))

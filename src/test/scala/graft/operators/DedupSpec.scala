@@ -124,6 +124,15 @@ class DedupSpec extends SparkSpec {
       (2L, 3L) -> 4L, (2L, 5L) -> 1L, (3L, 5L) -> 3L, (6L, 7L) -> 3L))
   }
 
+  test("native simhash60 == explode-formulated reference, bit for bit") {
+    val native = Dedup.simhashSigs(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = Dedup.simhashSigsReference(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == ref)
+    assert(native.nonEmpty)
+  }
+
   test("minhash-LSH recall >= 0.95 vs brute-force jaccard, no false positives") {
     val truth = Dedup.jaccardPairs(corpus, 3, 0.5)
       .select(col("da"), col("db")).cache()
