@@ -226,6 +226,31 @@ object TextOps {
         col("dup_trigram_frac") > 0.30 || col("top_bigram_frac") > 0.18)
   }
 
+  /** Overlapping token-window chunking (the RAG / context-window prep
+    * pass): windows of `size` tokens starting every `size − overlap`
+    * tokens, last window ragged, short docs yield exactly one chunk.
+    * Emits compact rows (chunk token count + md5 of the chunk text) so
+    * a 100 TB chunking run shuffles digests, not text — downstream
+    * embedding/indexing reads the text by (doc_id, start) locally.
+    * Pure explode arithmetic: no UDF, no driver state.
+    */
+  def chunkWindows(docs: DataFrame, size: Int = 64, overlap: Int = 16): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size $size > overlap $overlap")
+    val step = size - overlap
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("t")))
+      .withColumn("i", explode(sequence(lit(0),
+        greatest(lit(0), floor((col("n") - overlap - 1) / step).cast(IntegerType)))))
+      .select(col("doc_id"), col("i").as("chunk_id"),
+        concat_ws(" ", slice(col("t"), col("i") * step + 1, lit(size))).as("chunk"))
+      .select(col("doc_id"), col("chunk_id").cast(LongType),
+        org.apache.spark.sql.functions.size(tokens(col("chunk")))
+          .cast(LongType).as("n_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 60-bit numeric bucket key for range-partitioned storage.
     */

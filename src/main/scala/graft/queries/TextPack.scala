@@ -191,6 +191,25 @@ object TextPack extends QueryPack {
              |   OR round(CAST(max2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 6) > 0.18) AS flagged
              |FROM bia JOIN tria USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Overlapping token-window chunking (RAG prep): 64-token windows,
+    // 16-token overlap, ragged tail, digests instead of text downstream.
+    QueryDef(
+      "text_chunks",
+      (s, d) =>
+        TextOps.chunkWindows(docsOf(s, d), 64, 16).orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), c AS (
+             |  SELECT doc_id, i AS chunk_id,
+             |    array_to_string(w[i*48 + 1 : i*48 + 64], ' ') AS chunk
+             |  FROM t, unnest(range(0,
+             |    greatest(0, CAST(floor((len(w) - 17) / 48.0) AS BIGINT)) + 1)) AS r(i)
+             |)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+             |  md5(chunk) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // Document fingerprint: md5 of normalized text + 60-bit bucket key.
     QueryDef(
       "text_fingerprint",
