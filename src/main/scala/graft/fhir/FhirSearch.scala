@@ -45,6 +45,27 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
     * (resourceType, id, mode) across types).
     */
   def search(request: String): DataFrame = {
+    // B26 Patient/{id}/$everything — the whole patient compartment: the
+    // patient read unioned with one reference-filtered scan per
+    // compartment type (the same per-type filters a compartment search
+    // plans, so each leg pushes its `Patient/{id}` literal into the
+    // scan). Result rows are (resourceType, id, mode='match') — every
+    // $everything entry is a match per the FHIR operation contract.
+    request match {
+      case everythingRx(id) =>
+        val pid = s"Patient/$id"
+        val patient = table("Patient").filter(col("id") === id)
+          .select(lit("Patient").as("resourceType"), col("id"))
+        val children = EverythingTypes.map { t =>
+          table(t)
+            .filter(referencePath(t, compartmentRefParam(t)) === pid)
+            .select(lit(t).as("resourceType"), col("id"))
+        }
+        return children.foldLeft(patient)(_ unionByName _)
+          .withColumn("mode", lit("match"))
+          .orderBy("resourceType", "id")
+      case _ => ()
+    }
     // Compartment search: "Patient/{id}/{Type}?params" — all {Type}
     // resources in that patient's compartment. Rewrites into the ordinary
     // type search on the compartment's reference param, so it plans (and
@@ -155,8 +176,10 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
       // unrolling keeps search() a pure lazy plan (a convergence count
       // per round would make every search eager). Each round left-semi
       // joins the frontier onto the source TABLE (so only resources that
-      // exist contribute refs), and the final max(mode) dedupe keeps
-      // 'match' over 'include' for rows reached both ways.
+      // exist contribute refs), and the final dedupe keeps the strongest
+      // mode for rows reached several ways on an explicit rank —
+      // match < revinclude < include — not lexicographic order (string
+      // max would demote a match that is also a revinclude target).
       if (iterSpecs.nonEmpty) {
         var frontier: DataFrame = all
         (1 to 3).foreach { _ =>
@@ -176,8 +199,14 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
           frontier = next
           all = all.unionByName(next)
         }
+        val rank = when(col("mode") === "match", 0)
+          .when(col("mode") === "revinclude", 1).otherwise(2)
         return all.groupBy("resourceType", "id")
-          .agg(max(col("mode")).as("mode"))
+          .agg(min(rank).as("_rank"))
+          .select(col("resourceType"), col("id"),
+            when(col("_rank") === 0, "match")
+              .when(col("_rank") === 1, "revinclude")
+              .otherwise("include").as("mode"))
           .orderBy("mode", "resourceType", "id")
       }
       return all.orderBy("mode", "resourceType", "id")
@@ -227,8 +256,13 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
       }
       val target = applyParam(targetType, table(targetType), targetParam, value)
         .select(concat(lit(targetType + "/"), col("id")).as("_target_ref"))
+      // No broadcast hint: the chain target is a FILTERED scan whose
+      // selectivity the planner can't know here — an unselective chain
+      // (e.g. `subject.name=co e`) is corpus-sized at 100 TB and would
+      // OOM a forced broadcast. AQE still picks BHJ when the filtered
+      // side turns out small at runtime.
       val refPath = referencePath(resType, refParam)
-      return df.join(broadcast(target), refPath === col("_target_ref"), "left_semi")
+      return df.join(target, refPath === col("_target_ref"), "left_semi")
     }
     val (name, modifier) = rawName.split(":", 2) match {
       case Array(n, m) => (n, Some(m))
@@ -285,6 +319,16 @@ object FhirSearch {
 
   /** `CompType/{id}/{Type}` compartment request, optionally with ?params. */
   private val compartmentRx = "^([A-Za-z]+)/([^/?]+)/([A-Za-z]+)(?:\\?(.*))?$".r
+
+  /** `Patient/{id}/$everything` operation request (B26). */
+  private val everythingRx = "^Patient/([^/?]+)/\\$everything$".r
+
+  /** Compartment types a $everything sweep unions (every type
+    * [[compartmentRefParam]] places in the patient compartment).
+    */
+  val EverythingTypes: Seq[String] = Seq(
+    "Condition", "DocumentReference", "Observation", "Procedure",
+    "ResearchSubject", "Specimen")
 
   /** Types whose fixtures carry server-maintained `meta`
     * (FhirSchemas.resourceMeta) — the `_lastUpdated`/`_tag` surface.

@@ -57,8 +57,13 @@ object Layout {
       min(col(c).cast(DoubleType)).as(s"_min_$c"),
       max(col(c).cast(DoubleType)).as(s"_max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // min/max are NULL on an empty frame or an all-NULL column; a raw
+    // getDouble would throw an opaque NPE. Degrade that column to the
+    // constant cell 0 — ordering is unaffected (every row lands in the
+    // same cell) and the caller keeps working on degenerate input.
     val cells = cols.zipWithIndex.map { case (c, i) =>
-      cellIndex(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+      else cellIndex(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
     }
     interleaveBits(cells, bits)
   }

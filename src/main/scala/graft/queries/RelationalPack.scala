@@ -762,7 +762,8 @@ object RelationalPack extends QueryPack {
              |  SELECT DISTINCT event_type,
              |         CAST(length(event_type) AS BIGINT) AS type_weight
              |  FROM events)
-             |SELECT e.event_type, COUNT(*) AS n, SUM(d.type_weight) AS sum_w
+             |SELECT e.event_type, COUNT(*) AS n,
+             |       CAST(SUM(d.type_weight) AS BIGINT) AS sum_w
              |FROM events e JOIN dim d USING (event_type)
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 

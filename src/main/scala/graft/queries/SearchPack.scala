@@ -559,11 +559,37 @@ object SearchPack extends QueryPack {
               |  FROM ${rj("Specimen")} s
               |  JOIN mrefs ON mrefs.rt = 'Specimen' AND s.id = mrefs.rid
               |)
-              |SELECT resourceType, id, max(mode) AS mode FROM (
+              |SELECT resourceType, id,
+              |       CASE min(CASE mode WHEN 'match' THEN 0
+              |                          WHEN 'revinclude' THEN 1 ELSE 2 END)
+              |         WHEN 0 THEN 'match' WHEN 1 THEN 'revinclude'
+              |         ELSE 'include' END AS mode FROM (
               |  SELECT * FROM matches UNION ALL
               |  SELECT * FROM inc1 UNION ALL
               |  SELECT * FROM pats)
               |GROUP BY 1, 2 ORDER BY mode, resourceType, id""".stripMargin)),
+
+    // B26 Patient/{id}/$everything — the full patient compartment as one
+    // plan: the patient read unioned with a reference-filtered scan per
+    // compartment type (each leg pushes its 'Patient/{id}' literal down).
+    QueryDef(
+      "search_everything",
+      (s, _) => eng(s).search("Patient/p-001/$everything"),
+      Some(s"""SELECT 'Patient' AS resourceType, id, 'match' AS mode
+              |FROM ${rj("Patient")} WHERE id = 'p-001'
+              |UNION ALL SELECT 'Condition', id, 'match'
+              |FROM ${rj("Condition")} WHERE subject.reference = 'Patient/p-001'
+              |UNION ALL SELECT 'DocumentReference', id, 'match'
+              |FROM ${rj("DocumentReference")} WHERE subject.reference = 'Patient/p-001'
+              |UNION ALL SELECT 'Observation', id, 'match'
+              |FROM ${rj("Observation")} WHERE subject.reference = 'Patient/p-001'
+              |UNION ALL SELECT 'Procedure', id, 'match'
+              |FROM ${rj("Procedure")} WHERE subject.reference = 'Patient/p-001'
+              |UNION ALL SELECT 'ResearchSubject', id, 'match'
+              |FROM ${rj("ResearchSubject")} WHERE subject.reference = 'Patient/p-001'
+              |UNION ALL SELECT 'Specimen', id, 'match'
+              |FROM ${rj("Specimen")} WHERE subject.reference = 'Patient/p-001'
+              |ORDER BY resourceType, id""".stripMargin)),
 
     // _sort on a server-meta key: most-recently-updated-first paging —
     // the incremental-consumer access pattern

@@ -84,4 +84,44 @@ class FhirSearchSpec extends SparkSpec {
     assert(s.columns.toSeq == Seq("id", "gender", "birthDate", "active"))
     assert(eng.search("Observation?_summary=count").head().getLong(0) == 60)
   }
+
+  test("$everything returns the patient plus every compartment resource, all as matches") {
+    val rows = eng.search("Patient/p-001/$everything").collect()
+    assert(rows.forall(_.getString(2) == "match"))
+    val byType = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byType("Patient") == 1)
+    // per-type counts equal the equivalent compartment searches
+    FhirSearch.EverythingTypes.foreach { t =>
+      assert(byType.getOrElse(t, 0) == eng.search(s"Patient/p-001/$t").count(),
+        s"type $t")
+    }
+  }
+
+  test("$everything of an unknown id is empty; chain target is not hint-broadcast") {
+    assert(eng.search("Patient/nope/$everything").count() == 0)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val chained = eng.search("ResearchSubject?subject.gender=female")
+    val hints = chained.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, "chain target must not be force-broadcast: " +
+      "its selectivity is unknowable at plan time (AQE decides at runtime)")
+  }
+
+  test("include/iterate dedupe keeps 'match' over 'revinclude' on an explicit rank") {
+    // synthetic self-referencing graph: sp-2.subject -> Specimen/sp-1, so a
+    // search matching BOTH with _revinclude=Specimen:subject reaches sp-2
+    // as a match AND a revinclude target; lexicographic max(mode) would
+    // demote it to 'revinclude'
+    import spark.implicits._
+    val specimen = Seq(("sp-1", "Patient/p-9"), ("sp-2", "Specimen/sp-1"))
+      .toDF("id", "ref")
+      .select(col("id"), struct(col("ref").as("reference")).as("subject"))
+    val eng2 = new FhirSearch(spark, Map("Specimen" -> specimen))
+    val rows = eng2.search(
+      "Specimen?_id=sp-1,sp-2&_revinclude=Specimen:subject" +
+        "&_include:iterate=Specimen:subject")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(rows(("Specimen", "sp-1")) == "match")
+    assert(rows(("Specimen", "sp-2")) == "match") // the demotion bug case
+    assert(rows(("Patient", "p-9")) == "include") // reached only via iterate
+  }
 }

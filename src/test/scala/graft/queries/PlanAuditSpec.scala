@@ -107,6 +107,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Expand"), p.take(1500))
   }
 
+  test("fhir_dangling_refs: the id universe is never hint-broadcast") {
+    // the (rtype, rid) union is store-sized at 100 TB — a forced
+    // broadcast OOMs exactly at the scale the audit targets. Size-based
+    // broadcast chosen by stats/AQE is fine; a ResolvedHint is not.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.SparkEntry.queries("fhir_dangling_refs")(spark, d)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, hints.map(_.child.treeString.take(300)).mkString)
+  }
+
   test("sim_topk_pq: shortlist runs through the native heap operator, not a Window") {
     val df = graft.SparkEntry.queries("sim_topk_pq")(spark, d)
     val p = df.queryExecution.executedPlan.toString

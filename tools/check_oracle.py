@@ -59,6 +59,32 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: schema {gcols} != {wcols}")
             n_fail += 1
             continue
+        # Arrow TYPE check: the driver's hash is type-sensitive for some
+        # pairs — DuckDB HUGEINT arrives as decimal128(38,0) vs Spark's
+        # int64 and diverged in round 6 (q50) even with identical values.
+        # Pairs the driver's r06 run demonstrably tolerated (int32/int64,
+        # string/date32, timestamp tz variants) only warn; the rest fail.
+        def norm_type(t):
+            s = str(t)
+            if s in ("large_string", "string"):
+                return "string"
+            if s.startswith("timestamp["):
+                return "timestamp"
+            return s
+        BENIGN = {frozenset(p) for p in
+                  [("int32", "int64"), ("string", "date32[day]")]}
+        hard, soft = [], []
+        for c in gcols:
+            gt, wt = str(got.schema.field(c).type), str(want.schema.field(c).type)
+            if norm_type(gt) == norm_type(wt):
+                continue
+            (soft if frozenset((gt, wt)) in BENIGN else hard).append((c, gt, wt))
+        if soft:
+            print(f"WARN {name}: benign arrow type skew {soft}")
+        if hard:
+            print(f"FAIL {name}: arrow types differ {hard}")
+            n_fail += 1
+            continue
         grows = sorted([tuple(canon(v) for v in row)
                         for row in zip(*[got.column(c).to_pylist() for c in gcols])])
         wrows = sorted([tuple(canon(v) for v in row)
