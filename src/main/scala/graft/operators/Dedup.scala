@@ -93,11 +93,22 @@ object Dedup {
     * the brute-force ground truth. The join is on shingle (not cross), so
     * disjoint documents never pair; still O(Σ|posting list|²) and thus a
     * verification/oracle tool, not the scale path (that's [[lshCandidates]]).
+    *
+    * Postings carry the 8-byte [[shingleHashes]] value, not the 3-word
+    * string: intersection/size COUNTS over distinct shingles are
+    * keying-invariant (any injective keying yields the same Jaccard —
+    * a 64-bit collision inside one document is the only divergence and
+    * is negligible far beyond this tool's verification scale), so a
+    * string-shingle oracle still matches while the join/agg stay fully
+    * codegen'd on fixed-width keys instead of an interpreted per-position
+    * lambda feeding string comparisons.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // cached: the postings self-join and the size table all reuse it
+    // (8 bytes/posting — the string postings this replaced dominated the
+    // cache and the shuffle)
     val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
       .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),

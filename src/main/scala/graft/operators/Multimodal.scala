@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column support (SURVEY C12): media as opaque BinaryType
   * columns + typed metadata, with decode / feature-extraction plumbing.
   *
-  * The DECODE step itself is a stub — image/audio codecs are not available
-  * in this environment — but everything Spark-side is real: the schema
+  * Two REAL codecs run this plumbing end to end — [[Utf8TextCodec]]
+  * (strict UTF-8 decode + repair) and [[BmpCodec]] (24-bpp uncompressed
+  * BMP, pure JVM). Compressed formats (JPEG/audio/video) stay behind
+  * [[StubCodec]] — those codec libraries are not in this environment —
+  * but everything Spark-side is identical across all three: the schema
   * contract, the partition-preserving mapPartitions execution (the Scala
   * analog of a Pandas-UDF `mapInPandas` batch loop: one decoder
   * instantiation per partition, streamed row batches, no driver
-  * collection), and the deterministic fallback features that tests and
-  * oracles pin.
+  * collection), and deterministic features that tests and oracles pin.
   *
   * Generalizes the reference's attachment handling (contentType/size/url —
   * assay.py:123-140) from metadata-only to content-bearing columns.
@@ -74,6 +76,105 @@ object Multimodal {
       Row(bytes.length.toLong, text.length.toLong,
         (text.count(_ == '\n') + 1).toLong, valid, digest)
     }
+  }
+
+  /** A REAL image codec: 24-bpp uncompressed Windows BMP
+    * (BITMAPINFOHEADER), pure JVM — validates the magic, reads the
+    * little-endian header, walks the 4-byte-padded pixel rows (bottom-up
+    * or top-down), and emits dimensions + exact per-channel means. Paired
+    * with [[bmpEncodeGray]]/[[withBmpColumn]] so pipelines without real
+    * media can synthesize valid bitmaps deterministically from existing
+    * columns and still oracle-check the decoded features.
+    */
+  object BmpCodec extends MediaCodec {
+    override val featureType: StructType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bpp", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+
+    override def decode(bytes: Array[Byte]): Row = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP: bad magic/size")
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val dataOffset = buf.getInt(10)
+      val width = buf.getInt(18)
+      val rawHeight = buf.getInt(22) // negative = top-down row order
+      val bpp = buf.getShort(28).toInt
+      val compression = buf.getInt(30)
+      require(bpp == 24 && compression == 0,
+        s"unsupported BMP variant: bpp=$bpp compression=$compression")
+      val height = math.abs(rawHeight)
+      val rowSize = ((width * 3 + 3) / 4) * 4 // BGR rows pad to 4 bytes
+      require(bytes.length >= dataOffset + rowSize.toLong * height,
+        "truncated BMP pixel array")
+      var sr, sg, sb = 0L
+      var y = 0
+      while (y < height) { // channel means are row-order invariant
+        val row = dataOffset + y * rowSize
+        var x = 0
+        while (x < width) {
+          val p = row + x * 3
+          sb += bytes(p) & 0xff
+          sg += bytes(p + 1) & 0xff
+          sr += bytes(p + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height
+      Row(width, height, bpp,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+  }
+
+  /** Encode a grayscale byte matrix (row-major, top row first) as a
+    * 24-bpp bottom-up BMP with standard 54-byte headers.
+    */
+  def bmpEncodeGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    require(gray.length == width * height,
+      s"need $width*$height=${width * height} pixels, got ${gray.length}")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54) // reserved ×2, pixel-array offset
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, no palette
+    var y = height - 1
+    while (y >= 0) { // bottom-up row order
+      val rowStart = buf.position()
+      var x = 0
+      while (x < width) {
+        val v = gray(y * width + x)
+        buf.put(v).put(v).put(v)
+        x += 1
+      }
+      while (buf.position() < rowStart + rowSize) buf.put(0.toByte)
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Synthesize a valid BMP `media` column: an 8×2 grayscale bitmap whose
+    * 16 pixels are the md5(text) digest bytes — deterministic, and an
+    * oracle can recompute the decoded channel means from the hex digest
+    * alone, no BMP parser needed.
+    */
+  def withBmpColumn(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), bmpEncodeGray(8, 2, r.getAs[Array[Byte]](1))))
+      }(enc)
   }
 
   /** STUB decode function (kept for the original feature face). */

@@ -287,6 +287,37 @@ object TextPack extends QueryPack {
              |  md5(text) AS digest
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // C12 multimodal with a REAL image codec: synthesize a valid 8×2
+    // 24-bpp BMP per document (pixels = md5(text) digest bytes), decode
+    // it with the pure-JVM BMP parser, emit dimensions + exact channel
+    // means. The oracle recomputes the means from the hex digest alone —
+    // no BMP parser in DuckDB needed — so the decode path is fully
+    // value-checked, not rows-only. Means are k/16 (dyadic), so the
+    // doubles are exact on both engines.
+    QueryDef(
+      "mm_decode",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withBmpColumn(docsOf(s, d)), Multimodal.BmpCodec)
+          .select(col("doc_id"),
+            col("features").getField("width").as("width"),
+            col("features").getField("height").as("height"),
+            col("features").getField("bpp").as("bpp"),
+            col("features").getField("mean_r").as("mean_r"),
+            col("features").getField("mean_g").as("mean_g"),
+            col("features").getField("mean_b").as("mean_b"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, 8 AS width, 2 AS height, 24 AS bpp,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_r,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_g,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // C12 multimodal: binary media column + mapPartitions feature
     // extraction (stub decoder, real plumbing — see operators.Multimodal).
     QueryDef(

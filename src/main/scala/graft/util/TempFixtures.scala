@@ -1,0 +1,66 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Build-once-per-session temp fixture directories with JVM-exit cleanup.
+  *
+  * Several gates demonstrate LAYOUT operators (partitioned write,
+  * bucketed tables, Z-order clustering, compaction, a persisted LSH
+  * index): their on-disk artifact is a one-time layout job a real
+  * deployment amortizes across many queries, so a repeated invocation in
+  * the same JVM should reuse it rather than rewrite it. Keys include the
+  * source dir (one artifact per scale factor) and paths include the
+  * applicationId (concurrent Bench/Verify JVMs must not race on
+  * mode(overwrite) of a shared path). Every directory is registered for
+  * recursive deletion at JVM exit — without that, repeated bench/verify
+  * runs accrete unbounded tmp data.
+  */
+object TempFixtures {
+
+  private val cache = new SessionCache[String]
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registered.forEach(p => deleteRecursively(Paths.get(p)))
+    }, "graft-tempfixtures-cleanup"))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+
+  /** Register a directory for recursive deletion at JVM exit. */
+  def deleteOnExit(path: String): Unit = { registered.add(path); () }
+
+  /** A short filesystem-safe tag unique to this application (no
+    * `local-` prefix dots/dashes).
+    */
+  def appTag(spark: SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Get (or build exactly once per (session, key, scope)) a temp fixture
+    * directory. `scope` is the source-data dir: artifacts of different
+    * scale factors must not collide in one JVM (the test suites run
+    * sf0.001 while Verify runs sf0.01).
+    */
+  def dir(spark: SparkSession, key: String, scope: String)
+      (build: String => Unit): String =
+    cache.getOrElseUpdate(spark, s"$key|$scope") {
+      val sf = Paths.get(scope).getFileName.toString
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_${key}_${sf}_${appTag(spark)}"
+      build(path)
+      deleteOnExit(path)
+      path
+    }
+}

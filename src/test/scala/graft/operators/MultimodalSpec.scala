@@ -25,6 +25,34 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.exceptAll(feats1).count() == 0)
   }
 
+  test("BMP codec: encode/decode round-trip recovers dimensions and exact channel means") {
+    val gray = Array.tabulate[Byte](16)(i => (i * 16).toByte) // 0,16,…,240
+    val bmp = Multimodal.bmpEncodeGray(8, 2, gray)
+    assert(bmp(0) == 'B' && bmp(1) == 'M' && bmp.length == 54 + 2 * 24)
+    val f = Multimodal.BmpCodec.decode(bmp)
+    assert(f.getInt(0) == 8 && f.getInt(1) == 2 && f.getInt(2) == 24)
+    val want = gray.map(_ & 0xff).sum.toDouble / 16
+    assert(f.getDouble(3) == want && f.getDouble(4) == want &&
+      f.getDouble(5) == want) // grayscale: all channels equal
+  }
+
+  test("BMP codec: row padding honored; top-down images and garbage handled") {
+    // width 3 → 9-byte rows padded to 12; means must skip the pad bytes
+    val bmp3 = Multimodal.bmpEncodeGray(3, 2, Array[Byte](10, 20, 30, 40, 50, 60))
+    val f3 = Multimodal.BmpCodec.decode(bmp3)
+    assert(f3.getInt(0) == 3 && f3.getDouble(3) == 35.0)
+    // top-down variant (negative height): means are row-order invariant
+    val td = bmp3.clone()
+    val b = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(22, -2)
+    assert(Multimodal.BmpCodec.decode(td).getDouble(3) == 35.0)
+    intercept[IllegalArgumentException](
+      Multimodal.BmpCodec.decode("not a bitmap at all, far too short".getBytes))
+    // valid magic but truncated pixel array must fail loudly, not misread
+    intercept[IllegalArgumentException](
+      Multimodal.BmpCodec.decode(bmp3.take(56)))
+  }
+
   test("UTF-8 codec: valid text decodes clean; malformed bytes flagged and repaired") {
     val ok = Multimodal.Utf8TextCodec.decode("héllo\nwörld".getBytes("UTF-8"))
     assert(ok.getBoolean(3) && ok.getLong(1) == 11L && ok.getLong(2) == 2L)
