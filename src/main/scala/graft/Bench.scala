@@ -84,7 +84,12 @@ object Bench {
     }
     val calPre = calibrate()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local profiling aid: SPARK_GRAFT_BENCH_FILTER=regex runs a subset
+    // (the driver sets no filter, so its runs stay complete)
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.pattern.matcher(n).matches()) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -66,6 +66,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.NGramHashExpr(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("char_bigram_counts"),
+      new ExpressionInfo("graft.functions.CharBigramCountsExpr", null,
+        "char_bigram_counts",
+        "char_bigram_counts(text) - array of (bigram, cnt) structs, one " +
+          "per distinct consecutive-character pair (fused count loop).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "char_bigram_counts expects (text)")
+        graft.functions.CharBigramCountsExpr(children.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("rhp_bands"),
+      new ExpressionInfo("graft.functions.RhpBandsExpr", null, "rhp_bands",
+        "rhp_bands(embedding, nbits, rows_per_band, seed) - packed " +
+          "sign-bit band keys of seeded random-hyperplane projections " +
+          "(fused project+pack loop).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "rhp_bands expects (embedding, nbits, rows_per_band, seed)")
+        require(children.drop(1).forall(_.foldable),
+          "rhp_bands parameters must be literals")
+        def intArg(i: Int) = children(i).eval().asInstanceOf[Number].intValue()
+        graft.functions.RhpBandsExpr(children.head, intArg(1), intArg(2),
+          children(3).eval().asInstanceOf[Number].longValue())
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     // §4.4c optimizer rule: size(filter(arr,f)) > 0 → exists(arr,f)
     // (short-circuit instead of materialize-and-count)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyArrayExistence)

@@ -266,26 +266,13 @@ object Similarity {
   def cosineNearDupsRhp(corpus: DataFrame, threshold: Double,
       nbits: Int = 120, rowsPerBand: Int = 15, seed: Long = 42L,
       scale: Int = 5): DataFrame = {
-    val dims = corpus.select(size(col("embedding"))).head().getInt(0)
-    val rnd = new java.util.Random(seed)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // seeded hyperplane components ~ N(0,1): a tiny (nbits·dims) constant
-    val hyper = (for (k <- 0 until nbits; i <- 0 until dims)
-      yield (k, i, rnd.nextGaussian())).toDF("k", "i", "h")
-    val vecElems = corpus.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"), col("x").cast(DoubleType).as("x"))
-    // band keys assembled directly from sign bits (no 120-bit integer)
-    val bands = vecElems.join(broadcast(hyper), Seq("i"))
-      .groupBy(col("vec_id"), col("k"))
-      .agg(sum(col("x") * col("h")).as("proj"))
-      .withColumn("band", (col("k") / rowsPerBand).cast(IntegerType))
-      .withColumn("bit",
-        when(col("proj") > 0, expr(s"shiftleft(1L, k % $rowsPerBand)"))
-          .otherwise(0L))
-      .groupBy(col("vec_id"), col("band"))
-      .agg(sum(col("bit")).as("bkey"))
+    // band keys from the fused native expression: one map pass per
+    // vector (seeded-gaussian projections + sign-bit packing), replacing
+    // the posexplode→broadcast-join→double-aggregate pipeline that
+    // materialized n·dims·nbits intermediate rows for n·nbands keys
+    val bands = corpus.select(col("vec_id"),
+        posexplode(call_function("rhp_bands", col("embedding"),
+          lit(nbits), lit(rowsPerBand), lit(seed))).as(Seq("band", "bkey")))
       .cache() // the LSH index: both self-join sides reuse it
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -127,18 +127,16 @@ object TextOps {
     */
   def lmTypicality(docs: DataFrame): DataFrame = {
     import graft.functions.Exact.dsum
-    // explode positions FIRST, slice after: sequence/explode/substr are
-    // all codegen'd, whereas a transform(...) position LAMBDA runs
-    // interpreted (the minhash pitfall — ~20× on this shape). Cached:
-    // the model aggregation and the scoring join both consume it.
+    // per-doc (bigram, count) pairs from the fused native expression —
+    // the explode-per-character + hash-agg formulation this replaces
+    // materialized |text| rows per doc before the first useful row
+    // existed (chars-per-doc vs distinct-bigrams-per-doc is ~10-50×).
+    // Cached: the model aggregation and the scoring join both consume it.
     val bgCounts = docs
-      // guard: Spark sequence(1, 0) is DESCENDING, so a 1-char doc would
-      // fabricate positions — single-char docs have no bigrams
-      .filter(length(col("text")) >= 2)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
-      .select(col("doc_id"), expr("substr(text, i, 2)").as("bigram"))
-      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("dcnt"))
+      .select(col("doc_id"),
+        explode(call_function("char_bigram_counts", col("text"))).as("bc"))
+      .select(col("doc_id"), col("bc.bigram").as("bigram"),
+        col("bc.cnt").as("dcnt"))
       .cache()
     val counts = bgCounts.groupBy("bigram").agg(sum(col("dcnt")).as("b_cnt"))
     val prefixTotals = counts
