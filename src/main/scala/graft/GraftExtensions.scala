@@ -93,6 +93,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.RhpBandsExpr(children.head, intArg(1), intArg(2),
           children(3).eval().asInstanceOf[Number].longValue())
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash32"),
+      new ExpressionInfo("graft.functions.MinHashSigExpr", null, "minhash32",
+        "minhash32(text, n, num_perms) - minhash signature over word " +
+          "n-gram shingles (fused shingle+permute+min loop; bit-identical " +
+          "to min(hash(shingle_hash, k)) aggregates).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "minhash32 expects (text, n, num_perms)")
+        require(children.drop(1).forall(_.foldable),
+          "minhash32 parameters must be literals")
+        def intArg(i: Int) = children(i).eval().asInstanceOf[Number].intValue()
+        graft.functions.MinHashSigExpr(children.head, intArg(1), intArg(2))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     // §4.4c optimizer rule: size(filter(arr,f)) > 0 → exists(arr,f)
     // (short-circuit instead of materialize-and-count)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyArrayExistence)

@@ -59,15 +59,17 @@ object Dedup {
     call_function("ngram_hashes", text, lit(n))
 
   def minhashSignatures(docs: DataFrame, n: Int = 3,
-      numPerms: Int = 32): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("h"))
-    val minCols = (0 until numPerms).map(k => min(hash(col("h"), lit(k))).as(s"_m$k"))
-    exploded.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerms).map(k => col(s"_m$k")): _*).as("mh"))
-  }
+      numPerms: Int = 32): DataFrame =
+    // the fused native expression (functions.MinHashSigExpr): one map
+    // pass per doc, bit-identical to the aggregate formulation it
+    // replaced — explode(shingleHashes) then numPerms min(hash(h, k))
+    // aggregates — which materialized a row per shingle and hash-
+    // aggregated all of them (~4 s of the LSH gate at sf0.1). Docs with
+    // no shingles had no rows after that groupBy; the null filter keeps
+    // the contract.
+    docs.select(col("doc_id"),
+        call_function("minhash32", col("text"), lit(n), lit(numPerms)).as("mh"))
+      .filter(col("mh").isNotNull)
 
   /** Exact-dedup survivors: first (min orderCol) row per digest of `key`.
     * Shuffles md5 digests only.
@@ -324,6 +326,11 @@ object Dedup {
     // guards and running the DP on every raw gram collision (~80 s
     // instead of ~6 s at sf0.1). AND short-circuits in the generated
     // code, so evaluation order IS the conjunct order written here.
+    // (Measured alternative: pulling the DP out behind a distinct-pairs
+    // barrier re-runs it once per pair instead of once per chunk match,
+    // but the distinct must shuffle every L1-surviving gram row WITH both
+    // 80-char strings — 96 s vs 5 s at sf0.1. The duplicate DPs are the
+    // cheaper side of that trade.)
     val fullCond =
       col("a.doc_id") =!= col("b.doc_id") &&
         abs(col("b.p") - col("a.st")) <= col("a.ci") &&

@@ -117,6 +117,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(hints.isEmpty, hints.map(_.child.treeString.take(300)).mkString)
   }
 
+  test("fused expressions hold their plans: no join/explode rebuilds them") {
+    // text_lm_typicality: bigram counts come from the native expression,
+    // not an explode-per-character + hash aggregate
+    val typ = graft.SparkEntry.queries("text_lm_typicality")(spark, d)
+    val typPlan = typ.queryExecution.analyzed.toString
+    assert(typPlan.contains("char_bigram_counts"), typPlan.take(1200))
+    assert(!typPlan.contains("sequence(1"), "per-character explode is back")
+    // dedup_embedding_rhp: band keys from the native projection, with no
+    // hyperplane join under the band derivation
+    val rhp = graft.SparkEntry.queries("dedup_embedding_rhp")(spark, d)
+    val rhpPlan = rhp.queryExecution.analyzed.toString
+    assert(rhpPlan.contains("rhp_bands"), rhpPlan.take(1200))
+  }
+
   test("sim_topk_pq: shortlist runs through the native heap operator, not a Window") {
     val df = graft.SparkEntry.queries("sim_topk_pq")(spark, d)
     val p = df.queryExecution.executedPlan.toString
