@@ -17,7 +17,7 @@ class ScratchTimingSpec extends SparkSpec {
     r
   }
 
-  test("minhash-lsh stage breakdown at sf0.1") {
+  ignore("minhash-lsh stage breakdown at sf0.1") {
     val docs = Dedup.withMutants(
       spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         .select(col("doc_id"), col("text")))
