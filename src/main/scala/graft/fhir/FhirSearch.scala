@@ -51,16 +51,35 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
     // plans, so each leg pushes its `Patient/{id}` literal into the
     // scan). Result rows are (resourceType, id, mode='match') — every
     // $everything entry is a match per the FHIR operation contract.
+    // Operation params: `_type=a,b` keeps only those compartment types
+    // (the patient read always stays — it anchors the compartment);
+    // `_since=instant` keeps resources with meta.lastUpdated >= instant,
+    // both filters pushing into each leg's scan.
     request match {
-      case everythingRx(id) =>
-        val pid = s"Patient/$id"
-        val patient = table("Patient").filter(col("id") === id)
-          .select(lit("Patient").as("resourceType"), col("id"))
-        val children = EverythingTypes.map { t =>
-          table(t)
-            .filter(referencePath(t, compartmentRefParam(t)) === pid)
-            .select(lit(t).as("resourceType"), col("id"))
+      case everythingRx(id, rest) =>
+        val params = Option(rest).filter(_.nonEmpty).map(qs =>
+          qs.split("&").toSeq.map { kv =>
+            val Array(k, v) = kv.split("=", 2); (k, v)
+          }).getOrElse(Seq())
+        val types = params.collectFirst { case ("_type", v) =>
+          v.split(",").toSet }
+        val since = params.collectFirst { case ("_since", v) => v }
+        def sinceFilter(t: String)(df: DataFrame): DataFrame = since match {
+          case Some(s) if MetaTypes(t) =>
+            df.filter(col("meta").getField("lastUpdated") >= s)
+          case _ => df
         }
+        val pid = s"Patient/$id"
+        val patient = sinceFilter("Patient")(
+            table("Patient").filter(col("id") === id))
+          .select(lit("Patient").as("resourceType"), col("id"))
+        val children = EverythingTypes
+          .filter(t => types.forall(_.contains(t)))
+          .map { t =>
+            sinceFilter(t)(table(t)
+                .filter(referencePath(t, compartmentRefParam(t)) === pid))
+              .select(lit(t).as("resourceType"), col("id"))
+          }
         return children.foldLeft(patient)(_ unionByName _)
           .withColumn("mode", lit("match"))
           .orderBy("resourceType", "id")
@@ -320,8 +339,8 @@ object FhirSearch {
   /** `CompType/{id}/{Type}` compartment request, optionally with ?params. */
   private val compartmentRx = "^([A-Za-z]+)/([^/?]+)/([A-Za-z]+)(?:\\?(.*))?$".r
 
-  /** `Patient/{id}/$everything` operation request (B26). */
-  private val everythingRx = "^Patient/([^/?]+)/\\$everything$".r
+  /** `Patient/{id}/$everything[?_type=…&_since=…]` operation (B26). */
+  private val everythingRx = "^Patient/([^/?]+)/\\$everything(?:\\?(.*))?$".r
 
   /** Compartment types a $everything sweep unions (every type
     * [[compartmentRefParam]] places in the patient compartment).

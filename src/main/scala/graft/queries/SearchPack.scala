@@ -591,6 +591,35 @@ object SearchPack extends QueryPack {
               |FROM ${rj("Specimen")} WHERE subject.reference = 'Patient/p-001'
               |ORDER BY resourceType, id""".stripMargin)),
 
+    // B26 $everything operation params: _type restricts compartment
+    // types (the anchoring patient read always stays), _since filters on
+    // meta.lastUpdated — the incremental patient-export shape. Here the
+    // patient itself is older than _since, so only the three matching
+    // compartment resources survive.
+    QueryDef(
+      "search_everything_filtered",
+      (s, _) => eng(s).search("Patient/p-001/$everything" +
+        "?_type=Observation,Specimen,DocumentReference&_since=2024-06"),
+      Some {
+        def mj(name: String) =
+          s"""read_json('$Fix/$name.ndjson', format='newline_delimited',
+             |          timestampformat='%d__%m')""".stripMargin
+        s"""SELECT 'Patient' AS resourceType, id, 'match' AS mode
+           |FROM ${mj("Patient")}
+           |WHERE id = 'p-001' AND meta.lastUpdated >= '2024-06'
+           |UNION ALL SELECT 'Observation', id, 'match' FROM ${mj("Observation")}
+           |WHERE subject.reference = 'Patient/p-001'
+           |  AND meta.lastUpdated >= '2024-06'
+           |UNION ALL SELECT 'Specimen', id, 'match' FROM ${mj("Specimen")}
+           |WHERE subject.reference = 'Patient/p-001'
+           |  AND meta.lastUpdated >= '2024-06'
+           |UNION ALL SELECT 'DocumentReference', id, 'match'
+           |FROM ${mj("DocumentReference")}
+           |WHERE subject.reference = 'Patient/p-001'
+           |  AND meta.lastUpdated >= '2024-06'
+           |ORDER BY resourceType, id""".stripMargin
+      }),
+
     // _sort on a server-meta key: most-recently-updated-first paging —
     // the incremental-consumer access pattern
     QueryDef(

@@ -97,6 +97,16 @@ class FhirSearchSpec extends SparkSpec {
     }
   }
 
+  test("$everything _type restricts child types but keeps the patient; _since filters on meta") {
+    val typed = eng.search("Patient/p-001/$everything?_type=Observation").collect()
+    assert(typed.map(_.getString(0)).toSet == Set("Patient", "Observation"))
+    // _since later than every fixture update → nothing at all
+    assert(eng.search("Patient/p-001/$everything?_since=2030-01").count() == 0)
+    // _since before everything → identical to the unfiltered sweep
+    assert(eng.search("Patient/p-001/$everything?_since=2000-01").count() ==
+      eng.search("Patient/p-001/$everything").count())
+  }
+
   test("$everything of an unknown id is empty; chain target is not hint-broadcast") {
     assert(eng.search("Patient/nope/$everything").count() == 0)
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
