@@ -57,15 +57,19 @@ object EventStreams {
   /** Stream-static enrichment join (the dimension-lookup shape every
     * event pipeline runs first): the unbounded event stream joins a
     * bounded dimension table, then aggregates per dimension attribute.
-    * The static side is broadcast — in streaming mode Spark re-plans the
-    * join per microbatch, so the dim rides as a broadcast hash table and
-    * the stream side never shuffles for the join; state is only the
+    * No broadcast HINT on the static side: Spark re-plans the join per
+    * microbatch from the dim's size stats, so a dim that fits the
+    * threshold rides as a broadcast hash table (the common enrich case —
+    * stream side never shuffles) while an over-memory dim degrades to a
+    * shuffled join instead of an executor OOM; a forced broadcast makes
+    * that choice for ALL dim sizes, which is exactly the
+    * 100 TB failure mode the dangling-refs audit had. State is only the
     * (tiny) per-segment aggregate. Identical semantics in batch mode
     * (StreamingSpec asserts stream == batch == oracle).
     */
   def enrichAgg(events: DataFrame, customers: DataFrame): DataFrame =
     events
-      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      .join(customers.select(col("c_custkey"), col("c_mktsegment")),
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
