@@ -20,10 +20,28 @@ object FhirIO {
   /** Streaming scan (A1): schema-directed NDJSON read, malformed lines
     * dropped silently. Explicit schema means NO inference pass over the
     * data — one scan total, which matters at bulk-import scale (A6/A7:
-    * `path` may be a glob over an object store).
+    * `path` may be a glob over an object store). Uncached: safe for
+    * paths that are rewritten between reads (roundtrip sinks, test tmp
+    * dirs) — a cached relation would pin the OLD part-file listing.
     */
   def readNdjson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** One relation per (session, path, schema) for IMMUTABLE store
+    * tables: re-reading a path builds a fresh file index (listing + scan
+    * setup) every time — trivial on a local dir, an O(files) object-store
+    * listing storm when every query against the store re-lists its
+    * tables. Reusing the DataFrame reuses its resolved relation, exactly
+    * like resolving through a catalog; downstream plans still push their
+    * own filters into the scan. Only for paths that never change within
+    * a session — the cached relation pins the file listing.
+    */
+  def readNdjsonCached(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    relationCache.getOrElseUpdate(spark, s"$path|${schema.catalogString.hashCode}")(
+      readNdjson(spark, path, schema))
+
+  private val relationCache = new graft.util.SessionCache[DataFrame]
 
   /** Read with reject channel (A18 structural half + A19 continue mode):
     * PERMISSIVE parse keeps malformed lines in `_corrupt_record`; callers

@@ -614,10 +614,13 @@ object FhirSearch {
     (t, params)
   }
 
-  /** Build a search engine over the NDJSON fixture tables. */
+  /** Build a search engine over the NDJSON fixture tables (relations are
+    * cached per (session, path) — building an engine per request must not
+    * re-list the store).
+    */
   def overFixtures(spark: SparkSession, dir: String): FhirSearch = {
     val load = (name: String, schema: org.apache.spark.sql.types.StructType) =>
-      FhirIO.readNdjson(spark, s"$dir/$name.ndjson", schema)
+      FhirIO.readNdjsonCached(spark, s"$dir/$name.ndjson", schema)
     new FhirSearch(spark, Map(
       "Patient" -> load("Patient", FhirSchemas.patient),
       "Specimen" -> load("Specimen", FhirSchemas.specimen),

@@ -15,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** One base DataFrame per (session, dir, table): re-reading a path
+    * builds a fresh InMemoryFileIndex (a full file listing + footer
+    * schema read) every time — trivial on a local dir, an O(files)
+    * object-store listing storm when hundreds of queries each re-list a
+    * 100 TB table. Reusing the DataFrame reuses its resolved relation
+    * (and its listing) exactly like resolving through a catalog table;
+    * plans built FROM it still push filters/pruning per query.
+    */
+  private val relationCache = new graft.util.SessionCache[DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relationCache.getOrElseUpdate(spark, s"$dir/$name")(
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Register every table as a temp view so `spark.sql` front-end queries
     * (GROUPING SETS, FHIR-search-generated SQL, ad-hoc) resolve by name.
