@@ -25,8 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MinHashSigFn {
 
-  def compute(text: UTF8String, n: Int, numPerms: Int): ArrayData = {
-    val hashes = NGramHashFn.compute(text, n)
+  def compute(text: UTF8String, n: Int, numPerms: Int): ArrayData =
+    fromHashes(NGramHashFn.compute(text, n), numPerms)
+
+  /** Signature from an already-shingled hash array (the [[NGramHashFn]]
+    * output a caller has cached for the Jaccard-verify stage) — skips the
+    * second tokenize+shingle pass over the text.
+    */
+  def fromHashes(hashes: ArrayData, numPerms: Int): ArrayData = {
     val m = hashes.numElements()
     if (m == 0) return null
     val out = new Array[Int](numPerms)
@@ -46,17 +52,26 @@ object MinHashSigFn {
   }
 }
 
-/** `minhash32(text, n, num_perms)` — the document's minhash signature as
-  * array<int>[num_perms]; null for docs with fewer than n tokens.
+/** `minhash32(text_or_hashes, n, num_perms)` — the document's minhash
+  * signature as array<int>[num_perms]; null for docs with fewer than n
+  * tokens. The child is either the text (shingled internally) or an
+  * already-computed `ngram_hashes` array (n ignored) — callers that cache
+  * the shingle-hash sets for Jaccard verification derive signatures from
+  * them without a second shingling pass.
   */
 case class MinHashSigExpr(child: Expression, n: Int, numPerms: Int)
     extends UnaryExpression {
   require(n >= 1 && numPerms >= 1, "minhash32 needs n >= 1, num_perms >= 1")
 
+  private val fromHashes: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"minhash32 expects a string column, got ${dt.catalogString}")
+      s"minhash32 expects a string or array<bigint> column, got ${dt.catalogString}")
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -64,15 +79,21 @@ case class MinHashSigExpr(child: Expression, n: Int, numPerms: Int)
   override def prettyName: String = "minhash32"
 
   override protected def nullSafeEval(v: Any): Any =
-    MinHashSigFn.compute(v.asInstanceOf[UTF8String], n, numPerms)
+    if (fromHashes) MinHashSigFn.fromHashes(v.asInstanceOf[ArrayData], numPerms)
+    else MinHashSigFn.compute(v.asInstanceOf[UTF8String], n, numPerms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     // not defineCodeGen: compute() returns null for shingle-less docs and
     // the generated isNull must track that, not just the child's null
-    nullSafeCodeGen(ctx, ev, a => s"""
-      |${ev.value} = graft.functions.MinHashSigFn.compute($a, $n, $numPerms);
+    nullSafeCodeGen(ctx, ev, a => {
+      val call =
+        if (fromHashes) s"graft.functions.MinHashSigFn.fromHashes($a, $numPerms)"
+        else s"graft.functions.MinHashSigFn.compute($a, $n, $numPerms)"
+      s"""
+      |${ev.value} = $call;
       |if (${ev.value} == null) { ${ev.isNull} = true; }
-      |""".stripMargin)
+      |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)

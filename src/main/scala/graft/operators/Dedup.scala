@@ -161,14 +161,25 @@ object Dedup {
 
   /** MinHash-LSH near-dup pipeline: LSH candidates → exact Jaccard verify.
     * Only candidate pairs are verified — the scale path end to end.
+    * The shingle-hash sets are computed ONCE (cached): the verify stage
+    * needs them anyway, and signatures derive from them via minhash32's
+    * array input instead of re-shingling the corpus.
     */
   def lshNearDups(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       numPerms: Int = 32, rowsPerBand: Int = 2): DataFrame = {
-    val cands = lshCandidates(docs, n, numPerms, rowsPerBand)
-    // verify on hashed shingle sets: same intersection counts as the
+    // verify sets on hashed shingles: same intersection counts as the
     // string sets (64-bit collisions aside), 8-byte elements through the
     // candidate joins instead of ~20-char strings
     val sets = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("sh")).cache()
+    val sig = sets.select(col("doc_id"),
+        call_function("minhash32", col("sh"), lit(n), lit(numPerms)).as("mh"))
+      .filter(col("mh").isNotNull)
+    val bands = bandTable(sig, numPerms / rowsPerBand, rowsPerBand).cache()
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
     cands
       .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
@@ -193,12 +204,18 @@ object Dedup {
     */
   def writeLshIndex(docs: DataFrame, path: String, n: Int = 3,
       numPerms: Int = 32, rowsPerBand: Int = 2): Unit = {
-    val bands = bandTable(minhashSignatures(docs, n, numPerms),
-      numPerms / rowsPerBand, rowsPerBand)
-    bands.repartition(col("band")).sortWithinPartitions("band", "bsig")
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    // shingle once: write the sets, then derive band signatures FROM the
+    // written sets (minhash32 array input) — one shingling pass and one
+    // text scan instead of two of each
     docs.select(col("doc_id"), shingleHashes(col("text"), n).as("sh"))
       .write.mode("overwrite").parquet(s"$path/sets")
+    val sets = docs.sparkSession.read.parquet(s"$path/sets")
+    val sig = sets.select(col("doc_id"),
+        call_function("minhash32", col("sh"), lit(n), lit(numPerms)).as("mh"))
+      .filter(col("mh").isNotNull)
+    val bands = bandTable(sig, numPerms / rowsPerBand, rowsPerBand)
+    bands.repartition(col("band")).sortWithinPartitions("band", "bsig")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
   }
 
   /** Probe a persisted LSH index with a batch of query docs. The probe
