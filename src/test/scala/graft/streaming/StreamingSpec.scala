@@ -58,6 +58,20 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(stream).count() == 0)
   }
 
+  test("enrich dim still broadcasts from size stats with no hint (batch face)") {
+    // the forced broadcast() was removed so an over-memory dim degrades
+    // to a shuffled join instead of an OOM; this pins the other half of
+    // that contract — a dim under the threshold still plans as BHJ
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val df = EventStreams.enrichAgg(events, dim)
+    df.collect() // finalize the adaptive plan
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      df.queryExecution.executedPlan.toString.take(1200))
+  }
+
   test("watermark drops data later than the delay") {
     // batch 1 advances event time to 0:41; batch 2 delivers an event at
     // 0:01 — 40 min late, beyond the 10 min watermark → excluded from the
