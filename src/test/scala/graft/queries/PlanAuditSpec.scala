@@ -131,6 +131,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(rhpPlan.contains("rhp_bands"), rhpPlan.take(1200))
   }
 
+  test("global sweep: no query ever plans a CartesianProduct") {
+    // cross joins in the repo are all 1-row/tiny broadcast sides (stats,
+    // LUTs, invariant counters) and plan as BroadcastNestedLoopJoin; an
+    // unbroadcast CartesianProduct anywhere is an n² regression that must
+    // fail CI no matter which gate introduces it
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, d).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
   test("sim_topk_pq: shortlist runs through the native heap operator, not a Window") {
     val df = graft.SparkEntry.queries("sim_topk_pq")(spark, d)
     val p = df.queryExecution.executedPlan.toString
