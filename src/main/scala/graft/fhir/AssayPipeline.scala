@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
   * complex computation (/root/reference/scripts/assay.py:33-226),
   * re-expressed as a relational plan:
   *
-  * pass 1 (groups): posexplode members → keep `Specimen/` refs → broadcast
+  * pass 1 (groups): posexplode members → keep `Specimen/` refs →
   * left-join to specimens → per-group agg with ORDER-SENSITIVE last-wins
   * patient pick (assay.py:68-69) → filter groups with a patient and ≥1
   * specimen ref → Assay per group (id = group id).
@@ -22,10 +22,14 @@ import org.apache.spark.sql.types._
   * profile dropped (only element 0 — assay.py:213), Assay ref appended to
   * context.related, contentType inferred onto content[0].attachment.
   *
-  * Scale notes: specimens and the claimed-groups map are dimension-sized →
-  * broadcast joins; docs (the 27K-per-537-patients fan-out in the reference
-  * store, i.e. the skewed fact side) shuffle at most once on doc_key. The
-  * group agg carries only (pos, ref) pairs, not whole docs.
+  * Scale notes: specimens and the claimed-groups map are dimension-sized
+  * at any per-project cardinality, but they SCALE WITH THE STORE — so no
+  * join here carries a forced broadcast hint. Stats/AQE pick BHJ whenever
+  * the dim side actually fits (they do at reference scale — plan-asserted
+  * in PlanAuditSpec) and degrade to a shuffled join instead of OOMing the
+  * driver when it doesn't. Docs (the 27K-per-537-patients fan-out in the
+  * reference store, i.e. the skewed fact side) shuffle at most once on
+  * doc_key. The group agg carries only (pos, ref) pairs, not whole docs.
   */
 object AssayPipeline {
 
@@ -40,10 +44,16 @@ object AssayPipeline {
 
   /** One row per specimen id, LAST occurrence winning — the reference's
     * `{s.id: s for s in specimens}` dict semantics (assay.py:42): a
-    * duplicate id must not fan out the member join. File order is
-    * approximated by monotonically_increasing_id (partition-ordered, row
-    * order preserved within partitions — exact for the single-file NDJSON
-    * reads this pipeline does).
+    * duplicate id must not fan out the member join.
+    *
+    * ORDER CONTRACT: "last" = monotonically_increasing_id order, i.e.
+    * (partition index, row-within-partition). For a SINGLE NDJSON file per
+    * resource type (the reference layout, and what this pipeline reads)
+    * that is exactly file order, because Spark assigns split partitions in
+    * file-offset order and preserves row order within each split. A
+    * MULTI-FILE or repartitioned specimen input has no defined inter-file
+    * "last"; callers feeding one must pre-sort on an explicit version/order
+    * column instead. TransformerPropertySpec pins both behaviors.
     */
   private def specimenDim(specimens: DataFrame, idAs: String,
       patientAs: String): DataFrame =
@@ -64,7 +74,7 @@ object AssayPipeline {
         refId(col("m.entity.reference")).as("spec_id"))
     val specDim = specimenDim(specimens, "spec_id", "spec_patient")
     members
-      .join(broadcast(specDim), Seq("spec_id"), "left")
+      .join(specDim, Seq("spec_id"), "left")
       .groupBy(col("group_id"))
       .agg(
         // member order preserved via pos sort — the reference appends in
@@ -177,10 +187,13 @@ object AssayPipeline {
     // Cached: pass 1, pass 2, and the untouched anti-join all re-read it.
     val keyedDocs = docs.withColumn("doc_key", refId(col("subject.reference"))).cache()
 
-    val claimDim = broadcast(claimed.select(
+    // No broadcast hint: claimed groups scale with the store; the planner
+    // sizes the (cached) dim itself and picks BHJ at any realistic
+    // per-project cardinality.
+    val claimDim = claimed.select(
       col("group_id").as("doc_key"),
       col("group_id").as("assay_id"),
-      col("patient_ref")))
+      col("patient_ref"))
 
     val pass1Docs = keyedDocs.join(claimDim, Seq("doc_key"))
 
@@ -189,7 +202,7 @@ object AssayPipeline {
     val pass2Base = keyedDocs
       .filter(col("subject.reference").startsWith("Specimen/"))
       .join(claimDim.select(col("doc_key")), Seq("doc_key"), "left_anti")
-    val specDim = broadcast(specimenDim(specimens, "doc_key", "patient_ref"))
+    val specDim = specimenDim(specimens, "doc_key", "patient_ref")
     // inner join = the reference's KeyError-on-missing lookup (assay.py:97):
     // a missing specimen silently drops here; A20 invariants catch it
     val pass2Docs = pass2Base

@@ -41,8 +41,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("q19_range_join").contains("BroadcastNestedLoopJoin"))
   }
 
-  test("assay pass-1: specimen dimension joins are broadcast (A3 build side)") {
-    val p = plan("fhir_assay_pass1")
+  test("assay gates: no forced broadcast hints; the planner still picks BHJ (A3 build side)") {
+    // The specimen and claimed-group dims scale with the store at 100 TB —
+    // a forced broadcast() OOMs there instead of degrading, so the assay
+    // joins must be hint-free and rely on stats/AQE to size the dims
+    // (the same contract as fhir_dangling_refs below).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val assayGates = Seq("fhir_assay_pass1", "fhir_assay_pass2",
+      "fhir_assay_docs", "fhir_assay_groups", "fhir_assay_docs_nonr4")
+    assayGates.foreach { g =>
+      val hints = graft.SparkEntry.queries(g)(spark, d)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty,
+        s"$g carries a forced hint:\n${hints.map(_.child.treeString.take(300)).mkString}")
+    }
+    // ...and at reference scale the planner chooses the broadcast on its
+    // own (final adaptive plan, so collect() before reading it)
+    val df = graft.SparkEntry.queries("fhir_assay_pass1")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
