@@ -11,12 +11,46 @@ Checks (the same sweeps the round judge runs):
 A claim of a gate that doesn't exist is worse than a gap (round-6
 verdict on search_everything) — run this before ending a round.
 
-Usage: python3 tools/self_audit.py <verify_out_dir_with_oracle_sql.json>
+Usage: python3 tools/self_audit.py [verify_out_dir_with_oracle_sql.json]
+       (no arg: the NEWEST dir under /tmp containing an oracle_sql.json)
+
+The gate list is read from the Verify dump, so a stale dump silently
+grades old claims (round-7 judge hit a spurious ghost-gate FAIL this
+way). The script therefore REFUSES when the dump's oracle_sql.json is
+older than the newest file in src/main/scala; pass --allow-stale to
+override knowingly.
 """
+import glob
 import json
+import os
 import re
 import subprocess
 import sys
+
+
+def newest_verify_dir():
+    cands = glob.glob("/tmp/*/oracle_sql.json")
+    if not cands:
+        sys.exit("FAIL: no oracle_sql.json under /tmp — run graft.Verify first")
+    best = max(cands, key=os.path.getmtime)
+    print(f"using newest Verify output: {os.path.dirname(best)}")
+    return os.path.dirname(best)
+
+
+def refuse_if_stale(oracle_path, allow_stale):
+    src_newest = max(
+        (os.path.getmtime(p) for p in glob.glob("src/main/scala/**/*.scala",
+                                                recursive=True)),
+        default=0.0)
+    age = src_newest - os.path.getmtime(oracle_path)
+    if age > 0:
+        msg = (f"{oracle_path} is {age:.0f}s older than the newest file in "
+               f"src/main/scala — the gate list may be stale; re-run "
+               f"graft.Verify (or pass --allow-stale to audit anyway)")
+        if allow_stale:
+            print(f"WARN (stale, overridden): {msg}")
+        else:
+            sys.exit(f"FAIL (stale): {msg}")
 
 
 def shipped_queries(oracle_path):
@@ -43,7 +77,8 @@ def coverage_gates():
     return gates
 
 
-def main(verify_dir):
+def main(verify_dir, allow_stale=False):
+    refuse_if_stale(f"{verify_dir}/oracle_sql.json", allow_stale)
     shipped, oracle, rows_only = shipped_queries(f"{verify_dir}/oracle_sql.json")
     cov = coverage_gates()
     fail = 0
@@ -78,4 +113,6 @@ def main(verify_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"))
+    argv = [a for a in sys.argv[1:] if a != "--allow-stale"]
+    sys.exit(main(argv[0] if argv else newest_verify_dir(),
+                  allow_stale="--allow-stale" in sys.argv))
