@@ -7,11 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column support (SURVEY C12): media as opaque BinaryType
   * columns + typed metadata, with decode / feature-extraction plumbing.
   *
-  * Two REAL codecs run this plumbing end to end — [[Utf8TextCodec]]
-  * (strict UTF-8 decode + repair) and [[BmpCodec]] (24-bpp uncompressed
-  * BMP, pure JVM). Compressed formats (JPEG/audio/video) stay behind
-  * [[StubCodec]] — those codec libraries are not in this environment —
-  * but everything Spark-side is identical across all three: the schema
+  * Three REAL codecs run this plumbing end to end — [[Utf8TextCodec]]
+  * (strict UTF-8 decode + repair), [[BmpCodec]] (24-bpp uncompressed
+  * BMP, pure JVM) and [[WavCodec]] (RIFF/WAVE PCM16, pure JVM).
+  * Compressed formats (JPEG/MP3/video) stay behind [[StubCodec]] — those
+  * codec libraries are not in this environment —
+  * but everything Spark-side is identical across all four: the schema
   * contract, the partition-preserving mapPartitions execution (the Scala
   * analog of a Pandas-UDF `mapInPandas` batch loop: one decoder
   * instantiation per partition, streamed row batches, no driver
@@ -107,10 +108,20 @@ object Multimodal {
       val compression = buf.getInt(30)
       require(bpp == 24 && compression == 0,
         s"unsupported BMP variant: bpp=$bpp compression=$compression")
+      // Validate header ints BEFORE any size arithmetic: a hostile
+      // dataOffset/width/height must fail this require, not overflow into
+      // a passing bound or an ArrayIndexOutOfBounds.
+      require(dataOffset >= 54 && width > 0 && rawHeight != 0 &&
+        rawHeight != Int.MinValue,
+        s"malformed BMP header: dataOffset=$dataOffset width=$width height=$rawHeight")
       val height = math.abs(rawHeight)
-      val rowSize = ((width * 3 + 3) / 4) * 4 // BGR rows pad to 4 bytes
-      require(bytes.length >= dataOffset + rowSize.toLong * height,
+      val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4 // BGR rows pad to 4 bytes
+      // rowSizeL <= bytes.length first: caps rowSizeL*height at 2^62, so the
+      // truncation bound itself cannot overflow Long.
+      require(rowSizeL <= bytes.length &&
+        bytes.length >= dataOffset.toLong + rowSizeL * height,
         "truncated BMP pixel array")
+      val rowSize = rowSizeL.toInt // fits: rowSizeL <= bytes.length <= Int.MaxValue
       var sr, sg, sb = 0L
       var y = 0
       while (y < height) { // channel means are row-order invariant
@@ -129,6 +140,119 @@ object Multimodal {
       Row(width, height, bpp,
         sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
     }
+  }
+
+  /** A REAL audio codec: RIFF/WAVE PCM 16-bit, pure JVM — validates the
+    * RIFF/WAVE magic, walks the word-aligned chunk list to `fmt ` and
+    * `data`, and emits sample rate / channel count / frame count /
+    * duration plus exact per-channel RMS. Mono and stereo are supported
+    * (`rms_r` = 0.0 for mono). RMS sums squares in Long (16-bit samples:
+    * at most 2^30 per frame — exact), divides by the dyadic frame count
+    * and takes one IEEE-correctly-rounded sqrt, so an oracle that replays
+    * the same integer samples reproduces the doubles bit-for-bit.
+    */
+  object WavCodec extends MediaCodec {
+    override val featureType: StructType = StructType(Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_s", DoubleType),
+      StructField("rms_l", DoubleType),
+      StructField("rms_r", DoubleType)))
+
+    override def decode(bytes: Array[Byte]): Row = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      require(bytes.length >= 44 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+        "not a WAV: bad RIFF/WAVE magic")
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      // Chunk walk: id(4) + size(4LE) + payload, padded to 2-byte words.
+      var off = 12
+      var fmtOff, dataOff, dataSize = -1
+      while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = buf.getInt(off + 4)
+        require(size >= 0 && off + 8L + size <= bytes.length,
+          s"truncated WAV chunk '$id': size=$size at offset=$off")
+        if (id == "fmt ") fmtOff = off + 8
+        else if (id == "data") { dataOff = off + 8; dataSize = size }
+        off += 8 + size + (size & 1) // odd-sized chunks pad one byte
+      }
+      require(fmtOff >= 0 && dataOff >= 0, "WAV missing fmt/data chunk")
+      val audioFormat = buf.getShort(fmtOff).toInt
+      val channels = buf.getShort(fmtOff + 2).toInt
+      val sampleRate = buf.getInt(fmtOff + 4)
+      val bits = buf.getShort(fmtOff + 14).toInt
+      require(audioFormat == 1 && bits == 16,
+        s"unsupported WAV variant: format=$audioFormat bits=$bits (PCM16 only)")
+      require(channels >= 1 && channels <= 2 && sampleRate > 0,
+        s"malformed WAV fmt: channels=$channels rate=$sampleRate")
+      val blockAlign = channels * 2
+      val nFrames = (dataSize / blockAlign).toLong
+      var sqL, sqR = 0L
+      var f = 0
+      while (f < nFrames) {
+        val base = dataOff + f * blockAlign
+        val l = buf.getShort(base).toLong
+        sqL += l * l
+        if (channels == 2) {
+          val r = buf.getShort(base + 2).toLong
+          sqR += r * r
+        }
+        f += 1
+      }
+      def rms(sq: Long): Double =
+        if (nFrames == 0) 0.0 else math.sqrt(sq.toDouble / nFrames)
+      Row(sampleRate, channels, bits, nFrames,
+        nFrames.toDouble / sampleRate, rms(sqL),
+        if (channels == 2) rms(sqR) else 0.0)
+    }
+  }
+
+  /** Encode interleaved 16-bit PCM samples as a minimal RIFF/WAVE file
+    * (44-byte canonical header, little-endian).
+    */
+  def wavEncodePcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    require(channels >= 1 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of $channels channels")
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    buf.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Synthesize a valid stereo WAV `media` column: 8 frames of 2-channel
+    * 16-bit PCM at 8 kHz whose 16 interleaved samples are the md5(text)
+    * digest bytes mapped to `(b - 128) * 256` — deterministic, and an
+    * oracle can recompute the decoded per-channel RMS from the hex digest
+    * alone (L = even digest bytes, R = odd), no WAV parser needed.
+    */
+  def withWavColumn(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val samples = r.getAs[Array[Byte]](1)
+            .map(b => (((b & 0xff) - 128) * 256).toShort)
+          Row(r.getLong(0), wavEncodePcm16(8000, 2, samples))
+        }
+      }(enc)
   }
 
   /** Encode a grayscale byte matrix (row-major, top row first) as a

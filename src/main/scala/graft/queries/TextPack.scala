@@ -318,6 +318,39 @@ object TextPack extends QueryPack {
              |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 multimodal with a REAL audio codec: synthesize a stereo PCM16
+    // WAV per document (16 interleaved samples = md5(text) digest bytes
+    // mapped to (b-128)*256; L = even bytes, R = odd), decode it with the
+    // pure-JVM RIFF/WAVE parser, emit rate/channels/frames/duration +
+    // exact per-channel RMS. The oracle replays the same integer samples
+    // from the hex digest — squares summed exactly in BIGINT, one dyadic
+    // divide, one IEEE sqrt — so the doubles hash-match bit-for-bit.
+    QueryDef(
+      "mm_audio",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withWavColumn(docsOf(s, d)), Multimodal.WavCodec)
+          .select(col("doc_id"),
+            col("features").getField("sample_rate").as("sample_rate"),
+            col("features").getField("channels").as("channels"),
+            col("features").getField("bits").as("bits"),
+            col("features").getField("n_frames").as("n_frames"),
+            col("features").getField("duration_s").as("duration_s"),
+            col("features").getField("rms_l").as("rms_l"),
+            col("features").getField("rms_r").as("rms_r"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST((('0x' || substr(md5(text), i*2+1, 2))::INT - 128) * 256 AS BIGINT)) AS sm
+             |  FROM documents
+             |)
+             |SELECT doc_id, 8000 AS sample_rate, 2 AS channels, 16 AS bits,
+             |  CAST(8 AS BIGINT) AS n_frames,
+             |  CAST(8 AS DOUBLE) / 8000 AS duration_s,
+             |  sqrt(CAST(list_sum(list_transform([1,3,5,7,9,11,13,15], i -> sm[i]*sm[i])) AS DOUBLE) / 8) AS rms_l,
+             |  sqrt(CAST(list_sum(list_transform([2,4,6,8,10,12,14,16], i -> sm[i]*sm[i])) AS DOUBLE) / 8) AS rms_r
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // C12 multimodal: binary media column + mapPartitions feature
     // extraction (stub decoder, real plumbing — see operators.Multimodal).
     QueryDef(

@@ -53,6 +53,55 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.BmpCodec.decode(bmp3.take(56)))
   }
 
+  test("WAV codec: encode/decode round-trip recovers rate, frames and exact per-channel RMS") {
+    // stereo: L = constant 1000, R = constant -2000 → RMS exactly 1000/2000
+    val stereo = Array.tabulate[Short](16)(i => if (i % 2 == 0) 1000 else -2000)
+    val wav = Multimodal.wavEncodePcm16(8000, 2, stereo)
+    assert(wav.length == 44 + 32)
+    val f = Multimodal.WavCodec.decode(wav)
+    assert(f.getInt(0) == 8000 && f.getInt(1) == 2 && f.getInt(2) == 16)
+    assert(f.getLong(3) == 8L && f.getDouble(4) == 8.0 / 8000)
+    assert(f.getDouble(5) == 1000.0 && f.getDouble(6) == 2000.0)
+    // mono: frames = samples, rms_r pinned to 0.0
+    val mono = Multimodal.WavCodec.decode(
+      Multimodal.wavEncodePcm16(44100, 1, Array[Short](3, -4)))
+    assert(mono.getInt(1) == 1 && mono.getLong(3) == 2L)
+    assert(mono.getDouble(5) == math.sqrt(25.0 / 2) && mono.getDouble(6) == 0.0)
+  }
+
+  test("WAV codec: extra chunks walked; malformed input fails loudly") {
+    // splice a 6-byte LIST chunk (odd payload 5 → 1 pad byte) before data
+    val base = Multimodal.wavEncodePcm16(8000, 1, Array[Short](100, 200))
+    val extra = "LIST" .getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      "INFOx".getBytes ++ Array[Byte](0)
+    val spliced = base.take(36) ++ extra ++ base.drop(36)
+    val b = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(4, spliced.length - 8) // fix RIFF size
+    val f = Multimodal.WavCodec.decode(spliced)
+    assert(f.getLong(3) == 2L && f.getDouble(5) == math.sqrt((100 * 100 + 200 * 200) / 2.0))
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decode("RIFFnot really a wave file......".getBytes))
+    // declared data size past the end of the buffer must fail, not misread
+    intercept[IllegalArgumentException](Multimodal.WavCodec.decode(base.take(46)))
+  }
+
+  test("BMP codec: hostile header ints rejected before size arithmetic") {
+    val bmp = Multimodal.bmpEncodeGray(3, 2, Array[Byte](10, 20, 30, 40, 50, 60))
+    def mutated(at: Int, v: Int): Array[Byte] = {
+      val m = bmp.clone()
+      java.nio.ByteBuffer.wrap(m).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(at, v)
+      m
+    }
+    intercept[IllegalArgumentException](
+      Multimodal.BmpCodec.decode(mutated(10, -64))) // negative dataOffset
+    intercept[IllegalArgumentException](
+      Multimodal.BmpCodec.decode(mutated(18, Int.MaxValue / 2))) // huge width
+    intercept[IllegalArgumentException](
+      Multimodal.BmpCodec.decode(mutated(22, 0))) // zero height
+    intercept[IllegalArgumentException](
+      Multimodal.BmpCodec.decode(mutated(22, Int.MinValue))) // abs overflow
+  }
+
   test("UTF-8 codec: valid text decodes clean; malformed bytes flagged and repaired") {
     val ok = Multimodal.Utf8TextCodec.decode("héllo\nwörld".getBytes("UTF-8"))
     assert(ok.getBoolean(3) && ok.getLong(1) == 11L && ok.getLong(2) == 2L)
