@@ -58,8 +58,11 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
     request match {
       case everythingRx(id, rest) =>
         val params = Option(rest).filter(_.nonEmpty).map(qs =>
-          qs.split("&").toSeq.map { kv =>
-            val Array(k, v) = kv.split("=", 2); (k, v)
+          qs.split("&").toSeq.flatMap { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => Some((k, v))
+              case _ => None // bare key / stray '&': no value to act on
+            }
           }).getOrElse(Seq())
         val types = params.collectFirst { case ("_type", v) =>
           v.split(",").toSet }
@@ -166,7 +169,8 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
     // B8/B9: _include / _revinclude produce (resourceType, id, mode) rows
     val includes = controls.filter(c => c._1 == "_include" || c._1 == "_revinclude")
     val iterSpecs = controls.collect { case ("_include:iterate", v) => v }
-    if (includes.nonEmpty || iterSpecs.nonEmpty) {
+    val revIterSpecs = controls.collect { case ("_revinclude:iterate", v) => v }
+    if (includes.nonEmpty || iterSpecs.nonEmpty || revIterSpecs.nonEmpty) {
       val matchRows = df.select(lit(resType).as("resourceType"), col("id"),
         lit("match").as("mode"))
       val extra = includes.map {
@@ -180,11 +184,18 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
             lit("include").as("mode"))
         case ("_revinclude", spec) => // Type:refParam → referencing resources
           val Array(t, refParam) = spec.split(":", 2)
-          val matchedIds = df.select(col("id").as("_mid"))
-          table(t)
-            .withColumn("_rid", split(referencePath(t, refParam), "/").getItem(1))
-            .join(matchedIds, col("_rid") === col("_mid"), "left_semi")
+          // Match the FULL "Type/id" reference string (not the bare id):
+          // a ref to another type that happens to share an id must not
+          // revinclude. refSources explodes array-valued params, so one
+          // resource referencing two matches still revincludes once
+          // (semi-join); the matched side is result-set-sized and AQE
+          // broadcasts it unforced.
+          val matchedRefs = df.select(
+            concat(lit(resType + "/"), col("id")).as("_mref"))
+          refSources(t, refParam, table(t))
+            .join(matchedRefs, col("_ref") === col("_mref"), "left_semi")
             .select(lit(t).as("resourceType"), col("id"), lit("revinclude").as("mode"))
+            .distinct()
         case other => sys.error(s"unsupported include $other")
       }
       var all = extra.foldLeft(matchRows)(_ unionByName _)
@@ -199,10 +210,18 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
       // mode for rows reached several ways on an explicit rank —
       // match < revinclude < include — not lexicographic order (string
       // max would demote a match that is also a revinclude target).
-      if (iterSpecs.nonEmpty) {
+      //
+      // _revinclude:iterate=Type:refParam runs the same fixed-depth loop
+      // in REVERSE: each round pulls rows of the referencing TYPE whose
+      // refParam points at any frontier row (full "Type/id" match across
+      // the mixed-type frontier), so a Patient ← Specimen ← Group style
+      // traversal resolves in one lazy plan. Forward and reverse specs
+      // share the frontier, per the FHIR rule that :iterate re-applies
+      // against the whole accumulated result set.
+      if (iterSpecs.nonEmpty || revIterSpecs.nonEmpty) {
         var frontier: DataFrame = all
         (1 to 3).foreach { _ =>
-          val next = iterSpecs.map { spec =>
+          val fwd = iterSpecs.map { spec =>
             val Array(t, refParam) = spec.split(":", 2)
             val srcRows = table(t).join(
               frontier.filter(col("resourceType") === t)
@@ -214,7 +233,17 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
                 col("_r").getItem(1).as("id"))
               .filter(col("resourceType").isNotNull)
               .withColumn("mode", lit("include"))
-          }.reduce(_ unionByName _).distinct()
+          }
+          val rev = revIterSpecs.map { spec =>
+            val Array(t, refParam) = spec.split(":", 2)
+            val targets = frontier.select(
+              concat_ws("/", col("resourceType"), col("id")).as("_tgt"))
+            refSources(t, refParam, table(t))
+              .join(targets, col("_ref") === col("_tgt"), "left_semi")
+              .select(lit(t).as("resourceType"), col("id"),
+                lit("revinclude").as("mode"))
+          }
+          val next = (fwd ++ rev).reduce(_ unionByName _).distinct()
           frontier = next
           all = all.unionByName(next)
         }
@@ -584,6 +613,20 @@ object FhirSearch {
         .select(explode(col("member")).as("_m"))
         .select(col("_m").getField("entity").getField("reference").as("_ref"))
       case _ => src.select(referencePath(resType, refParam).as("_ref"))
+    }
+
+  /** (id, `_ref`) pairs of `refParam` on rows of `src` — the reverse-
+    * direction analog of [[refTargets]] (keeps the referencing row's id so
+    * a semi-join can select the rows that point AT a target set). Array-
+    * valued params explode, so one row yields one pair per element; callers
+    * dedupe. Used by `_revinclude` and its `:iterate` expansion.
+    */
+  def refSources(resType: String, refParam: String, src: DataFrame): DataFrame =
+    (resType, refParam) match {
+      case ("Group", "member") => src
+        .select(col("id"), explode(col("member")).as("_m"))
+        .select(col("id"), col("_m").getField("entity").getField("reference").as("_ref"))
+      case _ => src.select(col("id"), referencePath(resType, refParam).as("_ref"))
     }
 
   /** Chain target type for an UNQUALIFIED `refParam.targetParam` (B6).

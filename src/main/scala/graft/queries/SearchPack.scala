@@ -569,6 +569,32 @@ object SearchPack extends QueryPack {
               |  SELECT * FROM pats)
               |GROUP BY 1, 2 ORDER BY mode, resourceType, id""".stripMargin)),
 
+    // _revinclude:iterate — transitive REVERSE include: female Patient
+    // matches pull the Specimens that reference them (_revinclude), and
+    // the iterate spec then pulls the Groups whose member array references
+    // anything in the accumulated set (here: those Specimens). Two reverse
+    // hops — Patient ← Specimen.subject ← Group.member — in one lazy plan,
+    // same fixed-depth unroll and mode-rank dedupe as the include side.
+    QueryDef(
+      "search_revinclude_iterate",
+      (s, _) => eng(s).search(
+        "Patient?gender=female&_revinclude=Specimen:subject&_revinclude:iterate=Group:member"),
+      Some(s"""WITH m AS (
+              |  SELECT id FROM ${rj("Patient")} WHERE gender = 'female'
+              |), sp AS (
+              |  SELECT DISTINCT s.id FROM ${rj("Specimen")} s
+              |  WHERE s.subject.reference IN (SELECT 'Patient/' || id FROM m)
+              |), gg AS (
+              |  SELECT DISTINCT gr.id
+              |  FROM ${rj("Group")} gr, unnest(gr.member) AS t(mm)
+              |  WHERE mm.entity.reference IN (SELECT 'Specimen/' || id FROM sp)
+              |     OR mm.entity.reference IN (SELECT 'Patient/' || id FROM m)
+              |)
+              |SELECT 'Patient' AS resourceType, id, 'match' AS mode FROM m
+              |UNION ALL SELECT 'Specimen', id, 'revinclude' FROM sp
+              |UNION ALL SELECT 'Group', id, 'revinclude' FROM gg
+              |ORDER BY mode, resourceType, id""".stripMargin)),
+
     // B26 Patient/{id}/$everything — the full patient compartment as one
     // plan: the patient read unioned with a reference-filtered scan per
     // compartment type (each leg pushes its 'Patient/{id}' literal down).

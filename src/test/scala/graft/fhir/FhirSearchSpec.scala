@@ -134,4 +134,33 @@ class FhirSearchSpec extends SparkSpec {
     assert(rows(("Specimen", "sp-2")) == "match") // the demotion bug case
     assert(rows(("Patient", "p-9")) == "include") // reached only via iterate
   }
+
+  test("_revinclude:iterate reaches referencing resources transitively, once each") {
+    // Patient p-001 ← Specimen.subject ← Group.member: the Group is only
+    // reachable through the revincluded Specimen frontier, never directly
+    val rows = eng.search(
+      "Patient?_id=p-001&_revinclude=Specimen:subject" +
+        "&_revinclude:iterate=Group:member").collect()
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+    assert(byKey.length == byKey.toMap.size, "duplicate (type,id) rows")
+    val m = byKey.toMap
+    assert(m(("Patient", "p-001")) == "match")
+    assert(m(("Specimen", "sp-001")) == "revinclude")
+    assert(m(("Group", "g-01")) == "revinclude") // two reverse hops
+    // a group whose members are all unrelated specimens must stay out
+    assert(!m.contains(("Group", "g-02")))
+  }
+
+  test("_revinclude matches the full Type/id reference, not the bare id") {
+    import spark.implicits._
+    val patient = Seq("p-9").toDF("id")
+    val specimen = Seq(("sp-1", "Patient/p-9"), ("sp-2", "Group/p-9"))
+      .toDF("id", "ref")
+      .select(col("id"), struct(col("ref").as("reference")).as("subject"))
+    val eng2 = new FhirSearch(spark, Map("Patient" -> patient, "Specimen" -> specimen))
+    val got = eng2.search("Patient?_id=p-9&_revinclude=Specimen:subject")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // sp-2 references Group/p-9 — same bare id, different type: excluded
+    assert(got == Set(("Patient", "p-9"), ("Specimen", "sp-1")))
+  }
 }
