@@ -171,6 +171,8 @@ object Dedup {
     // string sets (64-bit collisions aside), 8-byte elements through the
     // candidate joins instead of ~20-char strings
     val sets = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("sh")).cache()
+    // array-input minhash32 ignores the n literal (sh is already shingled);
+    // it MUST equal the n used for sh above or the call mislabels itself
     val sig = sets.select(col("doc_id"),
         call_function("minhash32", col("sh"), lit(n), lit(numPerms)).as("mh"))
       .filter(col("mh").isNotNull)
@@ -210,6 +212,8 @@ object Dedup {
     docs.select(col("doc_id"), shingleHashes(col("text"), n).as("sh"))
       .write.mode("overwrite").parquet(s"$path/sets")
     val sets = docs.sparkSession.read.parquet(s"$path/sets")
+    // array-input minhash32 ignores the n literal (sh is already shingled);
+    // it MUST equal the n used for sh above or the call mislabels itself
     val sig = sets.select(col("doc_id"),
         call_function("minhash32", col("sh"), lit(n), lit(numPerms)).as("mh"))
       .filter(col("mh").isNotNull)
@@ -272,7 +276,20 @@ object Dedup {
     * the short-edit tail (boilerplate with small insertions).
     */
   def editDistanceNearDups(docs: DataFrame, maxDist: Int = 12,
-      prefixLen: Int = 80): DataFrame = {
+      prefixLen: Int = 80): DataFrame =
+    edPipeline(docs, maxDist, prefixLen, withDp = true)
+
+  /** Profiling face (ScratchTimingSpec only, not a gate): the IDENTICAL
+    * candidate pipeline with the final Levenshtein-DP conjunct dropped and
+    * `dist` pinned to −1 — isolates candidate enumeration + cheap filters
+    * so full−candidates ≈ DP cost, measurable idle vs contended.
+    */
+  private[operators] def editDistanceCandidates(docs: DataFrame,
+      maxDist: Int = 12, prefixLen: Int = 80): DataFrame =
+    edPipeline(docs, maxDist, prefixLen, withDp = false)
+
+  private def edPipeline(docs: DataFrame, maxDist: Int,
+      prefixLen: Int, withDp: Boolean): DataFrame = {
     val d = maxDist
     val k = d + 1 // chunk count: the PassJoin pigeonhole
     // Lossless filters stacked cheapest-first; each is a NECESSARY
@@ -348,29 +365,36 @@ object Dedup {
     // but the distinct must shuffle every L1-surviving gram row WITH both
     // 80-char strings — 96 s vs 5 s at sf0.1. The duplicate DPs are the
     // cheaper side of that trade.)
-    val fullCond =
+    val cheapCond =
       col("a.doc_id") =!= col("b.doc_id") &&
         abs(col("b.p") - col("a.st")) <= col("a.ci") &&
         abs(col("b.p") - (col("a.st") + col("b.len") - col("a.len"))) <=
           lit(k - 1) - col("a.ci") &&
         abs(col("a.len") - col("b.len")) <= d &&
-        l1 <= d * 2 &&
-        levenshtein(col("a.s"), col("b.s")) <= d
+        l1 <= d * 2
+    val fullCond =
+      if (withDp) cheapCond && levenshtein(col("a.s"), col("b.s")) <= d
+      else cheapCond
     val viaGrams = chunks.as("a").join(grams.as("b"),
       col("a.glen") === col("b.glen") && col("a.pb") === col("b.pb") &&
         col("a.gram") === col("b.gram") && fullCond)
     // short-string fallback: strings with len < k can't donate k chunks;
     // their partners are also short (±d), so the residual join is tiny
+    val shortsCond =
+      col("a.doc_id") =!= col("b.doc_id") &&
+        abs(col("a.len") - col("b.len")) <= d &&
+        l1 <= d * 2
     val shorts = keyed.filter(col("len") < k).as("a")
       .join(keyed.filter(col("len") < k + d).as("b"),
-        col("a.doc_id") =!= col("b.doc_id") &&
-          abs(col("a.len") - col("b.len")) <= d &&
-          l1 <= d * 2 &&
-          levenshtein(col("a.s"), col("b.s")) <= d)
+        if (withDp) shortsCond && levenshtein(col("a.s"), col("b.s")) <= d
+        else shortsCond)
+    val dist =
+      if (withDp) levenshtein(col("a.s"), col("b.s")).cast(LongType)
+      else lit(-1L)
     Seq(viaGrams, shorts).map {
       _.select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"),
-        levenshtein(col("a.s"), col("b.s")).cast(LongType).as("dist"))
+        dist.as("dist"))
     }.reduce(_ unionByName _).distinct()
   }
 

@@ -47,20 +47,34 @@ object TempFixtures {
   def appTag(spark: SparkSession): String =
     spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** One lock object per cache key: SessionCache's TrieMap contract lets
+    * `mk` run twice under a same-key race, which is fine for pure plans
+    * but NOT for this side-effecting mode(overwrite) build — two racing
+    * writers to one path would corrupt the layout artifact. Serializing
+    * same-key calls makes the build exactly-once; distinct keys still
+    * build in parallel.
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Get (or build exactly once per (session, key, scope)) a temp fixture
     * directory. `scope` is the source-data dir: artifacts of different
     * scale factors must not collide in one JVM (the test suites run
     * sf0.001 while Verify runs sf0.01).
     */
   def dir(spark: SparkSession, key: String, scope: String)
-      (build: String => Unit): String =
-    cache.getOrElseUpdate(spark, s"$key|$scope") {
-      val sf = Paths.get(scope).getFileName.toString
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_${key}_${sf}_${appTag(spark)}"
-      build(path)
-      deleteOnExit(path)
-      path
+      (build: String => Unit): String = {
+    val cacheKey = s"$key|$scope"
+    buildLocks.computeIfAbsent(cacheKey, _ => new Object).synchronized {
+      cache.getOrElseUpdate(spark, cacheKey) {
+        val sf = Paths.get(scope).getFileName.toString
+          .replaceAll("[^a-zA-Z0-9]", "_")
+        val path = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_${key}_${sf}_${appTag(spark)}"
+        build(path)
+        deleteOnExit(path)
+        path
+      }
     }
+  }
 }

@@ -99,6 +99,42 @@ class TransformerPropertySpec extends SparkSpec {
       .fieldNames.contains("procedure"))
   }
 
+  test("specimen last-wins order contract: file order within one file; two-file input pinned") {
+    // The specimenDim ORDER CONTRACT (AssayPipeline.specimenDim): "last" is
+    // monotonically_increasing_id order. For one NDJSON file that is file
+    // order; across files it follows Spark's split planning (files sorted
+    // by size DESCENDING, then packed) — no name-order guarantee. This
+    // test pins both so a Spark behavior change is caught, not absorbed.
+    def specLine(id: String, patient: String, pad: Int = 0): String =
+      s"""{"resourceType": "Specimen", "id": "$id", "subject": {"reference": "Patient/$patient"}""" +
+        (if (pad > 0) s""", "note": [{"text": "${"x" * pad}"}]""" else "") + "}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_twofile_spec")
+    dir.toFile.deleteOnExit()
+    // big file (listed FIRST by size-desc planning) holds Patient/A and
+    // padding rows; small file holds the duplicate pointing at Patient/B
+    java.nio.file.Files.write(dir.resolve("a.ndjson"),
+      (specLine("sp-x", "A", pad = 4096) +: (1 to 8).map(i => specLine(s"sp-$i", s"P$i", pad = 512)))
+        .mkString("\n").getBytes)
+    java.nio.file.Files.write(dir.resolve("b.ndjson"),
+      specLine("sp-x", "B").getBytes)
+    val groups = Seq(("g-1", "Specimen/sp-x")).toDF("id", "ref")
+      .select(col("id"), array(struct(struct(col("ref").as("reference")).as("entity"))).as("member"))
+    // single file, duplicate id: the LAST line wins (reference dict semantics)
+    val oneFile = dir.resolve("one.ndjson")
+    java.nio.file.Files.write(oneFile,
+      Seq(specLine("sp-x", "A"), specLine("sp-x", "B")).mkString("\n").getBytes)
+    val single = spark.read.schema(FhirSchemas.specimen).json(oneFile.toString)
+    assert(AssayPipeline.groupLinks(groups, single)
+      .select("patient_ref").head.getString(0) == "Patient/B")
+    // two files: size-desc planning puts the small file's row LAST → B wins.
+    // If this assert ever flips, Spark's file ordering changed: revisit the
+    // ORDER CONTRACT note on specimenDim.
+    val multi = spark.read.schema(FhirSchemas.specimen)
+      .json(s"$dir/a.ndjson", s"$dir/b.ndjson")
+    assert(AssayPipeline.groupLinks(groups, multi)
+      .select("patient_ref").head.getString(0) == "Patient/B")
+  }
+
   test("mime inference is total (null title/url combinations included)") {
     val gen: Gen[(Option[String], Option[String])] = for {
       title <- Gen.option(Gen.oneOf("a.maf", "b.xyz", "noext", "c.TXT", "d.tar.gz"))
