@@ -12,9 +12,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  // SPARK_GRAFT_TEST_CPUS overrides the suite's core count (default 4) —
+  // profiling runs (ScratchTimingSpec) use it to reproduce the driver's
+  // local[32] shape; CI stays at 4.
+  private val cpus = sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "4").toInt
   lazy val session: SparkSession = {
     val s = GraftSession
-      .configure(SparkSession.builder().master("local[4]"), shufflePartitions = 4)
+      .configure(SparkSession.builder().master(s"local[$cpus]"),
+        shufflePartitions = cpus)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -17,6 +17,75 @@ class ScratchTimingSpec extends SparkSpec {
     r
   }
 
+  ignore("bench floor breakdown: planning vs codegen-compile vs scheduling") {
+    // Splits the fixed per-query overhead (~0.35 s/query in the driver
+    // bench) into: Catalyst phases (QueryPlanningTracker), janino codegen
+    // compilation (CodegenMetrics delta), and residual task scheduling +
+    // result collection. Representative gates from four packs plus the
+    // bare-scheduler floor (spark.range(1).count()).
+    import org.apache.spark.metrics.source.CodegenMetrics
+    // histogram values are milliseconds; reservoir is exact below 1028
+    // recorded compilations, far above anything this loop triggers
+    def compileMs: Long =
+      CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+    def compileCount: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    val sf = "/root/testdata/sf0.01"
+    val gates = Seq("q02_filter_project", "q10_topk", "text_stats",
+      "dedup_exact_summary", "search_type_filter", "mm_utf8")
+    val all = graft.SparkEntry.queries
+    // scheduler floor: steady-state no-op job
+    (1 to 3).foreach(_ => spark.range(1).count())
+    val floor = {
+      val t0 = System.nanoTime()
+      (1 to 20).foreach(_ => spark.range(1).count())
+      (System.nanoTime() - t0) / 20e6
+    }
+    info(f"scheduler floor (range(1).count): $floor%.0f ms/query")
+    gates.foreach { g =>
+      val c0 = compileMs
+      val n0 = compileCount
+      val t0 = System.nanoTime()
+      val df = all(g)(spark, sf)
+      val built = System.nanoTime()
+      // force analysis→optimization→physical planning on THIS tracker
+      // (the write command otherwise plans under its own QueryExecution)
+      df.queryExecution.executedPlan
+      val planned = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      val buildMs = (built - t0) / 1e6
+      val planMs = (planned - built) / 1e6
+      val p = df.queryExecution.tracker.phases
+        .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}" }
+        .mkString(" ")
+      info(f"$g%-22s wall=$wallMs%6.0f ms build=$buildMs%5.0f ms " +
+        f"plan=$planMs%5.0f ms codegen=${compileMs - c0}%4d ms " +
+        f"(${compileCount - n0} compiles) phases[$p]")
+    }
+  }
+
+  ignore("editdistance stage breakdown at sf0.1 (run idle, then under external CPU load)") {
+    // Splits the gate into: (a) keyed+histogram cache fill, (b) candidate
+    // enumeration through the cheap filter stack (no DP), (c) the full
+    // pipeline. full − candidates ≈ Levenshtein DP cost. Run once on an
+    // idle host, then again with a parallel CPU hog, to see which stage
+    // absorbs contention (the round-7 driver saw 14.6 s vs builder 5-8 s).
+    val docs = Dedup.withMutants(
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .filter(col("doc_id") < 1000) // = DedupPack.JaccardCap: the gate corpus
+        .select(col("doc_id"), col("text")))
+    (1 to 2).foreach { round =>
+      spark.catalog.clearCache()
+      timeIt(s"r$round candidates-only")(
+        Dedup.editDistanceCandidates(docs).write.format("noop")
+          .mode("overwrite").save())
+      spark.catalog.clearCache()
+      timeIt(s"r$round full")(
+        Dedup.editDistanceNearDups(docs).write.format("noop")
+          .mode("overwrite").save())
+    }
+  }
+
   ignore("minhash-lsh stage breakdown at sf0.1") {
     val docs = Dedup.withMutants(
       spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
