@@ -1,0 +1,658 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+/** Pure-JVM baseline JPEG codec (ITU-T T.81 / ISO 10918-1, public spec).
+  *
+  * Scope — baseline sequential DCT, 8-bit precision, Huffman entropy
+  * coding, 1-component (grayscale) or 3-component (YCbCr 4:4:4, JFIF
+  * color matrix) images, single interleaved scan, optional restart
+  * intervals. Progressive (SOF2), arithmetic coding, 12-bit precision and
+  * chroma subsampling (sampling factors other than 1×1) are rejected with
+  * a descriptive `IllegalArgumentException` — honest scope, not silent
+  * garbage.
+  *
+  * The decoder is general over conforming streams (tables are read from
+  * DQT/DHT segments, not assumed); the encoder exists so pipelines
+  * without real media can synthesize valid JPEGs deterministically and
+  * still value-check the decode path end to end (`TextPack.mm_jpeg`
+  * digest-replay oracle, same pattern as the BMP/WAV codecs).
+  *
+  * IDCT is the naive double-precision separable form of the standard's
+  * Annex A.3.3 definition — bit-stable across JVMs (strictfp-free double
+  * ops on the same inputs), and for DC-only blocks the reconstruction
+  * `round(dequantDC / 8 + 128)` is exact, which is what the oracle
+  * replays. Fixtures are tiny; codec throughput is not the design point
+  * (the Spark-side plumbing in [[Multimodal]] is).
+  *
+  * Generalizes the reference's attachment metadata handling
+  * (assay.py:123-140) to content-bearing image columns.
+  */
+object Jpeg {
+
+  /** Zigzag index → natural (row-major) index, T.81 Figure A.6. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** T.81 Annex K.1 luminance quantization table (natural order). */
+  val StdQuantLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Flat table: every coefficient divisor q. q=8 makes DC-only blocks
+    * reconstruct exactly (dequantDC/8 = s), q=1 is near-lossless for any
+    * content — both are what the deterministic fixtures/tests want.
+    */
+  def flatQuant(q: Int): Array[Int] = Array.fill(64)(q)
+
+  // T.81 Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL).
+  private val StdDcLumaCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcLumaValues = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val StdAcLumaCounts = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcLumaValues = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  // 8×8 DCT basis, cosBasis(x)(u) = cos((2x+1)·u·π/16); cNorm(0)=1/√2.
+  private val cosBasis: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+  private val cNorm: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Decoded image: `planes` holds gray samples (1 comp) or R,G,B (3
+    * comps after the JFIF color transform), each `width*height` row-major.
+    */
+  final case class Image(width: Int, height: Int, nComp: Int,
+      planes: Array[Array[Int]])
+
+  // ------------------------------------------------------------------
+  // Entropy-coded-segment bit I/O
+  // ------------------------------------------------------------------
+
+  private final class BitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { putBit((code >>> i) & 1); i -= 1 }
+    }
+    private def putBit(b: Int): Unit = {
+      acc = (acc << 1) | b
+      nbits += 1
+      if (nbits == 8) {
+        out.write(acc)
+        if (acc == 0xff) out.write(0x00) // byte stuffing (T.81 F.1.2.3)
+        acc = 0; nbits = 0
+      }
+    }
+    /** Pad the final partial byte with 1-bits (T.81 F.1.2.3). */
+    def flushWithOnes(): Unit = while (nbits != 0) putBit(1)
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def readBit(): Int = {
+      if (nbits == 0) {
+        require(pos < bytes.length, "JPEG entropy stream truncated")
+        val b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < bytes.length, "JPEG entropy stream truncated after 0xFF")
+          val m = bytes(pos) & 0xff
+          require(m == 0x00,
+            f"unexpected marker 0xFF$m%02X inside entropy-coded data")
+          pos += 1 // drop the stuffed 0x00
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker (T.81 F.2.2.5). */
+    def restart(expected: Int): Unit = {
+      nbits = 0
+      require(pos + 1 < bytes.length, "JPEG truncated at restart marker")
+      val ok = (bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) == (0xd0 + expected)
+      require(ok, f"expected RST$expected%d marker at offset $pos")
+      pos += 2
+    }
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map `n` received magnitude bits to a signed
+    * coefficient value.
+    */
+  private def extend(v: Int, n: Int): Int =
+    if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+
+  /** Magnitude category of a DC diff / AC value (bit length of |v|). */
+  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  // ------------------------------------------------------------------
+  // Huffman tables (canonical, T.81 Annex C)
+  // ------------------------------------------------------------------
+
+  private final class HuffTable(counts: Array[Int], values: Array[Int]) {
+    require(counts.length == 16 && values.length == counts.sum,
+      s"malformed Huffman table: ${counts.sum} codes, ${values.length} values")
+    // mincode/maxcode/valptr indexed by code length 1..16 (slot 0 unused).
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    val syms: Array[Int] = values
+    locally {
+      var code = 0
+      var k = 0
+      var len = 1
+      while (len <= 16) {
+        val n = counts(len - 1)
+        if (n > 0) {
+          minCode(len) = code
+          valPtr(len) = k
+          code += n; k += n
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+      require(code <= (1 << 17), "over-subscribed Huffman table")
+    }
+    def decode(r: BitReader): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | r.readBit()
+        len += 1
+        if (maxCode(len) >= 0 && code >= minCode(len) && code <= maxCode(len))
+          return syms(valPtr(len) + code - minCode(len))
+      }
+      throw new IllegalArgumentException("invalid Huffman code in entropy stream")
+    }
+  }
+
+  /** symbol → (code, length) for encoding, same canonical assignment. */
+  private def encoderCodes(counts: Array[Int], values: Array[Int]): Array[Long] = {
+    // packed as (code << 8 | len), indexed by symbol (0..255); -1 = absent
+    val table = Array.fill[Long](256)(-1L)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < counts(len - 1)) {
+        table(values(k)) = (code.toLong << 8) | len
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    table
+  }
+
+  // ------------------------------------------------------------------
+  // Forward path (encoder)
+  // ------------------------------------------------------------------
+
+  private def fdctQuant(block: Array[Double], quant: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var sum = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            sum += block(y * 8 + x) * cosBasis(x)(u) * cosBasis(y)(v)
+            x += 1
+          }
+          y += 1
+        }
+        val f = 0.25 * cNorm(u) * cNorm(v) * sum
+        out(v * 8 + u) = Math.round(f / quant(v * 8 + u)).toInt
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  private def writeSegment(out: ByteArrayOutputStream, marker: Int,
+      payload: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = payload.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(payload, 0, payload.length)
+  }
+
+  /** Encode one or three 8-bit sample planes as a baseline JFIF stream.
+    * All components use quant table 0 and Huffman tables 0/0 (legal — the
+    * decoder reads table ids from the headers). 3-plane input is R,G,B
+    * and is converted to YCbCr here.
+    */
+  def encode(width: Int, height: Int, planes: Array[Array[Int]],
+      quant: Array[Int] = StdQuantLuma, restartInterval: Int = 0): Array[Byte] = {
+    val nComp = planes.length
+    require(nComp == 1 || nComp == 3, s"encode supports 1 or 3 planes, got $nComp")
+    require(width > 0 && height > 0 && planes.forall(_.length == width * height),
+      "plane size must be width*height")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in [1,255]")
+
+    // Component sample planes in file order (Y or Y,Cb,Cr), doubles,
+    // already level-shifted by -128.
+    val shifted: Array[Array[Double]] =
+      if (nComp == 1) Array(planes(0).map(_ - 128.0))
+      else {
+        val (r, g, b) = (planes(0), planes(1), planes(2))
+        val y = new Array[Double](width * height)
+        val cb = new Array[Double](width * height)
+        val cr = new Array[Double](width * height)
+        var i = 0
+        while (i < width * height) {
+          val (rr, gg, bb) = (r(i).toDouble, g(i).toDouble, b(i).toDouble)
+          y(i) = 0.299 * rr + 0.587 * gg + 0.114 * bb - 128.0
+          cb(i) = -0.168736 * rr - 0.331264 * gg + 0.5 * bb
+          cr(i) = 0.5 * rr - 0.418688 * gg - 0.081312 * bb
+          i += 1
+        }
+        Array(y, cb, cr)
+      }
+
+    val out = new ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    writeSegment(out, 0xe0, // APP0 JFIF v1.1, no density/thumbnail
+      "JFIF".getBytes(StandardCharsets.US_ASCII) ++
+        Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    writeSegment(out, 0xdb, // DQT: Pq=0 (8-bit), Tq=0, zigzag order
+      Array(0.toByte) ++ Array.tabulate(64)(i => quant(ZigZag(i)).toByte))
+    writeSegment(out, 0xc0, { // SOF0
+      val b = Array.newBuilder[Byte]
+      b += 8 // precision
+      b += ((height >> 8) & 0xff).toByte += (height & 0xff).toByte
+      b += ((width >> 8) & 0xff).toByte += (width & 0xff).toByte
+      b += nComp.toByte
+      var c = 0
+      while (c < nComp) { b += (c + 1).toByte += 0x11.toByte += 0.toByte; c += 1 }
+      b.result()
+    })
+    writeSegment(out, 0xc4, // DHT: DC table 0
+      Array(0x00.toByte) ++ StdDcLumaCounts.map(_.toByte) ++ StdDcLumaValues.map(_.toByte))
+    writeSegment(out, 0xc4, // DHT: AC table 0
+      Array(0x10.toByte) ++ StdAcLumaCounts.map(_.toByte) ++ StdAcLumaValues.map(_.toByte))
+    if (restartInterval > 0)
+      writeSegment(out, 0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
+    writeSegment(out, 0xda, { // SOS: all comps use Huffman tables 0/0
+      val b = Array.newBuilder[Byte]
+      b += nComp.toByte
+      var c = 0
+      while (c < nComp) { b += (c + 1).toByte += 0x00.toByte; c += 1 }
+      b += 0.toByte += 63.toByte += 0.toByte // Ss, Se, Ah/Al
+      b.result()
+    })
+
+    val dcCodes = encoderCodes(StdDcLumaCounts, StdDcLumaValues)
+    val acCodes = encoderCodes(StdAcLumaCounts, StdAcLumaValues)
+    def putSym(w: BitWriter, table: Array[Long], sym: Int): Unit = {
+      val e = table(sym)
+      require(e >= 0, f"symbol 0x$sym%02X not in Huffman table")
+      w.put((e >>> 8).toInt, (e & 0xff).toInt)
+    }
+
+    val mcuX = (width + 7) / 8
+    val mcuY = (height + 7) / 8
+    val writer = new BitWriter(out)
+    val dcPred = new Array[Int](nComp)
+    var rstIdx = 0
+    var sinceRestart = 0
+    val block = new Array[Double](64)
+    var m = 0
+    while (m < mcuX * mcuY) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        writer.flushWithOnes()
+        out.write(0xff); out.write(0xd0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+        sinceRestart = 0
+      }
+      val bx = m % mcuX
+      val by = m / mcuX
+      var c = 0
+      while (c < nComp) {
+        val plane = shifted(c)
+        var y0 = 0
+        while (y0 < 8) { // edge blocks replicate the last row/column
+          val sy = math.min(by * 8 + y0, height - 1)
+          var x0 = 0
+          while (x0 < 8) {
+            val sx = math.min(bx * 8 + x0, width - 1)
+            block(y0 * 8 + x0) = plane(sy * width + sx)
+            x0 += 1
+          }
+          y0 += 1
+        }
+        val coef = fdctQuant(block, quant)
+        val diff = coef(0) - dcPred(c)
+        dcPred(c) = coef(0)
+        val dcCat = category(diff)
+        putSym(writer, dcCodes, dcCat)
+        if (dcCat > 0)
+          writer.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          val v = coef(ZigZag(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) { putSym(writer, acCodes, 0xf0); run -= 16 } // ZRL
+            val size = category(v)
+            putSym(writer, acCodes, (run << 4) | size)
+            writer.put(if (v < 0) v + (1 << size) - 1 else v, size)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) putSym(writer, acCodes, 0x00) // EOB
+        c += 1
+      }
+      sinceRestart += 1
+      m += 1
+    }
+    writer.flushWithOnes()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Decoder
+  // ------------------------------------------------------------------
+
+  private final case class SofComp(id: Int, tq: Int)
+
+  def decode(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG: missing SOI marker")
+    val quantTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var restartInterval = 0
+    var width = 0
+    var height = 0
+    var sofComps: Array[SofComp] = null
+    var planes: Array[Array[Int]] = null
+
+    def u16(at: Int): Int = {
+      require(at + 1 < bytes.length, "JPEG truncated in segment header")
+      ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+    }
+    // Every marker-segment parse below indexes within [pos, pos+len); a
+    // truncated stream must fail this single guard, not an array access.
+    def segLen(at: Int): Int = {
+      val len = u16(at)
+      require(len >= 2 && at + len <= bytes.length,
+        s"JPEG truncated inside marker segment (declared $len bytes at $at)")
+      len
+    }
+
+    var pos = 2
+    var done = false
+    while (!done) {
+      require(pos + 1 < bytes.length, "JPEG truncated before EOI")
+      require((bytes(pos) & 0xff) == 0xff, f"expected marker at offset $pos")
+      while ((bytes(pos + 1) & 0xff) == 0xff) pos += 1 // fill bytes
+      val marker = bytes(pos + 1) & 0xff
+      pos += 2
+      marker match {
+        case 0xd9 => done = true // EOI
+        case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+          () // standalone markers: no payload
+        case 0xc0 | 0xc1 => // SOF0/SOF1: baseline + extended sequential Huffman
+          val len = segLen(pos)
+          require((bytes(pos + 2) & 0xff) == 8, "only 8-bit precision supported")
+          height = u16(pos + 3)
+          width = u16(pos + 5)
+          val n = bytes(pos + 7) & 0xff
+          require(n == 1 || n == 3, s"unsupported component count $n (1 or 3)")
+          require(width > 0 && height > 0, "zero image dimension")
+          require(len == 8 + 3 * n, "malformed SOF segment length")
+          sofComps = Array.tabulate(n) { i =>
+            val o = pos + 8 + 3 * i
+            val sampling = bytes(o + 1) & 0xff
+            require(sampling == 0x11,
+              f"chroma subsampling not supported (sampling factors 0x$sampling%02X; 4:4:4 only)")
+            SofComp(bytes(o) & 0xff, bytes(o + 2) & 0xff)
+          }
+          planes = Array.fill(n)(new Array[Int](width * height))
+          pos += len
+        case 0xc2 =>
+          throw new IllegalArgumentException("progressive JPEG (SOF2) not supported")
+        case m if (m >= 0xc3 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
+          throw new IllegalArgumentException(
+            f"unsupported SOF type 0xFF$m%02X (baseline sequential Huffman only)")
+        case 0xc4 => // DHT: one or more tables per segment
+          val len = segLen(pos)
+          var o = pos + 2
+          while (o < pos + len) {
+            val tcTh = bytes(o) & 0xff
+            val tc = tcTh >> 4
+            val th = tcTh & 15
+            require(tc <= 1 && th <= 3, f"bad DHT id 0x$tcTh%02X")
+            val counts = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
+            val nv = counts.sum
+            require(o + 17 + nv <= pos + len, "DHT overruns segment")
+            val values = Array.tabulate(nv)(i => bytes(o + 17 + i) & 0xff)
+            val t = new HuffTable(counts, values)
+            if (tc == 0) dcTables(th) = t else acTables(th) = t
+            o += 17 + nv
+          }
+          pos += len
+        case 0xdb => // DQT: one or more tables per segment
+          val len = segLen(pos)
+          var o = pos + 2
+          while (o < pos + len) {
+            val pqTq = bytes(o) & 0xff
+            require(pqTq >> 4 == 0, "16-bit quant tables not supported (8-bit only)")
+            val tq = pqTq & 15
+            require(tq <= 3 && o + 65 <= pos + len, "malformed DQT")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(ZigZag(i)) = bytes(o + 1 + i) & 0xff; i += 1 }
+            quantTables(tq) = t
+            o += 65
+          }
+          pos += len
+        case 0xdd => // DRI
+          require(segLen(pos) == 4, "malformed DRI")
+          restartInterval = u16(pos + 2)
+          pos += 4
+        case 0xda => // SOS: single interleaved scan, then entropy data
+          require(sofComps != null, "SOS before SOF")
+          val len = segLen(pos)
+          val ns = bytes(pos + 2) & 0xff
+          require(ns == sofComps.length,
+            s"scan must cover all $ns components (single interleaved scan only)")
+          val scanTables = Array.tabulate(ns) { i =>
+            val o = pos + 3 + 2 * i
+            val id = bytes(o) & 0xff
+            val ci = sofComps.indexWhere(_.id == id)
+            require(ci >= 0, s"scan references unknown component id $id")
+            val tdTa = bytes(o + 1) & 0xff
+            (ci, tdTa >> 4, tdTa & 15)
+          }
+          val ssOff = pos + 3 + 2 * ns
+          require((bytes(ssOff) & 0xff) == 0 && (bytes(ssOff + 1) & 0xff) == 63 &&
+            (bytes(ssOff + 2) & 0xff) == 0,
+            "non-baseline spectral selection / successive approximation")
+          pos += len
+          pos = decodeScan(bytes, pos, width, height, sofComps, scanTables,
+            quantTables, dcTables, acTables, restartInterval, planes)
+        case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe => // APPn / COM
+          pos += segLen(pos)
+        case m =>
+          throw new IllegalArgumentException(f"unsupported JPEG marker 0xFF$m%02X")
+      }
+    }
+    require(planes != null, "JPEG contained no image scan")
+
+    if (sofComps.length == 1) Image(width, height, 1, planes)
+    else { // JFIF YCbCr → RGB
+      val (y, cb, cr) = (planes(0), planes(1), planes(2))
+      val r = new Array[Int](width * height)
+      val g = new Array[Int](width * height)
+      val b = new Array[Int](width * height)
+      var i = 0
+      while (i < width * height) {
+        val yy = y(i).toDouble
+        val cbv = cb(i) - 128.0
+        val crv = cr(i) - 128.0
+        r(i) = clamp8(Math.round(yy + 1.402 * crv).toInt)
+        g(i) = clamp8(Math.round(yy - 0.344136 * cbv - 0.714136 * crv).toInt)
+        b(i) = clamp8(Math.round(yy + 1.772 * cbv).toInt)
+        i += 1
+      }
+      Image(width, height, 3, Array(r, g, b))
+    }
+  }
+
+  private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Decode the interleaved MCU stream; returns the offset just past the
+    * entropy-coded data (pointing at the next marker).
+    */
+  private def decodeScan(bytes: Array[Byte], start: Int, width: Int, height: Int,
+      sofComps: Array[SofComp], scanTables: Array[(Int, Int, Int)],
+      quantTables: Array[Array[Int]], dcTables: Array[HuffTable],
+      acTables: Array[HuffTable], restartInterval: Int,
+      planes: Array[Array[Int]]): Int = {
+    val reader = new BitReader(bytes, start)
+    val mcuX = (width + 7) / 8
+    val mcuY = (height + 7) / 8
+    val dcPred = new Array[Int](sofComps.length)
+    val coef = new Array[Int](64)
+    var rstIdx = 0
+    var sinceRestart = 0
+    var m = 0
+    while (m < mcuX * mcuY) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        reader.restart(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+        sinceRestart = 0
+      }
+      val bx = m % mcuX
+      val by = m / mcuX
+      var s = 0
+      while (s < scanTables.length) {
+        val (ci, td, ta) = scanTables(s)
+        val dcT = dcTables(td)
+        val acT = acTables(ta)
+        val quant = quantTables(sofComps(ci).tq)
+        require(dcT != null && acT != null && quant != null,
+          "scan references an undefined Huffman/quant table")
+        java.util.Arrays.fill(coef, 0)
+        val dcCat = dcT.decode(reader)
+        require(dcCat <= 11, s"invalid DC category $dcCat")
+        dcPred(ci) += extend(reader.receive(dcCat), dcCat)
+        coef(0) = dcPred(ci) * quant(0)
+        var k = 1
+        while (k < 64) {
+          val rs = acT.decode(reader)
+          val run = rs >> 4
+          val size = rs & 15
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL: 16 zeros
+            else k = 64 // EOB
+          } else {
+            k += run
+            require(k < 64, "AC coefficient index overruns block")
+            val zz = ZigZag(k)
+            coef(zz) = extend(reader.receive(size), size) * quant(zz)
+            k += 1
+          }
+        }
+        idctInto(coef, planes(ci), width, height, bx, by)
+        s += 1
+      }
+      sinceRestart += 1
+      m += 1
+    }
+    reader.pos
+  }
+
+  /** Naive double IDCT (T.81 A.3.3) + level shift + clamp, written into
+    * the plane with edge clipping for partial boundary blocks.
+    */
+  private def idctInto(coef: Array[Int], plane: Array[Int], width: Int,
+      height: Int, bx: Int, by: Int): Unit = {
+    var y0 = 0
+    while (y0 < 8) {
+      val py = by * 8 + y0
+      if (py < height) {
+        var x0 = 0
+        while (x0 < 8) {
+          val px = bx * 8 + x0
+          if (px < width) {
+            var sum = 0.0
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                val f = coef(v * 8 + u)
+                if (f != 0)
+                  sum += cNorm(u) * cNorm(v) * f * cosBasis(x0)(u) * cosBasis(y0)(v)
+                u += 1
+              }
+              v += 1
+            }
+            plane(py * width + px) = clamp8(Math.round(0.25 * sum + 128.0).toInt)
+          }
+          x0 += 1
+        }
+      }
+      y0 += 1
+    }
+  }
+}

@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column support (SURVEY C12): media as opaque BinaryType
   * columns + typed metadata, with decode / feature-extraction plumbing.
   *
-  * Three REAL codecs run this plumbing end to end — [[Utf8TextCodec]]
+  * Four REAL codecs run this plumbing end to end — [[Utf8TextCodec]]
   * (strict UTF-8 decode + repair), [[BmpCodec]] (24-bpp uncompressed
-  * BMP, pure JVM) and [[WavCodec]] (RIFF/WAVE PCM16, pure JVM).
-  * Compressed formats (JPEG/MP3/video) stay behind [[StubCodec]] — those
-  * codec libraries are not in this environment —
-  * but everything Spark-side is identical across all four: the schema
+  * BMP, pure JVM), [[WavCodec]] (RIFF/WAVE PCM16, pure JVM) and
+  * [[JpegCodec]] (baseline JPEG: Huffman entropy decode + IDCT, pure JVM
+  * — see [[Jpeg]]). Video/MP3-class formats stay behind [[StubCodec]] —
+  * those codec libraries are not in this environment —
+  * but everything Spark-side is identical across all of them: the schema
   * contract, the partition-preserving mapPartitions execution (the Scala
   * analog of a Pandas-UDF `mapInPandas` batch loop: one decoder
   * instantiation per partition, streamed row batches, no driver
@@ -209,6 +210,73 @@ object Multimodal {
         nFrames.toDouble / sampleRate, rms(sqL),
         if (channels == 2) rms(sqR) else 0.0)
     }
+  }
+
+  /** A REAL compressed-image codec: baseline JPEG (see [[Jpeg]] — marker
+    * walk, DQT/DHT table parse, Huffman entropy decode with byte
+    * destuffing and restart intervals, dequantize, IDCT, JFIF YCbCr→RGB).
+    * Emits dimensions + per-channel means, mirroring [[BmpCodec]] (for
+    * grayscale all three means are the gray mean). Paired with
+    * [[withJpegColumn]] so the `mm_jpeg` oracle can replay the decoded
+    * values from the md5 digest alone.
+    */
+  object JpegCodec extends MediaCodec {
+    override val featureType: StructType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("components", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+
+    override def decode(bytes: Array[Byte]): Row = {
+      val img = Jpeg.decode(bytes)
+      val n = img.width.toLong * img.height
+      def mean(p: Array[Int]): Double = {
+        var s = 0L
+        var i = 0
+        while (i < p.length) { s += p(i); i += 1 }
+        s.toDouble / n
+      }
+      val (mr, mg, mb) =
+        if (img.nComp == 1) { val m = mean(img.planes(0)); (m, m, m) }
+        else (mean(img.planes(0)), mean(img.planes(1)), mean(img.planes(2)))
+      Row(img.width, img.height, img.nComp, mr, mg, mb)
+    }
+  }
+
+  /** Synthesize a valid baseline-JPEG `media` column: a 32×32 grayscale
+    * image of 16 constant 8×8 blocks whose values (raster block order)
+    * are the md5(text) digest bytes, encoded with a flat q=8 quant table.
+    * Constant blocks quantize to a DC-only spectrum, and with q=8 the
+    * reconstruction `round(dequantDC / 8 + 128)` returns the source value
+    * EXACTLY (DC coef = 8·(v−128), quantized losslessly) — so the decoded
+    * per-channel mean is Σ(digest bytes)/16, which an oracle recomputes
+    * from the hex digest alone, no JPEG parser needed. The stream still
+    * exercises the full decode surface: marker/table parse, the 16-block
+    * DC-prediction chain across all Huffman magnitude categories, EOB,
+    * and byte destuffing when padding lands on 0xFF.
+    */
+  def withJpegColumn(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
+      .mapPartitions { rows =>
+        val quant = Jpeg.flatQuant(8)
+        rows.map { r =>
+          val dg = r.getAs[Array[Byte]](1)
+          val plane = new Array[Int](32 * 32)
+          var i = 0
+          while (i < 32 * 32) {
+            val bi = (i / (32 * 8)) * 4 + (i % 32) / 8 // block row*4 + block col
+            plane(i) = dg(bi) & 0xff
+            i += 1
+          }
+          Row(r.getLong(0), Jpeg.encode(32, 32, Array(plane), quant))
+        }
+      }(enc)
   }
 
   /** Encode interleaved 16-bit PCM samples as a minimal RIFF/WAVE file

@@ -318,6 +318,39 @@ object TextPack extends QueryPack {
              |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 multimodal with a REAL compressed-image codec: synthesize a
+    // baseline JPEG per document (32×32 grayscale, 16 constant 8×8 blocks
+    // = md5(text) digest bytes, flat q=8 quant table — DC-only spectra
+    // reconstruct EXACTLY, see Multimodal.withJpegColumn), decode it with
+    // the pure-JVM Huffman+IDCT decoder, emit dimensions + channel means.
+    // The oracle replays the means from the hex digest alone (Σbytes/16,
+    // dyadic per-pixel values ⇒ bit-exact doubles), so the full decode
+    // path — marker walk, DQT/DHT parse, entropy decode, dequant, IDCT —
+    // is value-checked, not rows-only.
+    QueryDef(
+      "mm_jpeg",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withJpegColumn(docsOf(s, d)), Multimodal.JpegCodec)
+          .select(col("doc_id"),
+            col("features").getField("width").as("width"),
+            col("features").getField("height").as("height"),
+            col("features").getField("components").as("components"),
+            col("features").getField("mean_r").as("mean_r"),
+            col("features").getField("mean_g").as("mean_g"),
+            col("features").getField("mean_b").as("mean_b"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, 32 AS width, 32 AS height, 1 AS components,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_r,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_g,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // C12 multimodal with a REAL audio codec: synthesize a stereo PCM16
     // WAV per document (16 interleaved samples = md5(text) digest bytes
     // mapped to (b-128)*256; L = even bytes, R = odd), decode it with the
