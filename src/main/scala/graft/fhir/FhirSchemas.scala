@@ -205,6 +205,10 @@ object FhirSchemas {
   val patient: StructType = StructType(Seq(
     StructField("resourceType", StringType),
     StructField("id", StringType),
+    // narrative (FHIR `text` element): the _text search substrate
+    StructField("text", StructType(Seq(
+      StructField("status", StringType),
+      StructField("div", StringType)))),
     StructField("name", ArrayType(StructType(Seq(
       StructField("family", StringType),
       StructField("given", ArrayType(StringType)))))),

@@ -30,8 +30,11 @@ import org.apache.spark.sql.types.LongType
   * projection, count → total row), the `_filter` expression language
   * (see [[FhirFilter]]), token :in/:not-in against ValueSet expansions,
   * and patient-compartment requests (`Patient/{id}/{Type}?params`).
+  * Round 8: `_text` (tag-stripped narrative substring) and `_content`
+  * (whole-serialized-resource substring via a raw-line scan + semi-join).
   */
-class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
+class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
+    rawSource: Option[String => DataFrame] = None) {
 
   import FhirSearch._
 
@@ -132,6 +135,33 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame]) {
     // _filter is one more AND-ed criterion)
     controls.collect { case ("_filter", expr) => expr }.foreach { expr =>
       df = df.filter(FhirFilter.compile(resType, df, FhirFilter.parse(expr)))
+    }
+
+    // _text: case-insensitive substring over the resource NARRATIVE
+    // (text.div) with the XHTML tags stripped first — "diabetes" must
+    // match "<p>History of <b>diabetes</b>.</p>". An ordinary filter on
+    // the parsed frame: no extra scan, pushes like any string param.
+    controls.collect { case ("_text", v) => v }.foreach { v =>
+      require(df.columns.contains("text"),
+        s"$resType resources carry no narrative: _text unsupported here")
+      df = df.filter(
+        lower(regexp_replace(col("text").getField("div"), "<[^>]*>", " "))
+          .contains(v.toLowerCase))
+    }
+
+    // _content: case-insensitive substring over the ENTIRE serialized
+    // resource (the FHIR "search the whole content" param; matching the
+    // stored serialization is the documented semantics here). Planned as
+    // a raw-line scan of the store → matching ids → left-semi join back
+    // to the parsed frame: at scale both sides are one pass, the id list
+    // is small, and AQE turns the semi-join into a broadcast.
+    controls.collect { case ("_content", v) => v }.foreach { v =>
+      val raw = rawSource.getOrElse(sys.error(
+        "_content requires a raw-source provider (FhirSearch.overFixtures)"))(resType)
+      val ids = raw
+        .filter(lower(col("value")).contains(v.toLowerCase))
+        .select(get_json_object(col("value"), "$.id").as("id"))
+      df = df.join(ids, Seq("id"), "left_semi")
     }
 
     // B7 _has:Type:refParam:param=value — keep resources referenced by a
@@ -664,7 +694,8 @@ object FhirSearch {
   def overFixtures(spark: SparkSession, dir: String): FhirSearch = {
     val load = (name: String, schema: org.apache.spark.sql.types.StructType) =>
       FhirIO.readNdjsonCached(spark, s"$dir/$name.ndjson", schema)
-    new FhirSearch(spark, Map(
+    val raw = (name: String) => spark.read.text(s"$dir/$name.ndjson")
+    new FhirSearch(spark, rawSource = Some(raw), tables = Map(
       "Patient" -> load("Patient", FhirSchemas.patient),
       "Specimen" -> load("Specimen", FhirSchemas.specimen),
       "Group" -> load("Group", FhirSchemas.group),

@@ -249,6 +249,33 @@ object SearchPack extends QueryPack {
               |WHERE starts_with(lower(code.text), 'hyperten')
               |ORDER BY id""".stripMargin)),
 
+    // _text: narrative full-text search — tag-stripped case-insensitive
+    // substring over text.div ("diabetes" must match through the XHTML
+    // markup); combinable with ordinary params like any other filter
+    QueryDef(
+      "search_text",
+      (s, _) => eng(s).search("Patient?_text=diabetes&gender=male")
+        .select(col("id")).orderBy("id"),
+      Some(s"""SELECT id FROM ${rj("Patient")} p
+              |WHERE contains(lower(regexp_replace(p."text".div, '<[^>]*>', ' ', 'g')),
+              |               'diabetes')
+              |  AND gender = 'male'
+              |ORDER BY id""".stripMargin)),
+
+    // _content: whole-content search — case-insensitive substring over
+    // the SERIALIZED resource. The engine plans a raw-line scan of the
+    // store + semi-join on id; the oracle replays the same semantics by
+    // reading the same NDJSON bytes line-wise.
+    QueryDef(
+      "search_content",
+      (s, _) => eng(s).search("Patient?_content=batch-a")
+        .select(col("id")).orderBy("id"),
+      Some(s"""SELECT json_extract_string(line, '$$.id') AS id
+              |FROM read_csv('$Fix/Patient.ndjson', columns={'line': 'VARCHAR'},
+              |              header=false, delim='', quote='', escape='')
+              |WHERE contains(lower(line), 'batch-a')
+              |ORDER BY id""".stripMargin)),
+
     // Type-qualified multi-target chain: Observation.subject can target
     // Patient or Group — the qualifier picks the traversal
     QueryDef(

@@ -163,4 +163,34 @@ class FhirSearchSpec extends SparkSpec {
     // sp-2 references Group/p-9 — same bare id, different type: excluded
     assert(got == Set(("Patient", "p-9"), ("Specimen", "sp-1")))
   }
+
+  test("_text strips narrative markup before matching and ANDs with other params") {
+    // fixture narratives embed the condition inside <p>…</p> tags; a
+    // narrative word must match, a tag/attribute name must NOT
+    val all = eng.search("Patient?_text=diabetes").count()
+    assert(all > 0)
+    val male = eng.search("Patient?_text=diabetes&gender=male").count()
+    assert(male > 0 && male < all)
+    // markup (tag names, attributes) is stripped — never matchable
+    assert(eng.search("Patient?_text=xmlns").count() == 0)
+    assert(eng.search("Patient?_text=nosuchcondition").count() == 0)
+    // types without a narrative column reject _text with a clear error
+    val e = intercept[IllegalArgumentException](eng.search("Specimen?_text=x"))
+    assert(e.getMessage.contains("narrative"))
+  }
+
+  test("_content searches the serialized resource, beyond any declared param path") {
+    // meta.tag.system has NO search param here — only whole-content
+    // search can see it; every fixture Patient carries the tag system
+    assert(eng.search("Patient?_content=example.org/tags").count() == 40)
+    // id round-trips through the raw-line path: result is parsed rows
+    val got = eng.search("Patient?_content=given021")
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("p-021"))
+    // without a raw source provider the param fails loudly, not silently
+    import spark.implicits._
+    val eng2 = new FhirSearch(spark, Map("Patient" -> Seq("p-1").toDF("id")))
+    val err = intercept[RuntimeException](eng2.search("Patient?_content=x"))
+    assert(err.getMessage.contains("raw-source"))
+  }
 }

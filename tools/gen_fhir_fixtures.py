@@ -51,9 +51,20 @@ def w(name, rows):
 
 
 def patients():
+    # deterministic narrative vocabulary: the _text (narrative search)
+    # substrate — tag-stripped matching must see through the XHTML markup
+    conditions = ["hypertension", "diabetes", "asthma"]
     for i in range(1, 41):
+        cond = conditions[i % 3]
         yield {
             "resourceType": "Patient", "id": f"p-{i:03d}",
+            "text": {
+                "status": "generated",
+                "div": (f'<div xmlns="http://www.w3.org/1999/xhtml">'
+                        f'<p>Patient <b>Family{i:03d}</b>, '
+                        f'{"active" if i % 5 else "inactive"} record.</p>'
+                        f'<p>History of {cond}.</p></div>'),
+            },
             "name": [{"family": f"Family{i:03d}", "given": [f"Given{i:03d}"]}],
             "gender": "female" if i % 2 == 0 else "male",
             "birthDate": f"{1950 + (i * 7) % 50}-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}",
