@@ -681,6 +681,24 @@ object RelationalPack extends QueryPack {
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
     // ----------------------------------------------------------------
+    // C1 ORC sink + scan roundtrip: the columnar-format sibling of the
+    // CSV roundtrip — schema and types ride in the ORC footer, so the
+    // re-read needs no schema directive and still prunes/pushes down
+    // like parquet (Spark's OrcFileFormat is a first-class columnar
+    // source with predicate pushdown + column pruning).
+    QueryDef(
+      "q53_orc_roundtrip",
+      (s, d) => {
+        // per-session unique dir: concurrent JVMs (Bench + Verify) must
+        // not race on mode(overwrite) of a shared path
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_nation_${s.sparkContext.applicationId}"
+        graft.util.TempFixtures.deleteOnExit(out)
+        T.nation(s, d).write.mode("overwrite").orc(out)
+        s.read.orc(out).orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // ----------------------------------------------------------------
     // C8 math battery — restricted to IEEE-exact operations (abs, ceil,
     // floor, round-half-up on 2dp, sqrt, sign, mod, greatest/least) so
     // results are bit-identical across engines; transcendental functions

@@ -32,6 +32,21 @@ class PlanAuditSpec extends SparkSpec {
       || p.contains("EqualTo(p_brand,Brand#13)"), p.take(1500))
   }
 
+  test("q53: ORC re-read pushes filters and prunes columns like parquet") {
+    // the roundtrip gate itself has no filter; assert the format's scale
+    // properties directly on the written artifact
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_audit"
+    graft.util.TempFixtures.deleteOnExit(out)
+    graft.sources.Tables.nation(spark, d).write.mode("overwrite").orc(out)
+    val q = spark.read.orc(out)
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") === 2)
+      .select("n_name")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,2)"),
+      p.take(1500))
+    assert(!p.contains("n_nationkey"), "ORC scan reads unneeded columns")
+  }
+
   test("q10: top-k plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("q10_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
