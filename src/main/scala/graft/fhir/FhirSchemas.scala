@@ -42,6 +42,11 @@ object FhirSchemas {
     StructField("lastUpdated", StringType),
     StructField("tag", ArrayType(StructType(Seq(
       StructField("system", StringType),
+      StructField("code", StringType))))),
+    // security labels (the _security search substrate); null where a
+    // fixture type carries no labels — same token shape as tag
+    StructField("security", ArrayType(StructType(Seq(
+      StructField("system", StringType),
       StructField("code", StringType)))))))
 
   val attachment: StructType = StructType(Seq(

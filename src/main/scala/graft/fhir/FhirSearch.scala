@@ -127,7 +127,7 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     // semantics with ordinary params — route through the registry (they
     // land here rather than in `filters` because of the `_` prefix)
     controls.collect {
-      case (n @ ("_lastUpdated" | "_tag"), v) => (n, v)
+      case (n @ ("_lastUpdated" | "_tag" | "_security"), v) => (n, v)
     }.foreach { case (n, v) => df = applyParam(resType, df, n, v) }
 
     // _filter expression language: parsed once, compiled onto the same
@@ -545,6 +545,8 @@ object FhirSearch {
       dateParam(col("meta").getField("lastUpdated"))
     case (t, "_tag") if MetaTypes(t) =>
       tokenCodingParam(col("meta").getField("tag"))
+    case (t, "_security") if MetaTypes(t) =>
+      tokenCodingParam(col("meta").getField("security"))
     case ("Patient", "gender") => strParam(col("gender"))
     case ("Patient", "birthdate") => dateParam(col("birthDate"))
     case ("Patient", "active") => ParamDef(

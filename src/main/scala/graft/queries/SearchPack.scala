@@ -508,6 +508,19 @@ object SearchPack extends QueryPack {
               |  AND gender = 'male'
               |ORDER BY id""".stripMargin)),
 
+    // _security: the third server-meta param — token over meta.security
+    // (same coding shape as _tag, shared registry definition)
+    QueryDef(
+      "search_security",
+      (s, _) => eng(s).search(
+        "Patient?_security=http://terminology.hl7.org/CodeSystem/v3-Confidentiality|R")
+        .select(col("id")).orderBy("id"),
+      Some(s"""SELECT id FROM ${rj("Patient")} p
+              |WHERE len(list_filter(p.meta.security, t ->
+              |  t."system" = 'http://terminology.hl7.org/CodeSystem/v3-Confidentiality'
+              |  AND t.code = 'R')) > 0
+              |ORDER BY id""".stripMargin)),
+
     // server-meta params on a TRANSFORMED type (Specimen — proves meta
     // flows through schemas shared with the R5→R4 transform path)
     QueryDef(

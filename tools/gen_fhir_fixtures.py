@@ -76,6 +76,10 @@ def patients():
                                f"T{i % 24:02d}:00:00Z",
                 "tag": [{"system": "https://example.org/tags",
                          "code": "batch-a" if i % 3 == 0 else "batch-b"}],
+                # security labels: the _security token-param substrate
+                "security": [{
+                    "system": "http://terminology.hl7.org/CodeSystem/v3-Confidentiality",
+                    "code": "R" if i % 4 == 0 else "N"}],
             },
         }
 
