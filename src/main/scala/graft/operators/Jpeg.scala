@@ -6,12 +6,13 @@ import java.nio.charset.StandardCharsets
 /** Pure-JVM baseline JPEG codec (ITU-T T.81 / ISO 10918-1, public spec).
   *
   * Scope — baseline sequential DCT, 8-bit precision, Huffman entropy
-  * coding, 1-component (grayscale) or 3-component (YCbCr 4:4:4, JFIF
-  * color matrix) images, single interleaved scan, optional restart
-  * intervals. Progressive (SOF2), arithmetic coding, 12-bit precision and
-  * chroma subsampling (sampling factors other than 1×1) are rejected with
-  * a descriptive `IllegalArgumentException` — honest scope, not silent
-  * garbage.
+  * coding, 1-component (grayscale) or 3-component (YCbCr, JFIF color
+  * matrix) images with general sampling factors in {1,2,4} — 4:4:4,
+  * 4:2:2 and 4:2:0 chroma subsampling all decode (interleaved MCU walk
+  * per T.81 A.2.3, sample-replication upsampling) — single interleaved
+  * scan, optional restart intervals. Progressive (SOF2), arithmetic
+  * coding and 12-bit precision are rejected with a descriptive
+  * `IllegalArgumentException` — honest scope, not silent garbage.
   *
   * The decoder is general over conforming streams (tables are read from
   * DQT/DHT segments, not assumed); the encoder exists so pipelines
@@ -233,22 +234,32 @@ object Jpeg {
   // Forward path (encoder)
   // ------------------------------------------------------------------
 
+  /** Separable forward DCT + quantize: a column pass then a row pass
+    * (2·8³ multiply-adds per block vs 64² for the direct double sum —
+    * the encoder's dominant cost on multi-block fixtures).
+    */
   private def fdctQuant(block: Array[Double], quant: Array[Int]): Array[Int] = {
-    val out = new Array[Int](64)
+    val tmp = new Array[Double](64) // tmp(v,x) = Σ_y block(y,x)·cos(y,v)
     var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var y = 0
+        while (y < 8) { sum += block(y * 8 + x) * cosBasis(y)(v); y += 1 }
+        tmp(v * 8 + x) = sum
+        x += 1
+      }
+      v += 1
+    }
+    val out = new Array[Int](64)
+    v = 0
     while (v < 8) {
       var u = 0
       while (u < 8) {
         var sum = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            sum += block(y * 8 + x) * cosBasis(x)(u) * cosBasis(y)(v)
-            x += 1
-          }
-          y += 1
-        }
+        var x = 0
+        while (x < 8) { sum += tmp(v * 8 + x) * cosBasis(x)(u); x += 1 }
         val f = 0.25 * cNorm(u) * cNorm(v) * sum
         out(v * 8 + u) = Math.round(f / quant(v * 8 + u)).toInt
         u += 1
@@ -269,20 +280,35 @@ object Jpeg {
   /** Encode one or three 8-bit sample planes as a baseline JFIF stream.
     * All components use quant table 0 and Huffman tables 0/0 (legal — the
     * decoder reads table ids from the headers). 3-plane input is R,G,B
-    * and is converted to YCbCr here.
+    * and is converted to YCbCr here. `chromaSubsample = (2,2)` emits
+    * 4:2:0 (chroma box-averaged to half resolution each way), `(2,1)`
+    * 4:2:2; grayscale ignores it.
     */
   def encode(width: Int, height: Int, planes: Array[Array[Int]],
-      quant: Array[Int] = StdQuantLuma, restartInterval: Int = 0): Array[Byte] = {
+      quant: Array[Int] = StdQuantLuma, restartInterval: Int = 0,
+      chromaSubsample: (Int, Int) = (1, 1)): Array[Byte] = {
     val nComp = planes.length
     require(nComp == 1 || nComp == 3, s"encode supports 1 or 3 planes, got $nComp")
     require(width > 0 && height > 0 && planes.forall(_.length == width * height),
       "plane size must be width*height")
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
       "quant table must be 64 entries in [1,255]")
+    val (hs, vs) = chromaSubsample
+    require((hs == 1 || hs == 2) && (vs == 1 || vs == 2),
+      s"chroma subsampling factors must be 1 or 2, got ${hs}x$vs")
 
-    // Component sample planes in file order (Y or Y,Cb,Cr), doubles,
-    // already level-shifted by -128.
-    val shifted: Array[Array[Double]] =
+    // Per-component sampling factors (T.81 convention: Y carries the max
+    // so chroma resolution is 1/hs × 1/vs of luma).
+    val samp: Array[(Int, Int)] =
+      if (nComp == 1) Array((1, 1)) else Array((hs, vs), (1, 1), (1, 1))
+    val hmax = samp.map(_._1).max
+    val vmax = samp.map(_._2).max
+    def compW(c: Int): Int = (width * samp(c)._1 + hmax - 1) / hmax
+    def compH(c: Int): Int = (height * samp(c)._2 + vmax - 1) / vmax
+
+    // Full-resolution component planes (Y or Y,Cb,Cr), doubles, already
+    // level-shifted by -128.
+    val fullRes: Array[Array[Double]] =
       if (nComp == 1) Array(planes(0).map(_ - 128.0))
       else {
         val (r, g, b) = (planes(0), planes(1), planes(2))
@@ -299,6 +325,36 @@ object Jpeg {
         }
         Array(y, cb, cr)
       }
+    // Box-average subsampled components down to their own resolution.
+    val shifted: Array[Array[Double]] = Array.tabulate(nComp) { c =>
+      val (fx, fy) = (hmax / samp(c)._1, vmax / samp(c)._2)
+      if (fx == 1 && fy == 1) fullRes(c)
+      else {
+        val (wc, hc) = (compW(c), compH(c))
+        val outp = new Array[Double](wc * hc)
+        var yy = 0
+        while (yy < hc) {
+          var xx = 0
+          while (xx < wc) {
+            var sum = 0.0
+            var n = 0
+            var sy = yy * fy
+            while (sy < math.min((yy + 1) * fy, height)) {
+              var sx = xx * fx
+              while (sx < math.min((xx + 1) * fx, width)) {
+                sum += fullRes(c)(sy * width + sx)
+                n += 1; sx += 1
+              }
+              sy += 1
+            }
+            outp(yy * wc + xx) = sum / n
+            xx += 1
+          }
+          yy += 1
+        }
+        outp
+      }
+    }
 
     val out = new ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
@@ -314,7 +370,10 @@ object Jpeg {
       b += ((width >> 8) & 0xff).toByte += (width & 0xff).toByte
       b += nComp.toByte
       var c = 0
-      while (c < nComp) { b += (c + 1).toByte += 0x11.toByte += 0.toByte; c += 1 }
+      while (c < nComp) {
+        b += (c + 1).toByte += ((samp(c)._1 << 4) | samp(c)._2).toByte += 0.toByte
+        c += 1
+      }
       b.result()
     })
     writeSegment(out, 0xc4, // DHT: DC table 0
@@ -341,15 +400,54 @@ object Jpeg {
       w.put((e >>> 8).toInt, (e & 0xff).toInt)
     }
 
-    val mcuX = (width + 7) / 8
-    val mcuY = (height + 7) / 8
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
     val writer = new BitWriter(out)
     val dcPred = new Array[Int](nComp)
     var rstIdx = 0
     var sinceRestart = 0
     val block = new Array[Double](64)
+
+    def encodeBlock(c: Int, blockX: Int, blockY: Int): Unit = {
+      val plane = shifted(c)
+      val (wc, hc) = (compW(c), compH(c))
+      var y0 = 0
+      while (y0 < 8) { // edge blocks replicate the last row/column
+        val sy = math.min(blockY * 8 + y0, hc - 1)
+        var x0 = 0
+        while (x0 < 8) {
+          val sx = math.min(blockX * 8 + x0, wc - 1)
+          block(y0 * 8 + x0) = plane(sy * wc + sx)
+          x0 += 1
+        }
+        y0 += 1
+      }
+      val coef = fdctQuant(block, quant)
+      val diff = coef(0) - dcPred(c)
+      dcPred(c) = coef(0)
+      val dcCat = category(diff)
+      putSym(writer, dcCodes, dcCat)
+      if (dcCat > 0)
+        writer.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val v = coef(ZigZag(k))
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { putSym(writer, acCodes, 0xf0); run -= 16 } // ZRL
+          val size = category(v)
+          putSym(writer, acCodes, (run << 4) | size)
+          writer.put(if (v < 0) v + (1 << size) - 1 else v, size)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putSym(writer, acCodes, 0x00) // EOB
+    }
+
     var m = 0
-    while (m < mcuX * mcuY) {
+    while (m < mcusX * mcusY) {
       if (restartInterval > 0 && sinceRestart == restartInterval) {
         writer.flushWithOnes()
         out.write(0xff); out.write(0xd0 + rstIdx)
@@ -357,44 +455,20 @@ object Jpeg {
         java.util.Arrays.fill(dcPred, 0)
         sinceRestart = 0
       }
-      val bx = m % mcuX
-      val by = m / mcuX
+      val mx = m % mcusX
+      val my = m / mcusX
       var c = 0
-      while (c < nComp) {
-        val plane = shifted(c)
-        var y0 = 0
-        while (y0 < 8) { // edge blocks replicate the last row/column
-          val sy = math.min(by * 8 + y0, height - 1)
-          var x0 = 0
-          while (x0 < 8) {
-            val sx = math.min(bx * 8 + x0, width - 1)
-            block(y0 * 8 + x0) = plane(sy * width + sx)
-            x0 += 1
+      while (c < nComp) { // hc×vc data units per MCU, raster order (A.2.3)
+        val (hc, vc) = samp(c)
+        var by0 = 0
+        while (by0 < vc) {
+          var bx0 = 0
+          while (bx0 < hc) {
+            encodeBlock(c, mx * hc + bx0, my * vc + by0)
+            bx0 += 1
           }
-          y0 += 1
+          by0 += 1
         }
-        val coef = fdctQuant(block, quant)
-        val diff = coef(0) - dcPred(c)
-        dcPred(c) = coef(0)
-        val dcCat = category(diff)
-        putSym(writer, dcCodes, dcCat)
-        if (dcCat > 0)
-          writer.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
-        var k = 1
-        var run = 0
-        while (k < 64) {
-          val v = coef(ZigZag(k))
-          if (v == 0) run += 1
-          else {
-            while (run > 15) { putSym(writer, acCodes, 0xf0); run -= 16 } // ZRL
-            val size = category(v)
-            putSym(writer, acCodes, (run << 4) | size)
-            writer.put(if (v < 0) v + (1 << size) - 1 else v, size)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) putSym(writer, acCodes, 0x00) // EOB
         c += 1
       }
       sinceRestart += 1
@@ -409,7 +483,7 @@ object Jpeg {
   // Decoder
   // ------------------------------------------------------------------
 
-  private final case class SofComp(id: Int, tq: Int)
+  private final case class SofComp(id: Int, h: Int, v: Int, tq: Int)
 
   def decode(bytes: Array[Byte]): Image = {
     require(bytes.length >= 4 &&
@@ -461,11 +535,26 @@ object Jpeg {
           sofComps = Array.tabulate(n) { i =>
             val o = pos + 8 + 3 * i
             val sampling = bytes(o + 1) & 0xff
-            require(sampling == 0x11,
-              f"chroma subsampling not supported (sampling factors 0x$sampling%02X; 4:4:4 only)")
-            SofComp(bytes(o) & 0xff, bytes(o + 2) & 0xff)
+            val (h, v) = (sampling >> 4, sampling & 15)
+            require(Set(1, 2, 4)(h) && Set(1, 2, 4)(v),
+              f"unsupported sampling factors 0x$sampling%02X (H,V must be 1, 2 or 4)")
+            // single-component scans are non-interleaved (T.81 A.2.2):
+            // data units raster over the component alone, so declared
+            // sampling factors do not shape the scan — normalize to 1×1
+            if (n == 1) SofComp(bytes(o) & 0xff, 1, 1, bytes(o + 2) & 0xff)
+            else SofComp(bytes(o) & 0xff, h, v, bytes(o + 2) & 0xff)
           }
-          planes = Array.fill(n)(new Array[Int](width * height))
+          val hmax = sofComps.map(_.h).max
+          val vmax = sofComps.map(_.v).max
+          require(sofComps.forall(c => hmax % c.h == 0 && vmax % c.v == 0),
+            "component sampling factors must divide the maxima")
+          // each component decodes at its OWN resolution
+          // ceil(width·h/hmax) × ceil(height·v/vmax), upsampled at the end
+          planes = sofComps.map { c =>
+            new Array[Int](
+              ((width.toLong * c.h + hmax - 1) / hmax).toInt *
+                ((height.toLong * c.v + vmax - 1) / vmax).toInt)
+          }
           pos += len
         case 0xc2 =>
           throw new IllegalArgumentException("progressive JPEG (SOF2) not supported")
@@ -538,8 +627,31 @@ object Jpeg {
     require(planes != null, "JPEG contained no image scan")
 
     if (sofComps.length == 1) Image(width, height, 1, planes)
-    else { // JFIF YCbCr → RGB
-      val (y, cb, cr) = (planes(0), planes(1), planes(2))
+    else { // upsample subsampled components (sample replication), then
+      // JFIF YCbCr → RGB
+      val hmax = sofComps.map(_.h).max
+      val vmax = sofComps.map(_.v).max
+      def up(ci: Int): Array[Int] = {
+        val c = sofComps(ci)
+        val (fx, fy) = (hmax / c.h, vmax / c.v)
+        if (fx == 1 && fy == 1) planes(ci)
+        else {
+          val wc = (width * c.h + hmax - 1) / hmax
+          val outp = new Array[Int](width * height)
+          var yy = 0
+          while (yy < height) {
+            val srcRow = (yy / fy) * wc
+            var xx = 0
+            while (xx < width) {
+              outp(yy * width + xx) = planes(ci)(srcRow + xx / fx)
+              xx += 1
+            }
+            yy += 1
+          }
+          outp
+        }
+      }
+      val (y, cb, cr) = (up(0), up(1), up(2))
       val r = new Array[Int](width * height)
       val g = new Array[Int](width * height)
       val b = new Array[Int](width * height)
@@ -568,52 +680,71 @@ object Jpeg {
       acTables: Array[HuffTable], restartInterval: Int,
       planes: Array[Array[Int]]): Int = {
     val reader = new BitReader(bytes, start)
-    val mcuX = (width + 7) / 8
-    val mcuY = (height + 7) / 8
+    val hmax = sofComps.map(_.h).max
+    val vmax = sofComps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // per-component decoded resolution
+    val compW = sofComps.map(c => (width * c.h + hmax - 1) / hmax)
+    val compH = sofComps.map(c => (height * c.v + vmax - 1) / vmax)
     val dcPred = new Array[Int](sofComps.length)
     val coef = new Array[Int](64)
+
+    def decodeBlock(ci: Int, td: Int, ta: Int, blockX: Int, blockY: Int): Unit = {
+      val dcT = dcTables(td)
+      val acT = acTables(ta)
+      val quant = quantTables(sofComps(ci).tq)
+      require(dcT != null && acT != null && quant != null,
+        "scan references an undefined Huffman/quant table")
+      java.util.Arrays.fill(coef, 0)
+      val dcCat = dcT.decode(reader)
+      require(dcCat <= 11, s"invalid DC category $dcCat")
+      dcPred(ci) += extend(reader.receive(dcCat), dcCat)
+      coef(0) = dcPred(ci) * quant(0)
+      var k = 1
+      while (k < 64) {
+        val rs = acT.decode(reader)
+        val run = rs >> 4
+        val size = rs & 15
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL: 16 zeros
+          else k = 64 // EOB
+        } else {
+          k += run
+          require(k < 64, "AC coefficient index overruns block")
+          val zz = ZigZag(k)
+          coef(zz) = extend(reader.receive(size), size) * quant(zz)
+          k += 1
+        }
+      }
+      idctInto(coef, planes(ci), compW(ci), compH(ci), blockX, blockY)
+    }
+
     var rstIdx = 0
     var sinceRestart = 0
     var m = 0
-    while (m < mcuX * mcuY) {
+    while (m < mcusX * mcusY) {
       if (restartInterval > 0 && sinceRestart == restartInterval) {
         reader.restart(rstIdx)
         rstIdx = (rstIdx + 1) & 7
         java.util.Arrays.fill(dcPred, 0)
         sinceRestart = 0
       }
-      val bx = m % mcuX
-      val by = m / mcuX
+      val mx = m % mcusX
+      val my = m / mcusX
       var s = 0
       while (s < scanTables.length) {
         val (ci, td, ta) = scanTables(s)
-        val dcT = dcTables(td)
-        val acT = acTables(ta)
-        val quant = quantTables(sofComps(ci).tq)
-        require(dcT != null && acT != null && quant != null,
-          "scan references an undefined Huffman/quant table")
-        java.util.Arrays.fill(coef, 0)
-        val dcCat = dcT.decode(reader)
-        require(dcCat <= 11, s"invalid DC category $dcCat")
-        dcPred(ci) += extend(reader.receive(dcCat), dcCat)
-        coef(0) = dcPred(ci) * quant(0)
-        var k = 1
-        while (k < 64) {
-          val rs = acT.decode(reader)
-          val run = rs >> 4
-          val size = rs & 15
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL: 16 zeros
-            else k = 64 // EOB
-          } else {
-            k += run
-            require(k < 64, "AC coefficient index overruns block")
-            val zz = ZigZag(k)
-            coef(zz) = extend(reader.receive(size), size) * quant(zz)
-            k += 1
+        val (hc, vc) = (sofComps(ci).h, sofComps(ci).v)
+        var by0 = 0 // hc×vc data units per MCU, raster order (A.2.3)
+        while (by0 < vc) {
+          var bx0 = 0
+          while (bx0 < hc) {
+            decodeBlock(ci, td, ta, mx * hc + bx0, my * vc + by0)
+            bx0 += 1
           }
+          by0 += 1
         }
-        idctInto(coef, planes(ci), width, height, bx, by)
         s += 1
       }
       sinceRestart += 1
@@ -622,11 +753,36 @@ object Jpeg {
     reader.pos
   }
 
-  /** Naive double IDCT (T.81 A.3.3) + level shift + clamp, written into
-    * the plane with edge clipping for partial boundary blocks.
+  /** Separable double IDCT (T.81 A.3.3) + level shift + clamp, written
+    * into the plane with edge clipping for partial boundary blocks.
+    * Column pass over v, then row pass over u; all-zero coefficient
+    * columns are skipped, so EOB-truncated blocks (DC-only in the
+    * fixtures) cost one column pass instead of a full double sum.
     */
   private def idctInto(coef: Array[Int], plane: Array[Int], width: Int,
       height: Int, bx: Int, by: Int): Unit = {
+    val tmp = new Array[Double](64) // tmp(y0,u) = Σ_v cNorm(v)·coef(v,u)·cos(y0,v)
+    var u = 0
+    while (u < 8) {
+      var nz = false
+      var v = 0
+      while (v < 8 && !nz) { nz = coef(v * 8 + u) != 0; v += 1 }
+      if (nz) { // fresh tmp is zero-initialized, so skipped columns stay 0
+        var y0 = 0
+        while (y0 < 8) {
+          var sum = 0.0
+          v = 0
+          while (v < 8) {
+            val f = coef(v * 8 + u)
+            if (f != 0) sum += cNorm(v) * f * cosBasis(y0)(v)
+            v += 1
+          }
+          tmp(y0 * 8 + u) = sum
+          y0 += 1
+        }
+      }
+      u += 1
+    }
     var y0 = 0
     while (y0 < 8) {
       val py = by * 8 + y0
@@ -636,16 +792,11 @@ object Jpeg {
           val px = bx * 8 + x0
           if (px < width) {
             var sum = 0.0
-            var v = 0
-            while (v < 8) {
-              var u = 0
-              while (u < 8) {
-                val f = coef(v * 8 + u)
-                if (f != 0)
-                  sum += cNorm(u) * cNorm(v) * f * cosBasis(x0)(u) * cosBasis(y0)(v)
-                u += 1
-              }
-              v += 1
+            u = 0
+            while (u < 8) {
+              val t = tmp(y0 * 8 + u)
+              if (t != 0.0) sum += cNorm(u) * t * cosBasis(x0)(u)
+              u += 1
             }
             plane(py * width + px) = clamp8(Math.round(0.25 * sum + 128.0).toInt)
           }

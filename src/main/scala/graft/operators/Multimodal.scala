@@ -279,6 +279,40 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthesize a valid 4:2:0 COLOR baseline-JPEG `media` column: the
+    * same 32×32 16-block layout as [[withJpegColumn]] but encoded as a
+    * three-component YCbCr image with 2×2 chroma subsampling — the
+    * dominant real-world JPEG layout, exercising the interleaved
+    * multi-block MCU walk, chroma downsample/upsample and the color
+    * transform. The fixture is achromatic (r=g=b), so Y equals the gray
+    * value exactly and Cb/Cr quantize to zero: decoding reproduces the
+    * source values EXACTLY and the oracle replay is the same
+    * Σ(digest bytes)/16 as the grayscale gate, with components=3.
+    */
+  def withJpeg420Column(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
+      .mapPartitions { rows =>
+        val quant = Jpeg.flatQuant(8)
+        rows.map { r =>
+          val dg = r.getAs[Array[Byte]](1)
+          val plane = new Array[Int](32 * 32)
+          var i = 0
+          while (i < 32 * 32) {
+            val bi = (i / (32 * 8)) * 4 + (i % 32) / 8 // block row*4 + block col
+            plane(i) = dg(bi) & 0xff
+            i += 1
+          }
+          Row(r.getLong(0), Jpeg.encode(32, 32,
+            Array(plane, plane.clone(), plane.clone()), quant,
+            chromaSubsample = (2, 2)))
+        }
+      }(enc)
+  }
+
   /** Encode interleaved 16-bit PCM samples as a minimal RIFF/WAVE file
     * (44-byte canonical header, little-endian).
     */

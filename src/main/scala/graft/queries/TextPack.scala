@@ -351,6 +351,36 @@ object TextPack extends QueryPack {
              |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12: the COLOR 4:2:0 sibling of mm_jpeg — three-component YCbCr
+    // with 2×2 chroma subsampling (the dominant real-world layout). The
+    // achromatic fixture (r=g=b per block) makes Cb/Cr quantize to zero
+    // and Y reconstruct exactly, so the full interleaved-MCU decode +
+    // upsample + color transform is value-checked by the same digest
+    // replay, with components=3.
+    QueryDef(
+      "mm_jpeg420",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withJpeg420Column(docsOf(s, d)), Multimodal.JpegCodec)
+          .select(col("doc_id"),
+            col("features").getField("width").as("width"),
+            col("features").getField("height").as("height"),
+            col("features").getField("components").as("components"),
+            col("features").getField("mean_r").as("mean_r"),
+            col("features").getField("mean_g").as("mean_g"),
+            col("features").getField("mean_b").as("mean_b"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, 32 AS width, 32 AS height, 3 AS components,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_r,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_g,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // C12 multimodal with a REAL audio codec: synthesize a stereo PCM16
     // WAV per document (16 interleaved samples = md5(text) digest bytes
     // mapped to (b-128)*256; L = even bytes, R = odd), decode it with the

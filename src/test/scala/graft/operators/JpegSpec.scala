@@ -150,6 +150,62 @@ class JpegSpec extends SparkSpec {
         s"channel deviates >2 from $want")
   }
 
+  // ---- chroma subsampling (4:2:0 / 4:2:2) ---------------------------
+
+  test("4:2:0: achromatic constant images are exact; SOF declares 2x2 luma sampling") {
+    val grayVal = 91
+    val plane = Array.fill(32 * 32)(grayVal)
+    val bytes = Jpeg.encode(32, 32, Array(plane, plane.clone(), plane.clone()),
+      Jpeg.flatQuant(8), chromaSubsample = (2, 2))
+    // SOF component 1 (Y) must carry sampling 0x22, chroma 0x11
+    val sofAt = bytes.indices.init.find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
+    assert((bytes(sofAt + 11) & 0xff) == 0x22 && (bytes(sofAt + 14) & 0xff) == 0x11)
+    val img = Jpeg.decode(bytes)
+    assert(img.nComp == 3 && img.width == 32 && img.height == 32)
+    assert(img.planes.forall(_.forall(_ == grayVal)))
+  }
+
+  test("4:2:0 and 4:2:2: constant color within ±2; odd dims exercise edge MCUs") {
+    for ((ss, w, h) <- Seq(((2, 2), 20, 12), ((2, 1), 17, 9), ((1, 2), 16, 10))) {
+      val (r, g, b) = (Array.fill(w * h)(200), Array.fill(w * h)(100), Array.fill(w * h)(50))
+      val img = Jpeg.decode(Jpeg.encode(w, h, Array(r, g, b),
+        Jpeg.flatQuant(1), chromaSubsample = ss))
+      assert(img.width == w && img.height == h, s"ss=$ss dims")
+      for ((plane, want) <- img.planes.zip(Seq(200, 100, 50)))
+        assert(plane.forall(v => math.abs(v - want) <= 2),
+          s"ss=$ss channel deviates >2 from $want")
+    }
+  }
+
+  test("4:2:0: smooth chroma gradient survives downsample+replicate within bounds") {
+    val w = 24; val h = 16
+    val r = Array.tabulate(w * h)(i => 80 + (i % w) * 3)
+    val g = Array.tabulate(w * h)(i => 60 + (i / w) * 4)
+    val b = Array.fill(w * h)(120)
+    val img = Jpeg.decode(Jpeg.encode(w, h, Array(r, g, b),
+      Jpeg.flatQuant(1), chromaSubsample = (2, 2)))
+    // luma is full-res (tight bound); chroma error ≤ one 2×2 box of the
+    // gradient slope plus coefficient rounding
+    for ((plane, want) <- img.planes.zip(Seq(r, g, b))) {
+      val errs = plane.zip(want).map(p => math.abs(p._1 - p._2))
+      assert(errs.max <= 12 && errs.sum.toDouble / errs.length <= 4.0,
+        s"max=${errs.max} mean=${errs.sum.toDouble / errs.length}")
+    }
+  }
+
+  test("4:2:0 with restart intervals decodes identically to no-restart") {
+    val rnd = new java.util.Random(11)
+    val w = 48; val h = 32 // 6 MCUs of 16×16
+    val planes = Array.fill(3)(Array.fill(w * h)(rnd.nextInt(256)))
+    val plain = Jpeg.decode(Jpeg.encode(w, h, planes, Jpeg.flatQuant(1),
+      chromaSubsample = (2, 2)))
+    val rst = Jpeg.decode(Jpeg.encode(w, h, planes, Jpeg.flatQuant(1),
+      restartInterval = 2, chromaSubsample = (2, 2)))
+    for (c <- 0 until 3)
+      assert(plain.planes(c).sameElements(rst.planes(c)))
+  }
+
   // ---- hostile / unsupported inputs ---------------------------------
 
   test("malformed and unsupported streams fail with clear errors, not garbage") {
@@ -163,11 +219,11 @@ class JpegSpec extends SparkSpec {
     prog(sofAt + 1) = 0xc2.toByte
     val e1 = intercept[IllegalArgumentException](Jpeg.decode(prog))
     assert(e1.getMessage.contains("progressive"))
-    // 4:2:0 sampling factors
+    // sampling factor 3 is outside the supported {1,2,4} set
     val sub = ok.clone()
-    sub(sofAt + 11) = 0x22.toByte // component 1 H/V sampling
+    sub(sofAt + 11) = 0x33.toByte // component 1 H/V sampling
     val e2 = intercept[IllegalArgumentException](Jpeg.decode(sub))
-    assert(e2.getMessage.contains("subsampling"))
+    assert(e2.getMessage.contains("sampling factors"))
     // truncated entropy data
     intercept[IllegalArgumentException](Jpeg.decode(ok.take(ok.length - 20)))
   }
