@@ -331,7 +331,12 @@ object TextPack extends QueryPack {
       "mm_jpeg",
       (s, d) =>
         Multimodal.extractFeatures(
-            Multimodal.withJpegColumn(docsOf(s, d)), Multimodal.JpegCodec)
+            // partition for COMPUTE, not bytes: the 5 K-row corpus is one
+            // ~0.5 MB parquet split, but JPEG encode+decode is ~150 µs/row
+            // — byte-sized splits would serialize the codec on one core
+            Multimodal.withJpegColumn(
+              docsOf(s, d).repartition(s.sparkContext.defaultParallelism)),
+            Multimodal.JpegCodec)
           .select(col("doc_id"),
             col("features").getField("width").as("width"),
             col("features").getField("height").as("height"),
@@ -361,7 +366,10 @@ object TextPack extends QueryPack {
       "mm_jpeg420",
       (s, d) =>
         Multimodal.extractFeatures(
-            Multimodal.withJpeg420Column(docsOf(s, d)), Multimodal.JpegCodec)
+            // see mm_jpeg: codec cost dominates input bytes 1000:1
+            Multimodal.withJpeg420Column(
+              docsOf(s, d).repartition(s.sparkContext.defaultParallelism)),
+            Multimodal.JpegCodec)
           .select(col("doc_id"),
             col("features").getField("width").as("width"),
             col("features").getField("height").as("height"),

@@ -86,6 +86,61 @@ class ScratchTimingSpec extends SparkSpec {
     }
   }
 
+  ignore("search_content one-shot cost breakdown") {
+    // Standalone (filtered-bench) runs of search_content pay ~27 s the
+    // full bench never sees; split build/plan/codegen/exec to find it.
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compileMs: Long =
+      CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+    val all = graft.SparkEntry.queries
+    (1 to 2).foreach { round =>
+      val c0 = compileMs
+      val t0 = System.nanoTime()
+      val df = all("search_content")(spark, "/root/testdata/sf0.01")
+      val built = System.nanoTime()
+      df.queryExecution.executedPlan
+      val planned = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val done = System.nanoTime()
+      info(f"r$round build=${(built - t0) / 1e9}%.2f s " +
+        f"plan=${(planned - built) / 1e9}%.2f s " +
+        f"exec=${(done - planned) / 1e9}%.2f s " +
+        f"codegen=${compileMs - c0} ms phases[${df.queryExecution.tracker.phases
+          .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}" }.mkString(" ")}]")
+    }
+  }
+
+  ignore("mm_jpeg420 stage breakdown at sf0.1") {
+    // Splits the gate into: fixture synthesis (encode), decode+features,
+    // and a single-threaded JVM loop on one fixture for per-item cost.
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    timeIt("n docs")(info(s"docs=${docs.count()}"))
+    timeIt("encode only (withJpeg420Column)")(
+      Multimodal.withJpeg420Column(docs).write.format("noop")
+        .mode("overwrite").save())
+    timeIt("encode+decode (full gate body)")(
+      Multimodal.extractFeatures(
+          Multimodal.withJpeg420Column(docs), Multimodal.JpegCodec)
+        .write.format("noop").mode("overwrite").save())
+    // single-threaded per-item cost, steady state
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes)
+    val plane = Array.tabulate(32 * 32) { i =>
+      dg((i / (32 * 8)) * 4 + (i % 32) / 8) & 0xff
+    }
+    val quant = Jpeg.flatQuant(8)
+    val bytes = Jpeg.encode(32, 32,
+      Array(plane, plane.clone(), plane.clone()), quant,
+      chromaSubsample = (2, 2))
+    (1 to 1000).foreach(_ => Jpeg.decode(bytes)) // JIT warm
+    timeIt("10k encodes, 1 thread")((1 to 10000).foreach(_ =>
+      Jpeg.encode(32, 32, Array(plane, plane.clone(), plane.clone()),
+        quant, chromaSubsample = (2, 2))))
+    timeIt("10k decodes, 1 thread")((1 to 10000).foreach(_ =>
+      Jpeg.decode(bytes)))
+  }
+
   ignore("minhash-lsh stage breakdown at sf0.1") {
     val docs = Dedup.withMutants(
       spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
