@@ -47,7 +47,10 @@ object FhirSchemas {
     // fixture type carries no labels — same token shape as tag
     StructField("security", ArrayType(StructType(Seq(
       StructField("system", StringType),
-      StructField("code", StringType)))))))
+      StructField("code", StringType))))),
+    // asserted profile canonicals (the _profile uri-param substrate);
+    // null where a fixture type asserts none
+    StructField("profile", ArrayType(StringType))))
 
   val attachment: StructType = StructType(Seq(
     StructField("contentType", StringType),

@@ -126,8 +126,11 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     // _lastUpdated/_tag: server-meta params that share date/token
     // semantics with ordinary params — route through the registry (they
     // land here rather than in `filters` because of the `_` prefix)
+    // (matched on the base name so value modifiers — `_profile:below` —
+    // still route through the registry, which parses them itself)
     controls.collect {
-      case (n @ ("_lastUpdated" | "_tag" | "_security"), v) => (n, v)
+      case (n, v) if Set("_lastUpdated", "_tag", "_security",
+        "_profile")(n.split(":", 2)(0)) => (n, v)
     }.foreach { case (n, v) => df = applyParam(resType, df, n, v) }
 
     // _filter expression language: parsed once, compiled onto the same
@@ -456,6 +459,17 @@ object FhirSearch {
   /** B2: token over a CodeableConcept coding array: `system|code`, bare
     * `code`, or `system|` (any code in system).
     */
+  /** uri param over a canonical-URL array (the `_profile` surface):
+    * exact element match by default, `:below` = prefix (the FHIR uri
+    * hierarchy modifier).
+    */
+  private def uriArrayParam(uris: Column): ParamDef = ParamDef(
+    predicate = (v, m) => m match {
+      case Some("below") => exists(uris, u => u.startsWith(v))
+      case _ => exists(uris, u => u === v)
+    },
+    missingTest = _ => uris.isNull)
+
   private def tokenCodingParam(codingArr: Column): ParamDef = ParamDef(
     predicate = (v, _) => {
       val test: Column => Column = v.split("\\|", -1) match {
@@ -547,6 +561,8 @@ object FhirSearch {
       tokenCodingParam(col("meta").getField("tag"))
     case (t, "_security") if MetaTypes(t) =>
       tokenCodingParam(col("meta").getField("security"))
+    case (t, "_profile") if MetaTypes(t) =>
+      uriArrayParam(col("meta").getField("profile"))
     case ("Patient", "gender") => strParam(col("gender"))
     case ("Patient", "birthdate") => dateParam(col("birthDate"))
     case ("Patient", "active") => ParamDef(

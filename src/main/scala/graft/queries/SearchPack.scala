@@ -521,6 +521,30 @@ object SearchPack extends QueryPack {
               |  AND t.code = 'R')) > 0
               |ORDER BY id""".stripMargin)),
 
+    // _profile: the fourth server-meta param — uri over meta.profile
+    // (canonical-URL array); exact element match
+    QueryDef(
+      "search_profile",
+      (s, _) => eng(s).search(
+        "Patient?_profile=http://example.org/fhir/StructureDefinition/research-patient")
+        .select(col("id")).orderBy("id"),
+      Some(s"""SELECT id FROM ${rj("Patient")} p
+              |WHERE len(list_filter(p.meta.profile, u ->
+              |  u = 'http://example.org/fhir/StructureDefinition/research-patient')) > 0
+              |ORDER BY id""".stripMargin)),
+
+    // _profile:below — the FHIR uri hierarchy modifier (prefix match),
+    // narrowed so it selects the research subset, not every record
+    QueryDef(
+      "search_profile_below",
+      (s, _) => eng(s).search(
+        "Patient?_profile:below=http://example.org/fhir/StructureDefinition/research")
+        .select(col("id")).orderBy("id"),
+      Some(s"""SELECT id FROM ${rj("Patient")} p
+              |WHERE len(list_filter(p.meta.profile, u ->
+              |  starts_with(u, 'http://example.org/fhir/StructureDefinition/research'))) > 0
+              |ORDER BY id""".stripMargin)),
+
     // server-meta params on a TRANSFORMED type (Specimen — proves meta
     // flows through schemas shared with the R5→R4 transform path)
     QueryDef(

@@ -80,6 +80,13 @@ def patients():
                 "security": [{
                     "system": "http://terminology.hl7.org/CodeSystem/v3-Confidentiality",
                     "code": "R" if i % 4 == 0 else "N"}],
+                # asserted profiles: the _profile uri-param substrate —
+                # every record asserts the core profile; every 5th also a
+                # research profile (exact match + :below prefix coverage)
+                "profile": (
+                    ["http://example.org/fhir/StructureDefinition/core-patient"]
+                    + (["http://example.org/fhir/StructureDefinition/research-patient"]
+                       if i % 5 == 0 else [])),
             },
         }
 
