@@ -32,6 +32,13 @@ import java.nio.charset.StandardCharsets
   */
 object Jpeg {
 
+  /** Decode-side allocation bound: max pixels per image (covers 11585²).
+    * 16-bit SOF dims can claim ~4.3e9 pixels; unchecked, the Int
+    * plane-size math overflows and a hostile 2-byte edit demands
+    * multi-GB buffers from an executor.
+    */
+  val MaxPixels: Long = 1L << 27
+
   /** Zigzag index → natural (row-major) index, T.81 Figure A.6. */
   private val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -516,7 +523,10 @@ object Jpeg {
     while (!done) {
       require(pos + 1 < bytes.length, "JPEG truncated before EOI")
       require((bytes(pos) & 0xff) == 0xff, f"expected marker at offset $pos")
-      while ((bytes(pos + 1) & 0xff) == 0xff) pos += 1 // fill bytes
+      // fill bytes (bounded: a stream of trailing 0xFF must not run off
+      // the array)
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      require(pos + 1 < bytes.length, "JPEG truncated in marker fill bytes")
       val marker = bytes(pos + 1) & 0xff
       pos += 2
       marker match {
@@ -525,12 +535,18 @@ object Jpeg {
           () // standalone markers: no payload
         case 0xc0 | 0xc1 => // SOF0/SOF1: baseline + extended sequential Huffman
           val len = segLen(pos)
+          require(len >= 8, "malformed SOF segment (too short for header)")
           require((bytes(pos + 2) & 0xff) == 8, "only 8-bit precision supported")
           height = u16(pos + 3)
           width = u16(pos + 5)
           val n = bytes(pos + 7) & 0xff
           require(n == 1 || n == 3, s"unsupported component count $n (1 or 3)")
           require(width > 0 && height > 0, "zero image dimension")
+          // hostile-header allocation bound: 16-bit dims can claim up to
+          // 65535² ≈ 4.3e9 pixels, overflowing the Int plane-size math
+          // below and demanding multi-GB arrays — reject before either
+          require(width.toLong * height <= MaxPixels,
+            s"image too large (${width}x$height > $MaxPixels pixels)")
           require(len == 8 + 3 * n, "malformed SOF segment length")
           sofComps = Array.tabulate(n) { i =>
             val o = pos + 8 + 3 * i
@@ -538,11 +554,13 @@ object Jpeg {
             val (h, v) = (sampling >> 4, sampling & 15)
             require(Set(1, 2, 4)(h) && Set(1, 2, 4)(v),
               f"unsupported sampling factors 0x$sampling%02X (H,V must be 1, 2 or 4)")
+            val tq = bytes(o + 2) & 0xff
+            require(tq <= 3, s"bad quant table id $tq in SOF")
             // single-component scans are non-interleaved (T.81 A.2.2):
             // data units raster over the component alone, so declared
             // sampling factors do not shape the scan — normalize to 1×1
-            if (n == 1) SofComp(bytes(o) & 0xff, 1, 1, bytes(o + 2) & 0xff)
-            else SofComp(bytes(o) & 0xff, h, v, bytes(o + 2) & 0xff)
+            if (n == 1) SofComp(bytes(o) & 0xff, 1, 1, tq)
+            else SofComp(bytes(o) & 0xff, h, v, tq)
           }
           val hmax = sofComps.map(_.h).max
           val vmax = sofComps.map(_.v).max
@@ -569,6 +587,7 @@ object Jpeg {
             val tc = tcTh >> 4
             val th = tcTh & 15
             require(tc <= 1 && th <= 3, f"bad DHT id 0x$tcTh%02X")
+            require(o + 17 <= pos + len, "DHT counts overrun segment")
             val counts = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
             val nv = counts.sum
             require(o + 17 + nv <= pos + len, "DHT overruns segment")
@@ -600,15 +619,19 @@ object Jpeg {
         case 0xda => // SOS: single interleaved scan, then entropy data
           require(sofComps != null, "SOS before SOF")
           val len = segLen(pos)
+          require(len >= 3, "malformed SOS segment (too short)")
           val ns = bytes(pos + 2) & 0xff
           require(ns == sofComps.length,
             s"scan must cover all $ns components (single interleaved scan only)")
+          require(len == 6 + 2 * ns, "malformed SOS segment length")
           val scanTables = Array.tabulate(ns) { i =>
             val o = pos + 3 + 2 * i
             val id = bytes(o) & 0xff
             val ci = sofComps.indexWhere(_.id == id)
             require(ci >= 0, s"scan references unknown component id $id")
             val tdTa = bytes(o + 1) & 0xff
+            require((tdTa >> 4) <= 3 && (tdTa & 15) <= 3,
+              f"bad Huffman table ids 0x$tdTa%02X in SOS")
             (ci, tdTa >> 4, tdTa & 15)
           }
           val ssOff = pos + 3 + 2 * ns

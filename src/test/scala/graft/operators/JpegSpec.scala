@@ -208,6 +208,45 @@ class JpegSpec extends SparkSpec {
 
   // ---- hostile / unsupported inputs ---------------------------------
 
+  test("fuzz: every byte mutation and truncation either decodes or fails " +
+      "with IllegalArgumentException — never a crash, hang or huge alloc") {
+    val rnd = new java.util.Random(7)
+    val gray = Jpeg.encode(16, 16,
+      Array(Array.fill(16 * 16)(rnd.nextInt(256))), Jpeg.flatQuant(4))
+    val color = Jpeg.encode(24, 16,
+      Array.fill(3)(Array.fill(24 * 16)(rnd.nextInt(256))),
+      Jpeg.flatQuant(4), restartInterval = 1, chromaSubsample = (2, 2))
+    for ((stream, label) <- Seq((gray, "gray"), (color, "420"))) {
+      for (i <- stream.indices; mut <- Seq(0x00, 0xff, (stream(i) ^ 0x55) & 0xff)
+           if (mut & 0xff) != (stream(i) & 0xff)) {
+        val m = stream.clone(); m(i) = mut.toByte
+        try Jpeg.decode(m)
+        catch {
+          case _: IllegalArgumentException => () // the contract
+          case e: Throwable =>
+            fail(f"$label byte $i -> 0x$mut%02x: ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+      for (n <- 0 until stream.length) {
+        val t = intercept[IllegalArgumentException](
+          Jpeg.decode(stream.take(n)))
+        assert(t.getMessage != null, s"$label truncation at $n")
+      }
+    }
+  }
+
+  test("hostile SOF dimensions are rejected before allocation") {
+    val ok = Jpeg.encode(8, 8, Array(Array.fill(64)(42)), Jpeg.flatQuant(8))
+    val sofAt = ok.indices.init.find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0).get
+    // claim 65535x65535: would overflow Int plane math / demand ~17 GB
+    val big = ok.clone()
+    big(sofAt + 5) = 0xff.toByte; big(sofAt + 6) = 0xff.toByte // height
+    big(sofAt + 7) = 0xff.toByte; big(sofAt + 8) = 0xff.toByte // width
+    val e = intercept[IllegalArgumentException](Jpeg.decode(big))
+    assert(e.getMessage.contains("too large"))
+  }
+
   test("malformed and unsupported streams fail with clear errors, not garbage") {
     intercept[IllegalArgumentException](Jpeg.decode(Array[Byte]()))
     intercept[IllegalArgumentException](Jpeg.decode("GIF89a not a jpeg".getBytes))
