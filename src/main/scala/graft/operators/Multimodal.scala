@@ -177,7 +177,10 @@ object Multimodal {
         val size = buf.getInt(off + 4)
         require(size >= 0 && off + 8L + size <= bytes.length,
           s"truncated WAV chunk '$id': size=$size at offset=$off")
-        if (id == "fmt ") fmtOff = off + 8
+        if (id == "fmt ") {
+          require(size >= 16, s"WAV fmt chunk too short: $size bytes")
+          fmtOff = off + 8
+        }
         else if (id == "data") { dataOff = off + 8; dataSize = size }
         off += 8 + size + (size & 1) // odd-sized chunks pad one byte
       }

@@ -102,6 +102,36 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.BmpCodec.decode(mutated(22, Int.MinValue))) // abs overflow
   }
 
+  test("fuzz: BMP and WAV byte mutations/truncations decode or throw " +
+      "IllegalArgumentException — never a crash") {
+    val rnd = new java.util.Random(13)
+    val bmp = Multimodal.bmpEncodeGray(5, 3,
+      Array.fill(15)(rnd.nextInt(256).toByte))
+    val wav = Multimodal.wavEncodePcm16(8000, 2,
+      Array.fill(32)(rnd.nextInt(65536).toShort))
+    for ((stream, codec, label) <- Seq(
+        (bmp, Multimodal.BmpCodec, "bmp"),
+        (wav, Multimodal.WavCodec, "wav"))) {
+      for (i <- stream.indices; mut <- Seq(0x00, 0xff, (stream(i) ^ 0x55) & 0xff)
+           if (mut & 0xff) != (stream(i) & 0xff)) {
+        val m = stream.clone(); m(i) = mut.toByte
+        try codec.decode(m)
+        catch {
+          case _: IllegalArgumentException => () // the contract
+          case e: Throwable =>
+            fail(f"$label byte $i -> 0x$mut%02x: ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+      for (n <- 0 until stream.length)
+        try codec.decode(stream.take(n))
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"$label truncation at $n: ${e.getClass.getName}: ${e.getMessage}")
+        }
+    }
+  }
+
   test("UTF-8 codec: valid text decodes clean; malformed bytes flagged and repaired") {
     val ok = Multimodal.Utf8TextCodec.decode("héllo\nwörld".getBytes("UTF-8"))
     assert(ok.getBoolean(3) && ok.getLong(1) == 11L && ok.getLong(2) == 2L)
