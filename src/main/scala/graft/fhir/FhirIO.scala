@@ -43,6 +43,14 @@ object FhirIO {
 
   private val relationCache = new graft.util.SessionCache[DataFrame]
 
+  /** Raw line scan (the `_content` whole-serialization substrate), cached
+    * per (session, path) like the parsed relations — an engine built per
+    * request must not re-list the store for its raw side either.
+    */
+  def readTextCached(spark: SparkSession, path: String): DataFrame =
+    relationCache.getOrElseUpdate(spark, s"$path|raw-text")(
+      spark.read.text(path))
+
   /** Read with reject channel (A18 structural half + A19 continue mode):
     * PERMISSIVE parse keeps malformed lines in `_corrupt_record`; callers
     * split on `isCorrupt`. This is the Spark-native form of the reference's

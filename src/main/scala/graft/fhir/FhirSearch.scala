@@ -142,13 +142,18 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
 
     // _text: case-insensitive substring over the resource NARRATIVE
     // (text.div) with the XHTML tags stripped first — "diabetes" must
-    // match "<p>History of <b>diabetes</b>.</p>". An ordinary filter on
-    // the parsed frame: no extra scan, pushes like any string param.
+    // match "<p>History of <b>diabetes</b>.</p>". Whitespace is then
+    // collapsed so a phrase spanning inline markup matches its rendered
+    // form ("Patient <b>Family001</b>" renders as "Patient Family001",
+    // but tag-stripping alone leaves a double space). An ordinary filter
+    // on the parsed frame: no extra scan, pushes like any string param.
     controls.collect { case ("_text", v) => v }.foreach { v =>
       require(df.columns.contains("text"),
         s"$resType resources carry no narrative: _text unsupported here")
       df = df.filter(
-        lower(regexp_replace(col("text").getField("div"), "<[^>]*>", " "))
+        lower(regexp_replace(
+          regexp_replace(col("text").getField("div"), "<[^>]*>", " "),
+          "\\s+", " "))
           .contains(v.toLowerCase))
     }
 
@@ -694,13 +699,20 @@ object FhirSearch {
     case _ => sys.error(s"unknown chain $resType.$refParam")
   }
 
-  /** "Type?k=v&k2=v2" → (Type, ordered params). */
+  /** "Type?k=v&k2=v2" → (Type, ordered params). Empty segments (stray
+    * `&`) are dropped; a valueless key raises a descriptive error rather
+    * than a MatchError.
+    */
   def parse(request: String): (String, Seq[(String, String)]) = {
     val Array(t, qs @ _*) = request.split("\\?", 2)
     val params = qs.headOption.filter(_.nonEmpty).map(_.split("&").toSeq
+      .filter(_.nonEmpty)
       .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        (k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case _ => throw new IllegalArgumentException(
+            s"malformed search param '$kv': expected key=value")
+        }
       }).getOrElse(Seq())
     (t, params)
   }
@@ -712,7 +724,7 @@ object FhirSearch {
   def overFixtures(spark: SparkSession, dir: String): FhirSearch = {
     val load = (name: String, schema: org.apache.spark.sql.types.StructType) =>
       FhirIO.readNdjsonCached(spark, s"$dir/$name.ndjson", schema)
-    val raw = (name: String) => spark.read.text(s"$dir/$name.ndjson")
+    val raw = (name: String) => FhirIO.readTextCached(spark, s"$dir/$name.ndjson")
     new FhirSearch(spark, rawSource = Some(raw), tables = Map(
       "Patient" -> load("Patient", FhirSchemas.patient),
       "Specimen" -> load("Specimen", FhirSchemas.specimen),

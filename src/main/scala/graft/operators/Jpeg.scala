@@ -504,6 +504,7 @@ object Jpeg {
     var height = 0
     var sofComps: Array[SofComp] = null
     var planes: Array[Array[Int]] = null
+    var sawScan = false
 
     def u16(at: Int): Int = {
       require(at + 1 < bytes.length, "JPEG truncated in segment header")
@@ -641,13 +642,17 @@ object Jpeg {
           pos += len
           pos = decodeScan(bytes, pos, width, height, sofComps, scanTables,
             quantTables, dcTables, acTables, restartInterval, planes)
+          sawScan = true
         case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe => // APPn / COM
           pos += segLen(pos)
         case m =>
           throw new IllegalArgumentException(f"unsupported JPEG marker 0xFF$m%02X")
       }
     }
-    require(planes != null, "JPEG contained no image scan")
+    // must be a SCAN flag, not `planes != null`: SOF alone allocates the
+    // planes, and headers-without-SOS would otherwise decode to a silent
+    // all-zero image
+    require(sawScan, "JPEG contained no image scan")
 
     if (sofComps.length == 1) Image(width, height, 1, planes)
     else { // upsample subsampled components (sample replication), then

@@ -260,7 +260,18 @@ object Multimodal {
     * DC-prediction chain across all Huffman magnitude categories, EOB,
     * and byte destuffing when padding lands on 0xFF.
     */
-  def withJpegColumn(docs: DataFrame): DataFrame = {
+  def withJpegColumn(docs: DataFrame): DataFrame =
+    withDigestJpegColumn(docs) { (plane, quant) =>
+      Jpeg.encode(32, 32, Array(plane), quant)
+    }
+
+  /** Shared fixture plumbing for the JPEG gates: digest → the 32×32
+    * 16-constant-block plane (raster block order), handed to `encode`
+    * with the flat q=8 table. The block-index math lives HERE only, so
+    * the grayscale and 4:2:0 gates cannot diverge.
+    */
+  private def withDigestJpegColumn(docs: DataFrame)(
+      encode: (Array[Int], Array[Int]) => Array[Byte]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("media", BinaryType)))
@@ -277,7 +288,7 @@ object Multimodal {
             plane(i) = dg(bi) & 0xff
             i += 1
           }
-          Row(r.getLong(0), Jpeg.encode(32, 32, Array(plane), quant))
+          Row(r.getLong(0), encode(plane, quant))
         }
       }(enc)
   }
@@ -292,29 +303,11 @@ object Multimodal {
     * source values EXACTLY and the oracle replay is the same
     * Σ(digest bytes)/16 as the grayscale gate, with components=3.
     */
-  def withJpeg420Column(docs: DataFrame): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("media", BinaryType)))
-    val enc = Encoders.row(outSchema)
-    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
-      .mapPartitions { rows =>
-        val quant = Jpeg.flatQuant(8)
-        rows.map { r =>
-          val dg = r.getAs[Array[Byte]](1)
-          val plane = new Array[Int](32 * 32)
-          var i = 0
-          while (i < 32 * 32) {
-            val bi = (i / (32 * 8)) * 4 + (i % 32) / 8 // block row*4 + block col
-            plane(i) = dg(bi) & 0xff
-            i += 1
-          }
-          Row(r.getLong(0), Jpeg.encode(32, 32,
-            Array(plane, plane.clone(), plane.clone()), quant,
-            chromaSubsample = (2, 2)))
-        }
-      }(enc)
-  }
+  def withJpeg420Column(docs: DataFrame): DataFrame =
+    withDigestJpegColumn(docs) { (plane, quant) =>
+      Jpeg.encode(32, 32, Array(plane, plane.clone(), plane.clone()), quant,
+        chromaSubsample = (2, 2))
+    }
 
   /** Encode interleaved 16-bit PCM samples as a minimal RIFF/WAVE file
     * (44-byte canonical header, little-endian).

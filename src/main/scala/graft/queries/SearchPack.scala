@@ -257,9 +257,25 @@ object SearchPack extends QueryPack {
       (s, _) => eng(s).search("Patient?_text=diabetes&gender=male")
         .select(col("id")).orderBy("id"),
       Some(s"""SELECT id FROM ${rj("Patient")} p
-              |WHERE contains(lower(regexp_replace(p."text".div, '<[^>]*>', ' ', 'g')),
+              |WHERE contains(lower(regexp_replace(
+              |        regexp_replace(p."text".div, '<[^>]*>', ' ', 'g'),
+              |        '\\s+', ' ', 'g')),
               |               'diabetes')
               |  AND gender = 'male'
+              |ORDER BY id""".stripMargin)),
+
+    // _text with a PHRASE that spans inline markup: "Patient
+    // <b>Family005</b>" renders as "Patient Family005" — matching it
+    // requires the whitespace-collapse after tag-stripping
+    QueryDef(
+      "search_text_phrase",
+      (s, _) => eng(s).search("Patient?_text=patient family005")
+        .select(col("id")).orderBy("id"),
+      Some(s"""SELECT id FROM ${rj("Patient")} p
+              |WHERE contains(lower(regexp_replace(
+              |        regexp_replace(p."text".div, '<[^>]*>', ' ', 'g'),
+              |        '\\s+', ' ', 'g')),
+              |               'patient family005')
               |ORDER BY id""".stripMargin)),
 
     // _content: whole-content search — case-insensitive substring over

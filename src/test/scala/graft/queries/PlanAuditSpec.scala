@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSpec {
   test("q53: ORC re-read pushes filters and prunes columns like parquet") {
     // the roundtrip gate itself has no filter; assert the format's scale
     // properties directly on the written artifact
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_audit"
+    // per-session path: two JVMs running the suite concurrently must not
+    // overwrite/read the same artifact (same rationale as the q53 gate)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_audit_" +
+      graft.util.TempFixtures.appTag(spark)
     graft.util.TempFixtures.deleteOnExit(out)
     graft.sources.Tables.nation(spark, d).write.mode("overwrite").orc(out)
     val q = spark.read.orc(out)
