@@ -108,6 +108,26 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
       val Array(t, id) = request.split("/", 2)
       return table(t).filter(col("id") === id)
     }
+    // System-level search: "?_type=a,b&params" — no resource type before
+    // the '?'. One leg per named type, each planned as the ordinary type
+    // search (so shared params — the server-meta quartet, _id — push
+    // into every leg's scan), unioned as (resourceType, id) rows. FHIR
+    // restricts system-search params to those defined on all types;
+    // type-specific params fail naturally in the leg's registry lookup.
+    if (request.startsWith("?")) {
+      val (_, params) = parse(request)
+      val types = params.collectFirst { case ("_type", v) =>
+        v.split(",").toSeq }
+        .getOrElse(throw new IllegalArgumentException(
+          "system-level search requires _type=a,b"))
+      types.foreach(t => require(tables.contains(t), s"unknown type in _type: $t"))
+      val shared = params.filterNot(_._1 == "_type")
+        .map { case (k, v) => s"$k=$v" }.mkString("&")
+      val legs = types.map { t =>
+        search(s"$t?$shared").select(lit(t).as("resourceType"), col("id"))
+      }
+      return legs.reduce(_ unionByName _).orderBy("resourceType", "id")
+    }
     val (resType, params) = parse(request)
     val base = table(resType)
 

@@ -144,6 +144,34 @@ object SearchPack extends QueryPack {
       Some(s"""SELECT CAST(count(*) AS BIGINT) AS total FROM ${rj("Patient")}
               |WHERE gender = 'female'""".stripMargin)),
 
+    // The reference's own acceptance check, VERBATIM: an exact count of
+    // the whole store's Patients with zero resource rows returned
+    // (reference README "verify the load" step)
+    QueryDef(
+      "search_acceptance",
+      (s, _) => eng(s).search("Patient?_total=accurate&_count=0"),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS total
+              |FROM ${rj("Patient")}""".stripMargin)),
+
+    // System-level search: no type before the '?'; _type names the legs,
+    // shared meta params push into each leg's scan
+    QueryDef(
+      "search_system_type",
+      (s, _) => eng(s).search("?_type=Patient,Specimen&_lastUpdated=ge2024-06")
+        .orderBy("resourceType", "id"),
+      // unmatched timestampformat keeps the ISO instant VARCHAR so the
+      // lexicographic-prefix compare matches the engine's date semantics
+      Some(s"""SELECT 'Patient' AS "resourceType", id
+              |FROM read_json('$Fix/Patient.ndjson', format='newline_delimited',
+              |               timestampformat='%d__%m')
+              |WHERE meta.lastUpdated >= '2024-06'
+              |UNION ALL
+              |SELECT 'Specimen', id
+              |FROM read_json('$Fix/Specimen.ndjson', format='newline_delimited',
+              |               timestampformat='%d__%m')
+              |WHERE meta.lastUpdated >= '2024-06'
+              |ORDER BY "resourceType", id""".stripMargin)),
+
     // B13: _elements projection
     QueryDef(
       "search_elements",

@@ -39,6 +39,29 @@ class FhirSearchSpec extends SparkSpec {
     intercept[RuntimeException](eng.search("Patient?nosuchparam=1"))
   }
 
+  test("valueless param raises a descriptive error, not a MatchError") {
+    val e = intercept[IllegalArgumentException](eng.search("Patient?gender"))
+    assert(e.getMessage.contains("gender"))
+    // stray '&' is tolerated
+    assert(eng.search("Patient?gender=male&").count() ==
+      eng.search("Patient?gender=male").count())
+  }
+
+  test("system-level search unions typed legs; shared meta params filter each") {
+    val df = eng.search("?_type=Patient,Specimen&_lastUpdated=ge2024-06")
+    assert(df.columns.toSeq == Seq("resourceType", "id"))
+    val byType = df.groupBy("resourceType").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.keySet == Set("Patient", "Specimen"))
+    assert(byType("Patient") ==
+      eng.search("Patient?_lastUpdated=ge2024-06").count())
+    assert(byType("Specimen") ==
+      eng.search("Specimen?_lastUpdated=ge2024-06").count())
+    // _type is mandatory; unknown leg types raise
+    intercept[IllegalArgumentException](eng.search("?_lastUpdated=ge2024-06"))
+    intercept[RuntimeException](eng.search("?_type=Patient,Device"))
+  }
+
   test("quantity param: prefixes and bare-number equality") {
     val gt = eng.search("Observation?value-quantity=gt100").count()
     val le = eng.search("Observation?value-quantity=le100").count()
