@@ -342,6 +342,18 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     if (controls.exists(c => c._1 == "_summary" && c._2 == "true")) {
       out = out.select(summaryElements(resType).map(col): _*)
     }
+    // _summary=text: only the narrative plus the mandatory skeleton;
+    // _summary=data: everything EXCEPT the narrative (both prune/project
+    // declaratively, so the drop reaches the scan's ReadSchema)
+    if (controls.exists(c => c._1 == "_summary" && c._2 == "text")) {
+      require(out.columns.contains("text"),
+        s"$resType resources carry no narrative: _summary=text unsupported here")
+      out = out.select(
+        (Seq("id") ++ Seq("meta", "text").filter(out.columns.contains)).map(col): _*)
+    }
+    if (controls.exists(c => c._1 == "_summary" && c._2 == "data")) {
+      out = out.drop("text")
+    }
     out
   }
 

@@ -428,6 +428,27 @@ object SearchPack extends QueryPack {
               |WHERE len(list_filter(category, cc ->
               |  len(list_filter(cc.coding, c -> c.code = 'laboratory')) > 0)) > 0""".stripMargin)),
 
+    // _summary=text: narrative + skeleton only (values checked on the
+    // narrative leaves; the column-set contract is FhirSearchSpec's)
+    QueryDef(
+      "search_summary_text",
+      (s, _) => eng(s).search("Patient?active=false&_summary=text")
+        .select(col("id"), col("text.status").as("narrative_status"),
+          length(col("text.div")).as("narrative_len"))
+        .orderBy("id"),
+      Some(s"""SELECT id, "text".status AS narrative_status,
+              |  CAST(length("text".div) AS INT) AS narrative_len
+              |FROM ${rj("Patient")} WHERE active = false
+              |ORDER BY id""".stripMargin)),
+
+    // _summary=data: everything except the narrative
+    QueryDef(
+      "search_summary_data",
+      (s, _) => eng(s).search("Patient?gender=female&_summary=data")
+        .select(col("id"), col("gender")).orderBy("id"),
+      Some(s"""SELECT id, gender FROM ${rj("Patient")}
+              |WHERE gender = 'female' ORDER BY id""".stripMargin)),
+
     // _filter expression language: and/or with parentheses, mixed param
     // types (string eq, date ge, boolean token eq as a bare value)
     QueryDef(

@@ -47,6 +47,16 @@ class FhirSearchSpec extends SparkSpec {
       eng.search("Patient?gender=male").count())
   }
 
+  test("_summary=text keeps only the narrative skeleton; =data drops the narrative") {
+    val text = eng.search("Patient?_summary=text")
+    assert(text.columns.toSeq == Seq("id", "meta", "text"))
+    val data = eng.search("Patient?_summary=data")
+    assert(!data.columns.contains("text") && data.columns.contains("gender"))
+    // a type with no narrative rejects =text but serves =data
+    intercept[IllegalArgumentException](eng.search("Specimen?_summary=text"))
+    assert(eng.search("Specimen?_summary=data").count() > 0)
+  }
+
   test("system-level search unions typed legs; shared meta params filter each") {
     val df = eng.search("?_type=Patient,Specimen&_lastUpdated=ge2024-06")
     assert(df.columns.toSeq == Seq("resourceType", "id"))
