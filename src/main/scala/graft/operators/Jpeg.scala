@@ -697,6 +697,67 @@ object Jpeg {
     }
   }
 
+  /** Index the complete JPEG frames inside a concatenated (MJPEG-style)
+    * stream WITHOUT decoding them: returns the [start, end) byte range of
+    * each SOI…EOI image. This is the container-index step of a video
+    * frame-sampler — a single O(n) byte walk (segment lengths skipped by
+    * their declared size, entropy data scanned for the next non-stuffed,
+    * non-RST marker per T.81 B.1.1.5) with no Huffman, IDCT or allocation
+    * per frame — so sampling k of n frames costs the full scan ONCE plus
+    * k decodes, never n decodes. A naive search for the EOI byte pair
+    * would misfire on 0xFFD9 inside a segment payload (e.g. a comment);
+    * walking the declared lengths is the correct general scan.
+    */
+  def frameRanges(bytes: Array[Byte]): Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = 0
+    while (pos < bytes.length) {
+      val start = pos
+      require(pos + 1 < bytes.length &&
+        (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xff) == 0xd8,
+        s"expected SOI at frame boundary $pos")
+      pos += 2
+      var done = false
+      while (!done) {
+        require(pos + 1 < bytes.length, s"frame at $start truncated before EOI")
+        require((bytes(pos) & 0xff) == 0xff, f"expected marker at offset $pos")
+        while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+        require(pos + 1 < bytes.length, "truncated in marker fill bytes")
+        val marker = bytes(pos + 1) & 0xff
+        pos += 2
+        marker match {
+          case 0xd9 => done = true // EOI: frame complete
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => ()
+          case 0xda => // SOS: skip header, then entropy data to next marker
+            require(pos + 1 < bytes.length, "truncated in SOS header")
+            val len = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff)
+            require(len >= 2 && pos + len <= bytes.length,
+              s"truncated inside SOS segment at $pos")
+            pos += len
+            var scanning = true
+            while (scanning) {
+              require(pos + 1 < bytes.length, "entropy data truncated before EOI")
+              if ((bytes(pos) & 0xff) == 0xff) {
+                val nxt = bytes(pos + 1) & 0xff
+                // 0xFF00 = stuffed data byte; 0xFFD0-D7 = restart marker,
+                // both stay inside the scan; anything else ends it
+                if (nxt == 0x00 || (nxt >= 0xd0 && nxt <= 0xd7)) pos += 2
+                else scanning = false
+              } else pos += 1
+            }
+          case _ => // every other marker carries a length-prefixed payload
+            require(pos + 1 < bytes.length, "truncated in segment header")
+            val len = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff)
+            require(len >= 2 && pos + len <= bytes.length,
+              s"truncated inside marker segment at $pos")
+            pos += len
+        }
+      }
+      out += ((start, pos))
+    }
+    out.toArray
+  }
+
   private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
   /** Decode the interleaved MCU stream; returns the offset just past the

@@ -7,11 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column support (SURVEY C12): media as opaque BinaryType
   * columns + typed metadata, with decode / feature-extraction plumbing.
   *
-  * Four REAL codecs run this plumbing end to end — [[Utf8TextCodec]]
+  * Five REAL codecs run this plumbing end to end — [[Utf8TextCodec]]
   * (strict UTF-8 decode + repair), [[BmpCodec]] (24-bpp uncompressed
-  * BMP, pure JVM), [[WavCodec]] (RIFF/WAVE PCM16, pure JVM) and
+  * BMP, pure JVM), [[WavCodec]] (RIFF/WAVE PCM16, pure JVM),
   * [[JpegCodec]] (baseline JPEG: Huffman entropy decode + IDCT, pure JVM
-  * — see [[Jpeg]]). Video/MP3-class formats stay behind [[StubCodec]] —
+  * — see [[Jpeg]]) and [[PngCodec]] (chunk walk + CRC + real DEFLATE +
+  * all five scanline filters — see [[Png]]) — plus REAL video
+  * frame-sampling over MJPEG streams ([[sampleVideoFrames]]: marker-aware
+  * frame index, selective decode). Inter-frame-compressed video and
+  * MP3-class audio stay behind [[StubCodec]] —
   * those codec libraries are not in this environment —
   * but everything Spark-side is identical across all of them: the schema
   * contract, the partition-preserving mapPartitions execution (the Scala
@@ -248,6 +252,60 @@ object Multimodal {
     }
   }
 
+  /** A REAL lossless compressed-image codec: PNG (see [[Png]] — chunk
+    * walk with CRC verification, JDK-Inflater DEFLATE, all five scanline
+    * filters). Emits dimensions + per-channel means like [[BmpCodec]]
+    * (grayscale reports the gray mean in all three channels). PNG decode
+    * is bit-exact by construction, so with [[withPngColumn]] fixtures the
+    * oracle replays the means from the md5 digest with no numerical
+    * argument needed — the value check covers the container, the zlib
+    * stream and every filter reconstruction path.
+    */
+  object PngCodec extends MediaCodec {
+    override val featureType: StructType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+
+    override def decode(bytes: Array[Byte]): Row = {
+      val img = Png.decode(bytes)
+      val n = img.width.toLong * img.height
+      val sums = new Array[Long](img.channels)
+      var i = 0
+      while (i < img.pixels.length) {
+        sums(i % img.channels) += img.pixels(i) & 0xff
+        i += 1
+      }
+      val (mr, mg, mb) =
+        if (img.channels == 1) { val m = sums(0).toDouble / n; (m, m, m) }
+        else (sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      Row(img.width, img.height, img.channels, mr, mg, mb)
+    }
+  }
+
+  /** Synthesize a valid PNG `media` column: a 2×8 grayscale image whose
+    * 16 pixels are the md5(text) digest bytes, with the scanline filter
+    * cycling 0→4 down the 8 rows so the decode exercises None, Sub, Up,
+    * Average and Paeth (each at least once) on every single document.
+    * Lossless ⇒ the decoded mean is exactly Σ(digest bytes)/16, which
+    * the oracle replays from the hex digest alone.
+    */
+  def withPngColumn(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), Png.encode(2, 8, 1, r.getAs[Array[Byte]](1)))
+        }
+      }(enc)
+  }
+
   /** Synthesize a valid baseline-JPEG `media` column: a 32×32 grayscale
     * image of 16 constant 8×8 blocks whose values (raster block order)
     * are the md5(text) digest bytes, encoded with a flat q=8 quant table.
@@ -265,10 +323,27 @@ object Multimodal {
       Jpeg.encode(32, 32, Array(plane), quant)
     }
 
+  /** The 32×32 16-constant-block plane for the JPEG/video gates: block
+    * bi (raster order) takes digest byte (bi + rot) mod 16 — rot=0 is
+    * the still-image layout; the video fixture rotates per frame so each
+    * frame is distinct (first pixel = dg(rot)) while the MEAN stays the
+    * rotation-invariant Σ(digest)/16 the oracle replays. The block-index
+    * math lives HERE only, so no two gates can diverge.
+    */
+  private def digestPlane(dg: Array[Byte], rot: Int): Array[Int] = {
+    val plane = new Array[Int](32 * 32)
+    var i = 0
+    while (i < 32 * 32) {
+      val bi = (i / (32 * 8)) * 4 + (i % 32) / 8 // block row*4 + block col
+      plane(i) = dg((bi + rot) % 16) & 0xff
+      i += 1
+    }
+    plane
+  }
+
   /** Shared fixture plumbing for the JPEG gates: digest → the 32×32
     * 16-constant-block plane (raster block order), handed to `encode`
-    * with the flat q=8 table. The block-index math lives HERE only, so
-    * the grayscale and 4:2:0 gates cannot diverge.
+    * with the flat q=8 table.
     */
   private def withDigestJpegColumn(docs: DataFrame)(
       encode: (Array[Int], Array[Int]) => Array[Byte]): DataFrame = {
@@ -281,14 +356,7 @@ object Multimodal {
         val quant = Jpeg.flatQuant(8)
         rows.map { r =>
           val dg = r.getAs[Array[Byte]](1)
-          val plane = new Array[Int](32 * 32)
-          var i = 0
-          while (i < 32 * 32) {
-            val bi = (i / (32 * 8)) * 4 + (i % 32) / 8 // block row*4 + block col
-            plane(i) = dg(bi) & 0xff
-            i += 1
-          }
-          Row(r.getLong(0), encode(plane, quant))
+          Row(r.getLong(0), encode(digestPlane(dg, 0), quant))
         }
       }(enc)
   }
@@ -308,6 +376,80 @@ object Multimodal {
       Jpeg.encode(32, 32, Array(plane, plane.clone(), plane.clone()), quant,
         chromaSubsample = (2, 2))
     }
+
+  /** Encode frames as an MJPEG-style stream: complete JPEG images
+    * back-to-back (the Motion-JPEG over-AVI/HTTP layout — each frame is
+    * independently decodable, found by [[Jpeg.frameRanges]]).
+    */
+  def mjpegEncode(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach(f => out.write(f, 0, f.length))
+    out.toByteArray
+  }
+
+  /** Synthesize an MJPEG `media` column: `nFrames` concatenated 32×32
+    * grayscale JPEGs per document, frame f's blocks being the md5(text)
+    * digest rotated by f ([[digestPlane]]) — so every frame is distinct
+    * (first pixel = digest byte f) but all share the rotation-invariant
+    * mean Σ(digest)/16, both replayable from the hex digest alone.
+    */
+  def withMjpegColumn(docs: DataFrame, nFrames: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
+      .mapPartitions { rows =>
+        val quant = Jpeg.flatQuant(8)
+        rows.map { r =>
+          val dg = r.getAs[Array[Byte]](1)
+          val frames = (0 until nFrames).map(f =>
+            Jpeg.encode(32, 32, Array(digestPlane(dg, f)), quant))
+          Row(r.getLong(0), mjpegEncode(frames))
+        }
+      }(enc)
+  }
+
+  /** REAL video frame-sampling: index the frames of each MJPEG blob with
+    * the marker-aware [[Jpeg.frameRanges]] scan (O(bytes), no decode),
+    * then FULLY DECODE only every `stride`-th frame up to `maxFrames` —
+    * the contract [[frameSample]] models with opaque chunks, now with an
+    * actual codec: k decodes for k sampled frames, never one per frame.
+    * Emits one row per sampled frame with the decoded dimensions, the
+    * first-plane mean and the first pixel (both fixture-oracle-able).
+    * Runs as partition-preserving mapPartitions like [[extractFeatures]];
+    * at GB-blob scale, chunk first and sample per-chunk (see [[chunk]]).
+    */
+  def sampleVideoFrames(media: DataFrame, stride: Int = 2,
+      maxFrames: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_no", LongType),
+      StructField("n_frames", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_gray", DoubleType),
+      StructField("first_px", IntegerType)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val ranges = Jpeg.frameRanges(bytes)
+          Iterator.range(0, ranges.length, stride).take(maxFrames).map { f =>
+            val (s, e) = ranges(f)
+            val img = Jpeg.decode(java.util.Arrays.copyOfRange(bytes, s, e))
+            val p = img.planes(0)
+            var sum = 0L
+            var i = 0
+            while (i < p.length) { sum += p(i); i += 1 }
+            Row(r.getLong(0), f.toLong, ranges.length.toLong,
+              img.width, img.height,
+              sum.toDouble / (img.width.toLong * img.height), p(0))
+          }
+        }
+      }(enc)
+  }
 
   /** Encode interleaved 16-bit PCM samples as a minimal RIFF/WAVE file
     * (44-byte canonical header, little-endian).

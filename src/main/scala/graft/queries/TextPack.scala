@@ -422,6 +422,66 @@ object TextPack extends QueryPack {
              |  sqrt(CAST(list_sum(list_transform([2,4,6,8,10,12,14,16], i -> sm[i]*sm[i])) AS DOUBLE) / 8) AS rms_r
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 with a REAL lossless compressed-image codec: synthesize a 2×8
+    // grayscale PNG per document (16 pixels = md5(text) digest bytes,
+    // scanline filters cycling None/Sub/Up/Average/Paeth down the rows),
+    // decode it with the pure-JVM chunk-walk + CRC + Inflater + unfilter
+    // parser. PNG is lossless, so the decoded mean is Σ(digest bytes)/16
+    // exactly and the oracle replays it from the hex digest — the value
+    // check covers the container, the DEFLATE stream and all five filter
+    // reconstructions on every row of the corpus.
+    QueryDef(
+      "mm_png",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withPngColumn(docsOf(s, d)), Multimodal.PngCodec)
+          .select(col("doc_id"),
+            col("features").getField("width").as("width"),
+            col("features").getField("height").as("height"),
+            col("features").getField("channels").as("channels"),
+            col("features").getField("mean_r").as("mean_r"),
+            col("features").getField("mean_g").as("mean_g"),
+            col("features").getField("mean_b").as("mean_b"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, 2 AS width, 8 AS height, 1 AS channels,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_r,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_g,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // C12 REAL video frame-sampling: each document carries a 4-frame
+    // MJPEG stream (frame f = the mm_jpeg image with digest bytes rotated
+    // by f); the sampler indexes all frames with the marker-aware byte
+    // scan (no decode), then fully decodes only frames 0 and 2
+    // (stride 2, max 2). n_frames proves the index saw all 4; first_px
+    // pins WHICH frame was decoded (= digest byte f); mean_gray is the
+    // rotation-invariant Σ/16 — all replayed from the hex digest.
+    QueryDef(
+      "mm_video",
+      (s, d) =>
+        Multimodal.sampleVideoFrames(
+            // see mm_jpeg: codec cost dominates input bytes 1000:1
+            Multimodal.withMjpegColumn(
+              docsOf(s, d).repartition(s.sparkContext.defaultParallelism)),
+            stride = 2, maxFrames = 2)
+          .orderBy("doc_id", "frame_no"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, CAST(f.fno AS BIGINT) AS frame_no,
+             |  CAST(4 AS BIGINT) AS n_frames, 32 AS width, 32 AS height,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_gray,
+             |  g[f.fno + 1] AS first_px
+             |FROM px CROSS JOIN (VALUES (0), (2)) f(fno)
+             |ORDER BY doc_id, frame_no""".stripMargin)),
+
     // C12 multimodal: binary media column + mapPartitions feature
     // extraction (stub decoder, real plumbing — see operators.Multimodal).
     QueryDef(

@@ -109,9 +109,13 @@ class MultimodalSpec extends SparkSpec {
       Array.fill(15)(rnd.nextInt(256).toByte))
     val wav = Multimodal.wavEncodePcm16(8000, 2,
       Array.fill(32)(rnd.nextInt(65536).toShort))
+    val pngGray = Png.encode(5, 3, 1, Array.fill(15)(rnd.nextInt(256).toByte))
+    val pngRgb = Png.encode(3, 5, 3, Array.fill(45)(rnd.nextInt(256).toByte))
     for ((stream, codec, label) <- Seq(
         (bmp, Multimodal.BmpCodec, "bmp"),
-        (wav, Multimodal.WavCodec, "wav"))) {
+        (wav, Multimodal.WavCodec, "wav"),
+        (pngGray, Multimodal.PngCodec, "png-gray"),
+        (pngRgb, Multimodal.PngCodec, "png-rgb"))) {
       for (i <- stream.indices; mut <- Seq(0x00, 0xff, (stream(i) ^ 0x55) & 0xff)
            if (mut & 0xff) != (stream(i) & 0xff)) {
         val m = stream.clone(); m(i) = mut.toByte
@@ -139,5 +143,101 @@ class MultimodalSpec extends SparkSpec {
     val bad = Multimodal.Utf8TextCodec.decode(Array[Byte]('a', 0xC3.toByte))
     assert(!bad.getBoolean(3))
     assert(bad.getLong(1) == 2L) // 'a' + U+FFFD replacement
+  }
+
+  test("PNG codec: RGB round-trip is bit-exact through every scanline filter") {
+    val rnd = new java.util.Random(31)
+    // 7 rows with the default 0→4 filter cycle: every filter used, Paeth
+    // and Average see both the first-column and first-row edge cases
+    val pixels = Array.fill(4 * 3 * 7)(rnd.nextInt(256).toByte)
+    val png = Png.encode(4, 7, 3, pixels)
+    val img = Png.decode(png)
+    assert(img.width == 4 && img.height == 7 && img.channels == 3)
+    assert(img.pixels.sameElements(pixels))
+    // each filter type forced alone must also round-trip
+    for (f <- 0 to 4) {
+      val one = Png.decode(Png.encode(4, 7, 3, pixels, filterFor = _ => f))
+      assert(one.pixels.sameElements(pixels), s"filter $f")
+    }
+    // grayscale too, and the codec Row carries the exact mean
+    val gray = Array.tabulate[Byte](16)(i => (i * 16).toByte)
+    val row = Multimodal.PngCodec.decode(Png.encode(2, 8, 1, gray))
+    assert(row.getInt(0) == 2 && row.getInt(1) == 8 && row.getInt(2) == 1)
+    assert(row.getDouble(3) == gray.map(_ & 0xff).sum.toDouble / 16)
+  }
+
+  test("PNG codec: CRC, zlib and unsupported-variant failures are loud and typed") {
+    val png = Png.encode(5, 3, 1, Array.tabulate[Byte](15)(_.toByte))
+    // flip one IDAT payload byte: the chunk CRC must catch it
+    val idatAt = (8 until png.length - 4).find(i =>
+      png(i) == 'I' && png(i + 1) == 'D' && png(i + 2) == 'A' && png(i + 3) == 'T').get
+    val bad = png.clone(); bad(idatAt + 6) = (bad(idatAt + 6) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](Png.decode(bad))
+    assert(e.getMessage.contains("CRC"))
+    // interlace / palette / 16-bit rejected by name, not by crash (CRC
+    // re-stamped so the IHDR check is what fires)
+    def ihdrMutant(at: Int, v: Byte): Array[Byte] = {
+      val m = png.clone(); m(8 + 8 + at) = v
+      val crc = new java.util.zip.CRC32()
+      crc.update(m, 12, 4 + 13)
+      val cv = crc.getValue
+      for (k <- 0 until 4) m(8 + 8 + 13 + k) = ((cv >>> (24 - 8 * k)) & 0xff).toByte
+      m
+    }
+    assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(12, 1)))
+      .getMessage.contains("interlace"))
+    assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(9, 3)))
+      .getMessage.contains("palette"))
+    assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(8, 16)))
+      .getMessage.contains("bit depth"))
+  }
+
+  test("MJPEG: marker-aware frame index survives an FFD9 inside a comment segment") {
+    val quant = Jpeg.flatQuant(8)
+    val f0 = Jpeg.encode(16, 16, Array(Array.fill(256)(40)), quant)
+    val f1 = Jpeg.encode(16, 16, Array(Array.fill(256)(200)), quant)
+    // splice a COM segment whose payload contains the EOI byte pair right
+    // after frame 0's SOI: a naive FFD9 search would end the frame there
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0x00, 0x06,
+      0xff.toByte, 0xd9.toByte, 'h', 'i')
+    val tricky = f0.take(2) ++ com ++ f0.drop(2)
+    val stream = Multimodal.mjpegEncode(Seq(tricky, f1))
+    val ranges = Jpeg.frameRanges(stream)
+    assert(ranges.length == 2)
+    assert(ranges(0) == ((0, tricky.length)))
+    assert(ranges(1) == ((tricky.length, stream.length)))
+    // the indexed slices decode independently (comment skipped)
+    val img0 = Jpeg.decode(stream.slice(ranges(0)._1, ranges(0)._2))
+    val img1 = Jpeg.decode(stream.slice(ranges(1)._1, ranges(1)._2))
+    assert(img0.planes(0)(0) == 40 && img1.planes(0)(0) == 200)
+    // fuzz the indexer with the same contract as the codecs
+    for (i <- stream.indices; mut <- Seq(0x00, 0xff)
+         if (mut & 0xff) != (stream(i) & 0xff)) {
+      val m = stream.clone(); m(i) = mut.toByte
+      try Jpeg.frameRanges(m)
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(f"byte $i -> 0x$mut%02x: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("video frame-sampling decodes only the sampled frames, with a full index") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val sampled = Multimodal.sampleVideoFrames(
+      Multimodal.withMjpegColumn(docs, nFrames = 4), stride = 2, maxFrames = 2)
+      .cache()
+    assert(sampled.count() == 40) // frames 0 and 2 per document
+    assert(sampled.select("frame_no").distinct().collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(0L, 2L)))
+    // the index saw all 4 frames even though only 2 were decoded
+    assert(sampled.filter(col("n_frames") =!= 4).count() == 0)
+    // frame f's first pixel is digest byte f — proves WHICH frame decoded
+    val check = sampled.join(docs, "doc_id")
+      .withColumn("want", conv(substring(md5(col("text")),
+        (col("frame_no") * 2 + 1).cast("int"), lit(2)), 16, 10).cast("int"))
+      .filter(col("first_px") =!= col("want"))
+    assert(check.count() == 0)
   }
 }
