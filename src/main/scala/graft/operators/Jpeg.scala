@@ -745,7 +745,14 @@ object Jpeg {
                 else scanning = false
               } else pos += 1
             }
-          case _ => // every other marker carries a length-prefixed payload
+          case m =>
+            // 0x00 only legally appears as a stuffed byte inside entropy
+            // data, 0xD8 is SOI (illegal mid-frame), 0xFF is fill — none
+            // carries a length. Treating them as segments would silently
+            // mis-index a corrupt stream that decode() rejects loudly.
+            require(m != 0x00 && m != 0xd8 && m != 0xff,
+              f"invalid marker 0xFF$m%02X inside frame")
+            // every other marker carries a length-prefixed payload
             require(pos + 1 < bytes.length, "truncated in segment header")
             val len = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff)
             require(len >= 2 && pos + len <= bytes.length,

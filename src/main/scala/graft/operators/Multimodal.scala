@@ -293,18 +293,8 @@ object Multimodal {
     * Lossless ⇒ the decoded mean is exactly Σ(digest bytes)/16, which
     * the oracle replays from the hex digest alone.
     */
-  def withPngColumn(docs: DataFrame): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("media", BinaryType)))
-    val enc = Encoders.row(outSchema)
-    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          Row(r.getLong(0), Png.encode(2, 8, 1, r.getAs[Array[Byte]](1)))
-        }
-      }(enc)
-  }
+  def withPngColumn(docs: DataFrame): DataFrame =
+    withDigestColumn(docs)(dg => Png.encode(2, 8, 1, dg))
 
   /** Synthesize a valid baseline-JPEG `media` column: a 32×32 grayscale
     * image of 16 constant 8×8 blocks whose values (raster block order)
@@ -318,10 +308,10 @@ object Multimodal {
     * DC-prediction chain across all Huffman magnitude categories, EOB,
     * and byte destuffing when padding lands on 0xFF.
     */
-  def withJpegColumn(docs: DataFrame): DataFrame =
-    withDigestJpegColumn(docs) { (plane, quant) =>
-      Jpeg.encode(32, 32, Array(plane), quant)
-    }
+  def withJpegColumn(docs: DataFrame): DataFrame = {
+    val quant = Jpeg.flatQuant(8)
+    withDigestColumn(docs)(dg => Jpeg.encode(32, 32, Array(digestPlane(dg, 0)), quant))
+  }
 
   /** The 32×32 16-constant-block plane for the JPEG/video gates: block
     * bi (raster order) takes digest byte (bi + rot) mod 16 — rot=0 is
@@ -341,23 +331,23 @@ object Multimodal {
     plane
   }
 
-  /** Shared fixture plumbing for the JPEG gates: digest → the 32×32
-    * 16-constant-block plane (raster block order), handed to `encode`
-    * with the flat q=8 table.
+  /** Shared fixture plumbing for EVERY synthetic media column: the
+    * output is always (doc_id, media = build(md5(text) digest bytes))
+    * via one partition-preserving mapPartitions. The five format
+    * builders (BMP/WAV/JPEG/PNG/MJPEG) differ ONLY in the digest→bytes
+    * function, so their gate fixtures cannot diverge in schema or
+    * digest derivation — the same single-source-of-truth rule as
+    * [[digestPlane]] for the block-index math.
     */
-  private def withDigestJpegColumn(docs: DataFrame)(
-      encode: (Array[Int], Array[Int]) => Array[Byte]): DataFrame = {
+  private def withDigestColumn(docs: DataFrame)(
+      build: Array[Byte] => Array[Byte]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("media", BinaryType)))
     val enc = Encoders.row(outSchema)
     docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
       .mapPartitions { rows =>
-        val quant = Jpeg.flatQuant(8)
-        rows.map { r =>
-          val dg = r.getAs[Array[Byte]](1)
-          Row(r.getLong(0), encode(digestPlane(dg, 0), quant))
-        }
+        rows.map(r => Row(r.getLong(0), build(r.getAs[Array[Byte]](1))))
       }(enc)
   }
 
@@ -371,11 +361,14 @@ object Multimodal {
     * source values EXACTLY and the oracle replay is the same
     * Σ(digest bytes)/16 as the grayscale gate, with components=3.
     */
-  def withJpeg420Column(docs: DataFrame): DataFrame =
-    withDigestJpegColumn(docs) { (plane, quant) =>
+  def withJpeg420Column(docs: DataFrame): DataFrame = {
+    val quant = Jpeg.flatQuant(8)
+    withDigestColumn(docs) { dg =>
+      val plane = digestPlane(dg, 0)
       Jpeg.encode(32, 32, Array(plane, plane.clone(), plane.clone()), quant,
         chromaSubsample = (2, 2))
     }
+  }
 
   /** Encode frames as an MJPEG-style stream: complete JPEG images
     * back-to-back (the Motion-JPEG over-AVI/HTTP layout — each frame is
@@ -394,20 +387,11 @@ object Multimodal {
     * mean Σ(digest)/16, both replayable from the hex digest alone.
     */
   def withMjpegColumn(docs: DataFrame, nFrames: Int = 4): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("media", BinaryType)))
-    val enc = Encoders.row(outSchema)
-    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
-      .mapPartitions { rows =>
-        val quant = Jpeg.flatQuant(8)
-        rows.map { r =>
-          val dg = r.getAs[Array[Byte]](1)
-          val frames = (0 until nFrames).map(f =>
-            Jpeg.encode(32, 32, Array(digestPlane(dg, f)), quant))
-          Row(r.getLong(0), mjpegEncode(frames))
-        }
-      }(enc)
+    val quant = Jpeg.flatQuant(8)
+    withDigestColumn(docs) { dg =>
+      mjpegEncode((0 until nFrames).map(f =>
+        Jpeg.encode(32, 32, Array(digestPlane(dg, f)), quant)))
+    }
   }
 
   /** REAL video frame-sampling: index the frames of each MJPEG blob with
@@ -480,20 +464,10 @@ object Multimodal {
     * oracle can recompute the decoded per-channel RMS from the hex digest
     * alone (L = even digest bytes, R = odd), no WAV parser needed.
     */
-  def withWavColumn(docs: DataFrame): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("media", BinaryType)))
-    val enc = Encoders.row(outSchema)
-    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val samples = r.getAs[Array[Byte]](1)
-            .map(b => (((b & 0xff) - 128) * 256).toShort)
-          Row(r.getLong(0), wavEncodePcm16(8000, 2, samples))
-        }
-      }(enc)
-  }
+  def withWavColumn(docs: DataFrame): DataFrame =
+    withDigestColumn(docs) { dg =>
+      wavEncodePcm16(8000, 2, dg.map(b => (((b & 0xff) - 128) * 256).toShort))
+    }
 
   /** Encode a grayscale byte matrix (row-major, top row first) as a
     * 24-bpp bottom-up BMP with standard 54-byte headers.
@@ -530,16 +504,8 @@ object Multimodal {
     * oracle can recompute the decoded channel means from the hex digest
     * alone, no BMP parser needed.
     */
-  def withBmpColumn(docs: DataFrame): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("media", BinaryType)))
-    val enc = Encoders.row(outSchema)
-    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
-      .mapPartitions { rows =>
-        rows.map(r => Row(r.getLong(0), bmpEncodeGray(8, 2, r.getAs[Array[Byte]](1))))
-      }(enc)
-  }
+  def withBmpColumn(docs: DataFrame): DataFrame =
+    withDigestColumn(docs)(dg => bmpEncodeGray(8, 2, dg))
 
   /** STUB decode function (kept for the original feature face). */
   def decodeStub(bytes: Array[Byte]): Row = {

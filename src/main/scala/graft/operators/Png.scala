@@ -88,8 +88,12 @@ object Png {
           val filterMethod = bytes(dataAt + 11) & 0xff
           val interlace = bytes(dataAt + 12) & 0xff
           // validate dims BEFORE the plane-size multiply (same 2^27-pixel
-          // cap as Jpeg.decode: a hostile header must not demand GBs)
-          if (w <= 0 || h <= 0 || w * h > (1L << 27))
+          // cap as Jpeg.decode: a hostile header must not demand GBs).
+          // Each axis is bounded FIRST: w and h are full unsigned-32-bit
+          // fields, so w*h can wrap past Long.MaxValue and a product-only
+          // check would pass exactly the headers it exists to reject.
+          if (w <= 0 || h <= 0 || w > (1L << 27) || h > (1L << 27) ||
+              w * h > (1L << 27))
             fail(s"unreasonable dimensions ${w}x$h")
           channels = colorType match {
             case 0 => 1
@@ -116,12 +120,18 @@ object Png {
           sawIend = true
         case other =>
           if (!sawIhdr) fail(s"'$other' chunk before IHDR")
+          // spec §5.4: a critical chunk (ancillary bit clear — bit 5 of
+          // the first type byte) we don't understand makes the image
+          // unreadable; only ancillary chunks (tEXt, pHYs, …) may be
+          // skipped (they were CRC-checked above)
+          if ((other.charAt(0) & 0x20) == 0)
+            fail(s"unknown critical chunk '$other'")
           if (inIdat) idatDone = true // IDAT run ended; another IDAT is an error
-          // ancillary chunks (tEXt, pHYs, …) are CRC-checked above and skipped
       }
       off += 12 + len.toInt
     }
     if (!inIdat) fail("no IDAT chunk")
+    if (off != bytes.length) fail(s"${bytes.length - off} trailing bytes after IEND")
 
     // --- zlib inflate into the EXACT expected size (zip-bomb guard:
     // anything past expected+1 probe byte is an error, not an alloc) ---
@@ -150,6 +160,10 @@ object Png {
             fail(s"zlib stream larger than expected $expected bytes")
           if (!inf.finished()) fail("zlib stream did not terminate cleanly")
         }
+        // compressed bytes past the zlib terminator are not "slack", they
+        // are data the image does not account for — reject (strict codec)
+        if (inf.getRemaining > 0)
+          fail(s"${inf.getRemaining} IDAT bytes after the zlib stream end")
         n
       } catch {
         case e: DataFormatException => fail(s"malformed zlib data: ${e.getMessage}")
@@ -223,6 +237,7 @@ object Png {
     */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
       filterFor: Int => Int = _ % 5): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     require(channels == 1 || channels == 3, s"channels=$channels (1 or 3)")
     require(pixels.length == width * channels * height,
       s"need ${width * channels * height} bytes, got ${pixels.length}")

@@ -192,6 +192,58 @@ class MultimodalSpec extends SparkSpec {
       .getMessage.contains("bit depth"))
   }
 
+  test("PNG codec: forged headers and trailing data rejected, not crashed or skipped") {
+    val png = Png.encode(5, 3, 1, Array.tabulate[Byte](15)(_.toByte))
+    def restamp(m: Array[Byte], chunkAt: Int, dataLen: Int): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(m, chunkAt + 4, 4 + dataLen)
+      val cv = crc.getValue
+      for (k <- 0 until 4)
+        m(chunkAt + 8 + dataLen + k) = ((cv >>> (24 - 8 * k)) & 0xff).toByte
+      m
+    }
+    // u32 width × u32 height chosen so the product wraps Long negative: a
+    // product-only cap would pass and the alloc would crash with a non-IAE
+    val huge = png.clone()
+    val dims = Array(0xff, 0xff, 0xff, 0xff, 0x80, 0x00, 0x00, 0x01)
+    for (k <- dims.indices) huge(16 + k) = dims(k).toByte
+    val e = intercept[IllegalArgumentException](Png.decode(restamp(huge, 8, 13)))
+    assert(e.getMessage.contains("unreasonable dimensions"))
+    // unknown CRITICAL chunk (ancillary bit clear) must fail, not skip;
+    // build: sig + IHDR + fake 'QRST' + rest, CRC valid on the fake chunk
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, 8 + 25) // sig + IHDR
+    val fake = Array[Byte](0, 0, 0, 1, 'Q', 'R', 'S', 'T', 42)
+    out.write(fake, 0, fake.length)
+    val crc = new java.util.zip.CRC32(); crc.update(fake, 4, 5)
+    for (k <- 0 until 4) out.write(((crc.getValue >>> (24 - 8 * k)) & 0xff).toInt)
+    out.write(png, 8 + 25, png.length - 8 - 25)
+    assert(intercept[IllegalArgumentException](Png.decode(out.toByteArray))
+      .getMessage.contains("critical chunk 'QRST'"))
+    // the lowercase (ancillary) sibling of the same chunk is skipped fine
+    val anc = out.toByteArray
+    anc(8 + 25 + 4) = 'q'
+    val img = Png.decode(restamp(anc, 8 + 25, 1))
+    assert(img.width == 5 && img.height == 3)
+    // bytes after IEND are an error, not slack
+    assert(intercept[IllegalArgumentException](Png.decode(png :+ 0.toByte))
+      .getMessage.contains("trailing bytes after IEND"))
+    // encoder rejects non-positive dimensions even when the pixel-count
+    // require would arithmetically pass ((-2)·(-8) = 16)
+    intercept[IllegalArgumentException](
+      Png.encode(-2, -8, 1, new Array[Byte](16)))
+  }
+
+  test("MJPEG index rejects invalid in-frame markers instead of mis-indexing") {
+    val f0 = Jpeg.encode(16, 16, Array(Array.fill(256)(40)), Jpeg.flatQuant(8))
+    // splice FF00 where a marker is expected: 0x00 is only legal as a
+    // stuffed byte inside entropy data — the indexer must reject it like
+    // decode() does, not read a fake segment length and walk off course
+    val bad = f0.take(2) ++ Array[Byte](0xff.toByte, 0x00, 0x00, 0x04) ++ f0.drop(2)
+    assert(intercept[IllegalArgumentException](Jpeg.frameRanges(bad))
+      .getMessage.contains("invalid marker"))
+  }
+
   test("MJPEG: marker-aware frame index survives an FFD9 inside a comment segment") {
     val quant = Jpeg.flatQuant(8)
     val f0 = Jpeg.encode(16, 16, Array(Array.fill(256)(40)), quant)
