@@ -231,29 +231,48 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     if (includes.nonEmpty || iterSpecs.nonEmpty || revIterSpecs.nonEmpty) {
       val matchRows = df.select(lit(resType).as("resourceType"), col("id"),
         lit("match").as("mode"))
-      val extra = includes.map {
-        case ("_include", spec) => // Type:refParam → referenced resources
+      // one leg per (source type, reference param); the wildcard forms
+      // below expand to the same legs, so `*` cannot drift from the
+      // explicit spelling
+      def includeLeg(t: String, refParam: String): DataFrame = {
+        // Type:refParam → referenced resources
+        val refIds = refTargets(t, refParam, df)
+          .select(split(col("_ref"), "/").as("_r"))
+          .select(col("_r").getItem(0).as("_t"), col("_r").getItem(1).as("_id"))
+          .filter(col("_t").isNotNull).distinct()
+        refIds.select(col("_t").as("resourceType"), col("_id").as("id"),
+          lit("include").as("mode"))
+      }
+      def revincludeLeg(t: String, refParam: String): DataFrame = {
+        // Type:refParam → referencing resources.
+        // Match the FULL "Type/id" reference string (not the bare id):
+        // a ref to another type that happens to share an id must not
+        // revinclude. refSources explodes array-valued params, so one
+        // resource referencing two matches still revincludes once
+        // (semi-join); the matched side is result-set-sized and AQE
+        // broadcasts it unforced.
+        val matchedRefs = df.select(
+          concat(lit(resType + "/"), col("id")).as("_mref"))
+        refSources(t, refParam, table(t))
+          .join(matchedRefs, col("_ref") === col("_mref"), "left_semi")
+          .select(lit(t).as("resourceType"), col("id"), lit("revinclude").as("mode"))
+          .distinct()
+      }
+      val extra = includes.flatMap {
+        case ("_include", "*") =>
+          // FHIR wildcard: every reference param OF THE MATCHED TYPE
+          referenceParams(resType).map(p => includeLeg(resType, p))
+        case ("_include", spec) =>
           val Array(t, refParam) = spec.split(":", 2)
-          val refIds = refTargets(t, refParam, df)
-            .select(split(col("_ref"), "/").as("_r"))
-            .select(col("_r").getItem(0).as("_t"), col("_r").getItem(1).as("_id"))
-            .filter(col("_t").isNotNull).distinct()
-          refIds.select(col("_t").as("resourceType"), col("_id").as("id"),
-            lit("include").as("mode"))
-        case ("_revinclude", spec) => // Type:refParam → referencing resources
+          Seq(includeLeg(t, refParam))
+        case ("_revinclude", "*") =>
+          // FHIR wildcard: every (type, reference param) the engine
+          // serves — anything that could point at a matched resource
+          tables.keys.toSeq.sorted.flatMap(t =>
+            referenceParams(t).map(p => revincludeLeg(t, p)))
+        case ("_revinclude", spec) =>
           val Array(t, refParam) = spec.split(":", 2)
-          // Match the FULL "Type/id" reference string (not the bare id):
-          // a ref to another type that happens to share an id must not
-          // revinclude. refSources explodes array-valued params, so one
-          // resource referencing two matches still revincludes once
-          // (semi-join); the matched side is result-set-sized and AQE
-          // broadcasts it unforced.
-          val matchedRefs = df.select(
-            concat(lit(resType + "/"), col("id")).as("_mref"))
-          refSources(t, refParam, table(t))
-            .join(matchedRefs, col("_ref") === col("_mref"), "left_semi")
-            .select(lit(t).as("resourceType"), col("id"), lit("revinclude").as("mode"))
-            .distinct()
+          Seq(revincludeLeg(t, refParam))
         case other => sys.error(s"unsupported include $other")
       }
       var all = extra.foldLeft(matchRows)(_ unionByName _)
@@ -669,6 +688,23 @@ object FhirSearch {
     case "Procedure" => Seq("id", "status", "performedDateTime")
     case "Encounter" => Seq("id", "status")
     case _ => Seq("id")
+  }
+
+  /** The reference-valued search params this engine serves, per type —
+    * the expansion set for the `*` wildcard in `_include=*` /
+    * `_revinclude=*` (FHIR §search: the wildcard means "every reference
+    * param"). The `patient` aliases are omitted: they resolve to the
+    * same columns as `subject` and would only duplicate legs.
+    */
+  def referenceParams(resType: String): Seq[String] = resType match {
+    case "ResearchSubject" => Seq("subject", "study")
+    case "Specimen" => Seq("subject")
+    case "DocumentReference" => Seq("subject")
+    case "Observation" => Seq("subject", "encounter")
+    case "Condition" => Seq("subject")
+    case "Procedure" => Seq("subject", "encounter")
+    case "Group" => Seq("member")
+    case _ => Seq()
   }
 
   /** Reference-valued param → its reference-string column (for chains,

@@ -114,6 +114,73 @@ object SearchPack extends QueryPack {
               |  WHERE p.gender = 'female' AND r.subject.reference = 'Patient/' || p.id)
               |ORDER BY mode, resourceType, id""".stripMargin)),
 
+    // B8 wildcard: _include=* expands to every reference param OF THE
+    // MATCHED TYPE (FHIR §search) — here Observation.subject +
+    // Observation.encounter, so Patients and Encounters both arrive
+    QueryDef(
+      "search_include_all",
+      (s, _) => eng(s).search("Observation?status=final&_include=*"),
+      Some(s"""SELECT 'Observation' AS resourceType, id, 'match' AS mode
+              |FROM ${rj("Observation")} WHERE status = 'final'
+              |UNION ALL
+              |SELECT DISTINCT split_part(subject.reference, '/', 1),
+              |       split_part(subject.reference, '/', 2), 'include'
+              |FROM ${rj("Observation")}
+              |WHERE status = 'final' AND subject.reference IS NOT NULL
+              |UNION ALL
+              |SELECT DISTINCT split_part(encounter.reference, '/', 1),
+              |       split_part(encounter.reference, '/', 2), 'include'
+              |FROM ${rj("Observation")}
+              |WHERE status = 'final' AND encounter.reference IS NOT NULL
+              |ORDER BY mode, resourceType, id""".stripMargin)),
+
+    // B9 wildcard: _revinclude=* expands to every (type, reference
+    // param) the engine serves — anything pointing AT a matched female
+    // patient revincludes, across six resource types incl. the
+    // array-valued Group.member
+    QueryDef(
+      "search_revinclude_all",
+      (s, _) => eng(s).search("Patient?gender=female&_revinclude=*"),
+      Some(s"""SELECT 'Patient' AS resourceType, id, 'match' AS mode
+              |FROM ${rj("Patient")} WHERE gender = 'female'
+              |UNION ALL
+              |SELECT DISTINCT 'Condition', c.id, 'revinclude'
+              |FROM ${rj("Condition")} c WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
+              |  AND c.subject.reference = 'Patient/' || p.id)
+              |UNION ALL
+              |SELECT DISTINCT 'DocumentReference', d.id, 'revinclude'
+              |FROM ${rj("DocumentReference")} d WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
+              |  AND d.subject.reference = 'Patient/' || p.id)
+              |UNION ALL
+              |SELECT DISTINCT 'Group', g.id, 'revinclude'
+              |FROM ${rj("Group")} g WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
+              |  AND list_contains(list_transform(g.member,
+              |    m -> m.entity.reference), 'Patient/' || p.id))
+              |UNION ALL
+              |SELECT DISTINCT 'Observation', o.id, 'revinclude'
+              |FROM ${rj("Observation")} o WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
+              |  AND o.subject.reference = 'Patient/' || p.id)
+              |UNION ALL
+              |SELECT DISTINCT 'Procedure', pr.id, 'revinclude'
+              |FROM ${rj("Procedure")} pr WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
+              |  AND pr.subject.reference = 'Patient/' || p.id)
+              |UNION ALL
+              |SELECT DISTINCT 'ResearchSubject', r.id, 'revinclude'
+              |FROM ${rj("ResearchSubject")} r WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
+              |  AND r.subject.reference = 'Patient/' || p.id)
+              |UNION ALL
+              |SELECT DISTINCT 'Specimen', sp.id, 'revinclude'
+              |FROM ${rj("Specimen")} sp WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
+              |  AND sp.subject.reference = 'Patient/' || p.id)
+              |ORDER BY mode, resourceType, id""".stripMargin)),
+
     // B10: paging (_count + _page over a total sort order)
     QueryDef(
       "search_paging",

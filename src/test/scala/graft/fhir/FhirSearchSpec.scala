@@ -57,6 +57,28 @@ class FhirSearchSpec extends SparkSpec {
     assert(eng.search("Specimen?_summary=data").count() > 0)
   }
 
+  test("_include=* equals the explicit union of the type's reference params") {
+    val wild = eng.search("Observation?status=final&_include=*")
+    val explicit = eng.search("Observation?status=final" +
+      "&_include=Observation:subject&_include=Observation:encounter")
+    assert(wild.exceptAll(explicit).count() == 0 &&
+      explicit.exceptAll(wild).count() == 0)
+    // a type with no reference params degenerates to just the matches
+    val pw = eng.search("Patient?gender=male&_include=*")
+    assert(pw.filter(col("mode") =!= "match").count() == 0 && pw.count() > 0)
+  }
+
+  test("_revinclude=* pulls referencing rows across every serving type") {
+    val wild = eng.search("Patient?gender=female&_revinclude=*").cache()
+    // strictly more than any single-param revinclude, and multi-type
+    val one = eng.search("Patient?gender=female&_revinclude=ResearchSubject:subject")
+    assert(wild.count() > one.count())
+    assert(one.exceptAll(wild).count() == 0) // superset of the explicit leg
+    val types = wild.filter(col("mode") === "revinclude")
+      .select("resourceType").distinct().collect().map(_.getString(0)).toSet
+    assert(Set("Specimen", "Observation", "Group").subsetOf(types))
+  }
+
   test("system-level search unions typed legs; shared meta params filter each") {
     val df = eng.search("?_type=Patient,Specimen&_lastUpdated=ge2024-06")
     assert(df.columns.toSeq == Seq("resourceType", "id"))
