@@ -222,31 +222,43 @@ object Dedup {
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
   }
 
-  /** Probe a persisted LSH index with a batch of query docs. The probe
-    * batch is broadcast-sized by contract (it's the INCREMENT), so its
-    * band-signature set is collected once and rides into the index scan
-    * as a pushed filter — over the bsig-sorted layout that prunes row
-    * groups instead of streaming the whole index. Candidates verify
-    * against the stored shingle sets with the exact Jaccard filter, so
-    * false positives are impossible and recall is the banding guarantee
-    * (~0.997 at τ=0.5 with r=2,b=16).
+  /** Probe a persisted LSH index with a batch of query docs. Two regimes,
+    * chosen by the probe batch's distinct band-signature count:
+    *
+    *  - SMALL (≤ maxPushdownSigs): the signature set is collected once
+    *    and rides into the index scan as a pushed `isin` filter — over
+    *    the bsig-sorted layout that prunes row groups instead of
+    *    streaming the whole index. One driver round-trip of a few
+    *    thousand ints buys scan-level pruning no join can.
+    *  - LARGE: no driver round-trip — the distinct signatures stay
+    *    distributed and semi-join the index on `bsig` (planner-sized, so
+    *    a still-modest set broadcasts and a 10M-probe batch degrades to
+    *    a shuffled semi-join instead of an OOM or a giant isin literal).
+    *
+    * Candidates verify against the stored shingle sets with the exact
+    * Jaccard filter, so false positives are impossible and recall is the
+    * banding guarantee (~0.997 at τ=0.5 with r=2,b=16).
     */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, threshold: Double = 0.5, n: Int = 3,
-      numPerms: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+      numPerms: Int = 32, rowsPerBand: Int = 2,
+      maxPushdownSigs: Int = 4096): DataFrame = {
     val idxBands = spark.read.parquet(s"$path/bands")
     val idxSets = spark.read.parquet(s"$path/sets")
     val qBands = bandTable(minhashSignatures(queries, n, numPerms),
         numPerms / rowsPerBand, rowsPerBand)
       .withColumnRenamed("doc_id", "q_id")
       .cache()
-    // qBands is small by contract; its signature set becomes a scan-level
-    // filter (bsig collisions across bands are harmless — the join
-    // condition still carries (band, bsig))
-    val probeSigs = qBands.select("bsig").distinct()
+    // bsig collisions across bands are harmless in either regime — the
+    // candidate join condition still carries (band, bsig)
+    val qSigs = qBands.select("bsig").distinct()
+    val probeSigs = qSigs.limit(maxPushdownSigs + 1)
       .collect().map(_.getInt(0)).toSeq
-    val cands = idxBands
-      .filter(col("bsig").isin(probeSigs: _*))
+    val filtered =
+      if (probeSigs.length <= maxPushdownSigs)
+        idxBands.filter(col("bsig").isin(probeSigs: _*))
+      else idxBands.join(qSigs, Seq("bsig"), "leftsemi")
+    val cands = filtered
       .join(broadcast(qBands), Seq("band", "bsig"))
       .filter(col("doc_id") =!= col("q_id"))
       .select(col("q_id"), col("doc_id"))

@@ -37,6 +37,19 @@ object DedupPack extends QueryPack {
       |  FROM documents WHERE doc_id < $JaccardCap
       |)""".stripMargin
 
+  /** Uncapped mutant corpus for the linear-ish oracles (simhash): the
+    * Spark scale paths run the FULL corpus, so their oracles must too.
+    */
+  private val MutantCorpusFull =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(list_filter(string_split(text, ' '),
+      |                                     (x, i) -> i % 10 != 0), ' ') AS text
+      |  FROM documents
+      |)""".stripMargin
+
   private val Shingles =
     """tok AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
@@ -214,15 +227,43 @@ object DedupPack extends QueryPack {
           .orderBy("da", "db"),
       None),
 
-    // SimHash Hamming-≤3 pairs via 4×15-bit banding (pigeonhole exact for
-    // the ≤3 radius). Rows-only check; DedupSpec verifies vs brute force.
+    // SimHash Hamming-≤3 pairs via 4×15-bit banding. The banding is
+    // pigeonhole-COMPLETE for the ≤3 radius (3 flipped bits leave ≥1 of 4
+    // bands intact), so the output is exactly ALL pairs at Hamming ≤ 3 —
+    // which makes the exact all-pairs SQL a true oracle. The SQL replays
+    // the fused simhash60 arithmetic (functions/SimHash.scala): per
+    // distinct token, h = first 15 md5 hex chars as a 60-bit int; bit j
+    // of the signature is the sign of Σ cnt·(±1 from bit j of h) — all
+    // integer ops, so accumulation order cannot diverge.
     QueryDef(
       "dedup_simhash",
       (s, d) =>
         Dedup.simhashNearDups(Dedup.withMutants(
             T.documents(s, d).select(col("doc_id"), col("text"))))
           .orderBy("da", "db"),
-      None),
+      Some(s"""WITH $MutantCorpusFull,
+              |tok AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus
+              |), tc AS (
+              |  SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t
+              |), th AS (
+              |  SELECT doc_id, cnt,
+              |         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+              |  FROM tc
+              |), bits AS (
+              |  SELECT doc_id, r.j,
+              |         sum(CASE WHEN (h >> r.j) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+              |  FROM th, range(60) r(j) GROUP BY doc_id, r.j
+              |), sig AS (
+              |  SELECT doc_id,
+              |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+              |  FROM bits GROUP BY doc_id
+              |)
+              |SELECT a.doc_id AS da, b.doc_id AS db,
+              |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY da, db""".stripMargin)),
 
     // Embedding-cosine near-dups over the FULL corpus ∪ dim0-zeroed
     // mutants, via the IVF-bucketed scale path (no corpus broadcast, no

@@ -45,15 +45,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, unsupported by Spark's reader.
-    * With spark.sql.legacy.parquet.nanosAsLong (GraftSession) it surfaces
-    * as LongType nanos; convert to a µs timestamp with integral division
-    * (values are µs-aligned, so this is exact — and `div` avoids the
-    * double-precision loss a `/` would incur on 1e18-scale nanos).
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (unsupported by Spark's reader;
+    * surfaced as LongType nanos via spark.sql.legacy.parquet.nanosAsLong)
+    * and plain timestamp[us]. Branch on the dtype the scan actually
+    * resolved so either generation loads — a silent format drift here
+    * previously took out every windowed/streaming query at analysis time.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** Canonicalize an events-shaped frame's `ts` column to TimestampType
+    * (session-zone, UTC per GraftSession) regardless of how it arrived:
+    *
+    *  - LongType: epoch nanos from the nanosAsLong legacy read. Integral
+    *    `div 1000` (values are µs-aligned so this is exact, and `div`
+    *    avoids the double-precision loss `/` would incur on 1e18-scale
+    *    nanos) then timestamp_micros.
+    *  - TimestampNTZType: timestamp[us] with isAdjustedToUTC=false. The
+    *    session zone is UTC, so the NTZ→LTZ cast is value-preserving and
+    *    keeps every downstream comparison against to_timestamp literals,
+    *    window()/session_window(), and the naive-timestamp oracle intact.
+    *  - TimestampType: already canonical; pass through.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

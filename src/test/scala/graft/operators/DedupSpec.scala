@@ -106,6 +106,17 @@ class DedupSpec extends SparkSpec {
     // dynamic partition prune — only probed band directories are read
     val plan = result.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan.take(3000))
+
+    // LARGE-probe regime: forcing the pushdown cap to 0 must route the
+    // signature filter through the distributed semi-join (no driver isin)
+    // and return the identical pair set
+    val large = Dedup.probeLshIndex(spark, idx, probes, maxPushdownSigs = 0)
+    val gotLarge = large.select(col("q_id"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotLarge == got, s"semi-join regime diverged: " +
+      s"only-small=${(got -- gotLarge).take(3)} only-large=${(gotLarge -- got).take(3)}")
+    val largePlan = large.queryExecution.executedPlan.toString
+    assert(!largePlan.contains(" IN ("), "large regime must not inline an isin")
   }
 
   test("edit-distance near-dups: banded blocking loses no qualifying pair") {

@@ -62,9 +62,7 @@ class StreamingSpec extends SparkSpec {
     // the forced broadcast() was removed so an over-memory dim degrades
     // to a shuffled join instead of an OOM; this pins the other half of
     // that contract — a dim under the threshold still plans as BHJ
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val df = EventStreams.enrichAgg(events, dim)
     df.collect() // finalize the adaptive plan
