@@ -293,7 +293,8 @@ object FhirSchemas {
     "Observation" -> observation,
     "Condition" -> condition,
     "Procedure" -> procedure,
-    "ValueSet" -> valueSet)
+    "ValueSet" -> valueSet,
+    "CodeSystem" -> codeSystem)
 
   /** ValueSet — the terminology dimension behind token :in/:not-in
     * (compose.include is the portion the expansion walks).
@@ -309,4 +310,27 @@ object FhirSchemas {
         StructField("concept", ArrayType(StructType(Seq(
           StructField("code", StringType),
           StructField("display", StringType))))))))))))))
+
+  /** CodeSystem — the terminology hierarchy behind token :below/:above
+    * subsumption. FHIR nests child concepts under `concept`; a static
+    * schema must bound the depth, and three levels covers the committed
+    * fragment (the expansion walks whatever depth the schema exposes).
+    */
+  private val csLeaf = StructType(Seq(
+    StructField("code", StringType),
+    StructField("display", StringType)))
+
+  private def csNode(child: StructType): StructType = StructType(Seq(
+    StructField("code", StringType),
+    StructField("display", StringType),
+    StructField("concept", ArrayType(child))))
+
+  val codeSystem: StructType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("id", StringType),
+    StructField("url", StringType),
+    StructField("status", StringType),
+    StructField("content", StringType),
+    StructField("hierarchyMeaning", StringType),
+    StructField("concept", ArrayType(csNode(csNode(csLeaf))))))
 }

@@ -411,6 +411,24 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
       val isMissing = defn.missingTest(df)
       return df.filter(if (value == "true") isMissing else !isMissing)
     }
+    // Token hierarchy :below/:above — subsumption against a CodeSystem
+    // fragment (delegated-search modifier set). Like ValueSet expansion,
+    // the hierarchy is terminology metadata: the transitive closure is
+    // computed at PLAN time and the expanded codes become literal token
+    // predicates that push into the scan. `_profile:below` is the URI
+    // prefix modifier and routes through its own ParamDef instead.
+    if ((modifier.contains("below") || modifier.contains("above"))
+        && name != "_profile") {
+      val (sys0, code0) = value.split("\\|", 2) match {
+        case Array(s0, c0) if s0.nonEmpty && c0.nonEmpty => (s0, c0)
+        case _ => sys.error(
+          s"token :${modifier.get} requires system|code, got '$value'")
+      }
+      val codes = expandHierarchy(sys0, code0,
+        below = modifier.contains("below"))
+      return df.filter(
+        codes.map(c => defn.predicate(s"$sys0|$c", None)).reduce(_ || _))
+    }
     // Token :in / :not-in — membership of any coding in a ValueSet
     // expansion. Expansion happens at PLAN time: the ValueSet table is
     // terminology metadata (dimension-scale, not data-scale), and the
@@ -450,6 +468,43 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
         explode(col("inc").getField("concept")).as("con"))
       .select(col("system"), col("con").getField("code").as("code"))
       .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+
+  /** Subsumption closure for token :below/:above: descendants-or-self
+    * (below) or ancestors-or-self (above) of `code` in the CodeSystem
+    * whose url is `system`. The concept tree is collected to the driver
+    * at plan time — terminology tables are metadata-scale, and the
+    * closure becomes scan-pushable literals, never a join against data.
+    */
+  private def expandHierarchy(system: String, code: String,
+      below: Boolean): Seq[String] = {
+    import org.apache.spark.sql.Row
+    val trees = table("CodeSystem").filter(col("url") === system)
+      .select(col("concept")).collect()
+    require(trees.nonEmpty, s"no CodeSystem hierarchy for system $system")
+    val edges = scala.collection.mutable.ListBuffer[(String, String)]()
+    def walk(parent: Option[String], node: Row): Unit = {
+      val c = node.getAs[String]("code")
+      parent.foreach(p => edges += ((p, c)))
+      if (node.schema.fieldNames.contains("concept")) {
+        val kids = node.getAs[scala.collection.Seq[Row]]("concept")
+        if (kids != null) kids.foreach(walk(Some(c), _))
+      }
+    }
+    trees.foreach { r =>
+      val roots = r.getAs[scala.collection.Seq[Row]](0)
+      if (roots != null) roots.foreach(walk(None, _))
+    }
+    val step: Map[String, Seq[String]] =
+      (if (below) edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+       else edges.groupBy(_._2).view.mapValues(_.map(_._1).toSeq)).toMap
+    val seen = scala.collection.mutable.LinkedHashSet(code)
+    var frontier = Seq(code)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(step.getOrElse(_, Nil)).filterNot(seen)
+      seen ++= frontier
+    }
+    seen.toSeq
+  }
 }
 
 object FhirSearch {
@@ -804,6 +859,7 @@ object FhirSearch {
       "Observation" -> load("Observation", FhirSchemas.observation),
       "Condition" -> load("Condition", FhirSchemas.condition),
       "Procedure" -> load("Procedure", FhirSchemas.procedure),
-      "ValueSet" -> load("ValueSet", FhirSchemas.valueSet)))
+      "ValueSet" -> load("ValueSet", FhirSchemas.valueSet),
+      "CodeSystem" -> load("CodeSystem", FhirSchemas.codeSystem)))
   }
 }

@@ -64,6 +64,25 @@ object DedupPack extends QueryPack {
       |  QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
       |)""".stripMargin
 
+  /** The RHP hyperplane table as SQL literals — the SAME
+    * `java.util.Random(seed).nextGaussian()` sequence in the same k-major
+    * order as the fused expression (functions/RhpBands.scala planes()),
+    * emitted with Double.toString so every component round-trips to the
+    * identical IEEE double in DuckDB. The seeded planes are part of the
+    * operator's spec (not data), so replaying them makes the banding —
+    * and therefore the probabilistic candidate set — bit-reproducible:
+    * both sides compute dot products as sequential index-order double
+    * folds over identical inputs, so the sign bits cannot diverge.
+    */
+  private def rhpPlanesValuesSql(nbits: Int, dims: Int, seed: Long): String = {
+    val rnd = new java.util.Random(seed)
+    val h = Array.fill(nbits * dims)(rnd.nextGaussian())
+    (0 until nbits).map { k =>
+      val w = (0 until dims).map(i => h(k * dims + i).toString).mkString(", ")
+      s"($k, [$w])"
+    }.mkString("planes(k, w) AS (VALUES\n  ", ",\n  ", "\n)")
+  }
+
   private val CosineSql =
     """list_sum(list_transform(list_zip(a.embedding, b.embedding),
       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -307,9 +326,12 @@ object DedupPack extends QueryPack {
     // Embedding near-dups, random-hyperplane LSH variant: index-free
     // (seeded constant hyperplanes — composes with incremental ingest,
     // unlike IVF whose centroids age), banded sign-bit signatures →
-    // bucket equi-join candidates → exact cosine verify. Probabilistic
-    // recall ⇒ rows-only driver check; SimilaritySpec asserts ≥ 0.95
-    // recall and exact-score parity vs the all-pairs oracle.
+    // bucket equi-join candidates → exact cosine verify. The recall is
+    // probabilistic but the CANDIDATE SET is deterministic given the
+    // seeded planes, so the oracle replays the banding itself
+    // ([[rhpPlanesValuesSql]]): same planes, same sequential index-order
+    // double dot products, same sign-bit packing (band = k/15, bit =
+    // k%15), then the exact ≥0.9 verify on the identical candidates.
     QueryDef(
       "dedup_embedding_rhp",
       (s, d) => {
@@ -320,6 +342,37 @@ object DedupPack extends QueryPack {
         Similarity.cosineNearDupsRhp(base.unionByName(mutants), 0.9)
           .orderBy("va", "vb")
       },
-      None)
+      // dims=64 is pinned by SchemaCanarySpec's embeddings schema; the
+      // plane table must regenerate if the testdata ever changes width
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000 AS vec_id,
+              |         list_transform(embedding, (x, i) ->
+              |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS embedding
+              |  FROM embeddings
+              |),
+              |${rhpPlanesValuesSql(nbits = 120, dims = 64, seed = 42L)},
+              |proj AS (
+              |  SELECT vec_id, k,
+              |         list_sum(list_transform(list_zip(embedding, w),
+              |           p -> CAST(p[1] AS DOUBLE) * p[2])) AS dot
+              |  FROM e CROSS JOIN planes
+              |), sig AS (
+              |  SELECT vec_id, k // 15 AS band,
+              |         sum(CASE WHEN dot > 0
+              |             THEN (CAST(1 AS BIGINT) << (k % 15)) ELSE 0 END) AS bkey
+              |  FROM proj GROUP BY vec_id, k // 15
+              |), cand AS (
+              |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+              |  FROM sig x JOIN sig y
+              |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+              |)
+              |SELECT va, vb, round($CosineSql, 5) AS score
+              |FROM cand
+              |JOIN e a ON a.vec_id = va
+              |JOIN e b ON b.vec_id = vb
+              |WHERE round($CosineSql, 5) >= 0.9
+              |ORDER BY va, vb""".stripMargin))
   )
 }

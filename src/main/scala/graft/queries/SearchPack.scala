@@ -587,6 +587,68 @@ object SearchPack extends QueryPack {
               |    ON cd."system" = vs.vsys AND cd.code = vs.vcode)
               |ORDER BY id""".stripMargin)),
 
+    // token :below — subsumption descent over the CodeSystem fragment.
+    // 73211009 (Diabetes mellitus) is never coded directly in the
+    // fixtures — only its child 44054006 — so a plain token search on it
+    // returns 0 rows and :below returns the type-2 rows, pinning that
+    // the hierarchy closure actually expanded. The oracle replays the
+    // closure as a recursive CTE over edges unnested from the tree.
+    QueryDef(
+      "search_token_below",
+      (s, _) => eng(s).search(
+        "Condition?code:below=http://snomed.info/sct|73211009")
+        .select(col("id"), col("code.text").as("code_text")).orderBy("id"),
+      Some(s"""WITH RECURSIVE edges AS (
+              |  SELECT l1.code AS parent, l2.code AS child
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1),
+              |       UNNEST(l1.concept) AS b(l2)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |  UNION ALL
+              |  SELECT l2.code, l3.code
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1),
+              |       UNNEST(l1.concept) AS b(l2), UNNEST(l2.concept) AS c(l3)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |), closure AS (
+              |  SELECT '73211009' AS code
+              |  UNION
+              |  SELECT e.child FROM edges e JOIN closure cl ON e.parent = cl.code
+              |)
+              |SELECT DISTINCT c.id, c.code.text AS code_text
+              |FROM ${rj("Condition")} c, UNNEST(c.code.coding) AS t(cd)
+              |JOIN closure cl ON cd.code = cl.code
+              |WHERE cd."system" = 'http://snomed.info/sct'
+              |ORDER BY id""".stripMargin)),
+
+    // token :above — ancestors-or-self: conditions coded at or above the
+    // given concept (44054006 matches itself; its ancestors 73211009 and
+    // 64572001 have no direct codings, so the semantic difference from
+    // :below is the closure DIRECTION, which the oracle reverses).
+    QueryDef(
+      "search_token_above",
+      (s, _) => eng(s).search(
+        "Condition?code:above=http://snomed.info/sct|44054006")
+        .select(col("id"), col("code.text").as("code_text")).orderBy("id"),
+      Some(s"""WITH RECURSIVE edges AS (
+              |  SELECT l1.code AS parent, l2.code AS child
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1),
+              |       UNNEST(l1.concept) AS b(l2)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |  UNION ALL
+              |  SELECT l2.code, l3.code
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1),
+              |       UNNEST(l1.concept) AS b(l2), UNNEST(l2.concept) AS c(l3)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |), closure AS (
+              |  SELECT '44054006' AS code
+              |  UNION
+              |  SELECT e.parent FROM edges e JOIN closure cl ON e.child = cl.code
+              |)
+              |SELECT DISTINCT c.id, c.code.text AS code_text
+              |FROM ${rj("Condition")} c, UNNEST(c.code.coding) AS t(cd)
+              |JOIN closure cl ON cd.code = cl.code
+              |WHERE cd."system" = 'http://snomed.info/sct'
+              |ORDER BY id""".stripMargin)),
+
     // patient-compartment search with an extra param
     QueryDef(
       "search_compartment_obs",

@@ -9,7 +9,7 @@ class EntrySpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries are exactly the approximate/engine-specific ones
     assert(noOracle == Set("dedup_minhash_lsh",
-      "dedup_embedding_rhp", "dedup_lsh_probe", "sim_topk_ivf",
+      "dedup_lsh_probe", "sim_topk_ivf",
       "sim_topk_pq", "q27_approx_distinct", "q47_approx_quantile"))
   }
 }

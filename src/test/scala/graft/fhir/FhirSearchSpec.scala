@@ -39,6 +39,30 @@ class FhirSearchSpec extends SparkSpec {
     intercept[RuntimeException](eng.search("Patient?nosuchparam=1"))
   }
 
+  test("token :below/:above walk the CodeSystem subsumption hierarchy") {
+    // 73211009 (Diabetes mellitus) is never coded directly — only its
+    // child 44054006 — so the closure is doing the work, not self-match
+    assert(eng.search(
+      "Condition?code=http://snomed.info/sct|73211009").count() == 0)
+    val below = eng.search(
+      "Condition?code:below=http://snomed.info/sct|73211009").count()
+    val self = eng.search(
+      "Condition?code=http://snomed.info/sct|44054006").count()
+    assert(below == self && below > 0, s"below=$below self=$self")
+    // root :below sweeps every hierarchy-coded condition (all 3 fixture
+    // codes descend from 64572001 Disease)
+    assert(eng.search(
+      "Condition?code:below=http://snomed.info/sct|64572001").count() ==
+      eng.search("Condition").count())
+    // :above of a leaf = ancestors-or-self; no ancestor is coded directly
+    assert(eng.search(
+      "Condition?code:above=http://snomed.info/sct|44054006").count() == self)
+    // hierarchy modifiers demand system|code and a known CodeSystem
+    intercept[RuntimeException](eng.search("Condition?code:below=44054006"))
+    intercept[RuntimeException](eng.search(
+      "Condition?code:below=http://example.org/unknown|1"))
+  }
+
   test("valueless param raises a descriptive error, not a MatchError") {
     val e = intercept[IllegalArgumentException](eng.search("Patient?gender"))
     assert(e.getMessage.contains("gender"))
