@@ -39,6 +39,9 @@ object FhirSchemas {
     * initialize in declaration order.)
     */
   val resourceMeta: StructType = StructType(Seq(
+    // server-assigned version (the _history/vread substrate); null in
+    // the current-state fixtures, populated in *.history.ndjson feeds
+    StructField("versionId", StringType),
     StructField("lastUpdated", StringType),
     StructField("tag", ArrayType(StructType(Seq(
       StructField("system", StringType),

@@ -34,12 +34,25 @@ import org.apache.spark.sql.types.LongType
   * (whole-serialized-resource substring via a raw-line scan + semi-join).
   */
 class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
-    rawSource: Option[String => DataFrame] = None) {
+    rawSource: Option[String => DataFrame] = None,
+    historySource: Map[String, DataFrame] = Map.empty) {
 
   import FhirSearch._
 
   private def table(t: String): DataFrame =
     tables.getOrElse(t, sys.error(s"unknown resource type: $t"))
+
+  private def historyTable(t: String): DataFrame =
+    historySource.getOrElse(t, sys.error(s"no version history feed for: $t"))
+
+  /** `k=v&k2=v2` (possibly null/empty) → pairs; bare keys dropped. */
+  private def parseQs(rest: String): Seq[(String, String)] =
+    Option(rest).filter(_.nonEmpty).map(_.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some((k, v))
+        case _ => None
+      }
+    }).getOrElse(Seq())
 
   /** Entry point: FHIR search request → DataFrame.
     *
@@ -101,6 +114,35 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
         val qs = Option(rest).filter(_.nonEmpty).map("&" + _).getOrElse("")
         return search(
           s"$childType?${compartmentRefParam(childType)}=$compType/$id$qs")
+      case _ => ()
+    }
+    // History / versioned reads over an append-only version feed (the
+    // natural 100 TB shape: the store IS the log; "current" is a
+    // last-wins view). vread and instance history push their id literal
+    // into the feed scan like any read.
+    request match {
+      case vreadRx(t, id, vid) =>
+        return historyTable(t).filter(
+          col("id") === id && col("meta").getField("versionId") === vid)
+      case historyRx(t, id, rest) =>
+        val params = parseQs(rest)
+        var df = historyTable(t).filter(col("id") === id)
+        params.collectFirst { case ("_since", v) => v }.foreach(s =>
+          df = df.filter(col("meta").getField("lastUpdated") >= s))
+        df = df.orderBy(col("meta").getField("versionId").cast("int").desc)
+        params.collectFirst { case ("_count", v) => v.toInt }.foreach(n =>
+          df = df.limit(n))
+        return df
+      case typeHistoryRx(t, rest) =>
+        val params = parseQs(rest)
+        var df = historyTable(t)
+        params.collectFirst { case ("_since", v) => v }.foreach(s =>
+          df = df.filter(col("meta").getField("lastUpdated") >= s))
+        df = df.orderBy(col("id"),
+          col("meta").getField("versionId").cast("int").desc)
+        params.collectFirst { case ("_count", v) => v.toInt }.foreach(n =>
+          df = df.limit(n))
+        return df
       case _ => ()
     }
     // B14: direct read "Type/id"
@@ -515,6 +557,29 @@ object FhirSearch {
   /** `Patient/{id}/$everything[?_type=…&_since=…]` operation (B26). */
   private val everythingRx = "^Patient/([^/?]+)/\\$everything(?:\\?(.*))?$".r
 
+  /** `Type/{id}/_history/{vid}` versioned read. */
+  private val vreadRx = "^([A-Za-z]+)/([^/?]+)/_history/([^/?]+)$".r
+
+  /** `Type/{id}/_history[?_since=…&_count=…]` instance history. */
+  private val historyRx = "^([A-Za-z]+)/([^/?]+)/_history(?:\\?(.*))?$".r
+
+  /** `Type/_history[?_since=…&_count=…]` type-level history feed. */
+  private val typeHistoryRx = "^([A-Za-z]+)/_history(?:\\?(.*))?$".r
+
+  /** Last-wins current view of an append-only version feed: one row per
+    * id, the numerically-highest `meta.versionId` (the same max_by
+    * shape as the reference's last-wins lookup join, A24). At 100 TB
+    * this is the standard log-to-snapshot compaction: a single
+    * shuffle-on-id aggregation, no window sort.
+    */
+  def currentFromHistory(hist: DataFrame): DataFrame = {
+    val byVersion = col("meta").getField("versionId").cast("int")
+    hist
+      .groupBy(col("id").as("_hid"))
+      .agg(max_by(struct(hist.columns.map(col): _*), byVersion).as("_r"))
+      .select(col("_r.*"))
+  }
+
   /** Compartment types a $everything sweep unions (every type
     * [[compartmentRefParam]] places in the patient compartment).
     */
@@ -860,6 +925,8 @@ object FhirSearch {
       "Condition" -> load("Condition", FhirSchemas.condition),
       "Procedure" -> load("Procedure", FhirSchemas.procedure),
       "ValueSet" -> load("ValueSet", FhirSchemas.valueSet),
-      "CodeSystem" -> load("CodeSystem", FhirSchemas.codeSystem)))
+      "CodeSystem" -> load("CodeSystem", FhirSchemas.codeSystem)),
+      historySource = Map(
+        "Patient" -> load("Patient.history", FhirSchemas.patient)))
   }
 }

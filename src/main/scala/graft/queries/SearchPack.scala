@@ -649,6 +649,65 @@ object SearchPack extends QueryPack {
               |WHERE cd."system" = 'http://snomed.info/sct'
               |ORDER BY id""".stripMargin)),
 
+    // instance history — all versions of one resource, newest first,
+    // from the append-only version feed (Patient.history.ndjson; the
+    // current Patient table is its last-wins view)
+    QueryDef(
+      "search_history",
+      (s, _) => eng(s).search("Patient/p-010/_history")
+        .select(col("id"), col("meta.versionId").as("version_id"),
+          col("meta.lastUpdated").as("last_updated"),
+          col("name")(0).getField("family").as("family")),
+      // strftime: DuckDB's JSON reader infers the instant as a
+      // timestamp; Spark keeps the ISO-8601 string (whole-second UTC in
+      // every fixture), so the oracle re-serializes to the same form
+      Some(s"""SELECT id, meta.versionId AS version_id,
+              |       strftime(meta.lastUpdated, '%Y-%m-%dT%H:%M:%SZ') AS last_updated,
+              |       name[1].family AS family
+              |FROM ${rj("Patient.history")}
+              |WHERE id = 'p-010'
+              |ORDER BY CAST(version_id AS INT) DESC""".stripMargin)),
+
+    // vread — one specific version by (id, versionId)
+    QueryDef(
+      "search_vread",
+      (s, _) => eng(s).search("Patient/p-010/_history/2")
+        .select(col("id"), col("meta.versionId").as("version_id"),
+          col("name")(0).getField("family").as("family")),
+      Some(s"""SELECT id, meta.versionId AS version_id,
+              |       name[1].family AS family
+              |FROM ${rj("Patient.history")}
+              |WHERE id = 'p-010' AND meta.versionId = '2'""".stripMargin)),
+
+    // type-level history with _since: only versions written at or after
+    // the instant (superseded versions are year-rebased earlier, so the
+    // filter keeps exactly the latest generation)
+    QueryDef(
+      "search_history_since",
+      (s, _) => eng(s).search("Patient/_history?_since=2024-01-01T00:00:00Z")
+        .select(col("id"), col("meta.versionId").as("version_id")),
+      Some(s"""SELECT id, meta.versionId AS version_id
+              |FROM ${rj("Patient.history")}
+              |WHERE meta.lastUpdated >= '2024-01-01T00:00:00Z'
+              |ORDER BY id, CAST(version_id AS INT) DESC""".stripMargin)),
+
+    // last-wins current view of the feed — must reproduce the Patient
+    // table (the fixture derives the feed from it), pinning that
+    // log-to-snapshot compaction loses nothing
+    QueryDef(
+      "search_history_current",
+      (s, _) => FhirSearch.currentFromHistory(
+        graft.fhir.FhirIO.readNdjsonCached(s,
+          s"$Fix/Patient.history.ndjson", graft.fhir.FhirSchemas.patient))
+        .select(col("id"), col("meta.versionId").as("version_id"),
+          col("name")(0).getField("family").as("family"))
+        .orderBy("id"),
+      Some(s"""SELECT id,
+              |       arg_max(meta.versionId, CAST(meta.versionId AS INT)) AS version_id,
+              |       arg_max(name[1].family, CAST(meta.versionId AS INT)) AS family
+              |FROM ${rj("Patient.history")}
+              |GROUP BY id ORDER BY id""".stripMargin)),
+
     // patient-compartment search with an extra param
     QueryDef(
       "search_compartment_obs",

@@ -39,6 +39,41 @@ class FhirSearchSpec extends SparkSpec {
     intercept[RuntimeException](eng.search("Patient?nosuchparam=1"))
   }
 
+  test("_history/vread: versioned reads over the append-only feed") {
+    // newest-first ordering and _count truncation
+    val hist = eng.search("Patient/p-010/_history")
+      .select(col("meta.versionId")).collect().map(_.getString(0))
+    assert(hist.toSeq == Seq("3", "2", "1"))
+    assert(eng.search("Patient/p-010/_history?_count=2").count() == 2)
+    // _since excludes the year-rebased superseded versions
+    assert(eng.search(
+      "Patient/p-010/_history?_since=2024-01-01T00:00:00Z").count() == 1)
+    // vread pins the version-specific content
+    assert(eng.search("Patient/p-010/_history/1")
+      .select(col("name")(0).getField("family")).head().getString(0)
+      == "Family010-v1")
+    // single-version patients have exactly one history entry
+    assert(eng.search("Patient/p-001/_history").count() == 1)
+    // no feed for this type → loud error, not empty
+    intercept[RuntimeException](eng.search("Observation/o-1/_history"))
+  }
+
+  test("currentFromHistory last-wins view reproduces the Patient table") {
+    val current = FhirSearch.currentFromHistory(
+      FhirIO.readNdjsonCached(spark,
+        "/root/repo/fixtures/fhir/Patient.history.ndjson",
+        FhirSchemas.patient))
+    val patients = FhirIO.readNdjsonCached(spark,
+      "/root/repo/fixtures/fhir/Patient.ndjson", FhirSchemas.patient)
+    assert(current.count() == patients.count())
+    // compare on the version-mutated fields: id → family must agree
+    val a = current.select(col("id"),
+      col("name")(0).getField("family").as("f"))
+    val b = patients.select(col("id"),
+      col("name")(0).getField("family").as("f"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("token :below/:above walk the CodeSystem subsumption hierarchy") {
     // 73211009 (Diabetes mellitus) is never coded directly — only its
     // child 44054006 — so the closure is doing the work, not self-match

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Deterministic version-history fixture for the _history/vread surface.
+
+Derives fixtures/fhir/Patient.history.ndjson from the committed
+Patient.ndjson: the current row IS the latest version (so the engine's
+last-wins current view must reproduce Patient.ndjson exactly), and older
+versions are pure functions of the patient index:
+
+- nv = 3 if i % 10 == 0 else 2 if i % 5 == 0 else 1
+- version k (1..nv): meta.versionId = str(k); versions k < nv get the
+  year of meta.lastUpdated rebased to 2024 - (nv - k) (ISO ordering ==
+  version ordering) and family renamed to "<family>-v<k>" so vread
+  output is visibly version-specific.
+
+Run once; output is committed (same policy as gen_fhir_fixtures.py).
+"""
+import copy
+import json
+import os
+import re
+
+FIX = os.path.join(os.path.dirname(__file__), "..", "fixtures", "fhir")
+
+
+def versions(row):
+    i = int(row["id"].split("-")[1])
+    nv = 3 if i % 10 == 0 else 2 if i % 5 == 0 else 1
+    out = []
+    for k in range(1, nv + 1):
+        v = copy.deepcopy(row)
+        v.setdefault("meta", {})["versionId"] = str(k)
+        if k < nv:
+            year = 2024 - (nv - k)
+            v["meta"]["lastUpdated"] = re.sub(
+                r"^\d{4}", str(year), v["meta"]["lastUpdated"])
+            for name in v.get("name", []):
+                if "family" in name:
+                    name["family"] = f"{name['family']}-v{k}"
+        out.append(v)
+    return out
+
+
+def main():
+    rows = [json.loads(l) for l in open(os.path.join(FIX, "Patient.ndjson"))]
+    with open(os.path.join(FIX, "Patient.history.ndjson"), "w") as f:
+        for row in rows:
+            for v in versions(row):
+                f.write(json.dumps(v) + "\n")
+    print(f"wrote history for {len(rows)} patients")
+
+
+if __name__ == "__main__":
+    main()
