@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * — see [[Jpeg]]) and [[PngCodec]] (chunk walk + CRC + real DEFLATE +
   * all five scanline filters — see [[Png]]) — plus REAL video
   * frame-sampling over MJPEG streams ([[sampleVideoFrames]]: marker-aware
-  * frame index, selective decode). Inter-frame-compressed video and
-  * MP3-class audio stay behind [[StubCodec]] —
+  * frame index, selective decode) and REAL inter-frame video via the
+  * animated-GIF codec ([[GifCodec]]/[[Gif]]: LZW, interlace, disposal
+  * compositing). Motion-compensated entropy-coded codecs (H.264-class
+  * video, MP3-class audio) stay behind [[StubCodec]] —
   * those codec libraries are not in this environment —
   * but everything Spark-side is identical across all of them: the schema
   * contract, the partition-preserving mapPartitions execution (the Scala
@@ -339,6 +341,68 @@ object Multimodal {
     * digest derivation — the same single-source-of-truth rule as
     * [[digestPlane]] for the block-index math.
     */
+  /** Real animated-GIF decode + inter-frame compositing ([[Gif]]):
+    * decodes every frame (LZW, interlace, palettes, transparency), plays
+    * the animation under the disposal rules, and reports the FINAL
+    * displayed canvas — features no single frame contains.
+    */
+  object GifCodec extends MediaCodec {
+    override val featureType: StructType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("mean_gray", DoubleType),
+      StructField("px_override", IntegerType),
+      StructField("px_disposal2", IntegerType),
+      StructField("px_disposal3", IntegerType),
+      StructField("px_last", IntegerType)))
+
+    override def decode(bytes: Array[Byte]): Row = {
+      val img = Gif.decode(bytes)
+      val canvas = Gif.composite(img)
+      val gray = canvas.map(rgb =>
+        ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3)
+      Row(img.width, img.height, img.frames.length.toLong,
+        gray.map(_.toLong).sum.toDouble / gray.length,
+        gray(1), gray(6), gray(9), gray(15))
+    }
+  }
+
+  /** Synthesize a 5-frame animated GIF per document on a 4×4 canvas
+    * (identity 256-gray global palette, bg=0), built so the composited
+    * result exercises every inter-frame mechanism AND stays replayable
+    * from the digest bytes g(0..15) alone:
+    *
+    *  - f0: full-canvas g(0..15), INTERLACED (stored rows 0,2,1,3)
+    *  - f1: rect(1,1,2×2) = 255−g(0..3), disposal 2 → its rect
+    *    (idx 5,6,9,10) restores to background 0 before f2
+    *  - f2: rect(0,0,2×2) = [0, g4, 0, g5] with transparent=0 — writes
+    *    land only where the value ≠ 0, over a canvas f1's disposal
+    *    partially cleared
+    *  - f3: rect(0,2,2×2) = g(7..10) through a REVERSED local palette,
+    *    disposal 3 → fully reverted before f4 (its values never appear
+    *    in the final canvas)
+    *  - f4: rect(3,3,1×1) = g6, last frame (disposal never runs)
+    *
+    * Final canvas (gray): [g0, g4|g1, g2, g3, g4, g5|0, 0, g7, g8, 0, 0,
+    * g11, g12, g13, g14, g6] where a|b = a unless a==0 (transparent)
+    * then b — integer-exact, so the oracle replays mean and probe pixels
+    * from the hex digest with CASE arithmetic.
+    */
+  def withGifColumn(docs: DataFrame): DataFrame =
+    withDigestColumn(docs) { dg =>
+      val g = dg.map(_ & 0xff)
+      Gif.encode(4, 4, 0, Seq(
+        Gif.FrameSpec(0, 0, 4, 4, g, disposal = 1, interlace = true),
+        Gif.FrameSpec(1, 1, 2, 2, g.take(4).map(255 - _), disposal = 2),
+        Gif.FrameSpec(0, 0, 2, 2, Array(0, g(4), 0, g(5)),
+          disposal = 1, transparent = 0),
+        Gif.FrameSpec(0, 2, 2, 2, g.slice(7, 11).map(v => 255 - v),
+          disposal = 3,
+          localPalette = Some(Gif.grayPalette(reversed = true))),
+        Gif.FrameSpec(3, 3, 1, 1, Array(g(6)))))
+    }
+
   private def withDigestColumn(docs: DataFrame)(
       build: Array[Byte] => Array[Byte]): DataFrame = {
     val outSchema = StructType(Seq(

@@ -454,6 +454,44 @@ object TextPack extends QueryPack {
              |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 REAL inter-frame video: each document carries a 5-frame
+    // animated GIF whose frames are delta rectangles composited under
+    // the full disposal/transparency rules (see withGifColumn). The
+    // final canvas exists in NO single frame — interlace, LZW, local
+    // palettes, transparency and disposals 2/3 all have to work for the
+    // probe pixels and mean to come out right — and every value replays
+    // from the hex digest with CASE arithmetic (a|b below = a unless
+    // a==0, then b: the transparent-index rule).
+    QueryDef(
+      "mm_gif",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withGifColumn(docsOf(s, d)), Multimodal.GifCodec)
+          .select(col("doc_id"),
+            col("features").getField("width").as("width"),
+            col("features").getField("height").as("height"),
+            col("features").getField("n_frames").as("n_frames"),
+            col("features").getField("mean_gray").as("mean_gray"),
+            col("features").getField("px_override").as("px_override"),
+            col("features").getField("px_disposal2").as("px_disposal2"),
+            col("features").getField("px_disposal3").as("px_disposal3"),
+            col("features").getField("px_last").as("px_last"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, 4 AS width, 4 AS height, CAST(5 AS BIGINT) AS n_frames,
+             |  CAST(g[1] + CASE WHEN g[5] != 0 THEN g[5] ELSE g[2] END
+             |     + g[3] + g[4] + g[5]
+             |     + CASE WHEN g[6] != 0 THEN g[6] ELSE 0 END
+             |     + g[8] + g[9] + g[12] + g[13] + g[14] + g[15] + g[7]
+             |     AS DOUBLE) / 16 AS mean_gray,
+             |  CASE WHEN g[5] != 0 THEN g[5] ELSE g[2] END AS px_override,
+             |  0 AS px_disposal2, 0 AS px_disposal3, g[7] AS px_last
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // C12 REAL video frame-sampling: each document carries a 4-frame
     // MJPEG stream (frame f = the mm_jpeg image with digest bytes rotated
     // by f); the sampler indexes all frames with the marker-aware byte
