@@ -422,6 +422,35 @@ object TextPack extends QueryPack {
              |  sqrt(CAST(list_sum(list_transform([2,4,6,8,10,12,14,16], i -> sm[i]*sm[i])) AS DOUBLE) / 8) AS rms_r
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 REAL compressed audio: each document carries a mono IMA-ADPCM
+    // WAV (16 constant 9-sample blocks = digest bytes scaled to PCM16).
+    // Constant blocks sit in the lossy codec's exact-representable
+    // subspace (see withAdpcmColumn), so the decoded RMS replays from
+    // the digest: √(Σ((b−128)·256)²/16) — the full chunk walk, extended
+    // fmt parse, fact clamp and per-nibble state machine must all run
+    // to produce it.
+    QueryDef(
+      "mm_adpcm",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withAdpcmColumn(docsOf(s, d)), Multimodal.AdpcmWavCodec)
+          .select(col("doc_id"),
+            col("features").getField("sample_rate").as("sample_rate"),
+            col("features").getField("bits").as("bits"),
+            col("features").getField("samples_per_block").as("samples_per_block"),
+            col("features").getField("n_frames").as("n_frames"),
+            col("features").getField("rms").as("rms"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST((('0x' || substr(md5(text), i*2+1, 2))::INT - 128) * 256 AS BIGINT)) AS sm
+             |  FROM documents
+             |)
+             |SELECT doc_id, 8000 AS sample_rate, 4 AS bits,
+             |  9 AS samples_per_block, CAST(144 AS BIGINT) AS n_frames,
+             |  sqrt(CAST(list_sum(list_transform(sm, s -> s*s)) AS DOUBLE) / 16) AS rms
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // C12 with a REAL lossless compressed-image codec: synthesize a 2×8
     // grayscale PNG per document (16 pixels = md5(text) digest bytes,
     // scanline filters cycling None/Sub/Up/Average/Paeth down the rows),
