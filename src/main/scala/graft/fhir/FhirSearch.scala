@@ -45,6 +45,41 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
   private def historyTable(t: String): DataFrame =
     historySource.getOrElse(t, sys.error(s"no version history feed for: $t"))
 
+  /** Bulk export — the reference-delegated `:export` operation
+    * (README.md:65 → "fhir-import-export" docs): write every served
+    * resource type (or the `_type` subset) as NDJSON under
+    * `destDir/<Type>/`, the exact reverse of the wildcard bulk import.
+    * At scale each type's directory is a parallel part-file write to
+    * the object store (one task per partition; the
+    * application/fhir+ndjson content-type hook rides the same
+    * storageOptions as [[FhirIO.writeNdjson]]). `_since` restricts
+    * meta-carrying types to resources with `meta.lastUpdated >= since`
+    * (the API's incremental-export semantics).
+    *
+    * Returns the operation manifest — one (resource_type, n, path) row
+    * per exported type, with `n` counted by READING BACK the written
+    * files, so the manifest certifies that what landed re-parses.
+    */
+  def export(destDir: String, types: Option[Seq[String]] = None,
+      since: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val exportTypes = types.getOrElse(tables.keys.toSeq).sorted
+    exportTypes.foreach(t => require(tables.contains(t),
+      s"unknown type in export _type: $t"))
+    val rows = exportTypes.map { t =>
+      val src = since match {
+        case Some(s0) if MetaTypes(t) =>
+          table(t).filter(col("meta").getField("lastUpdated") >= s0)
+        case _ => table(t)
+      }
+      val path = s"$destDir/$t"
+      FhirIO.writeNdjson(src, path)
+      val n = FhirIO.readNdjson(spark, path, FhirSchemas.byType(t)).count()
+      (t, n, path)
+    }
+    rows.toDF("resource_type", "n", "path")
+  }
+
   /** `k=v&k2=v2` (possibly null/empty) → pairs; bare keys dropped. */
   private def parseQs(rest: String): Seq[(String, String)] =
     Option(rest).filter(_.nonEmpty).map(_.split("&").toSeq.flatMap { kv =>
