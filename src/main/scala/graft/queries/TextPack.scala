@@ -104,6 +104,46 @@ object TextPack extends QueryPack {
              |        '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+')), 6) AS chars_per_token
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL trained BPE, round-1 face: the first merge decision as a
+    // declarative plan (word counts → adjacent symbol pairs → weighted
+    // argmax with the deterministic tie-break) — the corpus-pass half
+    // of Bpe.train, hash-checked against DuckDB replaying the same
+    // counting.
+    QueryDef(
+      "text_bpe_first_merge",
+      (s, d) => graft.operators.Bpe.firstMergePlan(docsOf(s, d)),
+      Some("""WITH words AS (
+             |  SELECT w, count(*) AS cnt FROM (
+             |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+             |    FROM documents)
+             |  WHERE len(w) > 0 GROUP BY w HAVING count(*) >= 2
+             |), syms AS (
+             |  SELECT cnt, list_append(list_transform(generate_series(1, len(w)),
+             |    i -> substr(w, i, 1)), '</w>') AS s
+             |  FROM words
+             |), pairs AS (
+             |  SELECT s[t.i] AS a, s[t.i+1] AS b, cnt
+             |  FROM syms, UNNEST(generate_series(1, len(s)-1)) t(i)
+             |)
+             |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+             |FROM pairs GROUP BY a, b
+             |ORDER BY pair_count DESC, a, b LIMIT 1""".stripMargin)),
+
+    // REAL trained BPE, full pipeline: learn 30 merges from the corpus'
+    // word-frequency table (one corpus pass; K vocab-scale rounds,
+    // deterministic tie-breaks), then tokenize every document by merge
+    // rank. Iteratively-trained ⇒ no SQL oracle (rows-only); BpeSpec
+    // pins the merge sequence on a hand-computed corpus, token/word
+    // reconstruction, and train/apply agreement.
+    QueryDef(
+      "text_bpe_tokens",
+      (s, d) => {
+        val base = docsOf(s, d)
+        val merges = graft.operators.Bpe.train(base, numMerges = 30)
+        graft.operators.Bpe.encodeDocs(base, merges).orderBy("doc_id")
+      },
+      None),
+
     // n-gram-LM quality scoring: mean bigram probability under the
     // corpus' own conditional bigram model (exactly-reproducible
     // perplexity stand-in — see TextOps.lmTypicality).

@@ -10,6 +10,7 @@ class EntrySpec extends SparkSpec {
     // rows-only queries are exactly the approximate/engine-specific ones
     assert(noOracle == Set("dedup_minhash_lsh",
       "dedup_lsh_probe", "sim_topk_ivf",
-      "sim_topk_pq", "q27_approx_distinct", "q47_approx_quantile"))
+      "sim_topk_pq", "q27_approx_distinct", "q47_approx_quantile",
+      "text_bpe_tokens"))
   }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("merge sequence on the classic hand-computed corpus") {
+    // word counts: low×5, lower×2, newest×6, widest×3 — the textbook
+    // BPE example. Pair counts round 1: (e,s) 6+3=9, (s,t) 9,
+    // (t,</w>) 9, (w,e) 6(newest)+2(lower)... hand-walk:
+    //   low:5      l-o 5, o-w 5, w-</w> 5
+    //   lower:2    l-o 2, o-w 2, w-e 2, e-r 2, r-</w> 2
+    //   newest:6   n-e 6, e-w 6, w-e 6, e-s 6, s-t 6, t-</w> 6
+    //   widest:3   w-i 3, i-d 3, d-e 3, e-s 3, s-t 3, t-</w> 3
+    // (e,s)=9 (s,t)=9 (t,</w>)=9 tie → lexicographic: (e,s) wins? '<' <
+    // 'e' in ASCII, so (t,</w>) has b='</w>' … tie-break is (a asc,
+    // b asc): candidates a='e','s','t' → 'e' smallest → (e,s).
+    val docs = corpus(
+      1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      2L -> (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    val merges = Bpe.train(docs, numMerges = 4, minCount = 1L)
+    assert(merges(0) == (("e", "s")))
+    // after merging es: (es,t) = 9 and (t,</w>) = 9 → 'es' < 't' → (es,t)
+    assert(merges(1) == (("es", "t")))
+    // then (est,</w>) = 9 unchallenged (l-o and o-w are 7)
+    assert(merges(2) == (("est", "</w>")))
+    // remaining max: l-o = o-w = 7 → (l,o)
+    assert(merges(3) == (("l", "o")))
+  }
+
+  test("firstMergePlan agrees with train's round-1 decision") {
+    val docs = corpus(
+      1L -> "banana bandana banana",
+      2L -> "cabana banana bandana")
+    val plan = Bpe.firstMergePlan(docs, minCount = 2L).head()
+    val merges = Bpe.train(docs, numMerges = 1, minCount = 2L)
+    assert((plan.getString(0), plan.getString(1)) == merges(0))
+  }
+
+  test("encodeWord reconstructs the word and respects merge ranks") {
+    val ranks = new java.util.HashMap[(String, String), Int]()
+    Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"))
+      .zipWithIndex.foreach { case (p, r) => ranks.put(p, r) }
+    assert(Bpe.encodeWord("newest", ranks).toSeq ==
+      Seq("n", "e", "w", "est</w>"))
+    assert(Bpe.encodeWord("lowest", ranks).toSeq == Seq("lo", "w", "est</w>"))
+    // unknown word falls back to characters + </w>
+    assert(Bpe.encodeWord("zzz", ranks).toSeq == Seq("z", "z", "z", "</w>"))
+    // reconstruction: concatenating tokens always recovers word + </w>
+    for (w <- Seq("newest", "lowest", "low", "zzz", "a"))
+      assert(Bpe.encodeWord(w, ranks).mkString == w + "</w>")
+  }
+
+  test("encodeDocs: counts drop as merges apply; partition-invariant") {
+    val docs = corpus(
+      1L -> "low low low lower lower newest newest newest widest widest",
+      2L -> "the newest of the new lows")
+    val merges = Bpe.train(docs, numMerges = 10, minCount = 1L)
+    val enc = Bpe.encodeDocs(docs, merges).orderBy("doc_id").collect()
+    val raw = Bpe.encodeDocs(docs, Array.empty).orderBy("doc_id").collect()
+    for ((e, r) <- enc.zip(raw)) {
+      assert(e.getLong(1) < r.getLong(1),
+        s"doc ${e.getLong(0)}: merges did not reduce token count")
+      assert(e.getLong(2) <= e.getLong(1))
+    }
+    // repartitioning must not change any result
+    val enc4 = Bpe.encodeDocs(docs.repartition(4), merges)
+    assert(enc4.exceptAll(Bpe.encodeDocs(docs, merges)).isEmpty)
+  }
+
+  test("training is deterministic and bounded by available pairs") {
+    val docs = corpus(1L -> "ab ab ab")
+    // 'ab</w>' has 2 pairs; request more merges than exist
+    val merges = Bpe.train(docs, numMerges = 10, minCount = 1L)
+    assert(merges.length <= 3)
+    assert(merges.toSeq == Bpe.train(docs, 10, 1L).toSeq)
+  }
+}
