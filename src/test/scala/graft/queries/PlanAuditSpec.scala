@@ -166,6 +166,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(rhpPlan.contains("rhp_bands"), rhpPlan.take(1200))
   }
 
+  test("search_history: the id literal reaches the history feed filter") {
+    val p = plan("search_history")
+    assert(p.contains("p-010"), p.take(1500))
+    // instance history must not touch the current-state Patient table
+    assert(!p.contains("fixtures/fhir/Patient.ndjson"),
+      "history read the current table instead of the feed")
+  }
+
+  test("search_history_current: last-wins view is ONE hash aggregate, no window sort") {
+    val df = graft.SparkEntry.queries("search_history_current")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "snapshot compaction must not window-sort")
+    assert(p.contains("max_by") || p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("search_token_below: the closure expands to literal predicates, no terminology join") {
+    val p = plan("search_token_below")
+    // plan-time expansion: descendant codes burned in as literals
+    assert(p.contains("44054006"), p.take(2000))
+    // ...and the CodeSystem table is gone from the executed plan
+    assert(!p.contains("CodeSystem.ndjson"),
+      "subsumption planned as a runtime join against the terminology table")
+  }
+
+  test("text_bpe_first_merge: pair counting is two-phase (map-side partials)") {
+    val df = graft.SparkEntry.queries("text_bpe_first_merge")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Sort"),
+      "argmax should be a bounded top-1, not a full materialization")
+  }
+
   test("global sweep: no query ever plans a CartesianProduct") {
     // cross joins in the repo are all 1-row/tiny broadcast sides (stats,
     // LUTs, invariant counters) and plan as BroadcastNestedLoopJoin; an
