@@ -108,13 +108,7 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     // both filters pushing into each leg's scan.
     request match {
       case everythingRx(id, rest) =>
-        val params = Option(rest).filter(_.nonEmpty).map(qs =>
-          qs.split("&").toSeq.flatMap { kv =>
-            kv.split("=", 2) match {
-              case Array(k, v) => Some((k, v))
-              case _ => None // bare key / stray '&': no value to act on
-            }
-          }).getOrElse(Seq())
+        val params = parseQs(rest)
         val types = params.collectFirst { case ("_type", v) =>
           v.split(",").toSet }
         val since = params.collectFirst { case ("_since", v) => v }

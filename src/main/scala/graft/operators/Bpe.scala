@@ -42,7 +42,7 @@ object Bpe {
     // vocabulary as symbol sequences; driver-side loop — the vocab is
     // metadata-scale (bounded further by minCount), the corpus is not
     var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
-      (w.map(_.toString).toArray :+ Eow, c)
+      (charSymbols(w) :+ Eow, c)
     }
     val merges = Array.newBuilder[(String, String)]
     var round = 0
@@ -86,9 +86,16 @@ object Bpe {
   /** Tokenize one word with a rank table: repeatedly merge the
     * lowest-rank adjacent pair (the standard BPE apply loop).
     */
+  /** Split on Unicode CODE POINTS, not UTF-16 units — a surrogate pair
+    * must stay one symbol, matching Spark's `split(w, "")` in
+    * [[firstMergePlan]] (and not emitting mojibake token halves).
+    */
+  private def charSymbols(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   def encodeWord(word: String,
       ranks: java.util.Map[(String, String), Int]): Array[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray :+ Eow
+    var syms: Array[String] = charSymbols(word) :+ Eow
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

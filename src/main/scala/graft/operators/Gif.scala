@@ -60,6 +60,10 @@ object Gif {
     out.write(3); out.write(1); le16(0); out.write(0)
     for (f <- frames) {
       require(f.indices.length == f.w * f.h, "frame pixel count mismatch")
+      require(f.x >= 0 && f.y >= 0 && f.x + f.w <= width && f.y + f.h <= height,
+        s"frame rect (${f.x},${f.y} ${f.w}x${f.h}) outside ${width}x$height")
+      require(f.indices.forall(v => v >= 0 && v <= 255),
+        "palette indices must be 0-255 (256+ would alias LZW control codes)")
       // graphic control extension
       out.write(0x21); out.write(0xf9); out.write(4)
       out.write((f.disposal << 2) | (if (f.transparent >= 0) 1 else 0))
@@ -69,9 +73,16 @@ object Gif {
       // image descriptor
       out.write(0x2c)
       le16(f.x); le16(f.y); le16(f.w); le16(f.h)
+      // local-table size field is log2(entries)-1; the table written
+      // below must match it exactly or every following byte misparses
+      val localSizeBits = f.localPalette.map { pal =>
+        require(pal.length >= 2 && pal.length <= 256 &&
+          Integer.bitCount(pal.length) == 1,
+          s"local palette must be a power of two 2..256, got ${pal.length}")
+        31 - Integer.numberOfLeadingZeros(pal.length) - 1
+      }
       out.write((if (f.localPalette.isDefined) 0x80 else 0) |
-        (if (f.interlace) 0x40 else 0) |
-        (if (f.localPalette.isDefined) 7 else 0))
+        (if (f.interlace) 0x40 else 0) | localSizeBits.getOrElse(0))
       f.localPalette.foreach(writePalette(out, _))
       val rows =
         if (f.interlace) interlaceOrder(f.h).flatMap(r =>

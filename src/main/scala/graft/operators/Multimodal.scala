@@ -360,6 +360,9 @@ object Multimodal {
     override def decode(bytes: Array[Byte]): Row = {
       val img = Gif.decode(bytes)
       val canvas = Gif.composite(img)
+      require(canvas.length >= 16,
+        s"GifCodec probe pixels need a >=16-pixel canvas, " +
+          s"got ${img.width}x${img.height}")
       val gray = canvas.map(rgb =>
         ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3)
       Row(img.width, img.height, img.frames.length.toLong,

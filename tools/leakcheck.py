@@ -13,6 +13,7 @@ Usage: python3 tools/leakcheck.py [--round N]
 import argparse
 import hashlib
 import json
+import os
 import re
 import subprocess
 import sys
@@ -49,18 +50,22 @@ def main():
     ap.add_argument("--round", type=int, default=None)
     args = ap.parse_args()
 
+    # resolve the repo root from this file's location so the scan works
+    # from any cwd — a swallowed FileNotFoundError here would otherwise
+    # report a false-clean scan
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = subprocess.run(
-        ["git", "ls-files"], capture_output=True, text=True, cwd=".",
+        ["git", "ls-files"], capture_output=True, text=True, cwd=root,
     ).stdout.split()
     files = [f for f in files if f.endswith(SCAN_EXT)]
 
     hits = {k: [] for k in PATTERNS}
     digest = hashlib.sha256()
+    scanned = 0
     for f in sorted(files):
-        try:
-            text = open(f, encoding="utf-8", errors="replace").read()
-        except OSError:
-            continue
+        text = open(os.path.join(root, f), encoding="utf-8",
+                    errors="replace").read()
+        scanned += 1
         digest.update(f.encode() + b"\0" + text.encode())
         for name, rx in PATTERNS.items():
             for m in rx.finditer(text):
@@ -74,13 +79,13 @@ def main():
         "hits": hits,
         "run": {
             "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "files_scanned": len(files),
+            "files_scanned": scanned,
             "content_sha256": digest.hexdigest(),
             "tool": "tools/leakcheck.py",
         },
     }
-    json.dump(out, open("LEAKCHECK.json", "w"), indent=2)
-    print(f"{len(files)} files scanned, {n} hits")
+    json.dump(out, open(os.path.join(root, "LEAKCHECK.json"), "w"), indent=2)
+    print(f"{scanned} files scanned, {n} hits")
     return 1 if n else 0
 
 
