@@ -329,18 +329,52 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
           .select(lit(t).as("resourceType"), col("id"), lit("revinclude").as("mode"))
           .distinct()
       }
+      // Wildcard legs merge per TYPE: every reference param's candidate
+      // refs explode from a SINGLE scan of the type (array params
+      // flatten in; coalesce keeps scalar refs when an array param is
+      // null), so `*` costs one scan + one semi-join per referencing
+      // type instead of one per (type, param) — fewer scans of each
+      // store table at scale AND a narrower union to compile.
+      def allRefs(t: String): Column = {
+        val arrays = referenceParams(t).map {
+          case "member" if t == "Group" =>
+            coalesce(transform(col("member"),
+              m => m.getField("entity").getField("reference")), array())
+          case p => array(referencePath(t, p))
+        }
+        flatten(array(arrays: _*))
+      }
+      def includeLegAll(t: String): DataFrame =
+        df.select(explode(allRefs(t)).as("_ref"))
+          .select(split(col("_ref"), "/").as("_r"))
+          .select(col("_r").getItem(0).as("_t"), col("_r").getItem(1).as("_id"))
+          .filter(col("_t").isNotNull).distinct()
+          .select(col("_t").as("resourceType"), col("_id").as("id"),
+            lit("include").as("mode"))
+      def revincludeLegAll(t: String): DataFrame = {
+        val matchedRefs = df.select(
+          concat(lit(resType + "/"), col("id")).as("_mref"))
+        table(t).select(col("id"), explode(allRefs(t)).as("_ref"))
+          .join(matchedRefs, col("_ref") === col("_mref"), "left_semi")
+          .select(lit(t).as("resourceType"), col("id"),
+            lit("revinclude").as("mode"))
+          .distinct()
+      }
       val extra = includes.flatMap {
         case ("_include", "*") =>
-          // FHIR wildcard: every reference param OF THE MATCHED TYPE
-          referenceParams(resType).map(p => includeLeg(resType, p))
+          // FHIR wildcard: every reference param OF THE MATCHED TYPE,
+          // one merged leg
+          if (referenceParams(resType).isEmpty) Seq()
+          else Seq(includeLegAll(resType))
         case ("_include", spec) =>
           val Array(t, refParam) = spec.split(":", 2)
           Seq(includeLeg(t, refParam))
         case ("_revinclude", "*") =>
-          // FHIR wildcard: every (type, reference param) the engine
-          // serves — anything that could point at a matched resource
-          tables.keys.toSeq.sorted.flatMap(t =>
-            referenceParams(t).map(p => revincludeLeg(t, p)))
+          // FHIR wildcard: anything that could point at a matched
+          // resource — one merged leg per referencing type
+          tables.keys.toSeq.sorted
+            .filter(referenceParams(_).nonEmpty)
+            .map(revincludeLegAll)
         case ("_revinclude", spec) =>
           val Array(t, refParam) = spec.split(":", 2)
           Seq(revincludeLeg(t, refParam))
