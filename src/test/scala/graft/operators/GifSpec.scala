@@ -69,6 +69,26 @@ class GifSpec extends AnyFunSuite {
     assert(gray.toSeq == want.toSeq)
   }
 
+  test("non-256-entry local palettes write correct size bits and round-trip") {
+    // 4-entry local palette: size field must say 4, not 256, or every
+    // byte after the table misparses
+    val pal = Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff)
+    val img = Gif.decode(Gif.encode(2, 2, 0, Seq(
+      Gif.FrameSpec(0, 0, 2, 2, Array(0, 1, 2, 3),
+        localPalette = Some(pal)))))
+    assert(img.frames(0).localPalette.get.toSeq == pal.toSeq)
+    assert(Gif.composite(img).toSeq == pal.toSeq)
+    // non-power-of-two palettes cannot be encoded in the size field
+    intercept[IllegalArgumentException](Gif.encode(2, 2, 0, Seq(
+      Gif.FrameSpec(0, 0, 2, 2, Array(0, 1, 2, 0),
+        localPalette = Some(pal.take(3))))))
+    // encoder rejects out-of-range indices and out-of-canvas rects
+    intercept[IllegalArgumentException](Gif.encode(2, 2, 0,
+      Seq(Gif.FrameSpec(0, 0, 2, 2, Array(0, 1, 2, 256)))))
+    intercept[IllegalArgumentException](Gif.encode(2, 2, 0,
+      Seq(Gif.FrameSpec(1, 1, 2, 2, Array(0, 1, 2, 3)))))
+  }
+
   test("malformed streams fail with clear errors, not garbage") {
     val good = Gif.encode(2, 2, 0,
       Seq(Gif.FrameSpec(0, 0, 2, 2, Array(1, 2, 3, 4))))
