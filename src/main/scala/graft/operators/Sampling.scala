@@ -133,6 +133,29 @@ object Sampling {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** SEMANTIC decontamination — the embedding-level sibling of
+    * [[decontaminate]]: flag training vectors whose max cosine against
+    * ANY benchmark vector reaches the threshold, catching the
+    * paraphrased/translated contamination an n-gram check cannot. The
+    * benchmark (eval sets are bounded by contract, same as the lexical
+    * path's broadcast) collapses to a ONE-ROW array that broadcasts,
+    * and the per-vector max runs inside higher-order functions over
+    * the fused native array_cosine — a single map-side pass over
+    * train, zero shuffles of train rows. A benchmark too large to
+    * broadcast swaps in the IVF-bucketed pair path
+    * ([[Similarity.cosineNearDupsIvf]]).
+    */
+  def decontaminateSemantic(train: DataFrame, benchmark: DataFrame,
+      threshold: Double, scale: Int = 5): DataFrame = {
+    val benchArr = benchmark.agg(collect_list(col("embedding")).as("_bench"))
+    train
+      .crossJoin(broadcast(benchArr))
+      .select(col("vec_id"),
+        round(array_max(transform(col("_bench"),
+          b => Similarity.cosine(col("embedding"), b))), scale).as("max_sim"))
+      .filter(col("max_sim") >= threshold)
+  }
+
   /** Mixture planning: per-stratum sampling/repeat weight that reshapes
     * the corpus token distribution to a target share map. weight > 1 ⇒
     * repeat (epochs), < 1 ⇒ subsample — the standard knob for data

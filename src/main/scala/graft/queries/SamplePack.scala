@@ -121,6 +121,35 @@ object SamplePack extends QueryPack {
              |FROM sg JOIN bench USING (sh) WHERE doc_id % 10 <> 0
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Semantic decontamination: training vectors whose max cosine vs
+    // the benchmark subset (vec_id % 25 = 0 plays the eval set)
+    // reaches 0.3 — the paraphrase-level complement of the 8-gram
+    // check above. Exact all-pairs oracle; the Spark side is one
+    // map-side pass (benchmark broadcast as a single array row).
+    QueryDef(
+      "sample_decontaminate_semantic",
+      (s, d) => {
+        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        Sampling.decontaminateSemantic(
+            e.filter(col("vec_id") % 25 =!= 0),
+            e.filter(col("vec_id") % 25 === 0), 0.3)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT embedding FROM embeddings WHERE vec_id % 25 = 0
+              |), t AS (
+              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0
+              |), sims AS (
+              |  SELECT t.vec_id, round(max(
+              |    list_sum(list_transform(list_zip(t.embedding, b.embedding),
+              |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |    / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))), 5) AS max_sim
+              |  FROM t CROSS JOIN b GROUP BY t.vec_id
+              |)
+              |SELECT vec_id, max_sim FROM sims
+              |WHERE max_sim >= 0.3 ORDER BY vec_id""".stripMargin)),
+
     // Applied mixture: per-document copy counts materializing the plan —
     // floor(weight) epochs + deterministic fractional Bernoulli (Knuth
     // multiplicative draw, integer-exact in both engines). Expectation =

@@ -198,6 +198,17 @@ class PlanAuditSpec extends SparkSpec {
       "argmax should be a bounded top-1, not a full materialization")
   }
 
+  test("sample_decontaminate_semantic: train side never shuffles; benchmark broadcasts") {
+    val df = graft.SparkEntry.queries("sample_decontaminate_semantic")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    // the only exchange allowed is the benchmark broadcast (plus the
+    // final orderBy's range partitioning); no hash shuffle of train rows
+    assert(!p.contains("hashpartitioning"),
+      "train rows were shuffled — the map-side max was lost")
+  }
+
   test("global sweep: no query ever plans a CartesianProduct") {
     // cross joins in the repo are all 1-row/tiny broadcast sides (stats,
     // LUTs, invariant counters) and plan as BroadcastNestedLoopJoin; an
