@@ -281,9 +281,13 @@ object Multimodal {
         sums(i % img.channels) += img.pixels(i) & 0xff
         i += 1
       }
-      val (mr, mg, mb) =
-        if (img.channels == 1) { val m = sums(0).toDouble / n; (m, m, m) }
-        else (sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      // color means only — the alpha channel (2nd of gray+alpha, 4th of
+      // RGBA) never contributes to mean_r/g/b
+      val (mr, mg, mb) = img.channels match {
+        case 1 | 2 => val m = sums(0).toDouble / n; (m, m, m)
+        case _ =>
+          (sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
       Row(img.width, img.height, img.channels, mr, mg, mb)
     }
   }
@@ -297,6 +301,34 @@ object Multimodal {
     */
   def withPngColumn(docs: DataFrame): DataFrame =
     withDigestColumn(docs)(dg => Png.encode(2, 8, 1, dg))
+
+  /** Synthesize an Adam7-INTERLACED RGBA PNG `media` column: 2×8 pixels
+    * where pixel i carries (g(i), 255−g(i), g(i) xor 0x55, i·17) — the
+    * alpha plane varies but must never reach the color means. Interlace
+    * + alpha + all five filters in one stream; every decoded mean
+    * replays from the hex digest (xor included — DuckDB has xor()).
+    */
+  def withPngRgbaColumn(docs: DataFrame): DataFrame =
+    withDigestColumn(docs) { dg =>
+      val px = new Array[Byte](16 * 4)
+      for (i <- 0 until 16) {
+        val g = dg(i) & 0xff
+        px(i * 4) = g.toByte
+        px(i * 4 + 1) = (255 - g).toByte
+        px(i * 4 + 2) = (g ^ 0x55).toByte
+        px(i * 4 + 3) = (i * 17).toByte
+      }
+      Png.encode(2, 8, 4, px, interlace = true)
+    }
+
+  /** Synthesize a palette PNG `media` column: the 16 digest bytes as
+    * indices through an identity 256-gray PLTE, so the expansion is
+    * index == gray and all three decoded means are Σ digest/16.
+    */
+  def withPngPaletteColumn(docs: DataFrame): DataFrame = {
+    val grayPal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+    withDigestColumn(docs)(dg => Png.encodePalette(2, 8, dg, grayPal))
+  }
 
   /** Synthesize a valid baseline-JPEG `media` column: a 32×32 grayscale
     * image of 16 constant 8×8 blocks whose values (raster block order)

@@ -5,21 +5,22 @@ import java.util.zip.{CRC32, DataFormatException, Deflater, Inflater}
 
 /** Pure-JVM PNG codec (W3C PNG spec / RFC 2083 — public standard).
   *
-  * Scope: non-interlaced, 8-bit, grayscale (color type 0) and truecolor
-  * (color type 2) — the common training-corpus cases — with the FULL
-  * filter surface: all five scanline filters (None/Sub/Up/Average/Paeth)
-  * are implemented on both the encode and decode side, chunk CRCs are
-  * verified, and the zlib stream is inflated with the JDK's Inflater
-  * (real DEFLATE, not a stub). Palette/alpha/16-bit/Adam7 are rejected
-  * with descriptive errors, mirroring the Jpeg codec's honesty about
-  * progressive/arithmetic streams.
+  * Scope: 8-bit grayscale (color type 0), truecolor (2), palette (3,
+  * expanded through PLTE), gray+alpha (4) and RGBA (6), non-interlaced
+  * AND Adam7-interlaced — the full common training-corpus surface —
+  * with all five scanline filters (None/Sub/Up/Average/Paeth)
+  * implemented on both the encode and decode side, chunk CRCs
+  * verified, and the zlib stream inflated with the JDK's Inflater
+  * (real DEFLATE, not a stub). 16-bit and sub-8-bit depths are
+  * rejected with descriptive errors, mirroring the Jpeg codec's
+  * honesty about progressive/arithmetic streams.
   *
   * Why this design: unlike JPEG, PNG is lossless, so a decode is
   * bit-exact by construction and the digest-replay oracle needs no
   * numerical argument — the interesting surface is the container
-  * (chunk walk + CRC), the DEFLATE stream, and the filter
-  * reconstruction, each of which fails loudly on hostile input
-  * (same byte-mutation fuzz contract as Jpeg/Bmp/Wav).
+  * (chunk walk + CRC), the DEFLATE stream, the filter reconstruction,
+  * and the interlace/palette reassembly, each of which fails loudly
+  * on hostile input (same byte-mutation fuzz contract as Jpeg/Bmp/Wav).
   *
   * Reference behavior covered: the reference pipeline treats attachments
   * as opaque typed blobs (assay.py:123-140); this codec is part of the
@@ -30,8 +31,21 @@ object Png {
   private val Signature: Array[Int] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
+  /** Adam7 pass grid: (x0, y0, dx, dy) per pass (spec §8.2). Shared by
+    * encode and decode so the two sides cannot disagree on geometry.
+    */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def passDims(w: Int, h: Int, p: (Int, Int, Int, Int)): (Int, Int) = {
+    val (x0, y0, dx, dy) = p
+    (math.max(0, (w - x0 + dx - 1) / dx), math.max(0, (h - y0 + dy - 1) / dy))
+  }
+
   /** Decoded image: `pixels` is the unfiltered sample stream, row-major,
-    * `channels` interleaved bytes per pixel (1 = gray, 3 = RGB).
+    * `channels` interleaved bytes per pixel (1 = gray, 2 = gray+alpha,
+    * 3 = RGB — including palette-expanded — 4 = RGBA).
     */
   final case class Image(width: Int, height: Int, colorType: Int,
       channels: Int, pixels: Array[Byte])
@@ -47,8 +61,9 @@ object Png {
 
   /** Decode a PNG stream. Every failure mode — bad signature, chunk CRC
     * mismatch, malformed zlib data, wrong inflated size, out-of-range
-    * filter byte, unsupported variant — raises IllegalArgumentException
-    * with a descriptive message (the codec fuzz contract).
+    * filter byte, palette index past PLTE, unsupported variant — raises
+    * IllegalArgumentException with a descriptive message (the codec
+    * fuzz contract).
     */
   def decode(bytes: Array[Byte]): Image = {
     if (bytes.length < 8 + 25 + 12) fail("stream shorter than signature+IHDR+IEND")
@@ -60,8 +75,10 @@ object Png {
 
     // --- chunk walk: length(4BE) type(4) data crc(4 over type+data) ---
     var off = 8
-    var width, height, colorType, channels = -1
+    var width, height, colorType, fileCh = -1
+    var interlaced = false
     var sawIhdr, sawIend, inIdat, idatDone = false
+    var palette: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     while (!sawIend) {
       if (off + 12 > bytes.length) fail(s"truncated chunk header at $off")
@@ -95,21 +112,29 @@ object Png {
           if (w <= 0 || h <= 0 || w > (1L << 27) || h > (1L << 27) ||
               w * h > (1L << 27))
             fail(s"unreasonable dimensions ${w}x$h")
-          channels = colorType match {
+          fileCh = colorType match {
             case 0 => 1
             case 2 => 3
-            case 3 => fail("palette (color type 3) unsupported")
-            case 4 | 6 => fail(s"alpha (color type $colorType) unsupported")
+            case 3 => 1 // palette indices; expanded to RGB after unfilter
+            case 4 => 2
+            case 6 => 4
             case t => fail(s"unknown color type $t")
           }
           if (bitDepth != 8) fail(s"bit depth $bitDepth unsupported (8 only)")
           if (compression != 0) fail(s"unknown compression method $compression")
           if (filterMethod != 0) fail(s"unknown filter method $filterMethod")
-          if (interlace == 1) fail("Adam7 interlace unsupported")
-          if (interlace != 0) fail(s"unknown interlace method $interlace")
+          if (interlace > 1) fail(s"unknown interlace method $interlace")
+          interlaced = interlace == 1
           width = w.toInt
           height = h.toInt
           sawIhdr = true
+        case "PLTE" =>
+          if (!sawIhdr) fail("PLTE before IHDR")
+          if (inIdat) fail("PLTE after IDAT")
+          if (len == 0 || len % 3 != 0 || len > 768)
+            fail(s"PLTE length $len not a multiple of 3 in 3..768")
+          if (palette != null) fail("duplicate PLTE")
+          palette = java.util.Arrays.copyOfRange(bytes, dataAt, dataAt + len.toInt)
         case "IDAT" =>
           if (!sawIhdr) fail("IDAT before IHDR")
           if (idatDone) fail("IDAT chunks are not consecutive")
@@ -119,7 +144,6 @@ object Png {
           if (len != 0) fail(s"IEND length $len != 0")
           sawIend = true
         case other =>
-          if (!sawIhdr) fail(s"'$other' chunk before IHDR")
           // spec §5.4: a critical chunk (ancillary bit clear — bit 5 of
           // the first type byte) we don't understand makes the image
           // unreadable; only ancillary chunks (tEXt, pHYs, …) may be
@@ -132,11 +156,18 @@ object Png {
     }
     if (!inIdat) fail("no IDAT chunk")
     if (off != bytes.length) fail(s"${bytes.length - off} trailing bytes after IEND")
+    if (colorType == 3 && palette == null) fail("palette image without PLTE")
 
     // --- zlib inflate into the EXACT expected size (zip-bomb guard:
-    // anything past expected+1 probe byte is an error, not an alloc) ---
-    val stride = 1 + width * channels // filter byte + samples
-    val expected = stride * height
+    // anything past expected+1 probe byte is an error, not an alloc).
+    // Interlaced streams carry one filtered sub-image per non-empty
+    // Adam7 pass, each with its own per-row filter bytes. ---
+    val expected =
+      if (!interlaced) (1 + width * fileCh) * height
+      else Adam7.map { p =>
+        val (wp, hp) = passDims(width, height, p)
+        if (wp == 0 || hp == 0) 0 else hp * (1 + wp * fileCh)
+      }.sum
     val raw = new Array[Byte](expected)
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)
@@ -170,52 +201,102 @@ object Png {
       } finally inf.end()
     if (got != expected) fail(s"inflated $got bytes, expected $expected")
 
-    // --- per-row unfilter (spec §6): bpp = bytes per complete pixel ---
-    val bpp = channels
-    val pixels = new Array[Byte](width * channels * height)
-    val rowBytes = width * channels
+    // --- unfilter (spec §6), then reassemble interlace passes ---
+    val filePixels = new Array[Byte](width * fileCh * height)
+    if (!interlaced) {
+      val consumed = unfilterPass(raw, 0, filePixels, width, height, fileCh)
+      if (consumed != expected) fail("filtered data size mismatch")
+    } else {
+      var rawOff = 0
+      for (p <- Adam7) {
+        val (x0, y0, dx, dy) = p
+        val (wp, hp) = passDims(width, height, p)
+        if (wp > 0 && hp > 0) {
+          val sub = new Array[Byte](wp * hp * fileCh)
+          rawOff = unfilterPass(raw, rawOff, sub, wp, hp, fileCh)
+          var py = 0
+          while (py < hp) {
+            var px = 0
+            while (px < wp) {
+              System.arraycopy(sub, (py * wp + px) * fileCh, filePixels,
+                ((y0 + py * dy) * width + (x0 + px * dx)) * fileCh, fileCh)
+              px += 1
+            }
+            py += 1
+          }
+        }
+      }
+      if (rawOff != expected) fail("interlaced pass data size mismatch")
+    }
+
+    // --- palette expansion: indices → RGB through PLTE ---
+    if (colorType == 3) {
+      val nEntries = palette.length / 3
+      val rgb = new Array[Byte](width * height * 3)
+      var j = 0
+      while (j < filePixels.length) {
+        val idx = filePixels(j) & 0xff
+        if (idx >= nEntries) fail(s"palette index $idx >= $nEntries entries")
+        rgb(j * 3) = palette(idx * 3)
+        rgb(j * 3 + 1) = palette(idx * 3 + 1)
+        rgb(j * 3 + 2) = palette(idx * 3 + 2)
+        j += 1
+      }
+      Image(width, height, colorType, 3, rgb)
+    } else Image(width, height, colorType, fileCh, filePixels)
+  }
+
+  /** Unfilter one (sub-)image of `w`×`h` pixels with `ch` bytes per
+    * pixel from `raw` starting at `off` into `out`; returns the new raw
+    * offset. Each row is `1 + w*ch` bytes (filter byte + samples).
+    */
+  private def unfilterPass(raw: Array[Byte], off: Int, out: Array[Byte],
+      w: Int, h: Int, ch: Int): Int = {
+    val stride = 1 + w * ch
+    val rowBytes = w * ch
+    val bpp = ch
     var y = 0
-    while (y < height) {
-      val filter = raw(y * stride) & 0xff
-      val src = y * stride + 1
+    while (y < h) {
+      val filter = raw(off + y * stride) & 0xff
+      val src = off + y * stride + 1
       val dst = y * rowBytes
       val prior = dst - rowBytes // valid only when y > 0
       var x = 0
       filter match {
         case 0 => // None
-          System.arraycopy(raw, src, pixels, dst, rowBytes)
+          System.arraycopy(raw, src, out, dst, rowBytes)
         case 1 => // Sub: Recon(x) = Filt(x) + Recon(x - bpp)
           while (x < rowBytes) {
-            val left = if (x >= bpp) pixels(dst + x - bpp) & 0xff else 0
-            pixels(dst + x) = ((raw(src + x) & 0xff) + left).toByte
+            val left = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+            out(dst + x) = ((raw(src + x) & 0xff) + left).toByte
             x += 1
           }
         case 2 => // Up: + Prior(x)
           while (x < rowBytes) {
-            val up = if (y > 0) pixels(prior + x) & 0xff else 0
-            pixels(dst + x) = ((raw(src + x) & 0xff) + up).toByte
+            val up = if (y > 0) out(prior + x) & 0xff else 0
+            out(dst + x) = ((raw(src + x) & 0xff) + up).toByte
             x += 1
           }
         case 3 => // Average: + floor((left + up) / 2)
           while (x < rowBytes) {
-            val left = if (x >= bpp) pixels(dst + x - bpp) & 0xff else 0
-            val up = if (y > 0) pixels(prior + x) & 0xff else 0
-            pixels(dst + x) = ((raw(src + x) & 0xff) + (left + up) / 2).toByte
+            val left = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+            val up = if (y > 0) out(prior + x) & 0xff else 0
+            out(dst + x) = ((raw(src + x) & 0xff) + (left + up) / 2).toByte
             x += 1
           }
         case 4 => // Paeth predictor
           while (x < rowBytes) {
-            val left = if (x >= bpp) pixels(dst + x - bpp) & 0xff else 0
-            val up = if (y > 0) pixels(prior + x) & 0xff else 0
-            val ul = if (x >= bpp && y > 0) pixels(prior + x - bpp) & 0xff else 0
-            pixels(dst + x) = ((raw(src + x) & 0xff) + paeth(left, up, ul)).toByte
+            val left = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+            val up = if (y > 0) out(prior + x) & 0xff else 0
+            val ul = if (x >= bpp && y > 0) out(prior + x - bpp) & 0xff else 0
+            out(dst + x) = ((raw(src + x) & 0xff) + paeth(left, up, ul)).toByte
             x += 1
           }
         case f => fail(s"unknown filter type $f in row $y")
       }
       y += 1
     }
-    Image(width, height, colorType, channels, pixels)
+    off + h * stride
   }
 
   /** Paeth predictor (spec §6.6): the neighbor closest to the linear
@@ -229,30 +310,19 @@ object Png {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode `pixels` (row-major, `channels` interleaved bytes per pixel)
-    * as a non-interlaced 8-bit PNG. `filterFor(y)` picks the scanline
-    * filter per row (default cycles 0→4 so a round-trip exercises every
-    * reconstruction path); the filtered bytes are computed per spec, so
-    * any conformant decoder recovers `pixels` exactly.
+  /** Filter one (sub-)image per spec §6 (the inverse of
+    * [[unfilterPass]]); appends `h` rows of `1 + w*ch` bytes to `out`.
+    * `filterFor` receives a running global row counter via `rowBase`.
     */
-  def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
-      filterFor: Int => Int = _ % 5): Array[Byte] = {
-    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-    require(channels == 1 || channels == 3, s"channels=$channels (1 or 3)")
-    require(pixels.length == width * channels * height,
-      s"need ${width * channels * height} bytes, got ${pixels.length}")
-    val colorType = if (channels == 1) 0 else 2
-    val rowBytes = width * channels
-    val bpp = channels
-
-    // filter the scanlines (the inverse of the decode reconstruction)
-    val raw = new Array[Byte]((1 + rowBytes) * height)
+  private def filterPass(out: ByteArrayOutputStream, pixels: Array[Byte],
+      w: Int, h: Int, ch: Int, rowBase: Int, filterFor: Int => Int): Unit = {
+    val rowBytes = w * ch
+    val bpp = ch
     var y = 0
-    while (y < height) {
-      val f = filterFor(y)
+    while (y < h) {
+      val f = filterFor(rowBase + y)
       require(f >= 0 && f <= 4, s"filter $f out of range")
-      raw(y * (1 + rowBytes)) = f.toByte
-      val dst = y * (1 + rowBytes) + 1
+      out.write(f)
       val cur = y * rowBytes
       val prior = cur - rowBytes
       var x = 0
@@ -268,10 +338,85 @@ object Png {
           case 3 => v - (left + up) / 2
           case 4 => v - paeth(left, up, ul)
         }
-        raw(dst + x) = filtered.toByte
+        out.write(filtered & 0xff)
         x += 1
       }
       y += 1
+    }
+  }
+
+  /** Extract one Adam7 pass's sub-image from full `pixels`. */
+  private def extractPass(pixels: Array[Byte], width: Int, ch: Int,
+      p: (Int, Int, Int, Int), wp: Int, hp: Int): Array[Byte] = {
+    val (x0, y0, dx, dy) = p
+    val sub = new Array[Byte](wp * hp * ch)
+    var py = 0
+    while (py < hp) {
+      var px = 0
+      while (px < wp) {
+        System.arraycopy(pixels, ((y0 + py * dy) * width + (x0 + px * dx)) * ch,
+          sub, (py * wp + px) * ch, ch)
+        px += 1
+      }
+      py += 1
+    }
+    sub
+  }
+
+  /** Encode `pixels` (row-major, `channels` interleaved bytes per pixel:
+    * 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA) as an 8-bit PNG, optionally
+    * Adam7-interlaced. `filterFor(y)` picks the scanline filter per row
+    * (default cycles 0→4 so a round-trip exercises every reconstruction
+    * path); the filtered bytes are computed per spec, so any conformant
+    * decoder recovers `pixels` exactly.
+    */
+  def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
+      filterFor: Int => Int = _ % 5, interlace: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(channels >= 1 && channels <= 4, s"channels=$channels (1..4)")
+    require(pixels.length == width * channels * height,
+      s"need ${width * channels * height} bytes, got ${pixels.length}")
+    val colorType = channels match {
+      case 1 => 0
+      case 2 => 4
+      case 3 => 2
+      case 4 => 6
+    }
+    writePng(width, height, colorType, channels, pixels, filterFor,
+      interlace, palette = None)
+  }
+
+  /** Encode palette indices + a PLTE table (color type 3); `palette` is
+    * flat 0xRRGGBB entries, indices must be within it.
+    */
+  def encodePalette(width: Int, height: Int, indices: Array[Byte],
+      palette: Array[Int], filterFor: Int => Int = _ % 5,
+      interlace: Boolean = false): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette size ${palette.length} not in 1..256")
+    require(indices.length == width * height,
+      s"need ${width * height} indices, got ${indices.length}")
+    indices.foreach(ix => require((ix & 0xff) < palette.length,
+      s"index ${ix & 0xff} outside the ${palette.length}-entry palette"))
+    writePng(width, height, colorType = 3, channels = 1, indices,
+      filterFor, interlace, palette = Some(palette))
+  }
+
+  private def writePng(width: Int, height: Int, colorType: Int,
+      channels: Int, pixels: Array[Byte], filterFor: Int => Int,
+      interlace: Boolean, palette: Option[Array[Int]]): Array[Byte] = {
+    val raw = new ByteArrayOutputStream()
+    if (!interlace) filterPass(raw, pixels, width, height, channels, 0, filterFor)
+    else {
+      var rowBase = 0
+      for (p <- Adam7) {
+        val (wp, hp) = passDims(width, height, p)
+        if (wp > 0 && hp > 0) {
+          filterPass(raw, extractPass(pixels, width, channels, p, wp, hp),
+            wp, hp, channels, rowBase, filterFor)
+          rowBase += hp
+        }
+      }
     }
 
     val out = new ByteArrayOutputStream()
@@ -295,13 +440,25 @@ object Png {
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
       .put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      .put(0.toByte).put(0.toByte) // deflate, filter method 0
+      .put((if (interlace) 1 else 0).toByte)
     chunk("IHDR", ihdr.array())
 
+    palette.foreach { pal =>
+      val plte = new Array[Byte](pal.length * 3)
+      for ((rgb, k) <- pal.zipWithIndex) {
+        plte(k * 3) = ((rgb >> 16) & 0xff).toByte
+        plte(k * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+        plte(k * 3 + 2) = (rgb & 0xff).toByte
+      }
+      chunk("PLTE", plte)
+    }
+
+    val rawBytes = raw.toByteArray
     val defl = new Deflater()
-    defl.setInput(raw)
+    defl.setInput(rawBytes)
     defl.finish()
-    val zbuf = new Array[Byte](raw.length + 64)
+    val zbuf = new Array[Byte](rawBytes.length + 64)
     val zout = new ByteArrayOutputStream()
     while (!defl.finished()) {
       val k = defl.deflate(zbuf)

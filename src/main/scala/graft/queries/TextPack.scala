@@ -523,6 +523,59 @@ object TextPack extends QueryPack {
              |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 PNG, Adam7 + RGBA face: interlaced four-channel streams where
+    // the color means replay from the digest (alpha varies but must
+    // never leak into them) — the 7-pass reassembly, the 4-byte-pixel
+    // filter arithmetic and the alpha exclusion all have to be right.
+    QueryDef(
+      "mm_png_rgba",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withPngRgbaColumn(docsOf(s, d)), Multimodal.PngCodec)
+          .select(col("doc_id"),
+            col("features").getField("width").as("width"),
+            col("features").getField("height").as("height"),
+            col("features").getField("channels").as("channels"),
+            col("features").getField("mean_r").as("mean_r"),
+            col("features").getField("mean_g").as("mean_g"),
+            col("features").getField("mean_b").as("mean_b"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, 2 AS width, 8 AS height, 4 AS channels,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_r,
+             |  255 - CAST(list_sum(g) AS DOUBLE) / 16 AS mean_g,
+             |  CAST(list_sum(list_transform(g, v -> xor(v, 85))) AS DOUBLE) / 16 AS mean_b
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // C12 PNG, palette face: digest bytes as indices through an
+    // identity-gray PLTE — the palette expansion is what produces the
+    // means, so a wrong or skipped PLTE lookup cannot hash-match.
+    QueryDef(
+      "mm_png_palette",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withPngPaletteColumn(docsOf(s, d)), Multimodal.PngCodec)
+          .select(col("doc_id"),
+            col("features").getField("channels").as("channels"),
+            col("features").getField("mean_r").as("mean_r"),
+            col("features").getField("mean_g").as("mean_g"),
+            col("features").getField("mean_b").as("mean_b"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, 3 AS channels,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_r,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_g,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // C12 REAL inter-frame video: each document carries a 5-frame
     // animated GIF whose frames are delta rectangles composited under
     // the full disposal/transparency rules (see withGifColumn). The

@@ -184,12 +184,49 @@ class MultimodalSpec extends SparkSpec {
       for (k <- 0 until 4) m(8 + 8 + 13 + k) = ((cv >>> (24 - 8 * k)) & 0xff).toByte
       m
     }
+    // interlace=1 is now SUPPORTED — flipping only the flag makes the
+    // filtered-data layout disagree with the passes, a size error
     assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(12, 1)))
+      .getMessage.contains("expected"))
+    assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(12, 2)))
       .getMessage.contains("interlace"))
+    // palette color type without a PLTE chunk is rejected by name
     assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(9, 3)))
-      .getMessage.contains("palette"))
+      .getMessage.contains("PLTE"))
     assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(8, 16)))
       .getMessage.contains("bit depth"))
+  }
+
+  test("PNG codec: alpha, palette and Adam7 round-trips") {
+    val rnd = new scala.util.Random(11)
+    // gray+alpha and RGBA, plain and interlaced, every filter in play
+    for (ch <- Seq(2, 4); inter <- Seq(false, true)) {
+      val px = Array.fill(7 * 5 * ch)(rnd.nextInt(256).toByte)
+      val img = Png.decode(Png.encode(7, 5, ch, px, interlace = inter))
+      assert(img.channels == ch && img.width == 7 && img.height == 5)
+      assert(img.pixels.toSeq == px.toSeq, s"ch=$ch interlace=$inter")
+    }
+    // 1×1 and odd sizes: Adam7 passes degenerate correctly
+    for ((w, h) <- Seq((1, 1), (2, 3), (9, 9), (8, 8))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val img = Png.decode(Png.encode(w, h, 1, px, interlace = true))
+      assert(img.pixels.toSeq == px.toSeq, s"${w}x$h interlaced")
+    }
+    // palette: indices expand through PLTE to RGB
+    val pal = Array(0x112233, 0xff0000, 0x00ff00, 0x0000ff)
+    val idx = Array[Byte](0, 1, 2, 3, 3, 2, 1, 0)
+    val pimg = Png.decode(Png.encodePalette(4, 2, idx, pal))
+    assert(pimg.channels == 3 && pimg.colorType == 3)
+    val want = idx.flatMap(i => Seq(
+      ((pal(i) >> 16) & 0xff).toByte, ((pal(i) >> 8) & 0xff).toByte,
+      (pal(i) & 0xff).toByte))
+    assert(pimg.pixels.toSeq == want.toSeq)
+    // interlaced palette too
+    val pimg2 = Png.decode(Png.encodePalette(4, 2, idx, pal, interlace = true))
+    assert(pimg2.pixels.toSeq == want.toSeq)
+    // out-of-palette index is a loud decode error: craft 1 entry, index 1
+    intercept[IllegalArgumentException](
+      Png.encodePalette(1, 1, Array[Byte](1), Array(0x000000)))
   }
 
   test("PNG codec: forged headers and trailing data rejected, not crashed or skipped") {
