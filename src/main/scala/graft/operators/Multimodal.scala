@@ -277,8 +277,10 @@ object Multimodal {
       val n = img.width.toLong * img.height
       val sums = new Array[Long](img.channels)
       var i = 0
-      while (i < img.pixels.length) {
-        sums(i % img.channels) += img.pixels(i) & 0xff
+      // sample() abstracts the depth: 8-bit means stay 0..255, 16-bit
+      // means report in the native 0..65535 sample scale
+      while (i < img.nSamples) {
+        sums(i % img.channels) += img.sample(i)
         i += 1
       }
       // color means only — the alpha channel (2nd of gray+alpha, 4th of

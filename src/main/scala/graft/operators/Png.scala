@@ -11,9 +11,11 @@ import java.util.zip.{CRC32, DataFormatException, Deflater, Inflater}
   * with all five scanline filters (None/Sub/Up/Average/Paeth)
   * implemented on both the encode and decode side, chunk CRCs
   * verified, and the zlib stream inflated with the JDK's Inflater
-  * (real DEFLATE, not a stub). 16-bit and sub-8-bit depths are
-  * rejected with descriptive errors, mirroring the Jpeg codec's
-  * honesty about progressive/arithmetic streams.
+  * (real DEFLATE, not a stub) — at 8-bit or 16-bit depth (big-endian
+  * sample pairs; filtering per spec operates on bytes with the wider
+  * bpp). Sub-8-bit depths are rejected with descriptive errors,
+  * mirroring the Jpeg codec's honesty about progressive/arithmetic
+  * streams.
   *
   * Why this design: unlike JPEG, PNG is lossless, so a decode is
   * bit-exact by construction and the digest-replay oracle needs no
@@ -44,11 +46,18 @@ object Png {
   }
 
   /** Decoded image: `pixels` is the unfiltered sample stream, row-major,
-    * `channels` interleaved bytes per pixel (1 = gray, 2 = gray+alpha,
-    * 3 = RGB — including palette-expanded — 4 = RGBA).
+    * `channels` interleaved samples per pixel (1 = gray, 2 = gray+alpha,
+    * 3 = RGB — including palette-expanded — 4 = RGBA), `bitDepth` 8 or
+    * 16 (16-bit samples are big-endian byte PAIRS in `pixels`).
     */
   final case class Image(width: Int, height: Int, colorType: Int,
-      channels: Int, pixels: Array[Byte])
+      channels: Int, pixels: Array[Byte], bitDepth: Int = 8) {
+    /** Sample at flat index i (pixel*channels + channel), 0..2^depth-1. */
+    def sample(i: Int): Int =
+      if (bitDepth == 8) pixels(i) & 0xff
+      else ((pixels(i * 2) & 0xff) << 8) | (pixels(i * 2 + 1) & 0xff)
+    def nSamples: Int = width.toInt * height * channels
+  }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"PNG: $msg")
@@ -76,6 +85,7 @@ object Png {
     // --- chunk walk: length(4BE) type(4) data crc(4 over type+data) ---
     var off = 8
     var width, height, colorType, fileCh = -1
+    var depth = -1
     var interlaced = false
     var sawIhdr, sawIend, inIdat, idatDone = false
     var palette: Array[Byte] = null
@@ -120,7 +130,11 @@ object Png {
             case 6 => 4
             case t => fail(s"unknown color type $t")
           }
-          if (bitDepth != 8) fail(s"bit depth $bitDepth unsupported (8 only)")
+          if (bitDepth != 8 && bitDepth != 16)
+            fail(s"bit depth $bitDepth unsupported (8 or 16)")
+          if (bitDepth == 16 && colorType == 3)
+            fail("16-bit palette images are not in the PNG spec")
+          depth = bitDepth
           if (compression != 0) fail(s"unknown compression method $compression")
           if (filterMethod != 0) fail(s"unknown filter method $filterMethod")
           if (interlace > 1) fail(s"unknown interlace method $interlace")
@@ -162,11 +176,12 @@ object Png {
     // anything past expected+1 probe byte is an error, not an alloc).
     // Interlaced streams carry one filtered sub-image per non-empty
     // Adam7 pass, each with its own per-row filter bytes. ---
+    val fileBpp = fileCh * (depth / 8) // bytes per complete pixel
     val expected =
-      if (!interlaced) (1 + width * fileCh) * height
+      if (!interlaced) (1 + width * fileBpp) * height
       else Adam7.map { p =>
         val (wp, hp) = passDims(width, height, p)
-        if (wp == 0 || hp == 0) 0 else hp * (1 + wp * fileCh)
+        if (wp == 0 || hp == 0) 0 else hp * (1 + wp * fileBpp)
       }.sum
     val raw = new Array[Byte](expected)
     val inf = new Inflater()
@@ -202,9 +217,9 @@ object Png {
     if (got != expected) fail(s"inflated $got bytes, expected $expected")
 
     // --- unfilter (spec §6), then reassemble interlace passes ---
-    val filePixels = new Array[Byte](width * fileCh * height)
+    val filePixels = new Array[Byte](width * fileBpp * height)
     if (!interlaced) {
-      val consumed = unfilterPass(raw, 0, filePixels, width, height, fileCh)
+      val consumed = unfilterPass(raw, 0, filePixels, width, height, fileBpp)
       if (consumed != expected) fail("filtered data size mismatch")
     } else {
       var rawOff = 0
@@ -212,14 +227,14 @@ object Png {
         val (x0, y0, dx, dy) = p
         val (wp, hp) = passDims(width, height, p)
         if (wp > 0 && hp > 0) {
-          val sub = new Array[Byte](wp * hp * fileCh)
-          rawOff = unfilterPass(raw, rawOff, sub, wp, hp, fileCh)
+          val sub = new Array[Byte](wp * hp * fileBpp)
+          rawOff = unfilterPass(raw, rawOff, sub, wp, hp, fileBpp)
           var py = 0
           while (py < hp) {
             var px = 0
             while (px < wp) {
-              System.arraycopy(sub, (py * wp + px) * fileCh, filePixels,
-                ((y0 + py * dy) * width + (x0 + px * dx)) * fileCh, fileCh)
+              System.arraycopy(sub, (py * wp + px) * fileBpp, filePixels,
+                ((y0 + py * dy) * width + (x0 + px * dx)) * fileBpp, fileBpp)
               px += 1
             }
             py += 1
@@ -243,7 +258,7 @@ object Png {
         j += 1
       }
       Image(width, height, colorType, 3, rgb)
-    } else Image(width, height, colorType, fileCh, filePixels)
+    } else Image(width, height, colorType, fileCh, filePixels, depth)
   }
 
   /** Unfilter one (sub-)image of `w`×`h` pixels with `ch` bytes per
@@ -386,6 +401,31 @@ object Png {
       interlace, palette = None)
   }
 
+  /** Encode 16-bit samples (0..65535, row-major, `channels` interleaved
+    * per pixel) as a 16-bit-depth PNG; samples serialize big-endian.
+    */
+  def encode16(width: Int, height: Int, channels: Int, samples: Array[Int],
+      filterFor: Int => Int = _ % 5, interlace: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(channels >= 1 && channels <= 4, s"channels=$channels (1..4)")
+    require(samples.length == width * channels * height,
+      s"need ${width * channels * height} samples, got ${samples.length}")
+    samples.foreach(v => require(v >= 0 && v <= 0xffff, s"sample $v not u16"))
+    val colorType = channels match {
+      case 1 => 0
+      case 2 => 4
+      case 3 => 2
+      case 4 => 6
+    }
+    val bytes = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      bytes(i * 2) = ((samples(i) >> 8) & 0xff).toByte
+      bytes(i * 2 + 1) = (samples(i) & 0xff).toByte
+    }
+    writePng(width, height, colorType, channels, bytes, filterFor,
+      interlace, palette = None, depth = 16)
+  }
+
   /** Encode palette indices + a PLTE table (color type 3); `palette` is
     * flat 0xRRGGBB entries, indices must be within it.
     */
@@ -404,16 +444,18 @@ object Png {
 
   private def writePng(width: Int, height: Int, colorType: Int,
       channels: Int, pixels: Array[Byte], filterFor: Int => Int,
-      interlace: Boolean, palette: Option[Array[Int]]): Array[Byte] = {
+      interlace: Boolean, palette: Option[Array[Int]],
+      depth: Int = 8): Array[Byte] = {
+    val bpp = channels * (depth / 8) // filter/extract work on BYTES
     val raw = new ByteArrayOutputStream()
-    if (!interlace) filterPass(raw, pixels, width, height, channels, 0, filterFor)
+    if (!interlace) filterPass(raw, pixels, width, height, bpp, 0, filterFor)
     else {
       var rowBase = 0
       for (p <- Adam7) {
         val (wp, hp) = passDims(width, height, p)
         if (wp > 0 && hp > 0) {
-          filterPass(raw, extractPass(pixels, width, channels, p, wp, hp),
-            wp, hp, channels, rowBase, filterFor)
+          filterPass(raw, extractPass(pixels, width, bpp, p, wp, hp),
+            wp, hp, bpp, rowBase, filterFor)
           rowBase += hp
         }
       }
@@ -439,7 +481,7 @@ object Png {
 
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
-      .put(8.toByte).put(colorType.toByte)
+      .put(depth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte) // deflate, filter method 0
       .put((if (interlace) 1 else 0).toByte)
     chunk("IHDR", ihdr.array())

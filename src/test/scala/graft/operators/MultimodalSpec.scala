@@ -193,8 +193,28 @@ class MultimodalSpec extends SparkSpec {
     // palette color type without a PLTE chunk is rejected by name
     assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(9, 3)))
       .getMessage.contains("PLTE"))
+    // depth 16 is now supported — flipping only the depth flag halves
+    // the samples the layout accounts for, a size error; depth 4 is
+    // rejected by name
     assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(8, 16)))
+      .getMessage.contains("expected"))
+    assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(8, 4)))
       .getMessage.contains("bit depth"))
+  }
+
+  test("PNG codec: 16-bit depth round-trips at every channel count") {
+    val rnd = new scala.util.Random(13)
+    for (ch <- Seq(1, 2, 3, 4); inter <- Seq(false, true)) {
+      val samples = Array.fill(5 * 3 * ch)(rnd.nextInt(0x10000))
+      val img = Png.decode(Png.encode16(5, 3, ch, samples, interlace = inter))
+      assert(img.bitDepth == 16 && img.channels == ch)
+      assert((0 until img.nSamples).map(img.sample).toSeq == samples.toSeq,
+        s"ch=$ch interlace=$inter")
+    }
+    // PngCodec means report in the native 16-bit scale
+    val gray = Array.tabulate(16)(i => i * 4000)
+    val f = Multimodal.PngCodec.decode(Png.encode16(2, 8, 1, gray))
+    assert(f.getDouble(3) == gray.sum.toDouble / 16)
   }
 
   test("PNG codec: alpha, palette and Adam7 round-trips") {
