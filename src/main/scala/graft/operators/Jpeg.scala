@@ -5,14 +5,19 @@ import java.nio.charset.StandardCharsets
 
 /** Pure-JVM baseline JPEG codec (ITU-T T.81 / ISO 10918-1, public spec).
   *
-  * Scope — baseline sequential DCT, 8-bit precision, Huffman entropy
-  * coding, 1-component (grayscale) or 3-component (YCbCr, JFIF color
-  * matrix) images with general sampling factors in {1,2,4} — 4:4:4,
-  * 4:2:2 and 4:2:0 chroma subsampling all decode (interleaved MCU walk
-  * per T.81 A.2.3, sample-replication upsampling) — single interleaved
-  * scan, optional restart intervals. Progressive (SOF2), arithmetic
-  * coding and 12-bit precision are rejected with a descriptive
-  * `IllegalArgumentException` — honest scope, not silent garbage.
+  * Scope — baseline sequential DCT (SOF0/1) AND progressive (SOF2,
+  * T.81 Annex G: spectral selection, successive approximation with DC
+  * and AC refinement scans, EOB-run batching), 8-bit precision,
+  * Huffman entropy coding, 1-component (grayscale) or 3-component
+  * (YCbCr, JFIF color matrix) images with general sampling factors in
+  * {1,2,4} — 4:4:4, 4:2:2 and 4:2:0 chroma subsampling all decode
+  * (interleaved MCU walk per T.81 A.2.3, sample-replication
+  * upsampling) — optional restart intervals. Arithmetic coding,
+  * hierarchical (SOF5+) and 12-bit precision are rejected with a
+  * descriptive `IllegalArgumentException` — honest scope, not silent
+  * garbage. Progressive conformance is pinned by JpegSpec's exact
+  * progressive==baseline reconstruction equality (both entropy-code
+  * the same quantized coefficients).
   *
   * The decoder is general over conforming streams (tables are read from
   * DQT/DHT segments, not assumed); the encoder exists so pipelines
@@ -70,6 +75,20 @@ object Jpeg {
   // T.81 Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL).
   private val StdDcLumaCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
   private val StdDcLumaValues = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  /** AC table for the PROGRESSIVE encoder: the baseline standard table
+    * has no EOBn symbols (0x10..0xE0 — they only exist in progressive
+    * streams, where real encoders ship custom tables). A fixed-8-bit
+    * canonical table covering EOB0/EOBn/ZRL plus every (run, size 1-10)
+    * keeps the encoder trivial and the stream fully legal; the decoder
+    * reads whatever DHT arrives, so nothing special-cases this.
+    */
+  private val ProgAcValues: Array[Int] =
+    (Array(0x00) ++
+      (for (r <- 0 to 15; sz <- 1 to 10) yield (r << 4) | sz) ++
+      (1 to 14).map(_ << 4) ++ Array(0xf0)).toArray
+  private val ProgAcCounts: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, ProgAcValues.length, 0, 0, 0, 0, 0, 0, 0, 0)
+
   private val StdAcLumaCounts = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
   private val StdAcLumaValues = Array(
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
@@ -276,6 +295,70 @@ object Jpeg {
     out
   }
 
+  /** Per-component sampling factors + level-shifted (−128) component
+    * planes at their own resolution (RGB→YCbCr + box-average
+    * subsampling for 3-plane input) — shared by the sequential and
+    * progressive encoders.
+    */
+  private def componentPlanes(width: Int, height: Int,
+      planes: Array[Array[Int]], hs: Int,
+      vs: Int): (Array[(Int, Int)], Array[Array[Double]]) = {
+    val nComp = planes.length
+    // T.81 convention: Y carries the max so chroma is 1/hs × 1/vs of luma
+    val samp: Array[(Int, Int)] =
+      if (nComp == 1) Array((1, 1)) else Array((hs, vs), (1, 1), (1, 1))
+    val hmax = samp.map(_._1).max
+    val vmax = samp.map(_._2).max
+    val fullRes: Array[Array[Double]] =
+      if (nComp == 1) Array(planes(0).map(_ - 128.0))
+      else {
+        val (r, g, b) = (planes(0), planes(1), planes(2))
+        val y = new Array[Double](width * height)
+        val cb = new Array[Double](width * height)
+        val cr = new Array[Double](width * height)
+        var i = 0
+        while (i < width * height) {
+          val (rr, gg, bb) = (r(i).toDouble, g(i).toDouble, b(i).toDouble)
+          y(i) = 0.299 * rr + 0.587 * gg + 0.114 * bb - 128.0
+          cb(i) = -0.168736 * rr - 0.331264 * gg + 0.5 * bb
+          cr(i) = 0.5 * rr - 0.418688 * gg - 0.081312 * bb
+          i += 1
+        }
+        Array(y, cb, cr)
+      }
+    val shifted: Array[Array[Double]] = Array.tabulate(nComp) { c =>
+      val (fx, fy) = (hmax / samp(c)._1, vmax / samp(c)._2)
+      if (fx == 1 && fy == 1) fullRes(c)
+      else {
+        val wc = (width * samp(c)._1 + hmax - 1) / hmax
+        val hc = (height * samp(c)._2 + vmax - 1) / vmax
+        val outp = new Array[Double](wc * hc)
+        var yy = 0
+        while (yy < hc) {
+          var xx = 0
+          while (xx < wc) {
+            var sum = 0.0
+            var n = 0
+            var sy = yy * fy
+            while (sy < math.min((yy + 1) * fy, height)) {
+              var sx = xx * fx
+              while (sx < math.min((xx + 1) * fx, width)) {
+                sum += fullRes(c)(sy * width + sx)
+                n += 1; sx += 1
+              }
+              sy += 1
+            }
+            outp(yy * wc + xx) = sum / n
+            xx += 1
+          }
+          yy += 1
+        }
+        outp
+      }
+    }
+    (samp, shifted)
+  }
+
   private def writeSegment(out: ByteArrayOutputStream, marker: Int,
       payload: Array[Byte]): Unit = {
     out.write(0xff); out.write(marker)
@@ -304,64 +387,11 @@ object Jpeg {
     require((hs == 1 || hs == 2) && (vs == 1 || vs == 2),
       s"chroma subsampling factors must be 1 or 2, got ${hs}x$vs")
 
-    // Per-component sampling factors (T.81 convention: Y carries the max
-    // so chroma resolution is 1/hs × 1/vs of luma).
-    val samp: Array[(Int, Int)] =
-      if (nComp == 1) Array((1, 1)) else Array((hs, vs), (1, 1), (1, 1))
+    val (samp, shifted) = componentPlanes(width, height, planes, hs, vs)
     val hmax = samp.map(_._1).max
     val vmax = samp.map(_._2).max
     def compW(c: Int): Int = (width * samp(c)._1 + hmax - 1) / hmax
     def compH(c: Int): Int = (height * samp(c)._2 + vmax - 1) / vmax
-
-    // Full-resolution component planes (Y or Y,Cb,Cr), doubles, already
-    // level-shifted by -128.
-    val fullRes: Array[Array[Double]] =
-      if (nComp == 1) Array(planes(0).map(_ - 128.0))
-      else {
-        val (r, g, b) = (planes(0), planes(1), planes(2))
-        val y = new Array[Double](width * height)
-        val cb = new Array[Double](width * height)
-        val cr = new Array[Double](width * height)
-        var i = 0
-        while (i < width * height) {
-          val (rr, gg, bb) = (r(i).toDouble, g(i).toDouble, b(i).toDouble)
-          y(i) = 0.299 * rr + 0.587 * gg + 0.114 * bb - 128.0
-          cb(i) = -0.168736 * rr - 0.331264 * gg + 0.5 * bb
-          cr(i) = 0.5 * rr - 0.418688 * gg - 0.081312 * bb
-          i += 1
-        }
-        Array(y, cb, cr)
-      }
-    // Box-average subsampled components down to their own resolution.
-    val shifted: Array[Array[Double]] = Array.tabulate(nComp) { c =>
-      val (fx, fy) = (hmax / samp(c)._1, vmax / samp(c)._2)
-      if (fx == 1 && fy == 1) fullRes(c)
-      else {
-        val (wc, hc) = (compW(c), compH(c))
-        val outp = new Array[Double](wc * hc)
-        var yy = 0
-        while (yy < hc) {
-          var xx = 0
-          while (xx < wc) {
-            var sum = 0.0
-            var n = 0
-            var sy = yy * fy
-            while (sy < math.min((yy + 1) * fy, height)) {
-              var sx = xx * fx
-              while (sx < math.min((xx + 1) * fx, width)) {
-                sum += fullRes(c)(sy * width + sx)
-                n += 1; sx += 1
-              }
-              sy += 1
-            }
-            outp(yy * wc + xx) = sum / n
-            xx += 1
-          }
-          yy += 1
-        }
-        outp
-      }
-    }
 
     val out = new ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
@@ -486,6 +516,269 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode as a PROGRESSIVE (SOF2) JFIF stream with the standard
+    * successive-approximation scan script: interleaved DC first (Al=1),
+    * per-component AC first over 1..63 (Al=1, EOB-run batching), DC
+    * refinement, then per-component AC refinement (the correction-bit
+    * scan). The quantized coefficients are identical to what
+    * [[encode]] emits sequentially, so a conformant decoder
+    * reconstructs the two streams bit-identically — which is exactly
+    * how JpegSpec pins this encoder/decoder pair against the proven
+    * baseline path.
+    */
+  def encodeProgressive(width: Int, height: Int, planes: Array[Array[Int]],
+      quant: Array[Int] = StdQuantLuma,
+      chromaSubsample: (Int, Int) = (1, 1)): Array[Byte] = {
+    val nComp = planes.length
+    require(nComp == 1 || nComp == 3, s"encode supports 1 or 3 planes, got $nComp")
+    require(width > 0 && height > 0 && planes.forall(_.length == width * height),
+      "plane size must be width*height")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in [1,255]")
+    val (hs, vs) = chromaSubsample
+    require((hs == 1 || hs == 2) && (vs == 1 || vs == 2),
+      s"chroma subsampling factors must be 1 or 2, got ${hs}x$vs")
+    val (samp, shifted) = componentPlanes(width, height, planes, hs, vs)
+    val hmax = samp.map(_._1).max
+    val vmax = samp.map(_._2).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    def compW(c: Int): Int = (width * samp(c)._1 + hmax - 1) / hmax
+    def compH(c: Int): Int = (height * samp(c)._2 + vmax - 1) / vmax
+    val padW = samp.map(_._1 * mcusX)
+    val padH = samp.map(_._2 * mcusY)
+    val realW = Array.tabulate(nComp)(c => (compW(c) + 7) / 8)
+    val realH = Array.tabulate(nComp)(c => (compH(c) + 7) / 8)
+
+    // all quantized coefficient blocks up front (natural order per
+    // block, padded MCU grid — edge blocks replicate, padding blocks
+    // replicate the component edge like the sequential path)
+    val block = new Array[Double](64)
+    val coefArr = Array.tabulate(nComp)(c => new Array[Int](padW(c) * padH(c) * 64))
+    for (c <- 0 until nComp; by <- 0 until padH(c); bx <- 0 until padW(c)) {
+      val plane = shifted(c)
+      val (wc, hc) = (compW(c), compH(c))
+      var y0 = 0
+      while (y0 < 8) {
+        val sy = math.min(by * 8 + y0, hc - 1)
+        var x0 = 0
+        while (x0 < 8) {
+          block(y0 * 8 + x0) = plane(sy * wc + math.min(bx * 8 + x0, wc - 1))
+          x0 += 1
+        }
+        y0 += 1
+      }
+      System.arraycopy(fdctQuant(block, quant), 0, coefArr(c),
+        (by * padW(c) + bx) * 64, 64)
+    }
+
+    val out = new ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    writeSegment(out, 0xe0,
+      "JFIF".getBytes(StandardCharsets.US_ASCII) ++
+        Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    writeSegment(out, 0xdb,
+      Array(0.toByte) ++ Array.tabulate(64)(i => quant(ZigZag(i)).toByte))
+    writeSegment(out, 0xc2, { // SOF2
+      val b = Array.newBuilder[Byte]
+      b += 8
+      b += ((height >> 8) & 0xff).toByte += (height & 0xff).toByte
+      b += ((width >> 8) & 0xff).toByte += (width & 0xff).toByte
+      b += nComp.toByte
+      for (c <- 0 until nComp)
+        b += (c + 1).toByte += ((samp(c)._1 << 4) | samp(c)._2).toByte += 0.toByte
+      b.result()
+    })
+    writeSegment(out, 0xc4,
+      Array(0x00.toByte) ++ StdDcLumaCounts.map(_.toByte) ++ StdDcLumaValues.map(_.toByte))
+    writeSegment(out, 0xc4,
+      Array(0x10.toByte) ++ ProgAcCounts.map(_.toByte) ++ ProgAcValues.map(_.toByte))
+    val dcCodes = encoderCodes(StdDcLumaCounts, StdDcLumaValues)
+    val acCodes = encoderCodes(ProgAcCounts, ProgAcValues)
+
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
+      writeSegment(out, 0xda, {
+        val b = Array.newBuilder[Byte]
+        b += comps.length.toByte
+        comps.foreach(c => b += (c + 1).toByte += 0x00.toByte)
+        b += ss.toByte += se.toByte += ((ah << 4) | al).toByte
+        b.result()
+      })
+
+    def coefAt(c: Int, bi: Int, k: Int): Int = coefArr(c)(bi * 64 + ZigZag(k))
+
+    // ---- scan 1: DC first, interleaved, Al=1 (arithmetic shift) ----
+    sos(0 until nComp, 0, 0, 0, 1)
+    locally {
+      val w = new BitWriter(out)
+      val dcPred = new Array[Int](nComp)
+      var m = 0
+      while (m < mcusX * mcusY) {
+        val mx = m % mcusX
+        val my = m / mcusX
+        for (c <- 0 until nComp; by0 <- 0 until samp(c)._2;
+            bx0 <- 0 until samp(c)._1) {
+          val bi = (my * samp(c)._2 + by0) * padW(c) + (mx * samp(c)._1 + bx0)
+          val v = coefArr(c)(bi * 64) >> 1 // DC point transform: arithmetic
+          val diff = v - dcPred(c)
+          dcPred(c) = v
+          val cat = category(diff)
+          val e = dcCodes(cat); w.put((e >>> 8).toInt, (e & 0xff).toInt)
+          if (cat > 0)
+            w.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+        }
+        m += 1
+      }
+      w.flushWithOnes()
+    }
+
+    // ---- per component: AC first 1..63, Al=1 (toward-zero) ----
+    for (c <- 0 until nComp) {
+      sos(Seq(c), 1, 63, 0, 1)
+      val w = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val e = acCodes(r << 4); w.put((e >>> 8).toInt, (e & 0xff).toInt)
+        if (r > 0) w.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      var b = 0
+      while (b < realW(c) * realH(c)) {
+        val bi = (b / realW(c)) * padW(c) + b % realW(c)
+        def tv(k: Int): Int = { // AC point transform: toward zero
+          val v = coefAt(c, bi, k)
+          if (v >= 0) v >> 1 else -((-v) >> 1)
+        }
+        var last = 63
+        while (last >= 1 && tv(last) == 0) last -= 1
+        if (last < 1) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+        else {
+          flushEob()
+          var run = 0
+          var k = 1
+          while (k <= last) {
+            val v = tv(k)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) {
+                val e = acCodes(0xf0); w.put((e >>> 8).toInt, (e & 0xff).toInt)
+                run -= 16
+              }
+              val size = category(v)
+              val e = acCodes((run << 4) | size)
+              w.put((e >>> 8).toInt, (e & 0xff).toInt)
+              w.put(if (v < 0) v + (1 << size) - 1 else v, size)
+              run = 0
+            }
+            k += 1
+          }
+          if (last < 63) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+        }
+        b += 1
+      }
+      flushEob()
+      w.flushWithOnes()
+    }
+
+    // ---- DC refinement: Ah=1, Al=0 — one raw bit per block ----
+    sos(0 until nComp, 0, 0, 1, 0)
+    locally {
+      val w = new BitWriter(out)
+      var m = 0
+      while (m < mcusX * mcusY) {
+        val mx = m % mcusX
+        val my = m / mcusX
+        for (c <- 0 until nComp; by0 <- 0 until samp(c)._2;
+            bx0 <- 0 until samp(c)._1) {
+          val bi = (my * samp(c)._2 + by0) * padW(c) + (mx * samp(c)._1 + bx0)
+          w.put(coefArr(c)(bi * 64) & 1, 1)
+        }
+        m += 1
+      }
+      w.flushWithOnes()
+    }
+
+    // ---- per component: AC refinement, Ah=1, Al=0 ----
+    // correction bits for history-nonzero coefficients buffer until the
+    // next symbol (or EOBn flush), mirroring the decoder's walk order
+    for (c <- 0 until nComp) {
+      sos(Seq(c), 1, 63, 1, 0)
+      val w = new BitWriter(out)
+      var eobrun = 0
+      val pend = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def putPend(): Unit = { pend.foreach(w.put(_, 1)); pend.clear() }
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val e = acCodes(r << 4); w.put((e >>> 8).toInt, (e & 0xff).toInt)
+        if (r > 0) w.put(eobrun - (1 << r), r)
+        eobrun = 0
+        putPend()
+      }
+      var b = 0
+      while (b < realW(c) * realH(c)) {
+        val bi = (b / realW(c)) * padW(c) + b % realW(c)
+        // last newly-significant position (|v| == 1): beyond it the
+        // block contributes only correction bits, batched into the EOB run
+        var last = 63
+        while (last >= 1 && math.abs(coefAt(c, bi, last)) != 1) last -= 1
+        if (last < 1) {
+          // no new significance: whole band is history refinement
+          var k = 1
+          while (k <= 63) {
+            val v = coefAt(c, bi, k)
+            if (v != 0) pend += (v & 1)
+            k += 1
+          }
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          var k = 1
+          while (k <= last) {
+            val v = coefAt(c, bi, k)
+            if (math.abs(v) > 1) pend += (v & 1) // history: correction bit
+            else if (v == 0) {
+              run += 1
+              if (run == 16) {
+                val e = acCodes(0xf0); w.put((e >>> 8).toInt, (e & 0xff).toInt)
+                putPend()
+                run = 0
+              }
+            } else { // |v| == 1: newly significant
+              val e = acCodes((run << 4) | 1)
+              w.put((e >>> 8).toInt, (e & 0xff).toInt)
+              w.put(if (v > 0) 1 else 0, 1)
+              putPend()
+              run = 0
+            }
+            k += 1
+          }
+          // tail: correction bits after the last new coefficient ride
+          // with the EOB run
+          while (k <= 63) {
+            val v = coefAt(c, bi, k)
+            if (v != 0) pend += (v & 1)
+            k += 1
+          }
+          // last == 63 ⟹ the final symbol closed the band: no EOB and
+          // nothing pended (putPend ran with that symbol)
+          if (last < 63) {
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          }
+        }
+        b += 1
+      }
+      flushEob()
+      w.flushWithOnes()
+    }
+
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // Decoder
   // ------------------------------------------------------------------
@@ -505,6 +798,15 @@ object Jpeg {
     var sofComps: Array[SofComp] = null
     var planes: Array[Array[Int]] = null
     var sawScan = false
+    // progressive state: raw quantized coefficients accumulate across
+    // scans (natural order per block) on the MCU-PADDED block grid —
+    // interleaved DC scans visit padding blocks that non-interleaved AC
+    // scans never do; dequant+IDCT of the REAL blocks happens at EOI
+    var progressive = false
+    var coefs: Array[Array[Int]] = null
+    var padBW: Array[Int] = null // padded grid width (blocks) per comp
+    var realBW: Array[Int] = null
+    var realBH: Array[Int] = null
 
     def u16(at: Int): Int = {
       require(at + 1 < bytes.length, "JPEG truncated in segment header")
@@ -534,7 +836,8 @@ object Jpeg {
         case 0xd9 => done = true // EOI
         case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
           () // standalone markers: no payload
-        case 0xc0 | 0xc1 => // SOF0/SOF1: baseline + extended sequential Huffman
+        case sofM @ (0xc0 | 0xc1 | 0xc2) => // baseline/extended/progressive
+          progressive = sofM == 0xc2
           val len = segLen(pos)
           require(len >= 8, "malformed SOF segment (too short for header)")
           require((bytes(pos + 2) & 0xff) == 8, "only 8-bit precision supported")
@@ -574,9 +877,18 @@ object Jpeg {
               ((width.toLong * c.h + hmax - 1) / hmax).toInt *
                 ((height.toLong * c.v + vmax - 1) / vmax).toInt)
           }
+          if (progressive) {
+            val mcX = (width + 8 * hmax - 1) / (8 * hmax)
+            val mcY = (height + 8 * vmax - 1) / (8 * vmax)
+            padBW = sofComps.map(c => mcX * c.h)
+            realBW = sofComps.map(c =>
+              ((width * c.h + hmax - 1) / hmax + 7) / 8)
+            realBH = sofComps.map(c =>
+              ((height * c.v + vmax - 1) / vmax + 7) / 8)
+            coefs = sofComps.indices.map(ci =>
+              new Array[Int](padBW(ci) * (mcY * sofComps(ci).v) * 64)).toArray
+          }
           pos += len
-        case 0xc2 =>
-          throw new IllegalArgumentException("progressive JPEG (SOF2) not supported")
         case m if (m >= 0xc3 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
           throw new IllegalArgumentException(
             f"unsupported SOF type 0xFF$m%02X (baseline sequential Huffman only)")
@@ -617,13 +929,11 @@ object Jpeg {
           require(segLen(pos) == 4, "malformed DRI")
           restartInterval = u16(pos + 2)
           pos += 4
-        case 0xda => // SOS: single interleaved scan, then entropy data
+        case 0xda => // SOS, then entropy data
           require(sofComps != null, "SOS before SOF")
           val len = segLen(pos)
           require(len >= 3, "malformed SOS segment (too short)")
           val ns = bytes(pos + 2) & 0xff
-          require(ns == sofComps.length,
-            s"scan must cover all $ns components (single interleaved scan only)")
           require(len == 6 + 2 * ns, "malformed SOS segment length")
           val scanTables = Array.tabulate(ns) { i =>
             val o = pos + 3 + 2 * i
@@ -636,12 +946,31 @@ object Jpeg {
             (ci, tdTa >> 4, tdTa & 15)
           }
           val ssOff = pos + 3 + 2 * ns
-          require((bytes(ssOff) & 0xff) == 0 && (bytes(ssOff + 1) & 0xff) == 63 &&
-            (bytes(ssOff + 2) & 0xff) == 0,
-            "non-baseline spectral selection / successive approximation")
+          val ss = bytes(ssOff) & 0xff
+          val se = bytes(ssOff + 1) & 0xff
+          val ah = (bytes(ssOff + 2) & 0xff) >> 4
+          val al = bytes(ssOff + 2) & 15
           pos += len
-          pos = decodeScan(bytes, pos, width, height, sofComps, scanTables,
-            quantTables, dcTables, acTables, restartInterval, planes)
+          if (!progressive) {
+            require(ns == sofComps.length,
+              s"scan must cover all $ns components (single interleaved scan only)")
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              "non-baseline spectral selection / successive approximation")
+            pos = decodeScan(bytes, pos, width, height, sofComps, scanTables,
+              quantTables, dcTables, acTables, restartInterval, planes)
+          } else {
+            // T.81 G.1.1: DC scans have Ss=Se=0 and may interleave; AC
+            // scans cover one component over a Ss..Se band; refinement
+            // scans step Al down one bit at a time
+            if (ss == 0) require(se == 0, "progressive DC scan must have Se=0")
+            else require(ns == 1 && ss <= se && se <= 63,
+              s"progressive AC scan must be single-component, got Ss=$ss Se=$se ns=$ns")
+            require(al <= 13 && (ah == 0 || ah == al + 1),
+              s"bad successive approximation Ah=$ah Al=$al")
+            pos = decodeProgScan(bytes, pos, width, height, sofComps,
+              scanTables, dcTables, acTables, restartInterval,
+              coefs, padBW, realBW, realBH, ss, se, ah, al)
+          }
           sawScan = true
         case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe => // APPn / COM
           pos += segLen(pos)
@@ -653,6 +982,35 @@ object Jpeg {
     // planes, and headers-without-SOS would otherwise decode to a silent
     // all-zero image
     require(sawScan, "JPEG contained no image scan")
+
+    if (progressive) {
+      // every scan has accumulated its band/bits; dequantize and IDCT
+      // the REAL blocks (padding blocks only ever held DC bits no pixel
+      // maps to)
+      val hmax = sofComps.map(_.h).max
+      val vmax = sofComps.map(_.v).max
+      val coefNat = new Array[Int](64)
+      var ci = 0
+      while (ci < sofComps.length) {
+        val quant = quantTables(sofComps(ci).tq)
+        require(quant != null, "progressive stream missing quant table")
+        val cw = (width * sofComps(ci).h + hmax - 1) / hmax
+        val chh = (height * sofComps(ci).v + vmax - 1) / vmax
+        var by = 0
+        while (by < realBH(ci)) {
+          var bx = 0
+          while (bx < realBW(ci)) {
+            val base = (by * padBW(ci) + bx) * 64
+            var j = 0
+            while (j < 64) { coefNat(j) = coefs(ci)(base + j) * quant(j); j += 1 }
+            idctInto(coefNat, planes(ci), cw, chh, bx, by)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+    }
 
     if (sofComps.length == 1) Image(width, height, 1, planes)
     else { // upsample subsampled components (sample replication), then
@@ -845,6 +1203,190 @@ object Jpeg {
       }
       sinceRestart += 1
       m += 1
+    }
+    reader.pos
+  }
+
+  /** One progressive scan (T.81 G.2): accumulates raw quantized
+    * coefficients into `coefs` (natural order per block, MCU-padded row
+    * stride). Four scan kinds: DC first (diff-coded, <<Al), DC refine
+    * (one bit per block), AC first (EOB-run + (run,size) over the
+    * Ss..Se band, <<Al), AC refine (the correction-bit walk: every
+    * already-nonzero coefficient in the band consumes a bit, newly
+    * significant ones appear as ±1<<Al). Returns the new byte position.
+    */
+  private def decodeProgScan(bytes: Array[Byte], start: Int, width: Int,
+      height: Int, sofComps: Array[SofComp],
+      scanTables: Array[(Int, Int, Int)], dcTables: Array[HuffTable],
+      acTables: Array[HuffTable], restartInterval: Int,
+      coefs: Array[Array[Int]], padBW: Array[Int], realBW: Array[Int],
+      realBH: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Int = {
+    val reader = new BitReader(bytes, start)
+    val dcPred = new Array[Int](sofComps.length)
+    var eobrun = 0
+    var rstIdx = 0
+    var sinceRestart = 0
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        reader.restart(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+        sinceRestart = 0
+      }
+
+    def decodeDc(ci: Int, td: Int, bi: Int): Unit = {
+      val arr = coefs(ci)
+      if (ah == 0) {
+        val dcT = dcTables(td)
+        require(dcT != null, "DC scan references an undefined Huffman table")
+        val cat = dcT.decode(reader)
+        require(cat <= 11, s"invalid DC category $cat")
+        dcPred(ci) += extend(reader.receive(cat), cat)
+        arr(bi * 64) = dcPred(ci) << al
+      } else if (reader.receive(1) == 1) {
+        arr(bi * 64) |= 1 << al
+      }
+    }
+
+    def refineNonzero(arr: Array[Int], j: Int): Unit =
+      if (reader.receive(1) == 1 && (arr(j) & (1 << al)) == 0)
+        arr(j) += (if (arr(j) >= 0) 1 << al else -(1 << al))
+
+    def decodeAcFirst(ci: Int, ta: Int, bi: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val acT = acTables(ta)
+      require(acT != null, "AC scan references an undefined Huffman table")
+      val arr = coefs(ci)
+      val base = bi * 64
+      var k = ss
+      while (k <= se) {
+        val rs = acT.decode(reader)
+        val run = rs >> 4
+        val size = rs & 15
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << run) - 1
+            if (run > 0) eobrun += reader.receive(run)
+            k = se + 1 // EOBn ends this block, run covers the next ones
+          }
+        } else {
+          k += run
+          require(k <= se, "AC coefficient index overruns the scan band")
+          arr(base + ZigZag(k)) = extend(reader.receive(size), size) << al
+          k += 1
+        }
+      }
+    }
+
+    def decodeAcRefine(ci: Int, ta: Int, bi: Int): Unit = {
+      val arr = coefs(ci)
+      val base = bi * 64
+      var k = ss
+      if (eobrun > 0) {
+        eobrun -= 1
+        while (k <= se) { // correction bits only
+          val j = base + ZigZag(k)
+          if (arr(j) != 0) refineNonzero(arr, j)
+          k += 1
+        }
+        return
+      }
+      val acT = acTables(ta)
+      require(acT != null, "AC scan references an undefined Huffman table")
+      while (k <= se) {
+        val rs = acT.decode(reader)
+        var run = rs >> 4
+        val size = rs & 15
+        var newVal = 0
+        if (size == 0) {
+          if (run != 15) { // EOBn: refine the rest of the band, then run
+            eobrun = (1 << run) - 1
+            if (run > 0) eobrun += reader.receive(run)
+            while (k <= se) {
+              val j = base + ZigZag(k)
+              if (arr(j) != 0) refineNonzero(arr, j)
+              k += 1
+            }
+            return
+          } // run == 15: ZRL — skip 16 zero-history positions
+        } else {
+          require(size == 1, "AC refinement magnitude must be 1")
+          newVal = if (reader.receive(1) == 1) 1 << al else -(1 << al)
+        }
+        // advance past `run` zero-history positions (refining nonzeros
+        // on the way), then place the new coefficient if any
+        var placed = false
+        while (!placed && k <= se) {
+          val j = base + ZigZag(k)
+          if (arr(j) != 0) refineNonzero(arr, j)
+          else if (run == 0) {
+            if (newVal != 0) arr(j) = newVal
+            placed = true
+          } else run -= 1
+          k += 1
+        }
+        require(placed || k > se, "AC refinement run overran the band")
+      }
+    }
+
+    if (ss == 0) {
+      // DC scan: interleaved over MCUs when multi-component (T.81
+      // A.2.3), else the component's own real block grid (A.2.2)
+      if (scanTables.length > 1) {
+        val hmax = sofComps.map(_.h).max
+        val vmax = sofComps.map(_.v).max
+        val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+        val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+        var m = 0
+        while (m < mcusX * mcusY) {
+          maybeRestart()
+          val mx = m % mcusX
+          val my = m / mcusX
+          var s = 0
+          while (s < scanTables.length) {
+            val (ci, td, _) = scanTables(s)
+            val (hc, vc) = (sofComps(ci).h, sofComps(ci).v)
+            var by0 = 0
+            while (by0 < vc) {
+              var bx0 = 0
+              while (bx0 < hc) {
+                decodeDc(ci, td,
+                  (my * vc + by0) * padBW(ci) + (mx * hc + bx0))
+                bx0 += 1
+              }
+              by0 += 1
+            }
+            s += 1
+          }
+          sinceRestart += 1
+          m += 1
+        }
+      } else {
+        // single-component DC scan of a subsampled comp: own real grid
+        val (ci, td, _) = scanTables(0)
+        var b = 0
+        while (b < realBW(ci) * realBH(ci)) {
+          maybeRestart()
+          decodeDc(ci, td, (b / realBW(ci)) * padBW(ci) + b % realBW(ci))
+          sinceRestart += 1
+          b += 1
+        }
+      }
+    } else {
+      // AC scan: always the single component's real block grid
+      val (ci, _, ta) = scanTables(0)
+      var b = 0
+      while (b < realBW(ci) * realBH(ci)) {
+        maybeRestart()
+        val bi = (b / realBW(ci)) * padBW(ci) + b % realBW(ci)
+        if (ah == 0) decodeAcFirst(ci, ta, bi)
+        else decodeAcRefine(ci, ta, bi)
+        sinceRestart += 1
+        b += 1
+      }
     }
     reader.pos
   }

@@ -349,6 +349,18 @@ object Multimodal {
     withDigestColumn(docs)(dg => Jpeg.encode(32, 32, Array(digestPlane(dg, 0)), quant))
   }
 
+  /** The same DC-exact 16-block image as [[withJpegColumn]], encoded as
+    * a PROGRESSIVE (SOF2) stream — DC first + refinement split the
+    * values across successive-approximation scans, the AC scans are
+    * pure EOB runs, and the decoded means must still replay exactly
+    * from the digest.
+    */
+  def withJpegProgressiveColumn(docs: DataFrame): DataFrame = {
+    val quant = Jpeg.flatQuant(8)
+    withDigestColumn(docs)(dg =>
+      Jpeg.encodeProgressive(32, 32, Array(digestPlane(dg, 0)), quant))
+  }
+
   /** The 32×32 16-constant-block plane for the JPEG/video gates: block
     * bi (raster order) takes digest byte (bi + rot) mod 16 — rot=0 is
     * the still-image layout; the video fixture rotates per frame so each

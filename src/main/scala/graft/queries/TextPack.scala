@@ -402,6 +402,46 @@ object TextPack extends QueryPack {
     // and Y reconstruct exactly, so the full interleaved-MCU decode +
     // upsample + color transform is value-checked by the same digest
     // replay, with components=3.
+// C12 PROGRESSIVE JPEG (SOF2): the same DC-exact image through the
+    // successive-approximation scan script — DC first + refinement
+    // carry the values, the AC scans are pure EOB runs — and the means
+    // still replay exactly from the digest. JpegSpec separately pins
+    // progressive == baseline bit-equality on dense-AC images.
+    QueryDef(
+      "mm_jpeg_progressive",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            // partition for COMPUTE, not bytes: the 5 K-row corpus is one
+            // ~0.5 MB parquet split, but JPEG encode+decode is ~150 µs/row
+            // — byte-sized splits would serialize the codec on one core
+            Multimodal.withJpegProgressiveColumn(
+              docsOf(s, d).repartition(s.sparkContext.defaultParallelism)),
+            Multimodal.JpegCodec)
+          .select(col("doc_id"),
+            col("features").getField("width").as("width"),
+            col("features").getField("height").as("height"),
+            col("features").getField("components").as("components"),
+            col("features").getField("mean_r").as("mean_r"),
+            col("features").getField("mean_g").as("mean_g"),
+            col("features").getField("mean_b").as("mean_b"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, 32 AS width, 32 AS height, 1 AS components,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_r,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_g,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // C12: the COLOR 4:2:0 sibling of mm_jpeg — three-component YCbCr
+    // with 2×2 chroma subsampling (the dominant real-world layout). The
+    // achromatic fixture (r=g=b per block) makes Cb/Cr quantize to zero
+    // and Y reconstruct exactly, so the full interleaved-MCU decode +
+    // upsample + color transform is value-checked by the same digest
+    // replay, with components=3.
     QueryDef(
       "mm_jpeg420",
       (s, d) =>

@@ -291,4 +291,59 @@ class JpegSpec extends SparkSpec {
       .select(col("doc_id"), col("features.*"))
     assert(feats.exceptAll(feats1).count() == 0)
   }
+  test("progressive == baseline: identical reconstruction on every variant") {
+    // both encoders quantize the same FDCT output, so a conformant
+    // progressive decode must match the baseline decode BIT-FOR-BIT —
+    // a conformance check with no tolerance to hide bugs in
+    val rnd = new scala.util.Random(7)
+    // grayscale: random (dense ACs), smooth gradient, constant
+    for ((name, px) <- Seq(
+        ("random", Array.fill(24 * 17)(rnd.nextInt(256))),
+        ("gradient", Array.tabulate(24 * 17)(i => (i % 24) * 10 % 256)),
+        ("constant", Array.fill(24 * 17)(77)))) {
+      val base = Jpeg.decode(Jpeg.encode(24, 17, Array(px)))
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(24, 17, Array(px)))
+      assert(prog.width == base.width && prog.height == base.height)
+      assert(prog.planes(0).toSeq == base.planes(0).toSeq, name)
+    }
+    // q=1 keeps large coefficients: deep magnitudes through the
+    // successive-approximation split
+    val q1 = Array.fill(64)(1)
+    val pxq = Array.fill(16 * 16)(rnd.nextInt(256))
+    assert(Jpeg.decode(Jpeg.encodeProgressive(16, 16, Array(pxq), q1)).planes(0).toSeq
+      == Jpeg.decode(Jpeg.encode(16, 16, Array(pxq), q1)).planes(0).toSeq)
+    // color 4:4:4 and subsampled 4:2:0/4:2:2 (interleaved DC scans over
+    // multi-block MCUs + per-component AC grids incl. padding geometry)
+    for (sub <- Seq((1, 1), (2, 2), (2, 1))) {
+      val rgb = Array.fill(3)(Array.fill(24 * 17)(rnd.nextInt(256)))
+      val base = Jpeg.decode(Jpeg.encode(24, 17, rgb, chromaSubsample = sub))
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(24, 17, rgb, chromaSubsample = sub))
+      for (c <- 0 to 2)
+        assert(prog.planes(c).toSeq == base.planes(c).toSeq, s"$sub ch$c")
+    }
+    // sparse blocks: long EOB runs across blocks (most blocks all-zero
+    // in the AC band), plus refinement-only blocks
+    val sparse = Array.tabulate(48 * 48)(i => if (i == 100) 255 else 128)
+    assert(Jpeg.decode(Jpeg.encodeProgressive(48, 48, Array(sparse))).planes(0).toSeq
+      == Jpeg.decode(Jpeg.encode(48, 48, Array(sparse))).planes(0).toSeq)
+  }
+
+  test("progressive streams: mutation fuzz never crashes or loops") {
+    val px = Array.tabulate(16 * 16)(i => (i * 7) % 256)
+    val good = Jpeg.encodeProgressive(16, 16, Array(px))
+    // sanity: it IS progressive (SOF2 present, multiple SOS)
+    def count(marker: Int) = (0 until good.length - 1).count(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == marker)
+    assert(count(0xc2) == 1 && count(0xda) >= 4)
+    for (i <- good.indices by 3) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x21).toByte
+      try { Jpeg.decode(bad); () }
+      catch { case _: IllegalArgumentException | _: RuntimeException => () }
+    }
+    for (n <- 2 until good.length by 7) {
+      try { Jpeg.decode(java.util.Arrays.copyOf(good, n)); () }
+      catch { case _: IllegalArgumentException | _: RuntimeException => () }
+    }
+  }
+
 }
