@@ -837,6 +837,7 @@ object Jpeg {
         case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
           () // standalone markers: no payload
         case sofM @ (0xc0 | 0xc1 | 0xc2) => // baseline/extended/progressive
+          require(sofComps == null, "duplicate SOF marker")
           progressive = sofM == 0xc2
           val len = segLen(pos)
           require(len >= 8, "malformed SOF segment (too short for header)")
@@ -934,6 +935,7 @@ object Jpeg {
           val len = segLen(pos)
           require(len >= 3, "malformed SOS segment (too short)")
           val ns = bytes(pos + 2) & 0xff
+          require(ns >= 1, "SOS declares zero scan components")
           require(len == 6 + 2 * ns, "malformed SOS segment length")
           val scanTables = Array.tabulate(ns) { i =>
             val o = pos + 3 + 2 * i
@@ -1266,8 +1268,10 @@ object Jpeg {
         val run = rs >> 4
         val size = rs & 15
         if (size == 0) {
-          if (run == 15) k += 16 // ZRL
-          else {
+          if (run == 15) { // ZRL: 16 zeros must fit in the band
+            k += 16
+            require(k <= se + 1, "ZRL overruns the scan band")
+          } else {
             eobrun = (1 << run) - 1
             if (run > 0) eobrun += reader.receive(run)
             k = se + 1 // EOBn ends this block, run covers the next ones
@@ -1328,7 +1332,9 @@ object Jpeg {
           } else run -= 1
           k += 1
         }
-        require(placed || k > se, "AC refinement run overran the band")
+        // every legal symbol resolves within the band: a (run,1) places
+        // its coefficient, a ZRL's 16th zero sets placed with no write
+        require(placed, "AC refinement run overran the band")
       }
     }
 

@@ -135,6 +135,11 @@ object Png {
           if (bitDepth == 16 && colorType == 3)
             fail("16-bit palette images are not in the PNG spec")
           depth = bitDepth
+          // re-bound in BYTES now that channels×depth is known: the
+          // 2^27-PIXEL cap alone would let a 16-bit RGBA header demand
+          // ~2 GiB of buffers before any data validation
+          if (w * h * fileCh * (depth / 8) > (1L << 28))
+            fail(s"unreasonable buffer demand ${w}x$h ch=$fileCh depth=$depth")
           if (compression != 0) fail(s"unknown compression method $compression")
           if (filterMethod != 0) fail(s"unknown filter method $filterMethod")
           if (interlace > 1) fail(s"unknown interlace method $interlace")

@@ -396,13 +396,7 @@ object TextPack extends QueryPack {
              |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
              |FROM px ORDER BY doc_id""".stripMargin)),
 
-    // C12: the COLOR 4:2:0 sibling of mm_jpeg — three-component YCbCr
-    // with 2×2 chroma subsampling (the dominant real-world layout). The
-    // achromatic fixture (r=g=b per block) makes Cb/Cr quantize to zero
-    // and Y reconstruct exactly, so the full interleaved-MCU decode +
-    // upsample + color transform is value-checked by the same digest
-    // replay, with components=3.
-// C12 PROGRESSIVE JPEG (SOF2): the same DC-exact image through the
+    // C12 PROGRESSIVE JPEG (SOF2): the same DC-exact image through the
     // successive-approximation scan script — DC first + refinement
     // carry the values, the AC scans are pure EOB runs — and the means
     // still replay exactly from the digest. JpegSpec separately pins

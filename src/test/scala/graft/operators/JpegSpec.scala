@@ -335,14 +335,16 @@ class JpegSpec extends SparkSpec {
     def count(marker: Int) = (0 until good.length - 1).count(i =>
       (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == marker)
     assert(count(0xc2) == 1 && count(0xda) >= 4)
+    // same contract as the baseline fuzz test: ONLY the typed error is
+    // acceptable — an AIOOBE/NegativeArraySize crash class must fail
     for (i <- good.indices by 3) {
       val bad = good.clone(); bad(i) = (bad(i) ^ 0x21).toByte
       try { Jpeg.decode(bad); () }
-      catch { case _: IllegalArgumentException | _: RuntimeException => () }
+      catch { case _: IllegalArgumentException => () }
     }
     for (n <- 2 until good.length by 7) {
       try { Jpeg.decode(java.util.Arrays.copyOf(good, n)); () }
-      catch { case _: IllegalArgumentException | _: RuntimeException => () }
+      catch { case _: IllegalArgumentException => () }
     }
   }
 
