@@ -130,10 +130,13 @@ object Png {
             case 6 => 4
             case t => fail(s"unknown color type $t")
           }
-          if (bitDepth != 8 && bitDepth != 16)
-            fail(s"bit depth $bitDepth unsupported (8 or 16)")
-          if (bitDepth == 16 && colorType == 3)
-            fail("16-bit palette images are not in the PNG spec")
+          val depthOk = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16)(bitDepth) // grayscale: all depths
+            case 3 => Set(1, 2, 4, 8)(bitDepth) // palette: sub-8 + 8
+            case _ => bitDepth == 8 || bitDepth == 16
+          }
+          if (!depthOk)
+            fail(s"bit depth $bitDepth invalid for color type $colorType")
           depth = bitDepth
           // re-bound in BYTES now that channels×depth is known: the
           // 2^27-PIXEL cap alone would let a 16-bit RGBA header demand
@@ -181,12 +184,18 @@ object Png {
     // anything past expected+1 probe byte is an error, not an alloc).
     // Interlaced streams carry one filtered sub-image per non-empty
     // Adam7 pass, each with its own per-row filter bytes. ---
-    val fileBpp = fileCh * (depth / 8) // bytes per complete pixel
+    // sub-byte depths (1/2/4, single-channel only) pack samples
+    // MSB-first within row bytes; filtering operates on BYTES with
+    // bpp = 1 (spec §6: bpp rounds up to one byte)
+    val subByte = depth < 8
+    val fileBpp = math.max(1, fileCh * depth / 8) // filter bpp, bytes
+    def rowBytesFor(w0: Int): Int =
+      if (subByte) (w0 * depth + 7) / 8 else w0 * fileBpp
     val expected =
-      if (!interlaced) (1 + width * fileBpp) * height
+      if (!interlaced) (1 + rowBytesFor(width)) * height
       else Adam7.map { p =>
         val (wp, hp) = passDims(width, height, p)
-        if (wp == 0 || hp == 0) 0 else hp * (1 + wp * fileBpp)
+        if (wp == 0 || hp == 0) 0 else hp * (1 + rowBytesFor(wp))
       }.sum
     val raw = new Array[Byte](expected)
     val inf = new Inflater()
@@ -221,25 +230,64 @@ object Png {
       } finally inf.end()
     if (got != expected) fail(s"inflated $got bytes, expected $expected")
 
-    // --- unfilter (spec §6), then reassemble interlace passes ---
-    val filePixels = new Array[Byte](width * fileBpp * height)
+    // --- unfilter (spec §6), unpack sub-byte samples, reassemble
+    // interlace passes; filePixels holds ONE BYTE PER SAMPLE for
+    // sub-byte depths (unpacked), else the raw byte stream ---
+    val outBpp = if (subByte) 1 else fileBpp
+    val filePixels = new Array[Byte](width * outBpp * height)
+    def unpackRow(src: Array[Byte], srcOff: Int, dst: Array[Byte],
+        dstOff: Int, w0: Int): Unit = {
+      val mask = (1 << depth) - 1
+      var x = 0
+      while (x < w0) {
+        val bit = x * depth
+        dst(dstOff + x) =
+          (((src(srcOff + (bit >> 3)) & 0xff) >> (8 - depth - (bit & 7))) & mask).toByte
+        x += 1
+      }
+    }
     if (!interlaced) {
-      val consumed = unfilterPass(raw, 0, filePixels, width, height, fileBpp)
-      if (consumed != expected) fail("filtered data size mismatch")
+      if (!subByte) {
+        val consumed = unfilterPass(raw, 0, filePixels, rowBytesFor(width),
+          height, fileBpp)
+        if (consumed != expected) fail("filtered data size mismatch")
+      } else {
+        val rb = rowBytesFor(width)
+        val packed = new Array[Byte](rb * height)
+        val consumed = unfilterPass(raw, 0, packed, rb, height, fileBpp)
+        if (consumed != expected) fail("filtered data size mismatch")
+        var y = 0
+        while (y < height) {
+          unpackRow(packed, y * rb, filePixels, y * width, width)
+          y += 1
+        }
+      }
     } else {
       var rawOff = 0
       for (p <- Adam7) {
         val (x0, y0, dx, dy) = p
         val (wp, hp) = passDims(width, height, p)
         if (wp > 0 && hp > 0) {
-          val sub = new Array[Byte](wp * hp * fileBpp)
-          rawOff = unfilterPass(raw, rawOff, sub, wp, hp, fileBpp)
+          val rb = rowBytesFor(wp)
+          val packed = new Array[Byte](rb * hp)
+          rawOff = unfilterPass(raw, rawOff, packed, rb, hp, fileBpp)
+          val sub =
+            if (!subByte) packed
+            else {
+              val u = new Array[Byte](wp * hp)
+              var py = 0
+              while (py < hp) {
+                unpackRow(packed, py * rb, u, py * wp, wp)
+                py += 1
+              }
+              u
+            }
           var py = 0
           while (py < hp) {
             var px = 0
             while (px < wp) {
-              System.arraycopy(sub, (py * wp + px) * fileBpp, filePixels,
-                ((y0 + py * dy) * width + (x0 + px * dx)) * fileBpp, fileBpp)
+              System.arraycopy(sub, (py * wp + px) * outBpp, filePixels,
+                ((y0 + py * dy) * width + (x0 + px * dx)) * outBpp, outBpp)
               px += 1
             }
             py += 1
@@ -247,6 +295,16 @@ object Png {
         }
       }
       if (rawOff != expected) fail("interlaced pass data size mismatch")
+    }
+    // sub-byte grayscale scales to full 8-bit range (255/(2^d−1) is an
+    // exact integer for d = 1, 2, 4); palette indices stay raw
+    if (subByte && colorType == 0) {
+      val scale = 255 / ((1 << depth) - 1)
+      var i = 0
+      while (i < filePixels.length) {
+        filePixels(i) = ((filePixels(i) & 0xff) * scale).toByte
+        i += 1
+      }
     }
 
     // --- palette expansion: indices → RGB through PLTE ---
@@ -263,18 +321,18 @@ object Png {
         j += 1
       }
       Image(width, height, colorType, 3, rgb)
-    } else Image(width, height, colorType, fileCh, filePixels, depth)
+    } else Image(width, height, colorType, fileCh, filePixels,
+      if (subByte) 8 else depth) // sub-byte decodes to 8-bit samples
   }
 
-  /** Unfilter one (sub-)image of `w`×`h` pixels with `ch` bytes per
-    * pixel from `raw` starting at `off` into `out`; returns the new raw
-    * offset. Each row is `1 + w*ch` bytes (filter byte + samples).
+  /** Unfilter one (sub-)image of `h` rows of `rowBytes` bytes with
+    * `bpp` bytes per complete pixel (1 for sub-byte depths) from `raw`
+    * starting at `off` into `out`; returns the new raw offset. Each
+    * stored row is `1 + rowBytes` bytes (filter byte + data).
     */
   private def unfilterPass(raw: Array[Byte], off: Int, out: Array[Byte],
-      w: Int, h: Int, ch: Int): Int = {
-    val stride = 1 + w * ch
-    val rowBytes = w * ch
-    val bpp = ch
+      rowBytes: Int, h: Int, bpp: Int): Int = {
+    val stride = 1 + rowBytes
     var y = 0
     while (y < h) {
       val filter = raw(off + y * stride) & 0xff
@@ -465,7 +523,72 @@ object Png {
         }
       }
     }
+    assembleStream(width, height, colorType, depth, interlace, palette,
+      raw.toByteArray)
+  }
 
+  /** Encode 1/2/4-bit samples (grayscale when `palette` is empty,
+    * palette indices otherwise) — samples pack MSB-first into row
+    * bytes, filtering runs on the packed bytes with bpp = 1.
+    */
+  def encodeLowDepth(width: Int, height: Int, depth: Int,
+      samples: Array[Int], palette: Option[Array[Int]] = None,
+      filterFor: Int => Int = _ % 5,
+      interlace: Boolean = false): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"depth $depth not in {1,2,4}")
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(samples.length == width * height,
+      s"need ${width * height} samples, got ${samples.length}")
+    val mask = (1 << depth) - 1
+    samples.foreach(v => require(v >= 0 && v <= mask,
+      s"sample $v exceeds $depth-bit range"))
+    palette.foreach { pal =>
+      require(pal.length >= 2 && pal.length <= (1 << depth),
+        s"palette size ${pal.length} not in 2..${1 << depth}")
+      samples.foreach(v => require(v < pal.length,
+        s"index $v outside the ${pal.length}-entry palette"))
+    }
+    def packRows(sub: Array[Int], w0: Int, h0: Int): Array[Byte] = {
+      val rb = (w0 * depth + 7) / 8
+      val outp = new Array[Byte](rb * h0)
+      var y = 0
+      while (y < h0) {
+        var x = 0
+        while (x < w0) {
+          val bit = x * depth
+          val at = y * rb + (bit >> 3)
+          outp(at) = (outp(at) | (sub(y * w0 + x) << (8 - depth - (bit & 7)))).toByte
+          x += 1
+        }
+        y += 1
+      }
+      outp
+    }
+    val raw = new ByteArrayOutputStream()
+    if (!interlace) {
+      val packed = packRows(samples, width, height)
+      filterPass(raw, packed, (width * depth + 7) / 8, height, 1, 0, filterFor)
+    } else {
+      var rowBase = 0
+      for (p <- Adam7) {
+        val (x0, y0, dx, dy) = p
+        val (wp, hp) = passDims(width, height, p)
+        if (wp > 0 && hp > 0) {
+          val sub = Array.tabulate(wp * hp)(i =>
+            samples((y0 + (i / wp) * dy) * width + (x0 + (i % wp) * dx)))
+          filterPass(raw, packRows(sub, wp, hp), (wp * depth + 7) / 8, hp,
+            1, rowBase, filterFor)
+          rowBase += hp
+        }
+      }
+    }
+    assembleStream(width, height, if (palette.isDefined) 3 else 0, depth,
+      interlace, palette, raw.toByteArray)
+  }
+
+  private def assembleStream(width: Int, height: Int, colorType: Int,
+      depth: Int, interlace: Boolean, palette: Option[Array[Int]],
+      rawFiltered: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     Signature.foreach(out.write)
 
@@ -501,7 +624,7 @@ object Png {
       chunk("PLTE", plte)
     }
 
-    val rawBytes = raw.toByteArray
+    val rawBytes = rawFiltered
     val defl = new Deflater()
     defl.setInput(rawBytes)
     defl.finish()

@@ -193,13 +193,50 @@ class MultimodalSpec extends SparkSpec {
     // palette color type without a PLTE chunk is rejected by name
     assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(9, 3)))
       .getMessage.contains("PLTE"))
-    // depth 16 is now supported — flipping only the depth flag halves
-    // the samples the layout accounts for, a size error; depth 4 is
-    // rejected by name
+    // depths 16 and 4 are now supported on grayscale — flipping only
+    // the depth flag changes the layout the data must satisfy, a size
+    // error; depth 3 is not a PNG depth and is rejected by name
     assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(8, 16)))
       .getMessage.contains("expected"))
     assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(8, 4)))
+      .getMessage.contains("expected"))
+    assert(intercept[IllegalArgumentException](Png.decode(ihdrMutant(8, 3)))
       .getMessage.contains("bit depth"))
+  }
+
+  test("PNG codec: 1/2/4-bit depths round-trip, scale and expand correctly") {
+    val rnd = new scala.util.Random(17)
+    for (depth <- Seq(1, 2, 4); inter <- Seq(false, true)) {
+      val mask = (1 << depth) - 1
+      // grayscale: decoded samples are the exact 255/(2^d-1) scaling
+      val g = Array.fill(11 * 5)(rnd.nextInt(mask + 1))
+      val img = Png.decode(Png.encodeLowDepth(11, 5, depth, g, interlace = inter))
+      assert(img.channels == 1 && img.bitDepth == 8)
+      assert((0 until img.nSamples).map(img.sample).toSeq ==
+        g.map(_ * (255 / mask)).toSeq, s"gray d=$depth inter=$inter")
+      // palette: indices expand through PLTE
+      val pal = Array.tabulate(mask + 1)(i => i * 0x050301)
+      val idx = Array.fill(11 * 5)(rnd.nextInt(mask + 1))
+      val pimg = Png.decode(Png.encodeLowDepth(11, 5, depth, idx,
+        palette = Some(pal), interlace = inter))
+      assert(pimg.channels == 3 && pimg.colorType == 3)
+      val want = idx.flatMap(i => Seq((pal(i) >> 16) & 0xff,
+        (pal(i) >> 8) & 0xff, pal(i) & 0xff))
+      assert((0 until pimg.nSamples).map(pimg.sample).toSeq == want.toSeq,
+        s"palette d=$depth inter=$inter")
+    }
+    // width not a multiple of the packing: 1-bit 9-wide rows pad to 2 bytes
+    val bits = Array.tabulate(9 * 3)(i => i % 2)
+    val b = Png.decode(Png.encodeLowDepth(9, 3, 1, bits))
+    assert((0 until b.nSamples).map(b.sample).toSeq == bits.map(_ * 255).toSeq)
+    // invalid: sub-8 depth on a truecolor type must be rejected by name
+    val good = Png.encodeLowDepth(4, 4, 4, Array.fill(16)(3))
+    val m = good.clone(); m(8 + 8 + 9) = 2 // colorType gray->RGB
+    val crc = new java.util.zip.CRC32(); crc.update(m, 12, 4 + 13)
+    for (k <- 0 until 4)
+      m(8 + 8 + 13 + k) = ((crc.getValue >>> (24 - 8 * k)) & 0xff).toByte
+    assert(intercept[IllegalArgumentException](Png.decode(m))
+      .getMessage.contains("invalid for color type"))
   }
 
   test("PNG codec: 16-bit depth round-trips at every channel count") {
