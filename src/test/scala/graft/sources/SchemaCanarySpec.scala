@@ -88,6 +88,19 @@ class SchemaCanarySpec extends SparkSpec {
         drift.mkString("\n  "))
   }
 
+  test("embedding dimensionality is pinned (the RHP oracle hardcodes it)") {
+    // dedup_embedding_rhp's oracle regenerates the 120×dims hyperplane
+    // table into SQL with dims = 64; a silent testdata regeneration at
+    // another width would hash-mismatch with no obvious cause. Name it.
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val dims = Tables.embeddings(spark, s"/root/testdata/sf$sf")
+        .selectExpr("size(embedding) AS d").distinct().collect().map(_.getInt(0))
+      assert(dims.toSeq == Seq(64),
+        s"sf$sf embedding dims drifted to ${dims.mkString(",")} — " +
+          "regenerate the rhpPlanesValuesSql dims in DedupPack")
+    }
+  }
+
   test("Tables.events normalizes ts to session-zone TimestampType at every sf") {
     for (sf <- Seq("0.001", "0.01", "0.1")) {
       val dt = Tables.events(spark, s"/root/testdata/sf$sf")
