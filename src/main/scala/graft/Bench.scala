@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bench harness: runs every SparkEntry query against SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line the driver records as BENCH_r{N}.json.
@@ -23,6 +23,19 @@ import org.apache.spark.sql.SparkSession
   * milliseconds. The FULL per-query map (same schema, unrounded) is
   * written to target/bench_latest.json, and BASELINE.md carries the
   * committed per-query table.
+  *
+  * Contention evidence (round-9 verdict item 1 — two rounds in a row the
+  * official number was unusable or unjudgeable because a clean pre/post
+  * calibration pair cannot see a mid-run load spike):
+  *  - the single-thread calibration probe is INTERLEAVED every
+  *    `calEvery` (default 20) queries; the full series is emitted as
+  *    `cal_series`, so a spike is localized to the query window it hit;
+  *  - after the main loop, any gate whose time exceeded 3× its committed
+  *    BASELINE.md per-query row is re-run once (worst inflation ratios
+  *    first, budget-capped) and both numbers are reported (`reruns`),
+  *    plus `total_adj` = the total with each flagged gate charged at
+  *    min(first, rerun). A contended first pass with a clean rerun is
+  *    thereby self-evidencing; a genuine regression reproduces.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -82,23 +95,59 @@ object Bench {
       if (x == 42L) println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
+    // Committed per-query baseline (BASELINE.md table rows
+    // `| name | sec | ...`): the rerun pass compares against these.
+    // Gates newer than the table simply have no rerun trigger until the
+    // table row lands. Parse is defensive — any malformed row is skipped.
+    val baseline: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("BASELINE.md")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val row = """^\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|.*""".r
+        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        try src.getLines().collect { case row(n, v) => n -> v.toDouble }.toMap
+        finally src.close()
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
     val calPre = calibrate()
+    val calSeries = scala.collection.mutable.ArrayBuffer[Double]()
+    val calEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_EVERY", "20").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          -1.0
+      } finally spark.catalog.clearCache()
+    }
     // local profiling aid: SPARK_GRAFT_BENCH_FILTER=regex runs a subset
     // (the driver sets no filter, so its runs stay complete)
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.pattern.matcher(n).matches()) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          name -> -1.0
-      } finally spark.catalog.clearCache()
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i % calEvery == 0) calSeries += calibrate()
+        name -> timeOne(name, fn)
+      }
+    calSeries += calibrate() // close the last window
+    // Rerun pass: flagged = finished gates >3× their committed baseline row
+    // (0.4 s absolute floor — ±50% wobble on sub-second gates is not
+    // signal). Worst inflation first, capped so a fully-contended run
+    // cannot double its own wall clock.
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RERUNS", "40").toInt
+    val rerunFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_FACTOR", "3").toDouble
+    val flagged = results
+      .collect { case (n, t) if t > 0.4 && baseline.get(n).exists(b => t > rerunFactor * b) =>
+        (n, t, t / baseline(n)) }
+      .sortBy(-_._3)
+    val rerunSkipped = math.max(0, flagged.size - maxReruns)
+    val reruns: Seq[(String, Double, Double)] = flagged.take(maxReruns).map {
+      case (n, t, _) => (n, t, timeOne(s"rerun:$n", SparkEntry.queries(n)))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -112,17 +161,25 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val calPost = calibrate()
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    def line(qs: String): String =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","nqueries":${results.size},"cal_pre":${ms3(calPre)},"cal_post":${ms3(calPost)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // stdout: slowest `topn` only, so the line fits the driver's
-    // 2000-char tail capture with room to spare
+    // total_adj: each flagged gate charged at min(first, clean-rerun) —
+    // the number the harness can defend if the first pass hit a spike.
+    val adjDelta = reruns.collect { case (_, t1, t2) if t2 > 0 && t2 < t1 => t1 - t2 }.sum
+    val totalAdj = total - adjDelta
+    val calSer = calSeries.map(ms3).mkString("[", ",", "]")
+    def rmap(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (n, t1, t2) => jstr(n) + ":[" + ms3(t1) + "," + ms3(t2) + "]" }
+        .mkString("{", ",", "}")
+    def line(qs: String, rr: String): String =
+      s"""{"metric":"total","value":${ms3(total)},"total_adj":${ms3(totalAdj)},"unit":"sec","nqueries":${results.size},"cal_pre":${ms3(calPre)},"cal_post":${ms3(calPost)},"cal_series":$calSer,"rerun_n":${reruns.size},"rerun_skipped":$rerunSkipped,"reruns":$rr,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // stdout: slowest `topn` queries + worst 10 reruns only, so the line
+    // fits the driver's 2000-char tail capture with room to spare
     val topn = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPN", "25").toInt
     val slowest = results.sortBy(-_._2).take(topn).sortBy(_._1)
-    val stdoutLine = line(qmap(slowest, round = true))
+    val stdoutLine = line(qmap(slowest, round = true), rmap(reruns.take(10)))
     try {
       val out = java.nio.file.Paths.get("target/bench_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, line(qmap(results, round = false)) + "\n")
+      java.nio.file.Files.writeString(out, line(qmap(results, round = false), rmap(reruns)) + "\n")
     } catch { case _: Throwable => () } // file copy is best-effort
     // The JSON line must be the LAST stdout line (the driver tail-parses
     // it): silence Spark's shutdown chatter, stop the session first, and

@@ -25,19 +25,36 @@ object Bpe {
     */
   val Eow = "</w>"
 
+  /** Driver-side training-vocabulary bound (contract, like
+    * `Similarity.sampleCap`): the word-frequency table collected for the
+    * merge loop is capped at the `vocabCap` most frequent words
+    * (tie-break: word ascending — deterministic). A web-scale corpus has
+    * 10⁸–10⁹ distinct whitespace tokens; an uncapped collect is a driver
+    * OOM at the 100 TB design point, while top-N-words is the standard
+    * practical BPE training regime (rare-tail words contribute ~nothing
+    * to pair statistics). 1M words × ~20 B ≈ tens of MB on the driver.
+    */
+  val DefaultVocabCap: Int = 1 << 20
+
   /** Learn `numMerges` merges from the corpus. Returns the ordered
     * merge table: rank r = the pair merged at round r.
     */
   def train(docs: DataFrame, numMerges: Int,
-      minCount: Long = 2L): Array[(String, String)] = {
+      minCount: Long = 2L,
+      vocabCap: Int = DefaultVocabCap): Array[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // ONE corpus pass: word frequencies (lowercased whitespace words)
+    // ONE corpus pass: word frequencies (lowercased whitespace words).
+    // The orderBy+limit keeps the collect bounded by vocabCap (top-N by
+    // count, word-ascending tie-break) — Spark plans it as a TopK
+    // (TakeOrderedAndProject), not a global sort.
     val wordCounts = docs
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(vocabCap)
       .as[(String, Long)].collect()
     // vocabulary as symbol sequences; driver-side loop — the vocab is
     // metadata-scale (bounded further by minCount), the corpus is not

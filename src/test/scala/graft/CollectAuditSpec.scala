@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-materialization audit (round-9 verdict item 3): every
+  * Dataset-action site in src/main (`collect()`, `head()`, `first()`,
+  * `collectAsList`, `toLocalIterator`) must sit on the whitelist below,
+  * each entry carrying the contract that bounds what reaches the driver.
+  * A new unlisted site fails this spec with its file:line — the Bpe
+  * uncapped-collect regression (VERDICT r9 "What's wrong #1") entered
+  * exactly through the gap this closes.
+  *
+  * The whitelist is (file name, distinctive line substring, contract):
+  * substring matching survives line-number drift; every entry must still
+  * match at least one live site, so stale entries fail too.
+  */
+class CollectAuditSpec extends AnyFunSuite {
+
+  /** (file, substring-of-line, why the driver-side result is bounded) */
+  private val whitelist: Seq[(String, String, String)] = Seq(
+    ("FhirSearch.scala", ".collect().toSeq.map(r => (r.getString(0), r.getString(1)))",
+      "ValueSet expansion at plan time — terminology tables are metadata-scale"),
+    ("FhirSearch.scala", ".select(col(\"concept\")).collect()",
+      "CodeSystem hierarchy closure at plan time — terminology-scale"),
+    ("Bpe.scala", ".as[(String, Long)].collect()",
+      "training vocab, bounded by orderBy(cnt desc, w).limit(vocabCap) — top-N TakeOrdered"),
+    ("Layout.scala", "df.agg(aggs.head, aggs.tail: _*).head()",
+      "one aggregate row: min/max envelope for z-value literals"),
+    ("Dedup.scala", ".collect().map(_.getInt(0)).toSeq",
+      "LSH probe small regime — limit(maxPushdownSigs + 1) before collect; large regime stays distributed"),
+    ("Dedup.scala", ".head().getLong(0)",
+      "scalar convergence aggregate (one row per label-propagation round)"),
+    ("Dedup.scala", "lit(0L))).head()",
+      "scalar edge-set signature aggregate (one row per contraction round)"),
+    ("Similarity.scala", ".limit(sampleCap).collect()",
+      "k-means/PQ training sample — limit(sampleCap) contract (IVF + PQ sites)"),
+    ("Similarity.scala", "cents.orderBy(\"cell\").collect()",
+      "centroid frame — ncells rows by construction, metadata-sized"),
+    ("Similarity.scala", ".select(col(\"centroids\")).head().getString(0)",
+      "persisted-index centroid JSON — one row"),
+    ("Similarity.scala", ".select(col(\"codebook\")).head().getString(0)",
+      "persisted-index codebook JSON — one row"))
+
+  /** A line is a Dataset-action candidate unless it is pure comment. */
+  private[graft] def isActionSite(line: String): Boolean = {
+    val t = line.trim
+    val comment = t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
+    !comment && CollectAuditSpec.actionRe.findFirstIn(line).isDefined
+  }
+
+  private def mainSources(): Seq[Path] = {
+    val root = Paths.get("src/main/scala")
+    assert(Files.isDirectory(root), s"run from the repo root (cwd=${Paths.get("").toAbsolutePath})")
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+  }
+
+  test("every Dataset action in src/main is on the documented whitelist") {
+    val violations = Seq.newBuilder[String]
+    val matchedEntries = scala.collection.mutable.Set[Int]()
+    for (p <- mainSources()) {
+      val fname = p.getFileName.toString
+      val lines = Files.readAllLines(p).asScala
+      for ((line, i) <- lines.zipWithIndex if isActionSite(line)) {
+        val hit = whitelist.zipWithIndex.collect {
+          case ((f, sub, _), wi) if f == fname && line.contains(sub) => wi
+        }
+        if (hit.isEmpty) violations += s"$p:${i + 1}: ${line.trim}"
+        else matchedEntries ++= hit
+      }
+    }
+    val vs = violations.result()
+    assert(vs.isEmpty,
+      "unlisted driver-materialization site(s) — either remove the " +
+        "driver-side action or add a whitelist entry WITH the contract " +
+        "that bounds it:\n  " + vs.mkString("\n  "))
+    val stale = whitelist.zipWithIndex.collect {
+      case ((f, sub, _), wi) if !matchedEntries(wi) => s"$f :: $sub"
+    }
+    assert(stale.isEmpty,
+      "stale whitelist entries (no matching live site):\n  " + stale.mkString("\n  "))
+  }
+
+  test("the matcher catches a planted violation and skips comments") {
+    assert(isActionSite("""    val rows = df.filter(ok).collect()"""))
+    assert(isActionSite("""    val r = frame.head()"""))
+    assert(isActionSite("""    val r = ds.first()"""))
+    assert(isActionSite("""    val it = big.toLocalIterator()"""))
+    assert(isActionSite("""    val l = df.collectAsList()"""))
+    assert(!isActionSite("""    // df.collect() would OOM here"""))
+    assert(!isActionSite("""    * driver-side .collect() is bounded by"""))
+    assert(!isActionSite("""    val h = aggs.head"""), "bare .head without parens is a local op")
+    assert(!isActionSite("""    val s = msg.take(200)"""), ".take on local collections is out of scope")
+  }
+}
+
+object CollectAuditSpec {
+  private val actionRe =
+    """\.(collect|head|first|collectAsList|toLocalIterator)\s*\(""".r
+}

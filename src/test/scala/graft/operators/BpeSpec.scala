@@ -73,6 +73,27 @@ class BpeSpec extends SparkSpec {
     assert(enc4.exceptAll(Bpe.encodeDocs(docs, merges)).isEmpty)
   }
 
+  test("vocabCap: inactive cap is a no-op; active cap == training on the top-N words") {
+    val docs = corpus(
+      1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      2L -> (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    val uncapped = Bpe.train(docs, numMerges = 4, minCount = 1L)
+    // cap ≥ vocab size (4 distinct words) → identical merge table
+    assert(Bpe.train(docs, 4, 1L, vocabCap = 4).toSeq == uncapped.toSeq)
+    assert(Bpe.train(docs, 4, 1L, vocabCap = 1000).toSeq == uncapped.toSeq)
+    // cap = 2 keeps the top-2 by (cnt desc, w): newest(6), low(5) —
+    // must equal training on a corpus containing exactly those words
+    // at the same counts
+    val top2 = corpus(1L -> (Seq.fill(6)("newest") ++ Seq.fill(5)("low")).mkString(" "))
+    assert(Bpe.train(docs, 4, 1L, vocabCap = 2).toSeq ==
+      Bpe.train(top2, 4, 1L).toSeq)
+    // deterministic tie-break at the cap boundary: equal-count words
+    // are kept word-ascending
+    val tied = corpus(1L -> "bb aa cc bb aa cc") // all cnt=2
+    assert(Bpe.train(tied, 2, 1L, vocabCap = 2).toSeq ==
+      Bpe.train(corpus(1L -> "aa bb aa bb"), 2, 1L).toSeq)
+  }
+
   test("training is deterministic and bounded by available pairs") {
     val docs = corpus(1L -> "ab ab ab")
     // 'ab</w>' has 2 pairs; request more merges than exist
