@@ -35,6 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayCosineExpr(children.head, children(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("array_max_cosine"),
+      new ExpressionInfo("graft.functions.ArrayMaxCosineExpr", null,
+        "array_max_cosine",
+        "array_max_cosine(vecs, q) - max cosine of q against an array of " +
+          "vectors (one fused codegen'd loop; lambda-free, so optimizer " +
+          "reference tracking stays exact).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "array_max_cosine expects exactly two arguments")
+        graft.functions.ArrayMaxCosineExpr(children.head, children(1))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("array_l1"),
       new ExpressionInfo("graft.functions.L1DistExpr", null, "array_l1",
         "array_l1(a, b) - L1 (Manhattan) distance of two int arrays " +

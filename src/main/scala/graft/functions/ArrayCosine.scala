@@ -78,3 +78,87 @@ case class ArrayCosineExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): ArrayCosineExpr =
     copy(left = newLeft, right = newRight)
 }
+
+object ArrayMaxCosineFn {
+  /** Max of [[ArrayCosineFn.compute]] over the vectors of `vecs` (null
+    * entries skipped, like `array_max` over a transform with a
+    * null-propagating lambda); null when no non-null entry exists.
+    */
+  def compute(vecs: ArrayData, q: ArrayData,
+      vFloat: Boolean, qFloat: Boolean): Any = {
+    val n = vecs.numElements()
+    var best = Double.NegativeInfinity
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!vecs.isNullAt(i)) {
+        val c = ArrayCosineFn.compute(vecs.getArray(i), q, vFloat, qFloat)
+        if (!any || c > best) { best = c; any = true }
+      }
+      i += 1
+    }
+    if (any) best else null
+  }
+}
+
+/** `array_max_cosine(vecs, q)` — max cosine of `q` against an array of
+  * vectors, as ONE fused codegen'd loop.
+  *
+  * Exists for two reasons. (1) Performance: the equivalent
+  * `array_max(transform(vecs, v -> array_cosine(q, v)))` allocates and
+  * runs the lambda machinery per element. (2) Correctness under
+  * optimization: Spark's optimizer does not count an outer attribute
+  * referenced ONLY inside a higher-order-function lambda body toward the
+  * predicate's references, so a filter of that shape sitting on a
+  * cross/broadcast join gets pushed to the join side that lacks the
+  * attribute — an invalid `!Filter` that fails reference binding at
+  * execution (observed on the decontaminateSemantic count()-pruned plan,
+  * Spark 4.1.2). With both inputs as plain children there is no lambda
+  * and the references are exact. Arithmetic is [[ArrayCosineFn.compute]]
+  * per element + plain double max — bit-identical to the HOF form.
+  */
+case class ArrayMaxCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def innerOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(inner, _), r) if innerOk(inner) && innerOk(r) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      "array_max_cosine expects (array<array<float|double>>, array<float|double>), got " +
+        s"${l.catalogString} / ${r.catalogString}")
+  }
+
+  private def vFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[ArrayType].elementType == FloatType
+  private def qFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on empty/all-null vecs
+  override def prettyName: String = "array_max_cosine"
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override protected def nullSafeEval(vs: Any, q: Any): Any =
+    ArrayMaxCosineFn.compute(vs.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+      vFloat, qFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vs, q) => {
+      val tmp = ctx.freshName("maxCos")
+      s"""
+         |Object $tmp = graft.functions.ArrayMaxCosineFn.compute($vs, $q, $vFloat, $qFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $tmp).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayMaxCosineExpr =
+    copy(left = newLeft, right = newRight)
+}

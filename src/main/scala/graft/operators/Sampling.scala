@@ -141,18 +141,38 @@ object Sampling {
     * path's broadcast) collapses to a ONE-ROW array that broadcasts,
     * and the per-vector max runs inside higher-order functions over
     * the fused native array_cosine — a single map-side pass over
-    * train, zero shuffles of train rows. A benchmark too large to
-    * broadcast swaps in the IVF-bucketed pair path
-    * ([[Similarity.cosineNearDupsIvf]]).
+    * train, zero shuffles of train rows.
+    *
+    * TWO-REGIME (the probeLshIndex pattern, Dedup.probeLshIndex): a
+    * benchmark up to `benchBroadcastCap` rows broadcasts as the one-row
+    * array; above the cap it cannot broadcast and the IVF-bucketed
+    * cross-set path swaps in ([[Similarity.maxCosineVsIvf]]) — cells
+    * fitted on the benchmark, train probes its `nassign` nearest cells,
+    * max via equi-join on cell. The regime probe is one bounded count
+    * (`limit(cap + 1)`), never a full benchmark count. SamplingSpec
+    * pins both regimes identical on the fixture.
     */
   def decontaminateSemantic(train: DataFrame, benchmark: DataFrame,
-      threshold: Double, scale: Int = 5): DataFrame = {
-    val benchArr = benchmark.agg(collect_list(col("embedding")).as("_bench"))
-    train
-      .crossJoin(broadcast(benchArr))
-      .select(col("vec_id"),
-        round(array_max(transform(col("_bench"),
-          b => Similarity.cosine(col("embedding"), b))), scale).as("max_sim"))
+      threshold: Double, scale: Int = 5,
+      benchBroadcastCap: Int = 1 << 16,
+      ncells: Int = 16, nassign: Int = 2): DataFrame = {
+    val small = benchmark.limit(benchBroadcastCap + 1).count() <= benchBroadcastCap
+    val maxed =
+      if (small) {
+        val benchArr = benchmark.agg(collect_list(col("embedding")).as("_bench"))
+        // array_max_cosine, not array_max(transform(..)): one fused
+        // codegen'd loop, and — load-bearing — no lambda, so the outer
+        // `embedding` reference is visible to the optimizer; the HOF
+        // form's filter gets mis-pushed onto the broadcast side under
+        // column pruning (invalid !Filter, binding failure — see
+        // ArrayMaxCosineExpr's scaladoc).
+        train
+          .crossJoin(broadcast(benchArr))
+          .select(col("vec_id"),
+            call_function("array_max_cosine", col("_bench"), col("embedding")).as("raw"))
+      } else Similarity.maxCosineVsIvf(train, benchmark, ncells, nassign)
+    maxed
+      .select(col("vec_id"), round(col("raw"), scale).as("max_sim"))
       .filter(col("max_sim") >= threshold)
   }
 

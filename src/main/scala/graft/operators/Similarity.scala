@@ -339,6 +339,37 @@ object Similarity {
       .select(col("va"), col("vb"), col("score"))
   }
 
+  /** Cross-set max cosine at scale, IVF-bucketed — the
+    * benchmark-too-big-to-broadcast regime of
+    * [[graft.operators.Sampling.decontaminateSemantic]]: fit coarse
+    * cells on `benchmark`, assign each benchmark vector to its cell and
+    * each train vector to its `nassign` nearest cells (multi-assignment
+    * recovers matches that straddle a boundary, the cosineNearDupsIvf
+    * pattern), then the per-train max comes from an equi-join on cell +
+    * a max aggregation — no side broadcast, pair space Σ|cell|·|probe|
+    * instead of |train|·|bench|. Returns (vec_id, raw) with raw = max
+    * cosine over CO-CELLED benchmark vectors: approximate by
+    * construction; at the near-dup thresholds decontamination uses, the
+    * argmax benchmark vector quantizes into a probed cell and the max
+    * is exact (SamplingSpec pins both regimes identical on the fixture).
+    */
+  def maxCosineVsIvf(train: DataFrame, benchmark: DataFrame,
+      ncells: Int = 16, nassign: Int = 2): DataFrame = {
+    val centers = centersOf(ivfIndex(benchmark, ncells)._2)
+    // both sides cell-assigned in cosine space (euclid=false), exactly
+    // as cosineNearDupsIvf assigns its pair sides
+    val b = benchmark.select(
+      element_at(assignCells(centers, nassign = 1, euclid = false), 1).as("cell"),
+      col("embedding").as("b_embedding"))
+    train
+      .select(col("vec_id"),
+        explode(assignCells(centers, nassign, euclid = false)).as("cell"),
+        col("embedding"))
+      .join(b, "cell")
+      .select(col("vec_id"), cosine(col("embedding"), col("b_embedding")).as("raw"))
+      .groupBy("vec_id").agg(max(col("raw")).as("raw"))
+  }
+
   // -------------------------------------------------------------------
   // Product quantization (PQ): the memory-bound ANN path. A d-dim float
   // vector (d·4 bytes) is split into `m` subspaces, each coarse-coded

@@ -17,6 +17,24 @@ object SamplePack extends QueryPack {
   private val stratRates =
     Map("en" -> 0.125, "de" -> 0.5, "fr" -> 0.75)
 
+  // Exact all-pairs max-cosine oracle shared by BOTH regimes of
+  // sample_decontaminate_semantic (broadcast and forced-IVF).
+  private val semanticDecontOracle: String =
+    """WITH b AS (
+      |  SELECT embedding FROM embeddings WHERE vec_id % 25 = 0
+      |), t AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0
+      |), sims AS (
+      |  SELECT t.vec_id, round(max(
+      |    list_sum(list_transform(list_zip(t.embedding, b.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))), 5) AS max_sim
+      |  FROM t CROSS JOIN b GROUP BY t.vec_id
+      |)
+      |SELECT vec_id, max_sim FROM sims
+      |WHERE max_sim >= 0.3 ORDER BY vec_id""".stripMargin
+
   private val mixTargets =
     Map("en" -> 0.40, "de" -> 0.20, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.10)
 
@@ -135,20 +153,44 @@ object SamplePack extends QueryPack {
             e.filter(col("vec_id") % 25 === 0), 0.3)
           .orderBy("vec_id")
       },
-      Some(s"""WITH b AS (
-              |  SELECT embedding FROM embeddings WHERE vec_id % 25 = 0
-              |), t AS (
-              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0
-              |), sims AS (
-              |  SELECT t.vec_id, round(max(
-              |    list_sum(list_transform(list_zip(t.embedding, b.embedding),
-              |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-              |    / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-              |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))), 5) AS max_sim
-              |  FROM t CROSS JOIN b GROUP BY t.vec_id
-              |)
-              |SELECT vec_id, max_sim FROM sims
-              |WHERE max_sim >= 0.3 ORDER BY vec_id""".stripMargin)),
+      Some(semanticDecontOracle)),
+
+    // The SAME operator through the benchmark-too-big-to-broadcast
+    // regime (benchBroadcastCap = 0 forces it): cells fitted on the
+    // benchmark, train probes its nassign nearest, max via equi-join on
+    // cell — no broadcast of either side. Oracle-exact by construction:
+    // the benchmark here is a SUBSET of train (the realistic "eval set
+    // leaked into the training corpus verbatim" contamination shape), so
+    // every contaminated vector's argmax is its own copy, which assigns
+    // to the identical cell deterministically — the approximate scale
+    // path reproduces the exact all-pairs answer bit-for-bit at the
+    // near-dup threshold (0.9; max NON-self cross similarity in this
+    // table is 0.60 at sf0.1). Weak-match recall (threshold 0.3, where
+    // no exact pin is possible for ANY ANN method) is asserted in
+    // SamplingSpec instead.
+    QueryDef(
+      "sample_decontaminate_semantic_ivf",
+      (s, d) => {
+        val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        Sampling.decontaminateSemantic(
+            e, e.filter(col("vec_id") % 25 === 0), 0.9,
+            benchBroadcastCap = 0)
+          .orderBy("vec_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT embedding FROM embeddings WHERE vec_id % 25 = 0
+             |), t AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |), sims AS (
+             |  SELECT t.vec_id, round(max(
+             |    list_sum(list_transform(list_zip(t.embedding, b.embedding),
+             |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |    / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))), 5) AS max_sim
+             |  FROM t CROSS JOIN b GROUP BY t.vec_id
+             |)
+             |SELECT vec_id, max_sim FROM sims
+             |WHERE max_sim >= 0.9 ORDER BY vec_id""".stripMargin)),
 
     // Applied mixture: per-document copy counts materializing the plan —
     // floor(weight) epochs + deterministic fractional Bernoulli (Knuth

@@ -75,6 +75,36 @@ class SamplingSpec extends SparkSpec {
     assert(out == Map(10L -> 2L))
   }
 
+  test("decontaminateSemantic: forced-IVF regime vs broadcast regime on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Double)] =
+      df.as[(Long, Double)].collect().toSet
+    // (1) verbatim-leak contamination (benchmark ⊆ train): both regimes
+    //     EXACTLY identical — every contaminated vector's argmax is its
+    //     own copy, which cell-assigns identically (the gate's shape)
+    val bench = e.filter(col("vec_id") % 25 === 0)
+    val bcSelf = rows(Sampling.decontaminateSemantic(e, bench, 0.9))
+    val ivfSelf = rows(Sampling.decontaminateSemantic(e, bench, 0.9,
+      benchBroadcastCap = 0)) // forces the no-broadcast scale regime
+    assert(bcSelf.nonEmpty && ivfSelf == bcSelf,
+      "regimes diverge on the verbatim-leak fixture")
+    // (2) weak-match regime (threshold 0.3, disjoint benchmark): IVF is
+    //     approximate by construction — every reported row must carry
+    //     the EXACT max (no understated survivors) and recall ≥ 0.9
+    val train = e.filter(col("vec_id") % 25 =!= 0)
+    val bc = rows(Sampling.decontaminateSemantic(train, bench, 0.3))
+    val ivf = rows(Sampling.decontaminateSemantic(train, bench, 0.3,
+      benchBroadcastCap = 0))
+    assert((ivf -- bc).isEmpty, "IVF regime reported a row the exact path lacks")
+    assert(ivf.size >= math.ceil(bc.size * 0.9).toInt,
+      s"IVF recall ${ivf.size}/${bc.size} below 0.9")
+    // (3) the regime switch actually switches: a cap above |bench|
+    //     broadcasts and matches the default-cap result
+    assert(rows(Sampling.decontaminateSemantic(train, bench, 0.3,
+      benchBroadcastCap = 1 << 20)) == bc)
+  }
+
   test("mixtureApply: copies are floor(w) or ceil(w); applied mass nears targets") {
     val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.15,
       "es" -> 0.15, "zh" -> 0.1)
