@@ -226,6 +226,13 @@ object FhirSchemas {
     StructField("gender", StringType),
     StructField("birthDate", StringType),
     StructField("active", BooleanType),
+    // business identifiers: the `identifier` token param substrate,
+    // incl. the :of-type modifier (type.coding system|code + value)
+    StructField("identifier", ArrayType(StructType(Seq(
+      StructField("use", StringType),
+      StructField("type", codeableConcept),
+      StructField("system", StringType),
+      StructField("value", StringType))))),
     StructField("meta", resourceMeta)))
 
   /** R4 OUTPUT shapes for the transformers that change a field's type

@@ -54,11 +54,16 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     * application/fhir+ndjson content-type hook rides the same
     * storageOptions as [[FhirIO.writeNdjson]]). `_since` restricts
     * meta-carrying types to resources with `meta.lastUpdated >= since`
-    * (the API's incremental-export semantics).
+    * (the API's incremental-export semantics); a type WITHOUT server
+    * meta cannot honor the floor and exports whole — the manifest's
+    * `since_applied` column records, per type, whether the filter
+    * actually applied, so a caller combining `_since` with such types
+    * gets a signal instead of a silently-full directory.
     *
-    * Returns the operation manifest — one (resource_type, n, path) row
-    * per exported type, with `n` counted by READING BACK the written
-    * files, so the manifest certifies that what landed re-parses.
+    * Returns the operation manifest — one (resource_type, n, path,
+    * since_applied) row per exported type, with `n` counted by READING
+    * BACK the written files, so the manifest certifies that what landed
+    * re-parses.
     */
   def export(destDir: String, types: Option[Seq[String]] = None,
       since: Option[String] = None): DataFrame = {
@@ -67,17 +72,17 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     exportTypes.foreach(t => require(tables.contains(t),
       s"unknown type in export _type: $t"))
     val rows = exportTypes.map { t =>
-      val src = since match {
-        case Some(s0) if MetaTypes(t) =>
-          table(t).filter(col("meta").getField("lastUpdated") >= s0)
-        case _ => table(t)
-      }
+      val applied = since.isDefined && MetaTypes(t)
+      val src =
+        if (applied)
+          table(t).filter(col("meta").getField("lastUpdated") >= since.get)
+        else table(t)
       val path = s"$destDir/$t"
       FhirIO.writeNdjson(src, path)
       val n = FhirIO.readNdjson(spark, path, FhirSchemas.byType(t)).count()
-      (t, n, path)
+      (t, n, path, applied)
     }
-    rows.toDF("resource_type", "n", "path")
+    rows.toDF("resource_type", "n", "path", "since_applied")
   }
 
   /** `k=v&k2=v2` (possibly null/empty) → pairs; bare keys dropped. */
@@ -169,6 +174,30 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
           df = df.filter(col("meta").getField("lastUpdated") >= s))
         df = df.orderBy(col("id"),
           col("meta").getField("versionId").cast("int").desc)
+        params.collectFirst { case ("_count", v) => v.toInt }.foreach(n =>
+          df = df.limit(n))
+        return df
+      // System-level `GET [base]/_history`: the whole-store feed — one
+      // leg per registered version feed, projected to the shared
+      // (resourceType, id, version_id, last_updated) shape. `_since`
+      // pushes into every leg's scan BEFORE the union (at 100 TB the
+      // floor is the partition prune that makes an incremental poll
+      // cheap); newest-first with a total tiebreak so `_count` pages
+      // deterministically. `_count` over the union plans as one
+      // TakeOrderedAndProject — no global sort materializes.
+      case systemHistoryRx(rest) =>
+        val params = parseQs(rest)
+        val since = params.collectFirst { case ("_since", v) => v }
+        val legs = historySource.keys.toSeq.sorted.map { t =>
+          val base = since.foldLeft(historyTable(t))((df, s0) =>
+            df.filter(col("meta").getField("lastUpdated") >= s0))
+          base.select(lit(t).as("resourceType"), col("id"),
+            col("meta").getField("versionId").as("version_id"),
+            col("meta").getField("lastUpdated").as("last_updated"))
+        }
+        var df = legs.reduce(_ unionByName _)
+          .orderBy(col("last_updated").desc, col("resourceType"),
+            col("id"), col("version_id").cast("int").desc)
         params.collectFirst { case ("_count", v) => v.toInt }.foreach(n =>
           df = df.limit(n))
         return df
@@ -629,6 +658,9 @@ object FhirSearch {
   /** `Type/_history[?_since=…&_count=…]` type-level history feed. */
   private val typeHistoryRx = "^([A-Za-z]+)/_history(?:\\?(.*))?$".r
 
+  /** `_history[?_since=…&_count=…]` system-level (whole-store) feed. */
+  private val systemHistoryRx = "^_history(?:\\?(.*))?$".r
+
   /** Last-wins current view of an append-only version feed: one row per
     * id, the numerically-highest `meta.versionId` (the same max_by
     * shape as the reference's last-wins lookup join, A24). At 100 TB
@@ -741,6 +773,39 @@ object FhirSearch {
     },
     missingTest = _ => cc.isNull)
 
+  /** Token over an Identifier array: `[system|]value` forms against
+    * identifier.system/value, plus `:of-type` —
+    * `type-system|type-code|value` matching the identifier's TYPE coding
+    * (v2-0203 MR/DL/…) conjoined with its value on the SAME element
+    * (the last delegated-search token modifier; discriminates records
+    * whose identifier VALUES collide across identifier types, which
+    * plain `system|value` cannot).
+    */
+  private def identifierParam(ids: Column): ParamDef = ParamDef(
+    predicate = (v, m) => m match {
+      case Some("of-type") =>
+        val parts = v.split("\\|", -1)
+        require(parts.length == 3 && parts.forall(_.nonEmpty),
+          s"token :of-type requires type-system|type-code|value, got '$v'")
+        exists(ids, id =>
+          id.getField("value") === parts(2) &&
+            exists(id.getField("type").getField("coding"), c =>
+              c.getField("system") === parts(0) &&
+                c.getField("code") === parts(1)))
+      case _ =>
+        val test: Column => Column = v.split("\\|", -1) match {
+          case Array(sys, vv) if sys.nonEmpty && vv.nonEmpty =>
+            id => id.getField("system") === sys && id.getField("value") === vv
+          case Array("", vv) => // `|value`: value on identifiers WITHOUT a system
+            id => id.getField("system").isNull && id.getField("value") === vv
+          case Array(sys, "") => id => id.getField("system") === sys
+          case Array(vv) => id => id.getField("value") === vv
+          case _ => _ => lit(false)
+        }
+        exists(ids, test)
+    },
+    missingTest = _ => ids.isNull)
+
   /** Quantity param over a Quantity struct: `[prefix]number[|system|code]`
     * (e.g. `gt50`, `ge40|http://unitsofmeasure.org|g/dL`). Bare numbers
     * are exact equality; system/code must both match when given.
@@ -802,6 +867,7 @@ object FhirSearch {
       tokenCodingParam(col("meta").getField("security"))
     case (t, "_profile") if MetaTypes(t) =>
       uriArrayParam(col("meta").getField("profile"))
+    case ("Patient", "identifier") => identifierParam(col("identifier"))
     case ("Patient", "gender") => strParam(col("gender"))
     case ("Patient", "birthdate") => dateParam(col("birthDate"))
     case ("Patient", "active") => ParamDef(
@@ -990,6 +1056,7 @@ object FhirSearch {
       "ValueSet" -> load("ValueSet", FhirSchemas.valueSet),
       "CodeSystem" -> load("CodeSystem", FhirSchemas.codeSystem)),
       historySource = Map(
-        "Patient" -> load("Patient.history", FhirSchemas.patient)))
+        "Patient" -> load("Patient.history", FhirSchemas.patient),
+        "Observation" -> load("Observation.history", FhirSchemas.observation)))
   }
 }

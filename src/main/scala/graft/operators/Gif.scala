@@ -295,7 +295,18 @@ object Gif {
           prev = code
         }
       }
-      code = if (n >= expect) eoi else bits.read(codeSize)
+      code = if (n >= expect) {
+        // all pixels delivered: the stream must TERMINATE cleanly —
+        // require the next code to be EOI (a CLEAR directly before it is
+        // tolerated; its reset width applies to the EOI read) instead of
+        // silently accepting trailing entropy data (codec contract:
+        // hostile input fails loudly — the PNG decoder's trailing-bytes
+        // check is the sibling)
+        var fin = bits.read(codeSize)
+        if (fin == clear) fin = bits.read(minCode + 1)
+        require(fin == eoi, s"LZW stream continues past $expect pixels (code $fin)")
+        eoi
+      } else bits.read(codeSize)
     }
     require(n == expect, s"LZW stream ended at $n of $expect pixels")
     out

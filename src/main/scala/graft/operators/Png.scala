@@ -140,8 +140,10 @@ object Png {
           depth = bitDepth
           // re-bound in BYTES now that channels×depth is known: the
           // 2^27-PIXEL cap alone would let a 16-bit RGBA header demand
-          // ~2 GiB of buffers before any data validation
-          if (w * h * fileCh * (depth / 8) > (1L << 28))
+          // ~2 GiB of buffers before any data validation (sub-byte
+          // depths round UP to one byte/sample — the unpacked buffers
+          // are byte-per-sample, so depth/8 = 0 would void the guard)
+          if (w * h * fileCh * math.max(1L, depth / 8) > (1L << 28))
             fail(s"unreasonable buffer demand ${w}x$h ch=$fileCh depth=$depth")
           if (compression != 0) fail(s"unknown compression method $compression")
           if (filterMethod != 0) fail(s"unknown filter method $filterMethod")
@@ -166,6 +168,9 @@ object Png {
           if (len != 0) fail(s"IEND length $len != 0")
           sawIend = true
         case other =>
+          // spec §5.6: IHDR must be the FIRST chunk — even a skippable
+          // ancillary chunk before it is a malformed stream
+          if (!sawIhdr) fail(s"chunk '$other' before IHDR")
           // spec §5.4: a critical chunk (ancillary bit clear — bit 5 of
           // the first type byte) we don't understand makes the image
           // unreadable; only ancillary chunks (tEXt, pHYs, …) may be

@@ -593,6 +593,36 @@ object SearchPack extends QueryPack {
     // returns 0 rows and :below returns the type-2 rows, pinning that
     // the hierarchy closure actually expanded. The oracle replays the
     // closure as a recursive CTE over edges unnested from the tree.
+    // plain identifier token — bare value matches any identifier type
+    // (p-012 carries the value on BOTH its MR and DL identifiers)
+    QueryDef(
+      "search_identifier",
+      (s, _) => eng(s).search("Patient?identifier=ID-00009")
+        .select(col("id"), col("gender")).orderBy("id"),
+      Some(s"""SELECT DISTINCT p.id, p.gender
+              |FROM ${rj("Patient")} p, UNNEST(p.identifier) AS ti(idf)
+              |WHERE idf.value = 'ID-00009' ORDER BY id""".stripMargin)),
+
+    // token :of-type — type-system|type-code|value triple on the SAME
+    // identifier element; value-OR across two triples. Discriminates by
+    // identifier TYPE where plain system|value cannot: the fixture gives
+    // every 12th patient colliding MR/DL values, so of-type DL with
+    // ID-00012 must NOT match via p-012's MR identifier
+    QueryDef(
+      "search_token_of_type",
+      (s, _) => eng(s).search(
+        "Patient?identifier:of-type=http://terminology.hl7.org/CodeSystem/v2-0203|DL|ID-00012," +
+          "http://terminology.hl7.org/CodeSystem/v2-0203|DL|DL-0015")
+        .select(col("id"), col("name")(0).getField("family").as("family"))
+        .orderBy("id"),
+      Some(s"""SELECT DISTINCT p.id, p.name[1].family AS family
+              |FROM ${rj("Patient")} p, UNNEST(p.identifier) AS ti(idf),
+              |     UNNEST(idf."type".coding) AS tc(cd)
+              |WHERE cd."system" = 'http://terminology.hl7.org/CodeSystem/v2-0203'
+              |  AND cd.code = 'DL'
+              |  AND idf.value IN ('ID-00012', 'DL-0015')
+              |ORDER BY id""".stripMargin)),
+
     QueryDef(
       "search_token_below",
       (s, _) => eng(s).search(
@@ -707,6 +737,53 @@ object SearchPack extends QueryPack {
               |       arg_max(name[1].family, CAST(meta.versionId AS INT)) AS family
               |FROM ${rj("Patient.history")}
               |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // system-level history — the whole-store feed (the one delegated
+    // R4 history sibling type/instance history left unserved): union of
+    // every registered version feed projected to the shared shape,
+    // newest-first with a total tiebreak
+    QueryDef(
+      "search_history_system",
+      (s, _) => eng(s).search("_history")
+        .select(col("resourceType"), col("id"), col("version_id"),
+          col("last_updated")),
+      Some(s"""WITH feed AS (
+              |  SELECT 'Observation' AS resourceType, id,
+              |         meta.versionId AS version_id, meta.lastUpdated AS lu
+              |  FROM ${rj("Observation.history")}
+              |  UNION ALL
+              |  SELECT 'Patient' AS resourceType, id,
+              |         meta.versionId AS version_id, meta.lastUpdated AS lu
+              |  FROM ${rj("Patient.history")}
+              |)
+              |SELECT resourceType, id, version_id,
+              |       strftime(lu, '%Y-%m-%dT%H:%M:%SZ') AS last_updated
+              |FROM feed
+              |ORDER BY lu DESC, resourceType, id, CAST(version_id AS INT) DESC""".stripMargin)),
+
+    // system-level history, incremental poll shape: _since floors every
+    // leg before the union; _count pages the newest slice
+    QueryDef(
+      "search_history_system_since",
+      (s, _) => eng(s).search("_history?_since=2024-01-01T00:00:00Z&_count=25")
+        .select(col("resourceType"), col("id"), col("version_id"),
+          col("last_updated")),
+      Some(s"""WITH feed AS (
+              |  SELECT 'Observation' AS resourceType, id,
+              |         meta.versionId AS version_id, meta.lastUpdated AS lu
+              |  FROM ${rj("Observation.history")}
+              |  WHERE meta.lastUpdated >= '2024-01-01T00:00:00Z'
+              |  UNION ALL
+              |  SELECT 'Patient' AS resourceType, id,
+              |         meta.versionId AS version_id, meta.lastUpdated AS lu
+              |  FROM ${rj("Patient.history")}
+              |  WHERE meta.lastUpdated >= '2024-01-01T00:00:00Z'
+              |)
+              |SELECT resourceType, id, version_id,
+              |       strftime(lu, '%Y-%m-%dT%H:%M:%SZ') AS last_updated
+              |FROM feed
+              |ORDER BY lu DESC, resourceType, id, CAST(version_id AS INT) DESC
+              |LIMIT 25""".stripMargin)),
 
     // patient-compartment search with an extra param
     QueryDef(

@@ -54,8 +54,12 @@ class FhirSearchSpec extends SparkSpec {
       == "Family010-v1")
     // single-version patients have exactly one history entry
     assert(eng.search("Patient/p-001/_history").count() == 1)
+    // Observation serves a feed too (round 10, for system-level
+    // _history): version-specific content is visible through vread
+    assert(eng.search("Observation/obs-010/_history/1")
+      .select(col("status")).head().getString(0) == "preliminary")
     // no feed for this type → loud error, not empty
-    intercept[RuntimeException](eng.search("Observation/o-1/_history"))
+    intercept[RuntimeException](eng.search("Specimen/sp-001/_history"))
   }
 
   test("currentFromHistory last-wins view reproduces the Patient table") {

@@ -94,6 +94,30 @@ class BpeSpec extends SparkSpec {
       Bpe.train(corpus(1L -> "aa bb aa bb"), 2, 1L).toSeq)
   }
 
+  test("sf0.001 token-stream digest matches the independent Python replay (pinned)") {
+    // Pinned constant = tools/bpe_replay.py /root/testdata/sf0.001 30 —
+    // an INDEPENDENT reimplementation of train+encode from the algorithm
+    // definition. Any silent drift in the merge table, tie-breaks,
+    // tokenization, or apply loop flips this digest.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val merges = Bpe.train(docs, numMerges = 30)
+    assert(merges.length == 30 && merges(0) == (("e", "r")))
+    val ranks = new java.util.HashMap[(String, String), Int]()
+    merges.zipWithIndex.foreach { case (p, r) => ranks.put(p, r) }
+    val lines = docs.collect().map { r =>
+      val toks = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+        .flatMap(Bpe.encodeWord(_, ranks))
+      r.getLong(0) -> s"${r.getLong(0)}\t${toks.mkString(" ")}"
+    }.sortBy(_._1).map(_._2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md == "02a8ced3a4046ec9f5205f512bc839ec",
+      "token-stream digest drifted from the pinned independent replay")
+  }
+
   test("training is deterministic and bounded by available pairs") {
     val docs = corpus(1L -> "ab ab ab")
     // 'ab</w>' has 2 pairs; request more merges than exist

@@ -66,6 +66,26 @@ def patients():
                         f'<p>History of {cond}.</p></div>'),
             },
             "name": [{"family": f"Family{i:03d}", "given": [f"Given{i:03d}"]}],
+            # business identifiers: `identifier` token-param substrate.
+            # Every patient has an MR (medical-record) identifier; every
+            # 3rd also a DL — so :of-type can discriminate by type code
+            # where plain system|value cannot (the MRN/DL VALUES collide
+            # on purpose for i % 12 == 0: same value, different type).
+            "identifier": (
+                [{"use": "official",
+                  "type": {"coding": [{
+                      "system": "http://terminology.hl7.org/CodeSystem/v2-0203",
+                      "code": "MR"}],
+                      "text": "Medical record number"},
+                  "system": "http://hospital.example.org/mrn",
+                  "value": f"ID-{i:05d}"}]
+                + ([{"use": "official",
+                     "type": {"coding": [{
+                         "system": "http://terminology.hl7.org/CodeSystem/v2-0203",
+                         "code": "DL"}]},
+                     "system": "urn:oid:2.16.840.1.113883.4.3.25",
+                     "value": (f"ID-{i:05d}" if i % 12 == 0 else f"DL-{i:04d}")}]
+                   if i % 3 == 0 else [])),
             "gender": "female" if i % 2 == 0 else "male",
             "birthDate": f"{1950 + (i * 7) % 50}-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}",
             "active": i % 5 != 0,
