@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * frame-sampling over MJPEG streams ([[sampleVideoFrames]]: marker-aware
   * frame index, selective decode) and REAL inter-frame video via the
   * animated-GIF codec ([[GifCodec]]/[[Gif]]: LZW, interlace, disposal
-  * compositing). Motion-compensated entropy-coded codecs (H.264-class
-  * video, MP3-class audio) stay behind [[StubCodec]] —
+  * compositing), and REAL lossless compressed audio via [[Flac]]
+  * (FIXED/LPC prediction, Rice residuals, MD5-verified).
+  * Motion-compensated entropy-coded video (H.264-class) and
+  * psychoacoustic lossy audio (MP3-class) stay behind [[StubCodec]] —
   * those codec libraries are not in this environment —
   * but everything Spark-side is identical across all of them: the schema
   * contract, the partition-preserving mapPartitions execution (the Scala
@@ -689,6 +691,50 @@ object Multimodal {
         Array.fill(9)((((b & 0xff) - 128) * 256).toShort)
       }
       wavEncodeImaAdpcm(8000, samples, 9)
+    }
+
+  /** A REAL lossless compressed-audio codec: FLAC decode ([[Flac]] —
+    * frame sync/CRCs, FIXED/LPC prediction, Rice residuals, STREAMINFO
+    * MD5 verification). Reports RMS over the reconstructed channel-0
+    * PCM; because FLAC is lossless the value is EXACT for any input —
+    * no exact-representable-subspace carve-out needed (contrast
+    * [[AdpcmWavCodec]]).
+    */
+  object FlacCodec extends MediaCodec {
+    override val featureType: StructType = StructType(Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("rms", DoubleType)))
+
+    override def decode(bytes: Array[Byte]): Row = {
+      val s = Flac.decode(bytes)
+      val ch0 = s.pcm(0)
+      var sq = 0L
+      var i = 0
+      while (i < ch0.length) { val v = ch0(i).toLong; sq += v * v; i += 1 }
+      Row(s.sampleRate, s.channels, s.totalSamples,
+        if (ch0.isEmpty) 0.0 else math.sqrt(sq.toDouble / ch0.length))
+    }
+  }
+
+  /** Synthesize a FLAC `media` column: 128 mono 16-bit samples — the 16
+    * digest bytes mapped to `(b − 128) · 256`, tiled 8× — encoded at
+    * blockSize 64 (2 frames: exercises frame numbering, FIXED-order
+    * search and nonzero Rice residuals at every period-16 boundary).
+    * Losslessness makes the decoded RMS = √(Σ s_b²/16) exactly — the
+    * same digest replay as the PCM/ADPCM gates, over arbitrary content
+    * rather than a codec-exact subspace.
+    */
+  def withFlacColumn(docs: DataFrame): DataFrame =
+    withDigestColumn(docs) { dg =>
+      val samples = new Array[Int](128)
+      var i = 0
+      while (i < 128) {
+        samples(i) = ((dg(i % 16) & 0xff) - 128) * 256
+        i += 1
+      }
+      Flac.encode(Array(samples), 8000, blockSize = 64)
     }
 
   /** Encode a grayscale byte matrix (row-major, top row first) as a

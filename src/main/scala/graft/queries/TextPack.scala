@@ -525,6 +525,33 @@ object TextPack extends QueryPack {
              |  sqrt(CAST(list_sum(list_transform(sm, s -> s*s)) AS DOUBLE) / 16) AS rms
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 with a REAL lossless compressed-AUDIO codec: 128 mono samples
+    // (digest bytes tiled 8×) FLAC-encoded at blockSize 64 — two frames
+    // of FIXED-predicted Rice-coded residuals, decoded through the full
+    // frame-sync/CRC/MD5-verified pure-JVM parser. Lossless ⇒ the RMS
+    // replays from the hex digest exactly, for ARBITRARY content (no
+    // exact-representable subspace needed, unlike ADPCM).
+    QueryDef(
+      "mm_flac",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withFlacColumn(docsOf(s, d)), Multimodal.FlacCodec)
+          .select(col("doc_id"),
+            col("features").getField("sample_rate").as("sample_rate"),
+            col("features").getField("channels").as("channels"),
+            col("features").getField("n_samples").as("n_samples"),
+            col("features").getField("rms").as("rms"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST((('0x' || substr(md5(text), i*2+1, 2))::INT - 128) * 256 AS BIGINT)) AS sm
+             |  FROM documents
+             |)
+             |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+             |  CAST(128 AS BIGINT) AS n_samples,
+             |  sqrt(CAST(list_sum(list_transform(sm, s -> s*s)) AS DOUBLE) / 16) AS rms
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // C12 with a REAL lossless compressed-image codec: synthesize a 2×8
     // grayscale PNG per document (16 pixels = md5(text) digest bytes,
     // scanline filters cycling None/Sub/Up/Average/Paeth down the rows),
