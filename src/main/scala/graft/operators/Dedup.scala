@@ -653,4 +653,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("da"), col("db"), col("hamming").cast(LongType).as("hamming"))
   }
+
+  /** Per-document duplicated-span coverage (the "what fraction of this
+    * document exists elsewhere" signal from substring-dedup pipelines,
+    * cf. Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): the share of a document's DISTINCT word n-gram shingles
+    * that occur in at least one OTHER document. 1.0 ⇒ every span is
+    * duplicated somewhere (an exact or near copy); high values flag
+    * partially-copied/templated documents that pairwise near-dup misses
+    * when the copied portion is below the Jaccard threshold.
+    *
+    * Scale shape: shingles come from the fused native [[shingleHashes]]
+    * (already per-document distinct, 8-byte keys — map-side, NO distinct
+    * shuffle); one shuffle on the hash counts carrying documents
+    * (postings-length counts, never pairs), one shuffle back on the
+    * document for the coverage aggregate. No pair join anywhere — this
+    * is O(corpus), not O(candidates²), which is why span coverage stays
+    * computable at 100 TB where all-pairs containment does not. Counts
+    * are keying-invariant (any injective shingle keying yields the same
+    * coverage — the jaccardPairs postings argument), so the md5-string
+    * oracle still matches the xxhash64 engine path.
+    */
+  def spanCoverage(docs: DataFrame, key: Column, text: Column,
+      n: Int = 8): DataFrame = {
+    val sh = docs
+      .select(key.as("doc_key"), explode(shingleHashes(text, n)).as("sh"))
+    // per-doc distinct already ⇒ count(*) per hash = distinct carriers
+    val carriers = sh.groupBy("sh").agg(count(lit(1)).as("nd"))
+    sh.join(carriers, "sh")
+      .groupBy("doc_key")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("coverage",
+        round(col("n_shared").cast("double") / col("n_spans"), 6))
+  }
 }

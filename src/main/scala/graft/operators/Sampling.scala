@@ -176,6 +176,33 @@ object Sampling {
       .filter(col("max_sim") >= threshold)
   }
 
+  /** Leakage-safe train/validation split: the unit of assignment is the
+    * near-duplicate COMPONENT, not the document — a validation document
+    * can then never have a near-duplicate in train (the eval-set leakage
+    * a per-document random split produces at a rate equal to the corpus
+    * dup-rate). `pairs` is any near-dup pair frame (`da`, `db` — from
+    * jaccardPairs, lshNearDups, embedding near-dups, …); documents
+    * outside every pair are their own singleton component. The draw is
+    * the same md5 threshold as [[bernoulli]] — deterministic,
+    * engine-reproducible, retry-stable — applied to the component id.
+    *
+    * Scale shape: components via the O(log n) contraction
+    * ([[Dedup.connectedComponentsAdaptive]]), then one broadcast-or-
+    * shuffle join of the (much smaller) non-singleton component table
+    * onto the corpus; the split itself is a map-side literal compare.
+    */
+  def leakageSafeSplit(docs: DataFrame, key: Column, pairs: DataFrame,
+      valFrac: Double): DataFrame = {
+    val comp = Dedup.connectedComponentsAdaptive(pairs)
+      .withColumnRenamed("id", "doc_key")
+    docs.select(key.as("doc_key"))
+      .join(comp, Seq("doc_key"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_key")))
+      .withColumn("split",
+        when(hashDraw(col("component")) < lit(rateThreshold(valFrac)), "val")
+          .otherwise("train"))
+  }
+
   /** Mixture planning: per-stratum sampling/repeat weight that reshapes
     * the corpus token distribution to a target share map. weight > 1 ⇒
     * repeat (epochs), < 1 ⇒ subsample — the standard knob for data

@@ -257,4 +257,47 @@ object TextOps {
     docs.select(col("doc_id"), md5(norm).as("fp"),
       conv(substring(md5(norm), 1, 15), 16, 10).cast(LongType).as("fp_bucket"))
   }
+
+  /** Cross-document boilerplate detection (the CCNet/RefinedWeb line-level
+    * dedup shape): a SEGMENT occurring verbatim in ≥ `minDocs` distinct
+    * documents is boilerplate (navigation chrome, license headers,
+    * templated footers); reported per document as the boilerplate-segment
+    * ratio — the standard removal/weighting signal. Segmenter here:
+    * consecutive non-overlapping `segWords`-word windows (this corpus has
+    * no newlines; a newline or sentence segmenter is the same plan with a
+    * different split expression).
+    *
+    * Scale shape: segments ship as md5 digests; one shuffle keyed on the
+    * digest to count distinct carrying documents (cardinality = distinct
+    * segments, never documents²), one shuffle back on doc_id for the
+    * per-document aggregate. A 100 TB corpus with heavy boilerplate is
+    * exactly where digest-keyed counting stays balanced: hot segments
+    * concentrate COUNTS, not rows, after the map-side partial aggregate.
+    */
+  def boilerplate(docs: DataFrame, segWords: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    // positional (non-distinct) segments: a document repeating the
+    // boilerplate twice has both occurrences counted in its ratio
+    val segs = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      // the >= guard keeps sequence() ascending (sequence(1, 0) is
+      // DESCENDING — the lmTypicality trap); sub-segment docs have no
+      // segments and no output row
+      .filter(size(col("w")) >= segWords)
+      .select(col("doc_id"), col("w"),
+        // `/` on ints yields double — cast back for sequence()
+        explode(sequence(lit(1),
+          (size(col("w")) / segWords).cast(IntegerType))).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("w"), (col("i") - 1) * segWords + 1,
+          lit(segWords)), " ")).as("sh"))
+    val carriers = segs.select(col("doc_id"), col("sh")).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("nd"))
+    segs.join(carriers, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast(DoubleType) / col("n_segs"), 6))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity}
 import graft.sources.{Tables => T}
 
 /** Deduplication pack (SURVEY C10) over the `documents`/`embeddings`
@@ -233,6 +233,74 @@ object DedupPack extends QueryPack {
               |       coalesce(comp.component, c.doc_id) = c.doc_id AS is_survivor
               |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
               |ORDER BY c.doc_id""".stripMargin)),
+
+    // Leakage-safe split: near-dup COMPONENTS are the assignment unit —
+    // a val document can never have a near-duplicate in train. Same
+    // component machinery as dedup_components, then the bernoulli md5
+    // draw on the COMPONENT id (rateThreshold(0.25) = '40000000').
+    QueryDef(
+      "dedup_leakage_split",
+      (s, d) => {
+        val corpus = Dedup.withMutants(
+          T.documents(s, d).filter(col("doc_id") < JaccardCap)
+            .select(col("doc_id"), col("text")))
+        Sampling.leakageSafeSplit(corpus, col("doc_id"),
+            Dedup.jaccardPairs(corpus, 3, 0.5), valFrac = 0.25)
+          .withColumnRenamed("doc_key", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $MutantCorpus, $Shingles,
+              |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |), pairs AS (
+              |  SELECT da, db FROM inter
+              |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              |  WHERE i / (sa.n + sb.n - i) >= 0.5
+              |), edges AS (
+              |  SELECT da AS a, db AS b FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs
+              |), reach(id, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+              |), comp AS (
+              |  SELECT id, min(r) AS component FROM reach GROUP BY id
+              |)
+              |SELECT c.doc_id,
+              |       coalesce(comp.component, c.doc_id) AS component,
+              |       CASE WHEN substr(md5(CAST(coalesce(comp.component, c.doc_id) AS VARCHAR)), 1, 8)
+              |                 < '40000000' THEN 'val' ELSE 'train' END AS split
+              |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+              |ORDER BY c.doc_id""".stripMargin)),
+
+    // Duplicated-span coverage (substring-dedup signal, Lee et al.): the
+    // share of each document's distinct 8-gram shingles that occur in at
+    // least one OTHER document — O(corpus) postings counting, no pair
+    // join, so it runs on the FULL mutant corpus like simhash.
+    QueryDef(
+      "dedup_span_coverage",
+      (s, d) =>
+        Dedup.spanCoverage(
+            Dedup.withMutants(
+              T.documents(s, d).select(col("doc_id"), col("text"))),
+            col("doc_id"), col("text"), n = 8)
+          .withColumnRenamed("doc_key", "doc_id")
+          .orderBy("doc_id"),
+      Some(s"""WITH $MutantCorpusFull,
+              |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+              |sg AS (
+              |  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7],' ')) AS sh
+              |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
+              |        FROM w WHERE len(w) >= 8)
+              |), nd AS (SELECT sh, count(*) AS nd FROM sg GROUP BY sh)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              |       CAST(count(*) FILTER (nd.nd >= 2) AS BIGINT) AS n_shared,
+              |       round(CAST(count(*) FILTER (nd.nd >= 2) AS DOUBLE) / count(*), 6) AS coverage
+              |FROM sg JOIN nd USING (sh)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // MinHash + banded LSH (r=2, b=16): the scale path — candidates from a
     // bucket equi-join, exact Jaccard verify on candidates only. Rows-only

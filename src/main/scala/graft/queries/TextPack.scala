@@ -144,6 +144,30 @@ object TextPack extends QueryPack {
       },
       None),
 
+    // Cross-document boilerplate detection (CCNet/RefinedWeb line-level
+    // dedup shape): verbatim 5-word segments carried by >= 2 distinct
+    // documents are boilerplate; per-doc ratio. Digest-keyed counting —
+    // two shuffles, no pair join.
+    QueryDef(
+      "text_boilerplate",
+      (s, d) =>
+        TextOps.boilerplate(docsOf(s, d), segWords = 5, minDocs = 2)
+          .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text,' ') AS w FROM documents
+             |), seg AS (
+             |  SELECT doc_id, md5(array_to_string(w[(i-1)*5+1:(i-1)*5+5],' ')) AS sh
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)//5)) AS i
+             |        FROM w WHERE len(w) >= 5)
+             |), nd AS (
+             |  SELECT sh, count(DISTINCT doc_id) AS nd FROM seg GROUP BY sh
+             |)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+             |       CAST(count(*) FILTER (nd.nd >= 2) AS BIGINT) AS n_boiler,
+             |       round(CAST(count(*) FILTER (nd.nd >= 2) AS DOUBLE) / count(*), 6) AS boiler_ratio
+             |FROM seg JOIN nd USING (sh)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // n-gram-LM quality scoring: mean bigram probability under the
     // corpus' own conditional bigram model (exactly-reproducible
     // perplexity stand-in — see TextOps.lmTypicality).

@@ -198,4 +198,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1))
   }
+
+  test("spanCoverage: exact copy => 1.0, partial copy in between, unique => 0") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j k l m n o p" // 16 words, 9 distinct 8-grams
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact copy of 1
+      (3L, s"$base q r s t u v w x"), // contains all of 1's spans + own tail
+      (4L, "z y x w v u t s r q p o n m l k")) // doc 1's tail words, reversed order
+      .toDF("doc_id", "text")
+    val cov = Dedup.spanCoverage(docs, col("doc_id"), col("text"), n = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(cov(1L)._4 == 1.0, "exact duplicate must cover fully")
+    assert(cov(2L)._4 == 1.0)
+    assert(cov(3L)._3 == 9L && cov(3L)._4 > 0 && cov(3L)._4 < 1.0,
+      "partial copy shares exactly the copied spans")
+    // doc 4 reversed: spans k..p appear only reversed => nothing shared
+    assert(cov(4L)._3 == 0L && cov(4L)._4 == 0.0)
+    // partition-invariant
+    val rep = Dedup.spanCoverage(docs.repartition(4), col("doc_id"), col("text"), 8)
+    assert(rep.exceptAll(
+      Dedup.spanCoverage(docs, col("doc_id"), col("text"), 8)).isEmpty)
+  }
 }

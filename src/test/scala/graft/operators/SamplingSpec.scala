@@ -105,6 +105,42 @@ class SamplingSpec extends SparkSpec {
       benchBroadcastCap = 1 << 20)) == bc)
   }
 
+  test("leakageSafeSplit: no val document has a near-dup in train") {
+    // planted near-dup graph: (1,2), (2,3) one chain component; (10,11)
+    // another; 20 a singleton
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val split = Sampling.leakageSafeSplit(docs, col("doc_id"), pairs, 0.5)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(split.size == 6)
+    val byDoc = split.map(r => r._1 -> r._3).toMap
+    // whole components land on one side
+    assert(Set(byDoc(1L), byDoc(2L), byDoc(3L)).size == 1)
+    assert(Set(byDoc(10L), byDoc(11L)).size == 1)
+    // therefore no pair straddles the split
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) straddles the split")
+    // singleton keeps its own id as component
+    assert(split.find(_._1 == 20L).get._2 == 20L)
+    // deterministic
+    assert(Sampling.leakageSafeSplit(docs, col("doc_id"), pairs, 0.5)
+      .as[(Long, Long, String)].collect().toSeq.sorted == split.sorted)
+    // real corpus: every near-dup pair is split-homogeneous
+    val corpus = Dedup.withMutants(spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")))
+    val p2 = Dedup.jaccardPairs(corpus, 3, 0.5).cache()
+    val s2 = Sampling.leakageSafeSplit(corpus, col("doc_id"), p2, 0.25)
+    val straddling = p2
+      .join(s2.select(col("doc_key").as("da"), col("split").as("sa")), "da")
+      .join(s2.select(col("doc_key").as("db"), col("split").as("sb")), "db")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.count() == 0, "a near-dup pair straddles train/val")
+    // both sides are populated at valFrac 0.25 on ~1000 components
+    val sides = s2.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sides.getOrElse("val", 0L) > 0 && sides.getOrElse("train", 0L) > 0)
+  }
+
   test("mixtureApply: copies are floor(w) or ceil(w); applied mass nears targets") {
     val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.15,
       "es" -> 0.15, "zh" -> 0.1)

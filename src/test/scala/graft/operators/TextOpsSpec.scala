@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("boilerplate: planted repeated segment found; unique text scores 0") {
+    val footer = "all rights reserved by the example corporation inc xyz now"
+    // 10 words → two 5-word segments, shared verbatim by docs 1-3
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon $footer"),
+      (2L, s"one two three four five six seven eight nine ten $footer"),
+      (3L, footer),
+      (4L, "totally unique words that never repeat anywhere else at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.boilerplate(docs, segWords = 5, minDocs = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 3 is NOTHING BUT the footer: both its segments are boilerplate
+    assert(out(3L) == ((3L, 2L, 2L, 1.0)))
+    // doc 1: 3 segments (15 words), the last two are the footer
+    assert(out(1L)._2 == 3L && out(1L)._3 == 2L)
+    // doc 2: 4 segments, footer = segments 3-4
+    assert(out(2L)._2 == 4L && out(2L)._3 == 2L)
+    // unique doc: zero boilerplate
+    assert(out(4L)._3 == 0L && out(4L)._4 == 0.0)
+    // partition-invariant
+    val rep = TextOps.boilerplate(docs.repartition(4), 5, 2)
+    assert(rep.exceptAll(TextOps.boilerplate(docs, 5, 2)).isEmpty)
+  }
+
+  test("boilerplate: segment alignment is positional, not sliding") {
+    // the same 5 words NOT aligned to a 5-word boundary must not match
+    val seg = "v w x y z"
+    val docs = Seq(
+      (1L, s"$seg padding padding padding padding padding"),
+      (2L, s"offset $seg padding padding padding padding")) // shifted by 1
+      .toDF("doc_id", "text")
+    val out = TextOps.boilerplate(docs, 5, 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.forall(_._3 == 0L), "misaligned segments must not count as shared")
+  }
+}
