@@ -38,6 +38,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    thereby self-evidencing; a genuine regression reproduces.
   */
 object Bench {
+
+  /** Committed per-query baseline (BASELINE.md table rows
+    * `| name | sec | ...`): the rerun pass compares against these.
+    * Gates newer than the table simply have no rerun trigger until the
+    * table row lands. Parse is defensive — any malformed row is skipped
+    * — and BenchBaselineSpec pins that the live BASELINE.md still
+    * parses into a near-complete gate map (a silent format drift here
+    * would quietly disable the outlier-rerun pass).
+    */
+  def loadBaseline(path: String = "BASELINE.md"): Map[String, Double] = try {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val row = """^\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|.*""".r
+      val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+      try src.getLines().collect { case row(n, v) => n -> v.toDouble }.toMap
+      finally src.close()
+    }
+  } catch { case _: Throwable => Map.empty[String, Double] }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -95,20 +115,7 @@ object Bench {
       if (x == 42L) println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
-    // Committed per-query baseline (BASELINE.md table rows
-    // `| name | sec | ...`): the rerun pass compares against these.
-    // Gates newer than the table simply have no rerun trigger until the
-    // table row lands. Parse is defensive — any malformed row is skipped.
-    val baseline: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get("BASELINE.md")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val row = """^\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|.*""".r
-        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-        try src.getLines().collect { case row(n, v) => n -> v.toDouble }.toMap
-        finally src.close()
-      }
-    } catch { case _: Throwable => Map.empty[String, Double] }
+    val baseline = loadBaseline()
     val calPre = calibrate()
     val calSeries = scala.collection.mutable.ArrayBuffer[Double]()
     val calEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_EVERY", "20").toInt

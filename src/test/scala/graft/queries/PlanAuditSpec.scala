@@ -86,6 +86,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum") && p.contains("pmod"), p.take(1500))
   }
 
+  test("search_history_system_since: _count over the feed union plans as TakeOrderedAndProject") {
+    val p = plan("search_history_system_since")
+    assert(p.contains("TakeOrderedAndProject"),
+      "system _history _count should plan as a top-k, not a global sort:\n" + p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("text_boilerplate: scan prunes to (doc_id, text); segment digests, not text, shuffle") {
+    val p = plan("text_boilerplate")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "boilerplate should read only doc_id+text:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_span_coverage: fused ngram_hashes assigns spans — no per-word Generate before the hash") {
+    val p = plan("dedup_span_coverage")
+    assert(p.contains("ngram_hashes"),
+      "span coverage should use the fused native shingle expression:\n" + p.take(1500))
+  }
+
   test("search_paging: offset+limit plans as TakeOrderedAndProject, no global window") {
     val df = graft.SparkEntry.queries("search_paging")(spark, d)
     val p = df.queryExecution.executedPlan.toString
