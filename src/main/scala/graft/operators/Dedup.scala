@@ -674,6 +674,38 @@ object Dedup {
     * coverage — the jaccardPairs postings argument), so the md5-string
     * oracle still matches the xxhash64 engine path.
     */
+  /** Quality-aware survivor election — the dedup endgame done the way a
+    * curation pipeline actually wants it: per near-dup component keep
+    * the HIGHEST-QUALITY member (tie: lowest key), not the lowest-id one
+    * ([[connectedComponents]]' default). `quality` is any
+    * (doc_key, quality) frame — [[TextOps.qualityScore]] in the gate.
+    *
+    * Scale shape: components via the O(log n) contraction; the election
+    * is ONE max_by aggregation over (component) — no window sort over
+    * members — then a join back for the per-document verdict. The
+    * max_by carrier is struct(quality, -doc_key), so the tie-break needs
+    * no second pass.
+    */
+  def electSurvivors(docs: DataFrame, key: Column, pairs: DataFrame,
+      quality: DataFrame): DataFrame = {
+    val comp = connectedComponentsAdaptive(pairs)
+      .withColumnRenamed("id", "doc_key")
+    // cached: referenced by BOTH the winners aggregate and the join
+    // back — without it the component computation (and the quality
+    // scan) execute twice (measured 2× the gate at sf0.1)
+    val withComp = docs.select(key.as("doc_key"))
+      .join(comp, Seq("doc_key"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_key")))
+      .join(quality, "doc_key")
+      .cache()
+    val winners = withComp.groupBy("component")
+      .agg(max_by(col("doc_key"),
+        struct(col("quality"), (-col("doc_key")).as("nk"))).as("survivor"))
+    withComp.join(winners, "component")
+      .select(col("doc_key"), col("component"), col("quality"),
+        (col("doc_key") === col("survivor")).as("is_survivor"))
+  }
+
   def spanCoverage(docs: DataFrame, key: Column, text: Column,
       n: Int = 8): DataFrame = {
     val sh = docs

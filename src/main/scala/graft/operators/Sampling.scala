@@ -176,6 +176,21 @@ object Sampling {
       .filter(col("max_sim") >= threshold)
   }
 
+  /** Deterministic epoch ordering: a pseudo-random but fully
+    * reproducible global training order per epoch — the sort key is
+    * md5(epoch ":" key), so (a) every epoch is a different permutation,
+    * (b) a re-run or retried partition reproduces the identical order,
+    * (c) no RNG state anywhere. At 100 TB the ORDER IS THE SORT: the
+    * frame is written sorted by `sort_key` (range-partitioned shards)
+    * and readers consume shards in key order — there is deliberately no
+    * global row-number column, which would force a single-partition
+    * window.
+    */
+  def epochOrder(df: DataFrame, key: Column, epoch: Int): DataFrame =
+    df.select(key.as("doc_key"),
+        md5(concat_ws(":", lit(epoch), key.cast("string"))).as("sort_key"))
+      .orderBy(col("sort_key"), col("doc_key"))
+
   /** Leakage-safe train/validation split: the unit of assignment is the
     * near-duplicate COMPONENT, not the document — a validation document
     * can then never have a near-duplicate in train (the eval-set leakage

@@ -276,6 +276,66 @@ object DedupPack extends QueryPack {
               |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
               |ORDER BY c.doc_id""".stripMargin)),
 
+    // Quality-aware survivor election: per component keep the
+    // HIGHEST-quality member (tie: lowest id) — one max_by over
+    // struct(quality, -id), no window sort. Mutants drop ~10% of
+    // tokens, so the original usually out-scores its mutant and the
+    // election is non-trivially different from min-id.
+    QueryDef(
+      "dedup_elect_survivors",
+      (s, d) => {
+        val corpus = Dedup.withMutants(
+          T.documents(s, d).filter(col("doc_id") < JaccardCap)
+            .select(col("doc_id"), col("text")))
+        val quality = graft.operators.TextOps.qualityScore(corpus)
+          .withColumnRenamed("doc_id", "doc_key")
+        Dedup.electSurvivors(corpus, col("doc_id"),
+            Dedup.jaccardPairs(corpus, 3, 0.5), quality)
+          .withColumnRenamed("doc_key", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $MutantCorpus, $Shingles,
+              |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |), pairs AS (
+              |  SELECT da, db FROM inter
+              |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              |  WHERE i / (sa.n + sb.n - i) >= 0.5
+              |), edges AS (
+              |  SELECT da AS a, db AS b FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs
+              |), reach(id, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+              |), comp AS (
+              |  SELECT id, min(r) AS component FROM reach GROUP BY id
+              |), qw AS (
+              |  SELECT doc_id, string_split(lower(text),' ') AS w FROM corpus
+              |), q AS (
+              |  SELECT doc_id,
+              |    round(least(CAST(len(w) AS DOUBLE) / 200.0, 1.0) * 0.5
+              |      + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.3
+              |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+              |              / len(w) * 5.0, 1.0) * 0.2, 6) AS quality
+              |  FROM qw
+              |), wc AS (
+              |  SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS component,
+              |         q.quality
+              |  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+              |  JOIN q ON q.doc_id = c.doc_id
+              |), ranked AS (
+              |  SELECT doc_id, component, quality,
+              |    row_number() OVER (PARTITION BY component
+              |                       ORDER BY quality DESC, doc_id ASC) AS rn
+              |  FROM wc
+              |)
+              |SELECT doc_id, component, quality, rn = 1 AS is_survivor
+              |FROM ranked ORDER BY doc_id""".stripMargin)),
+
     // Duplicated-span coverage (substring-dedup signal, Lee et al.): the
     // share of each document's distinct 8-gram shingles that occur in at
     // least one OTHER document — O(corpus) postings counting, no pair

@@ -192,6 +192,20 @@ object SamplePack extends QueryPack {
              |SELECT vec_id, max_sim FROM sims
              |WHERE max_sim >= 0.9 ORDER BY vec_id""".stripMargin)),
 
+    // Deterministic epoch ordering: md5(epoch:key) is the sort key —
+    // each epoch a different reproducible permutation, no RNG, no
+    // global row-number (the order IS the sort; readers consume
+    // range-partitioned shards in key order).
+    QueryDef(
+      "sample_epoch_order",
+      (s, d) =>
+        Sampling.epochOrder(
+            T.documents(s, d).select(col("doc_id")), col("doc_id"), epoch = 1)
+          .withColumnRenamed("doc_key", "doc_id"),
+      Some("""SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS sort_key
+             |FROM documents
+             |ORDER BY sort_key, doc_id""".stripMargin)),
+
     // Applied mixture: per-document copy counts materializing the plan —
     // floor(weight) epochs + deterministic fractional Bernoulli (Knuth
     // multiplicative draw, integer-exact in both engines). Expectation =

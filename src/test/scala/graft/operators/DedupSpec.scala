@@ -199,6 +199,26 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1))
   }
 
+  test("electSurvivors: highest quality wins, not lowest id; ties break to lowest id") {
+    import spark.implicits._
+    val d2 = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("da", "db")
+    val quality = Seq( // component {1,2,3}: best is id 3 (NOT the min id)
+      1L -> 0.2, 2L -> 0.5, 3L -> 0.9,
+      7L -> 0.4, 8L -> 0.4, // tie -> lowest id (7) survives
+      9L -> 0.1).toDF("doc_key", "quality")
+    val out = Dedup.electSurvivors(d2, col("doc_id"), pairs, quality)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(3L)._4 && !out(1L)._4 && !out(2L)._4,
+      "highest-quality member must win the component")
+    assert(out(7L)._4 && !out(8L)._4, "quality tie must break to the lowest id")
+    assert(out(9L)._4 && out(9L)._2 == 9L, "singleton survives itself")
+    // exactly one survivor per component
+    val perComp = out.values.groupBy(_._2).view.mapValues(_.count(_._4))
+    assert(perComp.values.forall(_ == 1))
+  }
+
   test("spanCoverage: exact copy => 1.0, partial copy in between, unique => 0") {
     import spark.implicits._
     val base = "a b c d e f g h i j k l m n o p" // 16 words, 9 distinct 8-grams

@@ -105,6 +105,22 @@ class SamplingSpec extends SparkSpec {
       benchBroadcastCap = 1 << 20)) == bc)
   }
 
+  test("epochOrder: reproducible per-epoch permutations, all distinct keys kept") {
+    val keys = (1L to 200L).toDF("doc_id")
+    def order(epoch: Int): Seq[Long] =
+      Sampling.epochOrder(keys, col("doc_id"), epoch)
+        .select("doc_key").as[Long].collect().toSeq
+    val e1 = order(1)
+    assert(e1.sorted == (1L to 200L), "every key appears exactly once")
+    assert(e1 == order(1), "same epoch must reproduce the identical order")
+    val e2 = order(2)
+    assert(e1 != e2, "different epochs must permute differently")
+    assert(e1 != (1L to 200L).toSeq, "order must not be the natural key order")
+    // partition-invariant: the order is a SORT, not a partition artifact
+    assert(Sampling.epochOrder(keys.repartition(7), col("doc_id"), 1)
+      .select("doc_key").as[Long].collect().toSeq == e1)
+  }
+
   test("leakageSafeSplit: no val document has a near-dup in train") {
     // planted near-dup graph: (1,2), (2,3) one chain component; (10,11)
     // another; 20 a singleton
