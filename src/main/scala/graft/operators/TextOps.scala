@@ -258,6 +258,45 @@ object TextOps {
       conv(substring(md5(norm), 1, 15), 16, 10).cast(LongType).as("fp_bucket"))
   }
 
+  /** PII patterns — deliberately lookaround-free and ASCII so the SAME
+    * pattern runs identically under Java regex (engine) and RE2 (DuckDB
+    * oracle), the [[BpeSplitPattern]] discipline. The usual first-pass
+    * scrub set of a web-corpus pipeline (C4-style): emails, IPv4
+    * addresses, US-shaped phone numbers.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String =
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern: String =
+    "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** PII scrub: replace emails / IPv4s / phone numbers with typed mask
+    * tokens and report per-document match counts — the
+    * detect-then-redact pass every compliance-bound corpus pipeline
+    * runs before training. Pure codegen'd regexp expressions, map-side
+    * only: at 100 TB this runs at scan speed with zero shuffles (the
+    * gate's sort is presentation, not the operator).
+    *
+    * Ordering matters and is fixed: emails first (an email must not
+    * first lose its digits to the phone pattern), then IPs (dotted
+    * quads must not be half-eaten by phone), then phones.
+    */
+  def piiScrub(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    // each count runs on the PREVIOUS stage's output, so counts always
+    // equal the number of replacements that stage actually made
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
+    val afterPhone = regexp_replace(afterIp, PhonePattern, "<PHONE>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+        .cast(LongType).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0)))
+        .cast(LongType).as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(PhonePattern), lit(0)))
+        .cast(LongType).as("n_phones"),
+      md5(afterPhone).as("scrubbed_md5"))
+  }
+
   /** Cross-document boilerplate detection (the CCNet/RefinedWeb line-level
     * dedup shape): a SEGMENT occurring verbatim in ≥ `minDocs` distinct
     * documents is boilerplate (navigation chrome, license headers,

@@ -144,6 +144,54 @@ object TextPack extends QueryPack {
       },
       None),
 
+    // PII scrub (C4-style detect-then-redact): the corpus has no PII, so
+    // the gate PLANTS it deterministically — every doc an email, every
+    // 2nd an IPv4, every 3rd a phone — with both engines building the
+    // identical string; the scrubbed-text md5 pins replacement spans
+    // exactly. Map-side only; patterns are lookaround-free ASCII so Java
+    // regex and RE2 agree (the BpeSplitPattern discipline).
+    QueryDef(
+      "text_pii_scrub",
+      (s, d) => {
+        val base = docsOf(s, d)
+        val suffix = concat(
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" call 555-123-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        TextOps.piiScrub(
+            base.select(col("doc_id"), concat(col("text"), suffix).as("text")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH planted AS (
+              |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              |    || CASE WHEN doc_id % 2 = 0
+              |            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              |            ELSE '' END
+              |    || CASE WHEN doc_id % 3 = 0
+              |            THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              |            ELSE '' END AS text
+              |  FROM documents
+              |), s1 AS (
+              |  SELECT doc_id, text,
+              |         regexp_replace(text, '${TextOps.EmailPattern}', '<EMAIL>', 'g') AS t1
+              |  FROM planted
+              |), s2 AS (
+              |  SELECT *, regexp_replace(t1, '${TextOps.Ipv4Pattern}', '<IP>', 'g') AS t2 FROM s1
+              |), s3 AS (
+              |  SELECT *, regexp_replace(t2, '${TextOps.PhonePattern}', '<PHONE>', 'g') AS t3 FROM s2
+              |)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(t1, '${TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+              |  CAST(len(regexp_extract_all(t2, '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+              |  md5(t3) AS scrubbed_md5
+              |FROM s3 ORDER BY doc_id""".stripMargin)),
+
     // Cross-document boilerplate detection (CCNet/RefinedWeb line-level
     // dedup shape): verbatim 5-word segments carried by >= 2 distinct
     // documents are boilerplate; per-doc ratio. Digest-keyed counting —

@@ -31,6 +31,41 @@ class TextOpsSpec extends SparkSpec {
     assert(rep.exceptAll(TextOps.boilerplate(docs, 5, 2)).isEmpty)
   }
 
+  test("piiScrub: typed masks, stage-consistent counts, clean text untouched") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "server 192.168.001.042 answered"),
+      (3L, "call (555)-123-4567 or 555 987 6543"),
+      (4L, "all three: a@b.io and 10.0.0.1 and 555-123-4567"),
+      // phone-shaped digits INSIDE an email must not count as a phone
+      (5L, "billing 555-123-4567@pay.example.com only"),
+      (6L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 0 && out(1L)._4 == 0)
+    assert(out(2L)._3 == 1)
+    assert(out(3L)._4 == 2, "both phone spellings must match")
+    assert((out(4L)._2, out(4L)._3, out(4L)._4) == ((1L, 1L, 1L)))
+    assert(out(5L)._2 == 1 && out(5L)._4 == 0,
+      "digits consumed by the email mask must not also count as a phone")
+    assert(out(6L) == ((6L, 0L, 0L, 0L,
+      // untouched text hashes identically to the raw input
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("no pii here at all".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+    // masks actually landed in the scrubbed text
+    val scrub4 = docs.filter(col("doc_id") === 4L)
+      .select(org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.regexp_replace(col("text"),
+            TextOps.EmailPattern, "<EMAIL>"),
+          TextOps.Ipv4Pattern, "<IP>"),
+        TextOps.PhonePattern, "<PHONE>"))
+      .head().getString(0)
+    assert(scrub4 == "all three: <EMAIL> and <IP> and <PHONE>")
+  }
+
   test("boilerplate: segment alignment is positional, not sliding") {
     // the same 5 words NOT aligned to a 5-word boundary must not match
     val seg = "v w x y z"
