@@ -186,6 +186,8 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
       // deterministically. `_count` over the union plans as one
       // TakeOrderedAndProject — no global sort materializes.
       case systemHistoryRx(rest) =>
+        require(historySource.nonEmpty,
+          "system-level _history: no version history feeds registered")
         val params = parseQs(rest)
         val since = params.collectFirst { case ("_since", v) => v }
         val legs = historySource.keys.toSeq.sorted.map { t =>

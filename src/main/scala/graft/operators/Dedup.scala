@@ -678,7 +678,9 @@ object Dedup {
     * curation pipeline actually wants it: per near-dup component keep
     * the HIGHEST-QUALITY member (tie: lowest key), not the lowest-id one
     * ([[connectedComponents]]' default). `quality` is any
-    * (doc_key, quality) frame — [[TextOps.qualityScore]] in the gate.
+    * (doc_key, quality) frame — [[TextOps.qualityScore]] in the gate;
+    * documents absent from it are dropped (inner join) — score the
+    * whole corpus.
     *
     * Scale shape: components via the O(log n) contraction; the election
     * is ONE max_by aggregation over (component) — no window sort over

@@ -187,9 +187,9 @@ object Sampling {
     * window.
     */
   def epochOrder(df: DataFrame, key: Column, epoch: Int): DataFrame =
-    df.select(key.as("doc_key"),
-        md5(concat_ws(":", lit(epoch), key.cast("string"))).as("sort_key"))
-      .orderBy(col("sort_key"), col("doc_key"))
+    df.withColumn("sort_key",
+        md5(concat_ws(":", lit(epoch), key.cast("string"))))
+      .orderBy(col("sort_key"), key) // all input columns ride along
 
   /** Leakage-safe train/validation split: the unit of assignment is the
     * near-duplicate COMPONENT, not the document — a validation document

@@ -200,10 +200,65 @@ object SamplePack extends QueryPack {
       "sample_epoch_order",
       (s, d) =>
         Sampling.epochOrder(
-            T.documents(s, d).select(col("doc_id")), col("doc_id"), epoch = 1)
-          .withColumnRenamed("doc_key", "doc_id"),
+            T.documents(s, d).select(col("doc_id")), col("doc_id"), epoch = 1),
       Some("""SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS sort_key
              |FROM documents
+             |ORDER BY sort_key, doc_id""".stripMargin)),
+
+    // Round-10 curation capstone: the NEW operators composed end-to-end
+    // in ONE lazy plan — quality floor ∧ boilerplate-ratio cap ∧
+    // duplicated-span-coverage cap, survivors put in deterministic
+    // epoch-1 training order. (The round-6 capstone composes the
+    // round-4 operators; this one composes round 10's.)
+    QueryDef(
+      "sample_curation_v2",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val q = graft.operators.TextOps.qualityScore(docs)
+        val br = graft.operators.TextOps.boilerplate(docs, segWords = 5, minDocs = 2)
+          .select(col("doc_id"), col("boiler_ratio"))
+        val cv = graft.operators.Dedup.spanCoverage(docs, col("doc_id"), col("text"), 8)
+          .select(col("doc_key").as("doc_id"), col("coverage"))
+        val kept = q.join(br, "doc_id").join(cv, "doc_id")
+          .filter(col("quality") >= 0.34 &&
+            col("boiler_ratio") <= 0.25 && col("coverage") <= 0.6)
+        Sampling.epochOrder(kept, col("doc_id"), epoch = 1)
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(lower(text),' ') AS w,
+             |         string_split(text,' ') AS wr FROM documents
+             |), q AS (
+             |  SELECT doc_id,
+             |    round(least(CAST(len(w) AS DOUBLE)/200.0, 1.0)*0.5
+             |      + CAST(len(list_distinct(w)) AS DOUBLE)/len(w)*0.3
+             |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |              /len(w)*5.0, 1.0)*0.2, 6) AS quality
+             |  FROM w
+             |), seg AS (
+             |  SELECT doc_id, md5(array_to_string(wr[(i-1)*5+1:(i-1)*5+5],' ')) AS sh
+             |  FROM (SELECT doc_id, wr, unnest(generate_series(1, len(wr)//5)) AS i
+             |        FROM w WHERE len(wr) >= 5)
+             |), nd AS (
+             |  SELECT sh, count(DISTINCT doc_id) AS nd FROM seg GROUP BY sh
+             |), br AS (
+             |  SELECT doc_id,
+             |         round(CAST(count(*) FILTER (nd.nd >= 2) AS DOUBLE)/count(*), 6) AS boiler_ratio
+             |  FROM seg JOIN nd USING (sh) GROUP BY doc_id
+             |), sg8 AS (
+             |  SELECT DISTINCT doc_id, md5(array_to_string(wr[i:i+7],' ')) AS sh
+             |  FROM (SELECT doc_id, wr, unnest(generate_series(1, len(wr)-7)) AS i
+             |        FROM w WHERE len(wr) >= 8)
+             |), nd8 AS (
+             |  SELECT sh, count(*) AS nd FROM sg8 GROUP BY sh
+             |), cv AS (
+             |  SELECT doc_id,
+             |         round(CAST(count(*) FILTER (nd8.nd >= 2) AS DOUBLE)/count(*), 6) AS coverage
+             |  FROM sg8 JOIN nd8 USING (sh) GROUP BY doc_id
+             |)
+             |SELECT doc_id, quality, boiler_ratio, coverage,
+             |       md5('1:' || CAST(doc_id AS VARCHAR)) AS sort_key
+             |FROM q JOIN br USING (doc_id) JOIN cv USING (doc_id)
+             |WHERE quality >= 0.34 AND boiler_ratio <= 0.25 AND coverage <= 0.6
              |ORDER BY sort_key, doc_id""".stripMargin)),
 
     // Applied mixture: per-document copy counts materializing the plan —

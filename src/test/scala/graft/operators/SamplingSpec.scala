@@ -109,7 +109,7 @@ class SamplingSpec extends SparkSpec {
     val keys = (1L to 200L).toDF("doc_id")
     def order(epoch: Int): Seq[Long] =
       Sampling.epochOrder(keys, col("doc_id"), epoch)
-        .select("doc_key").as[Long].collect().toSeq
+        .select("doc_id").as[Long].collect().toSeq
     val e1 = order(1)
     assert(e1.sorted == (1L to 200L), "every key appears exactly once")
     assert(e1 == order(1), "same epoch must reproduce the identical order")
@@ -118,7 +118,7 @@ class SamplingSpec extends SparkSpec {
     assert(e1 != (1L to 200L).toSeq, "order must not be the natural key order")
     // partition-invariant: the order is a SORT, not a partition artifact
     assert(Sampling.epochOrder(keys.repartition(7), col("doc_id"), 1)
-      .select("doc_key").as[Long].collect().toSeq == e1)
+      .select("doc_id").as[Long].collect().toSeq == e1)
   }
 
   test("leakageSafeSplit: no val document has a near-dup in train") {
