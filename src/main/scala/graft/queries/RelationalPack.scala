@@ -202,24 +202,32 @@ object RelationalPack extends QueryPack {
 
     // ----------------------------------------------------------------
     // C5 analytic window: exact running sum + lag/lead over a total order.
+    // The window order includes l_quantity + l_extendedprice because the
+    // synthetic lineitem DUPLICATES (l_orderkey, l_linenumber) keys
+    // (118k dup pairs at sf0.1) — without them the order has ties and
+    // lag/lead become engine-dependent on the tied neighbors (caught by
+    // a full sf0.1 oracle-parity sweep: 4/600k rows differed while the
+    // order-invariant running sum agreed).
     QueryDef(
       "q09_window_running",
       (s, d) => {
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
         T.lineitem(s, d)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             sum(dec(col("l_quantity"), 2)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
               .cast(DoubleType).as("running_qty"),
             lag(col("l_quantity"), 1).over(w).as("prev_qty"),
             lead(col("l_quantity"), 1).over(w).as("next_qty"))
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-             |  LAG(l_quantity, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
-             |  LEAD(l_quantity, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_qty
-             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+             |  LAG(l_quantity, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS prev_qty,
+             |  LEAD(l_quantity, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS next_qty
+             |FROM lineitem
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin)),
 
     // ----------------------------------------------------------------
     // C6 top-k: orderBy+limit plans as TakeOrderedAndProject — per-partition
