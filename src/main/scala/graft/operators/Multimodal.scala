@@ -693,6 +693,73 @@ object Multimodal {
       wavEncodeImaAdpcm(8000, samples, 9)
     }
 
+  /** A REAL lossless ANIMATED-image codec: APNG decode ([[Apng]] —
+    * acTL/fcTL/fdAT grammar with strict sequence validation, per-frame
+    * regions through the full [[Png]] filter/DEFLATE machinery,
+    * dispose NONE/BACKGROUND/PREVIOUS + blend SOURCE/OVER compositing).
+    * Reports the FINAL canvas: channel means plus probe pixels that
+    * only come out right if every dispose op fired (the GifCodec
+    * pattern, on the lossless sibling format).
+    */
+  object ApngCodec extends MediaCodec {
+    override val featureType: StructType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("num_plays", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_a", DoubleType),
+      StructField("px00", IntegerType),
+      StructField("px_mid", IntegerType),
+      StructField("px11", IntegerType)))
+
+    override def decode(bytes: Array[Byte]): Row = {
+      val a = Apng.decode(bytes)
+      val canvas = a.canvases.last
+      val n = a.width * a.height
+      var sr = 0L
+      var sa = 0L
+      var i = 0
+      while (i < n) {
+        sr += canvas(i * 4) & 0xff
+        sa += canvas(i * 4 + 3) & 0xff
+        i += 1
+      }
+      def r(x: Int, y: Int): Int = canvas((y * a.width + x) * 4) & 0xff
+      Row(a.width, a.height, a.canvases.length.toLong, a.numPlays,
+        sr.toDouble / n, sa.toDouble / n,
+        r(0, 0), r(a.width / 2, a.height / 2),
+        r(math.min(1, a.width - 1), math.min(1, a.height - 1)))
+    }
+  }
+
+  /** Synthesize an APNG `media` column: a 4×4 RGBA canvas whose FINAL
+    * composited state exists in no single frame —
+    *  f0: full canvas, pixel p = gray g[p], opaque;
+    *  f1: 2×2 at (0,0) = inverted digest, dispose BACKGROUND (the
+    *      region must come back transparent black);
+    *  f2: 2×2 at (2,2) = g[4..7], dispose PREVIOUS (must revert to f0);
+    *  f3: 1×1 at (1,1) = g[8].
+    * Final canvas: (0,0)/(1,0)/(0,1) cleared to 0, (1,1) = g[8],
+    * the (2,2) quadrant reverted to g[10],g[11],g[14],g[15], the rest
+    * f0 — every probe and the means replay from the hex digest.
+    */
+  def withApngColumn(docs: DataFrame): DataFrame =
+    withDigestColumn(docs) { dg =>
+      def rgba(vals: Seq[Int]): Array[Byte] =
+        vals.flatMap(v => Seq(v, v, v, 255)).map(_.toByte).toArray
+      val g = dg.map(_ & 0xff)
+      Apng.encode(4, 4, Seq(
+        Apng.Frame(4, 4, 0, 0, disposeOp = 0, blendOp = 0,
+          rgba(g.toIndexedSeq)),
+        Apng.Frame(2, 2, 0, 0, disposeOp = 1, blendOp = 0,
+          rgba(g.take(4).map(255 - _).toIndexedSeq)),
+        Apng.Frame(2, 2, 2, 2, disposeOp = 2, blendOp = 0,
+          rgba(g.slice(4, 8).toIndexedSeq)),
+        Apng.Frame(1, 1, 1, 1, disposeOp = 0, blendOp = 0,
+          rgba(Seq(g(8))))))
+    }
+
   /** A REAL lossless compressed-audio codec: FLAC decode ([[Flac]] —
     * frame sync/CRCs, FIXED/LPC prediction, Rice residuals, STREAMINFO
     * MD5 verification). Reports RMS over the reconstructed channel-0

@@ -747,6 +747,40 @@ object TextPack extends QueryPack {
              |  0 AS px_disposal2, 0 AS px_disposal3, g[7] AS px_last
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 REAL lossless inter-frame animation — APNG, the PNG-family
+    // sibling of mm_gif: 4 frames whose final canvas exists in no single
+    // frame; the acTL/fcTL/fdAT grammar, per-frame PNG filter/DEFLATE
+    // decode, and dispose BACKGROUND/PREVIOUS compositing all have to
+    // work for the probes and means to replay from the hex digest.
+    QueryDef(
+      "mm_apng",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withApngColumn(docsOf(s, d)), Multimodal.ApngCodec)
+          .select(col("doc_id"),
+            col("features").getField("width").as("width"),
+            col("features").getField("height").as("height"),
+            col("features").getField("n_frames").as("n_frames"),
+            col("features").getField("num_plays").as("num_plays"),
+            col("features").getField("mean_r").as("mean_r"),
+            col("features").getField("mean_a").as("mean_a"),
+            col("features").getField("px00").as("px00"),
+            col("features").getField("px_mid").as("px_mid"),
+            col("features").getField("px11").as("px11"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, 4 AS width, 4 AS height, CAST(4 AS BIGINT) AS n_frames,
+             |  0 AS num_plays,
+             |  CAST(g[3] + g[4] + g[7] + g[8] + 2*g[9] + g[10] + g[11] + g[12]
+             |     + g[13] + g[14] + g[15] + g[16] AS DOUBLE) / 16 AS mean_r,
+             |  CAST(13 * 255 AS DOUBLE) / 16 AS mean_a,
+             |  0 AS px00, g[11] AS px_mid, g[9] AS px11
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // C12 REAL video frame-sampling: each document carries a 4-frame
     // MJPEG stream (frame f = the mm_jpeg image with digest bytes rotated
     // by f); the sampler indexes all frames with the marker-aware byte
