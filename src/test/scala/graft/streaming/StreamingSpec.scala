@@ -198,4 +198,33 @@ class StreamingSpec extends SparkSpec {
     // the dethroning actually happened
     assert(want.contains(("a", 1L, 30L)))
   }
+
+  test("streaming BPE tokenization == batch on the same documents") {
+    // the LLM-pipeline streaming shape: documents arrive, a PRE-TRAINED
+    // merge table tokenizes them per micro-batch. encodeDocs is a
+    // stateless mapPartitions, so it runs unchanged on a streaming frame
+    // and must agree with the batch face row-for-row.
+    import graft.operators.Bpe
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest newest widest widest"),
+      (2L, "the newest of the new lows and the widest of the wide"),
+      (3L, "unrelated words entirely"),
+      (4L, "low lower lowest newest new"))
+    val merges = Bpe.train(docs.toDF("doc_id", "text"), numMerges = 12,
+      minCount = 1L)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Bpe.encodeDocs(mem.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    Seq(docs.take(2), docs.drop(2)).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    val stream = spark.table("bpe_stream")
+    val batch = Bpe.encodeDocs(docs.toDF("doc_id", "text"), merges)
+    assert(stream.count() == 4)
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0,
+      "streaming tokenization diverged from the batch face")
+    q.stop()
+  }
 }
