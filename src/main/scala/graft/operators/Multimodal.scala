@@ -760,6 +760,91 @@ object Multimodal {
           rgba(Seq(g(8))))))
     }
 
+  /** Encode G.711 code bytes as a mono 8-bit RIFF/WAVE file — format
+    * tag 7 (µ-law) or 6 (A-law), the telephony WAV shape.
+    */
+  def wavEncodeG711(sampleRate: Int, codes: Array[Byte],
+      alaw: Boolean): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val pad = codes.length & 1
+    val buf = ByteBuffer.allocate(44 + codes.length + pad)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + codes.length + pad).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(if (alaw) 6 else 7)
+      .putShort(1).putInt(sampleRate)
+      .putInt(sampleRate) // byte rate: 1 byte/sample
+      .putShort(1).putShort(8)
+    buf.put("data".getBytes).putInt(codes.length).put(codes)
+    if (pad == 1) buf.put(0.toByte)
+    buf.array()
+  }
+
+  /** G.711 telephony audio: µ-law / A-law WAV decode ([[G711]] — the
+    * logarithmic companding laws, dispatched on the fmt tag). Reports
+    * RMS over the expanded 16-bit PCM; the code→linear expansion is
+    * pure integer arithmetic, so the oracle replays it from the code
+    * bytes directly (no lossy-subspace carve-out needed: code bytes ARE
+    * the ground truth — G711Spec proves encode∘decode is the identity
+    * on the code space).
+    */
+  object G711WavCodec extends MediaCodec {
+    override val featureType: StructType = StructType(Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("law", StringType),
+      StructField("n_samples", LongType),
+      StructField("rms", DoubleType)))
+
+    override def decode(bytes: Array[Byte]): Row = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      require(bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+        "not a WAV: bad RIFF/WAVE magic")
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      var off = 12
+      var fmtOff, dataOff, dataSize = -1
+      while (off + 8 <= bytes.length) {
+        val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = buf.getInt(off + 4)
+        require(size >= 0 && off + 8L + size <= bytes.length,
+          s"truncated WAV chunk '$id'")
+        id match {
+          case "fmt " => require(size >= 16, s"fmt too short: $size"); fmtOff = off + 8
+          case "data" => dataOff = off + 8; dataSize = size
+          case _ => ()
+        }
+        off += 8 + size + (size & 1)
+      }
+      require(fmtOff >= 0 && dataOff >= 0, "WAV missing fmt/data chunk")
+      val audioFormat = buf.getShort(fmtOff).toInt
+      val channels = buf.getShort(fmtOff + 2).toInt
+      val sampleRate = buf.getInt(fmtOff + 4)
+      val bits = buf.getShort(fmtOff + 14).toInt
+      require((audioFormat == 6 || audioFormat == 7) && channels == 1 && bits == 8,
+        s"unsupported WAV variant: format=$audioFormat channels=$channels " +
+          s"bits=$bits (mono 8-bit G.711 only)")
+      val alaw = audioFormat == 6
+      var sq = 0L
+      var i = 0
+      while (i < dataSize) {
+        val c = bytes(dataOff + i) & 0xff
+        val s = if (alaw) G711.alawToLinear(c) else G711.mulawToLinear(c)
+        sq += s.toLong * s
+        i += 1
+      }
+      Row(sampleRate, if (alaw) "alaw" else "mulaw", dataSize.toLong,
+        if (dataSize == 0) 0.0 else math.sqrt(sq.toDouble / dataSize))
+    }
+  }
+
+  /** Synthesize a µ-law G.711 WAV `media` column: the 16 digest bytes
+    * ARE the code bytes — decoded RMS replays from the hex digest
+    * through the integer expansion formula alone.
+    */
+  def withG711Column(docs: DataFrame): DataFrame =
+    withDigestColumn(docs)(dg => wavEncodeG711(8000, dg, alaw = false))
+
   /** A REAL lossless compressed-audio codec: FLAC decode ([[Flac]] —
     * frame sync/CRCs, FIXED/LPC prediction, Rice residuals, STREAMINFO
     * MD5 verification). Reports RMS over the reconstructed channel-0

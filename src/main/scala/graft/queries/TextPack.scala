@@ -597,6 +597,39 @@ object TextPack extends QueryPack {
              |  sqrt(CAST(list_sum(list_transform(sm, s -> s*s)) AS DOUBLE) / 16) AS rms
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 telephony audio: the 16 digest bytes ARE mu-law code bytes in
+    // a format-7 WAV; the oracle replays the G.711 logarithmic expansion
+    // as pure integer arithmetic (bit-NOT, exponent/mantissa split,
+    // shift, bias) — no lossy-subspace carve-out, the code bytes are
+    // the ground truth.
+    QueryDef(
+      "mm_g711",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withG711Column(docsOf(s, d)), Multimodal.G711WavCodec)
+          .select(col("doc_id"),
+            col("features").getField("sample_rate").as("sample_rate"),
+            col("features").getField("law").as("law"),
+            col("features").getField("n_samples").as("n_samples"),
+            col("features").getField("rms").as("rms"))
+          .orderBy("doc_id"),
+      Some("""WITH cb AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS c
+             |  FROM documents
+             |), pcm AS (
+             |  SELECT doc_id, list_transform(c, b -> CASE
+             |      WHEN (255 - b) >= 128
+             |      THEN -((((((255 - b) % 128) % 16) * 8 + 132) << (((255 - b) % 128) // 16)) - 132)
+             |      ELSE  ((((((255 - b) % 128) % 16) * 8 + 132) << (((255 - b) % 128) // 16)) - 132)
+             |    END) AS s
+             |  FROM cb
+             |)
+             |SELECT doc_id, 8000 AS sample_rate, 'mulaw' AS law,
+             |  CAST(16 AS BIGINT) AS n_samples,
+             |  sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE) / 16) AS rms
+             |FROM pcm ORDER BY doc_id""".stripMargin)),
+
     // C12 with a REAL lossless compressed-AUDIO codec: 128 mono samples
     // (digest bytes tiled 8×) FLAC-encoded at blockSize 64 — two frames
     // of FIXED-predicted Rice-coded residuals, decoded through the full
