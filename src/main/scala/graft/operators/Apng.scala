@@ -159,9 +159,14 @@ object Apng {
       if (crc.getValue != u32(bytes, off + 8 + len))
         fail(s"CRC mismatch in '$typ'")
       val dataAt = off + 8
+      // spec §5.6: IHDR must be the FIRST chunk, and the fixed-length
+      // chunks must carry their full payload (a short fcTL would
+      // otherwise mis-parse into the CRC bytes)
+      if (width < 0 && typ != "IHDR") fail(s"chunk '$typ' before IHDR")
       typ match {
         case "IHDR" =>
           if (width >= 0) fail("duplicate IHDR")
+          if (len != 13) fail(s"IHDR length $len != 13")
           width = u32(bytes, dataAt).toInt
           height = u32(bytes, dataAt + 4).toInt
           val depth = bytes(dataAt + 8) & 0xff
@@ -171,7 +176,7 @@ object Apng {
           if (width <= 0 || height <= 0 || width.toLong * height > (1L << 24))
             fail(s"unreasonable canvas ${width}x$height")
         case "acTL" =>
-          if (width < 0) fail("acTL before IHDR")
+          if (len != 8) fail(s"acTL length $len != 8")
           if (numFrames >= 0) fail("duplicate acTL")
           if (pendings.nonEmpty) fail("acTL after the first frame")
           numFrames = u32(bytes, dataAt).toInt
@@ -179,6 +184,7 @@ object Apng {
           if (numFrames <= 0) fail(s"acTL num_frames $numFrames")
         case "fcTL" =>
           if (numFrames < 0) fail("fcTL before acTL")
+          if (len != 26) fail(s"fcTL length $len != 26")
           val seq = u32(bytes, dataAt).toInt
           if (seq != expectSeq) fail(s"fcTL sequence $seq, expected $expectSeq")
           expectSeq += 1
@@ -200,6 +206,7 @@ object Apng {
           current.data.write(bytes, dataAt, len)
         case "fdAT" =>
           if (current == null || pendings.length < 2) fail("fdAT before the second fcTL")
+          if (len < 4) fail(s"fdAT length $len < 4")
           val seq = u32(bytes, dataAt).toInt
           if (seq != expectSeq) fail(s"fdAT sequence $seq, expected $expectSeq")
           expectSeq += 1

@@ -223,8 +223,10 @@ object Flac {
     val out = Array.fill(channels)(new Array[Int](
       math.toIntExact(totalSamples)))
     var got = 0L
+    var frameOrdinal = 0L
     while (got < totalSamples) {
-      got += decodeFrame(bytes, br, channels, bits, out, got)
+      got += decodeFrame(bytes, br, channels, bits, out, got, frameOrdinal)
+      frameOrdinal += 1
     }
     require(got == totalSamples,
       s"decoded $got samples, STREAMINFO declares $totalSamples")
@@ -253,19 +255,26 @@ object Flac {
 
   /** Decode one frame at the reader's position; returns its block size. */
   private def decodeFrame(bytes: Array[Byte], br: BitReader, channels: Int,
-      bits: Int, out: Array[Array[Int]], at: Long): Int = {
+      bits: Int, out: Array[Array[Int]], at: Long, ordinal: Long): Int = {
     br.alignToByte()
     val headerStart = br.bytePos
     val sync = br.readInt(14)
     require(sync == 0x3ffe, f"bad frame sync $sync%04x at byte $headerStart")
     require(br.readBit() == 0, "reserved frame-header bit set")
-    br.readBit() // blocking strategy (we require constant blocksize via STREAMINFO)
+    // blocking strategy: STREAMINFO already pinned constant blocksize;
+    // a variable-blocksize frame bit contradicts it (and would make the
+    // coded number a SAMPLE number, breaking the ordinal check cleanly)
+    require(br.readBit() == 0, "variable-blocksize frame in a fixed-blocksize stream")
     val bsCode = br.readInt(4)
     val srCode = br.readInt(4)
     val chanAsgn = br.readInt(4)
     val ssCode = br.readInt(3)
     require(br.readBit() == 0, "reserved frame-header bit set")
-    readUtf8Number(br) // frame number (ordering is implied by position)
+    // fixed-blocksize streams carry the FRAME number — a mismatch means
+    // frames were dropped/reordered and the stream must not decode
+    val frameNo = readUtf8Number(br)
+    require(frameNo == ordinal,
+      s"frame number $frameNo at ordinal $ordinal (dropped/reordered frame)")
     val blockSize = bsCode match {
       case 1 => 192
       case c if c >= 2 && c <= 5 => 576 << (c - 2)
