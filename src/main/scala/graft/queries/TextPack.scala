@@ -597,6 +597,30 @@ object TextPack extends QueryPack {
              |  sqrt(CAST(list_sum(list_transform(sm, s -> s*s)) AS DOUBLE) / 16) AS rms
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // WARC ingestion (ISO 28500 — the Common Crawl arrival format):
+    // each document ships as a 2-record WARC file (warcinfo + HTTP
+    // response); the strict-framing parser explodes records per
+    // partition and strips HTTP headers, and the recovered body must
+    // hash-match the original text exactly.
+    QueryDef(
+      "text_warc_ingest",
+      (s, d) =>
+        graft.sources.Warc.records(
+            graft.sources.Warc.withWarcColumn(docsOf(s, d)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_records"),
+            max(col("target_uri")).as("target_uri"),
+            max(when(col("warc_type") === "response", md5(col("body"))))
+              .as("body_md5"),
+            max(when(col("warc_type") === "response",
+              length(col("body")).cast(LongType))).as("body_len"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_records,
+             |       'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             |       md5(text) AS body_md5,
+             |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS body_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // C12 telephony audio: the 16 digest bytes ARE mu-law code bytes in
     // a format-7 WAV; the oracle replays the G.711 logarithmic expansion
     // as pure integer arithmetic (bit-NOT, exponent/mantissa split,
