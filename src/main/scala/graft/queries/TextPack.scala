@@ -15,6 +15,15 @@ object TextPack extends QueryPack {
   private def docsOf(s: org.apache.spark.sql.SparkSession, d: String) =
     T.documents(s, d)
 
+  // Shared by BOTH WARC ingestion gates (plain and .warc.gz): the
+  // recovered bodies must be identical regardless of container layout.
+  private val warcIngestOracle: String =
+    """SELECT doc_id, CAST(2 AS BIGINT) AS n_records,
+      |       'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |       md5(text) AS body_md5,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS body_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
 
     // Per-document surface statistics (token counting = whitespace split;
@@ -615,11 +624,25 @@ object TextPack extends QueryPack {
             max(when(col("warc_type") === "response",
               length(col("body")).cast(LongType))).as("body_len"))
           .orderBy("doc_id"),
-      Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_records,
-             |       'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
-             |       md5(text) AS body_md5,
-             |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS body_len
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some(warcIngestOracle)),
+
+    // the SAME ingestion through the Common Crawl `.warc.gz` layout —
+    // one gzip member per record, concatenated; the reader sniffs the
+    // magic and the recovered bodies must be identical (same oracle)
+    QueryDef(
+      "text_warc_gz_ingest",
+      (s, d) =>
+        graft.sources.Warc.records(
+            graft.sources.Warc.withWarcColumn(docsOf(s, d), gz = true))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_records"),
+            max(col("target_uri")).as("target_uri"),
+            max(when(col("warc_type") === "response", md5(col("body"))))
+              .as("body_md5"),
+            max(when(col("warc_type") === "response",
+              length(col("body")).cast(LongType))).as("body_len"))
+          .orderBy("doc_id"),
+      Some(warcIngestOracle)),
 
     // C12 telephony audio: the 16 digest bytes ARE mu-law code bytes in
     // a format-7 WAV; the oracle replays the G.711 logarithmic expansion

@@ -110,7 +110,13 @@ object Warc {
     val enc = Encoders.row(schema)
     df.select(col("doc_id"), col("warc")).mapPartitions { rows =>
       rows.flatMap { r =>
-        parse(r.getAs[Array[Byte]](1)).map { rec =>
+        val raw = r.getAs[Array[Byte]](1)
+        // sniff the gzip magic: .warc and .warc.gz arrive intermixed
+        val recs =
+          if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+            (raw(1) & 0xff) == 0x8b) parseGz(raw)
+          else parse(raw)
+        recs.map { rec =>
           val body =
             if (rec.warcType == "response") httpBody(rec.payload)
             else rec.payload
@@ -123,8 +129,10 @@ object Warc {
   /** Synthesize a per-document WARC `media` column for the gate: each
     * document becomes a 2-record file (warcinfo + an HTTP response
     * whose body is the text) — the arrival shape of a crawled corpus.
+    * `gz = true` ships each file in the Common Crawl `.warc.gz` layout
+    * (one gzip member per record, concatenated).
     */
-  def withWarcColumn(docs: DataFrame): DataFrame = {
+  def withWarcColumn(docs: DataFrame, gz: Boolean = false): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("warc", BinaryType)))
@@ -135,13 +143,44 @@ object Warc {
         val body = r.getString(1).getBytes("UTF-8")
         val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n")
           .getBytes("US-ASCII") ++ body
-        Row(id, write(Seq(
+        val recs = Seq(
           WarcRecord("warcinfo", "", s"<urn:uuid:info-$id>",
             "software: graft\r\n".getBytes("US-ASCII")),
           WarcRecord("response", s"http://example.org/doc/$id",
-            s"<urn:uuid:resp-$id>", http))))
+            s"<urn:uuid:resp-$id>", http))
+        Row(id, if (gz) writeGz(recs) else write(recs))
       }
     }(enc)
+  }
+
+  /** Parse a `.warc.gz` — Common Crawl's actual shipping shape: each
+    * record is its OWN gzip member and the members are concatenated (so
+    * an index can seek to a record without inflating the prefix). The
+    * JDK inflater reads concatenated members transparently; framing
+    * after inflation is [[parse]] unchanged.
+    */
+  def parseGz(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    parse(out.toByteArray)
+  }
+
+  /** Write records as per-member-gzipped WARC bytes (one gzip member
+    * per record, concatenated — the Common Crawl layout).
+    */
+  def writeGz(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for (r <- records) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(write(Seq(r)))
+      gz.finish()
+    }
+    out.toByteArray
   }
 
   /** Write records as WARC bytes (the test/gate synthesizer — also the

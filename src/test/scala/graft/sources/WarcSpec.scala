@@ -47,6 +47,19 @@ class WarcSpec extends AnyFunSuite {
       parse("WARC/1.0\r\nWARC-Type: resource\r\n\r\n".getBytes))
   }
 
+  test("warc.gz: per-record gzip members round-trip; member boundaries irrelevant") {
+    val gz = writeGz(recs)
+    // gzip magic present, and the members are CONCATENATED (more than
+    // one member header in the stream)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    assert(gz.sliding(2).count(w => (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b) >= 3)
+    val parsed = parseGz(gz)
+    assert(parsed.map(_.warcType) == recs.map(_.warcType))
+    for ((a, b) <- parsed.zip(recs)) assert(a.payload.toSeq == b.payload.toSeq)
+    // truncated mid-member fails loudly
+    intercept[Throwable](parseGz(java.util.Arrays.copyOf(gz, gz.length / 2)))
+  }
+
   test("a payload containing WARC/1.0 text does not confuse the framing") {
     // length-driven framing must sail straight past record-like bytes
     val tricky = Seq(WarcRecord("resource", "u", "<id>",
