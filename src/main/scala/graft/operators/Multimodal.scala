@@ -760,6 +760,41 @@ object Multimodal {
           rgba(Seq(g(8))))))
     }
 
+  /** QOI ("Quite OK Image") — the modern single-pass lossless format:
+    * RGB/RGBA literals, 64-entry hash cache INDEX ops, DIFF/LUMA
+    * deltas, RUN packing ([[Qoi]]). Lossless, so decoded stats replay
+    * exactly for any content.
+    */
+  object QoiCodec extends MediaCodec {
+    override val featureType: StructType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("first_px", IntegerType)))
+
+    override def decode(bytes: Array[Byte]): Row = {
+      val img = Qoi.decode(bytes)
+      val n = img.width * img.height
+      var sr = 0L
+      var i = 0
+      while (i < n) { sr += img.pixels(i * 4) & 0xff; i += 1 }
+      Row(img.width, img.height, img.channels,
+        sr.toDouble / n, img.pixels(0) & 0xff)
+    }
+  }
+
+  /** Synthesize a QOI `media` column: a 4×4 opaque gray image whose 16
+    * pixels are the digest bytes (the mm_decode shape through the QOI
+    * op stream — gray pixels exercise RUN/INDEX/DIFF/LUMA/RGB paths as
+    * the deltas dictate).
+    */
+  def withQoiColumn(docs: DataFrame): DataFrame =
+    withDigestColumn(docs) { dg =>
+      Qoi.encode(4, 4,
+        dg.flatMap(b => Seq(b, b, b, 255.toByte)).toArray)
+    }
+
   /** Encode G.711 code bytes as a mono 8-bit RIFF/WAVE file — format
     * tag 7 (µ-law) or 6 (A-law), the telephony WAV shape.
     */

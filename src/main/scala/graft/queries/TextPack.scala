@@ -606,6 +606,32 @@ object TextPack extends QueryPack {
              |  sqrt(CAST(list_sum(list_transform(sm, s -> s*s)) AS DOUBLE) / 16) AS rms
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 with the modern single-pass lossless image format: QOI —
+    // digest-gray pixels through the op stream (RUN/INDEX/DIFF/LUMA/RGB
+    // as the byte deltas dictate); lossless ⇒ the mean and first pixel
+    // replay from the hex digest exactly.
+    QueryDef(
+      "mm_qoi",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.withQoiColumn(docsOf(s, d)), Multimodal.QoiCodec)
+          .select(col("doc_id"),
+            col("features").getField("width").as("width"),
+            col("features").getField("height").as("height"),
+            col("features").getField("channels").as("channels"),
+            col("features").getField("mean_r").as("mean_r"),
+            col("features").getField("first_px").as("first_px"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |)
+             |SELECT doc_id, 4 AS width, 4 AS height, 4 AS channels,
+             |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_r,
+             |  g[1] AS first_px
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // WARC ingestion (ISO 28500 — the Common Crawl arrival format):
     // each document ships as a 2-record WARC file (warcinfo + HTTP
     // response); the strict-framing parser explodes records per
