@@ -80,9 +80,18 @@ case class ArrayCosineExpr(left: Expression, right: Expression)
 }
 
 object ArrayMaxCosineFn {
-  /** Max of [[ArrayCosineFn.compute]] over the vectors of `vecs` (null
-    * entries skipped, like `array_max` over a transform with a
-    * null-propagating lambda); null when no non-null entry exists.
+  /** Max of [[ArrayCosineFn.compute]] over the vectors of `vecs`.
+    *
+    * Null entries are skipped, like `array_max` over a transform with a
+    * null-propagating lambda. NaN cosines (a zero-norm vector on either
+    * side: 0/0) are ALWAYS skipped — including in first position — so a
+    * degenerate benchmark vector can never decide a decontamination
+    * verdict. This deliberately diverges from the
+    * `array_max(transform(...))` spelling it replaced, where Spark's
+    * ordering treats NaN as greater than every value: there a single
+    * zero-norm vector would mark EVERY probe contaminated, which is the
+    * wrong semantics for max-similarity. Null when no non-null,
+    * non-NaN entry exists.
     */
   def compute(vecs: ArrayData, q: ArrayData,
       vFloat: Boolean, qFloat: Boolean): Any = {
@@ -93,7 +102,9 @@ object ArrayMaxCosineFn {
     while (i < n) {
       if (!vecs.isNullAt(i)) {
         val c = ArrayCosineFn.compute(vecs.getArray(i), q, vFloat, qFloat)
-        if (!any || c > best) { best = c; any = true }
+        if (!java.lang.Double.isNaN(c) && (!any || c > best)) {
+          best = c; any = true
+        }
       }
       i += 1
     }

@@ -194,7 +194,11 @@ object Apng {
           val fy = u32(bytes, dataAt + 16).toInt
           val dispose = bytes(dataAt + 24) & 0xff
           val blend = bytes(dataAt + 25) & 0xff
-          if (fw <= 0 || fh <= 0 || fx + fw > width || fy + fh > height)
+          // u32→Int can go negative (e.g. 0xFFFFFFFF → -1); a negative
+          // offset must fail here, not composite in-bounds on a prior row,
+          // and the extent sums are compared in Long so they cannot wrap
+          if (fw <= 0 || fh <= 0 || fx < 0 || fy < 0 ||
+              fx.toLong + fw > width || fy.toLong + fh > height)
             fail(s"frame region ${fw}x$fh+$fx+$fy outside ${width}x$height")
           if (dispose > 2) fail(s"unknown dispose_op $dispose")
           if (blend > 1) fail(s"unknown blend_op $blend")

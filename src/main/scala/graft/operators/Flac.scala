@@ -28,6 +28,13 @@ package graft.operators
   */
 object Flac {
 
+  /** Allocation guard for the untrusted 36-bit STREAMINFO sample count:
+    * 2^28 samples ≈ 1.7 h of stereo 44.1 kHz and ≈ 2 GiB of decode
+    * buffers — far above any fixture, far below the 8 GiB a hostile
+    * header could otherwise demand.
+    */
+  val MaxTotalSamples: Long = 1L << 28
+
   // ------------------------------------------------------------ bit I/O
 
   /** MSB-first bit reader (the FLAC bitstream order). */
@@ -220,6 +227,11 @@ object Flac {
     require(bits == 16, s"unsupported sample size $bits (16-bit subset)")
     require(blockSizeMin == blockSizeMax,
       s"variable blocksize stream ($blockSizeMin..$blockSizeMax) unsupported")
+    // the 36-bit STREAMINFO sample count is untrusted input — bound it
+    // BEFORE allocating (a hostile 14-byte header could otherwise demand
+    // gigabytes), matching the sibling codecs' unreasonable-dimension guards
+    require(totalSamples <= MaxTotalSamples,
+      s"STREAMINFO declares $totalSamples samples, cap is $MaxTotalSamples")
     val out = Array.fill(channels)(new Array[Int](
       math.toIntExact(totalSamples)))
     var got = 0L

@@ -178,7 +178,10 @@ object Warc {
     for (r <- records) {
       val gz = new java.util.zip.GZIPOutputStream(out)
       gz.write(write(Seq(r)))
-      gz.finish()
+      // close() = finish() + Deflater.end(); finish() alone retains the
+      // native deflater buffer until GC — per-record members over a large
+      // corpus would accumulate native memory inside mapPartitions
+      gz.close()
     }
     out.toByteArray
   }

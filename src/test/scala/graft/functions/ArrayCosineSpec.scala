@@ -41,6 +41,22 @@ class ArrayCosineSpec extends SparkSpec {
     assert(out.isNullAt(0) && out.getDouble(1) == 1.0)
   }
 
+  test("array_max_cosine skips NaN (zero-norm vectors) in EVERY position") {
+    // a zero-norm vector yields 0/0 = NaN; the documented semantics skip
+    // it whether it sits first, middle, or last — and all-NaN yields null
+    val out = spark.sql(
+      """SELECT
+        |  array_max_cosine(array(array(0.0D, 0.0D), array(3.0D, 4.0D)), array(3.0D, 4.0D)) AS nan_first,
+        |  array_max_cosine(array(array(3.0D, 4.0D), array(0.0D, 0.0D)), array(3.0D, 4.0D)) AS nan_last,
+        |  array_max_cosine(array(array(0.0D, 0.0D)), array(3.0D, 4.0D)) AS all_nan,
+        |  array_max_cosine(array(CAST(NULL AS ARRAY<DOUBLE>), array(3.0D, 4.0D)), array(3.0D, 4.0D)) AS null_skip""".stripMargin)
+      .head()
+    assert(out.getDouble(0) == 1.0, "NaN in first position must be skipped")
+    assert(out.getDouble(1) == 1.0, "NaN in last position must be skipped")
+    assert(out.isNullAt(2), "all-NaN must yield null")
+    assert(out.getDouble(3) == 1.0, "null entries skipped")
+  }
+
   test("stays inside whole-stage codegen (no interpreted HOF in the plan)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val df = e.select(call_function("array_cosine",

@@ -90,4 +90,30 @@ class ApngSpec extends AnyFunSuite {
       Apng.Frame(2, 2, 0, 0, 0, 0, gray(1, 2, 3, 4)),
       Apng.Frame(2, 2, 1, 1, 0, 0, gray(5, 6, 7, 8))))) // region overflows
   }
+
+  test("fcTL with a wrapped-negative offset fails, never composites") {
+    // 0xFFFFFFFF parses to Int -1; an unguarded `fx + fw > width` check
+    // accepts it and the compositor would index the previous row — the
+    // decoder must instead raise on the malformed offset
+    val ok = Apng.encode(2, 2, Seq(
+      Apng.Frame(2, 2, 0, 0, 0, 0, gray(1, 2, 3, 4)),
+      Apng.Frame(1, 1, 1, 1, 0, 0, gray(9))))
+    def indexOfType(b: Array[Byte], t: String, from: Int): Int = {
+      val pat = t.getBytes("US-ASCII")
+      var i = from
+      while (i <= b.length - 4 && !(b(i) == pat(0) && b(i + 1) == pat(1) &&
+        b(i + 2) == pat(2) && b(i + 3) == pat(3))) i += 1
+      require(i <= b.length - 4, s"$t not found"); i
+    }
+    val first = indexOfType(ok, "fcTL", 0)
+    val second = indexOfType(ok, "fcTL", first + 4) // the 1×1 offset frame
+    val m = ok.clone()
+    for (k <- 0 until 4) m(second + 4 + 12 + k) = 0xFF.toByte // x_offset = -1
+    val crc = new java.util.zip.CRC32()
+    crc.update(m, second, 4 + 26) // type + data
+    val v = crc.getValue
+    for (k <- 0 until 4) m(second + 4 + 26 + k) = (v >>> (24 - 8 * k)).toByte
+    val ex = intercept[IllegalArgumentException](Apng.decode(m))
+    assert(ex.getMessage.contains("frame region"), ex.getMessage)
+  }
 }

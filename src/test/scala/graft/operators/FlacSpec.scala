@@ -161,4 +161,18 @@ class FlacSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Flac.encode(Array.fill(3)(Array(1, 2)), 8000)) // >2 channels
   }
+
+  test("hostile STREAMINFO sample count is rejected BEFORE allocation") {
+    // the 36-bit total-samples field is untrusted: a 14-byte header can
+    // demand gigabytes of decode buffers; the cap must fire first.
+    // STREAMINFO layout puts total-samples at bit offset 108 of the
+    // 34-byte block, i.e. low nibble of data byte 13 through byte 17;
+    // the block's data starts at file offset 8 (magic + block header)
+    val enc = Flac.encode(Array(signal(50, 7)), 8000)
+    val m = enc.clone()
+    m(8 + 13) = (m(8 + 13) | 0x0F).toByte
+    for (k <- 14 to 17) m(8 + k) = 0xFF.toByte // totalSamples = 2^36 - 1
+    val ex = intercept[IllegalArgumentException](Flac.decode(m))
+    assert(ex.getMessage.contains("cap"), ex.getMessage)
+  }
 }
