@@ -36,6 +36,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    plus `total_adj` = the total with each flagged gate charged at
   *    min(first, rerun). A contended first pass with a clean rerun is
   *    thereby self-evidencing; a genuine regression reproduces.
+  *
+  * Gate definition (BASELINE.md "Which number the gate reads"): the 2×
+  * bench gate compares `total_adj` — not raw `value` — against the
+  * committed clean-run total at the same scale factor, with the rerun
+  * and cal_series evidence attached in the same JSON.
   */
 object Bench {
 

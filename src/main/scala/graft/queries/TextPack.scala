@@ -641,7 +641,8 @@ object TextPack extends QueryPack {
       "text_warc_ingest",
       (s, d) =>
         graft.sources.Warc.records(
-            graft.sources.Warc.withWarcColumn(docsOf(s, d)))
+            graft.sources.Warc.withWarcColumn(
+              docsOf(s, d).repartition(s.sparkContext.defaultParallelism)))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_records"),
             max(col("target_uri")).as("target_uri"),
@@ -659,7 +660,9 @@ object TextPack extends QueryPack {
       "text_warc_gz_ingest",
       (s, d) =>
         graft.sources.Warc.records(
-            graft.sources.Warc.withWarcColumn(docsOf(s, d), gz = true))
+            graft.sources.Warc.withWarcColumn(
+              docsOf(s, d).repartition(s.sparkContext.defaultParallelism),
+              gz = true))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_records"),
             max(col("target_uri")).as("target_uri"),
