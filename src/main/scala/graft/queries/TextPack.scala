@@ -673,6 +673,58 @@ object TextPack extends QueryPack {
           .orderBy("doc_id"),
       Some(warcIngestOracle)),
 
+    // the SAME ingestion a third time, through the SPLITTABLE reader —
+    // the 100 TB arrival shape: a few multi-record `.warc.gz` files on
+    // disk (built once per session, each writer task emitting one object
+    // — the object-store pattern), then read by BYTE-RANGE splits sized
+    // well below the files so every task syncs mid-file to a gzip-member
+    // boundary. Bodies must still hash-match the source text exactly
+    // (same oracle), which proves the sync/ownership rule loses and
+    // duplicates nothing.
+    QueryDef(
+      "text_warc_split_ingest",
+      (s, d) => {
+        val dir = graft.util.TempFixtures.dir(s, "warc_split_gz", d) { path =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+          docsOf(s, d).select(col("doc_id"), col("text"))
+            .repartition(4, col("doc_id"))
+            .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+              if (rows.hasNext) {
+                val pid = org.apache.spark.TaskContext.getPartitionId()
+                val f = new java.io.File(path, f"part-$pid%05d.warc.gz")
+                val out = new java.io.BufferedOutputStream(
+                  new java.io.FileOutputStream(f))
+                try rows.foreach { r =>
+                  val id = r.getLong(0)
+                  val body = r.getString(1).getBytes("UTF-8")
+                  val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                    .getBytes("US-ASCII") ++ body
+                  out.write(graft.sources.Warc.writeGz(Seq(
+                    graft.sources.Warc.WarcRecord("warcinfo", "",
+                      s"<urn:uuid:info-$id>",
+                      "software: graft\r\n".getBytes("US-ASCII")),
+                    graft.sources.Warc.WarcRecord("response",
+                      s"http://example.org/doc/$id",
+                      s"<urn:uuid:resp-$id>", http))))
+                } finally out.close()
+              }
+            }
+        }
+        graft.sources.Warc.readGzSplits(s, s"$dir/*.warc.gz",
+            splitSize = 16L << 10)
+          .withColumn("doc_id",
+            regexp_extract(col("record_id"), "-(\\d+)>$", 1).cast(LongType))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_records"),
+            max(col("target_uri")).as("target_uri"),
+            max(when(col("warc_type") === "response", md5(col("body"))))
+              .as("body_md5"),
+            max(when(col("warc_type") === "response",
+              length(col("body")).cast(LongType))).as("body_len"))
+          .orderBy("doc_id")
+      },
+      Some(warcIngestOracle)),
+
     // C12 telephony audio: the 16 digest bytes ARE mu-law code bytes in
     // a format-7 WAV; the oracle replays the G.711 logarithmic expansion
     // as pure integer arithmetic (bit-NOT, exponent/mantissa split,

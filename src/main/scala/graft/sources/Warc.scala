@@ -186,6 +186,237 @@ object Warc {
     out.toByteArray
   }
 
+  // ----------------------------------------------------- splittable .warc.gz
+
+  /** Inflate ONE gzip member starting at `off`. Returns (inflated bytes,
+    * compressed length consumed incl. header and trailer). Strict: magic,
+    * CM=8, optional header fields walked exactly, trailer CRC32 and ISIZE
+    * verified — corruption or truncation raises, with "truncated" in the
+    * message iff more bytes could legitimately exist past `bytes`.
+    */
+  private[sources] def inflateMember(bytes: Array[Byte], off: Int): (Array[Byte], Int) = {
+    def trunc(what: String): Nothing = fail(s"gzip member truncated ($what) at $off")
+    if (off + 10 > bytes.length) trunc("header")
+    if ((bytes(off) & 0xff) != 0x1f || (bytes(off + 1) & 0xff) != 0x8b)
+      fail(s"no gzip magic at $off")
+    if ((bytes(off + 2) & 0xff) != 8) fail(s"gzip CM ${bytes(off + 2)} != 8")
+    val flg = bytes(off + 3) & 0xff
+    if ((flg & 0xe0) != 0) fail(s"reserved gzip FLG bits set at $off")
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > bytes.length) trunc("FEXTRA")
+      val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+    }
+    if ((flg & 8) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 16) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p > bytes.length) trunc("header fields")
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(bytes, p, bytes.length - p)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      val crc = new java.util.zip.CRC32()
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case e: java.util.zip.DataFormatException =>
+            fail(s"bad deflate data at $off: ${e.getMessage}") }
+        if (n == 0 && inf.needsInput() && !inf.finished()) trunc("deflate")
+        out.write(buf, 0, n)
+        crc.update(buf, 0, n)
+      }
+      val compLen = (p - off) + math.toIntExact(inf.getBytesRead)
+      val tOff = off + compLen
+      if (tOff + 8 > bytes.length) trunc("trailer")
+      def u32le(i: Int): Long =
+        (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+      if (u32le(tOff) != crc.getValue) fail(s"gzip CRC mismatch at $off")
+      if (u32le(tOff + 4) != (out.size() & 0xffffffffL))
+        fail(s"gzip ISIZE mismatch at $off")
+      (out.toByteArray, compLen + 8)
+    } finally inf.end()
+  }
+
+  /** Iterate the records of one byte-range split [start, end) of a
+    * per-record-gzipped WARC file — the mechanism that makes a 1 GB
+    * Common Crawl `.warc.gz` readable by many tasks in parallel instead
+    * of one-file-one-task.
+    *
+    * Ownership rule (the standard Hadoop split contract — no record is
+    * lost or duplicated): a record belongs to the split containing the
+    * FIRST compressed byte of its gzip member. A split that is not at
+    * offset 0 first SYNCS: it scans forward for a gzip magic whose
+    * member inflates cleanly AND whose content starts with `WARC/` — a
+    * candidate that fails either test is payload bytes that merely look
+    * like a member, and the scan continues (the same
+    * stronger-than-magic validation [[parse]] applies to version lines).
+    * After sync every member must be valid — failures raise. Members
+    * may EXTEND past `end` (the tail record); `readMore` supplies
+    * further file bytes on demand, so a task buffers one split plus at
+    * most one record, never the whole file.
+    */
+  private[sources] def splitRecords(
+      first: Array[Byte], start: Long, end: Long, fileLen: Long,
+      readMore: Int => Array[Byte]): Iterator[(Long, WarcRecord)] = {
+    var data = first // covers [start, start + data.length)
+    def covered: Long = start + data.length
+    def extend(minBytes: Int): Boolean = {
+      if (covered >= fileLen) false
+      else {
+        // geometric growth keeps the append amortized-linear
+        val want = math.min(
+          math.max(minBytes.toLong, math.max(1L << 20, data.length / 2L)),
+          fileLen - covered).toInt
+        val more = readMore(want)
+        if (more.length == 0) false
+        else { data = data ++ more; true }
+      }
+    }
+    // retry `f` after extending whenever it failed only for lack of bytes
+    def withBytes[A](f: => A): A = {
+      var r: Option[A] = None
+      while (r.isEmpty) {
+        try r = Some(f)
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("truncated") && covered < fileLen =>
+            if (!extend(1 << 20)) throw e
+        }
+      }
+      r.get
+    }
+    var abs = start
+    if (start != 0) {
+      // sync: first VALIDATED member start in [start, end)
+      var synced = false
+      while (!synced && abs < end) {
+        val idx = (abs - start).toInt
+        if (idx + 3 > data.length && !extend(1 << 20)) abs = end // EOF: no member
+        else if (idx + 3 > data.length) () // extended; re-test same abs
+        else if ((data(idx) & 0xff) == 0x1f && (data(idx + 1) & 0xff) == 0x8b &&
+          (data(idx + 2) & 0xff) == 0x08) {
+          val ok =
+            try {
+              val (inflated, _) = withBytes(inflateMember(data, idx))
+              inflated.length >= 5 &&
+                new String(inflated, 0, 5, "US-ASCII") == "WARC/"
+            } catch { case _: IllegalArgumentException => false }
+          if (ok) synced = true else abs += 1
+        } else abs += 1
+      }
+      if (!synced) return Iterator.empty
+    }
+    new Iterator[(Long, WarcRecord)] {
+      private var cur = abs
+      private var pending: List[(Long, WarcRecord)] = Nil
+      private def fill(): Unit =
+        while (pending.isEmpty && cur < end && cur < fileLen) {
+          val here = cur
+          val (inflated, compLen) = withBytes(inflateMember(data, (cur - start).toInt))
+          pending = parse(inflated).toList.map((here, _))
+          cur += compLen
+        }
+      override def hasNext: Boolean = { fill(); pending.nonEmpty }
+      override def next(): (Long, WarcRecord) = {
+        fill()
+        val h = pending.head; pending = pending.tail; h
+      }
+    }
+  }
+
+  /** Hadoop Configuration is not Serializable; the standard wrapper
+    * (write/readFields through Java serialization) ships the driver's
+    * conf to tasks so remote filesystems resolve identically there.
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Read `.warc.gz` files (per-record gzip members) SPLITTABLY: each
+    * file is cut into `splitSize` byte ranges, one task per range, and
+    * each task syncs to the next member boundary inside its range
+    * ([[splitRecords]]). This is the 100 TB ingestion shape — a 1 GB
+    * crawl file becomes ~8 parallel tasks at the default 128 MB split,
+    * and task memory is bounded by split + one record, independent of
+    * file size. Output columns: file, rec_offset (the member's absolute
+    * compressed offset — a stable record id usable for seeks), warc_type,
+    * target_uri, record_id, payload, body.
+    */
+  def readGzSplits(spark: org.apache.spark.sql.SparkSession, pattern: String,
+      splitSize: Long = 128L << 20): DataFrame = {
+    require(splitSize > 0, s"splitSize $splitSize")
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(hconf)
+    val files = fs.globStatus(p)
+    require(files != null && files.nonEmpty, s"no files match $pattern")
+    val splits = files.toSeq.filter(_.isFile).flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitSize - 1) / splitSize)
+      (0L until n).map { i =>
+        (st.getPath.toString, i * splitSize, math.min((i + 1) * splitSize, len), len)
+      }
+    }
+    val ser = new SerializableHadoopConf(hconf)
+    val schema = StructType(Seq(
+      StructField("file", StringType),
+      StructField("rec_offset", LongType),
+      StructField("warc_type", StringType),
+      StructField("target_uri", StringType),
+      StructField("record_id", StringType),
+      StructField("payload", BinaryType),
+      StructField("body", BinaryType)))
+    val enc = Encoders.row(schema)
+    import spark.implicits._
+    // one split per task: the split IS the unit of parallel compute
+    spark.createDataset(splits)
+      .repartition(splits.size, col("_1"), col("_2"))
+      .mapPartitions { it =>
+        it.flatMap { case (file, start, end, fileLen) =>
+          val path = new Path(file)
+          val tfs = path.getFileSystem(ser.value)
+          val in = tfs.open(path)
+          // close at task end even if downstream stops early (limit)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => in.close()))
+          in.seek(start)
+          def readN(n: Int): Array[Byte] = {
+            val want = math.min(n.toLong, fileLen - in.getPos).toInt
+            if (want <= 0) Array.emptyByteArray
+            else {
+              val buf = new Array[Byte](want)
+              in.readFully(buf)
+              buf
+            }
+          }
+          val firstLen = math.min(end, fileLen) - start
+          val first = readN(math.toIntExact(firstLen))
+          splitRecords(first, start, end, fileLen, readN).map {
+            case (off, rec) =>
+              val body =
+                if (rec.warcType == "response") httpBody(rec.payload)
+                else rec.payload
+              Row(file, off, rec.warcType, rec.targetUri, rec.recordId,
+                rec.payload, body)
+          }
+        }
+      }(enc)
+  }
+
   /** Write records as WARC bytes (the test/gate synthesizer — also the
     * round-trip witness for [[parse]]).
     */

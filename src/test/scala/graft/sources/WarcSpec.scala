@@ -68,4 +68,103 @@ class WarcSpec extends AnyFunSuite {
     val parsed = parse(write(tricky))
     assert(parsed.size == 2 && parsed(1).warcType == "response")
   }
+
+  // --------------------------------------------- splittable .warc.gz
+
+  /** A multi-megabyte corpus whose bodies PLANT sync bait: raw gzip
+    * magic bytes followed by WARC/ text — a mid-split sync scan that
+    * trusts the magic alone would lock onto them.
+    */
+  private def bigCorpus(n: Int): Seq[WarcRecord] = (0 until n).map { i =>
+    val bait = Array[Byte](0x1f, 0x8b.toByte, 0x08) ++ "WARC/1.0\r\n".getBytes
+    // deterministic noise defeats deflate so the fixture stays multi-MB
+    var x = 0x9E3779B97F4A7C15L * (i + 1)
+    val noise = Array.fill(600 + i % 700) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      ((x * 0x2545F4914F6CDD1DL) >>> 56).toByte
+    }
+    val body = (s"doc $i " * (20 + i % 50)).getBytes ++ bait ++ noise ++
+      (s"tail $i".getBytes)
+    WarcRecord("response", s"http://x.example/$i", s"<urn:uuid:r$i>",
+      "HTTP/1.1 200 OK\r\n\r\n".getBytes ++ body)
+  }
+
+  test("splitRecords: every split size yields the same records exactly once") {
+    val corpus = bigCorpus(3000)
+    val gz = writeGz(corpus)
+    assert(gz.length > (1 << 20), s"fixture only ${gz.length} bytes")
+    val fileLen = gz.length.toLong
+    def runAt(splitSize: Int): Seq[(Long, WarcRecord)] = {
+      val starts = 0L.until(fileLen, splitSize.toLong)
+      starts.flatMap { s =>
+        val e = math.min(s + splitSize, fileLen)
+        var pos = e // readMore serves bytes after the initial range
+        val first = java.util.Arrays.copyOfRange(gz, s.toInt, e.toInt)
+        splitRecords(first, s, e, fileLen, n => {
+          val m = math.min(pos + n, fileLen)
+          val r = java.util.Arrays.copyOfRange(gz, pos.toInt, m.toInt)
+          pos = m; r
+        }).toSeq
+      }
+    }
+    val whole = runAt(gz.length)
+    assert(whole.size == corpus.size)
+    for (splitSize <- Seq(64 << 10, 256 << 10, 1 << 20)) {
+      val got = runAt(splitSize)
+      assert(got.size == corpus.size, s"splitSize=$splitSize")
+      // same records, same order, byte-identical payloads, offsets strict
+      assert(got.map(_._1) == whole.map(_._1), s"splitSize=$splitSize offsets")
+      for (((_, a), b) <- got.zip(corpus))
+        assert(a.recordId == b.recordId && a.payload.toSeq == b.payload.toSeq)
+      assert(got.map(_._1).sliding(2).forall(w => w.size < 2 || w(0) < w(1)))
+      // parallelism is real: >1 split produced records
+      val nonEmpty = 0L.until(fileLen, splitSize.toLong).count { s =>
+        whole.exists(r => r._1 >= s && r._1 < math.min(s + splitSize, fileLen))
+      }
+      assert(nonEmpty >= 2, s"splitSize=$splitSize used $nonEmpty splits")
+    }
+  }
+
+  test("splitRecords: post-sync corruption fails loudly, not as silent skip") {
+    val corpus = bigCorpus(200)
+    val gz = writeGz(corpus)
+    // corrupt a deflate byte of a member in the middle of the file
+    val m = gz.clone()
+    m(m.length / 2) = (m(m.length / 2) ^ 0x55).toByte
+    val fileLen = m.length.toLong
+    intercept[Throwable] {
+      val got = splitRecords(m, 0, fileLen, fileLen, _ => Array.emptyByteArray).toSeq
+      // if the CRC happened to survive the flip (it cannot), the count check
+      assert(got.size == corpus.size)
+      for (((_, a), b) <- got.zip(corpus)) assert(a.payload.toSeq == b.payload.toSeq)
+    }
+  }
+
+  test("readGzSplits: one big file through many Spark tasks, bodies intact") {
+    val spark = graft.SparkSpec.session
+    val corpus = bigCorpus(2500)
+    val gz = writeGz(corpus)
+    assert(gz.length > (1 << 20))
+    val dir = java.nio.file.Files.createTempDirectory("warc_split").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "big.warc.gz")
+    java.nio.file.Files.write(f.toPath, gz)
+    val splitSize = 256L << 10
+    val nSplits = ((gz.length + splitSize - 1) / splitSize).toInt
+    assert(nSplits >= 4, s"fixture spans only $nSplits splits")
+    val df = Warc.readGzSplits(spark, f.getAbsolutePath, splitSize)
+    val rows = df.selectExpr("rec_offset", "target_uri", "md5(body) AS m")
+      .orderBy("rec_offset").collect()
+    assert(rows.length == corpus.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((row, rec) <- rows.zip(corpus)) {
+      assert(row.getString(1) == rec.targetUri)
+      val expect = md.digest(httpBody(rec.payload))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      assert(row.getString(2) == expect, s"body mismatch at ${rec.recordId}")
+    }
+    // the plan genuinely fans out: as many input partitions as splits
+    assert(df.rdd.getNumPartitions >= nSplits)
+  }
 }
