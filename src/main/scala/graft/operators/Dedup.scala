@@ -712,6 +712,10 @@ object Dedup {
       n: Int = 8): DataFrame = {
     val sh = docs
       .select(key.as("doc_key"), explode(shingleHashes(text, n)).as("sh"))
+      // cached: feeds BOTH the carrier count and the join back — without
+      // it the explode+hash work executes twice (the electSurvivors
+      // lesson; at 100 TB the double pass is a double corpus scan)
+      .cache()
     // per-doc distinct already ⇒ count(*) per hash = distinct carriers
     val carriers = sh.groupBy("sh").agg(count(lit(1)).as("nd"))
     sh.join(carriers, "sh")

@@ -330,6 +330,10 @@ object TextOps {
       .select(col("doc_id"),
         md5(array_join(slice(col("w"), (col("i") - 1) * segWords + 1,
           lit(segWords)), " ")).as("sh"))
+      // cached: feeds BOTH the carrier count and the join back — without
+      // it the tokenize+slice+md5 work executes twice (the electSurvivors
+      // lesson; at 100 TB the double pass is a double corpus scan)
+      .cache()
     val carriers = segs.select(col("doc_id"), col("sh")).distinct()
       .groupBy("sh").agg(count(lit(1)).as("nd"))
     segs.join(carriers, "sh")
