@@ -119,6 +119,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         def intArg(i: Int) = children(i).eval().asInstanceOf[Number].intValue()
         graft.functions.MinHashSigExpr(children.head, intArg(1), intArg(2))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hashes_md5"),
+      new ExpressionInfo("graft.functions.NGramMd5Expr", null,
+        "ngram_hashes_md5",
+        "ngram_hashes_md5(text, n) - distinct 60-bit md5-derived hashes " +
+          "of the text's word n-grams (the SQL-replayable family).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "ngram_hashes_md5 expects (text, n)")
+        require(children(1).foldable, "ngram size must be a literal")
+        graft.functions.NGramMd5Expr(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash61"),
+      new ExpressionInfo("graft.functions.MinHash61Expr", null, "minhash61",
+        "minhash61(hashes, num_perms) - SQL-replayable minhash signature " +
+          "(affine permutations mod 2^61-1 over ngram_hashes_md5 values).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash61 expects (hashes, num_perms)")
+        require(children(1).foldable, "num_perms must be a literal")
+        graft.functions.MinHash61Expr(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     // §4.4c optimizer rule: size(filter(arr,f)) > 0 → exists(arr,f)
     // (short-circuit instead of materialize-and-count)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyArrayExistence)

@@ -58,6 +58,40 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     call_function("ngram_hashes", text, lit(n))
 
+  /** Hash family for the minhash/LSH pipeline. The PIPELINE (shingle →
+    * signature → bands → candidate equi-join → exact-Jaccard verify) is
+    * identical code for both; only the hash primitives swap:
+    *
+    *  - [[FastFamily]] — xxhash64 shingles, Murmur3 permutations, murmur
+    *    band mix: the production/scale family (pinned bit-level by
+    *    MinHashSigSpec, recall-level by DedupSpec).
+    *  - [[ReplayableFamily]] — md5-derived 60-bit shingles, affine
+    *    permutations mod 2^61−1, plain `v:v` band strings: every step
+    *    expressible EXACTLY in DuckDB SQL ([[graft.functions.MinHash61Fn]]),
+    *    which is what lets the LSH gates be hash-checked end-to-end
+    *    instead of rows-only.
+    */
+  sealed trait MinHashFamily {
+    def shingles(text: Column, n: Int): Column
+    def signature(hashes: Column, n: Int, numPerms: Int): Column
+    def bandSig(slots: Seq[Column], band: Int): Column
+  }
+  case object FastFamily extends MinHashFamily {
+    def shingles(text: Column, n: Int): Column = shingleHashes(text, n)
+    def signature(hashes: Column, n: Int, numPerms: Int): Column =
+      call_function("minhash32", hashes, lit(n), lit(numPerms))
+    def bandSig(slots: Seq[Column], band: Int): Column =
+      hash(slots :+ lit(band): _*)
+  }
+  case object ReplayableFamily extends MinHashFamily {
+    def shingles(text: Column, n: Int): Column =
+      call_function("ngram_hashes_md5", text, lit(n))
+    def signature(hashes: Column, n: Int, numPerms: Int): Column =
+      call_function("minhash61", hashes, lit(numPerms))
+    def bandSig(slots: Seq[Column], band: Int): Column =
+      concat_ws(":", slots: _*)
+  }
+
   def minhashSignatures(docs: DataFrame, n: Int = 3,
       numPerms: Int = 32): DataFrame =
     // the fused native expression (functions.MinHashSigExpr): one map
@@ -136,11 +170,11 @@ object Dedup {
     * persisted index ([[writeLshIndex]]/[[probeLshIndex]]).
     */
   private def bandTable(sig: DataFrame, numBands: Int,
-      rowsPerBand: Int): DataFrame =
+      rowsPerBand: Int, family: MinHashFamily = FastFamily): DataFrame =
     sig.select(col("doc_id"),
       explode(array((0 until numBands).map { b =>
         val slots = (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r))
-        struct(lit(b).as("band"), hash(slots :+ lit(b): _*).as("bsig"))
+        struct(lit(b).as("band"), family.bandSig(slots, b).as("bsig"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
 
@@ -166,17 +200,19 @@ object Dedup {
     * array input instead of re-shingling the corpus.
     */
   def lshNearDups(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      numPerms: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+      numPerms: Int = 32, rowsPerBand: Int = 2,
+      family: MinHashFamily = FastFamily): DataFrame = {
     // verify sets on hashed shingles: same intersection counts as the
     // string sets (64-bit collisions aside), 8-byte elements through the
     // candidate joins instead of ~20-char strings
-    val sets = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("sh")).cache()
-    // array-input minhash32 ignores the n literal (sh is already shingled);
+    val sets = docs.select(col("doc_id"),
+      family.shingles(col("text"), n).as("sh")).cache()
+    // array-input signature ignores the n literal (sh is already shingled);
     // it MUST equal the n used for sh above or the call mislabels itself
     val sig = sets.select(col("doc_id"),
-        call_function("minhash32", col("sh"), lit(n), lit(numPerms)).as("mh"))
+        family.signature(col("sh"), n, numPerms).as("mh"))
       .filter(col("mh").isNotNull)
-    val bands = bandTable(sig, numPerms / rowsPerBand, rowsPerBand).cache()
+    val bands = bandTable(sig, numPerms / rowsPerBand, rowsPerBand, family).cache()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -205,19 +241,20 @@ object Dedup {
     * signatures and probe the stored buckets.
     */
   def writeLshIndex(docs: DataFrame, path: String, n: Int = 3,
-      numPerms: Int = 32, rowsPerBand: Int = 2): Unit = {
+      numPerms: Int = 32, rowsPerBand: Int = 2,
+      family: MinHashFamily = FastFamily): Unit = {
     // shingle once: write the sets, then derive band signatures FROM the
-    // written sets (minhash32 array input) — one shingling pass and one
+    // written sets (array-input signature) — one shingling pass and one
     // text scan instead of two of each
-    docs.select(col("doc_id"), shingleHashes(col("text"), n).as("sh"))
+    docs.select(col("doc_id"), family.shingles(col("text"), n).as("sh"))
       .write.mode("overwrite").parquet(s"$path/sets")
     val sets = docs.sparkSession.read.parquet(s"$path/sets")
-    // array-input minhash32 ignores the n literal (sh is already shingled);
+    // array-input signature ignores the n literal (sh is already shingled);
     // it MUST equal the n used for sh above or the call mislabels itself
     val sig = sets.select(col("doc_id"),
-        call_function("minhash32", col("sh"), lit(n), lit(numPerms)).as("mh"))
+        family.signature(col("sh"), n, numPerms).as("mh"))
       .filter(col("mh").isNotNull)
-    val bands = bandTable(sig, numPerms / rowsPerBand, rowsPerBand)
+    val bands = bandTable(sig, numPerms / rowsPerBand, rowsPerBand, family)
     bands.repartition(col("band")).sortWithinPartitions("band", "bsig")
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
   }
@@ -242,18 +279,23 @@ object Dedup {
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, threshold: Double = 0.5, n: Int = 3,
       numPerms: Int = 32, rowsPerBand: Int = 2,
-      maxPushdownSigs: Int = 4096): DataFrame = {
+      maxPushdownSigs: Int = 4096,
+      family: MinHashFamily = FastFamily): DataFrame = {
     val idxBands = spark.read.parquet(s"$path/bands")
     val idxSets = spark.read.parquet(s"$path/sets")
-    val qBands = bandTable(minhashSignatures(queries, n, numPerms),
-        numPerms / rowsPerBand, rowsPerBand)
+    val qSh = queries.select(col("doc_id"),
+      family.shingles(col("text"), n).as("sh"))
+    val qSig = qSh.select(col("doc_id"),
+        family.signature(col("sh"), n, numPerms).as("mh"))
+      .filter(col("mh").isNotNull)
+    val qBands = bandTable(qSig, numPerms / rowsPerBand, rowsPerBand, family)
       .withColumnRenamed("doc_id", "q_id")
       .cache()
     // bsig collisions across bands are harmless in either regime — the
     // candidate join condition still carries (band, bsig)
     val qSigs = qBands.select("bsig").distinct()
     val probeSigs = qSigs.limit(maxPushdownSigs + 1)
-      .collect().map(_.getInt(0)).toSeq
+      .collect().map(_.get(0)).toSeq // Int (fast) or String (replayable)
     val filtered =
       if (probeSigs.length <= maxPushdownSigs)
         idxBands.filter(col("bsig").isin(probeSigs: _*))
@@ -264,7 +306,7 @@ object Dedup {
       .select(col("q_id"), col("doc_id"))
       .distinct()
     val qSets = queries.select(col("doc_id").as("q_id"),
-      shingleHashes(col("text"), n).as("qsh"))
+      family.shingles(col("text"), n).as("qsh"))
     cands
       .join(idxSets, "doc_id")
       .join(broadcast(qSets), "q_id")

@@ -145,9 +145,12 @@ object DedupPack extends QueryPack {
     // Persisted LSH index + incremental probe: index the base corpus
     // once (band-partitioned), then near-dup-check a NEW batch (the
     // mutants) against it without re-minhashing the corpus — the
-    // incremental path a 100 TB ingest pipeline actually runs. Probe
-    // results verify exact Jaccard, so rows are (q_id, original, j);
-    // rows-only (banding recall < 1), ground truth in LshIndexSpec.
+    // incremental path a 100 TB ingest pipeline actually runs.
+    // HASH-CHECKED (round 11): the gate runs the replayable family
+    // through the UNCHANGED index/probe code (write, bsig-sorted layout,
+    // pushdown/semi-join regimes, Jaccard verify) and the oracle replays
+    // signatures + banding of BOTH sides in SQL — see dedup_minhash_lsh.
+    // The fast-family probe path keeps LshIndexSpec's recall/zero-FP pins.
     QueryDef(
       "dedup_lsh_probe",
       (s, d) => {
@@ -155,14 +158,73 @@ object DedupPack extends QueryPack {
           .select(col("doc_id"), col("text"))
         // the index build is the amortized one-time ingest job — built
         // once per (session, sf) so the gate times the PROBE path
-        val idx = graft.util.TempFixtures.dir(s, "lsh_idx", d) { path =>
-          Dedup.writeLshIndex(base, path)
+        val idx = graft.util.TempFixtures.dir(s, "lsh_idx61", d) { path =>
+          Dedup.writeLshIndex(base, path, family = Dedup.ReplayableFamily)
         }
         val probes = Dedup.withMutants(base.filter(col("doc_id") < 25))
           .filter(col("doc_id") >= 1000000L)
-        Dedup.probeLshIndex(s, idx, probes).orderBy("q_id", "doc_id")
+        Dedup.probeLshIndex(s, idx, probes,
+            family = Dedup.ReplayableFamily)
+          .select(col("q_id"), col("doc_id"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("q_id", "doc_id")
       },
-      None),
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id < $JaccardCap
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id,
+              |         array_to_string(list_filter(string_split(text, ' '),
+              |                                     (x, i) -> i % 10 != 0), ' ') AS text
+              |  FROM documents WHERE doc_id < 25
+              |),
+              |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+              |tri AS (
+              |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS s
+              |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+              |        FROM w WHERE len(w) >= 3)
+              |),
+              |sh AS (
+              |  SELECT DISTINCT doc_id,
+              |         CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) AS h
+              |  FROM tri
+              |),
+              |perm AS (
+              |  SELECT k,
+              |    CAST(('0x' || substr(md5('mh-a-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) | 1 AS a,
+              |    CAST(('0x' || substr(md5('mh-b-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) AS b
+              |  FROM range(32) r(k)
+              |),
+              |sig AS (
+              |  SELECT doc_id, k,
+              |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
+              |  FROM sh, perm GROUP BY doc_id, k
+              |),
+              |bands AS (
+              |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              |    CAST(min(CASE WHEN k % 2 = 0 THEN v END) AS VARCHAR) || ':' ||
+              |    CAST(min(CASE WHEN k % 2 = 1 THEN v END) AS VARCHAR) AS bsig
+              |  FROM sig GROUP BY doc_id, k // 2
+              |),
+              |cand AS (
+              |  SELECT DISTINCT q.doc_id AS q_id, i.doc_id AS doc_id
+              |  FROM bands q JOIN bands i
+              |    ON q.band = i.band AND q.bsig = i.bsig
+              |  WHERE q.doc_id >= 1000000 AND i.doc_id < 1000000
+              |),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.q_id, c.doc_id, count(*) AS i
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.q_id
+              |  JOIN sh b ON b.doc_id = c.doc_id AND b.h = a.h
+              |  GROUP BY c.q_id, c.doc_id
+              |)
+              |SELECT q_id, inter.doc_id AS doc_id,
+              |       round(i / (sq.n + si.n - i), 6) AS jaccard
+              |FROM inter
+              |JOIN sz sq ON sq.doc_id = q_id JOIN sz si ON si.doc_id = inter.doc_id
+              |WHERE i / (sq.n + si.n - i) >= 0.5
+              |ORDER BY q_id, doc_id""".stripMargin)),
 
     // Edit-distance near-dups: lossless length-band blocking + exact
     // Levenshtein on an 80-char prefix (Dedup.editDistanceNearDups).
@@ -362,17 +424,72 @@ object DedupPack extends QueryPack {
               |FROM sg JOIN nd USING (sh)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
-    // MinHash + banded LSH (r=2, b=16): the scale path — candidates from a
-    // bucket equi-join, exact Jaccard verify on candidates only. Rows-only
-    // driver check; DedupSpec asserts ≥95% recall vs dedup_ngram_jaccard.
+    // MinHash + banded LSH (r=2, b=16): the scale path — candidates from
+    // a bucket equi-join, exact Jaccard verify on candidates only.
+    // HASH-CHECKED (round 11): the gate runs the REPLAYABLE hash family
+    // (md5-derived 60-bit shingle hashes, affine permutations mod 2^61−1
+    // with md5-derived coefficients — functions/MinHash61.scala) through
+    // the IDENTICAL pipeline code, and the oracle replays every step in
+    // SQL: base hash = first 15 md5 hex chars, permutation = HUGEINT
+    // (a*h+b) % (2^61−1), banding = the same v:v strings, candidate join
+    // on (band, bsig), exact Jaccard on candidates. The production
+    // xxhash64/Murmur3 family stays on the scale paths, pinned by
+    // MinHashSigSpec bit-equality + DedupSpec recall floors.
     QueryDef(
       "dedup_minhash_lsh",
       (s, d) =>
         Dedup.lshNearDups(Dedup.withMutants(
-            T.documents(s, d).select(col("doc_id"), col("text"))), 3, 0.5)
+            T.documents(s, d).select(col("doc_id"), col("text"))), 3, 0.5,
+            family = Dedup.ReplayableFamily)
           .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("da", "db"),
-      None),
+      Some(s"""WITH $MutantCorpusFull,
+              |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+              |tri AS (
+              |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS s
+              |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+              |        FROM w WHERE len(w) >= 3)
+              |),
+              |sh AS (
+              |  SELECT DISTINCT doc_id,
+              |         CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) AS h
+              |  FROM tri
+              |),
+              |perm AS (
+              |  SELECT k,
+              |    CAST(('0x' || substr(md5('mh-a-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) | 1 AS a,
+              |    CAST(('0x' || substr(md5('mh-b-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) AS b
+              |  FROM range(32) r(k)
+              |),
+              |sig AS (
+              |  SELECT doc_id, k,
+              |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
+              |  FROM sh, perm GROUP BY doc_id, k
+              |),
+              |bands AS (
+              |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              |    CAST(min(CASE WHEN k % 2 = 0 THEN v END) AS VARCHAR) || ':' ||
+              |    CAST(min(CASE WHEN k % 2 = 1 THEN v END) AS VARCHAR) AS bsig
+              |  FROM sig GROUP BY doc_id, k // 2
+              |),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+              |),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.da, c.db, count(*) AS i
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.da
+              |  JOIN sh b ON b.doc_id = c.db AND b.h = a.h
+              |  GROUP BY c.da, c.db
+              |)
+              |SELECT da, db, round(i / (sa.n + sb.n - i), 6) AS jaccard
+              |FROM inter
+              |JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              |WHERE i / (sa.n + sb.n - i) >= 0.5
+              |ORDER BY da, db""".stripMargin)),
 
     // SimHash Hamming-≤3 pairs via 4×15-bit banding. The banding is
     // pigeonhole-COMPLETE for the ≤3 radius (3 flipped bits leave ≥1 of 4

@@ -29,7 +29,7 @@ class CollectAuditSpec extends AnyFunSuite {
       "training vocab, bounded by orderBy(cnt desc, w).limit(vocabCap) — top-N TakeOrdered"),
     ("Layout.scala", "df.agg(aggs.head, aggs.tail: _*).head()",
       "one aggregate row: min/max envelope for z-value literals"),
-    ("Dedup.scala", ".collect().map(_.getInt(0)).toSeq",
+    ("Dedup.scala", ".collect().map(_.get(0)).toSeq",
       "LSH probe small regime — limit(maxPushdownSigs + 1) before collect; large regime stays distributed"),
     ("Dedup.scala", ".head().getLong(0)",
       "scalar convergence aggregate (one row per label-propagation round)"),
