@@ -144,6 +144,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinHash61Expr(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("hlin_sum"),
+      new ExpressionInfo("graft.functions.HashedLinearExpr", null, "hlin_sum",
+        "hlin_sum(text, dim) - integer hashed-feature linear score " +
+          "(md5-derived weight table, order-free Long accumulator).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "hlin_sum expects (text, dim)")
+        require(children(1).foldable, "dim must be a literal")
+        graft.functions.HashedLinearExpr(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     // §4.4c optimizer rule: size(filter(arr,f)) > 0 → exists(arr,f)
     // (short-circuit instead of materialize-and-count)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyArrayExistence)

@@ -750,6 +750,35 @@ object Dedup {
         (col("doc_key") === col("survivor")).as("is_survivor"))
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates, weight every
+    * document by 1/|near-dup component| so each duplicate CLUSTER
+    * contributes one document's worth of training mass (the
+    * duplication-aware loss-weighting alternative to hard removal —
+    * keeps diversity inside a cluster while removing its count
+    * advantage). Singletons weigh 1.0.
+    *
+    * Scale shape: identical to [[electSurvivors]] — components via the
+    * adaptive contraction, ONE count aggregate per component, a join
+    * back for the per-document weight. The weight is a single double
+    * division (1.0/size), so no accumulation-order concerns.
+    */
+  def softDedupWeights(docs: DataFrame, key: Column,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponentsAdaptive(pairs)
+      .withColumnRenamed("id", "doc_key")
+    // cached: feeds both the size aggregate and the join back (the
+    // electSurvivors lesson)
+    val withComp = docs.select(key.as("doc_key"))
+      .join(comp, Seq("doc_key"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_key")))
+      .cache()
+    val sizes = withComp.groupBy("component")
+      .agg(count(lit(1)).as("csize"))
+    withComp.join(sizes, "component")
+      .select(col("doc_key"), col("component"), col("csize"),
+        round(lit(1.0) / col("csize"), 6).as("weight"))
+  }
+
   def spanCoverage(docs: DataFrame, key: Column, text: Column,
       n: Int = 8): DataFrame = {
     val sh = docs

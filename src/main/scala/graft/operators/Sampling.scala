@@ -273,4 +273,47 @@ object Sampling {
         round(target * col("total_toks").cast("double") /
           col("stratum_toks").cast("double"), 6).as("mix_weight"))
   }
+
+  /** Temperature-scaled mixture plan: sampling weight per source
+    * ∝ tokens^alpha (alpha < 1 upweights small sources — the standard
+    * multi-source LLM data-mixing move; alpha=1 is natural sampling,
+    * alpha=0 uniform). Emits natural fraction, temperature fraction and
+    * the boost each source's sampling rate gets.
+    *
+    * Determinism: the scaled weight is FLOORED TO AN INTEGER
+    * (floor(n^alpha · 1e6)) before normalizing, so both normalization
+    * denominators are exact integer sums — no float accumulation-order
+    * dependence anywhere (sqrt is IEEE-correctly-rounded, so for the
+    * default alpha=0.5 the weights are bit-reproducible across engines;
+    * other alphas go through pow(), whose last-ulp may differ across
+    * libm implementations — same caveat class as exp, documented here
+    * rather than hidden).
+    *
+    * Scale shape: one partial+final count aggregate over the corpus,
+    * then arithmetic on a sources-sized frame with a broadcast 1-row
+    * total — the mixturePlan pattern.
+    */
+  def temperatureMixture(df: DataFrame, source: Column, text: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val agg = df
+      .select(source.as("source"), tokenEstimate(text).as("tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).as("n_toks"))
+      .withColumn("w",
+        floor((if (alpha == 0.5) sqrt(col("n_toks").cast("double"))
+               else pow(col("n_toks").cast("double"), alpha)) * 1e6)
+          .cast("long"))
+    val tot = agg.agg(sum(col("n_toks")).as("tot_toks"),
+      sum(col("w")).as("tot_w"))
+    agg
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_toks"),
+        round(col("n_toks").cast("double") /
+          col("tot_toks").cast("double"), 6).as("natural_frac"),
+        round(col("w").cast("double") /
+          col("tot_w").cast("double"), 6).as("temp_frac"),
+        round((col("w").cast("double") / col("tot_w").cast("double")) /
+          (col("n_toks").cast("double") / col("tot_toks").cast("double")),
+          6).as("boost"))
+  }
 }

@@ -297,6 +297,71 @@ object TextOps {
       md5(afterPhone).as("scrubbed_md5"))
   }
 
+  /** URL canonicalization regexes — lookaround-free, shared verbatim
+    * with the RE2 oracle (the [[EmailPattern]] discipline). Replacement
+    * strings differ per dialect only in group syntax ($1 vs \1).
+    */
+  val UrlSchemeHostPattern: String = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+  val UrlFragmentPattern: String = "#.*$"
+  val UrlHttpPortPattern: String = "^(http://[^/:?#]+):80([/?#]|$)"
+  val UrlHttpsPortPattern: String = "^(https://[^/:?#]+):443([/?#]|$)"
+  val UrlTrackMidPattern: String = "&(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+  val UrlTrackFirstPattern: String = "\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&"
+  val UrlTrackOnlyPattern: String = "\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$"
+
+  /** Canonicalize a URL for crawl dedup — the normalization every
+    * web-corpus pipeline runs before exact dedup, because the same page
+    * arrives under trivially different spellings:
+    *
+    *  1. scheme + host lowercased (path/query stay case-sensitive)
+    *  2. fragment dropped (never sent to the server)
+    *  3. default ports stripped (http:80, https:443)
+    *  4. tracking params removed (utm_*, fbclid, gclid)
+    *  5. dangling `?` then trailing `/` stripped (host root unifies
+    *     with bare host)
+    *
+    * A string without a scheme://host prefix is untouched by the
+    * scheme/host/port rules (the extract matches empty, those replaces
+    * are anchored); the query/fragment rules still apply — tracking
+    * params are junk on a protocol-relative URL too.
+    * Pure codegen'd regexp/string expressions — map-side, zero shuffle,
+    * scan-speed at 100 TB.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val lowered = concat(
+      lower(regexp_extract(u, UrlSchemeHostPattern, 0)),
+      regexp_replace(u, UrlSchemeHostPattern, ""))
+    val noFrag = regexp_replace(lowered, UrlFragmentPattern, "")
+    val noPort = regexp_replace(
+      regexp_replace(noFrag, UrlHttpPortPattern, "$1$2"),
+      UrlHttpsPortPattern, "$1$2")
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(noPort, UrlTrackMidPattern, ""),
+        UrlTrackFirstPattern, "?"),
+      UrlTrackOnlyPattern, "")
+    regexp_replace(regexp_replace(noTrack, "\\?$", ""), "([^/])/$", "$1")
+  }
+
+  /** URL-canonical dedup: group documents by canonical URL, lowest
+    * doc_id survives — [[Dedup.exactSurvivors]] semantics on the
+    * canonical key, reported per document. One shuffle on the canonical
+    * string (could be its md5 at scale; the gate keeps the string so
+    * the oracle output is readable).
+    */
+  def urlDedup(docs: DataFrame, url: Column): DataFrame = {
+    val withCanon = docs.select(col("doc_id"), url.as("url"))
+      .withColumn("canonical", canonicalizeUrl(col("url")))
+      // cached: feeds both the winner aggregate and the join back — the
+      // regex chain must not run twice (the electSurvivors rule)
+      .cache()
+    val winners = withCanon.groupBy("canonical")
+      .agg(min(col("doc_id")).as("survivor"))
+    withCanon.join(winners, "canonical")
+      .select(col("doc_id"), col("url"), col("canonical"),
+        (col("doc_id") === col("survivor")).as("is_survivor"))
+  }
+
   /** Cross-document boilerplate detection (the CCNet/RefinedWeb line-level
     * dedup shape): a SEGMENT occurring verbatim in ≥ `minDocs` distinct
     * documents is boilerplate (navigation chrome, license headers,

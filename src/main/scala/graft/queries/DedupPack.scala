@@ -398,6 +398,53 @@ object DedupPack extends QueryPack {
               |SELECT doc_id, component, quality, rn = 1 AS is_survivor
               |FROM ranked ORDER BY doc_id""".stripMargin)),
 
+    // Soft dedup (round 11): weight each doc by 1/|near-dup component|
+    // instead of dropping losers — a duplicate CLUSTER contributes one
+    // document's worth of training mass while keeping intra-cluster
+    // diversity. Same component machinery as dedup_components; the
+    // weight is one double division, so the oracle is exact.
+    QueryDef(
+      "dedup_soft_weights",
+      (s, d) => {
+        val corpus = Dedup.withMutants(
+          T.documents(s, d).filter(col("doc_id") < JaccardCap)
+            .select(col("doc_id"), col("text")))
+        Dedup.softDedupWeights(corpus, col("doc_id"),
+            Dedup.jaccardPairs(corpus, 3, 0.5))
+          .withColumnRenamed("doc_key", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $MutantCorpus, $Shingles,
+              |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |), pairs AS (
+              |  SELECT da, db FROM inter
+              |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              |  WHERE i / (sa.n + sb.n - i) >= 0.5
+              |), edges AS (
+              |  SELECT da AS a, db AS b FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs
+              |), reach(id, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+              |), comp AS (
+              |  SELECT id, min(r) AS component FROM reach GROUP BY id
+              |), wc AS (
+              |  SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS component
+              |  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+              |), csz AS (
+              |  SELECT component, CAST(count(*) AS BIGINT) AS csize
+              |  FROM wc GROUP BY component
+              |)
+              |SELECT wc.doc_id, wc.component, csz.csize,
+              |       round(CAST(1.0 AS DOUBLE) / csz.csize, 6) AS weight
+              |FROM wc JOIN csz USING (component)
+              |ORDER BY wc.doc_id""".stripMargin)),
+
     // Duplicated-span coverage (substring-dedup signal, Lee et al.): the
     // share of each document's distinct 8-gram shingles that occur in at
     // least one OTHER document — O(corpus) postings counting, no pair

@@ -414,6 +414,38 @@ object SamplePack extends QueryPack {
               |SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
               |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_sequences,
               |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
-              |FROM packed GROUP BY source ORDER BY source""".stripMargin))
+              |FROM packed GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Temperature-scaled source mixing (alpha=0.5): sampling weight per
+    // source ∝ tokens^alpha — the standard upweight-the-small-sources
+    // move when blending many corpora. Deterministic by construction:
+    // weights are floor(sqrt(n)*1e6) INTEGERS (sqrt is IEEE-correctly-
+    // rounded), so both normalization denominators are exact integer
+    // sums and the oracle replays every value bit-for-bit.
+    QueryDef(
+      "sample_temperature_mix",
+      (s, d) =>
+        Sampling.temperatureMixture(T.documents(s, d),
+            col("source"), col("text"), alpha = 0.5)
+          .orderBy("source"),
+      Some("""WITH agg AS (
+             |  SELECT source,
+             |    CAST(sum(greatest(1, CAST(ceil(length(text)/4.0) AS BIGINT))) AS BIGINT) AS n_toks
+             |  FROM documents GROUP BY source
+             |), wtd AS (
+             |  SELECT source, n_toks,
+             |    CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1e6) AS BIGINT) AS w
+             |  FROM agg
+             |), tot AS (
+             |  SELECT CAST(sum(n_toks) AS BIGINT) AS tot_toks,
+             |         CAST(sum(w) AS BIGINT) AS tot_w
+             |  FROM wtd
+             |)
+             |SELECT source, n_toks,
+             |  round(CAST(n_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE), 6) AS natural_frac,
+             |  round(CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS temp_frac,
+             |  round((CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE)) /
+             |        (CAST(n_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE)), 6) AS boost
+             |FROM wtd, tot ORDER BY source""".stripMargin))
   )
 }

@@ -201,6 +201,108 @@ object TextPack extends QueryPack {
               |  md5(t3) AS scrubbed_md5
               |FROM s3 ORDER BY doc_id""".stripMargin)),
 
+    // URL-canonical dedup (round 11): the same page arrives under
+    // trivially different spellings — case-variant scheme/host, default
+    // ports, fragments, tracking params. The fixture plants all three
+    // variant classes in rotating groups of 3; canonicalization must
+    // unify each group exactly (is_survivor = lowest doc_id) while the
+    // path/query payload stays case-sensitive and untouched. Regex
+    // patterns shared verbatim with the RE2 oracle (the PII discipline).
+    QueryDef(
+      "text_url_dedup",
+      (s, d) => {
+        val g = expr("doc_id div 3").cast(StringType)
+        val url = when(col("doc_id") % 3 === 0,
+            concat(lit("http://example.com/docs/"), g, lit("?id="), g))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("HTTP://EXAMPLE.com:80/docs/"), g, lit("?id="), g,
+              lit("#sec2")))
+          .otherwise(
+            concat(lit("http://example.com/docs/"), g, lit("?id="), g,
+              lit("&utm_source=feed&gclid=x1")))
+        TextOps.urlDedup(docsOf(s, d).withColumn("url", url), col("url"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT doc_id,
+              |    CASE doc_id % 3
+              |      WHEN 0 THEN 'http://example.com/docs/' || CAST(doc_id // 3 AS VARCHAR)
+              |                  || '?id=' || CAST(doc_id // 3 AS VARCHAR)
+              |      WHEN 1 THEN 'HTTP://EXAMPLE.com:80/docs/' || CAST(doc_id // 3 AS VARCHAR)
+              |                  || '?id=' || CAST(doc_id // 3 AS VARCHAR) || '#sec2'
+              |      ELSE 'http://example.com/docs/' || CAST(doc_id // 3 AS VARCHAR)
+              |           || '?id=' || CAST(doc_id // 3 AS VARCHAR)
+              |           || '&utm_source=feed&gclid=x1'
+              |    END AS url
+              |  FROM documents
+              |), c1 AS (
+              |  SELECT doc_id, url,
+              |    lower(regexp_extract(url, '${TextOps.UrlSchemeHostPattern}'))
+              |      || regexp_replace(url, '${TextOps.UrlSchemeHostPattern}', '') AS t
+              |  FROM u
+              |), c2 AS (
+              |  SELECT doc_id, url,
+              |    regexp_replace(t, '${TextOps.UrlFragmentPattern}', '') AS t FROM c1
+              |), c3 AS (
+              |  SELECT doc_id, url,
+              |    regexp_replace(regexp_replace(t, '${TextOps.UrlHttpPortPattern}', '\\1\\2'),
+              |                   '${TextOps.UrlHttpsPortPattern}', '\\1\\2') AS t
+              |  FROM c2
+              |), c4 AS (
+              |  SELECT doc_id, url,
+              |    regexp_replace(regexp_replace(regexp_replace(t,
+              |      '${TextOps.UrlTrackMidPattern}', '', 'g'),
+              |      '${TextOps.UrlTrackFirstPattern}', '?'),
+              |      '${TextOps.UrlTrackOnlyPattern}', '') AS t
+              |  FROM c3
+              |), canon AS (
+              |  SELECT doc_id, url,
+              |    regexp_replace(regexp_replace(t, '\\?$$', ''), '([^/])/$$', '\\1') AS canonical
+              |  FROM c4
+              |), surv AS (
+              |  SELECT canonical, min(doc_id) AS survivor FROM canon GROUP BY canonical
+              |)
+              |SELECT c.doc_id, c.url, c.canonical,
+              |       c.doc_id = s.survivor AS is_survivor
+              |FROM canon c JOIN surv s USING (canonical)
+              |ORDER BY c.doc_id""".stripMargin)),
+
+    // Hashed-feature linear quality scoring (round 11): the fastText/
+    // CCNet classifier SHAPE — token → md5-hash bucket → weight-table
+    // lookup → per-doc accumulate — with an md5-derived weight table so
+    // the oracle rebuilds every weight from the same literals. The
+    // accumulator is an integer (functions/HashedLinear), so the score
+    // is accumulation-order-free; the final logit is one IEEE-exact
+    // multiply+divide, never exp/pow. Map-side, zero shuffles.
+    QueryDef(
+      "text_quality_model",
+      (s, d) =>
+        docsOf(s, d).select(col("doc_id"),
+            call_function("hlin_sum", col("text"), lit(1024)).as("raw"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("raw").cast(DoubleType) * 4 /
+              (col("n_tokens").cast(DoubleType) * 549755813888.0), 6)
+              .as("logit"))
+          .orderBy("doc_id"),
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+             |), hashed AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) % 1024 AS j
+             |  FROM words
+             |), scored AS (
+             |  SELECT doc_id,
+             |    CAST(sum((CAST(('0x' || substr(md5('qw-' || CAST(j AS VARCHAR)),1,15)) AS BIGINT) >> 20)
+             |             - 549755813888) AS BIGINT) AS raw,
+             |    CAST(count(*) AS BIGINT) AS n_tokens
+             |  FROM hashed GROUP BY doc_id
+             |)
+             |SELECT doc_id, n_tokens,
+             |  round(CAST(raw AS DOUBLE) * 4 /
+             |        (CAST(n_tokens AS DOUBLE) * 549755813888.0), 6) AS logit
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
     // Cross-document boilerplate detection (CCNet/RefinedWeb line-level
     // dedup shape): verbatim 5-word segments carried by >= 2 distinct
     // documents are boilerplate; per-doc ratio. Digest-keyed counting —

@@ -65,6 +65,21 @@ class MinHash61Spec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("60-bit")))
   }
 
+  test("hlin_sum equals a per-token reference fold; order-free") {
+    val text = "alpha beta gamma beta  alpha"
+    val spark = SparkSpec.session
+    val got = spark.sql(s"SELECT hlin_sum('$text', 1024) AS s")
+      .head().getLong(0)
+    val expect = text.split(" ", -1).map { t =>
+      val j = (refMd5hex15(t) % 1024).toInt
+      (refMd5hex15(s"qw-$j") >> 20) - (1L << 39)
+    }.sum
+    assert(got == expect)
+    // per-token weights are bounded, so the Long sum cannot overflow
+    // for any realistic document (|w| < 2^39, n < 2^24 heads room)
+    assert(HashedLinearFn.weights(1024).forall(w => math.abs(w) <= (1L << 39)))
+  }
+
   test("replayable-family LSH finds the same high-jaccard pairs as fast") {
     import graft.operators.Dedup
     val spark = SparkSpec.session

@@ -241,4 +241,18 @@ class DedupSpec extends SparkSpec {
     assert(rep.exceptAll(
       Dedup.spanCoverage(docs, col("doc_id"), col("text"), 8)).isEmpty)
   }
+
+  test("softDedupWeights: each cluster contributes exactly 1.0 of mass") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db") // {1,2,3} {4} {5}
+    val out = Dedup.softDedupWeights(docs, col("doc_id"), pairs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._4).toSeq ==
+      Seq(0.333333, 0.333333, 0.333333, 1.0, 1.0))
+    assert(out.map(_._3).toSeq == Seq(3L, 3L, 3L, 1L, 1L))
+    // per-cluster mass: sum of weights rounds to 1 per component
+    val byComp = out.groupBy(_._2).map { case (_, rs) => rs.map(_._4).sum }
+    assert(byComp.forall(m => math.abs(m - 1.0) < 1e-3))
+  }
 }

@@ -199,4 +199,19 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(w * toks / total - targets(lang)) < 1e-4, lang)
     }
   }
+
+  test("temperatureMixture: alpha=0.5 boosts small sources, fracs sum to 1") {
+    val plan = Sampling.temperatureMixture(docs, col("lang"), col("text"))
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(plan.length > 1)
+    assert(math.abs(plan.map(_._3).sum - 1.0) < 1e-4, "natural fracs sum")
+    assert(math.abs(plan.map(_._4).sum - 1.0) < 1e-4, "temp fracs sum")
+    // boost is monotone DECREASING in source size: sqrt flattens
+    val bySize = plan.sortBy(_._2)
+    assert(bySize.head._5 > 1.0, "smallest source is upweighted")
+    assert(bySize.last._5 < 1.0, "largest source is downweighted")
+    for (w <- bySize.sliding(2) if w.size == 2 && w(0)._2 < w(1)._2)
+      assert(w(0)._5 >= w(1)._5 - 1e-9,
+        s"boost must not increase with size: ${w.toSeq}")
+  }
 }

@@ -77,4 +77,46 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
     assert(out.forall(_._3 == 0L), "misaligned segments must not count as shared")
   }
+
+  test("canonicalizeUrl: each rule fires exactly, payload stays untouched") {
+    val cases = Seq(
+      // scheme+host lowercase; PATH case preserved
+      ("HTTPS://Example.COM/Docs/Page", "https://example.com/Docs/Page"),
+      // default ports stripped, non-default kept
+      ("http://h.com:80/a", "http://h.com/a"),
+      ("https://h.com:443/a", "https://h.com/a"),
+      ("http://h.com:8080/a", "http://h.com:8080/a"),
+      // https:80 is NOT a default port pair — kept
+      ("https://h.com:80/a", "https://h.com:80/a"),
+      // fragment dropped
+      ("http://h.com/a#sec", "http://h.com/a"),
+      // tracking params removed in every position; real params survive
+      ("http://h.com/a?utm_source=x", "http://h.com/a"),
+      ("http://h.com/a?utm_source=x&id=3", "http://h.com/a?id=3"),
+      ("http://h.com/a?id=3&gclid=z&fbclid=y", "http://h.com/a?id=3"),
+      // dangling ? then trailing / stripped; host root unifies with bare
+      ("http://h.com/", "http://h.com"),
+      ("http://h.com/a/", "http://h.com/a"),
+      // no scheme://host -> host rules skip; query rules still apply
+      ("not a url", "not a url"),
+      ("/relative/path?utm_source=x", "/relative/path"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u"))).as[String].collect()
+    for (((in, want), out) <- cases.zip(got))
+      assert(out == want, s"canonicalizeUrl($in)")
+  }
+
+  test("urlDedup: variant groups unify, lowest id survives") {
+    val docs = Seq(
+      (1L, "http://h.com/p?id=1"),
+      (2L, "HTTP://H.COM:80/p?id=1#x"),
+      (3L, "http://h.com/p?id=1&utm_medium=m"),
+      (4L, "http://h.com/other")).toDF("doc_id", "url")
+    val out = TextOps.urlDedup(docs, col("url"))
+      .as[(Long, String, String, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._3).distinct.sorted.toSeq ==
+      Seq("http://h.com/other", "http://h.com/p?id=1"))
+    assert(out.map(r => (r._1, r._4)).toSeq ==
+      Seq((1L, true), (2L, false), (3L, false), (4L, true)))
+  }
 }
