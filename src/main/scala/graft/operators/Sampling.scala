@@ -274,6 +274,36 @@ object Sampling {
           col("stratum_toks").cast("double"), 6).as("mix_weight"))
   }
 
+  /** Deterministic uniform sample of EXACTLY k rows: order by
+    * md5(key) (uniform over keys, reproducible, RNG-free — the
+    * [[hashDraw]] trick with a rank instead of a threshold), take k.
+    * Unlike Bernoulli sampling the size is exact, and unlike
+    * driver-side reservoirs the plan is a TakeOrderedAndProject —
+    * map-side per-partition heaps, one k-row merge, no full sort.
+    * `key` itself breaks md5 ties so the order is total.
+    */
+  def exactK(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.orderBy(hashDraw(key), key).limit(k)
+  }
+
+  /** Exactly k per stratum, same determinism. Spelled as the STANDARD
+    * window row_number-filter-drop idiom on purpose: the engine's
+    * RewriteWindowTopK rule retargets it onto the native TopKPerKey
+    * bounded-heap plan, so no stratum is ever fully sorted and the
+    * shuffle carries ≤ k rows per (stratum, input partition) — the
+    * custom §4.4c operator earning its keep on a curation path
+    * (TopKPerKeySpec-style plan assert in SamplingSpec).
+    */
+  def stratifiedExactK(df: DataFrame, key: Column, stratum: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(stratum).orderBy(hashDraw(key), key)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Temperature-scaled mixture plan: sampling weight per source
     * ∝ tokens^alpha (alpha < 1 upweights small sources — the standard
     * multi-source LLM data-mixing move; alpha=1 is natural sampling,

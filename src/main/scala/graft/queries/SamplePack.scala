@@ -416,6 +416,39 @@ object SamplePack extends QueryPack {
               |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
               |FROM packed GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Deterministic EXACT-k uniform sample (round 11): order by
+    // md5(key), take k — reproducible, RNG-free, and the plan is a
+    // TakeOrderedAndProject (per-partition heaps, k-row merge), never a
+    // full sort. Unlike Bernoulli the output size is exact.
+    QueryDef(
+      "sample_exact_k",
+      (s, d) =>
+        Sampling.exactK(T.documents(s, d).select(col("doc_id"), col("source")),
+            col("doc_id"), k = 100)
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source FROM documents
+             |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             |  LIMIT 100
+             |) ORDER BY doc_id""".stripMargin)),
+
+    // Exactly k PER STRATUM (round 11), spelled as the standard window
+    // row_number-filter-drop idiom so RewriteWindowTopK retargets it
+    // onto the native TopKPerKey bounded-heap plan — no stratum is ever
+    // fully sorted, the shuffle carries <= k rows per (stratum,
+    // partition). SamplingSpec asserts the plan shape.
+    QueryDef(
+      "sample_stratified_exact_k",
+      (s, d) =>
+        Sampling.stratifiedExactK(
+            T.documents(s, d).select(col("doc_id"), col("source")),
+            col("doc_id"), col("source"), k = 5)
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+             |QUALIFY row_number() OVER (PARTITION BY source
+             |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) <= 5
+             |ORDER BY doc_id""".stripMargin)),
+
     // Temperature-scaled source mixing (alpha=0.5): sampling weight per
     // source ∝ tokens^alpha — the standard upweight-the-small-sources
     // move when blending many corpora. Deterministic by construction:

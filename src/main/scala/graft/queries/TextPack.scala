@@ -201,6 +201,45 @@ object TextPack extends QueryPack {
               |  md5(t3) AS scrubbed_md5
               |FROM s3 ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic count-min sketch (round 11): md5-derived row
+    // hashes + integer cells make the sketch merge-order-free and
+    // every point estimate exactly replayable — a frequency sketch
+    // whose answers hash-check. The shuffle carries <= depth*width
+    // cells, constant in corpus size (the point of sketching 100 TB);
+    // estimates keep the CMS overestimate guarantee (SketchesSpec).
+    QueryDef(
+      "text_cms_counts",
+      (s, d) => {
+        val sketch = graft.operators.Sketches.countMin(
+          docsOf(s, d), col("text"), depth = 4, width = 1024)
+        graft.operators.Sketches.cmsEstimate(sketch,
+            Seq("the", "a", "row", "table", "value", "data", "query",
+              "zz_never_seen"), depth = 4, width = 1024)
+          .orderBy("word")
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+             |), cells AS (
+             |  SELECT r.r,
+             |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t),1,15)) AS BIGINT)
+             |      % 1024 AS bucket
+             |  FROM tok, range(4) r(r)
+             |), sk AS (
+             |  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM cells GROUP BY r, bucket
+             |), probes AS (
+             |  SELECT * FROM (VALUES ('the'),('a'),('row'),('table'),('value'),
+             |                        ('data'),('query'),('zz_never_seen')) p(word)
+             |), pb AS (
+             |  SELECT word, r.r,
+             |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || word),1,15)) AS BIGINT)
+             |      % 1024 AS bucket
+             |  FROM probes, range(4) r(r)
+             |)
+             |SELECT word, min(coalesce(cnt, CAST(0 AS BIGINT))) AS est
+             |FROM pb LEFT JOIN sk USING (r, bucket)
+             |GROUP BY word ORDER BY word""".stripMargin)),
+
     // URL-canonical dedup (round 11): the same page arrives under
     // trivially different spellings — case-variant scheme/host, default
     // ports, fragments, tracking params. The fixture plants all three

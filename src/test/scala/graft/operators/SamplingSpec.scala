@@ -200,6 +200,27 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("exactK / stratifiedExactK: exact sizes, heap plans, determinism") {
+    val k = Sampling.exactK(docs, col("doc_id"), 50)
+    assert(k.count() == 50)
+    val kPlan = k.queryExecution.executedPlan.toString
+    assert(kPlan.contains("TakeOrderedAndProject"), kPlan.take(1000))
+    // per-stratum: min(k, |stratum|) rows each, via the NATIVE TopK plan
+    val sk = Sampling.stratifiedExactK(docs, col("doc_id"), col("lang"), 7)
+    val sizes = sk.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val strata = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, n) <- strata)
+      assert(sizes.getOrElse(lang, 0L) == math.min(7L, n), lang)
+    val skPlan = sk.queryExecution.executedPlan.toString
+    assert(skPlan.contains("TopKPerKeyFinal"),
+      "RewriteWindowTopK must retarget the idiom: " + skPlan.take(1500))
+    // reproducible: same rows regardless of partitioning
+    val again = Sampling.stratifiedExactK(docs.repartition(9),
+      col("doc_id"), col("lang"), 7)
+    assert(sk.exceptAll(again).isEmpty && again.exceptAll(sk).isEmpty)
+  }
+
   test("temperatureMixture: alpha=0.5 boosts small sources, fracs sum to 1") {
     val plan = Sampling.temperatureMixture(docs, col("lang"), col("text"))
       .as[(String, Long, Double, Double, Double)].collect()

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("CMS estimates keep the overestimate guarantee vs exact counts") {
+    val words = Seq("the", "a", "row", "value", "zz_never_seen")
+    val sketch = Sketches.countMin(docs, col("text"))
+    val est = Sketches.cmsEstimate(sketch, words)
+      .as[(String, Long)].collect().toMap
+    val exact = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    for (w <- words) {
+      val e = exact.getOrElse(w, 0L)
+      assert(est(w) >= e, s"$w: est ${est(w)} < exact $e — CMS cannot undercount")
+    }
+    // with a 4x1024 sketch over this tiny vocabulary the estimates
+    // should in fact be exact for the common words
+    assert(est("the") == exact("the"))
+  }
+
+  test("CMS is mergeable: sketch(A ∪ B) == cellwise sum of partials") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val whole = Sketches.countMin(docs, col("text"))
+    val merged = Sketches.countMin(a, col("text"))
+      .unionByName(Sketches.countMin(b, col("text")))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty,
+      "integer cells must make the sketch merge-order-free")
+  }
+
+  test("CMS cells are partitioning-invariant") {
+    val one = Sketches.countMin(docs, col("text"))
+    val rep = Sketches.countMin(docs.repartition(7), col("text"))
+    assert(one.exceptAll(rep).isEmpty && rep.exceptAll(one).isEmpty)
+  }
+}
