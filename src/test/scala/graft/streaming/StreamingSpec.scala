@@ -227,4 +227,28 @@ class StreamingSpec extends SparkSpec {
       "streaming tokenization diverged from the batch face")
     q.stop()
   }
+
+  test("streaming count-min sketch == batch on the same documents") {
+    // CMS cells are INTEGER sums, so the sketch is exactly streamable:
+    // a streaming groupBy over the cell explode accumulates the same
+    // cells the batch face computes, whatever the micro-batching.
+    import graft.operators.Sketches
+    val docs = Seq(
+      (1L, "a b c a a"), (2L, "b c d"), (3L, "a d d e"), (4L, "e e e b"))
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Sketches.countMin(mem.toDF().toDF("doc_id", "text"),
+        col("text"), depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    Seq(docs.take(2), docs.drop(2)).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    val stream = spark.table("cms_stream")
+    val batch = Sketches.countMin(docs.toDF("doc_id", "text"),
+      col("text"), depth = 4, width = 64)
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0,
+      "streaming sketch diverged from the batch face")
+    q.stop()
+  }
 }
