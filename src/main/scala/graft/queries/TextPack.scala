@@ -15,6 +15,40 @@ object TextPack extends QueryPack {
   private def docsOf(s: org.apache.spark.sql.SparkSession, d: String) =
     T.documents(s, d)
 
+  /** Session-cached multi-file `.warc.gz` fixture for the splittable
+    * reader gates: each writer task emits one per-record-gzipped object
+    * (warcinfo + HTTP response whose body is the doc text) — the
+    * object-store arrival pattern.
+    */
+  private def warcSplitFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.util.TempFixtures.dir(s, "warc_split_gz", d) { path =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      docsOf(s, d).select(col("doc_id"), col("text"))
+        .repartition(4, col("doc_id"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.File(path, f"part-$pid%05d.warc.gz")
+            val out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(f))
+            try rows.foreach { r =>
+              val id = r.getLong(0)
+              val body = r.getString(1).getBytes("UTF-8")
+              val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                .getBytes("US-ASCII") ++ body
+              out.write(graft.sources.Warc.writeGz(Seq(
+                graft.sources.Warc.WarcRecord("warcinfo", "",
+                  s"<urn:uuid:info-$id>",
+                  "software: graft\r\n".getBytes("US-ASCII")),
+                graft.sources.Warc.WarcRecord("response",
+                  s"http://example.org/doc/$id",
+                  s"<urn:uuid:resp-$id>", http))))
+            } finally out.close()
+          }
+        }
+    }
+
   // Shared by BOTH WARC ingestion gates (plain and .warc.gz): the
   // recovered bodies must be identical regardless of container layout.
   private val warcIngestOracle: String =
@@ -825,33 +859,7 @@ object TextPack extends QueryPack {
     QueryDef(
       "text_warc_split_ingest",
       (s, d) => {
-        val dir = graft.util.TempFixtures.dir(s, "warc_split_gz", d) { path =>
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-          docsOf(s, d).select(col("doc_id"), col("text"))
-            .repartition(4, col("doc_id"))
-            .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-              if (rows.hasNext) {
-                val pid = org.apache.spark.TaskContext.getPartitionId()
-                val f = new java.io.File(path, f"part-$pid%05d.warc.gz")
-                val out = new java.io.BufferedOutputStream(
-                  new java.io.FileOutputStream(f))
-                try rows.foreach { r =>
-                  val id = r.getLong(0)
-                  val body = r.getString(1).getBytes("UTF-8")
-                  val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
-                    .getBytes("US-ASCII") ++ body
-                  out.write(graft.sources.Warc.writeGz(Seq(
-                    graft.sources.Warc.WarcRecord("warcinfo", "",
-                      s"<urn:uuid:info-$id>",
-                      "software: graft\r\n".getBytes("US-ASCII")),
-                    graft.sources.Warc.WarcRecord("response",
-                      s"http://example.org/doc/$id",
-                      s"<urn:uuid:resp-$id>", http))))
-                } finally out.close()
-              }
-            }
-        }
-        graft.sources.Warc.readGzSplits(s, s"$dir/*.warc.gz",
+        graft.sources.Warc.readGzSplits(s, s"${warcSplitFixture(s, d)}/*.warc.gz",
             splitSize = 16L << 10)
           .withColumn("doc_id",
             regexp_extract(col("record_id"), "-(\\d+)>$", 1).cast(LongType))
@@ -865,6 +873,66 @@ object TextPack extends QueryPack {
           .orderBy("doc_id")
       },
       Some(warcIngestOracle)),
+
+    // Round-11 capstone: WARC ARRIVAL -> CURATED CORPUS in one lazy
+    // plan. The splittable reader's recovered bodies feed quality
+    // scoring, fingerprint dedup and a hash-Bernoulli keep decision
+    // directly — no intermediate materialization between "bytes on an
+    // object store" and "curation verdicts". The oracle replays the
+    // whole formula from the documents table, which is valid because
+    // the ingestion gates pin body == text byte-exactly.
+    QueryDef(
+      "text_warc_curation",
+      (s, d) => {
+        val docs = graft.sources.Warc.readGzSplits(
+            s, s"${warcSplitFixture(s, d)}/*.warc.gz", splitSize = 64L << 10)
+          .filter(col("warc_type") === "response")
+          .select(
+            regexp_extract(col("record_id"), "-(\\d+)>$", 1)
+              .cast(LongType).as("doc_id"),
+            col("body").cast(StringType).as("text"))
+          // the decoded corpus feeds three derivations — score it once
+          .cache()
+        val q = TextOps.qualityScore(docs)
+        val fp = TextOps.fingerprint(docs).select(col("doc_id"), col("fp"))
+        val surv = fp.groupBy("fp").agg(min(col("doc_id")).as("survivor"))
+        docs.join(q, "doc_id").join(fp, "doc_id").join(surv, "fp")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+            col("quality"),
+            (col("doc_id") === col("survivor")).as("is_survivor"),
+            (col("quality") >= 0.5 && col("doc_id") === col("survivor") &&
+              graft.operators.Sampling.hashDraw(col("doc_id")) <
+                lit(graft.operators.Sampling.rateThreshold(0.8))).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH qw AS (
+              |  SELECT doc_id, string_split(lower(text),' ') AS w FROM documents
+              |), q AS (
+              |  SELECT doc_id,
+              |    round(least(CAST(len(w) AS DOUBLE) / 200.0, 1.0) * 0.5
+              |      + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.3
+              |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+              |              / len(w) * 5.0, 1.0) * 0.2, 6) AS quality
+              |  FROM qw
+              |), fp AS (
+              |  SELECT doc_id,
+              |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+              |  FROM documents
+              |), surv AS (
+              |  SELECT fp, min(doc_id) AS survivor FROM fp GROUP BY fp
+              |)
+              |SELECT d.doc_id,
+              |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+              |  q.quality,
+              |  d.doc_id = s.survivor AS is_survivor,
+              |  (q.quality >= 0.5 AND d.doc_id = s.survivor AND
+              |   substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+              |     < '${graft.operators.Sampling.rateThreshold(0.8)}') AS kept
+              |FROM documents d
+              |JOIN q USING (doc_id) JOIN fp USING (doc_id)
+              |JOIN surv s USING (fp)
+              |ORDER BY d.doc_id""".stripMargin)),
 
     // C12 telephony audio: the 16 digest bytes ARE mu-law code bytes in
     // a format-7 WAV; the oracle replays the G.711 logarithmic expansion
