@@ -25,7 +25,7 @@ PATTERNS = {
     # (spark.implicits / <sessionVal>.implicits are local-val imports,
     # not packages)
     "internal-import": re.compile(
-        r"^\s*import\s+(?!org\.apache\.spark|org\.scalatest|org\.scalacheck"
+        r"^\s*import\s+(?!org\.apache\.spark|org\.apache\.hadoop|org\.scalatest|org\.scalacheck"
         r"|scala\.|java\.|javax\.|graft\.|spark\.|\w+\.implicits)"
         r"[a-z_]+\.[a-z_]+\.", re.M),
     "internal-url": re.compile(
