@@ -304,6 +304,53 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Quality-tier curriculum sampling: split the corpus into `rates.size`
+    * score tiers at EXACT percentile cut points and keep each tier at
+    * its own rate (the keep-more-of-the-good-stuff curriculum move).
+    *
+    * Scale shape: the cut points come from ONE percentile aggregate
+    * (never an ntile window, which would order the whole corpus through
+    * a single partition); they broadcast as a 1-row frame and the tier
+    * assignment + hash-Bernoulli verdict are map-side comparisons.
+    *
+    * Determinism: scores are compared RAW against the interpolated
+    * cuts. A cut either equals a data value exactly (equal interpolation
+    * neighbors — both engines compute it exactly) or sits ≥ fraction·1e-6
+    * away from every 6-dp-rounded score, i.e. 10 orders of magnitude
+    * beyond any engine ulp divergence — so tier assignment replays
+    * exactly without rounding the cuts (rounding would ADD a half-even
+    * vs half-up hazard at the x.5e-7 boundary).
+    */
+  def scoreTierSample(df: DataFrame, key: Column, score: Column,
+      rates: Seq[Double], exact: Boolean = true): DataFrame = {
+    require(rates.nonEmpty, "need at least one tier rate")
+    val n = rates.size
+    val ps = (1 until n).map(_.toDouble / n)
+    val scored = df.select(key.as("doc_key"), score.as("s"))
+    // exact percentile merges the full score multiset into ONE buffer —
+    // fine at gate scale and what the oracle replays; at 100 TB use
+    // exact = false: the G-K sketch (approx_percentile) has bounded
+    // memory and mergeable partials, and SamplingSpec pins that sketch
+    // tiers agree with exact tiers within the sketch's rank error
+    val cuts = scored.agg(
+      (if (exact) percentile(col("s"), array(ps.map(lit): _*))
+       else approx_percentile(col("s"), array(ps.map(lit): _*), lit(10000)))
+        .as("cuts"))
+    val tier = (1 until n).map(i =>
+        when(col("s") >= element_at(col("cuts"), i), 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    val kept = rates.zipWithIndex.tail.foldLeft(
+        col("tier") === 1 && hashDraw(col("doc_key")) < lit(rateThreshold(rates.head))) {
+      case (acc, (r, i)) =>
+        acc || (col("tier") === i + 1 &&
+          hashDraw(col("doc_key")) < lit(rateThreshold(r)))
+    }
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("tier", tier)
+      .select(col("doc_key"), col("s").as("score"), col("tier"),
+        kept.as("kept"))
+  }
+
   /** Temperature-scaled mixture plan: sampling weight per source
     * ∝ tokens^alpha (alpha < 1 upweights small sources — the standard
     * multi-source LLM data-mixing move; alpha=1 is natural sampling,

@@ -416,6 +416,48 @@ object SamplePack extends QueryPack {
               |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
               |FROM packed GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Quality-tier curriculum sampling (round 11): exact quartile cut
+    // points from ONE percentile aggregate (never an ntile window — no
+    // single-partition global sort), broadcast as a 1-row frame; tier
+    // assignment and per-tier hash-Bernoulli verdicts are map-side.
+    // Raw-cut comparisons replay exactly (see scoreTierSample scaladoc
+    // for why rounding the cuts would ADD a cross-engine hazard).
+    QueryDef(
+      "sample_quality_tiers",
+      (s, d) =>
+        Sampling.scoreTierSample(
+            graft.operators.TextOps.qualityScore(T.documents(s, d)),
+            col("doc_id"), col("quality"), Seq(0.1, 0.3, 0.6, 0.9))
+          .withColumnRenamed("doc_key", "doc_id")
+          .orderBy("doc_id"),
+      Some(s"""WITH qw AS (
+              |  SELECT doc_id, string_split(lower(text),' ') AS w FROM documents
+              |), q AS (
+              |  SELECT doc_id,
+              |    round(least(CAST(len(w) AS DOUBLE) / 200.0, 1.0) * 0.5
+              |      + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.3
+              |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+              |              / len(w) * 5.0, 1.0) * 0.2, 6) AS s
+              |  FROM qw
+              |), cuts AS (
+              |  SELECT quantile_cont(s, 0.25) AS c1, quantile_cont(s, 0.5) AS c2,
+              |         quantile_cont(s, 0.75) AS c3
+              |  FROM q
+              |), tiered AS (
+              |  SELECT doc_id, s,
+              |    1 + CAST(s >= c1 AS INT) + CAST(s >= c2 AS INT)
+              |      + CAST(s >= c3 AS INT) AS tier
+              |  FROM q, cuts
+              |)
+              |SELECT doc_id, s AS score, tier,
+              |  CASE tier
+              |    WHEN 1 THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '${Sampling.rateThreshold(0.1)}'
+              |    WHEN 2 THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '${Sampling.rateThreshold(0.3)}'
+              |    WHEN 3 THEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '${Sampling.rateThreshold(0.6)}'
+              |    ELSE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '${Sampling.rateThreshold(0.9)}'
+              |  END AS kept
+              |FROM tiered ORDER BY doc_id""".stripMargin)),
+
     // Deterministic EXACT-k uniform sample (round 11): order by
     // md5(key), take k — reproducible, RNG-free, and the plan is a
     // TakeOrderedAndProject (per-partition heaps, k-row merge), never a

@@ -221,6 +221,32 @@ class SamplingSpec extends SparkSpec {
     assert(sk.exceptAll(again).isEmpty && again.exceptAll(sk).isEmpty)
   }
 
+  test("scoreTierSample: tiers are quartiles; sketch mode agrees with exact") {
+    import graft.operators.TextOps
+    val q = TextOps.qualityScore(docs)
+    val rates = Seq(0.1, 0.3, 0.6, 0.9)
+    val exact = Sampling.scoreTierSample(q, col("doc_id"), col("quality"), rates)
+      .as[(Long, Double, Int, Boolean)].collect()
+    // tiers partition the corpus into ~quarters (ties can skew a bucket)
+    val sizes = exact.groupBy(_._3).view.mapValues(_.size).toMap
+    val total = exact.length.toDouble
+    for (t <- 1 to 4)
+      assert(sizes.getOrElse(t, 0) > 0.10 * total &&
+        sizes.getOrElse(t, 0) < 0.40 * total, s"tier $t: ${sizes.get(t)}")
+    // keep-rate ordering follows the tier rates (higher tier keeps more)
+    val keepRate = exact.groupBy(_._3).view
+      .mapValues(rs => rs.count(_._4).toDouble / rs.size).toMap
+    assert(keepRate(1) < keepRate(4), s"$keepRate")
+    // the 100 TB path: G-K sketch cuts give (near-)identical tiers
+    val sketch = Sampling.scoreTierSample(q, col("doc_id"), col("quality"),
+        rates, exact = false)
+      .as[(Long, Double, Int, Boolean)].collect()
+    val byKey = exact.map(r => r._1 -> r._3).toMap
+    val agree = sketch.count(r => byKey(r._1) == r._3)
+    assert(agree >= (0.95 * total).toInt,
+      s"sketch tiers agree on $agree/${exact.length}")
+  }
+
   test("temperatureMixture: alpha=0.5 boosts small sources, fracs sum to 1") {
     val plan = Sampling.temperatureMixture(docs, col("lang"), col("text"))
       .as[(String, Long, Double, Double, Double)].collect()
