@@ -874,6 +874,29 @@ object TextPack extends QueryPack {
       },
       Some(warcIngestOracle)),
 
+    // the SAME ingestion through the DataSource V2 format
+    // (`spark.read.format("warcgz")`) — WARC as a first-class Spark
+    // source: split planning inside the source, column pruning reaching
+    // the reader (WarcSpec pins a target_uri-only projection never
+    // carries payload/body through the scan). Same oracle, fourth path.
+    QueryDef(
+      "text_warc_format_ingest",
+      (s, d) =>
+        s.read.format("warcgz")
+          .option("splitSize", 64 << 10)
+          .load(s"${warcSplitFixture(s, d)}/*.warc.gz")
+          .withColumn("doc_id",
+            regexp_extract(col("record_id"), "-(\\d+)>$", 1).cast(LongType))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_records"),
+            max(col("target_uri")).as("target_uri"),
+            max(when(col("warc_type") === "response", md5(col("body"))))
+              .as("body_md5"),
+            max(when(col("warc_type") === "response",
+              length(col("body")).cast(LongType))).as("body_len"))
+          .orderBy("doc_id"),
+      Some(warcIngestOracle)),
+
     // Round-11 capstone: WARC ARRIVAL -> CURATED CORPUS in one lazy
     // plan. The splittable reader's recovered bodies feed quality
     // scoring, fingerprint dedup and a hash-Bernoulli keep decision

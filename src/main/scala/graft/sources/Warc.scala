@@ -331,7 +331,7 @@ object Warc {
     * (write/readFields through Java serialization) ships the driver's
     * conf to tasks so remote filesystems resolve identically there.
     */
-  private final class SerializableHadoopConf(
+  private[sources] final class SerializableHadoopConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {

@@ -167,4 +167,31 @@ class WarcSpec extends AnyFunSuite {
     // the plan genuinely fans out: as many input partitions as splits
     assert(df.rdd.getNumPartitions >= nSplits)
   }
+
+  test("DSv2 warcgz format: same records, pruning reaches the scan") {
+    val spark = graft.SparkSpec.session
+    val corpus = bigCorpus(1500)
+    val gz = writeGz(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("warc_dsv2").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "a.warc.gz")
+    java.nio.file.Files.write(f.toPath, gz)
+    val df = spark.read.format("warcgz")
+      .option("splitSize", 256 << 10)
+      .load(f.getAbsolutePath)
+    // record-for-record identical to the function-style reader
+    val viaFn = Warc.readGzSplits(spark, f.getAbsolutePath, 256L << 10)
+      .selectExpr("rec_offset", "record_id", "md5(body) AS m")
+    val viaFmt = df.selectExpr("rec_offset", "record_id", "md5(body) AS m")
+    assert(viaFmt.exceptAll(viaFn).isEmpty && viaFn.exceptAll(viaFmt).isEmpty)
+    assert(df.count() == corpus.size)
+    // column pruning reaches the source: a target_uri-only projection
+    // must not carry payload/body through the scan
+    val pruned = df.select("target_uri")
+    val leaf = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("target_uri"), leaf)
+    assert(!leaf.contains("payload") && !leaf.contains("body"),
+      s"projection leaked into the scan: $leaf")
+    assert(pruned.distinct().count() == corpus.size)
+  }
 }
