@@ -23,30 +23,28 @@ object TextPack extends QueryPack {
   private def warcSplitFixture(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     graft.util.TempFixtures.dir(s, "warc_split_gz", d) { path =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      // written through the engine's OWN warcgz sink — each writer task
+      // emits one per-record-gzipped object (the object-store pattern)
+      val httpHdr = lit(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+          .getBytes("US-ASCII"))
       docsOf(s, d).select(col("doc_id"), col("text"))
         .repartition(4, col("doc_id"))
-        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-          if (rows.hasNext) {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val f = new java.io.File(path, f"part-$pid%05d.warc.gz")
-            val out = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(f))
-            try rows.foreach { r =>
-              val id = r.getLong(0)
-              val body = r.getString(1).getBytes("UTF-8")
-              val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
-                .getBytes("US-ASCII") ++ body
-              out.write(graft.sources.Warc.writeGz(Seq(
-                graft.sources.Warc.WarcRecord("warcinfo", "",
-                  s"<urn:uuid:info-$id>",
-                  "software: graft\r\n".getBytes("US-ASCII")),
-                graft.sources.Warc.WarcRecord("response",
-                  s"http://example.org/doc/$id",
-                  s"<urn:uuid:resp-$id>", http))))
-            } finally out.close()
-          }
-        }
+        .select(explode(array(
+          struct(lit("warcinfo").as("warc_type"),
+            lit("").as("target_uri"),
+            concat(lit("<urn:uuid:info-"), col("doc_id"), lit(">"))
+              .as("record_id"),
+            lit("software: graft\r\n".getBytes("US-ASCII")).as("payload")),
+          struct(lit("response").as("warc_type"),
+            concat(lit("http://example.org/doc/"), col("doc_id"))
+              .as("target_uri"),
+            concat(lit("<urn:uuid:resp-"), col("doc_id"), lit(">"))
+              .as("record_id"),
+            concat(httpHdr, encode(col("text"), "UTF-8")).as("payload"))))
+          .as("rec"))
+        .select(col("rec.*"))
+        .write.format("warcgz").mode("overwrite").save(path)
     }
 
   // Shared by BOTH WARC ingestion gates (plain and .warc.gz): the

@@ -56,18 +56,28 @@ object WarcGzSource {
 }
 
 private[sources] class WarcGzTable(properties: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"warcgz(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = WarcGzSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcGzScanBuilder(
       options.getOrDefault("path", properties.getOrElse("path",
         sys.error("warcgz: no path"))),
       options.getLong("splitsize", 128L << 20))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new WarcGzWriteBuilder(
+      info.options.getOrDefault("path", properties.getOrElse("path",
+        sys.error("warcgz: no path"))),
+      info.schema())
 }
 
 private[sources] class WarcGzScanBuilder(path: String, splitSize: Long)
@@ -116,6 +126,110 @@ private[sources] class WarcGzScan(path: String, splitSize: Long,
 
 private[sources] case class WarcGzPartition(file: String, start: Long,
     end: Long, fileLen: Long) extends InputPartition
+
+/** Write side: each task streams its rows as per-record gzip members
+  * into ONE `.warc.gz` object under the target directory — the
+  * object-store pattern (unique task-attempt names; abort deletes the
+  * attempt's object, commit is the rename-free no-op that pattern
+  * implies). Input schema must be exactly
+  * (warc_type, target_uri, record_id, payload).
+  */
+private[sources] class WarcGzWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  // overwrite semantics: the committer clears the directory up front
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val t = doTruncate
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new WarcGzBatchWrite(path, schema, t)
+    }
+  }
+}
+
+private[sources] class WarcGzBatchWrite(path: String, schema: StructType,
+    truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  // Spark reconciles the input against the full table schema (absent
+  // columns arrive as nulls); the writer needs these four — the others
+  // (file, rec_offset, body) are derivative of the container and ignored
+  private val needed = Seq("warc_type", "target_uri", "record_id", "payload")
+  require(needed.forall(schema.fieldNames.contains),
+    s"warcgz write needs columns $needed, got ${schema.fieldNames.toSeq}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = new Warc.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new WarcGzWriterFactory(path, conf, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class WarcGzWriterFactory(path: String,
+    conf: Warc.SerializableHadoopConf, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new WarcGzDataWriter(path, partitionId, taskId, conf, schema)
+}
+
+private[sources] case class WarcGzCommit(file: String, n: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class WarcGzDataWriter(dir: String, partitionId: Int,
+    taskId: Long, conf: Warc.SerializableHadoopConf, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val file = new Path(dir,
+    f"part-$partitionId%05d-$taskId.warc.gz")
+  private val fs = file.getFileSystem(conf.value)
+  private val out = fs.create(file, true)
+  private var n = 0L
+
+  private val iType = schema.fieldIndex("warc_type")
+  private val iUri = schema.fieldIndex("target_uri")
+  private val iId = schema.fieldIndex("record_id")
+  private val iPayload = schema.fieldIndex("payload")
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(iType) && !row.isNullAt(iPayload),
+      "warcgz write: warc_type and payload must be non-null")
+    val rec = Warc.WarcRecord(
+      row.getUTF8String(iType).toString,
+      if (row.isNullAt(iUri)) "" else row.getUTF8String(iUri).toString,
+      if (row.isNullAt(iId)) "" else row.getUTF8String(iId).toString,
+      row.getBinary(iPayload))
+    out.write(Warc.writeGz(Seq(rec)))
+    n += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    WarcGzCommit(file.toString, n)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(file, false)
+    ()
+  }
+
+  override def close(): Unit = ()
+}
 
 private[sources] class WarcGzReaderFactory(
     conf: Warc.SerializableHadoopConf, required: StructType)

@@ -194,4 +194,36 @@ class WarcSpec extends AnyFunSuite {
       s"projection leaked into the scan: $leaf")
     assert(pruned.distinct().count() == corpus.size)
   }
+
+  test("DSv2 warcgz write: distributed round-trip through the format") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val corpus = bigCorpus(600)
+    val dir = java.nio.file.Files.createTempDirectory("warc_w").toFile
+    dir.deleteOnExit()
+    val rows = corpus.map(r => (r.warcType, r.targetUri, r.recordId, r.payload))
+    rows.toDF("warc_type", "target_uri", "record_id", "payload")
+      .repartition(3)
+      .write.format("warcgz").mode("overwrite").save(dir.getAbsolutePath)
+    // several tasks => several objects (the object-store pattern)
+    val parts = dir.listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(parts.length == 3, parts.map(_.getName).toSeq.toString)
+    // read back through the format: every record, every payload byte
+    val back = spark.read.format("warcgz")
+      .load(dir.getAbsolutePath + "/*.warc.gz")
+      .selectExpr("record_id", "md5(payload) AS m").as[(String, String)]
+      .collect().toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = corpus.map { r =>
+      val h = md.digest(r.payload).map("%02x".format(_)).mkString
+      md.reset(); (r.recordId, h)
+    }.toSet
+    assert(back == want)
+    // overwrite truncates: a second smaller write leaves only its rows
+    rows.take(10).toDF("warc_type", "target_uri", "record_id", "payload")
+      .repartition(1)
+      .write.format("warcgz").mode("overwrite").save(dir.getAbsolutePath)
+    assert(spark.read.format("warcgz")
+      .load(dir.getAbsolutePath + "/*.warc.gz").count() == 10)
+  }
 }
