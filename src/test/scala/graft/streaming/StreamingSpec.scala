@@ -228,6 +228,57 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming WARC arrival: newly landed .warc.gz files == batch read") {
+    // crawl files LAND over time; the file source's exactly-once file
+    // tracking + the stateless record explode give streaming ingestion
+    // for free — pinned equal to the batch face over the same files
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("warc_stream").toFile
+    dir.deleteOnExit()
+    def writeFile(name: String, ids: Range): Unit = {
+      val recs = ids.map { i =>
+        Warc.WarcRecord("response", s"http://x/$i", s"<urn:uuid:resp-$i>",
+          ("HTTP/1.1 200 OK\r\n\r\nbody of document " + i).getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(
+        new java.io.File(dir, name).toPath, Warc.writeGz(recs))
+    }
+    writeFile("b1.warc.gz", 0 until 5)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val arriving = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(dir.getAbsolutePath)
+      .select(xxhash64(col("path")).as("doc_id"), col("content").as("warc"))
+    val q = Warc.records(arriving)
+      .select(col("target_uri"), md5(col("body")).as("m"))
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    writeFile("b2.warc.gz", 5 until 12)
+    q.processAllAvailable()
+    val stream = spark.table("warc_stream")
+    q.stop()
+    val batch = Warc.records(
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+          .load(dir.getAbsolutePath)
+          .select(xxhash64(col("path")).as("doc_id"),
+            col("content").as("warc")))
+      .select(col("target_uri"), md5(col("body")).as("m"))
+    assert(stream.count() == 12)
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0,
+      "streaming WARC ingestion diverged from the batch face")
+  }
+
   test("streaming count-min sketch == batch on the same documents") {
     // CMS cells are INTEGER sums, so the sketch is exactly streamable:
     // a streaming groupBy over the cell explode accumulates the same
