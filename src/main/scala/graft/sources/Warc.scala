@@ -417,6 +417,48 @@ object Warc {
       }(enc)
   }
 
+  /** Point-read ONE record by its compressed member offset — the seek
+    * the `rec_offset` column exists for: an index (doc_id → file,
+    * rec_offset) turns a 1 GB archive into O(record) point lookups
+    * without inflating any prefix (the per-record-member layout's whole
+    * reason to exist). Reads the member incrementally (64 KB chunks),
+    * so the cost is the one record's compressed size.
+    */
+  def readRecordAt(conf: org.apache.hadoop.conf.Configuration,
+      file: String, offset: Long): WarcRecord = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(path).getLen
+    require(offset >= 0 && offset < fileLen, s"offset $offset out of $file")
+    val in = fs.open(path)
+    try {
+      in.seek(offset)
+      var data = Array.emptyByteArray
+      def pull(n: Int): Boolean = {
+        val want = math.min(n.toLong, fileLen - offset - data.length).toInt
+        if (want <= 0) false
+        else {
+          val buf = new Array[Byte](want)
+          in.readFully(buf)
+          data = data ++ buf
+          true
+        }
+      }
+      pull(64 << 10)
+      var rec: Option[WarcRecord] = None
+      while (rec.isEmpty) {
+        try {
+          val (inflated, _) = inflateMember(data, 0)
+          rec = Some(parse(inflated).head)
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("truncated") && pull(data.length) => ()
+        }
+      }
+      rec.get
+    } finally in.close()
+  }
+
   /** Write records as WARC bytes (the test/gate synthesizer — also the
     * round-trip witness for [[parse]]).
     */

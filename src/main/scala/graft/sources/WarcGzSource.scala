@@ -81,22 +81,44 @@ private[sources] class WarcGzTable(properties: Map[String, String])
 }
 
 private[sources] class WarcGzScanBuilder(path: String, splitSize: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = WarcGzSource.Schema
+  private var typeEquals: Option[String] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Spark hands the pruned projection; empty (count(*)) keeps zero cols
     required = requiredSchema
   }
 
-  override def build(): Scan = new WarcGzScan(path, splitSize, required)
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    // accept warc_type = 'x': the reader then skips non-matching records
+    // BEFORE row materialization (no body extraction, no row alloc for
+    // warcinfo/request records when only responses are wanted). All
+    // filters are returned as residual — Spark re-evaluates them, so
+    // the pushdown is a pure skip optimization, never a correctness
+    // dependency.
+    typeEquals = filters.collectFirst {
+      case org.apache.spark.sql.sources.EqualTo("warc_type", v: String) => v
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    typeEquals.toArray.map(v =>
+      org.apache.spark.sql.sources.EqualTo("warc_type", v))
+
+  override def build(): Scan =
+    new WarcGzScan(path, splitSize, required, typeEquals)
 }
 
 private[sources] class WarcGzScan(path: String, splitSize: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType, typeEquals: Option[String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"warcgz $path splitSize=$splitSize cols=${required.fieldNames.mkString(",")}"
+    s"warcgz $path splitSize=$splitSize cols=${required.fieldNames.mkString(",")}" +
+      typeEquals.fold("")(v => s" type=$v")
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -120,7 +142,7 @@ private[sources] class WarcGzScan(path: String, splitSize: Long,
     val spark = org.apache.spark.sql.SparkSession.active
     new WarcGzReaderFactory(
       new Warc.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      required)
+      required, typeEquals)
   }
 }
 
@@ -232,16 +254,18 @@ private[sources] class WarcGzDataWriter(dir: String, partitionId: Int,
 }
 
 private[sources] class WarcGzReaderFactory(
-    conf: Warc.SerializableHadoopConf, required: StructType)
+    conf: Warc.SerializableHadoopConf, required: StructType,
+    typeEquals: Option[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcGzPartition]
-    new WarcGzPartitionReader(p, conf, required)
+    new WarcGzPartitionReader(p, conf, required, typeEquals)
   }
 }
 
 private[sources] class WarcGzPartitionReader(p: WarcGzPartition,
-    conf: Warc.SerializableHadoopConf, required: StructType)
+    conf: Warc.SerializableHadoopConf, required: StructType,
+    typeEquals: Option[String])
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(p.file)
@@ -261,29 +285,34 @@ private[sources] class WarcGzPartitionReader(p: WarcGzPartition,
 
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (!iter.hasNext) false
-    else {
+  override def next(): Boolean = {
+    var found = false
+    while (!found && iter.hasNext) {
       val (off, rec) = iter.next()
-      val row = new GenericInternalRow(required.length)
-      var i = 0
-      while (i < required.length) {
-        row.update(i, required.fields(i).name match {
-          case "file" => fileUtf8
-          case "rec_offset" => off
-          case "warc_type" => UTF8String.fromString(rec.warcType)
-          case "target_uri" => UTF8String.fromString(rec.targetUri)
-          case "record_id" => UTF8String.fromString(rec.recordId)
-          case "payload" => rec.payload
-          case "body" =>
-            if (rec.warcType == "response") Warc.httpBody(rec.payload)
-            else rec.payload
-        })
-        i += 1
+      // pushed warc_type filter: skip before any row materialization
+      if (typeEquals.forall(_ == rec.warcType)) {
+        val row = new GenericInternalRow(required.length)
+        var i = 0
+        while (i < required.length) {
+          row.update(i, required.fields(i).name match {
+            case "file" => fileUtf8
+            case "rec_offset" => off
+            case "warc_type" => UTF8String.fromString(rec.warcType)
+            case "target_uri" => UTF8String.fromString(rec.targetUri)
+            case "record_id" => UTF8String.fromString(rec.recordId)
+            case "payload" => rec.payload
+            case "body" =>
+              if (rec.warcType == "response") Warc.httpBody(rec.payload)
+              else rec.payload
+          })
+          i += 1
+        }
+        current = row
+        found = true
       }
-      current = row
-      true
     }
+    found
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()

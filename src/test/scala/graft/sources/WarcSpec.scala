@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class WarcSpec extends AnyFunSuite {
@@ -193,6 +194,34 @@ class WarcSpec extends AnyFunSuite {
     assert(!leaf.contains("payload") && !leaf.contains("body"),
       s"projection leaked into the scan: $leaf")
     assert(pruned.distinct().count() == corpus.size)
+  }
+
+  test("DSv2 warcgz: pushed warc_type filter reaches the scan; point reads by rec_offset") {
+    val spark = graft.SparkSpec.session
+    val mixed = bigCorpus(200).zipWithIndex.map { case (r, i) =>
+      if (i % 3 == 0) r.copy(warcType = "metadata") else r
+    }
+    val gz = writeGz(mixed)
+    val dir = java.nio.file.Files.createTempDirectory("warc_pf").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "m.warc.gz")
+    java.nio.file.Files.write(f.toPath, gz)
+    val df = spark.read.format("warcgz").option("splitSize", 128 << 10)
+      .load(f.getAbsolutePath)
+    val responses = df.filter(col("warc_type") === "response")
+    // the pushed filter is visible on the scan leaf, and the residual
+    // re-evaluation keeps results exact
+    val leaf = responses.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("type=response"), leaf)
+    assert(responses.count() == mixed.count(_.warcType == "response"))
+    // rec_offset is a REAL seek address: point-read 5 records by offset
+    val sample = df.selectExpr("rec_offset", "record_id")
+      .orderBy("rec_offset").collect().grouped(40).map(_.head).toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (r <- sample) {
+      val rec = Warc.readRecordAt(conf, f.getAbsolutePath, r.getLong(0))
+      assert(rec.recordId == r.getString(1), s"offset ${r.getLong(0)}")
+    }
   }
 
   test("DSv2 warcgz write: distributed round-trip through the format") {
