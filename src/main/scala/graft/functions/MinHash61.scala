@@ -35,9 +35,17 @@ object MinHash61Fn {
   /** 2^61 − 1 (Mersenne): `mod` is two shifts and an add. */
   val P: Long = (1L << 61) - 1
 
+  // MessageDigest is not thread-safe and getInstance allocates — this
+  // runs per SHINGLE and per TOKEN on the replayable/scoring paths, so
+  // one digest per thread, reset per call
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** First 15 hex chars of md5(s) as a long — 60 bits, < P. */
   def md5hex15(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // 15 hex chars = 7.5 bytes: bytes 0..6 plus the high nibble of byte 7
     var v = 0L
