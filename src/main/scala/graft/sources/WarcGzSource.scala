@@ -241,6 +241,9 @@ private[sources] class WarcGzDataWriter(dir: String, partitionId: Int,
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
+    // an empty partition leaves no object (object stores and glob
+    // readers both prefer absence over zero-byte files)
+    if (n == 0) fs.delete(file, false)
     WarcGzCommit(file.toString, n)
   }
 
