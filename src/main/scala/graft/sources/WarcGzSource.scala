@@ -63,6 +63,7 @@ private[sources] class WarcGzTable(properties: Map[String, String])
   override def schema(): StructType = WarcGzSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -136,6 +137,82 @@ private[sources] class WarcGzScan(path: String, splitSize: Long,
           math.min((i + 1) * splitSize, len), len)
       }
     }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new WarcGzReaderFactory(
+      new Warc.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+      required, typeEquals)
+  }
+
+  // ------------------------------------------------- streaming face
+
+  /** Micro-batch streaming over ARRIVING archive files (crawl segments
+    * land over time): the offset is the set of files already processed
+    * (name + length — a file is immutable once landed, the
+    * object-store contract), each micro-batch plans the splits of the
+    * NEWLY seen files. Same reader, same sync/ownership machinery —
+    * `spark.readStream.format("warcgz")` is the batch scan over a
+    * growing file set with exactly-once file tracking.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcGzMicroBatchStream(path, splitSize, required, typeEquals)
+}
+
+private[sources] case class WarcGzOffset(files: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  // stable serialization: sorted name=len lines
+  override def json(): String =
+    files.toSeq.sortBy(_._1).map { case (f, l) => s"$f=$l" }.mkString("\n")
+}
+
+private[sources] object WarcGzOffset {
+  def fromJson(s: String): WarcGzOffset =
+    if (s.isEmpty) WarcGzOffset(Map.empty)
+    else WarcGzOffset(s.split("\n").map { line =>
+      val i = line.lastIndexOf('=')
+      line.substring(0, i) -> line.substring(i + 1).toLong
+    }.toMap)
+}
+
+private[sources] class WarcGzMicroBatchStream(path: String, splitSize: Long,
+    required: StructType, typeEquals: Option[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listFiles(): Map[String, Long] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(p)
+    if (files == null) Map.empty
+    else files.toSeq.filter(_.isFile)
+      .map(st => st.getPath.toString -> st.getLen).toMap
+  }
+
+  override def initialOffset(): Offset = WarcGzOffset(Map.empty)
+  override def latestOffset(): Offset = WarcGzOffset(listFiles())
+  override def deserializeOffset(json: String): Offset =
+    WarcGzOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcGzOffset].files
+    val now = end.asInstanceOf[WarcGzOffset].files
+    // a file is processed exactly once, at the length it landed with
+    // (immutable-object contract; a grown file would be a layout bug)
+    now.toSeq.filterNot { case (f, _) => seen.contains(f) }
+      .sortBy(_._1)
+      .flatMap { case (file, len) =>
+        val n = math.max(1L, (len + splitSize - 1) / splitSize)
+        (0L until n).map { i =>
+          WarcGzPartition(file, i * splitSize,
+            math.min((i + 1) * splitSize, len), len)
+        }
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

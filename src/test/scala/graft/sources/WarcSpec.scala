@@ -224,6 +224,40 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 warcgz streaming: arriving archive files == batch, exactly once") {
+    val spark = graft.SparkSpec.session
+    val dir = java.nio.file.Files.createTempDirectory("warc_ms").toFile
+    dir.deleteOnExit()
+    def land(name: String, ids: Range): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        writeGz(ids.map(i => WarcRecord("response", s"http://s/$i",
+          s"<urn:uuid:s$i>",
+          ("HTTP/1.1 200 OK\r\n\r\nstream doc " + i).getBytes("UTF-8")))))
+    land("s1.warc.gz", 0 until 6)
+    val q = spark.readStream.format("warcgz")
+      .option("splitSize", 1 << 10)
+      .load(dir.getAbsolutePath + "/*.warc.gz")
+      .selectExpr("record_id", "md5(body) AS m")
+      .writeStream.format("memory").queryName("warcgz_ms")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("warcgz_ms").count()
+    assert(afterB1 == 6, s"first batch delivered $afterB1")
+    land("s2.warc.gz", 6 until 15)
+    q.processAllAvailable()
+    // already-seen files are NOT reprocessed; new file fully delivered
+    q.processAllAvailable()
+    val stream = spark.table("warcgz_ms")
+    q.stop()
+    assert(stream.count() == 15, "exactly-once per landed file")
+    val batch = spark.read.format("warcgz")
+      .load(dir.getAbsolutePath + "/*.warc.gz")
+      .selectExpr("record_id", "md5(body) AS m")
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0,
+      "streaming face diverged from the batch scan")
+  }
+
   test("DSv2 warcgz write: distributed round-trip through the format") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
