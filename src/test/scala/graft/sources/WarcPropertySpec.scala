@@ -58,4 +58,44 @@ class WarcPropertySpec extends AnyFunSuite {
       assert(got.map(_._1) == got.map(_._1).sorted, "offsets ascending")
     }
   }
+
+  test("canonicalizeUrl: idempotent and normalized on generated URLs") {
+    val spark = graft.SparkSpec.session
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val genUrl: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "Https")
+      host <- Gen.oneOf("Example.COM", "a-b.example", "X.Y.Z")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/Docs/Page", "/a/b/", "/p%20q")
+      track <- Gen.oneOf("", "utm_source=x", "gclid=1", "fbclid=ab")
+      real <- Gen.oneOf("", "id=3", "q=Hello+World")
+      frag <- Gen.oneOf("", "#sec", "#a?b")
+    } yield {
+      val params = Seq(track, real).filter(_.nonEmpty)
+      s"$scheme://$host$port$path" +
+        (if (params.nonEmpty) "?" + params.mkString("&") else "") + frag
+    }
+    val urls = sample(genUrl, 120).distinct
+    val once = urls.toDF("u")
+      .select(graft.operators.TextOps.canonicalizeUrl(col("u")).as("c"))
+    val twice = once
+      .select(graft.operators.TextOps.canonicalizeUrl(col("c")).as("c"))
+    val a = once.as[String].collect()
+    val b = twice.as[String].collect()
+    for (((o, t), in) <- a.zip(b).zip(urls)) {
+      assert(o == t, s"not idempotent for '$in': '$o' -> '$t'")
+      assert(!o.contains("#"), s"fragment survived: $in -> $o")
+      assert(!o.contains("utm_") && !o.contains("gclid") &&
+        !o.contains("fbclid"), s"tracking survived: $in -> $o")
+      val sh = o.takeWhile(_ != '/')
+      assert(sh == sh.toLowerCase, s"scheme not lowered: $in -> $o")
+      // DEFAULT pairs only: http:80 / https:443 must vanish, everything
+      // else (incl. the non-default https:80) must survive untouched
+      assert(!o.matches("^http://[^/:?#]+:80([/?#].*|$)"),
+        s"http default port survived: $in -> $o")
+      assert(!o.matches("^https://[^/:?#]+:443([/?#].*|$)"),
+        s"https default port survived: $in -> $o")
+    }
+  }
 }
