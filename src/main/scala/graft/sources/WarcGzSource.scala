@@ -155,6 +155,15 @@ private[sources] class WarcGzScan(path: String, splitSize: Long,
     * NEWLY seen files. Same reader, same sync/ownership machinery —
     * `spark.readStream.format("warcgz")` is the batch scan over a
     * growing file set with exactly-once file tracking.
+    *
+    * Scale contract, stated honestly: the offset carries the full
+    * processed-file set and `latestOffset` re-lists the glob, so both
+    * grow with TOTAL file count — fine for the
+    * thousands-of-segments-per-crawl scale this targets, but a
+    * years-long unbounded stream would want a lexicographic floor
+    * (crawl segment names sort by date) compacted into the offset, the
+    * same contract Spark's own FileStreamSource manages with its
+    * maxFileAge log compaction.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
