@@ -58,6 +58,35 @@ object Similarity {
         col("vec_id"), col("score"))
   }
 
+  /** Hard-negative mining for embedding/contrastive training: for each
+    * probe, the top-k most similar corpus vectors whose similarity stays
+    * BELOW `positiveThreshold` — similar enough to be hard negatives,
+    * not so similar they are positives/near-dups (the standard negative
+    * sampler of retrieval-model training, and the reason a curated
+    * corpus keeps its near-dup pair set around).
+    *
+    * Scale shape: probes broadcast (training batches are small next to
+    * the corpus); scores round to `scale` dp BEFORE ranking so the rank
+    * order — (score DESC, vec_id) — is total and engine-independent; the
+    * window idiom is deliberately the RewriteWindowTopK shape, so no
+    * per-probe sort materializes: map-side bounded heaps, ≤ k rows per
+    * (probe, partition) through the shuffle.
+    */
+  def minedNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
+      positiveThreshold: Double, scale: Int = 5): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(probes))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", round(cosine(col("qvec"), col("embedding")), scale))
+      .filter(col("score") < positiveThreshold)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("score"))
+  }
+
   /** Coarse quantizer for IVF: k-means fitted LOCALLY on a bounded sample
     * (`sampleCap` rows collected to the driver), centroids broadcast,
     * cells assigned by a codegen'd exploded-dot argmax pass over the full

@@ -25,6 +25,51 @@ object SimilarityPack extends QueryPack {
 
   override val defs: Seq[QueryDef] = Seq(
 
+    // Hard-negative mining (round 11): per probe, the top-5 most similar
+    // corpus vectors BELOW the positive threshold — the contrastive-
+    // training negative sampler. The fixture makes the exclusion
+    // load-bearing: each probe's own dim0-zeroed mutant sits in the
+    // corpus at cosine ≈ 0.9997 and MUST be excluded by the 0.9
+    // threshold, never returned as a "negative". Scores round before
+    // ranking so (score DESC, vec_id) is a total, engine-independent
+    // order; the window idiom replans onto the native TopKPerKey heap.
+    QueryDef(
+      "sim_mined_negatives",
+      (s, d) => {
+        val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+        val probes = base.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val corpus = base.filter(col("vec_id") % 25 =!= 0)
+          .unionByName(mutants)
+        Similarity.minedNegatives(corpus, probes, 5, 0.9)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH c AS (
+              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0
+              |  UNION ALL
+              |  SELECT vec_id + 1000000 AS vec_id,
+              |         list_transform(embedding, (x, i) ->
+              |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS embedding
+              |  FROM embeddings
+              |), q AS (
+              |  SELECT vec_id AS query_id, embedding AS qvec
+              |  FROM embeddings WHERE vec_id % 25 = 0
+              |), scored AS (
+              |  SELECT q.query_id, c.vec_id, round($CosineSql, 5) AS score
+              |  FROM q CROSS JOIN c
+              |  WHERE q.query_id != c.vec_id
+              |)
+              |SELECT query_id, rank, vec_id, score FROM (
+              |  SELECT query_id, vec_id, score,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY score DESC, vec_id) AS rank
+              |  FROM scored WHERE score < 0.9) t
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // Exact top-10 cosine neighbors for 10 query vectors: broadcast the
     // queries, one scan of the corpus, TakeOrdered-style per-query top-k.
     QueryDef(

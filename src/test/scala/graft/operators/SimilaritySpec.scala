@@ -183,4 +183,29 @@ class SimilaritySpec extends SparkSpec {
     val plan = loaded.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan.take(3000))
   }
+
+  test("minedNegatives: planted positives excluded, k per probe, native TopK") {
+    import org.apache.spark.sql.functions.{transform => atransform, _}
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+      atransform(col("embedding"), (x, i) =>
+        when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val probes = base.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val full = base.filter(col("vec_id") % 25 =!= 0).unionByName(mutants)
+    val negs = Similarity.minedNegatives(full, probes, 5, 0.9)
+    val rows = negs.collect()
+    // exclusion is load-bearing: each probe's own mutant sits in the
+    // corpus at cosine ~0.9997 and must never be returned
+    assert(!rows.exists(r => r.getLong(2) == r.getLong(0) + 1000000),
+      "a probe's own near-identical mutant leaked into its negatives")
+    assert(rows.forall(_.getDouble(3) < 0.9))
+    // exactly k per probe; dense ranks 1..k
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length == 5))
+    assert(byQ.values.forall(_.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+    // the window idiom replans onto the native bounded-heap operator
+    val plan = negs.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), plan.take(1500))
+  }
 }
