@@ -274,6 +274,36 @@ object Sampling {
           col("stratum_toks").cast("double"), 6).as("mix_weight"))
   }
 
+  /** Length-bucketed batching stats: assign each document to the
+    * power-of-two token-length bucket (floor(log2(tok))) and report per
+    * bucket the doc count, token mass, and PADDING EFFICIENCY — the
+    * fraction of a padded batch that is real tokens if every doc pads
+    * to the bucket's max observed length. This is the other standard
+    * batching strategy next to [[packSequences]]' concat-and-cut:
+    * bucketing keeps document boundaries (needed when attention must
+    * not cross documents) at the cost of padding, and this operator is
+    * the planner that quantifies that cost per bucket.
+    *
+    * All-integer arithmetic until the final ratio (one division,
+    * IEEE-exact), so the oracle replays bit-for-bit. One partial+final
+    * aggregate; map-side bucket assignment (a log2 on an int).
+    */
+  def lengthBuckets(df: DataFrame, text: Column): DataFrame = {
+    val tok = tokenEstimate(text)
+    // floor(log2(n)) via the bit length of the INTEGER token count —
+    // never floating log (whose ulp at exact powers of two is an
+    // engine-dependent off-by-one hazard)
+    val bucket = (length(conv(tok, 10, 2)) - 1).cast("int")
+    df.select(bucket.as("bucket"), tok.as("tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("sum_tokens"),
+        max(col("tok")).as("max_tokens"))
+      .withColumn("pad_efficiency",
+        round(col("sum_tokens").cast("double") /
+          (col("n_docs") * col("max_tokens")).cast("double"), 6))
+  }
+
   /** Deterministic uniform sample of EXACTLY k rows: order by
     * md5(key) (uniform over keys, reproducible, RNG-free — the
     * [[hashDraw]] trick with a rank instead of a threshold), take k.

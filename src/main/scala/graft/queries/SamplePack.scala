@@ -416,6 +416,29 @@ object SamplePack extends QueryPack {
               |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
               |FROM packed GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Length-bucketed batching stats (round 11): power-of-two token
+    // buckets via INTEGER bit length (never floating log2 — its ulp at
+    // exact powers of two is an engine-dependent off-by-one), per-bucket
+    // doc/token counts and padding efficiency — the planner for the
+    // keep-document-boundaries batching strategy that complements
+    // sample_pack_sequences' concat-and-cut.
+    QueryDef(
+      "sample_length_buckets",
+      (s, d) =>
+        Sampling.lengthBuckets(T.documents(s, d), col("text"))
+          .orderBy("bucket"),
+      Some("""WITH t AS (
+             |  SELECT greatest(1, CAST(ceil(length(text)/4.0) AS BIGINT)) AS tok
+             |  FROM documents
+             |)
+             |SELECT CAST(length(bin(tok)) - 1 AS INT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+             |  CAST(max(tok) AS BIGINT) AS max_tokens,
+             |  round(CAST(sum(tok) AS DOUBLE) /
+             |        CAST(count(*) * max(tok) AS DOUBLE), 6) AS pad_efficiency
+             |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // Quality-tier curriculum sampling (round 11): exact quartile cut
     // points from ONE percentile aggregate (never an ntile window — no
     // single-partition global sort), broadcast as a 1-row frame; tier

@@ -221,6 +221,19 @@ class SamplingSpec extends SparkSpec {
     assert(sk.exceptAll(again).isEmpty && again.exceptAll(sk).isEmpty)
   }
 
+  test("lengthBuckets: power-of-two bounds imply pad efficiency > 0.5") {
+    val out = Sampling.lengthBuckets(docs, col("text"))
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    for ((b, n, sum, mx, eff) <- out) {
+      // every doc in bucket b has tok in [2^b, 2^(b+1))
+      assert(mx < (1L << (b + 1)), s"bucket $b max $mx")
+      assert(sum >= n * (1L << b), s"bucket $b sum $sum under min bound")
+      // min/max > 1/2 within a power-of-two bucket ⇒ efficiency > 0.5
+      assert(eff > 0.5 && eff <= 1.0, s"bucket $b efficiency $eff")
+    }
+  }
+
   test("scoreTierSample: tiers are quartiles; sketch mode agrees with exact") {
     import graft.operators.TextOps
     val q = TextOps.qualityScore(docs)
