@@ -779,6 +779,59 @@ object Dedup {
         round(lit(1.0) / col("csize"), 6).as("weight"))
   }
 
+  /** Shared-span REMOVAL — the rewrite step of substring-level dedup
+    * ([[spanCoverage]] is the signal, this is the scalpel): every token
+    * covered by an n-gram that occurs verbatim in at least one OTHER
+    * document is cut, and the document is reassembled from the
+    * surviving tokens in position order. Within-document repeats are
+    * deliberately kept (cross-document boilerplate is the target; a
+    * doc's own refrain is content).
+    *
+    * Output: (doc_key, n_tokens, n_removed, cleaned_md5) — the digest
+    * of the cleaned text, so an oracle can verify the REWRITE itself,
+    * not just counts.
+    *
+    * Scale shape: positional shingle digests join the carrier counts
+    * (the boilerplate/spanCoverage shuffle), covered positions explode
+    * from matched spans only, and the reassembly is one per-document
+    * sort of its own kept tokens (sort_array over collect_list —
+    * partition-parallel by doc, no global sort). The token shuffle is
+    * the rewrite's own output cost.
+    */
+  def removeSharedSpans(docs: DataFrame, key: Column, text: Column,
+      n: Int = 8): DataFrame = {
+    val toks = docs.select(key.as("doc_key"), tokens(text).as("w")).cache()
+    val pos = toks
+      .filter(size(col("w")) >= n)
+      .select(col("doc_key"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
+      .select(col("doc_key"), col("i"),
+        md5(array_join(slice(col("w"), col("i"), lit(n)), " ")).as("sh"))
+      .cache()
+    val carriers = pos.select(col("doc_key"), col("sh")).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("nd"))
+    val covered = pos
+      .join(carriers.filter(col("nd") >= 2), "sh")
+      .select(col("doc_key"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+    val tokenRows = toks.select(col("doc_key"),
+      posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_key"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = tokenRows.join(covered, Seq("doc_key", "p"), "left_anti")
+    val stats = tokenRows.groupBy("doc_key")
+      .agg(count(lit(1)).as("n_tokens"))
+    val cleaned = kept.groupBy("doc_key")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ")).as("cleaned_md5"))
+    stats.join(cleaned, Seq("doc_key"), "left")
+      .select(col("doc_key"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
   def spanCoverage(docs: DataFrame, key: Column, text: Column,
       n: Int = 8): DataFrame = {
     val sh = docs

@@ -471,6 +471,58 @@ object DedupPack extends QueryPack {
               |FROM sg JOIN nd USING (sh)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Shared-span REMOVAL (round 11) — the rewrite step of substring
+    // dedup: tokens covered by any cross-document 8-gram are cut and
+    // the doc reassembled in position order; the oracle verifies the
+    // REWRITE (cleaned-text md5), not just counts. Runs the full
+    // mutant corpus — every mutant shares long spans with its original,
+    // so removal is heavy and load-bearing.
+    QueryDef(
+      "dedup_remove_spans",
+      (s, d) =>
+        Dedup.removeSharedSpans(
+            Dedup.withMutants(
+              T.documents(s, d).select(col("doc_id"), col("text"))),
+            col("doc_id"), col("text"), n = 8)
+          .withColumnRenamed("doc_key", "doc_id")
+          .orderBy("doc_id"),
+      Some(s"""WITH $MutantCorpusFull,
+              |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+              |pos AS (
+              |  SELECT doc_id, i, md5(array_to_string(w[i:i+7],' ')) AS sh
+              |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
+              |        FROM w WHERE len(w) >= 8)
+              |),
+              |nd AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM pos GROUP BY sh),
+              |cov AS (
+              |  SELECT DISTINCT doc_id, p FROM (
+              |    SELECT doc_id, unnest(generate_series(i, i+7)) AS p
+              |    FROM pos JOIN nd USING (sh) WHERE nd.nd >= 2)
+              |),
+              |tok AS (
+              |  SELECT doc_id, p, w[p] AS tok
+              |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM w)
+              |),
+              |kept AS (
+              |  SELECT t.doc_id, t.p, t.tok FROM tok t
+              |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+              |  WHERE c.p IS NULL
+              |),
+              |stats AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+              |  FROM tok GROUP BY doc_id
+              |),
+              |cl AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              |         md5(string_agg(tok, ' ' ORDER BY p)) AS m
+              |  FROM kept GROUP BY doc_id
+              |)
+              |SELECT s.doc_id, s.n_tokens,
+              |  s.n_tokens - coalesce(cl.n_kept, CAST(0 AS BIGINT)) AS n_removed,
+              |  coalesce(cl.m, md5('')) AS cleaned_md5
+              |FROM stats s LEFT JOIN cl USING (doc_id)
+              |ORDER BY s.doc_id""".stripMargin)),
+
     // MinHash + banded LSH (r=2, b=16): the scale path — candidates from
     // a bucket equi-join, exact Jaccard verify on candidates only.
     // HASH-CHECKED (round 11): the gate runs the REPLAYABLE hash family

@@ -242,6 +242,28 @@ class DedupSpec extends SparkSpec {
       Dedup.spanCoverage(docs, col("doc_id"), col("text"), 8)).isEmpty)
   }
 
+  test("removeSharedSpans: cross-doc spans cut, own repeats kept") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ") // one shared 8-gram
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"x $span y"), // carries the same span
+      (3L, "u v w unique only tokens here"), // untouched
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8")) // own repeat
+      .toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(docs, col("doc_id"), col("text"), 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // docs 1/2: exactly the 8 span tokens cut, the rest survives in order
+    assert(out(1L)._3 == 8 && out(1L)._4 == md5s("alpha beta gamma delta"))
+    assert(out(2L)._3 == 8 && out(2L)._4 == md5s("x y"))
+    // doc 3 untouched
+    assert(out(3L)._3 == 0 && out(3L)._4 == md5s("u v w unique only tokens here"))
+    // doc 4's WITHIN-document repetition is kept by design
+    assert(out(4L)._3 == 0, "own refrain must not be cut")
+  }
+
   test("softDedupWeights: each cluster contributes exactly 1.0 of mass") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
