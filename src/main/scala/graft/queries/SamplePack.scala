@@ -416,6 +416,66 @@ object SamplePack extends QueryPack {
               |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
               |FROM packed GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Curation FUNNEL report (round 11): per source, the doc count
+    // surviving each cumulative stage — raw -> quality floor ->
+    // fingerprint survivor -> hash-Bernoulli sample. The standard
+    // pipeline-observability artifact: one glance shows WHERE a source
+    // loses its mass. One pass over the corpus (each stage a boolean
+    // column, conditional counts in one aggregate — no per-stage scans),
+    // every predicate already exact-oracled by the capstones.
+    QueryDef(
+      "sample_curation_funnel",
+      (s, d) => {
+        import graft.operators.TextOps
+        val docs = T.documents(s, d)
+        val q = TextOps.qualityScore(docs).select(col("doc_id"),
+          (col("quality") >= 0.35).as("ok_q"))
+        val surv = TextOps.fingerprint(docs)
+          .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(true).as("ok_fp"))
+        docs.select(col("doc_id"), col("source"))
+          .join(q, "doc_id")
+          .join(surv, Seq("doc_id"), "left")
+          .withColumn("ok_fp", coalesce(col("ok_fp"), lit(false)))
+          .withColumn("ok_bern",
+            Sampling.hashDraw(col("doc_id")) <
+              lit(Sampling.rateThreshold(0.6)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when(col("ok_q"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("ok_q") && col("ok_fp"), 1L).otherwise(0L))
+              .as("n_dedup"),
+            sum(when(col("ok_q") && col("ok_fp") && col("ok_bern"), 1L)
+              .otherwise(0L)).as("n_sampled"))
+          .orderBy("source")
+      },
+      Some(s"""WITH qw AS (
+              |  SELECT doc_id, string_split(lower(text),' ') AS w FROM documents
+              |), q AS (
+              |  SELECT doc_id,
+              |    round(least(CAST(len(w) AS DOUBLE) / 200.0, 1.0) * 0.5
+              |      + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.3
+              |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+              |              / len(w) * 5.0, 1.0) * 0.2, 6) >= 0.35 AS ok_q
+              |  FROM qw
+              |), surv AS (
+              |  SELECT min(doc_id) AS doc_id
+              |  FROM (SELECT doc_id,
+              |          md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+              |        FROM documents) GROUP BY fp
+              |)
+              |SELECT d.source,
+              |  CAST(count(*) AS BIGINT) AS n_raw,
+              |  CAST(count(*) FILTER (q.ok_q) AS BIGINT) AS n_quality,
+              |  CAST(count(*) FILTER (q.ok_q AND surv.doc_id IS NOT NULL) AS BIGINT) AS n_dedup,
+              |  CAST(count(*) FILTER (q.ok_q AND surv.doc_id IS NOT NULL AND
+              |    substr(md5(CAST(d.doc_id AS VARCHAR)),1,8) < '${Sampling.rateThreshold(0.6)}')
+              |    AS BIGINT) AS n_sampled
+              |FROM documents d
+              |JOIN q USING (doc_id)
+              |LEFT JOIN surv ON surv.doc_id = d.doc_id
+              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // Length-bucketed batching stats (round 11): power-of-two token
     // buckets via INTEGER bit length (never floating log2 — its ulp at
     // exact powers of two is an engine-dependent off-by-one), per-bucket
