@@ -240,6 +240,28 @@ object Warc {
     } finally inf.end()
   }
 
+  /** Tolerantly inflate at most `maxOut` bytes of the gzip member at
+    * `off`, without requiring the stream to be complete — used ONLY to
+    * classify a truncated-at-EOF sync candidate. A GENUINE member start
+    * cut off at physical EOF still inflates a prefix beginning "WARC/";
+    * payload bytes that merely look like a member yield garbage (or
+    * nothing). Returns whatever prefix was produced, possibly empty.
+    */
+  private def inflatePrefix(bytes: Array[Byte], off: Int, maxOut: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes, off, bytes.length - off))
+      val buf = new Array[Byte](maxOut)
+      var done = false
+      while (!done && out.size < maxOut) {
+        val n = in.read(buf, 0, maxOut - out.size)
+        if (n <= 0) done = true else out.write(buf, 0, n)
+      }
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
+  }
+
   /** Iterate the records of one byte-range split [start, end) of a
     * per-record-gzipped WARC file — the mechanism that makes a 1 GB
     * Common Crawl `.warc.gz` readable by many tasks in parallel instead
@@ -303,7 +325,21 @@ object Warc {
               val (inflated, _) = withBytes(inflateMember(data, idx))
               inflated.length >= 5 &&
                 new String(inflated, 0, 5, "US-ASCII") == "WARC/"
-            } catch { case _: IllegalArgumentException => false }
+            } catch {
+              case e: IllegalArgumentException =>
+                // A candidate that fails because the FILE ends mid-member
+                // is either payload bytes near EOF or a genuine member cut
+                // off by a truncated crawl tail. The two are separable:
+                // a genuine member still inflates a prefix starting
+                // "WARC/". Raising (not skipping) upholds the documented
+                // contract that truncation never drops records silently.
+                if (e.getMessage.contains("truncated") && covered >= fileLen) {
+                  val prefix = inflatePrefix(data, idx, 5)
+                  if (prefix.length >= 5 &&
+                    new String(prefix, "US-ASCII") == "WARC/") throw e
+                }
+                false
+            }
           if (ok) synced = true else abs += 1
         } else abs += 1
       }
@@ -371,6 +407,8 @@ object Warc {
         (st.getPath.toString, i * splitSize, math.min((i + 1) * splitSize, len), len)
       }
     }
+    require(splits.nonEmpty,
+      s"no regular files match $pattern (glob matched only directories)")
     val ser = new SerializableHadoopConf(hconf)
     val schema = StructType(Seq(
       StructField("file", StringType),
@@ -380,41 +418,41 @@ object Warc {
       StructField("record_id", StringType),
       StructField("payload", BinaryType),
       StructField("body", BinaryType)))
-    val enc = Encoders.row(schema)
-    import spark.implicits._
-    // one split per task: the split IS the unit of parallel compute
-    spark.createDataset(splits)
-      .repartition(splits.size, col("_1"), col("_2"))
-      .mapPartitions { it =>
-        it.flatMap { case (file, start, end, fileLen) =>
-          val path = new Path(file)
-          val tfs = path.getFileSystem(ser.value)
-          val in = tfs.open(path)
-          // close at task end even if downstream stops early (limit)
-          Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ => in.close()))
-          in.seek(start)
-          def readN(n: Int): Array[Byte] = {
-            val want = math.min(n.toLong, fileLen - in.getPos).toInt
-            if (want <= 0) Array.emptyByteArray
-            else {
-              val buf = new Array[Byte](want)
-              in.readFully(buf)
-              buf
-            }
-          }
-          val firstLen = math.min(end, fileLen) - start
-          val first = readN(math.toIntExact(firstLen))
-          splitRecords(first, start, end, fileLen, readN).map {
-            case (off, rec) =>
-              val body =
-                if (rec.warcType == "response") httpBody(rec.payload)
-                else rec.payload
-              Row(file, off, rec.warcType, rec.targetUri, rec.recordId,
-                rec.payload, body)
+    // one split per task, EXACTLY: parallelize with numSlices == size
+    // slices positionally (element i → partition i) — unlike a hash
+    // repartition, which can collide two splits onto one task and
+    // leave others empty. No shuffle either: the split list is tiny
+    // and born on the driver.
+    val rows = spark.sparkContext.parallelize(splits, splits.size)
+      .flatMap { case (file, start, end, fileLen) =>
+        val path = new Path(file)
+        val tfs = path.getFileSystem(ser.value)
+        val in = tfs.open(path)
+        // close at task end even if downstream stops early (limit)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        in.seek(start)
+        def readN(n: Int): Array[Byte] = {
+          val want = math.min(n.toLong, fileLen - in.getPos).toInt
+          if (want <= 0) Array.emptyByteArray
+          else {
+            val buf = new Array[Byte](want)
+            in.readFully(buf)
+            buf
           }
         }
-      }(enc)
+        val firstLen = math.min(end, fileLen) - start
+        val first = readN(math.toIntExact(firstLen))
+        splitRecords(first, start, end, fileLen, readN).map {
+          case (off, rec) =>
+            val body =
+              if (rec.warcType == "response") httpBody(rec.payload)
+              else rec.payload
+            Row(file, off, rec.warcType, rec.targetUri, rec.recordId,
+              rec.payload, body)
+        }
+      }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Point-read ONE record by its compressed member offset — the seek

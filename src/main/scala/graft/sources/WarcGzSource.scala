@@ -237,9 +237,16 @@ private[sources] case class WarcGzPartition(file: String, start: Long,
 
 /** Write side: each task streams its rows as per-record gzip members
   * into ONE `.warc.gz` object under the target directory — the
-  * object-store pattern (unique task-attempt names; abort deletes the
-  * attempt's object, commit is the rename-free no-op that pattern
-  * implies). Input schema must be exactly
+  * object-store pattern. Commit protocol: object names embed the task
+  * ATTEMPT id (partitionId + Spark's per-attempt taskId), so a retried
+  * or speculated attempt writes a different object and can never clobber
+  * or duplicate another attempt's; Spark's commit coordinator lets
+  * exactly one attempt per partition commit, the losers' `abort()`
+  * deletes their own object. Job-level overwrite truncation is deferred
+  * to `BatchWrite.commit` (keep committed objects, delete the rest) and
+  * job-level `abort` deletes committed objects — no rename, no temp
+  * directory, no window where the destination is truncated but not yet
+  * rewritten. Input schema must be exactly
   * (warc_type, target_uri, record_id, payload).
   */
 private[sources] class WarcGzWriteBuilder(path: String, schema: StructType)
@@ -278,13 +285,53 @@ private[sources] class WarcGzBatchWrite(path: String, schema: StructType,
       spark.sparkContext.hadoopConfiguration)
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
-    if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
     new WarcGzWriterFactory(path, conf, schema)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Commit protocol (see also the writer scaladoc below): tasks write
+    * to attempt-unique object names and report them via [[WarcGzCommit]].
+    * Overwrite truncation is applied HERE, after every task committed —
+    * the committed objects are kept and every OTHER file in the target
+    * directory is deleted. A job that dies mid-write therefore leaves the
+    * previous contents fully intact (plus some uniquely-named partials
+    * that [[abort]] or the next overwrite clears), never a
+    * truncated-then-half-written destination.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) {
+      val p = new Path(path)
+      val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
+      val keep = messages.collect {
+        case m: WarcGzCommit => new Path(m.file).getName
+      }.toSet
+      Option(fs.listStatus(p)).getOrElse(Array.empty).foreach { st =>
+        val name = st.getPath.getName
+        // hidden files (checksum sidecars, markers) aren't data — the
+        // standard Hadoop convention; deleting a kept object's .crc
+        // would poison later checksummed reads
+        if (st.isFile && !keep.contains(name) &&
+          !name.startsWith(".") && !name.startsWith("_"))
+          fs.delete(st.getPath, false)
+      }
+    }
+  }
+
+  /** Job abort deletes the objects that COMMITTED tasks produced
+    * (messages holds one [[WarcGzCommit]] per committed task; slots for
+    * tasks that never committed are null — their own
+    * `DataWriter.abort()` already removed their attempt object).
+    */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case m: WarcGzCommit => fs.delete(new Path(m.file), false)
+      case _ => ()
+    }
+  }
 }
 
 private[sources] class WarcGzWriterFactory(path: String,

@@ -141,6 +141,36 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("splitRecords: a member cut off at physical EOF raises from the sync scan too") {
+    // The sync scan must distinguish payload bytes that merely look like
+    // a member from a GENUINE member start whose file ends mid-member
+    // (a truncated crawl tail): skipping the latter silently drops
+    // records. Build a file whose LAST member is half-truncated, then
+    // sync from inside the second-to-last member so the truncated
+    // member start is the only candidate in range.
+    val corpus = bigCorpus(40)
+    val gz = writeGz(corpus)
+    // walk member boundaries with the strict inflater
+    var offs = List(0)
+    while ({
+      val (_, comp) = inflateMember(gz, offs.head)
+      val next = offs.head + comp
+      if (next < gz.length) { offs = next :: offs; true } else false
+    }) ()
+    val last = offs.head          // start of the final member
+    val prev = offs.tail.head     // start of the second-to-last member
+    val lastLen = gz.length - last
+    val truncLen = last + math.max(40, lastLen / 2) // header + some deflate
+    val m = java.util.Arrays.copyOf(gz, truncLen)
+    val fileLen = m.length.toLong
+    val start = (prev + 8).toLong // mid-member: forces a sync scan
+    val ex = intercept[IllegalArgumentException] {
+      splitRecords(java.util.Arrays.copyOfRange(m, start.toInt, m.length),
+        start, fileLen, fileLen, _ => Array.emptyByteArray).toSeq
+    }
+    assert(ex.getMessage.contains("truncated"), ex.getMessage)
+  }
+
   test("readGzSplits: one big file through many Spark tasks, bodies intact") {
     val spark = graft.SparkSpec.session
     val corpus = bigCorpus(2500)
@@ -288,5 +318,83 @@ class WarcSpec extends AnyFunSuite {
       .write.format("warcgz").mode("overwrite").save(dir.getAbsolutePath)
     assert(spark.read.format("warcgz")
       .load(dir.getAbsolutePath + "/*.warc.gz").count() == 10)
+  }
+
+  test("DSv2 warcgz write: a FAILED overwrite leaves the previous contents intact") {
+    // Truncation is deferred to BatchWrite.commit and job abort deletes
+    // committed task objects, so a job that dies mid-write must leave
+    // the destination exactly as it was — never truncated-then-partial.
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_fail").toFile
+    dir.deleteOnExit()
+    val good = (0 until 20).map(i =>
+      ("response", s"http://g/$i", s"<urn:uuid:g$i>", s"ok $i".getBytes))
+    good.toDF("warc_type", "target_uri", "record_id", "payload")
+      .repartition(2)
+      .write.format("warcgz").mode("overwrite").save(dir.getAbsolutePath)
+    def objects() = dir.listFiles().filter(_.getName.endsWith(".warc.gz"))
+      .map(f => f.getName -> f.length).toMap
+    val before = objects()
+    assert(before.size == 2)
+    // one partition is fine, the other violates the writer's non-null
+    // contract → its task fails → the JOB aborts after some tasks may
+    // already have committed
+    val bad = Seq(
+      ("response", "http://b/0", "<urn:uuid:b0>", "fine".getBytes),
+      (null: String, "http://b/1", "<urn:uuid:b1>", "boom".getBytes))
+    intercept[Exception] {
+      bad.toDF("warc_type", "target_uri", "record_id", "payload")
+        .repartition(2)
+        .write.format("warcgz").mode("overwrite").save(dir.getAbsolutePath)
+    }
+    val after = objects()
+    assert(after == before,
+      s"failed overwrite mutated the destination: $before -> $after")
+    assert(spark.read.format("warcgz")
+      .load(dir.getAbsolutePath + "/*.warc.gz").count() == 20)
+  }
+
+  test("DSv2 warcgz write: two attempts of one task (retry/speculation) cannot collide") {
+    // Spark hands each task ATTEMPT a distinct taskId and lets exactly
+    // one attempt per partition commit (commit coordinator); the loser's
+    // abort() runs. Simulate that protocol directly: both attempts write
+    // the same partition's rows, one commits, one aborts — exactly one
+    // object remains and its content is the committed attempt's.
+    val spark = graft.SparkSpec.session
+    val dir = java.nio.file.Files.createTempDirectory("warc_spec").toFile
+    dir.deleteOnExit()
+    val conf = new Warc.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("warc_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("target_uri",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("record_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val factory = new WarcGzWriterFactory(dir.getAbsolutePath, conf, schema)
+    def row(i: Int): org.apache.spark.sql.catalyst.InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString("response"),
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"http://s/$i"),
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"<urn:uuid:a$i>"),
+          s"attempt payload $i".getBytes("UTF-8")))
+    // same partitionId, distinct per-attempt taskIds — names must differ
+    val a1 = factory.createWriter(0, 101L)
+    val a2 = factory.createWriter(0, 202L)
+    (0 until 5).foreach(i => { a1.write(row(i)); a2.write(row(i)) })
+    val msg = a1.commit() // winner
+    a2.abort()            // speculated/retried loser
+    val left = dir.listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(left.length == 1, left.map(_.getName).toSeq.toString)
+    assert(left.head.getName == new org.apache.hadoop.fs.Path(
+      msg.asInstanceOf[WarcGzCommit].file).getName)
+    val back = spark.read.format("warcgz")
+      .load(dir.getAbsolutePath + "/*.warc.gz")
+    assert(back.count() == 5)
   }
 }

@@ -62,6 +62,15 @@ def main():
                user_id + k * 1000000 AS user_id, event_type, value, props
         FROM {src('events')}, r""")
 
+    # Replica offsets below are k*10000: collisions would silently
+    # corrupt the dedup/similarity sweep this tool exists to validate,
+    # so refuse sources whose ids reach the offset stride.
+    for t, key in [("documents", "doc_id"), ("embeddings", "vec_id")]:
+        mx = con.execute(f"SELECT max({key}) FROM {src(t)}").fetchone()[0]
+        assert mx < 10000, (
+            f"{t}.{key} max {mx} >= replica offset stride 10000; "
+            "raise the stride or replicas will collide")
+
     # documents: replica 0 verbatim; k>0 deterministic word shuffle
     # (destroys n-gram continuity across replicas; token multiset — and
     # hence quality/langid/tf stats DISTRIBUTIONS — unchanged)
