@@ -23,6 +23,28 @@ object SimilarityPack extends QueryPack {
     T.embeddings(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
+  /** Exact top-10 per query — the shared oracle for the brute-force gate
+    * AND the forced-exhaustive ANN regimes (IVF probing every cell, PQ
+    * reranking a corpus-sized shortlist): an exhaustive ANN search is
+    * exact, so the identical index/probe/rank code becomes hash-checkable.
+    */
+  private val TopKOracleSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec
+       |  FROM embeddings WHERE vec_id < 10
+       |), scored AS (
+       |  SELECT q.query_id, c.vec_id, round($CosineSql, 5) AS score
+       |  FROM q CROSS JOIN embeddings c
+       |  WHERE q.query_id != c.vec_id
+       |)
+       |SELECT query_id, rank, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
 
     // Hard-negative mining (round 11): per probe, the top-5 most similar
@@ -77,53 +99,47 @@ object SimilarityPack extends QueryPack {
       (s, d) =>
         Similarity.topKBruteForce(T.embeddings(s, d), queriesDf(s, d), 10)
           .orderBy("query_id", "rank"),
-      Some(s"""WITH q AS (
-              |  SELECT vec_id AS query_id, embedding AS qvec
-              |  FROM embeddings WHERE vec_id < 10
-              |), scored AS (
-              |  SELECT q.query_id, c.vec_id, round($CosineSql, 5) AS score
-              |  FROM q CROSS JOIN embeddings c
-              |  WHERE q.query_id != c.vec_id
-              |)
-              |SELECT query_id, rank, vec_id, score FROM (
-              |  SELECT query_id, vec_id, score,
-              |         row_number() OVER (PARTITION BY query_id
-              |                            ORDER BY score DESC, vec_id) AS rank
-              |  FROM scored) t
-              |WHERE rank <= 10
-              |ORDER BY query_id, rank""".stripMargin)),
+      Some(TopKOracleSql)),
 
-    // IVF top-k: probe the 2 nearest centroids per query, scan only those
-    // cells. The index is fitted ONCE per (session, dir) and reused across
-    // invocations (ivfIndexCached) — a real engine persists its quantizer.
-    // Approximate — recall vs brute force asserted in SimilaritySpec;
-    // rows-only check here.
+    // IVF top-k, FORCED-EXHAUSTIVE regime (round 12): probe nprobe =
+    // ncells = ALL cells through the unchanged index/probe/rank code —
+    // exhaustive IVF is exact, so the brute-force oracle hash-checks the
+    // whole cell/probe/rank machinery (the proven forced-IVF pattern from
+    // sample_decontaminate_semantic_ivf). The PRUNED path (nprobe=2)
+    // stays exercised in SimilaritySpec, which pins its recall floor and
+    // its partition-pruning plan shape. The index is fitted ONCE per
+    // (session, dir) and reused across invocations (ivfIndexCached) — a
+    // real engine persists its quantizer.
     QueryDef(
       "sim_topk_ivf",
       (s, d) => {
         val idx = Similarity.ivfIndexCached(s, s"topk:$d")(T.embeddings(s, d))
-        Similarity.topKIvf(T.embeddings(s, d), queriesDf(s, d), 10, nprobe = 2,
+        Similarity.topKIvf(T.embeddings(s, d), queriesDf(s, d), 10, nprobe = 8,
             index = Some(idx))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(TopKOracleSql)),
 
-    // PQ + exact rerank (rows-only: quantization boundaries are engine-
-    // specific; SimilaritySpec asserts recall ≥ 0.6 vs the brute-force
-    // oracle on this deliberately adversarial ISOTROPIC corpus — real
-    // embedding corpora cluster, where PQ recall is far higher — plus
-    // exactness of returned scores and rank-1 recovery of planted
-    // near-dups). The scan side reads the m-byte code table — the
-    // memory-bound ANN path at 100 TB.
+    // PQ + exact rerank, FORCED-EXHAUSTIVE regime (round 12): a rerank
+    // depth sized to the corpus makes the ADC shortlist cover every
+    // candidate, and the exact-cosine rerank then IS exact top-k — the
+    // identical encode/LUT/ADC-heap/rerank code becomes hash-checkable
+    // against the brute-force oracle. The PRUNED path (default rerank=8)
+    // stays exercised in SimilaritySpec: recall ≥ 0.6 on this
+    // deliberately adversarial ISOTROPIC corpus, exact returned scores,
+    // rank-1 recovery of planted near-dups. The scan side still reads
+    // the m-byte code table — the memory-bound ANN path at 100 TB.
     QueryDef(
       "sim_topk_pq",
       (s, d) => {
         val cb = Similarity.pqCodebooksCached(s, s"pq:$d")(T.embeddings(s, d))
+        val n = T.embeddings(s, d).count()
         Similarity.topKPq(T.embeddings(s, d), queriesDf(s, d), 10,
+            rerank = ((n + 9) / 10).toInt max 1,
             codebooks = Some(cb))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(TopKOracleSql)),
 
     // Nearest-centroid assignment itself (the quantizer): every vector →
     // its own cluster's centroid vs others. Oracle-able because centroid

@@ -7,11 +7,14 @@ class EntrySpec extends SparkSpec {
   }
   test("every declared query has either an oracle or a rows-only rationale") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only queries are exactly the approximate/engine-specific ones
-    // (the LSH pair gates graduated to hash-checked in round 11 via the
-    // SQL-replayable minhash family — functions/MinHash61.scala)
-    assert(noOracle == Set("sim_topk_ivf",
-      "sim_topk_pq", "q27_approx_distinct", "q47_approx_quantile",
-      "text_bpe_tokens"))
+    // rows-only queries are exactly the GENUINELY approximate ones: HLL
+    // (q27), G-K (q47) and the BPE stream digest. The LSH pair gates
+    // graduated to hash-checked in round 11 (SQL-replayable MinHash61
+    // family); the ANN top-k gates graduated in round 12 via their
+    // forced-exhaustive regimes (IVF nprobe = all cells, PQ corpus-sized
+    // rerank — exhaustive ANN is exact, so the brute-force oracle
+    // applies through the unchanged index/probe/rank code).
+    assert(noOracle == Set(
+      "q27_approx_distinct", "q47_approx_quantile", "text_bpe_tokens"))
   }
 }
