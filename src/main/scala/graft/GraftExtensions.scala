@@ -156,6 +156,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HashedLinearExpr(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo("graft.functions.DeflateLenExpr", null, "deflate_len",
+        "deflate_len(text) - raw-DEFLATE byte length of the UTF-8 text " +
+          "(fixed level/strategy; the compression-ratio quality signal).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "deflate_len expects exactly one argument")
+        graft.functions.DeflateLenExpr(children.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     // §4.4c optimizer rule: size(filter(arr,f)) > 0 → exists(arr,f)
     // (short-circuit instead of materialize-and-count)
     ext.injectOptimizerRule(_ => graft.plans.SimplifyArrayExistence)

@@ -84,6 +84,26 @@ object TextOps {
         least(stopRate * 5.0, lit(1.0)) * 0.2, 6).as("quality"))
   }
 
+  /** Per-document DEFLATE compression ratio — the Gopher/CCNet-class
+    * boilerplate/noise heuristic the other quality signals don't cover:
+    * templated or repetitive text compresses far below prose (low
+    * ratio), near-random noise barely compresses (ratio ≈ 1). Pure
+    * map-side: one native `deflate_len` pass per row, zero shuffle, so
+    * at 100 TB this is a scan-rate filter like the other signals.
+    * Output: doc_id, n_bytes (UTF-8), deflate_bytes, ratio (rounded).
+    */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val dlen = call_function("deflate_len", col("text"))
+    val nb = octet_length(col("text"))
+    docs.select(
+      col("doc_id"),
+      nb.cast(LongType).as("n_bytes"),
+      dlen.as("deflate_bytes"),
+      // empty doc: no bytes to compress, ratio undefined -> null
+      // (explicit guard, not try_divide: ANSI-mode safe either way)
+      when(nb > 0, round(dlen.cast(DoubleType) / nb, 6)).as("ratio"))
+  }
+
   /** GPT-2-style pre-tokenizer regex, restricted to a lookahead-free,
     * ASCII form so the SAME pattern runs identically under Java regex
     * (Spark) and RE2 (DuckDB oracle; RE2 has no lookarounds): contraction

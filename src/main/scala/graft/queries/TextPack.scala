@@ -185,6 +185,19 @@ object TextPack extends QueryPack {
       },
       None),
 
+    // Compression-ratio quality signal (round 12, the last standard
+    // Gopher/CCNet signal): per-doc raw-DEFLATE ratio via the native
+    // deflate_len expression — map-side, zero shuffle. Rows-only BY
+    // NECESSITY: DuckDB has no deflate function, so no SQL oracle can
+    // exist; TextOpsSpec pins exact vectors against a direct JDK
+    // Deflater replay plus the repetitive<prose<noise ordering that
+    // makes the signal useful (the documented-rationale pattern).
+    QueryDef(
+      "text_compress_ratio",
+      (s, d) =>
+        TextOps.compressionRatio(docsOf(s, d)).orderBy("doc_id"),
+      None),
+
     // PII scrub (C4-style detect-then-redact): the corpus has no PII, so
     // the gate PLANTS it deterministically — every doc an email, every
     // 2nd an IPv4, every 3rd a phone — with both engines building the

@@ -14,7 +14,11 @@ class EntrySpec extends SparkSpec {
     // forced-exhaustive regimes (IVF nprobe = all cells, PQ corpus-sized
     // rerank — exhaustive ANN is exact, so the brute-force oracle
     // applies through the unchanged index/probe/rank code).
+    // text_compress_ratio is rows-only by necessity: DuckDB cannot
+    // deflate, so no SQL oracle can exist — TextOpsSpec pins exact
+    // vectors against a direct JDK Deflater replay instead.
     assert(noOracle == Set(
-      "q27_approx_distinct", "q47_approx_quantile", "text_bpe_tokens"))
+      "q27_approx_distinct", "q47_approx_quantile", "text_bpe_tokens",
+      "text_compress_ratio"))
   }
 }

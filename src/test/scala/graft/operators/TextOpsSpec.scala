@@ -106,6 +106,54 @@ class TextOpsSpec extends SparkSpec {
       assert(out == want, s"canonicalizeUrl($in)")
   }
 
+  test("compressionRatio: exact vs a direct JDK Deflater replay; ordering holds") {
+    // repetitive text << prose << near-random noise — the property that
+    // makes the ratio a curation signal. No SQL oracle exists (DuckDB
+    // cannot deflate), so the gate is rows-only and THIS replay is the
+    // correctness pin: same bytes, same fixed level/strategy, byte-equal.
+    var x = 0x9E3779B97F4A7C15L
+    val noise = new String(Array.fill(400) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      ('a' + (((x * 0x2545F4914F6CDD1DL) >>> 57) % 26).toInt).toChar
+    })
+    val docs = Seq(
+      (1L, "spam spam spam " * 40),                       // repetitive
+      (2L, "The quick brown fox jumps over the lazy dog. " +
+        "Colorless green ideas sleep furiously near the riverbank. " * 6),
+      (3L, noise),                                        // incompressible-ish
+      (4L, ""),                                           // empty edge
+      (5L, "héllo wörld ünïcode " * 10))                  // multi-byte UTF-8
+      .toDF("doc_id", "text")
+    val got = TextOps.compressionRatio(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    def jdkDeflate(s: String): Long = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192)
+        var t = 0L
+        while (!d.finished()) t += d.deflate(buf)
+        t
+      } finally d.end()
+    }
+    val texts = Seq("spam spam spam " * 40,
+      "The quick brown fox jumps over the lazy dog. " +
+        "Colorless green ideas sleep furiously near the riverbank. " * 6,
+      noise, "", "héllo wörld ünïcode " * 10)
+    for ((row, t) <- got.zip(texts)) {
+      assert(row._2 == t.getBytes("UTF-8").length, s"n_bytes doc ${row._1}")
+      assert(row._3 == jdkDeflate(t), s"deflate_bytes doc ${row._1}")
+    }
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(4L).isEmpty, "empty doc: 0/0 ratio must be null, not a crash")
+    assert(byId(1L).get < 0.1, s"repetitive ratio ${byId(1L)}")
+    assert(byId(1L).get < byId(2L).get && byId(2L).get < byId(3L).get,
+      s"ordering: ${byId(1L)} < ${byId(2L)} < ${byId(3L)}")
+    assert(byId(3L).get > 0.5, s"noise ratio ${byId(3L)}")
+  }
+
   test("urlDedup: variant groups unify, lowest id survives") {
     val docs = Seq(
       (1L, "http://h.com/p?id=1"),
