@@ -64,6 +64,37 @@ class ScratchTimingSpec extends SparkSpec {
     }
   }
 
+  ignore("wildcard include/revinclude one-shot cost breakdown at sf0.1") {
+    // Is the ~1s-over-sibling cost Catalyst analysis, janino codegen, or
+    // execution? Run each gate twice in-session: the second run re-plans
+    // and re-compiles (no caching across invocations), so run1-run2
+    // isolates one-time costs (FhirIO relation cache fill), and the
+    // tracker phases + CodegenMetrics split the steady-state run.
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compileMs: Long =
+      CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+    val sf = "/root/testdata/sf0.1"
+    val all = graft.SparkEntry.queries
+    (1 to 3).foreach(_ => spark.range(1).count())
+    for (g <- Seq("search_include", "search_include_all",
+        "search_revinclude", "search_revinclude_all"); run <- 1 to 3) {
+      val c0 = compileMs
+      val t0 = System.nanoTime()
+      val df = all(g)(spark, sf)
+      val built = System.nanoTime()
+      df.queryExecution.executedPlan
+      val planned = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      val p = df.queryExecution.tracker.phases
+        .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}" }
+        .mkString(" ")
+      info(f"$g%-24s run$run wall=$wallMs%6.0f ms " +
+        f"build=${(built - t0) / 1e6}%5.0f ms plan=${(planned - built) / 1e6}%5.0f ms " +
+        f"codegen=${compileMs - c0}%4d ms phases[$p]")
+    }
+  }
+
   ignore("editdistance stage breakdown at sf0.1 (run idle, then under external CPU load)") {
     // Splits the gate into: (a) keyed+histogram cache fill, (b) candidate
     // enumeration through the cheap filter stack (no DP), (c) the full
