@@ -87,6 +87,42 @@ object Similarity {
         col("vec_id"), col("score"))
   }
 
+  /** Hard-negative mining through the IVF index — the 100 TB shape.
+    * [[minedNegatives]] is quadratic when the probe set scales with the
+    * corpus (mining negatives for EVERY training example is the common
+    * case): n/25 probes × n corpus pairs. Here each probe scores only
+    * its `nprobe` nearest cells' candidates — the FAISS-style
+    * "mine from the ANN shortlist" pattern, and the nearest cells are
+    * exactly where the HARD negatives live — so candidate count per
+    * probe is bounded by the probed cells, not the corpus. With
+    * nprobe = ncells the search is exhaustive and equals
+    * [[minedNegatives]] row-for-row (same rounding, same total order),
+    * which is how the gate hash-checks this code; the pruned path's
+    * containment + exactness is pinned in SimilaritySpec.
+    */
+  def minedNegativesIvf(corpus: DataFrame, probes: DataFrame, k: Int,
+      positiveThreshold: Double, ncells: Int = 8, nprobe: Int = 2,
+      scale: Int = 5, index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (assigned, cents) = index.getOrElse(ivfIndex(corpus, ncells))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("cscore", cosine(col("qvec"), col("centroid")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", round(cosine(col("qvec"), col("embedding")), scale))
+      .filter(col("score") < positiveThreshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("score"))
+  }
+
   /** Coarse quantizer for IVF: k-means fitted LOCALLY on a bounded sample
     * (`sampleCap` rows collected to the driver), centroids broadcast,
     * cells assigned by a codegen'd exploded-dot argmax pass over the full

@@ -45,6 +45,46 @@ object SimilarityPack extends QueryPack {
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared hard-negative-mining fixture: probes = every 25th vector;
+    * corpus = the rest PLUS each vector's dim0-zeroed mutant sitting at
+    * cosine ≈ 0.9997 — which the 0.9 positive threshold MUST exclude
+    * (the exclusion is load-bearing in both gates).
+    */
+  private def minedNegFixture(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val probes = base.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = base.filter(col("vec_id") % 25 =!= 0).unionByName(mutants)
+    (corpus, probes)
+  }
+
+  private val MinedNegOracleSql =
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_transform(embedding, (x, i) ->
+       |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS embedding
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec
+       |  FROM embeddings WHERE vec_id % 25 = 0
+       |), scored AS (
+       |  SELECT q.query_id, c.vec_id, round($CosineSql, 5) AS score
+       |  FROM q CROSS JOIN c
+       |  WHERE q.query_id != c.vec_id
+       |)
+       |SELECT query_id, rank, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored WHERE score < 0.9) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
 
     // Hard-negative mining (round 11): per probe, the top-5 most similar
@@ -58,39 +98,33 @@ object SimilarityPack extends QueryPack {
     QueryDef(
       "sim_mined_negatives",
       (s, d) => {
-        val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
-        val probes = base.filter(col("vec_id") % 25 === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-        val corpus = base.filter(col("vec_id") % 25 =!= 0)
-          .unionByName(mutants)
+        val (corpus, probes) = minedNegFixture(s, d)
         Similarity.minedNegatives(corpus, probes, 5, 0.9)
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH c AS (
-              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0
-              |  UNION ALL
-              |  SELECT vec_id + 1000000 AS vec_id,
-              |         list_transform(embedding, (x, i) ->
-              |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS embedding
-              |  FROM embeddings
-              |), q AS (
-              |  SELECT vec_id AS query_id, embedding AS qvec
-              |  FROM embeddings WHERE vec_id % 25 = 0
-              |), scored AS (
-              |  SELECT q.query_id, c.vec_id, round($CosineSql, 5) AS score
-              |  FROM q CROSS JOIN c
-              |  WHERE q.query_id != c.vec_id
-              |)
-              |SELECT query_id, rank, vec_id, score FROM (
-              |  SELECT query_id, vec_id, score,
-              |         row_number() OVER (PARTITION BY query_id
-              |                            ORDER BY score DESC, vec_id) AS rank
-              |  FROM scored WHERE score < 0.9) t
-              |WHERE rank <= 5
-              |ORDER BY query_id, rank""".stripMargin)),
+      Some(MinedNegOracleSql)),
+
+    // Hard-negative mining through the IVF index (round 12), in its
+    // FORCED-EXHAUSTIVE regime (nprobe = ncells): the sf1 scaling sweep
+    // showed the brute-force miner is quadratic when probes scale with
+    // the corpus (25× wall at 10× data — sub-linear in PAIRS, but pairs
+    // grow ×100), so minedNegativesIvf bounds candidates per probe to
+    // its nprobe nearest cells — the FAISS "mine from the ANN shortlist"
+    // shape, which is also where the hard negatives live. Exhaustive
+    // probing equals the brute-force miner row-for-row, so the same SQL
+    // oracle hash-checks the cell/probe/filter/rank machinery; the
+    // PRUNED path's containment + score-exactness is pinned in
+    // SimilaritySpec.
+    QueryDef(
+      "sim_mined_negatives_ivf",
+      (s, d) => {
+        val (corpus, probes) = minedNegFixture(s, d)
+        val idx = Similarity.ivfIndexCached(s, s"minedneg:$d")(corpus)
+        Similarity.minedNegativesIvf(corpus, probes, 5, 0.9, nprobe = 8,
+            index = Some(idx))
+          .orderBy("query_id", "rank")
+      },
+      Some(MinedNegOracleSql)),
 
     // Exact top-10 cosine neighbors for 10 query vectors: broadcast the
     // queries, one scan of the corpus, TakeOrdered-style per-query top-k.

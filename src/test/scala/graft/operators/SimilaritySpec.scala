@@ -208,4 +208,37 @@ class SimilaritySpec extends SparkSpec {
     val plan = negs.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKeyFinal"), plan.take(1500))
   }
+
+  test("minedNegativesIvf: exhaustive == brute force; pruned is an exact-score subset") {
+    import org.apache.spark.sql.functions.{transform => atransform, _}
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+      atransform(col("embedding"), (x, i) =>
+        when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val probes = base.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val full = base.filter(col("vec_id") % 25 =!= 0).unionByName(mutants)
+    val brute = Similarity.minedNegatives(full, probes, 5, 0.9)
+    // forced-exhaustive regime (nprobe = ncells): row-for-row identical —
+    // this equality is what lets the gate hash-check the IVF machinery
+    val exhaustive = Similarity.minedNegativesIvf(full, probes, 5, 0.9,
+      ncells = 8, nprobe = 8)
+    assert(exhaustive.exceptAll(brute).isEmpty &&
+      brute.exceptAll(exhaustive).isEmpty,
+      "exhaustive IVF mining diverged from the brute-force miner")
+    // pruned regime: every returned score is EXACT (the candidate set
+    // shrinks; the arithmetic must not), thresholds hold, <= k per probe,
+    // and each probe's own mutant is still excluded
+    val pruned = Similarity.minedNegativesIvf(full, probes, 5, 0.9,
+      ncells = 8, nprobe = 2).collect()
+    assert(pruned.forall(_.getDouble(3) < 0.9))
+    assert(!pruned.exists(r => r.getLong(2) == r.getLong(0) + 1000000))
+    assert(pruned.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    val bruteScores = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // any (probe, vec) pair the pruned path returns that brute force also
+    // ranked must carry the identical rounded score
+    for (r <- pruned; b <- bruteScores.get((r.getLong(0), r.getLong(2))))
+      assert(r.getDouble(3) == b, s"score drift at ${(r.getLong(0), r.getLong(2))}")
+  }
 }
