@@ -99,10 +99,24 @@ object Similarity {
     * [[minedNegatives]] row-for-row (same rounding, same total order),
     * which is how the gate hash-checks this code; the pruned path's
     * containment + exactness is pinned in SimilaritySpec.
+    *
+    * TWO-REGIME candidate join (the [[graft.operators.Sampling.decontaminateSemantic]]
+    * / [[maxCosineVsIvf]] pattern): a probe set up to `probeBroadcastCap`
+    * rows broadcasts its (query_id, qvec, cell) table — training batches
+    * small next to the corpus, zero shuffle of corpus rows. Above the cap
+    * — the operator's own motivating regime, probes ~ n/25 — that
+    * broadcast would be O(n·nprobe·dims) and is the scale-killer, so the
+    * candidate join becomes a shuffle equi-join on `cell` with NO
+    * broadcast of either side (cells carry ~10⁴–10⁵ vectors at scale, so
+    * key cardinality never collapses parallelism; with the corpus
+    * physically partitioned by cell the join is co-located). The regime
+    * probe is one bounded count (`limit(cap + 1)`), never a full probe
+    * count; SimilaritySpec pins both regimes row-identical on the fixture.
     */
   def minedNegativesIvf(corpus: DataFrame, probes: DataFrame, k: Int,
       positiveThreshold: Double, ncells: Int = 8, nprobe: Int = 2,
-      scale: Int = 5, index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+      scale: Int = 5, index: Option[(DataFrame, DataFrame)] = None,
+      probeBroadcastCap: Int = 1 << 16): DataFrame = {
     val (assigned, cents) = index.getOrElse(ivfIndex(corpus, ncells))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc, col("cell"))
@@ -111,9 +125,13 @@ object Similarity {
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
+    val small = probes.limit(probeBroadcastCap + 1).count() <= probeBroadcastCap
+    val candidates =
+      if (small) assigned.join(broadcast(probeCells), Seq("cell"))
+      else assigned.join(probeCells, Seq("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    assigned.join(broadcast(probeCells), Seq("cell"))
+    candidates
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("qvec"), col("embedding")), scale))
       .filter(col("score") < positiveThreshold)

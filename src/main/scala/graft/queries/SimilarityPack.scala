@@ -13,11 +13,17 @@ import graft.sources.{Tables => T}
   */
 object SimilarityPack extends QueryPack {
 
-  private val CosineSql =
-    """list_sum(list_transform(list_zip(q.qvec, c.embedding),
-      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      |/ (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-      | * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))""".stripMargin
+  /** Cosine between two list columns as DuckDB SQL — same
+    * double-precision, element-order-sequential arithmetic as
+    * [[Similarity.cosine]].
+    */
+  private def cosSql(a: String, b: String) =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       | * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))""".stripMargin
+
+  private val CosineSql = cosSql("q.qvec", "c.embedding")
 
   private def queriesDf(s: org.apache.spark.sql.SparkSession, d: String) =
     T.embeddings(s, d).filter(col("vec_id") < 10)
@@ -85,6 +91,68 @@ object SimilarityPack extends QueryPack {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** A DuckDB-replayable IVF index for the PRUNED-regime gate: cell =
+    * the corpus' own `label`, centroid = per-label element-wise mean
+    * rounded to 6 dp. k-means (a seeded driver-side sample + Lloyd
+    * iterations) is exactly what a SQL oracle cannot replay — so the
+    * pruned gate swaps in a quantizer the oracle CAN: same (assigned,
+    * cents) contract, same probe/candidate/rank code under test, and the
+    * centroid rounding puts cross-engine mean noise (~1e-16) far below
+    * the cell-score margins (~1e-2 on this data).
+    */
+  private def labelIndex(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = T.embeddings(s, d)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      col("label").as("cell"))
+    val cents = e
+      .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("s"))
+      .select(col("cell"), expr("transform(s, e -> round(e.m, 6))").as("centroid"))
+    (assigned, cents)
+  }
+
+  /** The pruned-regime oracle replays the label quantizer end-to-end:
+    * per-label 6-dp-rounded centroids, each query's nprobe=2 nearest
+    * cells by raw centroid cosine (margins ≥ 0.016 on this data — five
+    * orders above cross-engine double noise), then scoring restricted
+    * to the probed cells' members. Real pruning: 2 of 10 cells per
+    * probe, ~80% of the corpus never scored.
+    */
+  private val MinedNegIvfPrunedOracleSql =
+    s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+       |cent AS (
+       |  SELECT e.label AS cell, idx.i,
+       |         round(avg(CAST(e.embedding[idx.i] AS DOUBLE)), 6) AS m
+       |  FROM embeddings e CROSS JOIN idx GROUP BY 1, 2
+       |), centv AS (
+       |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec
+       |  FROM embeddings WHERE vec_id < 10
+       |), pc AS (
+       |  SELECT query_id, qvec, cell FROM (
+       |    SELECT q.query_id, q.qvec, v.cell,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
+       |                                       v.cell) AS crank
+       |    FROM q CROSS JOIN centv v) t
+       |  WHERE crank <= 2
+       |), scored AS (
+       |  SELECT pc.query_id, c.vec_id,
+       |         round(${cosSql("pc.qvec", "c.embedding")}, 5) AS score
+       |  FROM pc JOIN embeddings c ON c.label = pc.cell
+       |  WHERE pc.query_id != c.vec_id
+       |)
+       |SELECT query_id, rank, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored WHERE score < 0.9) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
 
     // Hard-negative mining (round 11): per probe, the top-5 most similar
@@ -125,6 +193,25 @@ object SimilarityPack extends QueryPack {
           .orderBy("query_id", "rank")
       },
       Some(MinedNegOracleSql)),
+
+    // Hard-negative mining through the IVF index, PRUNED regime
+    // (round 13): nprobe = 2 of 10 cells — ~80% of the corpus is never
+    // scored, which is the operator's whole point — yet still
+    // hash-checked, because the quantizer is swapped for one a SQL
+    // oracle can replay (cell = label, centroid = rounded per-label
+    // mean; [[labelIndex]]). Same probe/candidate/filter/rank code as
+    // the exhaustive gate; only the index input differs. Completes
+    // C11's gate coverage: machinery (exhaustive gate) + pruning
+    // (this gate) + k-means-index recall (SimilaritySpec).
+    QueryDef(
+      "sim_mined_negatives_ivf_pruned",
+      (s, d) => {
+        val corpus = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        Similarity.minedNegativesIvf(corpus, queriesDf(s, d), 5, 0.9,
+            nprobe = 2, index = Some(labelIndex(s, d)))
+          .orderBy("query_id", "rank")
+      },
+      Some(MinedNegIvfPrunedOracleSql)),
 
     // Exact top-10 cosine neighbors for 10 query vectors: broadcast the
     // queries, one scan of the corpus, TakeOrdered-style per-query top-k.

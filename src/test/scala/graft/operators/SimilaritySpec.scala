@@ -241,4 +241,35 @@ class SimilaritySpec extends SparkSpec {
     for (r <- pruned; b <- bruteScores.get((r.getLong(0), r.getLong(2))))
       assert(r.getDouble(3) == b, s"score drift at ${(r.getLong(0), r.getLong(2))}")
   }
+
+  test("minedNegativesIvf: shuffle regime (probes above broadcast cap) is row-identical") {
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val probes = base.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val full = base.filter(col("vec_id") % 25 =!= 0)
+    val idx = Similarity.ivfIndex(full, ncells = 8)
+    def run(cap: Int) = Similarity.minedNegativesIvf(full, probes, 5, 0.9,
+      ncells = 8, nprobe = 2, index = Some(idx), probeBroadcastCap = cap)
+    val bc = run(1 << 16)      // probes fit: candidate join broadcasts
+    val sh = run(0)            // forced scale regime: shuffle equi-join on cell
+    assert(sh.exceptAll(bc).isEmpty && bc.exceptAll(sh).isEmpty,
+      "probe-join regimes diverged")
+    // the regime switch actually switches the candidate-join strategy.
+    // Locally the tiny probe fixture auto-broadcasts from size stats, so
+    // model the 100 TB planner state (stats far above the threshold) by
+    // disabling auto-broadcast: then only a FORCED hint can broadcast,
+    // and the scale regime must plan a shuffle join — the hard-coded
+    // probe-side broadcast that died when probes ~ corpus is gone.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      assert(run(1 << 16).queryExecution.sparkPlan.toString
+          .contains("BroadcastHashJoin"),
+        "under-cap regime lost its broadcast candidate join")
+      assert(!run(0).queryExecution.sparkPlan.toString
+          .contains("BroadcastHashJoin"),
+        "scale regime still plans a forced broadcast hash join")
+    } finally spark.conf.set(thresholdKey, saved)
+  }
 }
