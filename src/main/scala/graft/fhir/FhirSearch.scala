@@ -375,13 +375,25 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
         }
         flatten(array(arrays: _*))
       }
-      def includeLegAll(t: String): DataFrame =
-        df.select(explode(allRefs(t)).as("_ref"))
-          .select(split(col("_ref"), "/").as("_r"))
-          .select(col("_r").getItem(0).as("_t"), col("_r").getItem(1).as("_id"))
-          .filter(col("_t").isNotNull).distinct()
-          .select(col("_t").as("resourceType"), col("_id").as("id"),
-            lit("include").as("mode"))
+      // The wildcard include FUSES the match rows and the include targets
+      // into one scan of the matched set: each matched row explodes to
+      // its own (type, id, match) row plus one (type, id, include) row
+      // per parsed reference — one pass over the matched set instead of
+      // two (at scale the matched set is the expensive subtree: it
+      // carries the search's whole filter stack). One distinct over the
+      // tagged rows equals the old per-leg distinct (match ids are
+      // unique by store invariant; modes separate the two classes).
+      def includeAllWithMatches: DataFrame =
+        df.select(explode(concat(
+            array(struct(lit(resType).as("resourceType"), col("id").as("id"),
+              lit("match").as("mode"))),
+            transform(filter(allRefs(resType), r => r.isNotNull),
+              r => struct(split(r, "/").getItem(0).as("resourceType"),
+                split(r, "/").getItem(1).as("id"),
+                lit("include").as("mode"))))).as("_e"))
+          .select(col("_e.resourceType"), col("_e.id"), col("_e.mode"))
+          .filter(col("resourceType").isNotNull)
+          .distinct()
       // The wildcard revinclude merges ALL referencing types into ONE
       // leg: union the type-tagged (resourceType, id, _ref) candidate
       // scans FIRST, then a single semi-join against the matched refs
@@ -402,12 +414,16 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
             lit("revinclude").as("mode"))
           .distinct()
       }
+      // `_include=*` (with any reference params to follow) replaces the
+      // separate match leg entirely — its fused scan already carries the
+      // match rows
+      val fuseWildInclude = includes.contains(("_include", "*")) &&
+        referenceParams(resType).nonEmpty
       val extra = includes.flatMap {
         case ("_include", "*") =>
           // FHIR wildcard: every reference param OF THE MATCHED TYPE,
-          // one merged leg
-          if (referenceParams(resType).isEmpty) Seq()
-          else Seq(includeLegAll(resType))
+          // fused with the match rows into one scan (above)
+          Seq()
         case ("_include", spec) =>
           val Array(t, refParam) = spec.split(":", 2)
           Seq(includeLeg(t, refParam))
@@ -422,7 +438,8 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
           Seq(revincludeLeg(t, refParam))
         case other => sys.error(s"unsupported include $other")
       }
-      var all = extra.foldLeft(matchRows)(_ unionByName _)
+      val base = if (fuseWildInclude) includeAllWithMatches else matchRows
+      var all = extra.foldLeft(base)(_ unionByName _)
       // _include:iterate=Type:refParam — re-apply the include to already
       // INCLUDED resources of the source type, transitively (spec
       // §search `:iterate`). Unrolled to a fixed depth of 3 instead of a
