@@ -14,26 +14,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * `deflate_len(text) / octet_length(text)` is the ratio, and both
   * operands stay exact.
   *
-  * Raw deflate (no zlib/gzip header) at the JDK default level, one
-  * Deflater per call — level and strategy fixed so the value is
-  * deterministic for a given input. No SQL oracle exists (DuckDB cannot
-  * deflate), so the gate is rows-only; TextOpsSpec pins exact vectors
-  * (replayed directly against the JDK Deflater) plus the ordering
-  * properties that make the signal useful.
+  * Raw deflate (no zlib/gzip header) at the JDK default level — level
+  * and strategy fixed so the value is deterministic for a given input
+  * WITHIN a zlib build. (Output length is NOT contractual across
+  * JDK/zlib versions: the gate stays rows-only/spec-replayed against
+  * the running JDK's Deflater, never digest-pinned.) No SQL oracle
+  * exists (DuckDB cannot deflate); TextOpsSpec pins exact replay
+  * vectors plus the ordering properties that make the signal useful.
+  *
+  * The Deflater is a per-thread native handle, `reset()` between rows:
+  * this is a 100 TB scan-rate map, and a per-row allocate/end cycle is
+  * a JNI malloc/free that dominates short documents. Task threads are
+  * pooled and long-lived in every Spark deployment; the handles live
+  * as long as their thread and are reclaimed by a Cleaner if one dies.
   */
 object DeflateLenFn {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      // free the native handle when the owning thread is collected
+      // (end() is idempotent and safe from the cleaner thread)
+      cleaner.register(Thread.currentThread(), () => d.end())
+      d
+    }
+  }
+  private val cleaner = java.lang.ref.Cleaner.create()
+
   def compute(text: UTF8String): Long = {
     val input = text.getBytes
-    val defl = new java.util.zip.Deflater(
-      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-    try {
-      defl.setInput(input)
-      defl.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!defl.finished()) total += defl.deflate(buf)
-      total
-    } finally defl.end()
+    val defl = local.get()
+    defl.reset()
+    defl.setInput(input)
+    defl.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!defl.finished()) total += defl.deflate(buf)
+    total
   }
 }
 

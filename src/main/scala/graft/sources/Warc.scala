@@ -30,6 +30,16 @@ object Warc {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"WARC: $msg")
 
+  /** Raised when a gzip member cannot complete because the supplied
+    * bytes end mid-member — i.e. more bytes could legitimately exist
+    * past the buffer. Subclass of IllegalArgumentException so every
+    * "malformed input fails loudly" contract (and its specs) keeps
+    * holding; TYPED so the retry/extend and EOF-classification logic
+    * never string-matches exception messages.
+    */
+  final class TruncatedMember(msg: String)
+      extends IllegalArgumentException(msg)
+
   /** Parse one WARC file's bytes into its records (strict framing). */
   def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
     val out = Seq.newBuilder[WarcRecord]
@@ -195,7 +205,8 @@ object Warc {
     * message iff more bytes could legitimately exist past `bytes`.
     */
   private[sources] def inflateMember(bytes: Array[Byte], off: Int): (Array[Byte], Int) = {
-    def trunc(what: String): Nothing = fail(s"gzip member truncated ($what) at $off")
+    def trunc(what: String): Nothing =
+      throw new TruncatedMember(s"WARC: gzip member truncated ($what) at $off")
     if (off + 10 > bytes.length) trunc("header")
     if ((bytes(off) & 0xff) != 0x1f || (bytes(off + 1) & 0xff) != 0x8b)
       fail(s"no gzip magic at $off")
@@ -240,26 +251,51 @@ object Warc {
     } finally inf.end()
   }
 
-  /** Tolerantly inflate at most `maxOut` bytes of the gzip member at
-    * `off`, without requiring the stream to be complete — used ONLY to
-    * classify a truncated-at-EOF sync candidate. A GENUINE member start
-    * cut off at physical EOF still inflates a prefix beginning "WARC/";
-    * payload bytes that merely look like a member yield garbage (or
-    * nothing). Returns whatever prefix was produced, possibly empty.
+  /** Classify a sync candidate whose gzip member runs past physical EOF
+    * ([[inflateMember]] raised [[TruncatedMember]] with no file bytes
+    * left): TRUE means the candidate is — or cannot be proven not to
+    * be — a genuine member start, so the caller re-raises, upholding
+    * the contract that truncation never drops records silently. FALSE
+    * requires POSITIVE evidence of payload garbage: invalid header
+    * bytes, corrupt deflate data, or an inflated prefix that is not
+    * "WARC/". The undecidable cases (EOF inside the gzip header, or
+    * before 5 output bytes inflate) default to LOUD — previously they
+    * were silently skipped, which dropped a genuine final record when
+    * the crawl tail was cut inside its header.
     */
-  private def inflatePrefix(bytes: Array[Byte], off: Int, maxOut: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
+  private def truncatedGenuineMember(bytes: Array[Byte], off: Int): Boolean = {
+    val n = bytes.length
+    // caller verified the 3 magic bytes; FLG reserved bits, if present,
+    // separate garbage (set) from a plausible member (clear)
+    if (off + 4 <= n && (bytes(off + 3) & 0xe0) != 0) return false
+    if (off + 10 > n) return true // EOF inside the fixed header: loud
+    val flg = bytes(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > n) return true
+      val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+    }
+    if ((flg & 8) != 0) { while (p < n && bytes(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 16) != 0) { while (p < n && bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p >= n) return true // EOF inside the optional header fields: loud
+    val inf = new java.util.zip.Inflater(true)
     try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes, off, bytes.length - off))
-      val buf = new Array[Byte](maxOut)
-      var done = false
-      while (!done && out.size < maxOut) {
-        val n = in.read(buf, 0, maxOut - out.size)
-        if (n <= 0) done = true else out.write(buf, 0, n)
+      inf.setInput(bytes, p, n - p)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (out.size < 5 && !inf.finished()) {
+        val got =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return false }
+        if (got > 0) out.write(buf, 0, got)
+        else if (inf.needsInput()) return true // ran dry at EOF: loud
+        else if (inf.needsDictionary()) return false // not a gzip stream
       }
-    } catch { case _: java.io.IOException => () }
-    out.toByteArray
+      if (out.size < 5) false // complete sub-5-byte stream: not a record
+      else new String(out.toByteArray, 0, 5, "US-ASCII") == "WARC/"
+    } finally inf.end()
   }
 
   /** Iterate the records of one byte-range split [start, end) of a
@@ -303,8 +339,7 @@ object Warc {
       while (r.isEmpty) {
         try r = Some(f)
         catch {
-          case e: IllegalArgumentException
-              if e.getMessage.contains("truncated") && covered < fileLen =>
+          case e: TruncatedMember if covered < fileLen =>
             if (!extend(1 << 20)) throw e
         }
       }
@@ -326,19 +361,17 @@ object Warc {
               inflated.length >= 5 &&
                 new String(inflated, 0, 5, "US-ASCII") == "WARC/"
             } catch {
-              case e: IllegalArgumentException =>
-                // A candidate that fails because the FILE ends mid-member
-                // is either payload bytes near EOF or a genuine member cut
-                // off by a truncated crawl tail. The two are separable:
-                // a genuine member still inflates a prefix starting
-                // "WARC/". Raising (not skipping) upholds the documented
-                // contract that truncation never drops records silently.
-                if (e.getMessage.contains("truncated") && covered >= fileLen) {
-                  val prefix = inflatePrefix(data, idx, 5)
-                  if (prefix.length >= 5 &&
-                    new String(prefix, "US-ASCII") == "WARC/") throw e
-                }
+              case e: TruncatedMember =>
+                // The FILE ends mid-candidate: either payload bytes near
+                // EOF or a genuine member cut off by a truncated crawl
+                // tail. [[truncatedGenuineMember]] separates them with a
+                // loud default — raising (not skipping) upholds the
+                // documented contract that truncation never drops
+                // records silently.
+                if (covered >= fileLen && truncatedGenuineMember(data, idx))
+                  throw e
                 false
+              case _: IllegalArgumentException => false
             }
           if (ok) synced = true else abs += 1
         } else abs += 1
@@ -400,7 +433,10 @@ object Warc {
     val fs = p.getFileSystem(hconf)
     val files = fs.globStatus(p)
     require(files != null && files.nonEmpty, s"no files match $pattern")
-    val splits = files.toSeq.filter(_.isFile).flatMap { st =>
+    // committed-generation fence: directories written by the warcgz sink
+    // carry a _committed manifest; filtering to it keeps a concurrent or
+    // crashed overwrite from surfacing OLD+NEW mixed (WarcGzManifest)
+    val splits = WarcGzManifest.filter(fs, files.toSeq.filter(_.isFile)).flatMap { st =>
       val len = st.getLen
       val n = math.max(1L, (len + splitSize - 1) / splitSize)
       (0L until n).map { i =>
@@ -489,8 +525,7 @@ object Warc {
           val (inflated, _) = inflateMember(data, 0)
           rec = Some(parse(inflated).head)
         } catch {
-          case e: IllegalArgumentException
-              if e.getMessage.contains("truncated") && pull(data.length) => ()
+          case _: TruncatedMember if pull(data.length) => ()
         }
       }
       rec.get

@@ -44,6 +44,74 @@ class WarcGzSource extends TableProvider with DataSourceRegister {
     new WarcGzTable(properties.asScala.toMap)
 }
 
+/** The overwrite commit protocol's visibility fence. Deferred truncation
+  * (keep committed objects, delete the rest in `BatchWrite.commit`)
+  * removed the truncated-but-not-rewritten window, but committed-task
+  * objects are complete, valid members sitting in the LIVE destination —
+  * without a fence, a glob read between task commit and job commit (or
+  * after a driver death that skipped job commit) returns OLD + NEW
+  * records mixed, a silent duplication. The fence is a `_committed`
+  * manifest per directory listing the object names that constitute the
+  * current generation:
+  *
+  *  - every reader (batch scan, micro-batch stream, readGzSplits)
+  *    filters a directory's files to manifest-listed names when a
+  *    manifest exists (directories never written by this sink have no
+  *    manifest and list as before);
+  *  - an overwrite job writes the NEW manifest first, then deletes the
+  *    old generation — a crash between the two leaves stray old objects
+  *    that readers ignore, never a mix and never an empty read;
+  *  - an append job unions its committed names into the manifest;
+  *  - the manifest itself lands via create-temp + atomic rename (HDFS /
+  *    local rename semantics; on a rename-less object store the PUT of
+  *    the final name is itself atomic).
+  *
+  * A crashed job therefore needs NO repair step before reading: the
+  * manifest still names the last committed generation. The next
+  * successful overwrite clears any strays.
+  */
+private[sources] object WarcGzManifest {
+  val Name = "_committed"
+
+  def read(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[Set[String]] = {
+    val mf = new Path(dir, Name)
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet)
+      finally in.close()
+    }
+  }
+
+  def write(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      names: Set[String]): Unit = {
+    val tmp = new Path(dir, s".$Name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((names.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val mf = new Path(dir, Name)
+    if (fs.exists(mf)) fs.delete(mf, false)
+    if (!fs.rename(tmp, mf))
+      sys.error(s"warcgz: could not publish manifest $mf")
+  }
+
+  /** Filter listed files to each directory's committed generation (a
+    * directory with no manifest passes through untouched).
+    */
+  def filter(fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.FileStatus])
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    files.groupBy(_.getPath.getParent).toSeq.sortBy(_._1.toString)
+      .flatMap { case (dir, sts) =>
+        read(fs, dir) match {
+          case Some(names) => sts.filter(st => names.contains(st.getPath.getName))
+          case None => sts
+        }
+      }
+  }
+}
+
 object WarcGzSource {
   val Schema: StructType = StructType(Seq(
     StructField("file", StringType),
@@ -129,7 +197,7 @@ private[sources] class WarcGzScan(path: String, splitSize: Long,
     val fs = p.getFileSystem(hconf)
     val files = fs.globStatus(p)
     require(files != null && files.nonEmpty, s"warcgz: no files match $path")
-    files.toSeq.filter(_.isFile).flatMap { st =>
+    WarcGzManifest.filter(fs, files.toSeq.filter(_.isFile)).flatMap { st =>
       val len = st.getLen
       val n = math.max(1L, (len + splitSize - 1) / splitSize)
       (0L until n).map { i =>
@@ -197,7 +265,7 @@ private[sources] class WarcGzMicroBatchStream(path: String, splitSize: Long,
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(p)
     if (files == null) Map.empty
-    else files.toSeq.filter(_.isFile)
+    else WarcGzManifest.filter(fs, files.toSeq.filter(_.isFile))
       .map(st => st.getPath.toString -> st.getLen).toMap
   }
 
@@ -243,16 +311,18 @@ private[sources] case class WarcGzPartition(file: String, start: Long,
   * or duplicate another attempt's; Spark's commit coordinator lets
   * exactly one attempt per partition commit, the losers' `abort()`
   * deletes their own object. Job-level overwrite truncation is deferred
-  * to `BatchWrite.commit` (keep committed objects, delete the rest) and
-  * job-level `abort` deletes committed objects — no rename, no temp
-  * directory, no window where the destination is truncated but not yet
-  * rewritten. Input schema must be exactly
-  * (warc_type, target_uri, record_id, payload).
+  * to `BatchWrite.commit`: publish the new generation's [[WarcGzManifest]]
+  * first, then delete the old objects — readers filter to the manifest,
+  * so there is no window where the destination is truncated, half
+  * written, or an OLD+NEW mix. Job-level `abort` deletes committed
+  * objects (the manifest still names the old generation). Input schema
+  * must be exactly (warc_type, target_uri, record_id, payload).
   */
 private[sources] class WarcGzWriteBuilder(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
-  // overwrite semantics: the committer clears the directory up front
+  // overwrite semantics: deferred to BatchWrite.commit — manifest
+  // publish fences visibility, then the old generation is deleted
   private var doTruncate = false
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
     doTruncate = true; this
@@ -291,27 +361,44 @@ private[sources] class WarcGzBatchWrite(path: String, schema: StructType,
 
   /** Commit protocol (see also the writer scaladoc below): tasks write
     * to attempt-unique object names and report them via [[WarcGzCommit]].
-    * Overwrite truncation is applied HERE, after every task committed —
-    * the committed objects are kept and every OTHER file in the target
-    * directory is deleted. A job that dies mid-write therefore leaves the
-    * previous contents fully intact (plus some uniquely-named partials
-    * that [[abort]] or the next overwrite clears), never a
-    * truncated-then-half-written destination.
+    * Job commit publishes the generation through the [[WarcGzManifest]]
+    * visibility fence FIRST — overwrite: manifest := committed names;
+    * append: manifest := existing ∪ committed (created on first append
+    * too, so every sink-written directory is fenced) — and only THEN, on
+    * overwrite, deletes the previous generation's objects. A job that
+    * dies mid-write leaves the old manifest naming the old generation:
+    * readers keep seeing exactly the last committed contents (the new
+    * attempt objects are manifest-invisible), never an OLD+NEW mix and
+    * never a truncated destination; a crash between manifest publish and
+    * the deletes leaves invisible strays the next overwrite clears.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    val committed = messages.collect {
+      // n == 0 tasks deleted their empty object — keep it off the manifest
+      case m: WarcGzCommit if m.n > 0 => new Path(m.file).getName
+    }.toSet
+    val generation =
+      if (truncate) committed
+      else WarcGzManifest.read(fs, p).getOrElse {
+        // first manifest over a legacy directory: adopt the existing
+        // data files (they ARE the committed generation by assumption —
+        // nothing else ever read them differently)
+        Option(fs.listStatus(p)).getOrElse(Array.empty).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))
+          .map(_.getPath.getName).toSet
+      } ++ committed
+    WarcGzManifest.write(fs, p, generation)
     if (truncate) {
-      val p = new Path(path)
-      val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
-        .sparkContext.hadoopConfiguration)
-      val keep = messages.collect {
-        case m: WarcGzCommit => new Path(m.file).getName
-      }.toSet
       Option(fs.listStatus(p)).getOrElse(Array.empty).foreach { st =>
         val name = st.getPath.getName
         // hidden files (checksum sidecars, markers) aren't data — the
         // standard Hadoop convention; deleting a kept object's .crc
         // would poison later checksummed reads
-        if (st.isFile && !keep.contains(name) &&
+        if (st.isFile && !generation.contains(name) &&
           !name.startsWith(".") && !name.startsWith("_"))
           fs.delete(st.getPath, false)
       }

@@ -168,7 +168,28 @@ class WarcSpec extends AnyFunSuite {
       splitRecords(java.util.Arrays.copyOfRange(m, start.toInt, m.length),
         start, fileLen, fileLen, _ => Array.emptyByteArray).toSeq
     }
-    assert(ex.getMessage.contains("truncated"), ex.getMessage)
+    assert(ex.isInstanceOf[Warc.TruncatedMember], ex.toString)
+
+    // The undecidable tails default to LOUD too (previously silently
+    // skipped, dropping the record): truncation INSIDE the final
+    // member's gzip header (4 bytes: magic + CM + FLG, no deflate output
+    // possible), and truncation before 5 output bytes inflate (header
+    // complete + 1 deflate byte).
+    for (cut <- Seq(last + 4, -1)) {
+      val truncAt = if (cut >= 0) cut else {
+        // walk past the fixed 10-byte header (test members carry no
+        // optional fields) plus one deflate byte
+        last + 11
+      }
+      val mm = java.util.Arrays.copyOf(gz, truncAt)
+      val ex2 = intercept[IllegalArgumentException] {
+        splitRecords(java.util.Arrays.copyOfRange(mm, start.toInt, mm.length),
+          start, mm.length.toLong, mm.length.toLong,
+          _ => Array.emptyByteArray).toSeq
+      }
+      assert(ex2.isInstanceOf[Warc.TruncatedMember],
+        s"cut at $truncAt: $ex2")
+    }
   }
 
   test("readGzSplits: one big file through many Spark tasks, bodies intact") {
@@ -353,6 +374,58 @@ class WarcSpec extends AnyFunSuite {
       s"failed overwrite mutated the destination: $before -> $after")
     assert(spark.read.format("warcgz")
       .load(dir.getAbsolutePath + "/*.warc.gz").count() == 20)
+  }
+
+  test("warcgz manifest fence: stray committed-task objects are invisible until the next successful commit") {
+    // The deferred-truncation protocol writes attempt objects into the
+    // LIVE destination; without a fence, a driver death after task
+    // commits (or a concurrent read mid-job) surfaces OLD + NEW records
+    // mixed. The _committed manifest names the current generation; every
+    // reader filters to it.
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_fence").toFile
+    dir.deleteOnExit()
+    val gen1 = (0 until 20).map(i =>
+      ("response", s"http://f/$i", s"<urn:uuid:f$i>", s"g1 $i".getBytes))
+    gen1.toDF("warc_type", "target_uri", "record_id", "payload")
+      .repartition(2)
+      .write.format("warcgz").mode("overwrite").save(dir.getAbsolutePath)
+    assert(new java.io.File(dir, "_committed").isFile, "no manifest published")
+    // simulate a died-before-job-commit overwrite: a complete, VALID
+    // object sitting in the destination but absent from the manifest
+    val stray = new java.io.File(dir, "part-99999-999.warc.gz")
+    java.nio.file.Files.write(stray.toPath, Warc.writeGz(Seq(
+      Warc.WarcRecord("response", "http://stray/x", "<urn:uuid:stray>",
+        "stray".getBytes))))
+    def glob = dir.getAbsolutePath + "/*.warc.gz"
+    assert(spark.read.format("warcgz").load(glob).count() == 20,
+      "DSv2 read surfaced a manifest-invisible stray")
+    assert(Warc.readGzSplits(spark, glob).count() == 20,
+      "readGzSplits surfaced a manifest-invisible stray")
+    // append unions its objects into the manifest; the stray stays out
+    Seq(("response", "http://f/app", "<urn:uuid:fapp>", "g2".getBytes))
+      .toDF("warc_type", "target_uri", "record_id", "payload")
+      .repartition(1)
+      .write.format("warcgz").mode("append").save(dir.getAbsolutePath)
+    assert(spark.read.format("warcgz").load(glob).count() == 21)
+    // the next successful overwrite clears the stray from disk
+    Seq(("response", "http://f/g3", "<urn:uuid:fg3>", "g3".getBytes))
+      .toDF("warc_type", "target_uri", "record_id", "payload")
+      .repartition(1)
+      .write.format("warcgz").mode("overwrite").save(dir.getAbsolutePath)
+    assert(!stray.exists, "overwrite did not clear the stray")
+    assert(spark.read.format("warcgz").load(glob).count() == 1)
+    // a directory never touched by the sink has no manifest: plain files
+    // list as before (legacy read path unchanged)
+    val legacy = java.nio.file.Files.createTempDirectory("warc_legacy").toFile
+    legacy.deleteOnExit()
+    java.nio.file.Files.write(
+      new java.io.File(legacy, "plain.warc.gz").toPath,
+      Warc.writeGz(Seq(Warc.WarcRecord("response", "http://l/0",
+        "<urn:uuid:l0>", "legacy".getBytes))))
+    assert(spark.read.format("warcgz")
+      .load(legacy.getAbsolutePath + "/*.warc.gz").count() == 1)
   }
 
   test("DSv2 warcgz write: two attempts of one task (retry/speculation) cannot collide") {
