@@ -79,6 +79,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(1).eval().asInstanceOf[Number].intValue())
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("ngram_pos_hashes"),
+      new ExpressionInfo("graft.functions.NGramPosHashExpr", null,
+        "ngram_pos_hashes",
+        "ngram_pos_hashes(text, n) - per-position xxhash64 values of the " +
+          "text's word n-grams (fused tokenize+shingle+hash loop, " +
+          "position = array index).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "ngram_pos_hashes expects (text, n)")
+        require(children(1).foldable, "ngram size must be a literal")
+        graft.functions.NGramPosHashExpr(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("char_bigram_counts"),
       new ExpressionInfo("graft.functions.CharBigramCountsExpr", null,
         "char_bigram_counts",

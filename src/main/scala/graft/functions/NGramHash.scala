@@ -50,6 +50,85 @@ object NGramHashFn {
   }
 }
 
+/** POSITIONAL sibling of [[NGramHashFn]]: element k (0-based) is the
+  * xxhash64 of the shingle starting at token k — every position kept,
+  * no distinct — so `posexplode(ngram_pos_hashes(text, n))` yields the
+  * (position, shingle-hash) pairs substring-level span operators need.
+  * Replaces the `explode(sequence) → slice → array_join → md5` pipeline
+  * in [[graft.operators.Dedup.removeSharedSpans]], which allocated an
+  * 8-token string + digest PER POSITION; same fused-loop rationale as
+  * [[NGramHashFn]] (hash parity with it by construction: same shingle
+  * bytes, same seed).
+  */
+object NGramPosHashFn {
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    // Zero-allocation-per-position: because the tokenizer splits on a
+    // SINGLE space, every separator is exactly one 0x20 byte (which
+    // never occurs inside a UTF-8 multibyte sequence), so the canonical
+    // shingle `tokens[i..i+n-1].mkString(" ")` is byte-for-byte the
+    // text's own range [start(i), end(i+n-1)) — hash the range directly
+    // with the same XXH64 the string path uses and the values are
+    // identical to `xxhash64(shingle_string)` with seed 42 (pinned in
+    // NGramHashSpec), with no String round-trip or re-encoding per
+    // position.
+    val numBytes = text.numBytes
+    var cnt = 1
+    var i = 0
+    while (i < numBytes) {
+      if (text.getByte(i) == 0x20) cnt += 1
+      i += 1
+    }
+    if (cnt < n) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](cnt)
+    val ends = new Array[Int](cnt)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < numBytes) {
+      if (text.getByte(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val out = new Array[Long](cnt - n + 1)
+    var k = 0
+    while (k <= cnt - n) {
+      out(k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        base, off + starts(k), ends(k + n - 1) - starts(k), 42L)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `ngram_pos_hashes(text, n)` — per-position xxhash64 shingle hashes;
+  * `[]` for docs shorter than n tokens, null for null text.
+  */
+case class NGramPosHashExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"ngram_pos_hashes expects a string column, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_pos_hashes"
+  override def foldable: Boolean = child.foldable
+
+  override protected def nullSafeEval(v: Any): Any =
+    NGramPosHashFn.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.NGramPosHashFn.compute($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramPosHashExpr =
+    copy(child = newChild)
+}
+
 /** `ngram_hashes(text, n)` — distinct xxhash64 values of the text's word
   * n-grams; `[]` for docs shorter than n tokens, null for null text.
   */

@@ -800,13 +800,20 @@ object Dedup {
     */
   def removeSharedSpans(docs: DataFrame, key: Column, text: Column,
       n: Int = 8): DataFrame = {
-    val toks = docs.select(key.as("doc_key"), tokens(text).as("w")).cache()
+    val toks = docs.select(key.as("doc_key"), text.as("_text"),
+      tokens(text).as("w")).cache()
+    // positional shingle hashes in one fused native pass
+    // (ngram_pos_hashes; i is 1-based like the token positions below).
+    // The previous explode(sequence)→slice→array_join→md5 pipeline
+    // allocated an n-token string + digest per position — the HOF/
+    // per-position-alloc pitfall ngram_hashes already removed from the
+    // LSH path. The hash is internal (the oracle recomputes sharing
+    // with its own md5), so only equality classes matter.
     val pos = toks
-      .filter(size(col("w")) >= n)
-      .select(col("doc_key"), col("w"),
-        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
-      .select(col("doc_key"), col("i"),
-        md5(array_join(slice(col("w"), col("i"), lit(n)), " ")).as("sh"))
+      .select(col("doc_key"),
+        posexplode(call_function("ngram_pos_hashes", col("_text"), lit(n)))
+          .as(Seq("p0", "sh")))
+      .select(col("doc_key"), (col("p0") + 1).as("i"), col("sh"))
       .cache()
     val carriers = pos.select(col("doc_key"), col("sh")).distinct()
       .groupBy("sh").agg(count(lit(1)).as("nd"))

@@ -199,6 +199,40 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1))
   }
 
+  test("native ngram_pos_hashes: positional parity with the string shingle form") {
+    // element k must equal xxhash64 of the canonical shingle STRING at
+    // 1-based token position k+1 — the byte-range fast path (shingle
+    // bytes ARE the text's own range under single-space splitting) may
+    // not drift from the string hash, including around multi-space
+    // (empty-token) and multibyte-UTF-8 inputs
+    val posh = docs.select(col("doc_id"),
+      posexplode(call_function("ngram_pos_hashes", col("text"), lit(3)))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"), col("h"))
+    val strh = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 2)).as("i"), col("w"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(array_join(slice(col("w"), col("i"), lit(3)), " ")).as("h"))
+    assert(posh.exceptAll(strh).count() == 0 && strh.exceptAll(posh).count() == 0)
+    // edges: empty tokens from double spaces, multibyte chars, short docs
+    import spark.implicits._
+    val edge = Seq((1L, "a  b c"), (2L, "héllo wörld déjà vu"), (3L, "x y"),
+      (4L, "")).toDF("doc_id", "text")
+    val e1 = edge.select(col("doc_id"),
+      posexplode(call_function("ngram_pos_hashes", col("text"), lit(3)))
+        .as(Seq("p0", "h")))
+    val e2 = edge.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("w")) - 3)).as("p0"), col("w"))
+      .select(col("doc_id"), col("p0"),
+        xxhash64(array_join(slice(col("w"), col("p0") + 1, lit(3)), " ")).as("h"))
+    assert(e1.exceptAll(e2).count() == 0 && e2.exceptAll(e1).count() == 0)
+    assert(e1.count() == 2 + 2 + 0 + 0) // "a  b c" has 4 tokens => 2 shingles
+  }
+
   test("electSurvivors: highest quality wins, not lowest id; ties break to lowest id") {
     import spark.implicits._
     val d2 = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
