@@ -159,6 +159,50 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs — the near-superset detector
+    * resemblance metrics structurally miss: a short document quoted
+    * wholesale inside a long one (aggregator pages, quote-reply chains,
+    * boilerplate-wrapped articles) has containment
+    * |sh(A)∩sh(B)| / min(|sh(A)|,|sh(B)|) ≈ 1 while its Jaccard shrinks
+    * with the size ratio (a 40% prefix-quote scores j ≈ 0.4 — under
+    * every practical Jaccard threshold — and c ≈ 1). Minhash-LSH
+    * under-recalls these for the same reason (band collision probability
+    * tracks RESEMBLANCE), so containment runs on the shingle-postings
+    * join itself.
+    *
+    * Scale shape: the postings equi-join is bounded by Σ|posting list|².
+    * `hotCap` makes that linear-ish at corpus scale: shingles carried by
+    * more than `hotCap` documents are ubiquitous boilerplate (the thing
+    * span-removal deletes upstream) and are excluded from the shingle
+    * UNIVERSE — both intersection and sizes — so the metric stays a
+    * true containment over the informative shingles and no posting list
+    * exceeds `hotCap`. `hotCap = None` is the exact small-N/oracle
+    * regime; DedupSpec pins that the capped regime preserves the
+    * planted near-superset pairs on the fixture.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+      hotCap: Option[Int] = None): DataFrame = {
+    val raw = docs
+      .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
+    val sh = hotCap.fold(raw) { cap =>
+      val hot = raw.groupBy("sh").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > cap).select("sh")
+      // broadcast-able by construction: ubiquitous shingles are few
+      raw.join(broadcast(hot), Seq("sh"), "left_anti")
+    }.cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+      .withColumn("containment", col("i") / least(col("sa"), col("sb")))
+      .filter(col("containment") >= threshold)
+      .select(col("da"), col("db"), col("containment"))
+  }
+
   /** Banded-LSH candidate pairs: band the minhash signature (rows-per-band
     * hashes per band), bucket-join on (band, signature). For threshold τ,
     * candidate probability is 1-(1-τ^r)^b; the default r=2,b=16 gives

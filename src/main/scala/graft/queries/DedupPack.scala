@@ -37,6 +37,32 @@ object DedupPack extends QueryPack {
       |  FROM documents WHERE doc_id < $JaccardCap
       |)""".stripMargin
 
+  /** Prefix-quote corpus for the containment gate: each capped doc with
+    * ≥ 10 tokens contributes a "quote" of its first 2·len div 5 + 1
+    * tokens (integer division on BOTH engines — a fractional length
+    * would round differently between Spark's cast and DuckDB's). A
+    * prefix's shingles are all source shingles ⇒ containment exactly
+    * 1.0, Jaccard ~0.4.
+    */
+  private val QuoteCorpus =
+    s"""corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < $JaccardCap
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |         array_to_string(string_split(text, ' ')[1:(2*len(string_split(text, ' '))//5 + 1)], ' ') AS text
+      |  FROM documents
+      |  WHERE doc_id < $JaccardCap AND len(string_split(text, ' ')) >= 10
+      |)""".stripMargin
+
+  private def withQuotes(docs: org.apache.spark.sql.DataFrame) = {
+    val quotes = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 10)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        array_join(expr("slice(w, 1, size(w)*2 div 5 + 1)"), " ").as("text"))
+    docs.unionByName(quotes)
+  }
+
   /** Uncapped mutant corpus for the linear-ish oracles (simhash): the
     * Spark scale paths run the FULL corpus, so their oracles must too.
     */
@@ -140,6 +166,36 @@ object DedupPack extends QueryPack {
               |FROM inter
               |JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
               |WHERE i / (sa.n + sb.n - i) >= 0.5
+              |ORDER BY da, db""".stripMargin)),
+
+    // Asymmetric containment ≥ 0.9 over corpus+prefix-quotes — the
+    // near-superset detector (round 13). The fixture plants the exact
+    // failure mode resemblance misses: each doc's 40%-prefix "quote"
+    // has containment 1.0 against its source (a prefix's shingles are
+    // all source shingles) while its Jaccard is ~0.4 — under the 0.5
+    // bar the jaccard gate uses. DedupSpec pins that jaccardPairs@0.5
+    // misses every planted pair and containmentPairs@0.9 catches all,
+    // and that the hotCap (capped-universe) regime keeps them.
+    QueryDef(
+      "dedup_containment",
+      (s, d) =>
+        Dedup.containmentPairs(withQuotes(
+            T.documents(s, d).filter(col("doc_id") < JaccardCap)
+              .select(col("doc_id"), col("text"))), 3, 0.9)
+          .select(col("da"), col("db"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("da", "db"),
+      Some(s"""WITH $QuoteCorpus, $Shingles,
+              |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT da, db, round(i / least(sa.n, sb.n), 6) AS containment
+              |FROM inter
+              |JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              |WHERE i / least(sa.n, sb.n) >= 0.9
               |ORDER BY da, db""".stripMargin)),
 
     // Persisted LSH index + incremental probe: index the base corpus

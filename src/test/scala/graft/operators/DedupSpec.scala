@@ -233,6 +233,38 @@ class DedupSpec extends SparkSpec {
     assert(e1.count() == 2 + 2 + 0 + 0) // "a  b c" has 4 tokens => 2 shingles
   }
 
+  test("containmentPairs: catches the prefix-quote pairs Jaccard misses; hotCap regime keeps them") {
+    // plant near-supersets: each doc's 40%-prefix as a quote
+    val base = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val quotes = base
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 10)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        array_join(expr("slice(w, 1, size(w)*2 div 5 + 1)"), " ").as("text"))
+    val corpus = base.unionByName(quotes)
+    val planted = quotes.select((col("doc_id") - 2000000).as("da"),
+      col("doc_id").as("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    // containment @0.9 catches every planted pair, at exactly 1.0 (a
+    // prefix's shingles are all source shingles)
+    val got = Dedup.containmentPairs(corpus, 3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(planted.forall(p => got.get(p).contains(1.0)),
+      s"missing/inexact planted pairs: ${planted.filterNot(p => got.get(p).contains(1.0)).take(5)}")
+    // resemblance @0.5 misses every one of them (j ~ 0.4 by construction)
+    val jac = Dedup.jaccardPairs(corpus, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall(!jac.contains(_)),
+      "a planted quote pair cleared the 0.5 Jaccard bar — fixture no longer asymmetric")
+    // capped-universe (scale) regime: ubiquitous-shingle removal must
+    // not lose the planted pairs (their shingles are doc-specific)
+    val capped = Dedup.containmentPairs(corpus, 3, 0.9, hotCap = Some(50))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall(capped.contains),
+      "hotCap regime lost a planted near-superset pair")
+  }
+
   test("electSurvivors: highest quality wins, not lowest id; ties break to lowest id") {
     import spark.implicits._
     val d2 = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
