@@ -175,6 +175,60 @@ object TextOps {
           sum(col("dcnt")).cast(DoubleType), 6).as("typicality"))
   }
 
+  /** Word-bigram STUPID-BACKOFF log-probability — the CCNet-class
+    * reference-model quality filter, and the word-level sibling of
+    * [[lmTypicality]] (char bigrams measure script/orthography
+    * typicality; word bigrams measure phrase fluency against a REFERENCE
+    * corpus, which is how production pipelines actually run the filter:
+    * train on trusted text, score candidates, keep the fluent band).
+    * Unlike [[lmTypicality]]'s self-trained model, `train` and `scored`
+    * are separate — so backoff genuinely fires on unseen bigrams instead
+    * of being dead code.
+    *
+    * Per transition (prev, w) in a scored doc:
+    * `log10(B(prev,w)/U(prev))` when the bigram was seen in train, else
+    * `log10(alpha · (U(w) | 0.5)/T)` (stupid backoff, Brants et al.;
+    * 0.5 is the OOV pseudo-count). Output: (doc_id, n_trans, avg_logp)
+    * with avg_logp = exact-decimal Σlp / n rounded to 6 dp (perplexity
+    * = 10^-avg_logp, monotone — the band thresholds apply directly).
+    *
+    * Scale shape: transitions come from one lag window per doc
+    * (partition-parallel, no self-join); unigram/bigram model tables
+    * join back on high-cardinality keys (w, (pw,w)) — nothing is
+    * broadcast, because a 100 TB reference vocabulary isn't
+    * broadcastable; each lp is a single IEEE expression summed exactly
+    * (the dsum parity pattern), so a SQL oracle reproduces the hash.
+    */
+  def stupidBackoffScore(train: DataFrame, scored: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    import graft.functions.Exact.dsum
+    def toks(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    def transitions(tok: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+      tok.withColumn("pw", lag("w", 1).over(w))
+        .filter(col("pw").isNotNull)
+    }
+    val trainTok = toks(train).cache()
+    val uniCounts = trainTok.groupBy("w").agg(count(lit(1)).as("u"))
+    val total = trainTok.count().toDouble
+    val bgCounts = transitions(trainTok).groupBy(col("pw"), col("w"))
+      .agg(count(lit(1)).as("b"))
+    transitions(toks(scored))
+      .join(bgCounts, Seq("pw", "w"), "left")
+      .join(uniCounts.select(col("w").as("pw"), col("u").as("u_pw")), Seq("pw"), "left")
+      .join(uniCounts, Seq("w"), "left")
+      .withColumn("lp",
+        when(col("b").isNotNull, log10(col("b").cast(DoubleType) / col("u_pw")))
+          .otherwise(log10(coalesce(col("u").cast(DoubleType), lit(0.5)) *
+            (alpha / total))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"),
+        round(dsum(col("lp"), 12) / count(lit(1)), 6).as("avg_logp"))
+  }
+
   /** BM25 retrieval: score every document against a fixed bag of query
     * terms and keep the top k. The inverted structure is implicit: the
     * explode feeds a map-side-combined (doc, term) count, document

@@ -440,6 +440,58 @@ object TextPack extends QueryPack {
              |FROM doc_counts JOIN model USING (bigram)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Word-bigram stupid-backoff LM score (round 13) — the CCNet-class
+    // reference-model fluency filter: model trained on the even-id half
+    // of the corpus, odd-id half scored, so backoff genuinely fires on
+    // unseen bigrams (a self-trained model never backs off). Float
+    // parity via the typicality pattern: each lp is one IEEE expression
+    // (log10 of identical doubles), decimal-summed, round 6.
+    QueryDef(
+      "text_lm_backoff",
+      (s, d) => {
+        val docs = docsOf(s, d)
+        TextOps.stupidBackoffScore(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ttok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents WHERE doc_id % 2 = 0
+             |), uni AS (SELECT w, count(*) AS u FROM ttok GROUP BY w),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ttok),
+             |bgc AS (
+             |  SELECT pw, w, count(*) AS b FROM (
+             |    SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
+             |    FROM ttok) x
+             |  WHERE pw IS NOT NULL GROUP BY pw, w
+             |), stok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents WHERE doc_id % 2 = 1
+             |), sbg AS (
+             |  SELECT doc_id, pw, w FROM (
+             |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
+             |    FROM stok) x
+             |  WHERE pw IS NOT NULL
+             |), lp AS (
+             |  SELECT sbg.doc_id,
+             |         CASE WHEN bgc.b IS NOT NULL
+             |              THEN log10(CAST(bgc.b AS DOUBLE) / up.u)
+             |              ELSE log10(coalesce(CAST(uw.u AS DOUBLE), 0.5)
+             |                         * (CAST(0.4 AS DOUBLE) / tot.t))
+             |         END AS lp
+             |  FROM sbg
+             |  LEFT JOIN bgc ON bgc.pw = sbg.pw AND bgc.w = sbg.w
+             |  LEFT JOIN uni up ON up.w = sbg.pw
+             |  LEFT JOIN uni uw ON uw.w = sbg.w
+             |  CROSS JOIN tot
+             |)
+             |SELECT doc_id, count(*) AS n_trans,
+             |  round(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_logp
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // BM25 retrieval: fixed query bag → per-doc score → top-20. Float
     // parity via the typicality pattern (single IEEE expression per term,
     // decimal sum, round 6); the SQL spells k1+1 as (1.2 + 1.0) so both

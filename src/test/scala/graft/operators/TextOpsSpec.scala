@@ -154,6 +154,32 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(3L).get > 0.5, s"noise ratio ${byId(3L)}")
   }
 
+  test("stupidBackoffScore: fluent text outscores scrambled; backoff fires; short docs absent") {
+    import spark.implicits._
+    // reference model: repeated fluent phrases
+    val train = (1L to 50L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val scored = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // in-distribution
+      (101L, "dog the over quick lazy fox brown the jumps"), // scrambled: unseen bigrams
+      (102L, "zyxw qwerty uiop asdf ghjkl"),                 // OOV everywhere
+      (103L, "single")                                        // <2 tokens: no transitions
+    ).toDF("doc_id", "text")
+    val out = TextOps.stupidBackoffScore(train, scored).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(103L), "a transition-less doc produced a row")
+    assert(out(100L)._1 == 8 && out(101L)._1 == 8)
+    // fluency ordering: in-distribution > scrambled > OOV
+    assert(out(100L)._2 > out(101L)._2,
+      s"scrambled text did not score below fluent: $out")
+    assert(out(101L)._2 > out(102L)._2,
+      s"OOV text did not score lowest: $out")
+    // the scrambled doc's bigrams are unseen but its WORDS are known —
+    // its backoff path must use the unigram counts, landing strictly
+    // above the OOV pseudo-count floor (checked via 102's score above)
+  }
+
   test("urlDedup: variant groups unify, lowest id survives") {
     val docs = Seq(
       (1L, "http://h.com/p?id=1"),
