@@ -100,19 +100,15 @@ object Sampling {
     * shingle instead of the ~50-char string.
     */
   def shingleDigests(df: DataFrame, key: Column, text: Column,
-      n: Int = 8): DataFrame = {
-    val words = df.select(key.as("doc_key"), split(text, " ").as("w"))
-    words
-      .filter(size(col("w")) >= n)
-      // sequence(1, size-n+1) is ascending-safe under the >= n guard
-      // (Spark's sequence(1, 0) would be DESCENDING — the lmTypicality
-      // trap)
-      .select(col("doc_key"), col("w"),
-        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
-      .select(col("doc_key"),
-        md5(array_join(slice(col("w"), col("i"), lit(n)), " ")).as("sh"))
-      .distinct()
-  }
+      n: Int = 8): DataFrame =
+    // one fused native pass (distinct xxhash64 shingle values,
+    // Dedup.shingleHashes) instead of explode(sequence)→slice→
+    // array_join→md5→distinct: the digest is an internal JOIN KEY — the
+    // decontamination gates compare intersection COUNTS, which any
+    // injective keying preserves — so the 32-char md5 string becomes an
+    // 8-byte long through both the distinct and the semi-join shuffle
+    df.select(key.as("doc_key"),
+      explode(graft.operators.Dedup.shingleHashes(text, n)).as("sh"))
 
   /** Benchmark decontamination: count, per training document, how many
     * of its distinct 8-gram shingles also occur anywhere in the
