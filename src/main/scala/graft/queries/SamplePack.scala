@@ -261,6 +261,97 @@ object SamplePack extends QueryPack {
              |WHERE quality >= 0.34 AND boiler_ratio <= 0.25 AND coverage <= 0.6
              |ORDER BY sort_key, doc_id""".stripMargin)),
 
+    // Round-13 curation capstone: the REFERENCE-MODEL funnel — candidate
+    // half of the corpus filtered by quality floor ∧ stupid-backoff
+    // fluency band (model trained on the other half, the trusted
+    // reference) ∧ NOT containment-duplicated (near-superset member
+    // dropped), survivors in deterministic epoch-1 order. One lazy plan
+    // composing the round-13 signals end-to-end, full-formula oracle.
+    QueryDef(
+      "sample_curation_v3",
+      (s, d) => {
+        val all = T.documents(s, d).select(col("doc_id"), col("text"))
+        val ref = all.filter(col("doc_id") % 2 === 0)
+        val cand = all.filter(col("doc_id") % 2 === 1)
+        val lm = graft.operators.TextOps.stupidBackoffScore(ref, cand)
+          .select(col("doc_id"), col("avg_logp"))
+        val q = graft.operators.TextOps.qualityScore(cand)
+        val dupDrop = graft.operators.Dedup.containmentPairs(cand, 3, 0.9)
+          .select(col("db").as("doc_id")).distinct()
+        val kept = q.join(lm, "doc_id")
+          .join(dupDrop, Seq("doc_id"), "left_anti")
+          .filter(col("quality") >= 0.34 && col("avg_logp") >= -1.52)
+        Sampling.epochOrder(kept, col("doc_id"), epoch = 1)
+      },
+      Some("""WITH ttok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents WHERE doc_id % 2 = 0
+             |), uni AS (SELECT w, count(*) AS u FROM ttok GROUP BY w),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ttok),
+             |bgc AS (
+             |  SELECT pw, w, count(*) AS b FROM (
+             |    SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
+             |    FROM ttok) x
+             |  WHERE pw IS NOT NULL GROUP BY pw, w
+             |), stok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents WHERE doc_id % 2 = 1
+             |), sbg AS (
+             |  SELECT doc_id, pw, w FROM (
+             |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
+             |    FROM stok) x
+             |  WHERE pw IS NOT NULL
+             |), lpr AS (
+             |  SELECT sbg.doc_id,
+             |         CASE WHEN bgc.b IS NOT NULL
+             |              THEN log10(CAST(bgc.b AS DOUBLE) / up.u)
+             |              ELSE log10(coalesce(CAST(uw.u AS DOUBLE), 0.5)
+             |                         * (CAST(0.4 AS DOUBLE) / tot.t))
+             |         END AS lp
+             |  FROM sbg
+             |  LEFT JOIN bgc ON bgc.pw = sbg.pw AND bgc.w = sbg.w
+             |  LEFT JOIN uni up ON up.w = sbg.pw
+             |  LEFT JOIN uni uw ON uw.w = sbg.w
+             |  CROSS JOIN tot
+             |), lm AS (
+             |  SELECT doc_id,
+             |    round(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_logp
+             |  FROM lpr GROUP BY doc_id
+             |), lw AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id % 2 = 1
+             |), q AS (
+             |  SELECT doc_id,
+             |    round(least(CAST(len(w) AS DOUBLE)/200.0, 1.0)*0.5
+             |      + CAST(len(list_distinct(w)) AS DOUBLE)/len(w)*0.3
+             |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |              /len(w)*5.0, 1.0)*0.2, 6) AS quality
+             |  FROM lw
+             |), tri AS (
+             |  SELECT DISTINCT doc_id,
+             |         concat_ws(' ', cw,
+             |           lead(cw,1) OVER (PARTITION BY doc_id ORDER BY i),
+             |           lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i)) AS sh
+             |  FROM (SELECT doc_id, w AS cw, i FROM stok) c
+             |  QUALIFY lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+             |), sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+             |dup AS (
+             |  SELECT DISTINCT db AS doc_id FROM (
+             |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS icnt
+             |    FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |    GROUP BY 1, 2) p
+             |  JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db
+             |  WHERE icnt / least(sa.n, sb.n) >= 0.9
+             |)
+             |SELECT doc_id, quality, avg_logp,
+             |       md5('1:' || CAST(doc_id AS VARCHAR)) AS sort_key
+             |FROM q JOIN lm USING (doc_id)
+             |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+             |  AND quality >= 0.34 AND avg_logp >= -1.52
+             |ORDER BY sort_key, doc_id""".stripMargin)),
+
     // Applied mixture: per-document copy counts materializing the plan —
     // floor(weight) epochs + deterministic fractional Bernoulli (Knuth
     // multiplicative draw, integer-exact in both engines). Expectation =
