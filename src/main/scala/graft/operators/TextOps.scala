@@ -371,6 +371,43 @@ object TextOps {
       md5(afterPhone).as("scrubbed_md5"))
   }
 
+  /** HTML-stripping regexes — lookaround-free, shared verbatim with the
+    * RE2 oracle (the [[EmailPattern]] discipline). `(?is)` = DOTALL +
+    * case-insensitive, supported identically by Java regex and RE2;
+    * non-greedy `.*?` keeps each element's strip local.
+    */
+  val HtmlScriptPattern: String = "(?is)<script[^>]*>.*?</script>"
+  val HtmlStylePattern: String = "(?is)<style[^>]*>.*?</style>"
+  val HtmlCommentPattern: String = "(?s)<!--.*?-->"
+  val HtmlTagPattern: String = "(?s)<[^>]*>"
+  val HtmlTitlePattern: String = "(?is)<title[^>]*>(.*?)</title>"
+
+  /** Main-text extraction from raw HTML — the crawl→text ingestion step
+    * (what a WARC response body needs before any quality signal runs).
+    * Fixed order: script and style elements drop WITH their content,
+    * comments drop, remaining tags drop, the finite common entity set
+    * decodes (after tag-stripping, so a decoded `&lt;` stays literal
+    * text and cannot re-open a tag), whitespace runs collapse. Pure
+    * codegen'd regexp/replace chain, map-side, zero shuffles — scan
+    * speed at 100 TB, the [[piiScrub]] shape. Output:
+    * (doc_id, title, clean_text, n_chars).
+    */
+  def htmlExtract(docs: DataFrame, html: Column = col("html")): DataFrame = {
+    val noScript = regexp_replace(html, HtmlScriptPattern, " ")
+    val noStyle = regexp_replace(noScript, HtmlStylePattern, " ")
+    val noComment = regexp_replace(noStyle, HtmlCommentPattern, " ")
+    val noTags = regexp_replace(noComment, HtmlTagPattern, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&copy;" -> "©",
+      "&amp;" -> "&") // &amp; LAST: "&amp;lt;" must yield "&lt;", not "<"
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    docs.select(col("doc_id"),
+      regexp_extract(html, HtmlTitlePattern, 1).as("title"),
+      clean.as("clean_text"),
+      length(clean).cast(LongType).as("n_chars"))
+  }
+
   /** URL canonicalization regexes — lookaround-free, shared verbatim
     * with the RE2 oracle (the [[EmailPattern]] discipline). Replacement
     * strings differ per dialect only in group syntax ($1 vs \1).

@@ -440,6 +440,55 @@ object TextPack extends QueryPack {
              |FROM doc_counts JOIN model USING (bigram)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // HTML main-text extraction (round 13) — the crawl→text ingestion
+    // step: each document wrapped in a deterministic page (title, style,
+    // script with literal < > inside, comment, entity-bearing nav and
+    // footer), then script/style/comment/tag strip + finite entity
+    // decode + whitespace collapse. Regex chain shared verbatim with
+    // the RE2 oracle (the piiScrub discipline); map-side, zero shuffles.
+    QueryDef(
+      "text_html_extract",
+      (s, d) => {
+        val html = docsOf(s, d).select(col("doc_id"), concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style type=\"text/css\">body { color: #333; }</style>"),
+          lit("<script>var n = 1 < 2 && 2 > 1;</script></head>"),
+          lit("<body><!-- nav --><div class=\"nav\">Home &amp; About</div><p>"),
+          col("text"),
+          lit("</p><footer>&copy; 2026 &nbsp;Example</footer></body></html>")
+        ).as("html"))
+        TextOps.htmlExtract(html).orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             |    '</title><style type="text/css">body { color: #333; }</style>' ||
+             |    '<script>var n = 1 < 2 && 2 > 1;</script></head>' ||
+             |    '<body><!-- nav --><div class="nav">Home &amp; About</div><p>' ||
+             |    text ||
+             |    '</p><footer>&copy; 2026 &nbsp;Example</footer></body></html>' AS html
+             |  FROM documents
+             |), s1 AS (
+             |  SELECT doc_id, html,
+             |    regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+             |  FROM h
+             |), s2 AS (SELECT doc_id, html, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+             |s3 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+             |s4 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+             |s5 AS (SELECT doc_id, html,
+             |  replace(replace(replace(replace(replace(replace(replace(t,
+             |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             |    '&nbsp;', ' '), '&copy;', '©'), '&amp;', '&') AS t
+             |  FROM s4
+             |), s6 AS (
+             |  SELECT doc_id, html, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s5
+             |)
+             |SELECT doc_id,
+             |       regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+             |       t AS clean_text,
+             |       CAST(length(t) AS BIGINT) AS n_chars
+             |FROM s6 ORDER BY doc_id""".stripMargin)),
+
     // Word-bigram stupid-backoff LM score (round 13) — the CCNet-class
     // reference-model fluency filter: model trained on the even-id half
     // of the corpus, odd-id half scored, so backoff genuinely fires on

@@ -154,6 +154,33 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(3L).get > 0.5, s"noise ratio ${byId(3L)}")
   }
 
+  test("htmlExtract: element strips, entity decode order, case/injection edges") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<p>plain</p>"),
+      // SCRIPT/STYLE drop WITH content, case-insensitive, attrs allowed
+      (2L, "<SCRIPT type='x'>var a = 1 < 2;</SCRIPT>kept<Style>b{}</Style>"),
+      // comments drop; unclosed tag eats to its '>', never past it
+      (3L, "<!-- hidden -->a<div\nclass='x'>b</div>c"),
+      // decoded &lt; stays literal text (no tag re-opening), and
+      // &amp;lt; decodes to the five chars '&lt;' — not to '<'
+      (4L, "x &lt;script&gt; y &amp;lt; z"),
+      // title extracted, first title wins
+      (5L, "<title>T1</title><title>T2</title>body"),
+      (6L, ""))
+      .toDF("doc_id", "html")
+    val out = TextOps.htmlExtract(rows).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == ("", "plain"))
+    assert(out(2L) == ("", "kept"))
+    assert(out(3L) == ("", "a b c"))
+    assert(out(4L) == ("", "x <script> y &lt; z"))
+    // title CONTENT stays in the text flow (it is content; only tags
+    // strip) — the title COLUMN takes the first title element
+    assert(out(5L)._1 == "T1" && out(5L)._2 == "T1 T2 body")
+    assert(out(6L) == ("", ""))
+  }
+
   test("stupidBackoffScore: fluent text outscores scrambled; backoff fires; short docs absent") {
     import spark.implicits._
     // reference model: repeated fluent phrases
