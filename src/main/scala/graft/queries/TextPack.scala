@@ -47,6 +47,33 @@ object TextPack extends QueryPack {
         .write.format("warcgz").mode("overwrite").save(path)
     }
 
+  /** HTML-page warc.gz fixture: each doc arrives as an HTTP response
+    * whose body is a full page (title, script, entity-bearing footer)
+    * — the CommonCrawl shape the html-curation capstone ingests.
+    */
+  private def warcHtmlFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.util.TempFixtures.dir(s, "warc_html_gz", d) { path =>
+      val httpHdr = lit(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+          .getBytes("US-ASCII"))
+      docsOf(s, d).select(col("doc_id"), col("text"))
+        .repartition(4, col("doc_id"))
+        .select(
+          lit("response").as("warc_type"),
+          concat(lit("http://example.org/page/"), col("doc_id"))
+            .as("target_uri"),
+          concat(lit("<urn:uuid:page-"), col("doc_id"), lit(">"))
+            .as("record_id"),
+          concat(httpHdr, encode(concat(
+            lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+            lit("</title><script>track();</script></head><body><p>"),
+            col("text"),
+            lit("</p><footer>&copy; 2026</footer></body></html>")), "UTF-8"))
+            .as("payload"))
+        .write.format("warcgz").mode("overwrite").save(path)
+    }
+
   // Shared by BOTH WARC ingestion gates (plain and .warc.gz): the
   // recovered bodies must be identical regardless of container layout.
   private val warcIngestOracle: String =
@@ -1008,6 +1035,53 @@ object TextPack extends QueryPack {
               length(col("body")).cast(LongType))).as("body_len"))
           .orderBy("doc_id"),
       Some(warcIngestOracle)),
+
+    // Round-13 capstone: CRAWLED HTML -> CURATED TEXT in one lazy plan —
+    // the CommonCrawl pipeline end-to-end: splittable warc.gz read of
+    // HTML response bodies, main-text extraction (script/entity strip),
+    // quality on the EXTRACTED text, keep verdicts. The oracle states
+    // the expected extraction in CLOSED FORM from the documents table
+    // (the page wrapper is deterministic and the corpus is
+    // whitespace-regular), so any extraction or ingestion byte drift
+    // fails the hash — a stronger check than replaying the strip chain.
+    QueryDef(
+      "text_warc_html_curation",
+      (s, d) => {
+        val pages = graft.sources.Warc.readGzSplits(
+            s, s"${warcHtmlFixture(s, d)}/*.warc.gz", splitSize = 64L << 10)
+          .filter(col("warc_type") === "response")
+          .select(
+            regexp_extract(col("record_id"), "-(\\d+)>$", 1)
+              .cast(LongType).as("doc_id"),
+            col("body").cast(StringType).as("html"))
+        val ext = TextOps.htmlExtract(pages).cache()
+        val q = TextOps.qualityScore(
+          ext.select(col("doc_id"), col("clean_text").as("text")))
+        ext.join(q, "doc_id")
+          .select(col("doc_id"), col("title"), col("n_chars"), col("quality"),
+            (col("quality") >= 0.5).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH x AS (
+             |  SELECT doc_id,
+             |         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+             |         'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+             |           || ' © 2026' AS clean_text
+             |  FROM documents
+             |), qw AS (
+             |  SELECT doc_id, string_split(lower(clean_text), ' ') AS w FROM x
+             |), q AS (
+             |  SELECT doc_id,
+             |    round(least(CAST(len(w) AS DOUBLE) / 200.0, 1.0) * 0.5
+             |      + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.3
+             |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |              / len(w) * 5.0, 1.0) * 0.2, 6) AS quality
+             |  FROM qw
+             |)
+             |SELECT x.doc_id, x.title,
+             |       CAST(length(x.clean_text) AS BIGINT) AS n_chars,
+             |       q.quality, q.quality >= 0.5 AS kept
+             |FROM x JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // Round-11 capstone: WARC ARRIVAL -> CURATED CORPUS in one lazy
     // plan. The splittable reader's recovered bodies feed quality
