@@ -309,6 +309,56 @@ class WarcSpec extends AnyFunSuite {
       "streaming face diverged from the batch scan")
   }
 
+  test("streaming crawl pipeline: arriving HTML archives -> extracted curated text == batch") {
+    // the round-13 capstone's STREAMING face: the same
+    // htmlExtract + qualityScore transforms the batch gate
+    // (text_warc_html_curation) hash-checks run unchanged over
+    // `readStream.format("warcgz")` — arriving crawl segments become
+    // curation verdicts incrementally, exactly once per landed file.
+    val spark = graft.SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc_hs").toFile
+    dir.deleteOnExit()
+    def page(i: Int): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<html><head><title>Doc $i</title><script>t();</script></head>" +
+        s"<body><p>crawl doc number $i body text</p></body></html>")
+        .getBytes("UTF-8")
+    def land(name: String, ids: Range): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        writeGz(ids.map(i => WarcRecord("response", s"http://h/$i",
+          s"<urn:uuid:h-$i>", page(i)))))
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val pages = df.filter(col("warc_type") === "response")
+        .select(regexp_extract(col("record_id"), "-(\\d+)>$", 1)
+          .cast("long").as("doc_id"),
+          col("body").cast("string").as("html"))
+      graft.operators.TextOps.htmlExtract(pages)
+        .select(col("doc_id"), col("title"), col("clean_text"))
+    }
+    land("h1.warc.gz", 0 until 5)
+    val q = curate(spark.readStream.format("warcgz")
+        .load(dir.getAbsolutePath + "/*.warc.gz"))
+      .writeStream.format("memory").queryName("warc_html_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("warc_html_stream").count() == 5)
+    land("h2.warc.gz", 5 until 12)
+    q.processAllAvailable()
+    val stream = spark.table("warc_html_stream")
+    q.stop()
+    assert(stream.count() == 12, "exactly-once per landed segment")
+    // extracted text is correct and identical to the batch pipeline
+    val row = stream.filter(col("doc_id") === 7).head()
+    assert(row.getString(1) == "Doc 7" &&
+      row.getString(2) == "Doc 7 crawl doc number 7 body text")
+    val batch = curate(spark.read.format("warcgz")
+      .load(dir.getAbsolutePath + "/*.warc.gz"))
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0,
+      "streaming curation diverged from the batch pipeline")
+  }
+
   test("DSv2 warcgz write: distributed round-trip through the format") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
