@@ -74,14 +74,21 @@ object TextOps {
     * lexical diversity (type-token ratio), stopword-rate component.
     * The formula is arbitrary but FIXED — reproducibility is the contract.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(lower(col("text")))
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityCol(col("text")).as("quality"))
+
+  /** The quality formula as a COLUMN over any text column — per-row, so
+    * pipelines add it MAP-SIDE instead of joining a derived (doc_id,
+    * quality) frame back onto themselves (a self-join that shuffles the
+    * corpus twice for a row-local computation).
+    */
+  def qualityCol(text: Column): Column = {
+    val toks = tokens(lower(text))
     val nTok = size(toks).cast(DoubleType)
     val ttr = size(array_distinct(toks)).cast(DoubleType) / nTok
     val stopRate = hitCount(toks, stopwords("en")).cast(DoubleType) / nTok
-    docs.select(col("doc_id"),
-      round(least(nTok / 200.0, lit(1.0)) * 0.5 + ttr * 0.3 +
-        least(stopRate * 5.0, lit(1.0)) * 0.2, 6).as("quality"))
+    round(least(nTok / 200.0, lit(1.0)) * 0.5 + ttr * 0.3 +
+      least(stopRate * 5.0, lit(1.0)) * 0.2, 6)
   }
 
   /** Per-document DEFLATE compression ratio — the Gopher/CCNet-class

@@ -1054,12 +1054,13 @@ object TextPack extends QueryPack {
             regexp_extract(col("record_id"), "-(\\d+)>$", 1)
               .cast(LongType).as("doc_id"),
             col("body").cast(StringType).as("html"))
-        val ext = TextOps.htmlExtract(pages).cache()
-        val q = TextOps.qualityScore(
-          ext.select(col("doc_id"), col("clean_text").as("text")))
-        ext.join(q, "doc_id")
-          .select(col("doc_id"), col("title"), col("n_chars"), col("quality"),
-            (col("quality") >= 0.5).as("kept"))
+        // quality as a COLUMN (qualityCol): the whole pipeline —
+        // splittable read → extract → score → verdict — is one map pass
+        // with zero shuffles before the presentation sort
+        TextOps.htmlExtract(pages)
+          .select(col("doc_id"), col("title"), col("n_chars"),
+            TextOps.qualityCol(col("clean_text")).as("quality"))
+          .withColumn("kept", col("quality") >= 0.5)
           .orderBy("doc_id")
       },
       Some("""WITH x AS (
