@@ -333,11 +333,17 @@ object TextOps {
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 60-bit numeric bucket key for range-partitioned storage.
     */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
-    docs.select(col("doc_id"), md5(norm).as("fp"),
-      conv(substring(md5(norm), 1, 15), 16, 10).cast(LongType).as("fp_bucket"))
-  }
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprintCol(col("text")).as("fp"),
+      conv(substring(fingerprintCol(col("text")), 1, 15), 16, 10)
+        .cast(LongType).as("fp_bucket"))
+
+  /** The whitespace-normalized content fingerprint as a COLUMN — the
+    * [[qualityCol]] rationale: row-local, so pipelines compute it
+    * map-side instead of self-joining a derived frame.
+    */
+  def fingerprintCol(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
 
   /** PII patterns — deliberately lookaround-free and ASCII so the SAME
     * pattern runs identically under Java regex (engine) and RE2 (DuckDB

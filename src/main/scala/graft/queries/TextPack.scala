@@ -1101,12 +1101,15 @@ object TextPack extends QueryPack {
             regexp_extract(col("record_id"), "-(\\d+)>$", 1)
               .cast(LongType).as("doc_id"),
             col("body").cast(StringType).as("text"))
-          // the decoded corpus feeds three derivations — score it once
+          // quality and fingerprint are ROW-LOCAL (qualityCol /
+          // fingerprintCol) — compute both in the decode pass; cached
+          // because the survivor election re-reads the scored frame
+          .withColumn("quality", TextOps.qualityCol(col("text")))
+          .withColumn("fp", TextOps.fingerprintCol(col("text")))
           .cache()
-        val q = TextOps.qualityScore(docs)
-        val fp = TextOps.fingerprint(docs).select(col("doc_id"), col("fp"))
-        val surv = fp.groupBy("fp").agg(min(col("doc_id")).as("survivor"))
-        docs.join(q, "doc_id").join(fp, "doc_id").join(surv, "fp")
+        // the ONE real aggregation: lowest doc per fingerprint class
+        val surv = docs.groupBy("fp").agg(min(col("doc_id")).as("survivor"))
+        docs.join(surv, "fp")
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
             col("quality"),
