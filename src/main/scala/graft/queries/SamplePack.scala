@@ -214,12 +214,16 @@ object SamplePack extends QueryPack {
       "sample_curation_v2",
       (s, d) => {
         val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-        val q = graft.operators.TextOps.qualityScore(docs)
         val br = graft.operators.TextOps.boilerplate(docs, segWords = 5, minDocs = 2)
           .select(col("doc_id"), col("boiler_ratio"))
         val cv = graft.operators.Dedup.spanCoverage(docs, col("doc_id"), col("text"), 8)
           .select(col("doc_key").as("doc_id"), col("coverage"))
-        val kept = q.join(br, "doc_id").join(cv, "doc_id")
+        // quality rides the scan as a column (row-local); only the two
+        // corpus-level aggregations join
+        val kept = docs
+          .select(col("doc_id"),
+            graft.operators.TextOps.qualityCol(col("text")).as("quality"))
+          .join(br, "doc_id").join(cv, "doc_id")
           .filter(col("quality") >= 0.34 &&
             col("boiler_ratio") <= 0.25 && col("coverage") <= 0.6)
         Sampling.epochOrder(kept, col("doc_id"), epoch = 1)
@@ -435,14 +439,15 @@ object SamplePack extends QueryPack {
       (s, d) => {
         import graft.operators.TextOps
         val docs = T.documents(s, d)
-        val quality = TextOps.qualityScore(docs).filter(col("quality") >= 0.35)
         val unflagged = TextOps.repetitionSignals(docs)
           .filter(!col("flagged")).select("doc_id")
         val survivors = TextOps.fingerprint(docs)
           .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
+        // quality is row-local (qualityCol): a map-side filter, not a
+        // third join; the two remaining joins are real aggregations
         val kept = docs
-          .join(quality.select("doc_id"), "doc_id")
+          .filter(TextOps.qualityCol(col("text")) >= 0.35)
           .join(unflagged, "doc_id")
           .join(survivors, "doc_id")
         val sampled = Sampling.bernoulli(kept, col("doc_id"), 0.6)
