@@ -524,13 +524,13 @@ object SamplePack extends QueryPack {
       (s, d) => {
         import graft.operators.TextOps
         val docs = T.documents(s, d)
-        val q = TextOps.qualityScore(docs).select(col("doc_id"),
-          (col("quality") >= 0.35).as("ok_q"))
         val surv = TextOps.fingerprint(docs)
           .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"), lit(true).as("ok_fp"))
-        docs.select(col("doc_id"), col("source"))
-          .join(q, "doc_id")
+        // quality verdict rides the scan (row-local qualityCol); the
+        // survivor election is the funnel's only join
+        docs.select(col("doc_id"), col("source"),
+            (TextOps.qualityCol(col("text")) >= 0.35).as("ok_q"))
           .join(surv, Seq("doc_id"), "left")
           .withColumn("ok_fp", coalesce(col("ok_fp"), lit(false)))
           .withColumn("ok_bern",
