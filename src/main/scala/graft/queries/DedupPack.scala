@@ -198,6 +198,42 @@ object DedupPack extends QueryPack {
               |WHERE i / least(sa.n, sb.n) >= 0.9
               |ORDER BY da, db""".stripMargin)),
 
+    // The containment SCALE regime as its own hash-checked gate: the
+    // capped universe (shingles carried by more than hotCap documents
+    // excluded from intersection AND sizes) is fully SQL-expressible,
+    // so the regime that actually runs at corpus scale gets the same
+    // oracle treatment as the exact one — the pruned-IVF-gate move.
+    // hotCap=3 on this fixture genuinely drops shared shingles (any
+    // 3-gram carried by a doc, its mutant, a quote and one more doc),
+    // so the gate fails if the cap filter leaks into only one of the
+    // two legs.
+    QueryDef(
+      "dedup_containment_capped",
+      (s, d) =>
+        Dedup.containmentPairs(withQuotes(
+            T.documents(s, d).filter(col("doc_id") < JaccardCap)
+              .select(col("doc_id"), col("text"))), 3, 0.9,
+            hotCap = Some(3))
+          .select(col("da"), col("db"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("da", "db"),
+      Some(s"""WITH $QuoteCorpus, $Shingles,
+              |keep AS (
+              |  SELECT sh FROM (SELECT sh, count(*) AS nd FROM tri GROUP BY sh)
+              |  WHERE nd <= 3
+              |), uni AS (SELECT tri.doc_id, tri.sh FROM tri JOIN keep USING (sh)),
+              |sz AS (SELECT doc_id, count(*) AS n FROM uni GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              |  FROM uni a JOIN uni b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT da, db, round(i / least(sa.n, sb.n), 6) AS containment
+              |FROM inter
+              |JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              |WHERE i / least(sa.n, sb.n) >= 0.9
+              |ORDER BY da, db""".stripMargin)),
+
     // Persisted LSH index + incremental probe: index the base corpus
     // once (band-partitioned), then near-dup-check a NEW batch (the
     // mutants) against it without re-minhashing the corpus — the
