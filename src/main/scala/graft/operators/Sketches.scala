@@ -38,6 +38,67 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Deterministic HyperLogLog distinct count per group — the
+    * [[countMin]] rationale applied to CARDINALITY: md5-derived value
+    * hashes (spelled exactly as the SQL oracle spells them), integer
+    * register maxima (merge = max: commutative, idempotent — the
+    * sketch is merge-order-free AND retry/duplicate-safe), and an
+    * estimator computed from an INTEGER register sum
+    * (Σ 2^(49−reg) ≤ m·2^49 < 2^61, exact in a BIGINT regardless of
+    * aggregation order), so every estimate hash-checks against an
+    * exact SQL replay. The only float ops are the final
+    * constant·2^49/S′ division and the linear-counting ln — identical
+    * single IEEE expressions on both engines, rounded to 4 dp.
+    *
+    * Standard HLL (Flajolet et al.), b=12 (m=4096) over the 60-bit
+    * md5-derived hash: bucket = first 3 hex digits, rho = leading-zero
+    * count of the 48-bit suffix + 1, derived from HEX DIGITS (a
+    * regexp leading-zeros count + a 16-way nibble CASE) — no log2 on
+    * either engine, so there is no cross-engine floating-point floor
+    * hazard in the registers. rho(0) = 49 by convention. Small-range
+    * branch = linear counting below 2.5·m when empty registers exist;
+    * the large-range correction is omitted (it matters near 2^60/30).
+    *
+    * Scale shape: one explode pass → (group, bucket) max-aggregate —
+    * the shuffle carries ≤ |groups|·m register rows, constant in
+    * corpus size.
+    */
+  def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val m = 4096
+    val hex = md5(value.cast("string"))
+    val bucket = conv(substring(hex, 1, 3), 16, 10).cast(LongType)
+    val suffix = substring(hex, 4, 12) // 48 bits
+    val z0 = length(regexp_extract(suffix, "^0*", 0)) // whole-zero nibbles
+    val firstNz = suffix.substr(z0 + 1, lit(1))
+    val nibbleZeros = when(firstNz === "", lit(0)) // all-zero suffix: rho = 48+0+1
+      .when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = (z0 * 4 + nibbleZeros + 1).cast(LongType)
+    val regs = df
+      .select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("grp", "bucket").agg(max(col("rho")).as("reg"))
+    // integer-exact Σ 2^(49−reg) over PRESENT buckets; absent buckets
+    // contribute 2^49 each (reg = 0)
+    val perGroup = regs.groupBy("grp")
+      .agg(count(lit(1)).as("npresent"),
+        sum(expr("shiftleft(1L, cast(49 - reg AS int))")).as("sp"))
+      .select(col("grp"),
+        (col("sp") + (lit(m.toLong) - col("npresent")) * lit(1L << 49))
+          .as("sprime"),
+        (lit(m.toLong) - col("npresent")).as("vzero"))
+    // alpha·m²·2^49 spelled as one literal chain — the oracle spells the
+    // identical chain so both engines fold the same doubles
+    val c = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)) *
+      lit(4096.0) * lit(4096.0) * lit(562949953421312.0)
+    val raw = c / col("sprime").cast("double")
+    val est = when(raw <= lit(2.5 * m) && col("vzero") > 0,
+      lit(4096.0) * log(lit(4096.0) / col("vzero").cast("double")))
+      .otherwise(raw)
+    perGroup.select(col("grp"), round(est, 4).as("hll_est"))
+  }
+
   /** Point estimates for `words` against a [[countMin]] sketch:
     * est(w) = min over rows of cell(r, h_r(w)) — the standard CMS
     * query, still fully deterministic. Absent cells count 0.

