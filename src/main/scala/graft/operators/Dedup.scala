@@ -187,8 +187,13 @@ object Dedup {
     val sh = hotCap.fold(raw) { cap =>
       val hot = raw.groupBy("sh").agg(count(lit(1)).as("nd"))
         .filter(col("nd") > cap).select("sh")
-      // broadcast-able by construction: ubiquitous shingles are few
-      raw.join(broadcast(hot), Seq("sh"), "left_anti")
+      // NO forced broadcast: ubiquitous shingles are usually few, but a
+      // dup-heavy corpus with a small cap can make `hot` corpus-sized —
+      // the anti-join shuffles on the high-cardinality shingle key and
+      // the planner may still broadcast from OBSERVED size (the
+      // minedNegativesIvf lesson: never hard-code a broadcast of a side
+      // whose size scales with the data)
+      raw.join(hot, Seq("sh"), "left_anti")
     }.cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
