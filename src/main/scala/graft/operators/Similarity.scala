@@ -274,11 +274,14 @@ object Similarity {
   /** IVF top-k: assign each query to its `nprobe` nearest centroids, scan
     * only corpus rows in those cells. Approximate (recall < 1 when true
     * neighbors live outside probed cells) — pair with a recall test vs
-    * [[topKBruteForce]].
+    * [[topKBruteForce]]. Query-side join is TWO-REGIME like
+    * [[minedNegativesIvf]]: an all-pairs kNN-graph build probes with the
+    * whole corpus, and that query set must never be hard-broadcast.
     */
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
       ncells: Int = 8, nprobe: Int = 2, scale: Int = 5,
-      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+      index: Option[(DataFrame, DataFrame)] = None,
+      queryBroadcastCap: Int = 1 << 16): DataFrame = {
     val (assigned, cents) = index.getOrElse(ivfIndex(corpus, ncells))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc, col("cell"))
@@ -287,9 +290,13 @@ object Similarity {
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
+    val small = queries.limit(queryBroadcastCap + 1).count() <= queryBroadcastCap
+    val candidates =
+      if (small) assigned.join(broadcast(probes), Seq("cell"))
+      else assigned.join(probes, Seq("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    candidates
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("qvec"), col("embedding")), scale))
       .withColumn("rank", row_number().over(w))

@@ -242,6 +242,17 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(3) == b, s"score drift at ${(r.getLong(0), r.getLong(2))}")
   }
 
+  test("topKIvf: shuffle regime (queries above broadcast cap) is row-identical") {
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val idx = Similarity.ivfIndex(corpus, ncells = 8)
+    val bc = Similarity.topKIvf(corpus, queries, 10, index = Some(idx))
+    val sh = Similarity.topKIvf(corpus, queries, 10, index = Some(idx),
+      queryBroadcastCap = 0)
+    assert(sh.exceptAll(bc).isEmpty && bc.exceptAll(sh).isEmpty,
+      "query-join regimes diverged")
+  }
+
   test("minedNegativesIvf: shuffle regime (probes above broadcast cap) is row-identical") {
     val base = corpus.select(col("vec_id"), col("embedding"))
     val probes = base.filter(col("vec_id") % 25 === 0)
