@@ -57,6 +57,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.L1DistExpr(children.head, children(1))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("hll_bucket_rho"),
+      new ExpressionInfo("graft.functions.HllHashExpr", null, "hll_bucket_rho",
+        "hll_bucket_rho(s) - md5-derived HyperLogLog register coordinates " +
+          "packed as bucket << 6 | rho; bit-identical to the hex-chain " +
+          "spelling but computed from digest bytes (no regexp/conv per row).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "hll_bucket_rho expects exactly one argument")
+        graft.functions.HllHashExpr(children.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_ngram_bucket_rho"),
+      new ExpressionInfo("graft.functions.HllNgramExpr", null,
+        "hll_ngram_bucket_rho",
+        "hll_ngram_bucket_rho(text, n) - packed HLL (bucket << 6 | rho) per " +
+          "word n-gram position, md5 over the text's own byte ranges (no " +
+          "shingle-string allocation; values == hll_bucket_rho(shingle)).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "hll_ngram_bucket_rho expects two arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hll_ngram_bucket_rho: n must be an int literal, got $other")
+        }
+        graft.functions.HllNgramExpr(children.head, n)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo("graft.functions.SimHash60Expr", null, "simhash60",
         "simhash60(text) - 60-bit SimHash of the whitespace token multiset " +

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over document/embedding graphs — the link-graph
+  * quality signal of web-scale curation (Common Crawl publishes
+  * harmonic-centrality / PageRank rankings per crawl; curation
+  * pipelines use them as a source-quality prior). The graph here is
+  * whatever edge set the caller brings: a hyperlink graph, or the
+  * kNN graph [[Similarity.topKIvf]] builds over embeddings.
+  *
+  * Determinism contract (the engine-wide parity pattern): every
+  * per-edge contribution is a single IEEE expression, per-node sums
+  * run in exact decimal (order-free), and each iteration's rank is
+  * rounded to a fixed scale before the next — so the whole fixed-point
+  * unrolls into arithmetic a SQL oracle replays bit-for-bit.
+  *
+  * 100 TB design: a FIXED number of iterations unrolls into ONE lazy
+  * plan — each iteration is a (rank ⋈ edges) shuffle on src plus a
+  * groupBy dst; nothing is collected, and the rank frame stays
+  * (node, double). At web-graph scale you checkpoint every few
+  * iterations to cut lineage, pre-partition edges by src so every
+  * iteration reuses the same partitioning, and stop when the rounded
+  * ranks stop moving (the rounding gives a natural fixed-point test).
+  */
+object Graph {
+
+  /** PageRank with damping `d` over a directed edge list (src, dst).
+    * Dangling mass is redistributed uniformly each iteration (the
+    * standard correction — without it rank leaks and the total stops
+    * summing to 1). Nodes = every id appearing as src or dst. Output:
+    * (node, pr) with pr rounded to `scale` dp.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3, d: Double = 0.85,
+      scale: Int = 12): DataFrame = {
+    import graft.functions.Exact.dsum
+    // cache the edge list ONCE with its out-degree attached: every
+    // iteration joins it, the caller's edge plan may itself be expensive
+    // (the kNN build costs more than all three iterations together), and
+    // folding deg onto the edge removes a rank ⋈ outdeg join per
+    // iteration. At web scale this is the standard iterative-graph
+    // move: persist (or checkpoint) edges once, pre-partitioned by src,
+    // and every iteration reuses the same partitioning.
+    val e0 = edges.select(col("src"), col("dst"))
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = e0.join(outdeg, "src").cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    // dangling nodes (no out-edges) need their mass redistributed each
+    // iteration — a per-iteration global agg + broadcast. Most real
+    // graphs here (kNN: every node queries) have NONE, and x + 0.0 is
+    // IEEE-identity, so probe once (bounded) and skip the term entirely
+    // when it cannot contribute: three broadcast jobs saved per run.
+    // out-edge owners read from the CACHED e, not outdeg: outdeg's plan
+    // hangs off the raw caller edges, and the caller's edge plan may be
+    // the expensive part (a kNN build) — referencing it here would
+    // compute it a second time just for the probe.
+    val hasDangling = nodes
+      .join(e.select(col("src").as("node")), Seq("node"), "left_anti")
+      .limit(1).count() > 0
+    // n as a broadcast 1-row frame — the plan stays lazy, no driver count
+    val nRow = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
+    // (node, n) off the CACHED node list: every iteration's "all nodes"
+    // side reads this, not the previous rank — so each unrolled iteration
+    // references the prior rank exactly ONCE (via contrib) and the lazy
+    // plan grows LINEARLY in iterations, not 2^iterations. (The dangling
+    // regime needs rank twice — contrib + dangling mass — so there we
+    // cache the per-iteration rank: one tiny (node, pr) frame, the same
+    // thing the web-scale checkpoint would persist.)
+    val nodesN = nodes.crossJoin(nRow)
+    var rank = nodesN
+      .select(col("node"), round(lit(1.0) / col("n"), scale).as("pr"))
+    for (_ <- 1 to iterations) {
+      val prev = if (hasDangling) rank.cache() else rank
+      // mass arriving over edges: contribution = pr/deg, one IEEE divide
+      val contrib = e
+        .join(prev.select(col("node").as("src"), col("pr")), "src")
+        .select(col("dst").as("node"),
+          (col("pr") / col("deg").cast("double")).as("c"))
+        .groupBy("node")
+        .agg(dsum(col("c"), scale + 3).as("m"))
+      val next = nodesN.join(contrib, Seq("node"), "left")
+      rank =
+        if (hasDangling) {
+          val dangling = broadcast(prev
+            .join(e.select(col("src").as("node")), Seq("node"), "left_anti")
+            .agg(coalesce(dsum(col("pr"), scale + 3), lit(0.0)).as("dm")))
+          next.crossJoin(dangling)
+            .select(col("node"),
+              round(lit(1.0 - d) / col("n") +
+                lit(d) * (coalesce(col("m"), lit(0.0)) + col("dm") / col("n")),
+                scale).as("pr"))
+        } else {
+          next.select(col("node"),
+            round(lit(1.0 - d) / col("n") +
+              lit(d) * coalesce(col("m"), lit(0.0)),
+              scale).as("pr"))
+        }
+    }
+    rank
+  }
+}

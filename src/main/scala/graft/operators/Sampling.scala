@@ -129,6 +129,70 @@ object Sampling {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** SURGICAL decontamination — the rewrite sibling of [[decontaminate]]:
+    * instead of dropping a contaminated document wholesale, cut exactly
+    * the tokens covered by an n-gram that occurs anywhere in the
+    * benchmark corpus, and keep the rest (the Dolma/RedPajama-style
+    * span-level scrub; a long document with one quoted eval question
+    * loses the quote, not its training mass). Output per training doc:
+    * token count, removed-token count, md5 of the scrubbed text — the
+    * [[graft.operators.Dedup.removeSharedSpans]] contract, with
+    * "shared with another training doc" replaced by "present in the
+    * benchmark".
+    *
+    * Mechanics: positional shingle hashes of the training side
+    * (`ngram_pos_hashes`, one fused native pass, hash-parity with
+    * `ngram_hashes` pinned in NGramHashSpec) join the benchmark's
+    * distinct shingle set; each hit covers positions [i, i+n-1]; kept
+    * tokens reassemble in position order inside one aggregate. Shuffles
+    * carry 8-byte hashes and (doc, position) pairs, never text.
+    *
+    * TWO-REGIME: a benchmark whose distinct-shingle set stays within
+    * `benchBroadcastCap` rows broadcasts it (eval sets are bounded by
+    * contract — the common case); above the cap nothing is broadcast
+    * and the hit join shuffles on the 8-byte shingle key (uniform by
+    * construction: xxhash64 values). The regime probe is one bounded
+    * `limit(cap + 1)` count. SamplingSpec pins both regimes identical.
+    */
+  def scrubContaminatedSpans(train: DataFrame, benchmark: DataFrame,
+      key: Column, text: Column, n: Int = 8,
+      benchBroadcastCap: Int = 1 << 22): DataFrame = {
+    val toks = train.select(key.as("doc_key"), text.as("_text"),
+      graft.operators.Dedup.tokens(text).as("w")).cache()
+    val pos = toks
+      .select(col("doc_key"),
+        posexplode(call_function("ngram_pos_hashes", col("_text"), lit(n)))
+          .as(Seq("p0", "sh")))
+      .select(col("doc_key"), (col("p0") + 1).as("i"), col("sh"))
+    val benchSh = benchmark
+      .select(explode(graft.operators.Dedup.shingleHashes(text, n)).as("sh"))
+      .distinct()
+    val small =
+      benchSh.limit(benchBroadcastCap + 1).count() <= benchBroadcastCap
+    val hits =
+      if (small) pos.join(broadcast(benchSh), "sh")
+      else pos.join(benchSh, "sh")
+    val covered = hits
+      .select(col("doc_key"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+    val tokenRows = toks.select(col("doc_key"),
+      posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_key"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = tokenRows.join(covered, Seq("doc_key", "p"), "left_anti")
+    val stats = tokenRows.groupBy("doc_key")
+      .agg(count(lit(1)).as("n_tokens"))
+    val cleaned = kept.groupBy("doc_key")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ")).as("cleaned_md5"))
+    stats.join(cleaned, Seq("doc_key"), "left")
+      .select(col("doc_key"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
   /** SEMANTIC decontamination — the embedding-level sibling of
     * [[decontaminate]]: flag training vectors whose max cosine against
     * ANY benchmark vector reaches the threshold, catching the
@@ -418,5 +482,54 @@ object Sampling {
         round((col("w").cast("double") / col("tot_w").cast("double")) /
           (col("n_toks").cast("double") / col("tot_toks").cast("double")),
           6).as("boost"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by the log-likelihood ratio of its hashed word-bigram
+    * features under the TARGET corpus' feature distribution vs the RAW
+    * corpus' own — the published recipe for "select web data that looks
+    * like the trusted corpus". Per feature bucket b:
+    * `log10((ct_b+1)/(T+B)) − log10((cr_b+1)/(R+B))` (add-one
+    * smoothing, B = bucket count); per doc, the exact-decimal mean of
+    * its features' ratios rounded to 6 dp — the
+    * [[graft.operators.TextOps.stupidBackoffScore]] parity pattern, so
+    * a SQL oracle reproduces the hash. Selection composes downstream
+    * (threshold, [[exactK]] by weight, or a hash-Bernoulli with
+    * weight-scaled rate).
+    *
+    * Scale shape — the whole point of HASHED features (and why this
+    * needs no two-regime switch): both count tables are ≤ `buckets`
+    * rows BY CONSTRUCTION no matter the corpus size, so they always
+    * broadcast; the raw side streams through map-side against them.
+    * Bigrams come from one lag window per doc (partition-parallel);
+    * the only corpus-sized shuffle is that window's partition by doc.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, key: Column,
+      text: Column, buckets: Int = 8192): DataFrame = {
+    import graft.functions.Exact.dsum
+    def feats(docs: DataFrame): DataFrame = {
+      val w = Window.partitionBy("doc_key").orderBy("i")
+      docs.select(key.as("doc_key"), posexplode(split(text, " ")).as(Seq("i", "w")))
+        .withColumn("pw", lag("w", 1).over(w))
+        .filter(col("pw").isNotNull)
+        .select(col("doc_key"),
+          (conv(substring(md5(concat_ws(" ", col("pw"), col("w"))), 1, 8), 16, 10)
+            .cast("long") % buckets).as("b"))
+    }
+    val tf = feats(target)
+    val rf = feats(raw).cache()
+    val ct = tf.groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = rf.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tTot = tf.count().toDouble + buckets
+    val rTot = rf.count().toDouble + buckets
+    rf.join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b")) // cr present: every raw feature counted
+      .withColumn("lr",
+        log10((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") / tTot) -
+          log10((col("cr") + lit(1L)).cast("double") / rTot))
+      .groupBy("doc_key")
+      .agg(count(lit(1)).as("n_feats"),
+        round(dsum(col("lr"), 12) / count(lit(1)), 6).as("dsir_score"))
   }
 }

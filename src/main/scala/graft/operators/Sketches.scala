@@ -63,22 +63,44 @@ object Sketches {
     * the shuffle carries ≤ |groups|·m register rows, constant in
     * corpus size.
     */
-  def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame = {
-    val m = 4096
-    val hex = md5(value.cast("string"))
-    val bucket = conv(substring(hex, 1, 3), 16, 10).cast(LongType)
-    val suffix = substring(hex, 4, 12) // 48 bits
-    val z0 = length(regexp_extract(suffix, "^0*", 0)) // whole-zero nibbles
-    val firstNz = suffix.substr(z0 + 1, lit(1))
-    val nibbleZeros = when(firstNz === "", lit(0)) // all-zero suffix: rho = 48+0+1
-      .when(firstNz === "1", 3)
-      .when(firstNz.isin("2", "3"), 2)
-      .when(firstNz.isin("4", "5", "6", "7"), 1)
-      .otherwise(0)
-    val rho = (z0 * 4 + nibbleZeros + 1).cast(LongType)
-    val regs = df
-      .select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
+  def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame =
+    hllEstimate(hllRegisters(df, group, value))
+
+  /** The register half of [[hllDistinct]]: (grp, bucket, reg) with
+    * reg = max rho per bucket. ONE aggregation whose combiner is `max` —
+    * exactly the shape Structured Streaming supports statefully, which
+    * is why it is split out: a windowed stream maintains these registers
+    * incrementally (graft.streaming.EventStreams.hllUserRegisters) and
+    * [[hllEstimate]] reads them at query time. State per group is
+    * bounded by m = 4096 rows no matter how many values arrive.
+    */
+  def hllRegisters(df: DataFrame, group: Column, value: Column): DataFrame = {
+    // (bucket, rho) in one native codegen'd digest pass — bit-identical
+    // to the hex-chain spelling the SQL oracle replays (conv(substr(
+    // md5,1,3)) bucket; leading-zero-nibble regexp + nibble CASE rho),
+    // without the per-row hex encode/regexp/conv walk. This is the
+    // scan-rate path; the estimates still hash-check against the
+    // hex-spelled oracle because the registers are equal, and
+    // SketchesSpec pins packed parity against the chain directly.
+    hllRegistersPacked(df, group,
+      call_function("hll_bucket_rho", value.cast("string")))
+  }
+
+  /** [[hllRegisters]] from an already-packed (bucket << 6 | rho) column
+    * (e.g. exploded `hll_ngram_bucket_rho` values — the fused n-gram
+    * path that never allocates shingle strings).
+    */
+  def hllRegistersPacked(df: DataFrame, group: Column, packed: Column): DataFrame =
+    df.select(group.as("grp"), shiftright(packed, 6).as("bucket"),
+        packed.bitwiseAND(lit(63L)).as("rho"))
       .groupBy("grp", "bucket").agg(max(col("rho")).as("reg"))
+
+  /** The estimator half of [[hllDistinct]] over a (grp, bucket, reg)
+    * register table — see hllDistinct's scaladoc for the integer-exact
+    * construction.
+    */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = 4096
     // integer-exact Σ 2^(49−reg) over PRESENT buckets; absent buckets
     // contribute 2^49 each (reg = 0)
     val perGroup = regs.groupBy("grp")

@@ -139,6 +139,111 @@ object SamplePack extends QueryPack {
              |FROM sg JOIN bench USING (sh) WHERE doc_id % 10 <> 0
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // DSIR importance weights (round 13): Xie et al.'s hashed-n-gram
+    // importance resampling — the published "select web data that looks
+    // like the trusted corpus" recipe. Target = the en documents; every
+    // doc scored by the log-likelihood ratio of its hashed word-bigram
+    // buckets under target vs raw counts (add-one smoothed), averaged
+    // via the exact-decimal parity pattern. Count tables are ≤ 8192
+    // rows BY CONSTRUCTION (the hashed-feature trick) so they broadcast
+    // at any corpus scale.
+    QueryDef(
+      "sample_dsir_weights",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"),
+            col("doc_id"), col("text"))
+          .withColumnRenamed("doc_key", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH rtok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents
+             |), rbg AS (
+             |  SELECT doc_id,
+             |         CAST(('0x' || substr(md5(concat(pw, ' ', w)), 1, 8)) AS BIGINT)
+             |           % 8192 AS b
+             |  FROM (SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
+             |        FROM rtok) x
+             |  WHERE pw IS NOT NULL
+             |), ttok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents WHERE lang = 'en'
+             |), tbg AS (
+             |  SELECT CAST(('0x' || substr(md5(concat(pw, ' ', w)), 1, 8)) AS BIGINT)
+             |           % 8192 AS b
+             |  FROM (SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
+             |        FROM ttok) x
+             |  WHERE pw IS NOT NULL
+             |), ct AS (SELECT b, count(*) AS ct FROM tbg GROUP BY b),
+             |cr AS (SELECT b, count(*) AS cr FROM rbg GROUP BY b),
+             |tt AS (SELECT CAST(count(*) AS DOUBLE) + 8192 AS t FROM tbg),
+             |rt AS (SELECT CAST(count(*) AS DOUBLE) + 8192 AS r FROM rbg),
+             |lr AS (
+             |  SELECT rbg.doc_id,
+             |    log10(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / tt.t)
+             |      - log10(CAST(cr.cr + 1 AS DOUBLE) / rt.r) AS lr
+             |  FROM rbg LEFT JOIN ct USING (b) JOIN cr USING (b)
+             |  CROSS JOIN tt CROSS JOIN rt
+             |)
+             |SELECT doc_id, count(*) AS n_feats,
+             |  round(CAST(SUM(CAST(lr AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+             |    AS dsir_score
+             |FROM lr GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // SURGICAL decontamination (round 13): instead of dropping a
+    // contaminated doc, cut exactly the tokens covered by a benchmark
+    // 8-gram and keep the rest — the Dolma-style span scrub. Same
+    // fixture split as sample_decontaminate; the oracle replays the
+    // REWRITE itself (covered positions → kept tokens → cleaned-text
+    // md5), so a span boundary off by one token fails the hash.
+    QueryDef(
+      "sample_decontaminate_scrub",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Sampling.scrubContaminatedSpans(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            col("doc_id"), col("text"))
+          .withColumnRenamed("doc_key", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text,' ') AS w FROM documents
+             |), posx AS (
+             |  SELECT doc_id, i, md5(array_to_string(w[i:i+7],' ')) AS sh
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
+             |        FROM w WHERE len(w) >= 8)
+             |), bench AS (
+             |  SELECT DISTINCT sh FROM posx WHERE doc_id % 10 = 0
+             |), cov AS (
+             |  SELECT DISTINCT doc_id, p FROM (
+             |    SELECT doc_id, unnest(generate_series(i, i+7)) AS p
+             |    FROM posx JOIN bench USING (sh) WHERE doc_id % 10 <> 0)
+             |), tok AS (
+             |  SELECT doc_id, p, w[p] AS tok
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p
+             |        FROM w WHERE doc_id % 10 <> 0)
+             |), kept AS (
+             |  SELECT t.doc_id, t.p, t.tok FROM tok t
+             |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+             |  WHERE c.p IS NULL
+             |), stats AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+             |  FROM tok GROUP BY doc_id
+             |), cl AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |         md5(string_agg(tok, ' ' ORDER BY p)) AS m
+             |  FROM kept GROUP BY doc_id
+             |)
+             |SELECT s.doc_id, s.n_tokens,
+             |  s.n_tokens - coalesce(cl.n_kept, CAST(0 AS BIGINT)) AS n_removed,
+             |  coalesce(cl.m, md5('')) AS cleaned_md5
+             |FROM stats s LEFT JOIN cl USING (doc_id)
+             |ORDER BY s.doc_id""".stripMargin)),
+
     // Semantic decontamination: training vectors whose max cosine vs
     // the benchmark subset (vec_id % 25 = 0 plays the eval set)
     // reaches 0.3 — the paraphrase-level complement of the 8-gram

@@ -153,6 +153,42 @@ object SimilarityPack extends QueryPack {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The full pruned-kNN-graph replay as a CTE chain ending in
+    * `knn(query_id, rank, vec_id, score)` — shared by the kNN-graph
+    * gate and the PageRank-over-kNN gate.
+    */
+  private val KnnCteSql =
+    s"""idx AS (SELECT unnest(range(1, 65)) AS i),
+       |cent AS (
+       |  SELECT e.label AS cell, idx.i,
+       |         round(avg(CAST(e.embedding[idx.i] AS DOUBLE)), 6) AS m
+       |  FROM embeddings e CROSS JOIN idx GROUP BY 1, 2
+       |), centv AS (
+       |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |), pc AS (
+       |  SELECT query_id, qvec, cell FROM (
+       |    SELECT q.query_id, q.qvec, v.cell,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
+       |                                       v.cell) AS crank
+       |    FROM q CROSS JOIN centv v) t
+       |  WHERE crank <= 2
+       |), scored AS (
+       |  SELECT pc.query_id, c.vec_id,
+       |         round(${cosSql("pc.qvec", "c.embedding")}, 5) AS score
+       |  FROM pc JOIN embeddings c ON c.label = pc.cell
+       |  WHERE pc.query_id != c.vec_id
+       |), knn AS (
+       |  SELECT query_id, rank, vec_id, score FROM (
+       |    SELECT query_id, vec_id, score,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY score DESC, vec_id) AS rank
+       |    FROM scored) t
+       |  WHERE rank <= 5
+       |)""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
 
     // Hard-negative mining (round 11): per probe, the top-5 most similar
@@ -212,6 +248,86 @@ object SimilarityPack extends QueryPack {
           .orderBy("query_id", "rank")
       },
       Some(MinedNegIvfPrunedOracleSql)),
+
+    // kNN-GRAPH build (round 13): every corpus vector queries for its
+    // own 5 nearest neighbors — the contrastive-pretraining / SemDeDup /
+    // cluster-prep primitive, and the exact workload the topKIvf
+    // two-regime query join exists for: the query set IS the corpus, so
+    // the gate FORCES the above-cap shuffle regime (queryBroadcastCap =
+    // 0 — no broadcast of either join side, candidates equi-join on
+    // cell), while pruning stays real (nprobe = 2 of 10 label cells,
+    // ~80% of candidate pairs never scored) yet hash-checked via the
+    // SQL-replayable label quantizer. Min crank-2/crank-3 centroid
+    // margin across ALL 500 queries: 8.1e-05 — eleven orders above
+    // cross-engine double noise.
+    QueryDef(
+      "sim_knn_graph",
+      (s, d) => {
+        val corpus = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val queries = T.embeddings(s, d)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        Similarity.topKIvf(corpus, queries, 5, nprobe = 2,
+            index = Some(labelIndex(s, d)), queryBroadcastCap = 0)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $KnnCteSql
+              |SELECT query_id, rank, vec_id, score FROM knn
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // PageRank over the kNN graph (round 13): the link-graph centrality
+    // quality signal (Common Crawl publishes per-crawl PageRank/harmonic
+    // rankings; curation uses them as a source prior) computed over the
+    // semantic-similarity graph the previous gate builds — centrality
+    // there reads as representativeness. Three damped iterations UNROLL
+    // INTO ONE LAZY PLAN (each = one shuffle on src + one groupBy dst);
+    // per-edge contributions are single IEEE divides, per-node sums run
+    // in exact decimal, each iteration rounds to 12 dp — so the oracle
+    // replays the whole fixed-point bit-for-bit on top of the same knn
+    // CTE. (No dangling nodes by construction — every node is a query
+    // with out-edges — so the dangling term is IEEE-identity 0.0 and
+    // the oracle omits it.)
+    QueryDef(
+      "sim_knn_pagerank",
+      (s, d) => {
+        val corpus = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val queries = T.embeddings(s, d)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val knn = Similarity.topKIvf(corpus, queries, 5, nprobe = 2,
+          index = Some(labelIndex(s, d)), queryBroadcastCap = 0)
+        graft.operators.Graph.pageRank(
+            knn.select(col("query_id").as("src"), col("vec_id").as("dst")))
+          .orderBy("node")
+      },
+      Some {
+        def iter(prev: String, cur: String) =
+          s"""m$cur AS (
+             |  SELECT e.dst AS node,
+             |         CAST(SUM(CAST(r$prev.pr / CAST(d.deg AS DOUBLE)
+             |                       AS DECIMAL(38,15))) AS DOUBLE) AS m
+             |  FROM r$prev JOIN deg d USING (node)
+             |  JOIN edges e ON e.src = r$prev.node
+             |  GROUP BY e.dst
+             |), r$cur AS (
+             |  SELECT n.node,
+             |         round((1.0 - 0.85)/nn.n + 0.85*coalesce(m$cur.m, 0.0), 12) AS pr
+             |  FROM nodes n LEFT JOIN m$cur USING (node) CROSS JOIN nn
+             |)""".stripMargin
+        s"""WITH $KnnCteSql,
+           |edges AS (SELECT query_id AS src, vec_id AS dst FROM knn),
+           |nodes AS (
+           |  SELECT DISTINCT node FROM (
+           |    SELECT src AS node FROM edges
+           |    UNION ALL SELECT dst FROM edges)
+           |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+           |r0 AS (
+           |  SELECT node, round(1.0/nn.n, 12) AS pr FROM nodes CROSS JOIN nn
+           |),
+           |${iter("0", "1")},
+           |${iter("1", "2")},
+           |${iter("2", "3")}
+           |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+      }),
 
     // Exact top-10 cosine neighbors for 10 query vectors: broadcast the
     // queries, one scan of the corpus, TakeOrdered-style per-query top-k.

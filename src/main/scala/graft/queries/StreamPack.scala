@@ -164,6 +164,62 @@ object StreamPack extends QueryPack {
       Some("""SELECT c_mktsegment, COUNT(*) AS n,
              |       CAST(SUM(CAST(value AS DECIMAL(38,3))) AS DOUBLE) AS sum_value
              |FROM events JOIN customer ON user_id = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Windowed HLL distinct users (round 13): the deterministic
+    // HyperLogLog as STREAM STATE — per daily window the register table
+    // ((window, bucket) → max rho) is one `max` aggregation with ≤4096
+    // rows of state per window regardless of event volume; the estimate
+    // is a query over the registers. Batch face here (estimate next to
+    // the exact count); StreamingSpec drives the SAME hllUserRegisters
+    // through MemoryStream with a watermark and pins stream registers ==
+    // batch registers. The oracle replays hashing, registers and the
+    // two-branch estimator per window.
+    QueryDef(
+      "stream_hll_users",
+      (s, d) =>
+        EventStreams.hllUsersWindowed(T.events(s, d))
+          .orderBy("window_start"),
+      Some("""WITH h AS (
+             |  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+             |         md5(CAST(user_id AS VARCHAR)) AS hex
+             |  FROM events
+             |), r AS (
+             |  SELECT window_start,
+             |    CAST(('0x' || substr(hex, 1, 3)) AS BIGINT) AS bucket,
+             |    length(regexp_extract(substr(hex, 4, 12), '^0*', 0)) AS z0,
+             |    substr(substr(hex, 4, 12),
+             |      length(regexp_extract(substr(hex, 4, 12), '^0*', 0)) + 1, 1) AS fnz
+             |  FROM h
+             |), regs AS (
+             |  SELECT window_start, bucket,
+             |    max(z0*4 + CASE WHEN fnz = '' THEN 0
+             |          WHEN fnz = '1' THEN 3
+             |          WHEN fnz IN ('2','3') THEN 2
+             |          WHEN fnz IN ('4','5','6','7') THEN 1
+             |          ELSE 0 END + 1) AS reg
+             |  FROM r GROUP BY window_start, bucket
+             |), g AS (
+             |  SELECT window_start, count(*) AS npresent,
+             |         SUM(1::BIGINT << (49 - reg)) AS sp
+             |  FROM regs GROUP BY window_start
+             |), e AS (
+             |  SELECT window_start,
+             |    sp + (4096 - npresent) * (1::BIGINT << 49) AS sprime,
+             |    4096 - npresent AS vzero
+             |  FROM g
+             |)
+             |SELECT e.window_start,
+             |  round(CASE WHEN (0.7213/(1.0 + 1.079/4096.0)*4096.0*4096.0*562949953421312.0)
+             |                  / CAST(sprime AS DOUBLE) <= 10240.0 AND vzero > 0
+             |        THEN 4096.0 * ln(4096.0 / CAST(vzero AS DOUBLE))
+             |        ELSE (0.7213/(1.0 + 1.079/4096.0)*4096.0*4096.0*562949953421312.0)
+             |             / CAST(sprime AS DOUBLE) END, 4) AS hll_est,
+             |  x.n_exact
+             |FROM e JOIN (
+             |  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+             |         count(DISTINCT user_id) AS n_exact
+             |  FROM events GROUP BY 1) x USING (window_start)
+             |ORDER BY e.window_start""".stripMargin))
   )
 }

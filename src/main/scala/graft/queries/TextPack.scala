@@ -479,14 +479,27 @@ object TextPack extends QueryPack {
       (s, d) => {
         // trigram shingles, not tokens: the synthetic vocabulary is ~31
         // words (linear-counting regime only); distinct TRIGRAMS run
-        // ~29k/lang — the raw-estimator regime the sketch exists for
-        val toks = docsOf(s, d).select(col("lang"),
-          explode(graft.operators.Dedup.shingles(col("text"), 3)).as("tok"))
-        val est = graft.operators.Sketches
-          .hllDistinct(toks, col("lang"), col("tok"))
+        // ~29k/lang — the raw-estimator regime the sketch exists for.
+        // BOTH columns avoid materializing trigram strings (measured
+        // 3.2-4.4 s of the gate's 4.2 s at sf0.1): registers come from
+        // the fused hll_ngram_bucket_rho byte-range md5 (values ==
+        // hll_bucket_rho(shingle), SketchesSpec-pinned), and the exact
+        // count runs over the fused distinct xxhash64 shingle values
+        // (count-equal under injective keying — the decontaminate-gate
+        // precedent; the oracle keeps counting the strings themselves).
+        val docs = docsOf(s, d)
+        val est = graft.operators.Sketches.hllEstimate(
+            graft.operators.Sketches.hllRegistersPacked(
+              docs.select(col("lang"),
+                explode(call_function("hll_ngram_bucket_rho",
+                  col("text"), lit(3))).as("p")),
+              col("lang"), col("p")))
           .withColumnRenamed("grp", "lang")
-        val exact = toks.groupBy("lang")
-          .agg(countDistinct(col("tok")).as("n_exact"))
+        val exact = docs
+          .select(col("lang"),
+            explode(graft.operators.Dedup.shingleHashes(col("text"), 3)).as("sh"))
+          .groupBy("lang")
+          .agg(countDistinct(col("sh")).as("n_exact"))
         est.join(exact, "lang").orderBy("lang")
       },
       Some("""WITH w AS (

@@ -100,4 +100,42 @@ object EventStreams {
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Windowed HyperLogLog registers over the event stream — live
+    * distinct-users-per-window with BOUNDED state. The register table
+    * ((window, bucket) → max rho) is ONE `max` aggregation, exactly the
+    * stateful shape Structured Streaming supports: per window the state
+    * is ≤ 4096 register rows REGARDLESS of event volume (a billion
+    * events in a window still hold 4096 longs), the merge is
+    * commutative+idempotent so retries and out-of-order arrival cannot
+    * change a register, and the watermark evicts whole windows. The
+    * estimate ([[graft.operators.Sketches.hllEstimate]]) is a query
+    * over the register sink, not part of the stream — the standard
+    * sketch-serving split. Works identically in batch mode (the
+    * watermark is a no-op there), which is what the gate's oracle
+    * replays.
+    */
+  def hllUserRegisters(events: DataFrame, width: String = "1 day",
+      delay: String = "1 hour"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", delay)
+             else events
+    graft.operators.Sketches.hllRegisters(
+      wm, window(col("ts"), width), col("user_id"))
+  }
+
+  /** Batch face of the windowed HLL: per-window estimated distinct
+    * users next to the exact count (the accuracy-audit shape; the
+    * streaming face cannot afford the exact column — that is the
+    * sketch's reason to exist).
+    */
+  def hllUsersWindowed(events: DataFrame, width: String = "1 day"): DataFrame = {
+    val est = graft.operators.Sketches
+      .hllEstimate(hllUserRegisters(events, width))
+      .select(col("grp.start").as("window_start"), col("hll_est"))
+    val exact = events
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(col("w.start").as("window_start"), col("n_exact"))
+    est.join(exact, "window_start")
+  }
 }

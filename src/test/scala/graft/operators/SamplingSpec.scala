@@ -75,6 +75,50 @@ class SamplingSpec extends SparkSpec {
     assert(out == Map(10L -> 2L))
   }
 
+  test("dsirWeights: target-like docs outscore others; weights are length-comparable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id").as("doc_key"), col("lang")), "doc_key")
+    val mean = out.groupBy("lang").agg(avg("dsir_score").as("m"))
+      .as[(String, Double)].collect().toMap
+    // the en target distribution must prefer en docs over every other
+    // language's — the operator's entire reason to exist
+    for ((l, m) <- mean if l != "en")
+      assert(mean("en") > m, s"en mean ${mean("en")} not above $l mean $m")
+    // score is a per-feature MEAN: long docs must not dominate by length
+    val lenCorr = out.select(corr(col("n_feats").cast("double"),
+      col("dsir_score")).as("c")).as[Double].head()
+    assert(math.abs(lenCorr) < 0.9, s"score degenerates to length (corr=$lenCorr)")
+  }
+
+  test("scrubContaminatedSpans: exact span boundaries, clean docs kept whole, regimes identical") {
+    // benchmark doc = tokens a1..a8 b1..b8; train doc 1 quotes a1..a8 in
+    // the middle, doc 2 shares only 7 consecutive tokens (below n), doc 3
+    // is clean. Expected: doc 1 loses exactly its 8 quoted tokens, docs
+    // 2 and 3 keep every token.
+    val bench = Seq((100L, "a1 a2 a3 a4 a5 a6 a7 a8 b1 b2 b3 b4 b5 b6 b7 b8"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x1 x2 a1 a2 a3 a4 a5 a6 a7 a8 y1 y2"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 z1 z2 z3 z4 z5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"))
+      .toDF("doc_id", "text")
+    def run(cap: Int) =
+      Sampling.scrubContaminatedSpans(train, bench, col("doc_id"),
+          col("text"), benchBroadcastCap = cap)
+        .as[(Long, Long, Long, String)].collect().toSet
+    val out = run(1 << 22)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def m(s: String) =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Set(
+      (1L, 12L, 8L, m("x1 x2 y1 y2")),
+      (2L, 12L, 0L, m("a1 a2 a3 a4 a5 a6 a7 z1 z2 z3 z4 z5")),
+      (3L, 12L, 0L, m("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"))))
+    assert(run(0) == out, "shuffle regime diverges from broadcast regime")
+  }
+
   test("decontaminateSemantic: forced-IVF regime vs broadcast regime on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

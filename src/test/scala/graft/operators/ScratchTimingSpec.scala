@@ -17,6 +17,46 @@ class ScratchTimingSpec extends SparkSpec {
     r
   }
 
+  test("pagerank steady-state at sf0.1") {
+    val all = graft.SparkEntry.queries
+    (1 to 2).foreach(_ => spark.range(1).count())
+    (1 to 3).foreach { r =>
+      spark.catalog.clearCache()
+      timeIt(s"r$r sim_knn_pagerank") {
+        all("sim_knn_pagerank")(spark, "/root/testdata/sf0.1")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    (1 to 2).foreach { r =>
+      spark.catalog.clearCache()
+      timeIt(s"r$r sim_knn_graph") {
+        all("sim_knn_graph")(spark, "/root/testdata/sf0.1")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+  }
+
+  ignore("hll_vocab stage breakdown at sf0.1 (r13: explode-of-trigram-STRINGS was 3.2-4.4 s of 4.2; fused hll_ngram_bucket_rho + hashed exact -> 0.72 s)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val toks = docs.select(col("lang"),
+      explode(graft.operators.Dedup.shingles(col("text"), 3)).as("tok"))
+    (1 to 2).foreach(_ => spark.range(1).count())
+    timeIt("explode trigrams only (count)") { toks.count() }
+    timeIt("explode trigrams only (count) again") { toks.count() }
+    timeIt("registers agg") {
+      graft.operators.Sketches.hllRegisters(toks, col("lang"), col("tok")).count()
+    }
+    timeIt("estimate (registers + estimator)") {
+      graft.operators.Sketches.hllDistinct(toks, col("lang"), col("tok")).count()
+    }
+    timeIt("exact countDistinct") {
+      toks.groupBy("lang").agg(countDistinct(col("tok"))).count()
+    }
+    timeIt("full gate") {
+      graft.SparkEntry.queries("text_hll_vocab")(spark, "/root/testdata/sf0.1").count()
+    }
+  }
+
   ignore("bench floor breakdown: planning vs codegen-compile vs scheduling") {
     // Splits the fixed per-query overhead (~0.35 s/query in the driver
     // bench) into: Catalyst phases (QueryPlanningTracker), janino codegen

@@ -43,6 +43,47 @@ class SketchesSpec extends SparkSpec {
     assert(one.exceptAll(rep).isEmpty && rep.exceptAll(one).isEmpty)
   }
 
+  test("hll_bucket_rho: packed native value == the md5 hex-chain spelling, row for row") {
+    // real tokens plus adversarial edges (empty string, multibyte, the
+    // all-zero-suffix convention can't be planted — parity over the
+    // formula covers it: both sides derive from the same md5)
+    val vals = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("v"))
+      .union(Seq("", "é漢", "0", "a b").toDF("v"))
+    val hex = md5(col("v"))
+    val suffix = substring(hex, 4, 12)
+    val z0 = length(regexp_extract(suffix, "^0*", 0))
+    val firstNz = suffix.substr(z0 + 1, lit(1))
+    val nz = when(firstNz === "", lit(0)).when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1).otherwise(0)
+    val chain = (conv(substring(hex, 1, 3), 16, 10).cast("long") * 64 +
+      (z0 * 4 + nz + 1)).as("expect")
+    val mismatches = vals
+      .select(call_function("hll_bucket_rho", col("v")).as("got"), chain)
+      .filter(col("got") =!= col("expect")).count()
+    assert(mismatches == 0)
+  }
+
+  test("hll_ngram_bucket_rho: fused byte-range values == per-shingle-string values, position for position") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((9001L, "a b"), (9002L, "solo"), (9003L, "é漢 x y z")).toDF("doc_id", "text"))
+    val fused = docs.select(col("doc_id"),
+      call_function("hll_ngram_bucket_rho", col("text"), lit(3)).as("a"))
+    val toks = split(col("text"), " ")
+    val allShingles = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val viaStrings = docs.select(col("doc_id"),
+      transform(allShingles, s => call_function("hll_bucket_rho", s)).as("b"))
+    val diff = fused.join(viaStrings, "doc_id")
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("HLL: ~1.6%-class accuracy, duplicate/partition invariance, max-merge") {
     // planted cardinalities spanning both estimator regimes
     val vals = ((1 to 500).map(i => ("small", s"s$i")) ++

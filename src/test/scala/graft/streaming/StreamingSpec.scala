@@ -48,6 +48,30 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(stream).count() == 0)
   }
 
+  test("windowed HLL registers: streaming state == batch registers, estimate matches") {
+    // duplicate users across microbatches: merge = max must absorb the
+    // second arrival without changing a register
+    val evs = Seq(
+      Ev(1, ts(1), 10, "c", 0), Ev(2, ts(2), 11, "c", 0),
+      Ev(3, ts(3), 12, "c", 0), Ev(4, ts(14), 10, "c", 0),
+      Ev(5, ts(15), 13, "c", 0), Ev(6, ts(16), 11, "c", 0))
+    val stream = runStream(Seq(evs.take(3), evs.drop(3)),
+      df => EventStreams.hllUserRegisters(df, "10 minutes", "1 hour"),
+      mode = "complete")
+    val batch = EventStreams.hllUserRegisters(evs.toDF(), "10 minutes")
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0,
+      "streaming register state diverges from the batch registers")
+    // estimate over the streamed registers == the batch face's estimate
+    val estStream = graft.operators.Sketches.hllEstimate(stream)
+      .select(col("grp.start"), col("hll_est")).as[(Timestamp, Double)]
+      .collect().toSet
+    val estBatch = EventStreams.hllUsersWindowed(evs.toDF(), "10 minutes")
+      .select(col("window_start"), col("hll_est")).as[(Timestamp, Double)]
+      .collect().toSet
+    assert(estStream == estBatch && estStream.size == 2)
+  }
+
   test("stream-static enrichment join (complete mode) == batch on same data") {
     val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
       .toDF("c_custkey", "c_mktsegment")

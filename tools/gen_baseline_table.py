@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""Regenerate BASELINE.md's per-query table from one full clean bench
+run JSON (target/bench_latest.json or a bench_evidence/ copy) plus a
+time_duckdb.py output for the DuckDB column.
+
+Usage: python3 tools/gen_baseline_table.py <bench.json> <duckdb.json>
+Rewrites everything from the '| query |' header to EOF in BASELINE.md.
+"""
+import json
+import sys
+
+def main(bench_path, duck_path, baseline="BASELINE.md"):
+    bench = json.load(open(bench_path))
+    duck = json.load(open(duck_path))["queries"]
+    lines = open(baseline).read().splitlines(keepends=True)
+    hdr = next(i for i, l in enumerate(lines)
+               if l.startswith("| query |"))
+    out = lines[:hdr]
+    out.append("| query | spark sec (sf0.1) | duckdb sec (sf0.1) |\n")
+    out.append("|---|---|---|\n")
+    for q in sorted(bench["queries"]):
+        s = bench["queries"][q]
+        d = f"{duck[q]:.2f}" if q in duck else "—"
+        out.append(f"| {q} | {s:.2f} | {d} |\n")
+    open(baseline, "w").writelines(out)
+    print(f"wrote {len(bench['queries'])} rows "
+          f"(total {bench['value']} s / {bench['nqueries']} gates)")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
