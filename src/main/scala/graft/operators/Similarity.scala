@@ -460,6 +460,61 @@ object Similarity {
       .groupBy("vec_id").agg(max(col("raw")).as("raw"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    * semantic deduplication — cluster the embeddings, compare pairs only
+    * WITHIN a cluster, group transitively-connected near-dups (cosine ≥
+    * `threshold`), and keep exactly one document per group: the member
+    * LEAST similar to its cluster centroid (the paper keeps the edge
+    * example to preserve diversity; `vec_id` breaks 5-dp ties so the
+    * election is a total order both engines replay).
+    *
+    * The cluster restriction is the paper's whole scale story: the pair
+    * space is Σ|cell|² instead of n², so — exactly the
+    * [[cosineNearDupsIvf]] discipline — the cell count must GROW with
+    * the corpus (cells of ~10⁴–10⁵ vectors) and the celled corpus can
+    * persist partitioned by cell so the pair join is co-located. Within
+    * a component the duplicate groups stay inside one cell by
+    * construction (single assignment), components contract in O(log n)
+    * rounds, and the centroid join is a plain equi-join on `cell` the
+    * planner may broadcast — never forced.
+    *
+    * Accepts the (assigned, cents) index contract of [[ivfIndex]] /
+    * a persisted [[readIvfIndex]] / any SQL-replayable quantizer, so
+    * the gate hash-checks the identical pair/group/election code.
+    * Returns (vec_id, cell, cent_sim, component, keep) — the full audit
+    * frame; `filter(col("keep"))` is the deduplicated corpus.
+    */
+  def semDeDup(corpus: DataFrame, threshold: Double,
+      index: Option[(DataFrame, DataFrame)] = None, ncells: Int = 16,
+      scale: Int = 5): DataFrame = {
+    val (assigned0, cents) = index.getOrElse(ivfIndex(corpus, ncells))
+    val assigned = assigned0
+      .select(col("vec_id"), col("embedding"), col("cell")).cache()
+    // within-cell candidate pairs, exact cosine inside codegen; scores
+    // rounded before thresholding so summation-order noise cannot flip
+    // a verdict either engine takes
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"))
+      .where(round(cosine(col("a.embedding"), col("b.embedding")), scale)
+        >= threshold)
+    val comp = Dedup.connectedComponentsAdaptive(pairs)
+    // similarity to the vector's OWN cell centroid — the election key
+    val withSim = assigned
+      .join(cents, "cell")
+      .select(col("vec_id"), col("cell"),
+        round(cosine(col("embedding"), col("centroid")), scale).as("cent_sim"))
+    val labeled = withSim
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+    val keepers = labeled.groupBy("component")
+      .agg(min(struct(col("cent_sim"), col("vec_id"))).as("k"))
+      .select(col("component"), col("k.vec_id").as("keeper"))
+    labeled.join(keepers, "component")
+      .select(col("vec_id"), col("cell"), col("cent_sim"), col("component"),
+        (col("vec_id") === col("keeper")).as("keep"))
+  }
+
   // -------------------------------------------------------------------
   // Product quantization (PQ): the memory-bound ANN path. A d-dim float
   // vector (d·4 bytes) is split into `m` subspaces, each coarse-coded

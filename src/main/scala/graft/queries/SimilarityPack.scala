@@ -100,8 +100,7 @@ object SimilarityPack extends QueryPack {
     * centroid rounding puts cross-engine mean noise (~1e-16) far below
     * the cell-score margins (~1e-2 on this data).
     */
-  private def labelIndex(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val e = T.embeddings(s, d)
+  private def labelIndexOf(e: org.apache.spark.sql.DataFrame) = {
     val assigned = e.select(col("vec_id"), col("embedding"),
       col("label").as("cell"))
     val cents = e
@@ -112,6 +111,9 @@ object SimilarityPack extends QueryPack {
       .select(col("cell"), expr("transform(s, e -> round(e.m, 6))").as("centroid"))
     (assigned, cents)
   }
+
+  private def labelIndex(s: org.apache.spark.sql.SparkSession, d: String) =
+    labelIndexOf(T.embeddings(s, d))
 
   /** The pruned-regime oracle replays the label quantizer end-to-end:
     * per-label 6-dp-rounded centroids, each query's nprobe=2 nearest
@@ -328,6 +330,80 @@ object SimilarityPack extends QueryPack {
            |${iter("2", "3")}
            |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
       }),
+
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
+    // the corpus ∪ dim0-zeroed mutants (every base–mutant pair is a
+    // planted ≥0.9 near-dup SHARING its cluster). Pairs are compared
+    // only within a cell — the paper's Σ|cell|² trick — then
+    // transitively grouped and exactly one member kept per group: the
+    // one LEAST similar to its cluster centroid (vec_id tie-break).
+    // Hash-checked end-to-end via the SQL-replayable label quantizer:
+    // the oracle replays centroids, within-cell pairs, the recursive-CTE
+    // components, centroid similarities, and the election — so a wrong
+    // group boundary, a missed pair, or a wrong survivor all fail the
+    // hash. (The k-means-index path is the same code via ivfIndex;
+    // SimilaritySpec pins its agreement on the planted fixture.)
+    QueryDef(
+      "dedup_semdedup",
+      (s, d) => {
+        val base = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"),
+          col("label"))
+        val corpus = base.unionByName(mutants)
+        Similarity.semDeDup(corpus, 0.9, index = Some(labelIndexOf(corpus)))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE e AS (
+              |  SELECT vec_id, embedding, label FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000 AS vec_id,
+              |         list_transform(embedding, (x, i) ->
+              |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS embedding,
+              |         label
+              |  FROM embeddings
+              |), idx AS (SELECT unnest(range(1, 65)) AS i),
+              |cent AS (
+              |  SELECT e.label AS cell, idx.i,
+              |         round(avg(CAST(e.embedding[idx.i] AS DOUBLE)), 6) AS m
+              |  FROM e CROSS JOIN idx GROUP BY 1, 2
+              |), centv AS (
+              |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+              |), pairs AS (
+              |  SELECT a.vec_id AS da, b.vec_id AS db
+              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+              |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 5) >= 0.9
+              |), edges AS (
+              |  SELECT da AS x, db AS y FROM pairs
+              |  UNION ALL SELECT db, da FROM pairs
+              |), reach(id, r) AS (
+              |  SELECT x, x FROM edges
+              |  UNION
+              |  SELECT edges.y, reach.r FROM reach JOIN edges ON edges.x = reach.id
+              |), comp AS (
+              |  SELECT id, min(r) AS component FROM reach GROUP BY id
+              |), cs AS (
+              |  SELECT e.vec_id, e.label AS cell,
+              |         round(${cosSql("e.embedding", "cv.centroid")}, 5) AS cent_sim
+              |  FROM e JOIN centv cv ON cv.cell = e.label
+              |), lab AS (
+              |  SELECT cs.vec_id, cs.cell, cs.cent_sim,
+              |         coalesce(comp.component, cs.vec_id) AS component
+              |  FROM cs LEFT JOIN comp ON comp.id = cs.vec_id
+              |), elect AS (
+              |  SELECT component, vec_id AS keeper FROM (
+              |    SELECT component, vec_id,
+              |           row_number() OVER (PARTITION BY component
+              |                              ORDER BY cent_sim, vec_id) AS rn
+              |    FROM lab) t
+              |  WHERE rn = 1
+              |)
+              |SELECT l.vec_id, l.cell, l.cent_sim, l.component,
+              |       l.vec_id = k.keeper AS keep
+              |FROM lab l JOIN elect k USING (component)
+              |ORDER BY vec_id""".stripMargin)),
 
     // Exact top-10 cosine neighbors for 10 query vectors: broadcast the
     // queries, one scan of the corpus, TakeOrdered-style per-query top-k.

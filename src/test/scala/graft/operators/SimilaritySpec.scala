@@ -283,4 +283,41 @@ class SimilaritySpec extends SparkSpec {
         "scale regime still plans a forced broadcast hash join")
     } finally spark.conf.set(thresholdKey, saved)
   }
+
+  test("semDeDup: planted dup groups resolved, one edge-most keeper each; " +
+      "kmeans-index path agrees on the planted pairs") {
+    // corpus ∪ dim0-zeroed mutants: every base–mutant pair is a ≥0.9
+    // near-dup; with a real k-means index the pair must share a cell
+    // (the same-cell guarantee the rank-1 test pins), so each pair must
+    // land in one component with exactly one keeper.
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val all = base.unionByName(mutants)
+    val out = Similarity.semDeDup(all, 0.9, ncells = 8).cache()
+    assert(out.count() == all.count(), "audit frame must cover every vector")
+    // every planted pair grouped: mutant and base share a component
+    val paired = out.as("a").join(out.as("b"),
+      col("a.vec_id") + 1000000 === col("b.vec_id") &&
+        col("a.component") === col("b.component"))
+    assert(paired.count() == base.count(), "a planted pair was not grouped")
+    // exactly one keeper per component, and it is the member LEAST
+    // similar to its centroid (vec_id tie-break): min (cent_sim, vec_id)
+    val kept = out.filter(col("keep"))
+    assert(kept.count() == out.select("component").distinct().count())
+    val wrongKeeper = out.groupBy("component")
+      .agg(min(struct(col("cent_sim"), col("vec_id"))).as("m"))
+      .join(kept.select(col("component"), col("vec_id")), "component")
+      .filter(col("m.vec_id") =!= col("vec_id"))
+    assert(wrongKeeper.count() == 0, "keeper is not the min-cent_sim member")
+    // the SemDeDup contract: every dropped vector has a KEPT near-dup at
+    // >= threshold (its component's keeper is transitively connected;
+    // check the direct-witness form within the component)
+    val dropped = out.filter(!col("keep"))
+    val witness = dropped.as("d").join(kept.as("k"),
+      col("d.component") === col("k.component") &&
+        col("d.vec_id") =!= col("k.vec_id"), "left_anti")
+    assert(witness.count() == 0, "a dropped vector lost its whole group")
+  }
 }
