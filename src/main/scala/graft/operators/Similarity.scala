@@ -515,6 +515,68 @@ object Similarity {
         (col("vec_id") === col("keeper")).as("keep"))
   }
 
+  /** Distributed k-means (Lloyd) over the FULL corpus — the cluster-fit
+    * step SemDeDup-scale pipelines run on all vectors, where
+    * [[ivfIndex]]'s driver-side sample fit stops being representative.
+    * Each iteration is (1) a map-side assignment pass — the centers ride
+    * into codegen as one bounded reference object, k·dims doubles, the
+    * broadcast-centers shape every distributed Lloyd uses — and (2) one
+    * (cell, dim)-keyed mean with map-side partial aggregation (shuffle
+    * rows ≤ k·dims, constant in corpus size). Nothing corpus-sized
+    * crosses the driver; per-iteration driver state is the k-row
+    * centroid frame ([[centersOf]]'s documented bounded collect).
+    *
+    * Deterministic and SQL-replayable end-to-end, the engine's parity
+    * pattern: seeding is the k md5-order-first vectors (an RNG-free
+    * draw both engines spell identically), assignment argmax of
+    * dot − ‖c‖²/2 in element order with the low-cell tie-break (the
+    * exact [[graft.functions.IvfFn]] arithmetic), and each iteration's
+    * means round to `scale` dp before the next — so float inputs and
+    * rounded centroids make every score bit-identical across engines
+    * and the whole fixed-point replays like [[Graph.pageRank]]'s.
+    * Empty cells keep their previous centroid (the standard Lloyd
+    * convention, and a deterministic one).
+    *
+    * Returns the (assigned, cents) index contract of [[ivfIndex]], so
+    * the fit feeds [[topKIvf]] / [[semDeDup]] / [[writeIvfIndex]]
+    * unchanged.
+    */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int = 2,
+      scale: Int = 6): (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vecs = corpus.select(col("vec_id"), col("embedding")).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(graft.operators.Sampling.hashDraw(col("vec_id")), col("vec_id"))
+    // seed frame is k rows — the row_number window runs on the already
+    // TakeOrdered-limited frame, never on the corpus
+    var cents = vecs
+      .orderBy(graft.operators.Sampling.hashDraw(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .withColumn("cell", row_number().over(w) - 1)
+      .select(col("cell"),
+        col("embedding").cast(ArrayType(DoubleType)).as("centroid"))
+    for (_ <- 1 to iters) {
+      val centers = centersOf(cents)
+      val assigned = vecs.withColumn("cell",
+        element_at(assignCells(centers, nassign = 1, euclid = true), 1))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("s"))
+        .select(col("cell"),
+          expr(s"transform(s, e -> round(e.m, $scale))").as("centroid"))
+      cents = cents.select(col("cell"), col("centroid").as("prev"))
+        .join(means, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("centroid"), col("prev")).as("centroid"))
+    }
+    val centers = centersOf(cents)
+    val assigned = vecs.withColumn("cell",
+      element_at(assignCells(centers, nassign = 1, euclid = true), 1))
+    (assigned, cents)
+  }
+
   // -------------------------------------------------------------------
   // Product quantization (PQ): the memory-bound ANN path. A d-dim float
   // vector (d·4 bytes) is split into `m` subspaces, each coarse-coded

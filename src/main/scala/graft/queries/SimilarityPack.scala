@@ -405,6 +405,82 @@ object SimilarityPack extends QueryPack {
               |FROM lab l JOIN elect k USING (component)
               |ORDER BY vec_id""".stripMargin)),
 
+    // Distributed k-means (round 13): two full Lloyd iterations over
+    // ALL corpus vectors — the cluster-fit step SemDeDup-scale
+    // pipelines need, vs ivfIndex's driver-sample fit. Deterministic
+    // and SQL-replayable end-to-end: md5-order seeding, assignment =
+    // argmax(dot − ‖c‖²/2) in element order with the low-cell
+    // tie-break (the exact IvfFn arithmetic the oracle spells out),
+    // per-iteration means rounded to 6 dp — so the oracle replays the
+    // whole fixed-point and a wrong seed, a flipped assignment, or a
+    // drifted mean all fail the hash. Output: final assignment plus a
+    // 4-dp centroid checksum per cell (sequential list_sum fold —
+    // identical order both engines).
+    QueryDef(
+      "sim_kmeans_fit",
+      (s, d) => {
+        val (assigned, cents) = Similarity.kmeansFit(
+          T.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          k = 8, iters = 2)
+        assigned.select(col("vec_id"), col("cell"))
+          .join(cents.select(col("cell"),
+            round(expr("aggregate(centroid, 0d, (a, x) -> a + x)"), 4)
+              .as("centroid_sum")), "cell")
+          .select(col("vec_id"), col("cell"), col("centroid_sum"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def score(c: String) =
+          s"""list_sum(list_transform(list_zip(e.embedding, $c.centroid),
+             |               p -> CAST(p[1] AS DOUBLE) * p[2]))
+             |           - list_sum(list_transform($c.centroid, x -> x*x)) / 2""".stripMargin
+        def iter(prev: String, cur: String) =
+          s"""a$cur AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |           row_number() OVER (PARTITION BY e.vec_id
+             |               ORDER BY ${score("c")} DESC, c.cell) AS rn
+             |    FROM embeddings e CROSS JOIN c$prev c) t
+             |  WHERE rn = 1
+             |), m$cur AS (
+             |  SELECT a.cell, idx.i,
+             |         round(avg(CAST(e.embedding[idx.i] AS DOUBLE)), 6) AS m
+             |  FROM a$cur a JOIN embeddings e USING (vec_id) CROSS JOIN idx
+             |  GROUP BY 1, 2
+             |), c$cur AS (
+             |  SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+             |  FROM c$prev p LEFT JOIN (
+             |    SELECT cell, list(m ORDER BY i) AS centroid
+             |    FROM m$cur GROUP BY cell) n USING (cell)
+             |)""".stripMargin
+        s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+           |ranked AS (
+           |  SELECT vec_id, embedding,
+           |         row_number() OVER (
+           |           ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+           |                    vec_id) AS rn
+           |  FROM embeddings
+           |), c0 AS (
+           |  SELECT rn - 1 AS cell,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+           |  FROM ranked WHERE rn <= 8
+           |),
+           |${iter("0", "1")},
+           |${iter("1", "2")},
+           |af AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |               ORDER BY ${score("c")} DESC, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN c2 c) t
+           |  WHERE rn = 1
+           |)
+           |SELECT af.vec_id, af.cell,
+           |       round(list_sum(c2.centroid), 4) AS centroid_sum
+           |FROM af JOIN c2 USING (cell)
+           |ORDER BY af.vec_id""".stripMargin
+      }),
+
     // Exact top-10 cosine neighbors for 10 query vectors: broadcast the
     // queries, one scan of the corpus, TakeOrdered-style per-query top-k.
     QueryDef(

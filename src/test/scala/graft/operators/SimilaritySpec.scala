@@ -284,6 +284,33 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, saved)
   }
 
+  test("kmeansFit: Lloyd objective non-increasing, k cells 0..k-1, " +
+      "index contract feeds topKIvf") {
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    def sse(assigned: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame): Double = assigned
+      .join(cents, "cell")
+      .select(expr("aggregate(zip_with(cast(embedding as array<double>), " +
+        "centroid, (x, c) -> (x - c) * (x - c)), 0d, (a, y) -> a + y)").as("d"))
+      .agg(sum(col("d"))).head().getDouble(0)
+    val (a0, c0) = Similarity.kmeansFit(base, k = 8, iters = 0)
+    val (a2, c2) = Similarity.kmeansFit(base, k = 8, iters = 2)
+    assert(c2.count() == 8)
+    assert(c2.select("cell").orderBy("cell").collect().map(_.getInt(0)).toSeq
+      == (0 until 8))
+    // Lloyd monotonicity: two iterations cannot worsen the objective
+    // (6-dp centroid rounding perturbs below fixture distance scales)
+    val before = sse(a0, c0); val after = sse(a2, c2)
+    assert(after <= before * 1.0001, s"SSE rose: $before -> $after")
+    // the fit IS an index: the (assigned, cents) pair drops into the
+    // IVF query path unchanged, and a full probe is exhaustive-exact
+    val tk = Similarity.topKIvf(base, queries, 5, ncells = 8, nprobe = 8,
+      index = Some((a2, c2)))
+    val brute = Similarity.topKBruteForce(base, queries, 5)
+    assert(tk.exceptAll(brute).isEmpty && brute.exceptAll(tk).isEmpty,
+      "exhaustive probe over the kmeansFit index diverged from brute force")
+  }
+
   test("semDeDup: planted dup groups resolved, one edge-most keeper each; " +
       "kmeans-index path agrees on the planted pairs") {
     // corpus ∪ dim0-zeroed mutants: every base–mutant pair is a ≥0.9
