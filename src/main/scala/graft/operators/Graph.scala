@@ -100,4 +100,62 @@ object Graph {
     }
     rank
   }
+
+  /** HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation
+    * of Geometric Centralities with HyperBall", 2013) — the algorithm
+    * behind the published per-crawl harmonic-centrality rankings
+    * curation pipelines use as a source-quality prior. Each node keeps
+    * a HyperLogLog counter of its IN-ball B(v,t) = {u : d(u,v) ≤ t};
+    * one iteration pushes every counter across its out-edges and
+    * max-merges (register max is commutative/idempotent — merge order,
+    * retries, and duplicate edges cannot change a register), and
+    * harmonic centrality is Σ_t (|B(v,t)|−|B(v,t−1)|)/t over the
+    * estimated ball sizes, deltas clamped at 0 (the standard HyperBall
+    * guard for estimator regime switches).
+    *
+    * Deterministic end-to-end — the engine's [[graft.operators.Sketches]]
+    * HLL: md5-derived buckets/rhos, integer register maxima, the
+    * integer-exact estimator, estimates rounded to 4 dp — so a SQL
+    * oracle replays every register and every estimate bit-for-bit,
+    * unlike the seeded-random HLLs HyperBall normally runs on.
+    *
+    * 100 TB design: state is the (node, bucket, reg) register table —
+    * ≤ 4096 rows per node regardless of graph size (HyperBall's
+    * documented memory shape, here as a shuffle-friendly relation).
+    * Each iteration is one equi-join of registers with edges on src
+    * plus one (node, bucket) max-aggregation with map-side partials;
+    * registers persist per iteration (they are re-read by the next
+    * round AND the estimate), exactly the web-scale checkpoint unit.
+    */
+  def harmonicCentrality(edges: DataFrame, maxT: Int = 3,
+      scale: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    def estOf(regs: DataFrame, t: Int): DataFrame =
+      Sketches.hllEstimate(regs.withColumnRenamed("node", "grp"))
+        .select(col("grp").as("node"), col("hll_est").as(s"est$t"))
+    // B(v,0) = {v}: one register row per node
+    var regs = Sketches.hllRegistersPacked(nodes, col("node"),
+        call_function("hll_bucket_rho", col("node").cast("string")))
+      .withColumnRenamed("grp", "node").cache()
+    var ests = Vector(estOf(regs, 0))
+    for (t <- 1 to maxT) {
+      // push counters across edges into their heads' in-balls, then
+      // max-merge; cache: the next round and the estimate both read it
+      val pulled = e
+        .join(regs.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("bucket"), col("reg"))
+      regs = regs.unionByName(pulled)
+        .groupBy("node", "bucket").agg(max(col("reg")).as("reg")).cache()
+      ests = ests :+ estOf(regs, t)
+    }
+    val joined = ests.reduce(_.join(_, "node"))
+    val harmonic = (1 to maxT)
+      .map(t => greatest(col(s"est$t") - col(s"est${t - 1}"), lit(0.0))
+        / lit(t.toDouble))
+      .reduce(_ + _)
+    joined.select(col("node"), col(s"est$maxT").as("ball_est"),
+      round(harmonic, scale).as("harmonic"))
+  }
 }
