@@ -77,12 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => {
         require(children.size == 2, "hll_ngram_bucket_rho expects two arguments")
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"hll_ngram_bucket_rho: n must be an int literal, got $other")
-        }
-        graft.functions.HllNgramExpr(children.head, n)
+        require(children(1).foldable, "ngram size must be a literal")
+        graft.functions.HllNgramExpr(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
       new FunctionIdentifier("simhash60"),

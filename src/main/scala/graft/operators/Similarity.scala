@@ -531,8 +531,10 @@ object Similarity {
     * draw both engines spell identically), assignment argmax of
     * dot − ‖c‖²/2 in element order with the low-cell tie-break (the
     * exact [[graft.functions.IvfFn]] arithmetic), and each iteration's
-    * means round to `scale` dp before the next — so float inputs and
-    * rounded centroids make every score bit-identical across engines
+    * means are exact decimal sums / count ([[graft.functions.Exact.davg]]
+    * — order-free, so partitioning cannot move a mean across a rounding
+    * boundary) rounded to `scale` dp before the next — so float inputs
+    * and rounded centroids make every score bit-identical across engines
     * and the whole fixed-point replays like [[Graph.pageRank]]'s.
     * Empty cells keep their previous centroid (the standard Lloyd
     * convention, and a deterministic one).
@@ -559,9 +561,16 @@ object Similarity {
       val centers = centersOf(cents)
       val assigned = vecs.withColumn("cell",
         element_at(assignCells(centers, nassign = 1, euclid = true), 1))
+      // exact decimal sum / count, NOT avg(): IEEE partial-aggregation
+      // order is partition-dependent, and a mean landing on a
+      // round(·, scale) boundary would flip a digit between runs and
+      // cascade through every later assignment — the engine-wide
+      // parity-sum discipline (Exact), making the fixed-point genuinely
+      // partitioning-independent, not just margin-probably so
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy("cell", "i").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell", "i")
+        .agg(graft.functions.Exact.davg(col("x").cast("double"), 15).as("m"))
         .groupBy("cell")
         .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("s"))
         .select(col("cell"),

@@ -25,6 +25,14 @@ object SimilarityPack extends QueryPack {
 
   private val CosineSql = cosSql("q.qvec", "c.embedding")
 
+  /** Centroid mean as exact decimal sum / count — the DuckDB spelling of
+    * [[graft.functions.Exact.davg]] (scale 15), so the engine's
+    * partitioning-independent means and the oracle's sequential ones are
+    * the SAME number, not merely within the 6-dp rounding margin.
+    */
+  private val ExactMeanSql =
+    "CAST(SUM(CAST(CAST(e.embedding[idx.i] AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE) / count(*)"
+
   private def queriesDf(s: org.apache.spark.sql.SparkSession, d: String) =
     T.embeddings(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -105,7 +113,8 @@ object SimilarityPack extends QueryPack {
       col("label").as("cell"))
     val cents = e
       .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("cell", "i").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("cell", "i")
+      .agg(graft.functions.Exact.davg(col("x").cast("double"), 15).as("m"))
       .groupBy("cell")
       .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("s"))
       .select(col("cell"), expr("transform(s, e -> round(e.m, 6))").as("centroid"))
@@ -126,7 +135,7 @@ object SimilarityPack extends QueryPack {
     s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
        |cent AS (
        |  SELECT e.label AS cell, idx.i,
-       |         round(avg(CAST(e.embedding[idx.i] AS DOUBLE)), 6) AS m
+       |         round($ExactMeanSql, 6) AS m
        |  FROM embeddings e CROSS JOIN idx GROUP BY 1, 2
        |), centv AS (
        |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
@@ -163,7 +172,7 @@ object SimilarityPack extends QueryPack {
     s"""idx AS (SELECT unnest(range(1, 65)) AS i),
        |cent AS (
        |  SELECT e.label AS cell, idx.i,
-       |         round(avg(CAST(e.embedding[idx.i] AS DOUBLE)), 6) AS m
+       |         round($ExactMeanSql, 6) AS m
        |  FROM embeddings e CROSS JOIN idx GROUP BY 1, 2
        |), centv AS (
        |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
@@ -367,7 +376,7 @@ object SimilarityPack extends QueryPack {
               |), idx AS (SELECT unnest(range(1, 65)) AS i),
               |cent AS (
               |  SELECT e.label AS cell, idx.i,
-              |         round(avg(CAST(e.embedding[idx.i] AS DOUBLE)), 6) AS m
+              |         round($ExactMeanSql, 6) AS m
               |  FROM e CROSS JOIN idx GROUP BY 1, 2
               |), centv AS (
               |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
@@ -444,7 +453,7 @@ object SimilarityPack extends QueryPack {
              |  WHERE rn = 1
              |), m$cur AS (
              |  SELECT a.cell, idx.i,
-             |         round(avg(CAST(e.embedding[idx.i] AS DOUBLE)), 6) AS m
+             |         round($ExactMeanSql, 6) AS m
              |  FROM a$cur a JOIN embeddings e USING (vec_id) CROSS JOIN idx
              |  GROUP BY 1, 2
              |), c$cur AS (

@@ -62,38 +62,78 @@ class WarcGzSource extends TableProvider with DataSourceRegister {
   *    old generation — a crash between the two leaves stray old objects
   *    that readers ignore, never a mix and never an empty read;
   *  - an append job unions its committed names into the manifest;
-  *  - the manifest itself lands via create-temp + atomic rename (HDFS /
-  *    local rename semantics; on a rename-less object store the PUT of
-  *    the final name is itself atomic).
+  *  - each publication is a NEW versioned name `_committed.<epoch>`
+  *    (epoch = previous max + 1) landing via create-temp + atomic
+  *    rename; readers resolve the MAX epoch present. Nothing is ever
+  *    deleted before its successor is visible — there is no instant at
+  *    which a reader finds no manifest (the non-atomic delete-then-
+  *    rename window of a single fixed name), and a crash at ANY point
+  *    leaves the previous epoch fully readable. Superseded epochs are
+  *    garbage-collected after the new one is published; a crash
+  *    mid-cleanup leaves stale low-epoch manifests readers ignore.
   *
   * A crashed job therefore needs NO repair step before reading: the
-  * manifest still names the last committed generation. The next
-  * successful overwrite clears any strays.
+  * newest surviving manifest names the last committed generation. The
+  * next successful overwrite clears any strays.
+  *
+  * Concurrency contract: SINGLE WRITER PER DIRECTORY (the standard
+  * object-store table-sink assumption — concurrent jobs must serialize
+  * through an external coordinator). Concurrent appends would each
+  * read-modify-write the generation set and the loser's files, while
+  * present on disk, would be absent from the surviving manifest; the
+  * versioned names make the race detectable (two jobs contending for
+  * the same epoch — the rename loser fails loudly) but not mergeable.
   */
 private[sources] object WarcGzManifest {
-  val Name = "_committed"
+  /** Versioned manifests are `s"$Prefix.<epoch>"`; a bare legacy
+    * `_committed` (pre-versioning layout) reads as epoch 0, so any
+    * versioned publication supersedes it.
+    */
+  val Prefix = "_committed"
 
-  def read(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[Set[String]] = {
-    val mf = new Path(dir, Name)
-    if (!fs.exists(mf)) None
-    else {
+  private def epochOf(name: String): Option[Long] =
+    if (name == Prefix) Some(0L)
+    else if (name.startsWith(Prefix + "."))
+      scala.util.Try(name.drop(Prefix.length + 1).toLong).toOption
+    else None
+
+  /** Newest (max-epoch) manifest in `dir`, if any. */
+  private def newest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[(Long, Path)] = {
+    val sts =
+      try Option(fs.listStatus(dir)).getOrElse(Array.empty)
+      catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val cands = sts.toSeq.filter(_.isFile)
+      .flatMap(st => epochOf(st.getPath.getName).map(e => (e, st.getPath)))
+    if (cands.isEmpty) None else Some(cands.maxBy(_._1))
+  }
+
+  def read(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[Set[String]] =
+    newest(fs, dir).map { case (_, mf) =>
       val in = fs.open(mf)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toSet)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
       finally in.close()
     }
-  }
 
   def write(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       names: Set[String]): Unit = {
-    val tmp = new Path(dir, s".$Name.tmp")
+    val epoch = newest(fs, dir).map(_._1 + 1).getOrElse(1L)
+    val tmp = new Path(dir, s".$Prefix.$epoch.tmp")
     val out = fs.create(tmp, true)
     try out.write((names.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    val mf = new Path(dir, Name)
-    if (fs.exists(mf)) fs.delete(mf, false)
+    val mf = new Path(dir, s"$Prefix.$epoch")
     if (!fs.rename(tmp, mf))
-      sys.error(s"warcgz: could not publish manifest $mf")
+      sys.error(s"warcgz: could not publish manifest $mf " +
+        "(single-writer contract violated?)")
+    // GC superseded epochs only AFTER the successor is visible; each is
+    // independently removable (readers always resolve the surviving max)
+    try Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+      epochOf(st.getPath.getName).foreach { e =>
+        if (e < epoch && st.isFile) fs.delete(st.getPath, false)
+      }
+    } catch { case _: java.io.IOException => () } // strays are harmless
   }
 
   /** Filter listed files to each directory's committed generation (a

@@ -441,7 +441,10 @@ class WarcSpec extends AnyFunSuite {
     gen1.toDF("warc_type", "target_uri", "record_id", "payload")
       .repartition(2)
       .write.format("warcgz").mode("overwrite").save(dir.getAbsolutePath)
-    assert(new java.io.File(dir, "_committed").isFile, "no manifest published")
+    def manifests() = dir.listFiles.map(_.getName)
+      .filter(_.startsWith("_committed")).sorted.toSeq
+    assert(manifests() == Seq("_committed.1"),
+      s"expected one versioned manifest, got ${manifests()}")
     // simulate a died-before-job-commit overwrite: a complete, VALID
     // object sitting in the destination but absent from the manifest
     val stray = new java.io.File(dir, "part-99999-999.warc.gz")
@@ -466,6 +469,35 @@ class WarcSpec extends AnyFunSuite {
       .write.format("warcgz").mode("overwrite").save(dir.getAbsolutePath)
     assert(!stray.exists, "overwrite did not clear the stray")
     assert(spark.read.format("warcgz").load(glob).count() == 1)
+    // publications are versioned (_committed.<epoch>, readers pick the
+    // max): nothing was deleted before its successor became visible, and
+    // superseded epochs were GC'd after publish — by now three commits
+    // ran, so exactly _committed.3 remains
+    assert(manifests() == Seq("_committed.3"),
+      s"expected the max-epoch manifest only, got ${manifests()}")
+    // a bare legacy `_committed` reads as epoch 0: it fences reads until
+    // any versioned publication supersedes it
+    val legacyFence = java.nio.file.Files.createTempDirectory("warc_lf").toFile
+    legacyFence.deleteOnExit()
+    Seq(("response", "http://lf/0", "<urn:uuid:lf0>", "lf".getBytes))
+      .toDF("warc_type", "target_uri", "record_id", "payload")
+      .repartition(1)
+      .write.format("warcgz").mode("overwrite")
+      .save(legacyFence.getAbsolutePath)
+    val obj = legacyFence.listFiles.map(_.getName)
+      .filter(_.endsWith(".warc.gz")).head
+    legacyFence.listFiles.filter(_.getName.startsWith("_committed"))
+      .foreach(_.delete())
+    java.nio.file.Files.write(
+      new java.io.File(legacyFence, "_committed").toPath,
+      (obj + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(legacyFence, "part-99999-998.warc.gz").toPath,
+      Warc.writeGz(Seq(Warc.WarcRecord("response", "http://lf/stray",
+        "<urn:uuid:lfs>", "stray".getBytes))))
+    assert(spark.read.format("warcgz")
+      .load(legacyFence.getAbsolutePath + "/*.warc.gz").count() == 1,
+      "legacy bare manifest did not fence the read")
     // a directory never touched by the sink has no manifest: plain files
     // list as before (legacy read path unchanged)
     val legacy = java.nio.file.Files.createTempDirectory("warc_legacy").toFile
