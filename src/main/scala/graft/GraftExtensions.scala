@@ -14,6 +14,27 @@ import graft.functions.{ArrayCosineExpr, Uuid5Expr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Evaluate a foldable scalar parameter, rejecting null and non-numeric
+    * foldables (e.g. a string literal) with an error naming the function
+    * and the offending value — instead of the bare NullPointerException /
+    * ClassCastException a blind `asInstanceOf[Number]` would raise.
+    */
+  private def foldableNum(fn: String, what: String, e: Expression): Number = {
+    require(e.foldable, s"$fn: $what must be a literal")
+    e.eval() match {
+      case n: Number => n
+      case null => throw new IllegalArgumentException(
+        s"$fn: $what must be a non-null numeric literal, got NULL")
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a numeric literal, got " +
+          s"$other (${e.dataType.simpleString})")
+    }
+  }
+  private def foldableInt(fn: String, what: String, e: Expression): Int =
+    foldableNum(fn, what, e).intValue()
+  private def foldableLong(fn: String, what: String, e: Expression): Long =
+    foldableNum(fn, what, e).longValue()
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("uuid5_dns"),
@@ -77,9 +98,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => {
         require(children.size == 2, "hll_ngram_bucket_rho expects two arguments")
-        require(children(1).foldable, "ngram size must be a literal")
         graft.functions.HllNgramExpr(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+          foldableInt("hll_ngram_bucket_rho", "ngram size", children(1)))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
       new FunctionIdentifier("simhash60"),
@@ -99,9 +119,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => {
         require(children.size == 2, "ngram_hashes expects (text, n)")
-        require(children(1).foldable, "ngram size must be a literal")
         graft.functions.NGramHashExpr(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+          foldableInt("ngram_hashes", "ngram size", children(1)))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
       new FunctionIdentifier("ngram_pos_hashes"),
@@ -113,9 +132,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => {
         require(children.size == 2, "ngram_pos_hashes expects (text, n)")
-        require(children(1).foldable, "ngram size must be a literal")
         graft.functions.NGramPosHashExpr(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+          foldableInt("ngram_pos_hashes", "ngram size", children(1)))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
       new FunctionIdentifier("char_bigram_counts"),
@@ -138,11 +156,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 4,
           "rhp_bands expects (embedding, nbits, rows_per_band, seed)")
-        require(children.drop(1).forall(_.foldable),
-          "rhp_bands parameters must be literals")
-        def intArg(i: Int) = children(i).eval().asInstanceOf[Number].intValue()
-        graft.functions.RhpBandsExpr(children.head, intArg(1), intArg(2),
-          children(3).eval().asInstanceOf[Number].longValue())
+        def intArg(what: String, i: Int) =
+          foldableInt("rhp_bands", what, children(i))
+        graft.functions.RhpBandsExpr(children.head, intArg("nbits", 1),
+          intArg("rows_per_band", 2),
+          foldableLong("rhp_bands", "seed", children(3)))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
       new FunctionIdentifier("minhash32"),
@@ -153,10 +171,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => {
         require(children.size == 3, "minhash32 expects (text, n, num_perms)")
-        require(children.drop(1).forall(_.foldable),
-          "minhash32 parameters must be literals")
-        def intArg(i: Int) = children(i).eval().asInstanceOf[Number].intValue()
-        graft.functions.MinHashSigExpr(children.head, intArg(1), intArg(2))
+        graft.functions.MinHashSigExpr(children.head,
+          foldableInt("minhash32", "ngram size", children(1)),
+          foldableInt("minhash32", "num_perms", children(2)))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
       new FunctionIdentifier("ngram_hashes_md5"),
@@ -167,9 +184,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => {
         require(children.size == 2, "ngram_hashes_md5 expects (text, n)")
-        require(children(1).foldable, "ngram size must be a literal")
         graft.functions.NGramMd5Expr(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+          foldableInt("ngram_hashes_md5", "ngram size", children(1)))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
       new FunctionIdentifier("minhash61"),
@@ -179,9 +195,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => {
         require(children.size == 2, "minhash61 expects (hashes, num_perms)")
-        require(children(1).foldable, "num_perms must be a literal")
         graft.functions.MinHash61Expr(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+          foldableInt("minhash61", "num_perms", children(1)))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
       new FunctionIdentifier("hlin_sum"),
@@ -191,9 +206,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) => {
         require(children.size == 2, "hlin_sum expects (text, dim)")
-        require(children(1).foldable, "dim must be a literal")
         graft.functions.HashedLinearExpr(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+          foldableInt("hlin_sum", "dim", children(1)))
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
     ext.injectFunction((
       new FunctionIdentifier("deflate_len"),

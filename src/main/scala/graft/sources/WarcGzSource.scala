@@ -70,7 +70,10 @@ class WarcGzSource extends TableProvider with DataSourceRegister {
   *    rename window of a single fixed name), and a crash at ANY point
   *    leaves the previous epoch fully readable. Superseded epochs are
   *    garbage-collected after the new one is published; a crash
-  *    mid-cleanup leaves stale low-epoch manifests readers ignore.
+  *    mid-cleanup leaves stale low-epoch manifests readers ignore. A
+  *    reader that resolved an epoch the writer GC'd before the open
+  *    retries by re-resolving (a deleted manifest implies a newer epoch
+  *    is already visible — see `read`).
   *
   * A crashed job therefore needs NO repair step before reading: the
   * newest surviving manifest names the last committed generation. The
@@ -81,8 +84,11 @@ class WarcGzSource extends TableProvider with DataSourceRegister {
   * through an external coordinator). Concurrent appends would each
   * read-modify-write the generation set and the loser's files, while
   * present on disk, would be absent from the surviving manifest; the
-  * versioned names make the race detectable (two jobs contending for
-  * the same epoch — the rename loser fails loudly) but not mergeable.
+  * versioned names make the race detectable but not mergeable. (The
+  * detection is an explicit existence probe on the target epoch before
+  * the publishing rename — rename-to-existing behavior alone is
+  * filesystem-dependent: HDFS fails it, local/POSIX silently
+  * overwrites, so the probe is the portable best-effort tripwire.)
   */
 private[sources] object WarcGzManifest {
   /** Versioned manifests are `s"$Prefix.<epoch>"`; a bare legacy
@@ -108,13 +114,35 @@ private[sources] object WarcGzManifest {
     if (cands.isEmpty) None else Some(cands.maxBy(_._1))
   }
 
-  def read(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[Set[String]] =
-    newest(fs, dir).map { case (_, mf) =>
-      val in = fs.open(mf)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toSet
-      finally in.close()
+  /** Newest committed generation, if any. Resolve-then-open is two
+    * steps, so a reader racing the single writer can resolve an epoch
+    * that write() garbage-collects before the open — but a deleted
+    * manifest implies its successor is already visible (GC runs only
+    * after the new epoch is published), so on FileNotFoundException we
+    * re-resolve and retry: each retry can only land on a strictly newer
+    * epoch. Bounded purely as a corruption backstop; one retry per
+    * concurrent publish is the steady-state worst case.
+    */
+  def read(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[Set[String]] = {
+    var attempt = 0
+    while (true) {
+      newest(fs, dir) match {
+        case None => return None
+        case Some((_, mf)) =>
+          try {
+            val in = fs.open(mf)
+            try return Some(scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().filter(_.nonEmpty).toSet)
+            finally in.close()
+          } catch {
+            case e: java.io.FileNotFoundException =>
+              attempt += 1
+              if (attempt >= 8) throw e
+          }
+      }
     }
+    None // unreachable
+  }
 
   def write(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       names: Set[String]): Unit = {
@@ -124,6 +152,15 @@ private[sources] object WarcGzManifest {
     try out.write((names.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val mf = new Path(dir, s"$Prefix.$epoch")
+    // best-effort tripwire: rename-to-existing detection is filesystem-
+    // dependent (HDFS fails the rename; local/POSIX renameTo silently
+    // overwrites), so probe the target epoch explicitly first — a hit
+    // means another writer published this epoch between our listing and
+    // now, a single-writer-contract violation worth failing loudly on
+    // every filesystem.
+    if (fs.exists(mf))
+      sys.error(s"warcgz: manifest $mf already exists — concurrent " +
+        "writer detected (single-writer contract violated)")
     if (!fs.rename(tmp, mf))
       sys.error(s"warcgz: could not publish manifest $mf " +
         "(single-writer contract violated?)")

@@ -104,4 +104,25 @@ class SketchesSpec extends SparkSpec {
     val b = vals.filter(col("v").startsWith("L"))
     assert(est(a.unionByName(b)) == e)
   }
+
+  test("foldable function parameters reject null / non-numeric literals with a descriptive error") {
+    def msgChain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur: Throwable = t
+      while (cur != null) { sb.append(cur.getMessage).append(" | "); cur = cur.getCause }
+      sb.toString
+    }
+    val df = Seq("a b c d").toDF("text")
+    val nullErr = intercept[Throwable] {
+      df.select(call_function("hll_ngram_bucket_rho", col("text"),
+        lit(null).cast("int"))).collect()
+    }
+    assert(msgChain(nullErr).contains("hll_ngram_bucket_rho"), msgChain(nullErr))
+    assert(msgChain(nullErr).contains("NULL"), msgChain(nullErr))
+    val strErr = intercept[Throwable] {
+      df.select(call_function("ngram_hashes", col("text"), lit("3"))).collect()
+    }
+    assert(msgChain(strErr).contains("ngram_hashes"), msgChain(strErr))
+    assert(msgChain(strErr).contains("numeric literal"), msgChain(strErr))
+  }
 }

@@ -552,4 +552,55 @@ class WarcSpec extends AnyFunSuite {
       .load(dir.getAbsolutePath + "/*.warc.gz")
     assert(back.count() == 5)
   }
+
+  test("manifest publish race: reader retries a GC'd epoch; writer trips on an existing target epoch") {
+    import org.apache.hadoop.fs.{FSDataInputStream, FileStatus, FileSystem, FilterFileSystem, Path => HPath}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("warc_race").toFile
+    dir.deleteOnExit()
+    val hdir = new HPath(dir.getAbsolutePath)
+    val raw = FileSystem.getLocal(conf)
+    WarcGzManifest.write(raw, hdir, Set("a.warc.gz")) // epoch 1
+    // READER RETRY: resolve-then-open is two steps; simulate the single
+    // writer GC'ing the resolved epoch in the gap — the first manifest
+    // open deletes the file, publishes the successor, then throws the
+    // FileNotFoundException the real race produces. read() must
+    // re-resolve and return the SUCCESSOR generation, not fail.
+    var fired = false
+    val racingFs = new FilterFileSystem(raw) {
+      override def open(f: HPath, bufferSize: Int): FSDataInputStream = {
+        if (!fired && f.getName.startsWith(WarcGzManifest.Prefix)) {
+          fired = true
+          raw.delete(f, false)
+          WarcGzManifest.write(raw, hdir, Set("b.warc.gz")) // epoch 2
+          throw new java.io.FileNotFoundException(f.toString)
+        }
+        super.open(f, bufferSize)
+      }
+    }
+    assert(WarcGzManifest.read(racingFs, hdir).contains(Set("b.warc.gz")),
+      "reader did not re-resolve to the successor epoch after FNFE")
+    assert(fired, "race never fired - test wiring broken")
+    // WRITER TRIPWIRE: a writer whose listing is stale (hides the newest
+    // epoch - what a concurrent publish between list and rename looks
+    // like) computes an epoch that already exists; the explicit existence
+    // probe must fail loudly on EVERY filesystem (local/POSIX rename
+    // would silently overwrite).
+    val maxEpoch = dir.listFiles.map(_.getName)
+      .collect { case n if n.startsWith("_committed.") =>
+        n.stripPrefix("_committed.").toLong }.max
+    val contested = s"_committed.${maxEpoch + 1}"
+    java.nio.file.Files.write(
+      new java.io.File(dir, contested).toPath, "b.warc.gz\n".getBytes)
+    val staleFs = new FilterFileSystem(raw) {
+      override def listStatus(f: HPath): Array[FileStatus] =
+        super.listStatus(f).filterNot(_.getPath.getName == contested)
+    }
+    val err = intercept[RuntimeException] {
+      WarcGzManifest.write(staleFs, hdir, Set("c.warc.gz"))
+    }
+    assert(err.getMessage.contains("concurrent writer"), err.getMessage)
+    // the existing epoch was NOT clobbered by the losing writer
+    assert(WarcGzManifest.read(raw, hdir).contains(Set("b.warc.gz")))
+  }
 }
