@@ -549,7 +549,10 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    labels
+    // the final labeling stays cached (the returned plan reads it, and
+    // callers typically join it several times); result-reachable, so
+    // Scratch-registered for session-scoped release
+    graft.util.Scratch.register(labels)
   }
 
   /** Connected components via alternating large-star / small-star — the

@@ -31,10 +31,19 @@ object Graph {
     * standard correction — without it rank leaks and the total stops
     * summing to 1). Nodes = every id appearing as src or dst. Output:
     * (node, pr) with pr rounded to `scale` dp.
+    *
+    * Cache contract: the returned plan reads two internal cached frames
+    * (the degree-annotated edge list and the node list; in the dangling
+    * regime also the last iteration checkpoint) — all registered with
+    * [[graft.util.Scratch]], so a long-lived session composing
+    * operators releases them with `Scratch.release(spark)`. Superseded
+    * per-iteration checkpoints are unpersisted here, as soon as their
+    * successor materializes.
     */
   def pageRank(edges: DataFrame, iterations: Int = 3, d: Double = 0.85,
       scale: Int = 12): DataFrame = {
     import graft.functions.Exact.dsum
+    import graft.util.Scratch
     // cache the edge list ONCE with its out-degree attached: every
     // iteration joins it, the caller's edge plan may itself be expensive
     // (the kNN build costs more than all three iterations together), and
@@ -44,9 +53,9 @@ object Graph {
     // and every iteration reuses the same partitioning.
     val e0 = edges.select(col("src"), col("dst"))
     val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = e0.join(outdeg, "src").cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val e = Scratch.cached(e0.join(outdeg, "src"))
+    val nodes = Scratch.cached(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     // dangling nodes (no out-edges) need their mass redistributed each
     // iteration — a per-iteration global agg + broadcast. Most real
     // graphs here (kNN: every node queries) have NONE, and x + 0.0 is
@@ -71,8 +80,22 @@ object Graph {
     val nodesN = nodes.crossJoin(nRow)
     var rank = nodesN
       .select(col("node"), round(lit(1.0) / col("n"), scale).as("pr"))
+    // dangling regime only: each iteration's rank is read TWICE (contrib
+    // + dangling mass), so it is cached — and since round 15, MATERIALIZED
+    // eagerly (count() = the web-scale per-iteration checkpoint) so the
+    // superseded predecessor can be unpersisted immediately instead of
+    // accumulating one cached frame per iteration. The last checkpoint
+    // stays cached (the returned plan reads it) and is Scratch-registered.
+    var checkpoint: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
-      val prev = if (hasDangling) rank.cache() else rank
+      val prev =
+        if (hasDangling) {
+          val p = rank.cache()
+          p.count(): Unit
+          checkpoint.foreach(_.unpersist())
+          checkpoint = Some(p)
+          p
+        } else rank
       // mass arriving over edges: contribution = pr/deg, one IEEE divide
       val contrib = e
         .join(prev.select(col("node").as("src"), col("pr")), "src")
@@ -98,6 +121,7 @@ object Graph {
               scale).as("pr"))
         }
     }
+    checkpoint.foreach(Scratch.register)
     rank
   }
 
@@ -115,47 +139,83 @@ object Graph {
     *
     * Deterministic end-to-end — the engine's [[graft.operators.Sketches]]
     * HLL: md5-derived buckets/rhos, integer register maxima, the
-    * integer-exact estimator, estimates rounded to 4 dp — so a SQL
-    * oracle replays every register and every estimate bit-for-bit,
-    * unlike the seeded-random HLLs HyperBall normally runs on.
+    * integer-exact estimator, estimates rounded to 4 dp, and the final
+    * harmonic combination evaluated as ONE exact integer expression over
+    * 10^4-scaled estimates followed by a single IEEE divide (no rounding
+    * of the result — Δ/2 of 4-dp values lands exactly on 4-dp midpoints,
+    * where decimal-HALF_UP and binary-double round() disagree across
+    * engines) — so a SQL oracle replays every register, every estimate,
+    * and the centrality itself bit-for-bit, unlike the seeded-random
+    * HLLs HyperBall normally runs on.
     *
     * 100 TB design: state is the (node, bucket, reg) register table —
     * ≤ 4096 rows per node regardless of graph size (HyperBall's
     * documented memory shape, here as a shuffle-friendly relation).
     * Each iteration is one equi-join of registers with edges on src
-    * plus one (node, bucket) max-aggregation with map-side partials;
-    * registers persist per iteration (they are re-read by the next
-    * round AND the estimate), exactly the web-scale checkpoint unit.
+    * plus one (node, bucket) max-aggregation with map-side partials.
+    * HyperBall is inherently ITERATIVE, so each round's register table
+    * is materialized (the web-scale checkpoint unit), the tiny
+    * (node, est) snapshot is taken from it, and the SUPERSEDED register
+    * table is unpersisted immediately — per-round persisted state is one
+    * register table plus maxT+1 node-sized estimate frames, never maxT
+    * register tables.
+    *
+    * Cache contract: the RESULT is returned cached and materialized
+    * (one (node, ball_est, harmonic) frame, [[graft.util.Scratch]]-
+    * registered); every internal cache is released before return.
+    * Evicting/releasing the result is safe — the lineage below it is
+    * deterministic (register maxima, integer-exact estimates).
     */
-  def harmonicCentrality(edges: DataFrame, maxT: Int = 3,
-      scale: Int = 4): DataFrame = {
+  def harmonicCentrality(edges: DataFrame, maxT: Int = 3): DataFrame = {
+    import graft.util.Scratch
     val e = edges.select(col("src"), col("dst")).cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     def estOf(regs: DataFrame, t: Int): DataFrame =
       Sketches.hllEstimate(regs.withColumnRenamed("node", "grp"))
         .select(col("grp").as("node"), col("hll_est").as(s"est$t"))
+    def snapshot(df: DataFrame): DataFrame = {
+      val c = df.cache(); c.count(): Unit; c
+    }
     // B(v,0) = {v}: one register row per node
-    var regs = Sketches.hllRegistersPacked(nodes, col("node"),
+    var regs = snapshot(Sketches.hllRegistersPacked(nodes, col("node"),
         call_function("hll_bucket_rho", col("node").cast("string")))
-      .withColumnRenamed("grp", "node").cache()
-    var ests = Vector(estOf(regs, 0))
+      .withColumnRenamed("grp", "node"))
+    var ests = Vector(snapshot(estOf(regs, 0)))
     for (t <- 1 to maxT) {
       // push counters across edges into their heads' in-balls, then
-      // max-merge; cache: the next round and the estimate both read it
+      // max-merge (register max is order-free and duplicate-safe)
+      val prev = regs
       val pulled = e
-        .join(regs.withColumnRenamed("node", "src"), "src")
+        .join(prev.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("bucket"), col("reg"))
-      regs = regs.unionByName(pulled)
-        .groupBy("node", "bucket").agg(max(col("reg")).as("reg")).cache()
-      ests = ests :+ estOf(regs, t)
+      regs = snapshot(prev.unionByName(pulled)
+        .groupBy("node", "bucket").agg(max(col("reg")).as("reg")))
+      ests = ests :+ snapshot(estOf(regs, t))
+      prev.unpersist() // superseded register table: successor + its
+                       // estimate are materialized above
     }
     val joined = ests.reduce(_.join(_, "node"))
-    val harmonic = (1 to maxT)
-      .map(t => greatest(col(s"est$t") - col(s"est${t - 1}"), lit(0.0))
-        / lit(t.toDouble))
+    // harmonic = Σ_t max(Δest_t, 0)/t — but NOT as float divides + a
+    // final round: Δ/2 of 4-dp estimates lands EXACTLY on 4-dp midpoints
+    // (e.g. 42.49005), where Spark's decimal HALF_UP and a binary-double
+    // round() disagree. Instead: lift the (4-dp-exact) estimates to
+    // integers ×10^4, combine with lcm(1..maxT) integer weights, and do
+    // ONE IEEE divide by (lcm·10^4) at the end — the same rational
+    // number, computed exactly, bit-identical on any engine with no
+    // rounding step at all.
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1L to maxT.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    def e10k(t: Int) = round(col(s"est$t") * lit(10000.0)).cast("long")
+    val hs = (1 to maxT)
+      .map(t => lit(lcm / t) * greatest(e10k(t) - e10k(t - 1), lit(0L)))
       .reduce(_ + _)
-    joined.select(col("node"), col(s"est$maxT").as("ball_est"),
-      round(harmonic, scale).as("harmonic"))
+    val out = joined.select(col("node"), col(s"est$maxT").as("ball_est"),
+      (hs.cast("double") / lit(lcm * 10000.0)).as("harmonic")).cache()
+    out.count(): Unit
+    regs.unpersist()
+    ests.foreach(_.unpersist())
+    e.unpersist()
+    Scratch.register(out)
   }
 }

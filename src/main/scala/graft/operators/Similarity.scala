@@ -219,11 +219,20 @@ object Similarity {
     * 2-of-64-cell probe reads ~3% of the files, enforced by the
     * directory structure rather than a filter.
     */
-  def writeIvfIndex(corpus: DataFrame, ncells: Int, path: String): Unit = {
-    val (assigned, cents) = ivfIndex(corpus, ncells)
+  def writeIvfIndex(corpus: DataFrame, ncells: Int, path: String): Unit =
+    writeIvfIndex(ivfIndex(corpus, ncells), path)
+
+  /** Persist a PREFITTED index — the (assigned, cents) contract from
+    * [[ivfIndex]], [[kmeansFit]] (the full-corpus fit a driver-sample
+    * quantizer stops being representative for at SemDeDup scale), or any
+    * SQL-replayable quantizer — without re-running the sample k-means
+    * the corpus-arg overload hardcodes.
+    */
+  def writeIvfIndex(index: (DataFrame, DataFrame), path: String): Unit = {
+    val (assigned, cents) = index
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
-    val spark = corpus.sparkSession
+    val spark = assigned.sparkSession
     import spark.implicits._
     val json = centersOf(cents)
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
@@ -364,6 +373,7 @@ object Similarity {
         posexplode(call_function("rhp_bands", col("embedding"),
           lit(nbits), lit(rowsPerBand), lit(seed))).as(Seq("band", "bkey")))
       .cache() // the LSH index: both self-join sides reuse it
+    graft.util.Scratch.register(bands): Unit // result-reachable; see Scratch
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -409,6 +419,7 @@ object Similarity {
         explode(assignCells(centers, nassign, euclid = false)).as("cell"),
         col("embedding"))
       .cache()
+    graft.util.Scratch.register(celled): Unit // result-reachable; see Scratch
     // within-cell pair join over WHOLE vectors, cosine via the fused
     // codegen'd array_cosine — one output row per candidate pair. The
     // earlier element-exploded formulation pushed dims× as many rows
@@ -488,8 +499,13 @@ object Similarity {
       index: Option[(DataFrame, DataFrame)] = None, ncells: Int = 16,
       scale: Int = 5): DataFrame = {
     val (assigned0, cents) = index.getOrElse(ivfIndex(corpus, ncells))
-    val assigned = assigned0
-      .select(col("vec_id"), col("embedding"), col("cell")).cache()
+    // the celled corpus is read three times by the returned plan (both
+    // pair-join sides + the centroid-similarity leg), so it is cached;
+    // the cache fills during the CALLER's action, so it cannot be
+    // unpersisted here — Scratch-registered instead (release with
+    // graft.util.Scratch.release(spark) between pipelines)
+    val assigned = graft.util.Scratch.cached(assigned0
+      .select(col("vec_id"), col("embedding"), col("cell")))
     // within-cell candidate pairs, exact cosine inside codegen; scores
     // rounded before thresholding so summation-order noise cannot flip
     // a verdict either engine takes
@@ -583,7 +599,18 @@ object Similarity {
     val centers = centersOf(cents)
     val assigned = vecs.withColumn("cell",
       element_at(assignCells(centers, nassign = 1, euclid = true), 1))
-    (assigned, cents)
+    // the corpus cache served the per-iteration mean jobs; the returned
+    // assignment is ONE map pass, so release it here — the consumer's
+    // action re-reads the source once, which is what a 100 TB run wants
+    // anyway. The returned centroid frame is rebuilt from the collected
+    // k-row array (a literal), not the iteration-deep lazy join chain —
+    // re-evaluating it costs nothing and touches no released cache.
+    vecs.unpersist()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centsOut = centers.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+    (assigned, centsOut)
   }
 
   // -------------------------------------------------------------------

@@ -340,6 +340,108 @@ object SimilarityPack extends QueryPack {
            |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
       }),
 
+    // HyperBall harmonic centrality over the kNN graph (round 15) — the
+    // OTHER published per-crawl source-quality prior (Common Crawl ships
+    // harmonic-centrality rankings alongside PageRank; Boldi & Vigna
+    // 2013). Each node carries a deterministic-HLL counter of its
+    // in-ball; one round = push registers across edges + max-merge
+    // (order-free, duplicate-safe); harmonic = Σ_t Δball(t)/t over the
+    // estimates. Hash-checked END TO END because the engine's HLL is the
+    // SQL-replayable one (md5 buckets, hex-digit rho, integer-exact
+    // estimator — the text_hll_vocab pattern): the oracle replays every
+    // register of every round and every estimate bit-for-bit on top of
+    // the same knn CTE, and the centrality itself is the exact rational
+    // (Σ lcm/t·Δ)/(lcm·10^4) over integer-lifted estimates — one IEEE
+    // divide, no cross-engine rounding hazard (Δ/2 of 4-dp values lands
+    // exactly on 4-dp midpoints; a round() there flipped 6/500 rows).
+    QueryDef(
+      "graph_harmonic",
+      (s, d) => {
+        val corpus = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val queries = T.embeddings(s, d)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val knn = Similarity.topKIvf(corpus, queries, 5, nprobe = 2,
+          index = Some(labelIndex(s, d)), queryBroadcastCap = 0)
+        graft.operators.Graph.harmonicCentrality(
+            knn.select(col("query_id").as("src"), col("vec_id").as("dst")),
+            maxT = 3)
+          .orderBy("node")
+      },
+      Some {
+        // the alpha·m²·2^49 constant chain, spelled as in text_hll_vocab
+        val c = "(0.7213/(1.0 + 1.079/4096.0)*4096.0*4096.0*562949953421312.0)"
+        // integer-exact estimator over a (node, bucket, reg) register CTE
+        def est(regs: String, out: String) =
+          s"""$out AS (
+             |  SELECT node,
+             |    round(CASE WHEN $c / CAST(sprime AS DOUBLE) <= 10240.0
+             |                    AND vzero > 0
+             |          THEN 4096.0 * ln(4096.0 / CAST(vzero AS DOUBLE))
+             |          ELSE $c / CAST(sprime AS DOUBLE) END, 4) AS est
+             |  FROM (
+             |    SELECT node,
+             |      SUM(1::BIGINT << (49 - reg))
+             |        + (4096 - count(*)) * (1::BIGINT << 49) AS sprime,
+             |      4096 - count(*) AS vzero
+             |    FROM $regs GROUP BY node) t
+             |)""".stripMargin
+        // one HyperBall round: push over edges, max-merge registers
+        def ball(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT node, bucket, max(reg) AS reg FROM (
+             |    SELECT node, bucket, reg FROM $prev
+             |    UNION ALL
+             |    SELECT e.dst AS node, r.bucket, r.reg
+             |    FROM $prev r JOIN gedges e ON e.src = r.node
+             |  ) u GROUP BY node, bucket
+             |)""".stripMargin
+        s"""WITH $KnnCteSql,
+           |gedges AS (SELECT query_id AS src, vec_id AS dst FROM knn),
+           |gnodes AS (
+           |  SELECT DISTINCT node FROM (
+           |    SELECT src AS node FROM gedges
+           |    UNION ALL SELECT dst FROM gedges) un
+           |), h0 AS (
+           |  SELECT node, md5(CAST(node AS VARCHAR)) AS hex FROM gnodes
+           |), rd0 AS (
+           |  SELECT node,
+           |    CAST(('0x' || substr(hex, 1, 3)) AS BIGINT) AS bucket,
+           |    length(regexp_extract(substr(hex, 4, 12), '^0*', 0)) AS z0,
+           |    substr(substr(hex, 4, 12),
+           |      length(regexp_extract(substr(hex, 4, 12), '^0*', 0)) + 1, 1) AS fnz
+           |  FROM h0
+           |), regs0 AS (
+           |  SELECT node, bucket,
+           |    max(z0*4 + CASE WHEN fnz = '' THEN 0
+           |          WHEN fnz = '1' THEN 3
+           |          WHEN fnz IN ('2','3') THEN 2
+           |          WHEN fnz IN ('4','5','6','7') THEN 1
+           |          ELSE 0 END + 1) AS reg
+           |  FROM rd0 GROUP BY node, bucket
+           |),
+           |${ball("regs0", "regs1")},
+           |${ball("regs1", "regs2")},
+           |${ball("regs2", "regs3")},
+           |${est("regs0", "est0")},
+           |${est("regs1", "est1")},
+           |${est("regs2", "est2")},
+           |${est("regs3", "est3")},
+           |ei AS (
+           |  SELECT e0.node, e3.est AS ball_est,
+           |    CAST(round(e0.est*10000.0) AS BIGINT) AS i0,
+           |    CAST(round(e1.est*10000.0) AS BIGINT) AS i1,
+           |    CAST(round(e2.est*10000.0) AS BIGINT) AS i2,
+           |    CAST(round(e3.est*10000.0) AS BIGINT) AS i3
+           |  FROM est0 e0 JOIN est1 e1 USING (node) JOIN est2 e2 USING (node)
+           |  JOIN est3 e3 USING (node)
+           |)
+           |SELECT node, ball_est,
+           |  (6*greatest(i1 - i0, 0) + 3*greatest(i2 - i1, 0)
+           |   + 2*greatest(i3 - i2, 0)) / 60000.0 AS harmonic
+           |FROM ei
+           |ORDER BY node""".stripMargin
+      }),
+
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
     // the corpus ∪ dim0-zeroed mutants (every base–mutant pair is a
     // planted ≥0.9 near-dup SHARING its cluster). Pairs are compared

