@@ -461,6 +461,161 @@ object SamplePack extends QueryPack {
              |  AND quality >= 0.34 AND avg_logp >= -1.52
              |ORDER BY sort_key, doc_id""".stripMargin)),
 
+    // Round-15 curation capstone v4: the SEMANTIC-dedup funnel — v3's
+    // reference-model filters (quality floor ∧ stupid-backoff fluency
+    // band ∧ not containment-duplicated) composed with a SemDeDup
+    // keep-set built over a kmeansFit FULL-CORPUS index (not the label
+    // quantizer: the k-means fixed-point itself is SQL-replayable, so
+    // the oracle replays seeding, both Lloyd iterations, the final
+    // assignment, within-cell pairs, recursive components, and the
+    // min-cent_sim election end-to-end). Fixture plants each vector's
+    // dim0-zeroed mutant (cosine ≈ 0.9997, same cell): the election
+    // keeps whichever of base/mutant sits FURTHER from its centroid, so
+    // a base document dropped in favor of its mutant is exactly the
+    // "semantic near-dup removed" path — load-bearing, hash-checked.
+    QueryDef(
+      "sample_curation_v4",
+      (s, d) => {
+        import graft.operators.{Dedup, Similarity, TextOps}
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+        val semc = base.unionByName(mutants)
+        val fit = Similarity.kmeansFit(semc, k = 8, iters = 2)
+        val semKeep = Similarity.semDeDup(semc, 0.9, index = Some(fit))
+          .filter(col("keep") && col("vec_id") < 1000000)
+          .select(col("vec_id").as("doc_id"))
+        val ref = docs.filter(col("doc_id") % 2 === 0)
+        val cand = docs.filter(col("doc_id") % 2 === 1)
+        val lm = TextOps.stupidBackoffScore(ref, cand)
+          .select(col("doc_id"), col("avg_logp"))
+        val q = TextOps.qualityScore(cand)
+        val dupDrop = Dedup.containmentPairs(cand, 3, 0.9)
+          .select(col("db").as("doc_id")).distinct()
+        val kept = q.join(lm, "doc_id")
+          .join(dupDrop, Seq("doc_id"), "left_anti")
+          .join(semKeep, "doc_id")
+          .filter(col("quality") >= 0.34 && col("avg_logp") >= -1.52)
+        Sampling.epochOrder(kept, col("doc_id"), epoch = 1)
+      },
+      Some {
+        val cos = SimilarityPack.cosSql _
+        s"""WITH RECURSIVE semc AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |         list_transform(embedding, (x, i) ->
+           |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS embedding
+           |  FROM embeddings
+           |),
+           |${SimilarityPack.kmeansReplayCtes("semc")},
+           |ev AS (
+           |  SELECT s.vec_id, s.embedding, f.cell
+           |  FROM semc s JOIN af f USING (vec_id)
+           |), prs AS (
+           |  SELECT a.vec_id AS da, b.vec_id AS db
+           |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE round(${cos("a.embedding", "b.embedding")}, 5) >= 0.9
+           |), sedges AS (
+           |  SELECT da AS x, db AS y FROM prs
+           |  UNION ALL SELECT db, da FROM prs
+           |), reach(id, r) AS (
+           |  SELECT x, x FROM sedges
+           |  UNION
+           |  SELECT sedges.y, reach.r FROM reach JOIN sedges ON sedges.x = reach.id
+           |), comp AS (
+           |  SELECT id, min(r) AS component FROM reach GROUP BY id
+           |), cs AS (
+           |  SELECT ev.vec_id,
+           |         round(${cos("ev.embedding", "cv.centroid")}, 5) AS cent_sim
+           |  FROM ev JOIN c2 cv ON cv.cell = ev.cell
+           |), lab AS (
+           |  SELECT cs.vec_id, cs.cent_sim,
+           |         coalesce(comp.component, cs.vec_id) AS component
+           |  FROM cs LEFT JOIN comp ON comp.id = cs.vec_id
+           |), elect AS (
+           |  SELECT component, vec_id AS keeper FROM (
+           |    SELECT component, vec_id,
+           |           row_number() OVER (PARTITION BY component
+           |                              ORDER BY cent_sim, vec_id) AS rn
+           |    FROM lab) t
+           |  WHERE rn = 1
+           |), semkeep AS (
+           |  SELECT l.vec_id AS doc_id
+           |  FROM lab l JOIN elect k USING (component)
+           |  WHERE l.vec_id = k.keeper AND l.vec_id < 1000000
+           |), ttok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           |         generate_subscripts(string_split(text, ' '), 1) AS i
+           |  FROM documents WHERE doc_id % 2 = 0
+           |), uni AS (SELECT w, count(*) AS u FROM ttok GROUP BY w),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ttok),
+           |bgc AS (
+           |  SELECT pw, w, count(*) AS b FROM (
+           |    SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
+           |    FROM ttok) x
+           |  WHERE pw IS NOT NULL GROUP BY pw, w
+           |), stok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           |         generate_subscripts(string_split(text, ' '), 1) AS i
+           |  FROM documents WHERE doc_id % 2 = 1
+           |), sbg AS (
+           |  SELECT doc_id, pw, w FROM (
+           |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
+           |    FROM stok) x
+           |  WHERE pw IS NOT NULL
+           |), lpr AS (
+           |  SELECT sbg.doc_id,
+           |         CASE WHEN bgc.b IS NOT NULL
+           |              THEN log10(CAST(bgc.b AS DOUBLE) / up.u)
+           |              ELSE log10(coalesce(CAST(uw.u AS DOUBLE), 0.5)
+           |                         * (CAST(0.4 AS DOUBLE) / tot.t))
+           |         END AS lp
+           |  FROM sbg
+           |  LEFT JOIN bgc ON bgc.pw = sbg.pw AND bgc.w = sbg.w
+           |  LEFT JOIN uni up ON up.w = sbg.pw
+           |  LEFT JOIN uni uw ON uw.w = sbg.w
+           |  CROSS JOIN tot
+           |), lm AS (
+           |  SELECT doc_id,
+           |    round(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_logp
+           |  FROM lpr GROUP BY doc_id
+           |), lw AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS w
+           |  FROM documents WHERE doc_id % 2 = 1
+           |), q AS (
+           |  SELECT doc_id,
+           |    round(least(CAST(len(w) AS DOUBLE)/200.0, 1.0)*0.5
+           |      + CAST(len(list_distinct(w)) AS DOUBLE)/len(w)*0.3
+           |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           |              /len(w)*5.0, 1.0)*0.2, 6) AS quality
+           |  FROM lw
+           |), tri AS (
+           |  SELECT DISTINCT doc_id,
+           |         concat_ws(' ', cw,
+           |           lead(cw,1) OVER (PARTITION BY doc_id ORDER BY i),
+           |           lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i)) AS sh
+           |  FROM (SELECT doc_id, w AS cw, i FROM stok) c
+           |  QUALIFY lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+           |), sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+           |dup AS (
+           |  SELECT DISTINCT db AS doc_id FROM (
+           |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS icnt
+           |    FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |    GROUP BY 1, 2) p
+           |  JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db
+           |  WHERE icnt / least(sa.n, sb.n) >= 0.9
+           |)
+           |SELECT doc_id, quality, avg_logp,
+           |       md5('1:' || CAST(doc_id AS VARCHAR)) AS sort_key
+           |FROM q JOIN lm USING (doc_id) JOIN semkeep USING (doc_id)
+           |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+           |  AND quality >= 0.34 AND avg_logp >= -1.52
+           |ORDER BY sort_key, doc_id""".stripMargin
+      }),
+
     // Applied mixture: per-document copy counts materializing the plan —
     // floor(weight) epochs + deterministic fractional Bernoulli (Knuth
     // multiplicative draw, integer-exact in both engines). Expectation =

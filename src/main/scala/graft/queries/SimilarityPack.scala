@@ -17,7 +17,7 @@ object SimilarityPack extends QueryPack {
     * double-precision, element-order-sequential arithmetic as
     * [[Similarity.cosine]].
     */
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"""list_sum(list_transform(list_zip($a, $b),
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
        |/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
@@ -32,6 +32,60 @@ object SimilarityPack extends QueryPack {
     */
   private val ExactMeanSql =
     "CAST(SUM(CAST(CAST(e.embedding[idx.i] AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE) / count(*)"
+
+  /** The FULL kmeansFit(k=8, iters=2) fixed-point replay over relation
+    * `src` (vec_id, embedding) as a CTE chain ending in `af(vec_id, cell)`
+    * (final assignment) and `c2(cell, centroid)` (final 6-dp centroids).
+    * Defines `idx`; embed as s"WITH ${kmeansReplayCtes(src)}, ...". Shared
+    * by the sim_kmeans_fit gate and SamplePack's curation v4 capstone.
+    */
+  private[queries] def kmeansReplayCtes(src: String): String = {
+    def score(c: String) =
+      s"""list_sum(list_transform(list_zip(e.embedding, $c.centroid),
+         |               p -> CAST(p[1] AS DOUBLE) * p[2]))
+         |           - list_sum(list_transform($c.centroid, x -> x*x)) / 2""".stripMargin
+    def iter(prev: String, cur: String) =
+      s"""a$cur AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY ${score("c")} DESC, c.cell) AS rn
+         |    FROM $src e CROSS JOIN c$prev c) t
+         |  WHERE rn = 1
+         |), m$cur AS (
+         |  SELECT a.cell, idx.i,
+         |         round($ExactMeanSql, 6) AS m
+         |  FROM a$cur a JOIN $src e USING (vec_id) CROSS JOIN idx
+         |  GROUP BY 1, 2
+         |), c$cur AS (
+         |  SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+         |  FROM c$prev p LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY i) AS centroid
+         |    FROM m$cur GROUP BY cell) n USING (cell)
+         |)""".stripMargin
+    s"""idx AS (SELECT unnest(range(1, 65)) AS i),
+       |ranked AS (
+       |  SELECT vec_id, embedding,
+       |         row_number() OVER (
+       |           ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+       |                    vec_id) AS rn
+       |  FROM $src
+       |), c0 AS (
+       |  SELECT rn - 1 AS cell,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM ranked WHERE rn <= 8
+       |),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |af AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |               ORDER BY ${score("c")} DESC, c.cell) AS rn
+       |    FROM $src e CROSS JOIN c2 c) t
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
 
   private def queriesDf(s: org.apache.spark.sql.SparkSession, d: String) =
     T.embeddings(s, d).filter(col("vec_id") < 10)
@@ -540,57 +594,12 @@ object SimilarityPack extends QueryPack {
           .select(col("vec_id"), col("cell"), col("centroid_sum"))
           .orderBy("vec_id")
       },
-      Some {
-        def score(c: String) =
-          s"""list_sum(list_transform(list_zip(e.embedding, $c.centroid),
-             |               p -> CAST(p[1] AS DOUBLE) * p[2]))
-             |           - list_sum(list_transform($c.centroid, x -> x*x)) / 2""".stripMargin
-        def iter(prev: String, cur: String) =
-          s"""a$cur AS (
-             |  SELECT vec_id, cell FROM (
-             |    SELECT e.vec_id, c.cell,
-             |           row_number() OVER (PARTITION BY e.vec_id
-             |               ORDER BY ${score("c")} DESC, c.cell) AS rn
-             |    FROM embeddings e CROSS JOIN c$prev c) t
-             |  WHERE rn = 1
-             |), m$cur AS (
-             |  SELECT a.cell, idx.i,
-             |         round($ExactMeanSql, 6) AS m
-             |  FROM a$cur a JOIN embeddings e USING (vec_id) CROSS JOIN idx
-             |  GROUP BY 1, 2
-             |), c$cur AS (
-             |  SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
-             |  FROM c$prev p LEFT JOIN (
-             |    SELECT cell, list(m ORDER BY i) AS centroid
-             |    FROM m$cur GROUP BY cell) n USING (cell)
-             |)""".stripMargin
-        s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
-           |ranked AS (
-           |  SELECT vec_id, embedding,
-           |         row_number() OVER (
-           |           ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
-           |                    vec_id) AS rn
-           |  FROM embeddings
-           |), c0 AS (
-           |  SELECT rn - 1 AS cell,
-           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-           |  FROM ranked WHERE rn <= 8
-           |),
-           |${iter("0", "1")},
-           |${iter("1", "2")},
-           |af AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT e.vec_id, c.cell,
-           |           row_number() OVER (PARTITION BY e.vec_id
-           |               ORDER BY ${score("c")} DESC, c.cell) AS rn
-           |    FROM embeddings e CROSS JOIN c2 c) t
-           |  WHERE rn = 1
-           |)
+      Some(
+        s"""WITH ${kmeansReplayCtes("embeddings")}
            |SELECT af.vec_id, af.cell,
            |       round(list_sum(c2.centroid), 4) AS centroid_sum
            |FROM af JOIN c2 USING (cell)
-           |ORDER BY af.vec_id""".stripMargin
-      }),
+           |ORDER BY af.vec_id""".stripMargin)),
 
     // Exact top-10 cosine neighbors for 10 query vectors: broadcast the
     // queries, one scan of the corpus, TakeOrdered-style per-query top-k.

@@ -166,6 +166,44 @@ object StreamPack extends QueryPack {
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Crawl-quality monitor (round 15): the extraction+quality verdict
+    // composed into the WARC ARRIVAL path — per-language doc/kept counts
+    // + exact-decimal mean quality over the splittable warcgz source
+    // with a broadcast (doc_id → lang) dimension. Batch face here
+    // (oracle replays extraction output + quality formula + the decimal
+    // mean from the documents table — valid because the ingestion gates
+    // pin body == text byte-exactly); FilePipelineSpec drives the SAME
+    // warcQualityByLang over readStream.format("warcgz") in complete
+    // mode and pins stream == batch after EVERY landed segment.
+    QueryDef(
+      "stream_warc_quality",
+      (s, d) =>
+        graft.streaming.FilePipelines.warcQualityByLang(
+            s.read.format("warcgz")
+              .load(s"${TextPack.warcHtmlFixture(s, d)}/*.warc.gz"),
+            T.documents(s, d).select(col("doc_id"), col("lang")))
+          .orderBy("lang"),
+      Some("""WITH x AS (
+             |  SELECT doc_id, lang,
+             |         'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+             |           || ' © 2026' AS clean_text
+             |  FROM documents
+             |), qw AS (
+             |  SELECT doc_id, lang, string_split(lower(clean_text), ' ') AS w FROM x
+             |), q AS (
+             |  SELECT doc_id, lang,
+             |    round(least(CAST(len(w) AS DOUBLE) / 200.0, 1.0) * 0.5
+             |      + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.3
+             |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |              / len(w) * 5.0, 1.0) * 0.2, 6) AS quality
+             |  FROM qw
+             |)
+             |SELECT lang, count(*) AS n_docs,
+             |       count(*) FILTER (quality >= 0.5) AS n_kept,
+             |       round(CAST(SUM(CAST(quality AS DECIMAL(38,15))) AS DOUBLE)
+             |             / count(*), 6) AS mean_quality
+             |FROM q GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Windowed HLL distinct users (round 13): the deterministic
     // HyperLogLog as STREAM STATE — per daily window the register table
     // ((window, bucket) → max rho) is one `max` aggregation with ≤4096

@@ -51,7 +51,7 @@ object TextPack extends QueryPack {
     * whose body is a full page (title, script, entity-bearing footer)
     * — the CommonCrawl shape the html-curation capstone ingests.
     */
-  private def warcHtmlFixture(s: org.apache.spark.sql.SparkSession,
+  private[queries] def warcHtmlFixture(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     graft.util.TempFixtures.dir(s, "warc_html_gz", d) { path =>
       val httpHdr = lit(

@@ -30,6 +30,41 @@ import org.apache.spark.sql.types._
   */
 object FilePipelines {
 
+  /** Per-language quality profile of an ARRIVING crawl — the streaming
+    * face of the extraction+quality verdict (the text_warc_html_curation
+    * machinery): splittable warcgz records → HTML main-text extraction →
+    * row-local quality score → stream-static enrichment against the tiny
+    * (doc_id, lang) dimension (broadcast; no stream-side shuffle) → one
+    * per-language aggregate (counts + exact-decimal mean quality — davg
+    * is sum(DECIMAL)/count, so partial aggregation and micro-batch merge
+    * order cannot move the mean). Runs IDENTICALLY over
+    * `spark.read.format("warcgz")` (the hash-checked batch gate
+    * stream_warc_quality) and `spark.readStream.format("warcgz")` in
+    * complete output mode (FilePipelineSpec pins stream == batch after
+    * every landed segment).
+    *
+    * At 100 TB: the only state is |langs| aggregate rows; arriving crawl
+    * segments are planned by the source's byte-range splits, extraction
+    * and scoring stay map-side, and the dimension join broadcasts.
+    */
+  def warcQualityByLang(pages: DataFrame, langDim: DataFrame): DataFrame = {
+    import graft.functions.Exact
+    import graft.operators.TextOps
+    val docs = pages.filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("record_id"), "-(\\d+)>$", 1)
+          .cast(LongType).as("doc_id"),
+        col("body").cast(StringType).as("html"))
+    TextOps.htmlExtract(docs)
+      .select(col("doc_id"),
+        TextOps.qualityCol(col("clean_text")).as("quality"))
+      .join(broadcast(langDim), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+        round(Exact.davg(col("quality"), 15), 6).as("mean_quality"))
+  }
+
   /** Line-JSON event schema — the `events` table's streaming face. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

@@ -150,4 +150,46 @@ class FilePipelineSpec extends SparkSpec {
     assert(t2.filter(col("event_id") === 99).count() == 0)
     assert(!oldDir.exists())
   }
+
+  test("streaming crawl-quality monitor == batch after every landed segment") {
+    // the stream_warc_quality gate's STREAMING face: the SAME
+    // warcQualityByLang over readStream.format("warcgz") in complete
+    // output mode — per-language counts + exact-decimal mean quality must
+    // equal the batch answer over the files landed so far, after EVERY
+    // arriving segment (davg's decimal partials make micro-batch merge
+    // order invisible).
+    import graft.sources.Warc
+    import spark.implicits._
+    val dir = tmpDir("warcq")
+    def page(i: Int): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<html><head><title>Doc $i</title><script>t();</script></head>" +
+        s"<body><p>the quick crawl document number $i of the corpus " +
+        ("text and filler words of the stream " * (1 + i % 3)) +
+        s"</p></body></html>").getBytes("UTF-8")
+    def land(name: String, ids: Range): Unit =
+      java.nio.file.Files.write(new File(dir, name).toPath,
+        Warc.writeGz(ids.map(i => Warc.WarcRecord("response", s"http://q/$i",
+          s"<urn:uuid:page-$i>", page(i)))))
+    val dim = (0L until 12L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def face(df: org.apache.spark.sql.DataFrame) =
+      FilePipelines.warcQualityByLang(df, dim)
+    land("seg1.warc.gz", 0 until 5)
+    val q = face(spark.readStream.format("warcgz").load(s"$dir/*.warc.gz"))
+      .writeStream.format("memory").queryName("warc_quality_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def batch = face(spark.read.format("warcgz").load(s"$dir/*.warc.gz"))
+      def stream = spark.table("warc_quality_stream")
+      assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+        "stream != batch after first segment")
+      land("seg2.warc.gz", 5 until 12)
+      q.processAllAvailable()
+      assert(stream.count() == 2) // en + de, complete-mode snapshot
+      assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+        "stream != batch after second segment")
+    } finally q.stop()
+  }
 }
