@@ -154,11 +154,17 @@ object Graph {
     * Each iteration is one equi-join of registers with edges on src
     * plus one (node, bucket) max-aggregation with map-side partials.
     * HyperBall is inherently ITERATIVE, so each round's register table
-    * is materialized (the web-scale checkpoint unit), the tiny
-    * (node, est) snapshot is taken from it, and the SUPERSEDED register
-    * table is unpersisted immediately — per-round persisted state is one
-    * register table plus maxT+1 node-sized estimate frames, never maxT
-    * register tables.
+    * materializes as a cached checkpoint (one job per round — the
+    * minimum the algorithm admits); every OTHER step is folded into a
+    * SINGLE final job: the round snapshots union with a round tag, one
+    * (node, round)-keyed estimator pass, one max(when) pivot back to a
+    * node row, and the exact harmonic combine — maxT+2 jobs total,
+    * not 2·maxT+3 (the per-round estimate-snapshot variant measured
+    * 16 s vs ~8 s at sf0.1: per-JOB overhead dominates at these state
+    * sizes). The snapshots all persist until that final job (peak ≈ 2×
+    * the final table; a memory-bound web-scale run would instead take
+    * the estimate per round and retire superseded tables immediately —
+    * one extra job per round).
     *
     * Cache contract: the RESULT is returned cached and materialized
     * (one (node, ball_est, harmonic) frame, [[graft.util.Scratch]]-
@@ -171,9 +177,6 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    def estOf(regs: DataFrame, t: Int): DataFrame =
-      Sketches.hllEstimate(regs.withColumnRenamed("node", "grp"))
-        .select(col("grp").as("node"), col("hll_est").as(s"est$t"))
     def snapshot(df: DataFrame): DataFrame = {
       val c = df.cache(); c.count(): Unit; c
     }
@@ -181,21 +184,29 @@ object Graph {
     var regs = snapshot(Sketches.hllRegistersPacked(nodes, col("node"),
         call_function("hll_bucket_rho", col("node").cast("string")))
       .withColumnRenamed("grp", "node"))
-    var ests = Vector(snapshot(estOf(regs, 0)))
-    for (t <- 1 to maxT) {
+    var rounds = Vector(regs)
+    for (_ <- 1 to maxT) {
       // push counters across edges into their heads' in-balls, then
       // max-merge (register max is order-free and duplicate-safe)
-      val prev = regs
       val pulled = e
-        .join(prev.withColumnRenamed("node", "src"), "src")
+        .join(regs.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("bucket"), col("reg"))
-      regs = snapshot(prev.unionByName(pulled)
+      regs = snapshot(regs.unionByName(pulled)
         .groupBy("node", "bucket").agg(max(col("reg")).as("reg")))
-      ests = ests :+ snapshot(estOf(regs, t))
-      prev.unpersist() // superseded register table: successor + its
-                       // estimate are materialized above
+      rounds = rounds :+ regs
     }
-    val joined = ests.reduce(_.join(_, "node"))
+    // ONE estimator pass over all round snapshots: (node, t) is the
+    // sketch group key, then pivot the per-round estimates back onto a
+    // node row with max(when) (each (node, t) group is a singleton, so
+    // the pivot is exact).
+    val tagged = rounds.zipWithIndex
+      .map { case (r, t) => r.withColumn("t", lit(t)) }
+      .reduce(_.unionByName(_))
+    val perRound = Sketches.hllEstimate(
+        tagged.select(struct(col("node"), col("t")).as("grp"),
+          col("bucket"), col("reg")))
+      .select(col("grp.node").as("node"), col("grp.t").as("t"),
+        col("hll_est"))
     // harmonic = Σ_t max(Δest_t, 0)/t — but NOT as float divides + a
     // final round: Δ/2 of 4-dp estimates lands EXACTLY on 4-dp midpoints
     // (e.g. 42.49005), where Spark's decimal HALF_UP and a binary-double
@@ -206,15 +217,19 @@ object Graph {
     // rounding step at all.
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val lcm = (1L to maxT.toLong).reduce((a, b) => a / gcd(a, b) * b)
-    def e10k(t: Int) = round(col(s"est$t") * lit(10000.0)).cast("long")
+    val lifted = (0 to maxT).map(t =>
+      max(when(col("t") === t,
+        round(col("hll_est") * lit(10000.0)).cast("long"))).as(s"i$t"))
+    val pivoted = perRound.groupBy("node")
+      .agg(max(when(col("t") === maxT, col("hll_est"))).as("ball_est"),
+        lifted: _*)
     val hs = (1 to maxT)
-      .map(t => lit(lcm / t) * greatest(e10k(t) - e10k(t - 1), lit(0L)))
+      .map(t => lit(lcm / t) * greatest(col(s"i$t") - col(s"i${t - 1}"), lit(0L)))
       .reduce(_ + _)
-    val out = joined.select(col("node"), col(s"est$maxT").as("ball_est"),
+    val out = pivoted.select(col("node"), col("ball_est"),
       (hs.cast("double") / lit(lcm * 10000.0)).as("harmonic")).cache()
     out.count(): Unit
-    regs.unpersist()
-    ests.foreach(_.unpersist())
+    rounds.foreach(_.unpersist())
     e.unpersist()
     Scratch.register(out)
   }
