@@ -587,6 +587,116 @@ object SimilarityPack extends QueryPack {
            |WHERE rank <= 10
            |ORDER BY query_id, rank""".stripMargin)),
 
+    // Hybrid retrieval, PRUNED dense leg (round 15): the SCALE shape of
+    // sim_hybrid_rrf — the dense leg runs through topKIvf at nprobe=2
+    // of 10 cells (~80% of the corpus never scored) and is still
+    // hash-checked via the SQL-replayable label quantizer (the
+    // sim_knn_graph pattern); the sparse leg and the RRF fusion are
+    // identical. Together the two gates pin the operator end-to-end in
+    // BOTH regimes: exact legs (oracle-exact baseline) and pruned ANN
+    // legs (what a 100 TB deployment actually runs).
+    QueryDef(
+      "sim_hybrid_rrf_ivf",
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val qterms = Seq(
+          (0L, Seq("hash", "join", "vector")),
+          (1L, Seq("scan", "filter", "batch")),
+          (2L, Seq("merge", "sort", "stream")),
+          (3L, Seq("window", "group", "agg")),
+          (4L, Seq("spark", "query", "fast"))).toDF("query_id", "terms")
+        val queries = qterms.join(
+          emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+          "query_id")
+        val dense = Similarity.topKIvf(emb,
+            queries.select(col("query_id"), col("qvec")), 20, nprobe = 2,
+            index = Some(labelIndex(s, d)))
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+        graft.operators.Retrieval.hybridTopK(docs, emb, queries, k = 10,
+            legK = 20, denseLeg = Some(dense))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH qt AS (
+           |  SELECT CAST(query_id AS BIGINT) AS query_id, w FROM (VALUES
+           |    (0,'hash'),(0,'join'),(0,'vector'),
+           |    (1,'scan'),(1,'filter'),(1,'batch'),
+           |    (2,'merge'),(2,'sort'),(2,'stream'),
+           |    (3,'window'),(3,'group'),(3,'agg'),
+           |    (4,'spark'),(4,'query'),(4,'fast')) t(query_id, w)
+           |), dl AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           |  FROM documents
+           |), stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+           |), tf AS (
+           |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY doc_id, w
+           |), dfreq AS (
+           |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+           |), contrib AS (
+           |  SELECT t.doc_id, t.w,
+           |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           |      * (t.tf * (1.2 + 1.0))
+           |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS c
+           |  FROM tf t JOIN dfreq d USING (w) JOIN dl l USING (doc_id)
+           |  CROSS JOIN stats s
+           |), sscore AS (
+           |  SELECT qt.query_id, contrib.doc_id,
+           |    round(CAST(SUM(CAST(contrib.c AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+           |  FROM contrib JOIN qt USING (w)
+           |  GROUP BY qt.query_id, contrib.doc_id
+           |), sparse AS (
+           |  SELECT query_id, doc_id, rank FROM (
+           |    SELECT query_id, doc_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY score DESC, doc_id) AS rank
+           |    FROM sscore) t
+           |  WHERE rank <= 20
+           |), idx AS (SELECT unnest(range(1, 65)) AS i),
+           |cent AS (
+           |  SELECT e.label AS cell, idx.i,
+           |         round($ExactMeanSql, 6) AS m
+           |  FROM embeddings e CROSS JOIN idx GROUP BY 1, 2
+           |), centv AS (
+           |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+           |), q AS (
+           |  SELECT vec_id AS query_id, embedding AS qvec
+           |  FROM embeddings WHERE vec_id < 5
+           |), pc AS (
+           |  SELECT query_id, qvec, cell FROM (
+           |    SELECT q.query_id, q.qvec, v.cell,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
+           |                                       v.cell) AS crank
+           |    FROM q CROSS JOIN centv v) t
+           |  WHERE crank <= 2
+           |), dense AS (
+           |  SELECT query_id, vec_id AS doc_id, rank FROM (
+           |    SELECT pc.query_id, c.vec_id,
+           |      row_number() OVER (PARTITION BY pc.query_id
+           |                         ORDER BY round(${cosSql("pc.qvec", "c.embedding")}, 5) DESC,
+           |                                  c.vec_id) AS rank
+           |    FROM pc JOIN embeddings c ON c.label = pc.cell
+           |    WHERE pc.query_id != c.vec_id) t
+           |  WHERE rank <= 20
+           |), fused AS (
+           |  SELECT query_id, doc_id,
+           |    coalesce(1.0 / (60.0 + CAST(s.rank AS DOUBLE)), 0.0)
+           |      + coalesce(1.0 / (60.0 + CAST(d.rank AS DOUBLE)), 0.0) AS rrf
+           |  FROM sparse s FULL OUTER JOIN dense d USING (query_id, doc_id)
+           |)
+           |SELECT query_id, rank, doc_id, rrf FROM (
+           |  SELECT query_id, doc_id, rrf,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY rrf DESC, doc_id) AS rank
+           |  FROM fused) t
+           |WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
     // the corpus ∪ dim0-zeroed mutants (every base–mutant pair is a
     // planted ≥0.9 near-dup SHARING its cluster). Pairs are compared
