@@ -246,14 +246,40 @@ object Similarity {
     */
   def readIvfIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val assigned = spark.read.parquet(s"$path/cells")
+    (assigned, readIvfCentroids(spark, path))
+  }
+
+  /** Only the centroid table of a persisted index — a metadata-sized
+    * JSON read, no scan of the celled corpus (what [[appendToIvfIndex]]
+    * needs: assignment touches centroids, never existing cells).
+    */
+  def readIvfCentroids(spark: SparkSession, path: String): DataFrame = {
     val json = spark.read.json(s"$path/centroids")
       .select(col("centroids")).head().getString(0)
     val centers = json.stripPrefix("[[").stripSuffix("]]")
       .split("\\],\\[").map(_.split(",").map(_.toDouble))
     import spark.implicits._
-    val cents = centers.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+    centers.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
       .toSeq.toDF("cell", "centroid")
-    (assigned, cents)
+  }
+
+  /** Append vectors to a persisted IVF index WITHOUT refitting — the
+    * production index-maintenance path (new crawl segments arrive; the
+    * coarse quantizer stays frozen so existing cells never move). Cells
+    * are assigned by the index's own centroids (the [[ivfIndex]]
+    * argmin-distance arithmetic) and the new rows land as appended files
+    * under their `cell=` partitions: readers and partition-pruned probes
+    * see them immediately, nothing existing is rewritten. Re-fit (a new
+    * [[writeIvfIndex]]) remains the answer when drift makes the frozen
+    * quantizer a bad fit — the standard IVF operations trade-off.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centers = centersOf(readIvfCentroids(spark, path))
+    newVecs.select(col("vec_id"), col("embedding"))
+      .withColumn("cell",
+        element_at(assignCells(centers, nassign = 1, euclid = true), 1))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** `nassign` nearest cells per embedding, nearest first, as a native

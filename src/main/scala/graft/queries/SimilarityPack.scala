@@ -496,6 +496,85 @@ object SimilarityPack extends QueryPack {
            |ORDER BY node""".stripMargin
       }),
 
+    // IVF index MAINTENANCE (round 15): append new vectors to a
+    // PERSISTED index without refitting — the production path when new
+    // crawl segments arrive (quantizer frozen, new rows land as appended
+    // files under their cell= partitions, nothing existing rewritten).
+    // The fixture persists a label-quantizer index over the EVEN half of
+    // the corpus, appends the ODD half through the frozen centroids
+    // (the exact argmin-distance assignment arithmetic — 6-dp-rounded
+    // centroids make it bit-replayable), then runs a PRUNED nprobe=2
+    // query through the loaded index: the oracle replays the half-corpus
+    // centroids, the appended assignments, the probe choice, and the
+    // cell-restricted scoring. Labels are 0..9 contiguous, so
+    // centroid-array position == label value and the two halves' cell
+    // ids agree by construction.
+    QueryDef(
+      "sim_ivf_append",
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val path = graft.util.TempFixtures.dir(s, "ivf_append", d) { p =>
+          Similarity.writeIvfIndex(
+            labelIndexOf(emb.filter(col("vec_id") % 2 === 0)), p)
+          Similarity.appendToIvfIndex(
+            emb.filter(col("vec_id") % 2 === 1)
+              .select(col("vec_id"), col("embedding")), p)
+        }
+        Similarity.topKIvf(emb.select(col("vec_id"), col("embedding")),
+            queriesDf(s, d), 10, nprobe = 2,
+            index = Some(Similarity.readIvfIndex(s, path)))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH h1 AS (
+           |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 2 = 0
+           |), idx AS (SELECT unnest(range(1, 65)) AS i),
+           |cent AS (
+           |  SELECT e.label AS cell, idx.i,
+           |         round($ExactMeanSql, 6) AS m
+           |  FROM h1 e CROSS JOIN idx GROUP BY 1, 2
+           |), centv AS (
+           |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+           |), a2 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_sum(list_transform(list_zip(e.embedding, c.centroid),
+           |                 p -> CAST(p[1] AS DOUBLE) * p[2]))
+           |          - list_sum(list_transform(c.centroid, x -> x*x)) / 2 DESC,
+           |        c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN centv c WHERE e.vec_id % 2 = 1) t
+           |  WHERE rn = 1
+           |), celled AS (
+           |  SELECT vec_id, embedding, label AS cell FROM h1
+           |  UNION ALL
+           |  SELECT e.vec_id, e.embedding, a2.cell
+           |  FROM embeddings e JOIN a2 USING (vec_id)
+           |), q AS (
+           |  SELECT vec_id AS query_id, embedding AS qvec
+           |  FROM embeddings WHERE vec_id < 10
+           |), pc AS (
+           |  SELECT query_id, qvec, cell FROM (
+           |    SELECT q.query_id, q.qvec, v.cell,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
+           |                                       v.cell) AS crank
+           |    FROM q CROSS JOIN centv v) t
+           |  WHERE crank <= 2
+           |), scored AS (
+           |  SELECT pc.query_id, c.vec_id,
+           |         round(${cosSql("pc.qvec", "c.embedding")}, 5) AS score
+           |  FROM pc JOIN celled c ON c.cell = pc.cell
+           |  WHERE pc.query_id != c.vec_id
+           |)
+           |SELECT query_id, rank, vec_id, score FROM (
+           |  SELECT query_id, vec_id, score,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY score DESC, vec_id) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin)),
+
     // Hybrid retrieval (round 15): BM25 sparse leg + dense cosine leg
     // fused by Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the
     // default production hybrid-search shape, composed from the

@@ -203,6 +203,35 @@ class SimilaritySpec extends SparkSpec {
       "kmeansFit-built index changed results through persistence")
   }
 
+  test("appendToIvfIndex: frozen-quantizer append; exhaustive probe over the grown index is exact") {
+    // production index maintenance: new vectors assigned by the
+    // PERSISTED centroids, landed as appended files - and because an
+    // exhaustive probe scores every cell, correctness must not depend on
+    // WHICH cell the frozen quantizer chose for the appendees.
+    val dir = s"${System.getProperty("java.io.tmpdir")}/ivfapp_${spark.sparkContext.applicationId}"
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val half2 = corpus.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(half1, ncells = 8, dir)
+    Similarity.appendToIvfIndex(half2, dir)
+    val idx = Similarity.readIvfIndex(spark, dir)
+    // the loaded index covers BOTH generations
+    assert(idx._1.count() == half1.count() + half2.count())
+    // exhaustive probe == brute force over the full corpus
+    val viaIdx = Similarity.topKIvf(corpus, queries, 10, ncells = 8,
+      nprobe = 8, index = Some(idx))
+    val brute = Similarity.topKBruteForce(
+      corpus.select(col("vec_id"), col("embedding")), queries, 10)
+    assert(viaIdx.exceptAll(brute).isEmpty && brute.exceptAll(viaIdx).isEmpty,
+      "append changed results vs brute force under exhaustive probing")
+    // appended rows share the centroid geometry: a pruned probe still
+    // partition-prunes the grown layout
+    val pruned = Similarity.topKIvf(corpus, queries, 10, ncells = 8,
+      nprobe = 2, index = Some(idx))
+    assert(pruned.queryExecution.executedPlan.toString.contains("dynamicpruning"))
+  }
+
   test("minedNegatives: planted positives excluded, k per probe, native TopK") {
     import org.apache.spark.sql.functions.{transform => atransform, _}
     val base = corpus.select(col("vec_id"), col("embedding"))
