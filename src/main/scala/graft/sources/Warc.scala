@@ -424,6 +424,16 @@ object Warc {
     * compressed offset — a stable record id usable for seeks), warc_type,
     * target_uri, record_id, payload, body.
     */
+  /** VACUUM a `warcgz`-sink directory: reclaim stray objects a crashed
+    * job left outside the committed generation, plus stale manifests —
+    * see [[WarcGzManifest.vacuum]]. No-op on unmanaged directories.
+    */
+  def vacuumGz(spark: org.apache.spark.sql.SparkSession, dir: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    WarcGzManifest.vacuum(fs, p)
+  }
+
   def readGzSplits(spark: org.apache.spark.sql.SparkSession, pattern: String,
       splitSize: Long = 128L << 20): DataFrame = {
     require(splitSize > 0, s"splitSize $splitSize")

@@ -173,6 +173,40 @@ private[sources] object WarcGzManifest {
     } catch { case _: java.io.IOException => () } // strays are harmless
   }
 
+  /** Administrative VACUUM of a sink directory (the Delta-style
+    * retention op): delete data objects NOT named by the current
+    * committed generation (strays from crashed jobs — readers already
+    * ignore them, this reclaims the bytes) and manifests below the
+    * current epoch (stale, never resolved). A directory with NO manifest
+    * is returned untouched — unmanaged data is not this sink's to
+    * delete. Single-writer contract applies: do not vacuum concurrently
+    * with a writer (a reader racing the vacuum is safe — the current
+    * epoch and its objects are never touched).
+    * Returns (data objects deleted, stale manifests deleted).
+    */
+  def vacuum(fs: org.apache.hadoop.fs.FileSystem, dir: Path): (Int, Int) =
+    newest(fs, dir) match {
+      case None => (0, 0)
+      case Some((epoch, mf)) =>
+        val committed = read(fs, dir).getOrElse(Set.empty)
+        val sts = try Option(fs.listStatus(dir)).getOrElse(Array.empty)
+          catch { case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus] }
+        var objs = 0
+        var mfs = 0
+        sts.filter(_.isFile).foreach { st =>
+          val name = st.getPath.getName
+          epochOf(name) match {
+            case Some(e) =>
+              if (e < epoch && fs.delete(st.getPath, false)) mfs += 1
+            case None =>
+              if (name.endsWith(".warc.gz") && !committed.contains(name) &&
+                  st.getPath != mf && fs.delete(st.getPath, false)) objs += 1
+          }
+        }
+        (objs, mfs)
+    }
+
   /** Filter listed files to each directory's committed generation (a
     * directory with no manifest passes through untouched).
     */

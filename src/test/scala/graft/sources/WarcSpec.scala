@@ -603,4 +603,45 @@ class WarcSpec extends AnyFunSuite {
     // the existing epoch was NOT clobbered by the losing writer
     assert(WarcGzManifest.read(raw, hdir).contains(Set("b.warc.gz")))
   }
+
+  test("vacuumGz reclaims strays and stale manifests; unmanaged dirs are untouched") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_vac").toFile
+    dir.deleteOnExit()
+    def write(n: Int): Unit =
+      (0 until n).map(i => ("response", s"http://v/$i", s"<urn:uuid:v$i>",
+          s"gen $i".getBytes))
+        .toDF("warc_type", "target_uri", "record_id", "payload")
+        .repartition(1)
+        .write.format("warcgz").mode("overwrite").save(dir.getAbsolutePath)
+    write(4) // epoch 1
+    write(3) // epoch 2 (GC removed epoch 1)
+    // plant what a crashed job leaves: a complete stray object outside
+    // the committed generation, and a stale low-epoch manifest
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-99999-7.warc.gz").toPath,
+      Warc.writeGz(Seq(Warc.WarcRecord("response", "http://v/stray",
+        "<urn:uuid:vs>", "stray".getBytes))))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_committed.1").toPath, "ghost.warc.gz\n".getBytes)
+    def glob = dir.getAbsolutePath + "/*.warc.gz"
+    assert(spark.read.format("warcgz").load(glob).count() == 3)
+    val (objs, mfs) = Warc.vacuumGz(spark, dir.getAbsolutePath)
+    assert(objs == 1 && mfs == 1, s"vacuum reclaimed ($objs, $mfs)")
+    assert(!new java.io.File(dir, "part-99999-7.warc.gz").exists)
+    assert(!new java.io.File(dir, "_committed.1").exists)
+    // reads unchanged; a second vacuum is a no-op
+    assert(spark.read.format("warcgz").load(glob).count() == 3)
+    assert(Warc.vacuumGz(spark, dir.getAbsolutePath) == ((0, 0)))
+    // an UNMANAGED directory (no manifest) is not this sink's to clean
+    val plain = java.nio.file.Files.createTempDirectory("warc_vacp").toFile
+    plain.deleteOnExit()
+    java.nio.file.Files.write(
+      new java.io.File(plain, "keep.warc.gz").toPath,
+      Warc.writeGz(Seq(Warc.WarcRecord("response", "http://v/k",
+        "<urn:uuid:vk>", "keep".getBytes))))
+    assert(Warc.vacuumGz(spark, plain.getAbsolutePath) == ((0, 0)))
+    assert(new java.io.File(plain, "keep.warc.gz").exists)
+  }
 }
