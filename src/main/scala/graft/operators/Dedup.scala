@@ -125,6 +125,32 @@ object Dedup {
     docs.select(col("doc_id"), col("text")).unionByName(mutants)
   }
 
+  /** Incremental exact-dedup novelty check: which `batch` docs were
+    * already seen in `history`, answered by the deterministic Bloom
+    * filter ([[Sketches.bloomBits]]) instead of a join against the
+    * historical corpus — the arrival-time "have we ingested this
+    * before" a 100 TB pipeline asks per crawl segment, where the
+    * history is petabytes but its filter is `mBits/32` BIGINTs that
+    * broadcast to every task. `seen = true` is subject to the filter's
+    * false-positive rate (never a false negative, so nothing novel is
+    * ever lost by KEEPING only unseen docs — a duplicate slipping
+    * through is impossible; a novel doc misflagged seen is the bounded
+    * (1−e^(−kn/m))^k trade every Bloom deployment prices in; exact
+    * reconciliation stays [[exactSurvivors]]'s job downstream).
+    * Deterministic end to end, so the verdicts hash-check.
+    *
+    * Returns (doc_id, seen) for every batch doc. Filters OR together
+    * (bit_or register merge), so per-segment filters compose into the
+    * whole-history filter without rescanning old segments.
+    */
+  def bloomSeen(history: DataFrame, batch: DataFrame, kHashes: Int = 4,
+      mBits: Int = 32768): DataFrame = {
+    val bloom = Sketches.bloomBits(history, col("text"), kHashes, mBits)
+    Sketches.bloomProbe(bloom, batch, col("doc_id"), col("text"),
+        kHashes, mBits)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Exact n-gram Jaccard similarity for ALL pairs sharing ≥1 shingle —
     * the brute-force ground truth. The join is on shingle (not cross), so
     * disjoint documents never pair; still O(Σ|posting list|²) and thus a

@@ -121,6 +121,68 @@ object Sketches {
     perGroup.select(col("grp"), round(est, 4).as("hll_est"))
   }
 
+  /** Deterministic Bloom filter over `value`: a (word, bits) register
+    * table of `mBits` bits packed 32 per BIGINT word — the third member
+    * of the engine's deterministic-sketch family ([[countMin]] counts,
+    * [[hllDistinct]] cardinality, this one MEMBERSHIP). Same rationale:
+    * the k bit positions are md5-derived exactly as the SQL oracle
+    * spells them (`('0x'||substr(md5('bloom-'||j||':'||v),1,15)) % m`),
+    * and the merge is bitwise OR — commutative, idempotent, so the
+    * filter is merge-order-free AND retry/duplicate-safe, and two
+    * filters over disjoint corpus segments OR together into the filter
+    * of the union (the incremental-ingest property a 100 TB "have we
+    * seen this" needs). Never a false negative; false-positive rate is
+    * the standard (1 − e^(−kn/m))^k — but WHICH keys false-positive is
+    * reproducible run to run, so results hash-check.
+    *
+    * Scale shape: one explode pass → (word) bit_or aggregate with
+    * map-side partials — the shuffle and the result carry ≤ mBits/32
+    * rows, constant in corpus size, so the filter always broadcasts.
+    * 32 (not 64) bits ride per word: the high bit of a BIGINT is never
+    * set, so neither engine's shift/sign semantics are ever exercised
+    * at the boundary.
+    */
+  def bloomBits(df: DataFrame, value: Column, kHashes: Int = 4,
+      mBits: Int = 32768): DataFrame = {
+    require(kHashes >= 1, s"kHashes=$kHashes")
+    require(mBits >= 32 && mBits % 32 == 0, s"mBits=$mBits")
+    df.select(explode(bloomPositions(value, kHashes, mBits)).as("p"))
+      .select(shiftright(col("p"), 5).as("word"),
+        col("p").bitwiseAND(lit(31L)).as("b"))
+      .groupBy("word")
+      .agg(expr("bit_or(shiftleft(1L, cast(b AS int)))").as("bits"))
+  }
+
+  /** The k md5-derived bit positions of one value — shared by build and
+    * probe so the two sides can never disagree on the hash family.
+    */
+  private def bloomPositions(value: Column, kHashes: Int, mBits: Int): Column =
+    array((0 until kHashes).map { j =>
+      Dedup.hash60(concat(lit(s"bloom-$j:"), value)) % mBits
+    }: _*)
+
+  /** Membership probe against a [[bloomBits]] filter: (id, seen) with
+    * seen ⇔ all k bits present. The filter side is ≤ mBits/64 rows —
+    * broadcast — and the probe is one explode + one conditional-count
+    * aggregate per id (duplicate positions within a value are harmless:
+    * each exploded row tests its own bit, and seen requires EVERY row
+    * to hit). An id whose word is absent from the register table misses
+    * that bit ⇒ not seen, matching the all-zeros semantics.
+    */
+  def bloomProbe(bloom: DataFrame, probes: DataFrame, id: Column,
+      value: Column, kHashes: Int = 4, mBits: Int = 32768): DataFrame = {
+    val pos = probes
+      .select(id.as("id"), explode(bloomPositions(value, kHashes, mBits)).as("p"))
+      .select(col("id"), shiftright(col("p"), 5).as("word"),
+        col("p").bitwiseAND(lit(31L)).as("b"))
+    pos.join(broadcast(bloom), Seq("word"), "left")
+      .select(col("id"),
+        coalesce(expr("shiftright(bits, cast(b AS int))").bitwiseAND(lit(1L)),
+          lit(0L)).as("hit"))
+      .groupBy("id")
+      .agg((sum(col("hit")) === lit(kHashes.toLong)).as("seen"))
+  }
+
   /** Point estimates for `words` against a [[countMin]] sketch:
     * est(w) = min over rows of cell(r, h_r(w)) — the standard CMS
     * query, still fully deterministic. Absent cells count 0.

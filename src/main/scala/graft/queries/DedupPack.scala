@@ -318,6 +318,56 @@ object DedupPack extends QueryPack {
               |WHERE i / (sq.n + si.n - i) >= 0.5
               |ORDER BY q_id, doc_id""".stripMargin)),
 
+    // Incremental "seen-before" novelty check (Dedup.bloomSeen): the
+    // deterministic Bloom filter of a history corpus probed by a new
+    // batch ∪ planted exact duplicates of history docs — the filter is
+    // mBits/32 BIGINT words no matter how large the history, so at
+    // 100 TB the membership check is a broadcast, not a join against
+    // the archive. md5-derived bit positions + bit_or registers make
+    // every verdict (including any false positive) replayable in SQL,
+    // so the gate hash-checks; the planted dups make `seen` load-bearing
+    // (a filter that never fires would pass a rows-only check).
+    QueryDef(
+      "dedup_bloom_novel",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val history = docs.filter(col("doc_id") < 300)
+        val batch = docs.filter(col("doc_id") >= 300)
+          .unionByName(docs.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Dedup.bloomSeen(history, batch).orderBy("doc_id")
+      },
+      Some("""WITH hist AS (SELECT text FROM documents WHERE doc_id < 300),
+             |pos AS (
+             |  SELECT DISTINCT
+             |    (CAST(('0x' || substr(md5('bloom-' || CAST(j AS VARCHAR) || ':' || text),1,15)) AS BIGINT) % 32768) AS p
+             |  FROM hist CROSS JOIN range(4) r(j)
+             |),
+             |bloom AS (
+             |  SELECT p // 32 AS word,
+             |         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+             |  FROM pos GROUP BY 1
+             |),
+             |batch AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             |  WHERE doc_id < 30
+             |),
+             |probe AS (
+             |  SELECT doc_id,
+             |    (CAST(('0x' || substr(md5('bloom-' || CAST(j AS VARCHAR) || ':' || text),1,15)) AS BIGINT) % 32768) AS p
+             |  FROM batch CROSS JOIN range(4) r(j)
+             |),
+             |hit AS (
+             |  SELECT probe.doc_id,
+             |         CASE WHEN (bloom.bits >> CAST(probe.p % 32 AS INT)) & 1 = 1
+             |              THEN 1 ELSE 0 END AS h
+             |  FROM probe LEFT JOIN bloom ON bloom.word = probe.p // 32
+             |)
+             |SELECT doc_id, sum(h) = 4 AS seen
+             |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Edit-distance near-dups: lossless length-band blocking + exact
     // Levenshtein on an 80-char prefix (Dedup.editDistanceNearDups).
     // The oracle recomputes all length-compatible pairs brute-force —

@@ -105,6 +105,43 @@ class SketchesSpec extends SparkSpec {
     assert(est(a.unionByName(b)) == e)
   }
 
+  test("Bloom: no false negatives, OR-merge of segments == whole, partition invariance") {
+    val hist = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val bloom = Sketches.bloomBits(hist, col("text"))
+    // every history doc must probe seen (a Bloom filter cannot false-negative)
+    val self = Sketches.bloomProbe(bloom, hist, col("doc_id"), col("text"))
+      .as[(Long, Boolean)].collect()
+    assert(self.nonEmpty && self.forall(_._2), "history doc not found in its own filter")
+    // segment filters OR together into the whole-history filter
+    val a = hist.filter(col("doc_id") % 2 === 0)
+    val b = hist.filter(col("doc_id") % 2 === 1)
+    val merged = Sketches.bloomBits(a, col("text"))
+      .unionByName(Sketches.bloomBits(b, col("text")))
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    assert(bloom.exceptAll(merged).isEmpty && merged.exceptAll(bloom).isEmpty,
+      "bit_or register merge must equal the whole-corpus filter")
+    // duplicates and partition layout cannot move an idempotent-OR sketch
+    val rep = Sketches.bloomBits(hist.unionByName(hist).repartition(7), col("text"))
+    assert(bloom.exceptAll(rep).isEmpty && rep.exceptAll(bloom).isEmpty)
+  }
+
+  test("Bloom: false positives occur at tiny m, deterministically, and only as overclaims") {
+    val hist = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val novel = docs.filter(col("doc_id") >= 200).select(col("doc_id"), col("text"))
+    // m = 256 bits for 200 keys: heavily loaded, FPs guaranteed
+    def verdicts(k: Int, m: Int): Map[Long, Boolean] =
+      Sketches.bloomProbe(Sketches.bloomBits(hist, col("text"), k, m),
+          novel, col("doc_id"), col("text"), k, m)
+        .as[(Long, Boolean)].collect().toMap
+    val v = verdicts(4, 256)
+    assert(v.values.exists(identity), "a 200-key/256-bit filter must false-positive")
+    assert(v == verdicts(4, 256), "verdicts must be deterministic run to run")
+    // at the default size the same probes are all clean — FP rate is a
+    // sizing choice, not an accuracy ceiling
+    val wide = verdicts(4, 32768)
+    assert(wide.values.forall(!_), "default-size filter false-positived on this corpus")
+  }
+
   test("foldable function parameters reject null / non-numeric literals with a descriptive error") {
     def msgChain(t: Throwable): String = {
       val sb = new StringBuilder
