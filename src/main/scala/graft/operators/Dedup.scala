@@ -151,6 +151,51 @@ object Dedup {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** The CUMULATIVE face of [[bloomSeen]]: docs arrive in ordered
+    * segments (crawl snapshots, ingest days) and each doc's verdict is
+    * "was this text present in any STRICTLY EARLIER segment" — exactly
+    * what the streaming Bloom ingest answers per micro-batch
+    * ([[graft.streaming.FilePipelines.bloomNoveltyStream]] runs the
+    * same probe against the filter of all prior batches; the spec pins
+    * stream == this batch face). Strictly-earlier means a duplicate
+    * WITHIN its own segment still reads novel — the segment is the
+    * atomicity unit, matching the streaming semantics where a batch is
+    * probed before its own bits land.
+    *
+    * Scale shape: the per-segment filter table is nsegs × ≤mBits/32
+    * rows — broadcast — so the probe is one equi-join on the word key
+    * with a `<` residual, never a join against the corpus; both
+    * aggregates are map-side-combining group-bys keyed by (doc, j).
+    * Returns (doc_id, segment, seen).
+    */
+  def bloomNovelBySegment(docs: DataFrame, segment: Column, kHashes: Int = 4,
+      mBits: Int = 32768): DataFrame = {
+    val segBits = docs
+      .select(segment.as("seg"),
+        explode(Sketches.bloomPositions(col("text"), kHashes, mBits)).as("p"))
+      .select(col("seg"), shiftright(col("p"), 5).as("word"),
+        col("p").bitwiseAND(lit(31L)).as("b"))
+      .groupBy("seg", "word")
+      .agg(expr("bit_or(shiftleft(1L, cast(b AS int)))").as("bits"))
+    val pos = docs
+      .select(col("doc_id"), segment.as("seg"),
+        posexplode(Sketches.bloomPositions(col("text"), kHashes, mBits))
+          .as(Seq("j", "p")))
+      .select(col("doc_id"), col("seg"), col("j"),
+        shiftright(col("p"), 5).as("word"),
+        col("p").bitwiseAND(lit(31L)).as("b"))
+    pos.as("o")
+      .join(broadcast(segBits).as("f"),
+        col("f.word") === col("o.word") && col("f.seg") < col("o.seg"), "left")
+      .select(col("o.doc_id"), col("o.seg"), col("o.j"),
+        coalesce(expr("shiftright(f.bits, cast(o.b AS int))")
+          .bitwiseAND(lit(1L)), lit(0L)).as("hit"))
+      .groupBy("doc_id", "seg", "j")
+      .agg(max(col("hit")).as("h"))
+      .groupBy(col("doc_id"), col("seg").as("segment"))
+      .agg((sum(col("h")) === lit(kHashes.toLong)).as("seen"))
+  }
+
   /** Exact n-gram Jaccard similarity for ALL pairs sharing ≥1 shingle —
     * the brute-force ground truth. The join is on shingle (not cross), so
     * disjoint documents never pair; still O(Σ|posting list|²) and thus a

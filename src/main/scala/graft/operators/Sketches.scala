@@ -156,7 +156,7 @@ object Sketches {
   /** The k md5-derived bit positions of one value — shared by build and
     * probe so the two sides can never disagree on the hash family.
     */
-  private def bloomPositions(value: Column, kHashes: Int, mBits: Int): Column =
+  private[graft] def bloomPositions(value: Column, kHashes: Int, mBits: Int): Column =
     array((0 until kHashes).map { j =>
       Dedup.hash60(concat(lit(s"bloom-$j:"), value)) % mBits
     }: _*)

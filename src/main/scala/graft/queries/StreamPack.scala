@@ -258,6 +258,60 @@ object StreamPack extends QueryPack {
              |  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
              |         count(DISTINCT user_id) AS n_exact
              |  FROM events GROUP BY 1) x USING (window_start)
-             |ORDER BY e.window_start""".stripMargin))
+             |ORDER BY e.window_start""".stripMargin)),
+
+    // Cumulative Bloom novelty — the batch face of the streaming Bloom
+    // ingest (FilePipelines.bloomNoveltyStream): docs arrive in ordered
+    // segments, and each doc's verdict is "was this text in any STRICTLY
+    // earlier segment" per the Bloom filter of those segments. Planted
+    // fixture makes both boundary semantics load-bearing: exact dups of
+    // segment-0 docs planted in segment 2 must read seen, while exact
+    // dups planted in their OWN segment must read novel (a batch is
+    // probed before its own bits land). md5 bit positions + bit_or
+    // registers make every verdict SQL-replayable, so it hash-checks.
+    QueryDef(
+      "stream_bloom_novel",
+      (s, d) => {
+        import graft.operators.Dedup
+        val base = T.documents(s, d)
+        val src = base.select(col("doc_id"), col("text"),
+            expr("doc_id div 100").as("segment"))
+          .unionByName(base.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+              lit(2L).as("segment")))
+          .unionByName(base.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+              lit(1L).as("segment")))
+        Dedup.bloomNovelBySegment(src, col("segment")).orderBy("doc_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, doc_id // 100 AS segment, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, CAST(2 AS BIGINT), text FROM documents
+             |  WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, CAST(1 AS BIGINT), text FROM documents
+             |  WHERE doc_id >= 100 AND doc_id < 120
+             |),
+             |pos AS (
+             |  SELECT doc_id, segment, j,
+             |    (CAST(('0x' || substr(md5('bloom-' || CAST(j AS VARCHAR) || ':' || text),1,15)) AS BIGINT) % 32768) AS p
+             |  FROM src CROSS JOIN range(4) r(j)
+             |),
+             |bits AS (
+             |  SELECT segment, p // 32 AS word,
+             |         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+             |  FROM pos GROUP BY 1, 2
+             |),
+             |hit AS (
+             |  SELECT o.doc_id, o.segment, o.j,
+             |    max(CASE WHEN (f.bits >> CAST(o.p % 32 AS INT)) & 1 = 1
+             |             THEN 1 ELSE 0 END) AS h
+             |  FROM pos o LEFT JOIN bits f
+             |    ON f.word = o.p // 32 AND f.segment < o.segment
+             |  GROUP BY 1, 2, 3
+             |)
+             |SELECT doc_id, segment, sum(h) = 4 AS seen
+             |FROM hit GROUP BY 1, 2 ORDER BY doc_id""".stripMargin))
   )
 }

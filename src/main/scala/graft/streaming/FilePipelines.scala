@@ -65,6 +65,78 @@ object FilePipelines {
         round(Exact.davg(col("quality"), 15), 6).as("mean_quality"))
   }
 
+  /** Line-JSON document schema for the Bloom novelty ingest. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** One micro-batch of the Bloom novelty ingest: probe the arriving
+    * docs against the filter of all PRIOR batches, append their
+    * (doc_id, seen) verdicts, then publish the filter with this batch's
+    * bits OR'd in. State is versioned by batch id (`epoch=<batchId>`),
+    * and a batch only ever reads epochs STRICTLY BELOW its own id — so
+    * a replayed batch (foreachBatch is at-least-once) re-probes the
+    * identical prior filter and overwrites the identical verdict
+    * partition: exactly-once OUTPUT from at-least-once delivery, the
+    * same discipline as [[upsertBatch]]. Epochs older than the
+    * immediately-previous one are GC'd after publish (each epoch
+    * subsumes all before it — bit_or is idempotent — and the previous
+    * epoch is retained for the crash window, the WarcGz manifest rule).
+    *
+    * At 100 TB the state is ≤ mBits/32 BIGINT rows per epoch — constant
+    * in history size — so the probe join broadcasts no matter how many
+    * petabytes the filter has absorbed.
+    */
+  def bloomMergeBatch(batch: DataFrame, stateDir: String, outDir: String,
+      batchId: Long, kHashes: Int = 4, mBits: Int = 32768): Unit = {
+    import graft.operators.Sketches
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val sPath = new Path(stateDir)
+    val epochs: Seq[Long] =
+      if (!fs.exists(sPath)) Seq.empty
+      else fs.listStatus(sPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+    val priorEpochs = epochs.filter(_ < batchId)
+    val prior =
+      if (priorEpochs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("word", LongType),
+            StructField("bits", LongType))))
+      else spark.read.parquet(s"$stateDir/epoch=${priorEpochs.max}")
+    Sketches.bloomProbe(prior, batch, col("doc_id"), col("text"),
+        kHashes, mBits)
+      .withColumnRenamed("id", "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    prior.unionByName(Sketches.bloomBits(batch, col("text"), kHashes, mBits))
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+      .write.mode("overwrite").parquet(s"$stateDir/epoch=$batchId")
+    epochs.filter(_ < batchId - 1).foreach { e =>
+      fs.delete(new Path(s"$stateDir/epoch=$e"), true) }
+  }
+
+  /** Streaming Bloom novelty ingest: NDJSON document segments land in
+    * `inDir`; each micro-batch gets seen/novel verdicts against
+    * everything that arrived before it ([[bloomMergeBatch]]). The batch
+    * face of the same semantics — segment s probed against the filter
+    * of segments < s — is `Dedup.bloomNovelBySegment`, hash-checked by
+    * the stream_bloom_novel gate; FilePipelineSpec pins stream == batch
+    * verdict-for-verdict when segments arrive in order.
+    */
+  def bloomNoveltyStream(spark: SparkSession, inDir: String, stateDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inDir)
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        bloomMergeBatch(b, stateDir, outDir, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Line-JSON event schema — the `events` table's streaming face. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

@@ -192,4 +192,56 @@ class FilePipelineSpec extends SparkSpec {
         "stream != batch after second segment")
     } finally q.stop()
   }
+
+  test("streaming Bloom novelty == batch face; replayed last batch is idempotent") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val in = tmpDir("bnin"); val state = tmpDir("bnstate")
+    val out = tmpDir("bnout"); val ckpt = tmpDir("bnckpt")
+    def dj(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val segs = Seq(
+      Seq((0L, "alpha beta gamma"), (1L, "delta epsilon zeta")),
+      Seq((10L, "eta theta iota"), (11L, "kappa lambda mu")),
+      Seq((20L, "alpha beta gamma"), // dup of doc 0, earlier segment → seen
+        (21L, "nu xi omicron"), // novel
+        (22L, "nu xi omicron"))) // dup WITHIN its own segment → novel
+    // land one file per segment with well-separated mtimes so the file
+    // source's oldest-first ordering matches segment order
+    val t0 = System.currentTimeMillis() - 60000
+    segs.zipWithIndex.foreach { case (seg, i) =>
+      writeNdjson(in, s"s$i.json", seg.map { case (id, t) => dj(id, t) })
+      assert(new File(in, s"s$i.json").setLastModified(t0 + i * 10000))
+    }
+    FilePipelines.bloomNoveltyStream(spark, in, state, out, ckpt)
+      .awaitTermination()
+    // partition discovery turns batch=N dirs into a batch column
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("batch").cast("long").as("segment"), col("seen"))
+    val batchDocs = segs.zipWithIndex.flatMap { case (seg, i) =>
+      seg.map { case (id, t) => (id, t, i.toLong) }
+    }.toDF("doc_id", "text", "segment")
+    val want = Dedup.bloomNovelBySegment(batchDocs, col("segment"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming verdicts != batch face")
+    // the planted semantics actually fired
+    val bySeen = got.as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(bySeen(20L), "cross-segment duplicate must read seen")
+    assert(!bySeen(21L) && !bySeen(22L),
+      "novel doc and within-segment duplicate must read novel")
+    // foreachBatch is at-least-once: replaying the LAST batch (the only
+    // one the checkpoint can replay) must reproduce identical verdicts
+    // and state — epoch GC retains exactly the prior epoch a replay needs
+    val lastId = segs.size - 1L
+    val epochBefore = spark.read.parquet(s"$state/epoch=$lastId").collect().toSet
+    val verdictsBefore = spark.read.parquet(s"$out/batch=$lastId").collect().toSet
+    FilePipelines.bloomMergeBatch(
+      segs.last.toDF("doc_id", "text"), state, out, lastId)
+    assert(spark.read.parquet(s"$out/batch=$lastId").collect().toSet
+      == verdictsBefore, "replayed batch changed its verdicts")
+    assert(spark.read.parquet(s"$state/epoch=$lastId").collect().toSet
+      == epochBefore, "replayed batch changed the published filter")
+    // GC kept only the crash-window epoch and the live one
+    val epochs = new File(state).list().filter(_.startsWith("epoch=")).sorted
+    assert(epochs.toSeq == Seq(s"epoch=${lastId - 1}", s"epoch=$lastId"))
+  }
 }
