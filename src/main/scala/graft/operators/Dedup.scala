@@ -379,6 +379,40 @@ object Dedup {
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
   }
 
+  /** Append a batch of new documents to a persisted LSH index WITHOUT
+    * re-minhashing the corpus — the near-dup mirror of
+    * [[Similarity.appendToIvfIndex]]: index maintenance is the difference
+    * between "rebuild the 100 TB index per crawl segment" and "land the
+    * segment's own rows". New docs shingle/sign once (the batch frame is
+    * cached — batch-sized, not corpus-sized — because both the sets sink
+    * and the bands sink consume it, then released before return) and
+    * their (band, bsig) rows land as APPENDED files under the existing
+    * `band=` partitions, each file internally sorted by bsig so parquet
+    * row-group min/max stats stay tight per file and probe-side signature
+    * pushdown keeps pruning on the grown layout; nothing existing is
+    * rewritten. (n, numPerms, rowsPerBand, family) MUST match the build —
+    * the same frozen-parameters contract as IVF append's frozen
+    * centroids; a mismatched family fails loudly on the bands schema
+    * (Int vs String bsig), a mismatched geometry is the caller's bug.
+    * Duplicate doc_ids across batches are the caller's contract, as with
+    * any append-only sink.
+    */
+  def appendToLshIndex(path: String, newDocs: DataFrame, n: Int = 3,
+      numPerms: Int = 32, rowsPerBand: Int = 2,
+      family: MinHashFamily = FastFamily): Unit = {
+    val sh = newDocs.select(col("doc_id"),
+      family.shingles(col("text"), n).as("sh")).cache()
+    try {
+      sh.write.mode("append").parquet(s"$path/sets")
+      val sig = sh.select(col("doc_id"),
+          family.signature(col("sh"), n, numPerms).as("mh"))
+        .filter(col("mh").isNotNull)
+      bandTable(sig, numPerms / rowsPerBand, rowsPerBand, family)
+        .repartition(col("band")).sortWithinPartitions("band", "bsig")
+        .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    } finally { sh.unpersist(); () }
+  }
+
   /** Probe a persisted LSH index with a batch of query docs. Two regimes,
     * chosen by the probe batch's distinct band-signature count:
     *

@@ -27,6 +27,12 @@ object DedupPack extends QueryPack {
     */
   private val JaccardCap = 1000
 
+  /** Index-build/append split for dedup_lsh_append: must leave BOTH
+    * halves non-empty at every scale (documents has 500 rows at
+    * sf0.001/0.01), or the append is a vacuous no-op.
+    */
+  private val AppendSplit = 250
+
   private val MutantCorpus =
     s"""corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id < $JaccardCap
@@ -268,6 +274,96 @@ object DedupPack extends QueryPack {
               |         array_to_string(list_filter(string_split(text, ' '),
               |                                     (x, i) -> i % 10 != 0), ' ') AS text
               |  FROM documents WHERE doc_id < 25
+              |),
+              |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+              |tri AS (
+              |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS s
+              |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+              |        FROM w WHERE len(w) >= 3)
+              |),
+              |sh AS (
+              |  SELECT DISTINCT doc_id,
+              |         CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) AS h
+              |  FROM tri
+              |),
+              |perm AS (
+              |  SELECT k,
+              |    CAST(('0x' || substr(md5('mh-a-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) | 1 AS a,
+              |    CAST(('0x' || substr(md5('mh-b-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) AS b
+              |  FROM range(32) r(k)
+              |),
+              |sig AS (
+              |  SELECT doc_id, k,
+              |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
+              |  FROM sh, perm GROUP BY doc_id, k
+              |),
+              |bands AS (
+              |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              |    CAST(min(CASE WHEN k % 2 = 0 THEN v END) AS VARCHAR) || ':' ||
+              |    CAST(min(CASE WHEN k % 2 = 1 THEN v END) AS VARCHAR) AS bsig
+              |  FROM sig GROUP BY doc_id, k // 2
+              |),
+              |cand AS (
+              |  SELECT DISTINCT q.doc_id AS q_id, i.doc_id AS doc_id
+              |  FROM bands q JOIN bands i
+              |    ON q.band = i.band AND q.bsig = i.bsig
+              |  WHERE q.doc_id >= 1000000 AND i.doc_id < 1000000
+              |),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.q_id, c.doc_id, count(*) AS i
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.q_id
+              |  JOIN sh b ON b.doc_id = c.doc_id AND b.h = a.h
+              |  GROUP BY c.q_id, c.doc_id
+              |)
+              |SELECT q_id, inter.doc_id AS doc_id,
+              |       round(i / (sq.n + si.n - i), 6) AS jaccard
+              |FROM inter
+              |JOIN sz sq ON sq.doc_id = q_id JOIN sz si ON si.doc_id = inter.doc_id
+              |WHERE i / (sq.n + si.n - i) >= 0.5
+              |ORDER BY q_id, doc_id""".stripMargin)),
+
+    // Persisted-LSH-index MAINTENANCE (Dedup.appendToLshIndex): build
+    // the index on the corpus FIRST half only, append the second half
+    // (new band/sets files under the existing band= partitions, nothing
+    // rewritten, corpus never re-minhashed), then probe with mutants
+    // drawn from BOTH halves. The appended-half matches are
+    // load-bearing: if the append didn't land, every match for a
+    // second-half mutant vanishes and the hash fails. Same replayable
+    // family as dedup_lsh_probe, so the oracle replays signatures and
+    // banding over the full union the grown index must equal.
+    QueryDef(
+      "dedup_lsh_append",
+      (s, d) => {
+        val base = T.documents(s, d).filter(col("doc_id") < JaccardCap)
+          .select(col("doc_id"), col("text"))
+        val idx = graft.util.TempFixtures.dir(s, "lsh_idx61_grown", d) { path =>
+          Dedup.writeLshIndex(base.filter(col("doc_id") < AppendSplit),
+            path, family = Dedup.ReplayableFamily)
+          Dedup.appendToLshIndex(path,
+            base.filter(col("doc_id") >= AppendSplit),
+            family = Dedup.ReplayableFamily)
+        }
+        val probes = Dedup.withMutants(base.filter(col("doc_id") < 12 ||
+            (col("doc_id") >= AppendSplit &&
+              col("doc_id") < AppendSplit + 13)))
+          .filter(col("doc_id") >= 1000000L)
+        Dedup.probeLshIndex(s, idx, probes,
+            family = Dedup.ReplayableFamily)
+          .select(col("q_id"), col("doc_id"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("q_id", "doc_id")
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id < $JaccardCap
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id,
+              |         array_to_string(list_filter(string_split(text, ' '),
+              |                                     (x, i) -> i % 10 != 0), ' ') AS text
+              |  FROM documents
+              |  WHERE doc_id < 12 OR (doc_id >= $AppendSplit
+              |                        AND doc_id < ${AppendSplit + 13})
               |),
               |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
               |tri AS (

@@ -119,6 +119,42 @@ class DedupSpec extends SparkSpec {
     assert(!largePlan.contains(" IN ("), "large regime must not inline an isin")
   }
 
+  test("LSH index append: grown index == fresh full build, appended half probeable") {
+    val base = docs.filter(col("doc_id") < 400)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val full = s"$tmp/graft_spec_lsh_full"
+    val grown = s"$tmp/graft_spec_lsh_grown"
+    Dedup.writeLshIndex(base, full)
+    Dedup.writeLshIndex(base.filter(col("doc_id") < 200), grown)
+    Dedup.appendToLshIndex(grown, base.filter(col("doc_id") >= 200))
+    // probes: mutants of docs from BOTH halves — the appended half's
+    // matches only exist if the appended band/sets files landed
+    val probes = Dedup.withMutants(
+        base.filter(col("doc_id") < 10 ||
+          (col("doc_id") >= 200 && col("doc_id") < 210)))
+      .filter(col("doc_id") >= 1000000L).cache()
+    def pairs(path: String) =
+      Dedup.probeLshIndex(spark, path, probes)
+        .select(col("q_id"), col("doc_id"), round(col("jaccard"), 9))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaFull = pairs(full)
+    val viaGrown = pairs(grown)
+    assert(viaFull == viaGrown, s"grown != full: " +
+      s"only-full=${(viaFull -- viaGrown).take(3)} only-grown=${(viaGrown -- viaFull).take(3)}")
+    // appended-half mutants rediscover their originals (load-bearing:
+    // an append that silently no-opped would still pass equality if the
+    // full index were ALSO missing them — pin the matches exist at all)
+    val appendedHits = viaGrown.filter { case (q, d, _) =>
+      q >= 1000200L && d == q - 1000000L }
+    assert(appendedHits.size == 10,
+      s"appended-half originals not all found: ${appendedHits.size}/10")
+    // partition pruning survives the grown layout (appended files live
+    // under the same band= directories)
+    val plan = Dedup.probeLshIndex(spark, grown, probes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+  }
+
   test("edit-distance near-dups: banded blocking loses no qualifying pair") {
     import spark.implicits._
     val docs = Seq(
