@@ -930,6 +930,69 @@ object SimilarityPack extends QueryPack {
       },
       Some(TopKOracleSql)),
 
+    // SQ8 scalar quantization (round 15): the OTHER standard
+    // memory-resident index format next to PQ — per-dim affine 8-bit
+    // codes, 4× smaller scans, no codebook training. Unlike IVF/PQ no
+    // forced-exhaustive trick is needed to hash-check it: the gate runs
+    // the PURE-ADC regime (rerank=0, ranking BY the approximate score),
+    // and because encode/decode are plain affine arithmetic in a fixed
+    // order, the oracle replays the per-dim (lo,hi) fit, the rounding to
+    // codes, the reconstruction, and the cosine against the DECODED
+    // vectors bit-for-bit — the quantization ERROR itself is in the
+    // hash. The production rerank path (approx shortlist → exact-cosine
+    // rerank over rerank·k float rows per query) is pinned in
+    // SimilaritySpec: recall vs brute force, persisted-index round-trip,
+    // code range, and the TopKPerKey replan.
+    QueryDef(
+      "sim_topk_sq8",
+      (s, d) =>
+        Similarity.topKSq8(T.embeddings(s, d), queriesDf(s, d), 10,
+            rerank = 0)
+          .orderBy("query_id", "rank"),
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding AS qvec
+             |  FROM embeddings WHERE vec_id < 10
+             |),
+             |st AS (
+             |  SELECT i AS dim, min(CAST(x AS DOUBLE)) AS lo,
+             |         max(CAST(x AS DOUBLE)) AS hi
+             |  FROM (SELECT unnest(embedding) AS x,
+             |               generate_subscripts(embedding, 1) AS i
+             |        FROM embeddings)
+             |  GROUP BY i
+             |),
+             |b AS (SELECT list(lo ORDER BY dim) AS lov,
+             |             list(hi ORDER BY dim) AS hiv FROM st),
+             |dv AS (
+             |  SELECT e.vec_id,
+             |    list_transform(e.embedding, (x, i) ->
+             |      CASE WHEN b.hiv[i] = b.lov[i] THEN b.lov[i]
+             |           ELSE b.lov[i]
+             |                + round((CAST(x AS DOUBLE) - b.lov[i]) * 255.0
+             |                        / (b.hiv[i] - b.lov[i]))
+             |                  * (b.hiv[i] - b.lov[i]) / 255.0 END) AS d
+             |  FROM embeddings e CROSS JOIN b
+             |),
+             |scored AS (
+             |  SELECT q.query_id, dv.vec_id,
+             |    round(
+             |      list_sum(list_transform(list_zip(q.qvec, dv.d),
+             |        p -> CAST(p[1] AS DOUBLE) * p[2]))
+             |      / (sqrt(list_sum(list_transform(q.qvec,
+             |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform(dv.d, x -> x * x)))),
+             |      5) AS score
+             |  FROM q CROSS JOIN dv
+             |  WHERE q.query_id != dv.vec_id
+             |)
+             |SELECT query_id, rank, vec_id, score FROM (
+             |  SELECT query_id, vec_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY score DESC, vec_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // Nearest-centroid assignment itself (the quantizer): every vector →
     // its own cluster's centroid vs others. Oracle-able because centroid
     // means are computed identically (double sums of floats per index,

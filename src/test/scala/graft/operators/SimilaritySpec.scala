@@ -153,6 +153,48 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("SQ8: codes in range, rerank recall vs brute force, exact rerank scores, " +
+      "persisted index round-trips, TopKPerKey replan") {
+    val (lo, hi) = Similarity.sq8Stats(corpus)
+    assert(lo.length == hi.length && lo.indices.forall(i => lo(i) <= hi(i)))
+    // every code is an 8-bit value — the 1-byte-per-dim claim
+    val codes = Similarity.sq8Encode(corpus, lo, hi)
+    val outOfRange = codes
+      .filter(exists(col("codes"), c => c < 0 || c > 255)).count()
+    assert(outOfRange == 0, s"$outOfRange vectors carry out-of-range codes")
+    // production path: approx shortlist + exact rerank; affine 8-bit
+    // error is tiny next to PQ's, so recall stays near-exact even on
+    // the isotropic corpus
+    val brute = Similarity.topKBruteForce(corpus, queries, 10)
+      .select(col("query_id"), col("vec_id"), col("score")).cache()
+    val sq = Similarity.topKSq8(corpus, queries, 10)
+      .select(col("query_id"), col("vec_id"), col("score")).cache()
+    val nBrute = brute.count()
+    val hit = brute.drop("score")
+      .join(sq.drop("score"), Seq("query_id", "vec_id"), "left_semi").count()
+    assert(nBrute > 0 && hit.toDouble / nBrute >= 0.90,
+      s"SQ8 recall ${hit.toDouble / nBrute} ($hit/$nBrute)")
+    // rerank scores are the exact cosine
+    val mismatch = sq.join(brute, Seq("query_id", "vec_id"))
+      .filter(sq("score") =!= brute("score"))
+    assert(mismatch.count() == 0)
+    // persisted index: load + query == fit + query (pure-ADC regime so
+    // the codes themselves are load-bearing in the comparison)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/sq8idx_${spark.sparkContext.applicationId}"
+    Similarity.writeSq8Index(corpus, dir)
+    val (loadedCodes, lo2, hi2) = Similarity.readSq8Index(spark, dir)
+    assert(lo2.sameElements(lo) && hi2.sameElements(hi),
+      "bounds did not round-trip bit-exactly")
+    val fresh = Similarity.topKSq8(corpus, queries, 10, rerank = 0,
+      stats = Some((lo, hi)))
+    val loaded = Similarity.topKSq8(corpus, queries, 10, rerank = 0,
+      stats = Some((lo2, hi2)), encodedIndex = Some(loadedCodes))
+    assert(fresh.exceptAll(loaded).isEmpty && loaded.exceptAll(fresh).isEmpty)
+    // the ranking window replans onto the native bounded heap
+    val plan = sq.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+  }
+
   test("PQ index persists as data: load + query == fit + query") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/pqidx_${spark.sparkContext.applicationId}"
     val cb = Similarity.pqCodebooks(corpus)
