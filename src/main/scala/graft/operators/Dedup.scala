@@ -217,6 +217,7 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
       .cache()
+    graft.util.Scratch.register(sh): Unit // result-reachable; see Scratch
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -266,6 +267,7 @@ object Dedup {
       // whose size scales with the data)
       raw.join(hot, Seq("sh"), "left_anti")
     }.cache()
+    graft.util.Scratch.register(sh): Unit // result-reachable; see Scratch
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -305,7 +307,8 @@ object Dedup {
     // The band table is the LSH INDEX: materialize it (cache) so the
     // self-join's two sides don't each recompute the signature pipeline —
     // the same reason a real system persists its minhash index.
-    val bands = bandTable(sig, numBands, rowsPerBand).cache()
+    val bands = graft.util.Scratch.cached(
+      bandTable(sig, numBands, rowsPerBand))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -325,14 +328,15 @@ object Dedup {
     // verify sets on hashed shingles: same intersection counts as the
     // string sets (64-bit collisions aside), 8-byte elements through the
     // candidate joins instead of ~20-char strings
-    val sets = docs.select(col("doc_id"),
-      family.shingles(col("text"), n).as("sh")).cache()
+    val sets = graft.util.Scratch.cached(docs.select(col("doc_id"),
+      family.shingles(col("text"), n).as("sh")))
     // array-input signature ignores the n literal (sh is already shingled);
     // it MUST equal the n used for sh above or the call mislabels itself
     val sig = sets.select(col("doc_id"),
         family.signature(col("sh"), n, numPerms).as("mh"))
       .filter(col("mh").isNotNull)
-    val bands = bandTable(sig, numPerms / rowsPerBand, rowsPerBand, family).cache()
+    val bands = graft.util.Scratch.cached(
+      bandTable(sig, numPerms / rowsPerBand, rowsPerBand, family))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -442,9 +446,9 @@ object Dedup {
     val qSig = qSh.select(col("doc_id"),
         family.signature(col("sh"), n, numPerms).as("mh"))
       .filter(col("mh").isNotNull)
-    val qBands = bandTable(qSig, numPerms / rowsPerBand, rowsPerBand, family)
-      .withColumnRenamed("doc_id", "q_id")
-      .cache()
+    val qBands = graft.util.Scratch.cached(
+      bandTable(qSig, numPerms / rowsPerBand, rowsPerBand, family)
+        .withColumnRenamed("doc_id", "q_id"))
     // bsig collisions across bands are harmless in either regime — the
     // candidate join condition still carries (band, bsig)
     val qSigs = qBands.select("bsig").distinct()
@@ -530,11 +534,10 @@ object Dedup {
     // uncached, column pruning inlines the 27 replace() exprs past the
     // explode and recomputes them per GRAM row (~16 s of allocation at
     // sf0.1 for what is <0.1 s on the un-exploded table)
-    val keyed = docs.select(col("doc_id"),
+    val keyed = graft.util.Scratch.cached(docs.select(col("doc_id"),
         substring(lower(col("text")), 1, prefixLen).as("s"))
       .withColumn("len", length(col("s")))
-      .withColumn("h", hist)
-      .cache()
+      .withColumn("h", hist))
     // chunk side: 13 variable-width chunks (floor boundaries) per doc.
     // Position bucket pb (width d+1) joins positionally: |p − st| ≤ d
     // forces adjacent buckets, so the chunk side explodes pb±1 and the
@@ -894,11 +897,10 @@ object Dedup {
     // cached: referenced by BOTH the winners aggregate and the join
     // back — without it the component computation (and the quality
     // scan) execute twice (measured 2× the gate at sf0.1)
-    val withComp = docs.select(key.as("doc_key"))
+    val withComp = graft.util.Scratch.cached(docs.select(key.as("doc_key"))
       .join(comp, Seq("doc_key"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_key")))
-      .join(quality, "doc_key")
-      .cache()
+      .join(quality, "doc_key"))
     val winners = withComp.groupBy("component")
       .agg(max_by(col("doc_key"),
         struct(col("quality"), (-col("doc_key")).as("nk"))).as("survivor"))
@@ -925,10 +927,9 @@ object Dedup {
       .withColumnRenamed("id", "doc_key")
     // cached: feeds both the size aggregate and the join back (the
     // electSurvivors lesson)
-    val withComp = docs.select(key.as("doc_key"))
+    val withComp = graft.util.Scratch.cached(docs.select(key.as("doc_key"))
       .join(comp, Seq("doc_key"), "left")
-      .withColumn("component", coalesce(col("component"), col("doc_key")))
-      .cache()
+      .withColumn("component", coalesce(col("component"), col("doc_key"))))
     val sizes = withComp.groupBy("component")
       .agg(count(lit(1)).as("csize"))
     withComp.join(sizes, "component")
@@ -957,8 +958,9 @@ object Dedup {
     */
   def removeSharedSpans(docs: DataFrame, key: Column, text: Column,
       n: Int = 8): DataFrame = {
-    val toks = docs.select(key.as("doc_key"), text.as("_text"),
-      tokens(text).as("w")).cache()
+    val toks = graft.util.Scratch.cached(
+      docs.select(key.as("doc_key"), text.as("_text"),
+        tokens(text).as("w")))
     // positional shingle hashes in one fused native pass
     // (ngram_pos_hashes; i is 1-based like the token positions below).
     // The previous explode(sequence)→slice→array_join→md5 pipeline
@@ -972,6 +974,7 @@ object Dedup {
           .as(Seq("p0", "sh")))
       .select(col("doc_key"), (col("p0") + 1).as("i"), col("sh"))
       .cache()
+    graft.util.Scratch.register(pos): Unit // result-reachable; see Scratch
     val carriers = pos.select(col("doc_key"), col("sh")).distinct()
       .groupBy("sh").agg(count(lit(1)).as("nd"))
     val covered = pos
@@ -1004,6 +1007,7 @@ object Dedup {
       // it the explode+hash work executes twice (the electSurvivors
       // lesson; at 100 TB the double pass is a double corpus scan)
       .cache()
+    graft.util.Scratch.register(sh): Unit // result-reachable; see Scratch
     // per-doc distinct already ⇒ count(*) per hash = distinct carriers
     val carriers = sh.groupBy("sh").agg(count(lit(1)).as("nd"))
     sh.join(carriers, "sh")

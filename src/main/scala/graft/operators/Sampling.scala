@@ -157,8 +157,9 @@ object Sampling {
   def scrubContaminatedSpans(train: DataFrame, benchmark: DataFrame,
       key: Column, text: Column, n: Int = 8,
       benchBroadcastCap: Int = 1 << 22): DataFrame = {
-    val toks = train.select(key.as("doc_key"), text.as("_text"),
-      graft.operators.Dedup.tokens(text).as("w")).cache()
+    val toks = graft.util.Scratch.cached(
+      train.select(key.as("doc_key"), text.as("_text"),
+        graft.operators.Dedup.tokens(text).as("w")))
     val pos = toks
       .select(col("doc_key"),
         posexplode(call_function("ngram_pos_hashes", col("_text"), lit(n)))
@@ -518,7 +519,7 @@ object Sampling {
             .cast("long") % buckets).as("b"))
     }
     val tf = feats(target)
-    val rf = feats(raw).cache()
+    val rf = graft.util.Scratch.cached(feats(raw))
     val ct = tf.groupBy("b").agg(count(lit(1)).as("ct"))
     val cr = rf.groupBy("b").agg(count(lit(1)).as("cr"))
     val tTot = tf.count().toDouble + buckets

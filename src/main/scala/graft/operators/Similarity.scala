@@ -523,7 +523,7 @@ object Similarity {
     */
   def semDeDup(corpus: DataFrame, threshold: Double,
       index: Option[(DataFrame, DataFrame)] = None, ncells: Int = 16,
-      scale: Int = 5): DataFrame = {
+      scale: Int = 5, nBlocks: Int = 1): DataFrame = {
     val (assigned0, cents) = index.getOrElse(ivfIndex(corpus, ncells))
     // the celled corpus is read three times by the returned plan (both
     // pair-join sides + the centroid-similarity leg), so it is cached;
@@ -535,11 +535,45 @@ object Similarity {
     // within-cell candidate pairs, exact cosine inside codegen; scores
     // rounded before thresholding so summation-order noise cannot flip
     // a verdict either engine takes
-    val pairs = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"))
-      .where(round(cosine(col("a.embedding"), col("b.embedding")), scale)
-        >= threshold)
+    //
+    // nBlocks > 1 is the HOT-CELL regime: a triangular block join. Each
+    // member takes a deterministic block b = vec_id mod B; the left side
+    // replicates a block-b row to tasks (b, b..B-1), the right side to
+    // tasks (0..b, b), and the equi-join key grows to (cell, bi, bj) —
+    // so ONE cell's |cell|² pair space splits across B(B+1)/2
+    // independent shuffle keys of ~|cell|²/B² pairs each, at the cost of
+    // replicating each row ~(B+1)/2× through the shuffle (the standard
+    // triangle-join trade: bounded per-task work for O(B) duplication).
+    // Same-block pairs keep the vec_id< guard; cross-block pairs occur
+    // exactly once (a block-i row is only ever LEFT of task (i,j), a
+    // block-j row only ever RIGHT) and normalize to (least, greatest).
+    // AQE skew-join splits a hot SHUFFLE PARTITION but cannot split one
+    // hot KEY — this splits the key itself. Output is block-invariant
+    // (spec-pinned); default B=1 keeps the plain join.
+    val pairs =
+      if (nBlocks <= 1)
+        assigned.as("a").join(assigned.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .where(round(cosine(col("a.embedding"), col("b.embedding")), scale)
+            >= threshold)
+          .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"))
+      else {
+        val blk = pmod(col("vec_id"), lit(nBlocks.toLong)).cast(IntegerType)
+        val left = assigned.withColumn("bi", blk)
+          .withColumn("bj", explode(sequence(col("bi"), lit(nBlocks - 1))))
+        val right = assigned.withColumn("bj", blk)
+          .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+        left.as("a").join(right.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
+              (col("a.bi") =!= col("a.bj") ||
+                col("a.vec_id") < col("b.vec_id")))
+          .where(round(cosine(col("a.embedding"), col("b.embedding")), scale)
+            >= threshold)
+          .select(least(col("a.vec_id"), col("b.vec_id")).as("da"),
+            greatest(col("a.vec_id"), col("b.vec_id")).as("db"))
+      }
     val comp = Dedup.connectedComponentsAdaptive(pairs)
     // similarity to the vector's OWN cell centroid — the election key
     val withSim = assigned

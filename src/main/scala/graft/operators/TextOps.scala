@@ -165,6 +165,7 @@ object TextOps {
       .select(col("doc_id"), col("bc.bigram").as("bigram"),
         col("bc.cnt").as("dcnt"))
       .cache()
+    graft.util.Scratch.register(bgCounts): Unit // result-reachable; see Scratch
     val counts = bgCounts.groupBy("bigram").agg(sum(col("dcnt")).as("b_cnt"))
     val prefixTotals = counts
       .groupBy(substring(col("bigram"), 1, 1).as("prefix"))
@@ -218,7 +219,7 @@ object TextOps {
       tok.withColumn("pw", lag("w", 1).over(w))
         .filter(col("pw").isNotNull)
     }
-    val trainTok = toks(train).cache()
+    val trainTok = graft.util.Scratch.cached(toks(train))
     val uniCounts = trainTok.groupBy("w").agg(count(lit(1)).as("u"))
     val total = trainTok.count().toDouble
     val bgCounts = transitions(trainTok).groupBy(col("pw"), col("w"))
@@ -479,6 +480,7 @@ object TextOps {
       // cached: feeds both the winner aggregate and the join back — the
       // regex chain must not run twice (the electSurvivors rule)
       .cache()
+    graft.util.Scratch.register(withCanon): Unit // result-reachable; see Scratch
     val winners = withCanon.groupBy("canonical")
       .agg(min(col("doc_id")).as("survivor"))
     withCanon.join(winners, "canonical")
@@ -523,6 +525,7 @@ object TextOps {
       // it the tokenize+slice+md5 work executes twice (the electSurvivors
       // lesson; at 100 TB the double pass is a double corpus scan)
       .cache()
+    graft.util.Scratch.register(segs): Unit // result-reachable; see Scratch
     val carriers = segs.select(col("doc_id"), col("sh")).distinct()
       .groupBy("sh").agg(count(lit(1)).as("nd"))
     segs.join(carriers, "sh")

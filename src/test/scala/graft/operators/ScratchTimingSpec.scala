@@ -36,6 +36,33 @@ class ScratchTimingSpec extends SparkSpec {
     }
   }
 
+  ignore("semDeDup hot-cell probe at sf1: plain vs blocked pair join over kmeansFit(k=8) " +
+      "(r15 measured: plain 76.9/88.7 s -> nBlocks=8 30.2/20.7 s, 3-4x)") {
+    // The NOTES_r15 §4 skew case: 40k vectors in 8 cells makes each
+    // cell's |cell|² pair space one shuffle key — AQE can split a hot
+    // partition but not a hot key. Times the plain join vs the
+    // triangular block join (nBlocks=8) on the identical index.
+    assume(new java.io.File("target/sf1/embeddings.parquet").exists())
+    val base = spark.read.parquet("target/sf1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val mutants = base.select((col("vec_id") + 10000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val all = base.unionByName(mutants)
+    val idx = timeIt("kmeansFit k=8")(Similarity.kmeansFit(all, 8))
+    val cached = (idx._1.cache(), idx._2)
+    cached._1.count()
+    for (b <- Seq(1, 8); r <- 1 to 2) {
+      graft.util.Scratch.release(spark)
+      timeIt(s"r$r semDeDup nBlocks=$b") {
+        Similarity.semDeDup(all, 0.9, index = Some(cached), nBlocks = b)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    graft.util.Scratch.release(spark)
+    cached._1.unpersist()
+  }
+
   ignore("hll_vocab stage breakdown at sf0.1 (r13: explode-of-trigram-STRINGS was 3.2-4.4 s of 4.2; fused hll_ngram_bucket_rho + hashed exact -> 0.72 s)") {
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val toks = docs.select(col("lang"),

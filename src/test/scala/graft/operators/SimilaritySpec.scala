@@ -437,4 +437,35 @@ class SimilaritySpec extends SparkSpec {
         col("d.vec_id") =!= col("k.vec_id"), "left_anti")
     assert(witness.count() == 0, "a dropped vector lost its whole group")
   }
+
+  test("semDeDup blocked hot-cell regime (nBlocks>1) is output-identical") {
+    // ONE giant cell is exactly the skew the triangular block join
+    // exists for: force everything into a single cell so every pair is
+    // a within-cell pair, then check the blocked enumeration loses no
+    // pair and invents none — verdicts, components, keepers identical.
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val all = base.unionByName(mutants)
+    val oneCell = (all.withColumn("cell", lit(0)),
+      all.sparkSession.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(0)),
+        new org.apache.spark.sql.types.StructType()
+          .add("cell", org.apache.spark.sql.types.IntegerType))
+        .withColumn("centroid",
+          typedLit(Array.fill(64)(0.1))))
+    val plain = Similarity.semDeDup(all, 0.9, index = Some(oneCell))
+      .orderBy("vec_id").collect().toSeq
+    graft.util.Scratch.release(spark)
+    val blocked = Similarity.semDeDup(all, 0.9, index = Some(oneCell),
+        nBlocks = 4)
+      .orderBy("vec_id").collect().toSeq
+    graft.util.Scratch.release(spark)
+    assert(plain == blocked, "blocked regime diverged from plain")
+    // replication sanity: the blocked pair space covers the planted
+    // pairs (mutant grouped with base through the single hot cell)
+    val kept = blocked.count(_.getBoolean(4))
+    assert(kept > 0 && kept < blocked.size)
+  }
 }
