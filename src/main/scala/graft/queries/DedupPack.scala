@@ -464,6 +464,148 @@ object DedupPack extends QueryPack {
              |SELECT doc_id, sum(h) = 4 AS seen
              |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // INCREMENTAL-INGEST capstone (round 15): the per-segment admission
+    // decision a 100 TB crawl pipeline runs when a new segment lands,
+    // composed from this round's incremental pieces — exact "seen
+    // before" via the history's Bloom filter (broadcast, constant-size
+    // in history — dedup_bloom_novel's operator) and near-dup via a
+    // probe of the PERSISTED history LSH index (no re-minhash of
+    // history — dedup_lsh_probe/append's operator). admit = neither.
+    // The batch plants all three outcomes: fresh docs (admit), verbatim
+    // copies of history docs (seen_exact + near_dup at jaccard 1.0),
+    // and mutants of history docs (near_dup only — Bloom correctly
+    // misses changed text). Every verdict replays in SQL: the Bloom
+    // bits and the MinHash61 banding are both deterministic, so even a
+    // Bloom false positive would hash-check.
+    QueryDef(
+      "dedup_incremental_ingest",
+      (s, d) => {
+        val base = T.documents(s, d).select(col("doc_id"), col("text"))
+        val history = base.filter(col("doc_id") < AppendSplit)
+        val batch = base.filter(col("doc_id") >= AppendSplit &&
+            col("doc_id") < AppendSplit + 100)
+          .unionByName(history.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+          .unionByName(Dedup.withMutants(
+              history.filter(col("doc_id") >= 20 && col("doc_id") < 30))
+            .filter(col("doc_id") >= 1000000L))
+        val idx = graft.util.TempFixtures.dir(s, "lsh_hist_idx", d) { path =>
+          Dedup.writeLshIndex(history, path, family = Dedup.ReplayableFamily)
+        }
+        val seen = Dedup.bloomSeen(history, batch)
+        val near = Dedup.probeLshIndex(s, idx, batch,
+            family = Dedup.ReplayableFamily)
+          .groupBy(col("q_id").as("doc_id"))
+          .agg(round(max(col("jaccard")), 6).as("best_jaccard"))
+        batch.select(col("doc_id"))
+          .join(seen, "doc_id")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("seen").as("seen_exact"),
+            col("best_jaccard").isNotNull.as("near_dup"),
+            col("best_jaccard"),
+            (!col("seen") && col("best_jaccard").isNull).as("admit"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hist AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id < $AppendSplit
+              |),
+              |batch AS (
+              |  SELECT doc_id, text FROM documents
+              |  WHERE doc_id >= $AppendSplit AND doc_id < ${AppendSplit + 100}
+              |  UNION ALL
+              |  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+              |  WHERE doc_id < 10
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id,
+              |         array_to_string(list_filter(string_split(text, ' '),
+              |                                     (x, i) -> i % 10 != 0), ' ') AS text
+              |  FROM documents WHERE doc_id >= 20 AND doc_id < 30
+              |),
+              |bpos AS (
+              |  SELECT DISTINCT
+              |    (CAST(('0x' || substr(md5('bloom-' || CAST(j AS VARCHAR) || ':' || text),1,15)) AS BIGINT) % 32768) AS p
+              |  FROM hist CROSS JOIN range(4) r(j)
+              |),
+              |bloom AS (
+              |  SELECT p // 32 AS word,
+              |         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+              |  FROM bpos GROUP BY 1
+              |),
+              |bprobe AS (
+              |  SELECT doc_id,
+              |    (CAST(('0x' || substr(md5('bloom-' || CAST(j AS VARCHAR) || ':' || text),1,15)) AS BIGINT) % 32768) AS p
+              |  FROM batch CROSS JOIN range(4) r(j)
+              |),
+              |seen AS (
+              |  SELECT bprobe.doc_id,
+              |         sum(CASE WHEN (bloom.bits >> CAST(bprobe.p % 32 AS INT)) & 1 = 1
+              |                  THEN 1 ELSE 0 END) = 4 AS seen
+              |  FROM bprobe LEFT JOIN bloom ON bloom.word = bprobe.p // 32
+              |  GROUP BY 1
+              |),
+              |corpus AS (
+              |  SELECT doc_id, text FROM hist
+              |  UNION ALL SELECT doc_id, text FROM batch
+              |),
+              |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+              |tri AS (
+              |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS s
+              |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+              |        FROM w WHERE len(w) >= 3)
+              |),
+              |sh AS (
+              |  SELECT DISTINCT doc_id,
+              |         CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) AS h
+              |  FROM tri
+              |),
+              |perm AS (
+              |  SELECT k,
+              |    CAST(('0x' || substr(md5('mh-a-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) | 1 AS a,
+              |    CAST(('0x' || substr(md5('mh-b-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) AS b
+              |  FROM range(32) r(k)
+              |),
+              |sig AS (
+              |  SELECT doc_id, k,
+              |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
+              |  FROM sh, perm GROUP BY doc_id, k
+              |),
+              |bands AS (
+              |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              |    CAST(min(CASE WHEN k % 2 = 0 THEN v END) AS VARCHAR) || ':' ||
+              |    CAST(min(CASE WHEN k % 2 = 1 THEN v END) AS VARCHAR) AS bsig
+              |  FROM sig GROUP BY doc_id, k // 2
+              |),
+              |cand AS (
+              |  SELECT DISTINCT q.doc_id AS q_id, i.doc_id AS doc_id
+              |  FROM bands q JOIN bands i
+              |    ON q.band = i.band AND q.bsig = i.bsig
+              |  WHERE q.doc_id >= $AppendSplit AND i.doc_id < $AppendSplit
+              |),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.q_id, c.doc_id, count(*) AS i
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.q_id
+              |  JOIN sh b ON b.doc_id = c.doc_id AND b.h = a.h
+              |  GROUP BY c.q_id, c.doc_id
+              |),
+              |near AS (
+              |  SELECT q_id AS doc_id, round(max(i / (sq.n + si.n - i)), 6) AS best_jaccard
+              |  FROM inter
+              |  JOIN sz sq ON sq.doc_id = q_id
+              |  JOIN sz si ON si.doc_id = inter.doc_id
+              |  WHERE i / (sq.n + si.n - i) >= 0.5
+              |  GROUP BY q_id
+              |)
+              |SELECT b.doc_id, s.seen AS seen_exact,
+              |       near.best_jaccard IS NOT NULL AS near_dup,
+              |       near.best_jaccard,
+              |       (NOT s.seen AND near.best_jaccard IS NULL) AS admit
+              |FROM batch b
+              |JOIN seen s ON s.doc_id = b.doc_id
+              |LEFT JOIN near ON near.doc_id = b.doc_id
+              |ORDER BY b.doc_id""".stripMargin)),
+
     // Edit-distance near-dups: lossless length-band blocking + exact
     // Levenshtein on an 80-char prefix (Dedup.editDistanceNearDups).
     // The oracle recomputes all length-compatible pairs brute-force —
