@@ -870,8 +870,7 @@ object Similarity {
       .groupBy("dim")
       .agg(min(col("x").cast(DoubleType)).as("lo"),
         max(col("x").cast(DoubleType)).as("hi"))
-      .orderBy("dim")
-      .collect()
+      .orderBy("dim").collect()
     (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
 

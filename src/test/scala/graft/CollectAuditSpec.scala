@@ -42,7 +42,11 @@ class CollectAuditSpec extends AnyFunSuite {
     ("Similarity.scala", ".select(col(\"centroids\")).head().getString(0)",
       "persisted-index centroid JSON — one row"),
     ("Similarity.scala", ".select(col(\"codebook\")).head().getString(0)",
-      "persisted-index codebook JSON — one row"))
+      "persisted-index codebook JSON — one row"),
+    ("Similarity.scala", ".orderBy(\"dim\").collect()",
+      "SQ8 per-dim (lo, hi) bounds — ≤ dims rows by construction (the groupBy key is the embedding index)"),
+    ("Similarity.scala", ".select(col(\"bounds\")).head().getString(0)",
+      "persisted-SQ8-index bounds JSON — one row"))
 
   /** A line is a Dataset-action candidate unless it is pure comment. */
   private[graft] def isActionSite(line: String): Boolean = {
