@@ -116,4 +116,51 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** MERGE (upsert) a batch of rows into a hive-partitioned parquet
+    * table, copy-on-write scoped to TOUCHED partitions only — the
+    * table-maintenance primitive behind every "re-crawl updated some
+    * documents" / "late facts arrived for two days" pipeline. Rows in
+    * `updates` REPLACE existing rows with the same `keyCol` inside their
+    * partition and INSERT otherwise.
+    *
+    * Scale shape: the update batch's distinct partition values are
+    * collected (bounded by |touched partitions| — days touched, not
+    * rows) and the existing-side read is filtered to exactly those
+    * values, so it partition-prunes: a 2-partition merge into a
+    * 72-month 100 TB table reads and rewrites ~2/72 of it and never
+    * opens the rest. The write goes through Spark's DYNAMIC partition
+    * overwrite, which replaces only the partitions present in the
+    * written data — untouched partition FILES are not even touched
+    * (byte-identical, MergeSpec pins it). The merged frame is
+    * local-checkpointed (bounded by the touched partitions' size)
+    * because Spark refuses to overwrite a path that is also an input
+    * of the writing plan — the checkpoint cuts that lineage; it is
+    * unpersisted before return.
+    */
+  def mergeIntoPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, updates: DataFrame, keyCol: String,
+      partCol: String): Unit = {
+    val touched = updates.select(partCol).distinct()
+      .collect().map(_.get(0)).toSeq // bounded: one row per touched partition
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isInCollection(touched))
+    val merged = existing
+      .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(updates.select(existing.columns.map(col): _*))
+      .localCheckpoint()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      merged.unpersist(): Unit
+    }
+  }
 }

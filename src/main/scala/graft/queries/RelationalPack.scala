@@ -707,6 +707,74 @@ object RelationalPack extends QueryPack {
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
     // ----------------------------------------------------------------
+    // C20 MERGE/upsert (round 15): Layout.mergeIntoPartitioned — the
+    // copy-on-write table-maintenance primitive: a deterministic batch
+    // of REPLACE rows (status 'U', price + 1000) and INSERT rows
+    // (status 'I', key + 10M) for two months of a month-partitioned
+    // orders table merges in; only the two touched partitions are read
+    // (partition-pruned existing side) and rewritten (dynamic partition
+    // overwrite) — MergeSpec pins untouched partition files
+    // byte-identical. The gate reads the post-merge table state across
+    // a touched + an untouched month; the oracle reconstructs the merge
+    // relationally from the original orders table.
+    QueryDef(
+      "q54_merge_upsert",
+      (s, d) => {
+        val out = graft.util.TempFixtures.dir(s, "merge_orders", d) { path =>
+          val base = T.orders(s, d)
+            .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          base.write.mode("overwrite").partitionBy("o_month").parquet(path)
+          val touched = base.filter(col("o_month").isin("1997-03", "1997-04"))
+          val replaced = touched.filter(col("o_orderkey") % 97 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+            .withColumn("o_orderstatus", lit("U"))
+          val inserted = touched.filter(col("o_orderkey") % 203 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("o_orderstatus", lit("I"))
+          graft.operators.Layout.mergeIntoPartitioned(s, path,
+            replaced.unionByName(inserted), "o_orderkey", "o_month")
+        }
+        s.read.parquet(out)
+          .filter(col("o_month").isin("1997-03", "1997-04", "1997-05"))
+          .groupBy(col("o_month"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_month", "o_orderstatus")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |         strftime(o_orderdate, '%Y-%m') AS o_month
+             |  FROM orders
+             |),
+             |touched AS (
+             |  SELECT * FROM base WHERE o_month IN ('1997-03', '1997-04')
+             |),
+             |repl AS (
+             |  SELECT o_orderkey, 'U' AS o_orderstatus,
+             |         o_totalprice + 1000.0 AS o_totalprice, o_month
+             |  FROM touched WHERE o_orderkey % 97 = 0
+             |),
+             |ins AS (
+             |  SELECT o_orderkey + 10000000 AS o_orderkey,
+             |         'I' AS o_orderstatus, o_totalprice, o_month
+             |  FROM touched WHERE o_orderkey % 203 = 0
+             |),
+             |final AS (
+             |  SELECT * FROM base WHERE o_month NOT IN ('1997-03', '1997-04')
+             |  UNION ALL
+             |  SELECT * FROM touched
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM repl
+             |                           UNION ALL SELECT o_orderkey FROM ins)
+             |  UNION ALL SELECT * FROM repl
+             |  UNION ALL SELECT * FROM ins
+             |)
+             |SELECT o_month, o_orderstatus, COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM final
+             |WHERE o_month IN ('1997-03', '1997-04', '1997-05')
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // C8 math battery — restricted to IEEE-exact operations (abs, ceil,
     // floor, round-half-up on 2dp, sqrt, sign, mod, greatest/least) so
     // results are bit-identical across engines; transcendental functions

@@ -29,6 +29,8 @@ class CollectAuditSpec extends AnyFunSuite {
       "training vocab, bounded by orderBy(cnt desc, w).limit(vocabCap) — top-N TakeOrdered"),
     ("Layout.scala", "df.agg(aggs.head, aggs.tail: _*).head()",
       "one aggregate row: min/max envelope for z-value literals"),
+    ("Layout.scala", ".collect().map(_.get(0)).toSeq",
+      "merge touched-partition values — one row per touched PARTITION (days touched, not rows), the partition-prune key set"),
     ("Dedup.scala", ".collect().map(_.get(0)).toSeq",
       "LSH probe small regime — limit(maxPushdownSigs + 1) before collect; large regime stays distributed"),
     ("Dedup.scala", ".head().getLong(0)",
