@@ -883,15 +883,19 @@ object Similarity {
     * byte/dim — the 4× scan-size reduction is physical, not notional.
     */
   def sq8Encode(corpus: DataFrame, lo: Array[Double],
-      hi: Array[Double]): DataFrame = {
-    val loL = typedLit(lo); val hiL = typedLit(hi)
+      hi: Array[Double]): DataFrame =
     corpus.select(col("vec_id"),
-      transform(col("embedding"), (x, i) => {
-        val l = element_at(loL, i + 1); val h = element_at(hiL, i + 1)
-        when(h === l, lit(0)).otherwise(
-          round((x.cast(DoubleType) - l) * lit(255.0) / (h - l), 0)
-            .cast(IntegerType))
-      }).as("codes"))
+      sq8EncodeCol(col("embedding"), lo, hi).as("codes"))
+
+  private def sq8EncodeCol(x: Column, lo: Array[Double],
+      hi: Array[Double]): Column = {
+    val loL = typedLit(lo); val hiL = typedLit(hi)
+    transform(x, (v, i) => {
+      val l = element_at(loL, i + 1); val h = element_at(hiL, i + 1)
+      when(h === l, lit(0)).otherwise(
+        round((v.cast(DoubleType) - l) * lit(255.0) / (h - l), 0)
+          .cast(IntegerType))
+    })
   }
 
   /** The decoded (reconstructed) vector of a codes column:
@@ -930,6 +934,53 @@ object Similarity {
     def arr(a: String) =
       a.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble)
     (codes, arr(loS), arr(hiS))
+  }
+
+  /** IVF × SQ8 — the COMPOSED production ANN shape: the coarse cells
+    * prune the scan to nprobe/ncells of the corpus, and inside the
+    * probed cells the scan reads 1-byte SQ8 codes instead of floats —
+    * pruning × compression, each from its own already-gated operator.
+    * Scoring is pure ADC (cosine against the decoded vector, rounded,
+    * vec_id tie-break), so with a replayable quantizer BOTH effects are
+    * hash-checkable at once — the pruned regime needs no
+    * forced-exhaustive trick because neither the probe choice nor the
+    * quantization error is nondeterministic. Two-regime query join as
+    * in [[topKIvf]].
+    */
+  def topKIvfSq8(corpus: DataFrame, queries: DataFrame, k: Int,
+      ncells: Int = 8, nprobe: Int = 2, scale: Int = 5,
+      index: Option[(DataFrame, DataFrame)] = None,
+      stats: Option[(Array[Double], Array[Double])] = None,
+      queryBroadcastCap: Int = 1 << 16): DataFrame = {
+    val (assigned, cents) = index.getOrElse(ivfIndex(corpus, ncells))
+    val (lo, hi) = stats.getOrElse(sq8Stats(corpus))
+    // the (vec_id, cell, codes) table IS the persisted IVF-SQ8 index
+    // shape: cell-partitionable, 1 byte/dim payload
+    val codes = assigned.select(col("vec_id"), col("cell"),
+      sq8EncodeCol(col("embedding"), lo, hi).as("codes"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cscore", cosine(col("qvec"), col("centroid")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val small = queries.limit(queryBroadcastCap + 1).count() <= queryBroadcastCap
+    val candidates =
+      if (small) codes.join(broadcast(probes), Seq("cell"))
+      else codes.join(probes, Seq("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    candidates
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dv", sq8Decode(col("codes"), lo, hi))
+      .withColumn("score",
+        round(dot(col("qvec"), col("dv")) /
+          (norm(col("qvec")) * norm(col("dv"))), scale))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), col("score"))
   }
 
   /** SQ8 top-k. `rerank <= 0` ranks by the APPROXIMATE score alone —

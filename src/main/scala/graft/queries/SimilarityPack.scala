@@ -993,6 +993,70 @@ object SimilarityPack extends QueryPack {
              |WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF × SQ8 (round 15): the COMPOSED production ANN shape —
+    // pruning (nprobe=2 of 10 cells, ~80% of the corpus never scored)
+    // × compression (1-byte codes scored by decoded-cosine ADC). With
+    // the SQL-replayable label quantizer AND the replayable affine
+    // quantization, BOTH effects hash-check in ONE gate with no
+    // forced-exhaustive trick: the oracle replays centroid fit, probe
+    // choice, per-dim bounds, code rounding, reconstruction and the
+    // cell-restricted ADC ranking end to end.
+    QueryDef(
+      "sim_topk_ivfsq8",
+      (s, d) =>
+        Similarity.topKIvfSq8(T.embeddings(s, d), queriesDf(s, d), 10,
+            nprobe = 2, index = Some(labelIndex(s, d)))
+          .orderBy("query_id", "rank"),
+      Some(s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+              |cent AS (
+              |  SELECT e.label AS cell, idx.i,
+              |         round($ExactMeanSql, 6) AS m
+              |  FROM embeddings e CROSS JOIN idx GROUP BY 1, 2
+              |), centv AS (
+              |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+              |), q AS (
+              |  SELECT vec_id AS query_id, embedding AS qvec
+              |  FROM embeddings WHERE vec_id < 10
+              |), pc AS (
+              |  SELECT query_id, qvec, cell FROM (
+              |    SELECT q.query_id, q.qvec, v.cell,
+              |           row_number() OVER (PARTITION BY q.query_id
+              |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
+              |                                       v.cell) AS crank
+              |    FROM q CROSS JOIN centv v) t
+              |  WHERE crank <= 2
+              |), st AS (
+              |  SELECT i AS dim, min(CAST(x AS DOUBLE)) AS lo,
+              |         max(CAST(x AS DOUBLE)) AS hi
+              |  FROM (SELECT unnest(embedding) AS x,
+              |               generate_subscripts(embedding, 1) AS i
+              |        FROM embeddings)
+              |  GROUP BY i
+              |), b AS (SELECT list(lo ORDER BY dim) AS lov,
+              |                list(hi ORDER BY dim) AS hiv FROM st),
+              |dv AS (
+              |  SELECT e.vec_id, e.label AS cell,
+              |    list_transform(e.embedding, (x, i) ->
+              |      CASE WHEN b.hiv[i] = b.lov[i] THEN b.lov[i]
+              |           ELSE b.lov[i]
+              |                + round((CAST(x AS DOUBLE) - b.lov[i]) * 255.0
+              |                        / (b.hiv[i] - b.lov[i]))
+              |                  * (b.hiv[i] - b.lov[i]) / 255.0 END) AS d
+              |  FROM embeddings e CROSS JOIN b
+              |), scored AS (
+              |  SELECT pc.query_id, dv.vec_id,
+              |         round(${cosSql("pc.qvec", "dv.d")}, 5) AS score
+              |  FROM pc JOIN dv ON dv.cell = pc.cell
+              |  WHERE pc.query_id != dv.vec_id
+              |)
+              |SELECT query_id, rank, vec_id, score FROM (
+              |  SELECT query_id, vec_id, score,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY score DESC, vec_id) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 10
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // Nearest-centroid assignment itself (the quantizer): every vector →
     // its own cluster's centroid vs others. Oracle-able because centroid
     // means are computed identically (double sums of floats per index,

@@ -195,6 +195,27 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan.take(2000))
   }
 
+  test("IVF×SQ8: exhaustive probe == pure-ADC SQ8; pruned rows keep exact ADC scores") {
+    // probing every cell makes the composed operator score every pair —
+    // it must then equal the single-effect SQ8 ranking exactly
+    val adc = Similarity.topKSq8(corpus, queries, 10, rerank = 0).cache()
+    val full = Similarity.topKIvfSq8(corpus, queries, 10,
+      ncells = 8, nprobe = 8)
+    assert(full.exceptAll(adc).isEmpty && adc.exceptAll(full).isEmpty,
+      "exhaustive IVF×SQ8 diverged from pure-ADC SQ8")
+    // pruned regime: any (query, vec) it returns carries the identical
+    // decoded-cosine score (pruning changes WHICH rows, never a score)
+    val pruned = Similarity.topKIvfSq8(corpus, queries, 10,
+        ncells = 8, nprobe = 2)
+      .select(col("query_id"), col("vec_id"), col("score")).cache()
+    val allScores = adc.select(col("query_id"), col("vec_id"), col("score"))
+    val joined = pruned.as("p").join(allScores.as("a"),
+      Seq("query_id", "vec_id"), "inner")
+    val mismatch = joined.filter(col("p.score") =!= col("a.score")).count()
+    assert(mismatch == 0, s"$mismatch pruned rows changed their ADC score")
+    assert(pruned.count() > 0)
+  }
+
   test("PQ index persists as data: load + query == fit + query") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/pqidx_${spark.sparkContext.applicationId}"
     val cb = Similarity.pqCodebooks(corpus)
