@@ -233,4 +233,45 @@ object Graph {
     e.unpersist()
     Scratch.register(out)
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the same graphs: cluster a crawl's domain/kNN graph
+    * into communities for per-community curation quotas or domain
+    * grouping. Deterministic variant so the fixed point replays: the
+    * graph is SYMMETRIZED (LPA communities are an undirected notion),
+    * every node starts as its own label, and each of the `iterations`
+    * synchronous rounds re-labels every node with the label most
+    * frequent among its neighbors, ties to the SMALLEST label (the
+    * classic async/random-order LPA is non-deterministic by design;
+    * fixing sync order + min tie-break trades a little convergence
+    * speed for bit-reproducibility, the engine-wide parity pattern).
+    * All-integer arithmetic — counts and ids — so a SQL oracle replays
+    * every round exactly.
+    *
+    * Scale shape: a fixed iteration count unrolls into ONE lazy plan;
+    * each round is one (labels ⋈ edges) shuffle on dst plus a two-level
+    * count/argmax groupBy on node (map-side partials), and each round
+    * references its predecessor exactly once, so the plan grows
+    * linearly. The symmetrized edge list is cached once
+    * (Scratch-registered — the caller releases it) and every round
+    * reuses it.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    import graft.util.Scratch
+    val sym = Scratch.cached(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      labels = sym
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+    }
+    labels
+  }
 }

@@ -394,6 +394,54 @@ object SimilarityPack extends QueryPack {
            |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
       }),
 
+    // Label propagation communities over the kNN graph (round 15 late):
+    // the third member of the per-crawl graph-signal family (PageRank
+    // centrality, harmonic centrality, and now COMMUNITIES — the domain
+    // grouping per-community curation quotas key on). Deterministic
+    // synchronous LPA: symmetrized graph, min-label tie-break, 3
+    // rounds; all-integer counts/ids, so the oracle replays every round
+    // exactly on top of the same knn CTE chain. GraphSpec pins a
+    // hand-computed two-triangle vector and duplicate-edge invariance.
+    QueryDef(
+      "graph_label_prop",
+      (s, d) => {
+        val corpus = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val queries = T.embeddings(s, d)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val knn = Similarity.topKIvf(corpus, queries, 5, nprobe = 2,
+          index = Some(labelIndex(s, d)), queryBroadcastCap = 0)
+        graft.operators.Graph.labelPropagation(
+            knn.select(col("query_id").as("src"), col("vec_id").as("dst")))
+          .orderBy("node")
+      },
+      Some {
+        def iter(prev: String, cur: String) =
+          s"""c$cur AS (
+             |  SELECT e.src AS node, lab$prev.label, count(*) AS cnt
+             |  FROM uedges e JOIN lab$prev ON lab$prev.node = e.dst
+             |  GROUP BY 1, 2
+             |), lab$cur AS (
+             |  SELECT node, label FROM (
+             |    SELECT node, label,
+             |           row_number() OVER (PARTITION BY node
+             |                              ORDER BY cnt DESC, label) AS rn
+             |    FROM c$cur) t
+             |  WHERE rn = 1
+             |)""".stripMargin
+        s"""WITH $KnnCteSql,
+           |de AS (SELECT query_id AS src, vec_id AS dst FROM knn),
+           |uedges AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM de
+           |    UNION ALL SELECT dst AS src, src AS dst FROM de)
+           |),
+           |lab0 AS (SELECT DISTINCT src AS node, src AS label FROM uedges),
+           |${iter("0", "1")},
+           |${iter("1", "2")},
+           |${iter("2", "3")}
+           |SELECT node, label FROM lab3 ORDER BY node""".stripMargin
+      }),
+
     // HyperBall harmonic centrality over the kNN graph (round 15) — the
     // OTHER published per-crawl source-quality prior (Common Crawl ships
     // harmonic-centrality rankings alongside PageRank; Boldi & Vigna

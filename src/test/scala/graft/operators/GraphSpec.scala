@@ -185,4 +185,35 @@ class GraphSpec extends SparkSpec {
       s"expected the edge/node caches to substitute as InMemoryRelation, got $imr")
     graft.util.Scratch.release(spark)
   }
+
+  test("labelPropagation: two bridged triangles resolve to two communities (hand replay)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, one bridge 3-4; directed input —
+    // the operator symmetrizes. Hand-computed synchronous rounds with
+    // the min tie-break give labels {1,2,3}→1 and {4,5,6}→3 after 3.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+    graft.util.Scratch.release(spark)
+  }
+
+  test("labelPropagation: duplicate/reversed edges and partitioning are invisible") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    // duplicates + pre-reversed copies + a different partitioning must
+    // not move any label: symmetrize+distinct defines the graph
+    val noisy = base.unionByName(base)
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(7)
+    val a = Graph.labelPropagation(base).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(noisy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"noisy graph moved labels: $a vs $b")
+    graft.util.Scratch.release(spark)
+  }
 }
