@@ -960,6 +960,91 @@ object SamplePack extends QueryPack {
              |  round(CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS temp_frac,
              |  round((CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE)) /
              |        (CAST(n_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE)), 6) AS boost
-             |FROM wtd, tot ORDER BY source""".stripMargin))
+             |FROM wtd, tot ORDER BY source""".stripMargin)),
+
+    // Per-community curation quota (round 15 late): what
+    // graph_label_prop's communities are FOR - per-community top-Q by
+    // quality instead of one global cut, so one dominant domain cannot
+    // crowd the corpus (the quota is the diversity control of
+    // domain-balanced curation). Composes three hash-checked pieces:
+    // LPA communities over the persisted kNN edge set (vec_id == doc_id
+    // by the testdata contract), the replayable quality score, and the
+    // per-key top-k - whose window idiom replans onto the bounded-heap
+    // TopKPerKey operator, so the quota costs <= Q rows per community
+    // per partition through the shuffle at any corpus size. The oracle
+    // replays communities, quality and the quota cut end to end.
+    QueryDef(
+      "sample_community_quota",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val comm = graft.operators.Graph
+          .labelPropagation(SimilarityPack.knnEdges(s, d))
+          .select(col("node").as("doc_id"), col("label").as("community"))
+        val q = graft.operators.TextOps.qualityScore(
+          T.documents(s, d).select(col("doc_id"), col("text")))
+        val w = Window.partitionBy(col("community"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        comm.join(q, "doc_id")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .select(col("doc_id"), col("community"), col("quality"),
+            col("rank").cast("long").as("rank"))
+          .orderBy("community", "rank")
+      },
+      Some(s"""WITH ${SimilarityPack.KnnCteSql},
+              |de AS (SELECT query_id AS src, vec_id AS dst FROM knn),
+              |uedges AS (
+              |  SELECT DISTINCT src, dst FROM (
+              |    SELECT src, dst FROM de
+              |    UNION ALL SELECT dst AS src, src AS dst FROM de)
+              |),
+              |lab0 AS (SELECT DISTINCT src AS node, src AS label FROM uedges),
+              |c1 AS (
+              |  SELECT e.src AS node, lab0.label, count(*) AS cnt
+              |  FROM uedges e JOIN lab0 ON lab0.node = e.dst GROUP BY 1, 2
+              |), lab1 AS (
+              |  SELECT node, label FROM (
+              |    SELECT node, label, row_number() OVER (PARTITION BY node
+              |      ORDER BY cnt DESC, label) AS rn FROM c1) t WHERE rn = 1
+              |), c2 AS (
+              |  SELECT e.src AS node, lab1.label, count(*) AS cnt
+              |  FROM uedges e JOIN lab1 ON lab1.node = e.dst GROUP BY 1, 2
+              |), lab2 AS (
+              |  SELECT node, label FROM (
+              |    SELECT node, label, row_number() OVER (PARTITION BY node
+              |      ORDER BY cnt DESC, label) AS rn FROM c2) t WHERE rn = 1
+              |), c3 AS (
+              |  SELECT e.src AS node, lab2.label, count(*) AS cnt
+              |  FROM uedges e JOIN lab2 ON lab2.node = e.dst GROUP BY 1, 2
+              |), lab3 AS (
+              |  SELECT node, label FROM (
+              |    SELECT node, label, row_number() OVER (PARTITION BY node
+              |      ORDER BY cnt DESC, label) AS rn FROM c3) t WHERE rn = 1
+              |),
+              |tq AS (
+              |  SELECT doc_id, string_split(lower(text),' ') AS w FROM documents
+              |), cq AS (
+              |  SELECT doc_id,
+              |    CAST(len(w) AS DOUBLE) AS n,
+              |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+              |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+              |      / len(w) AS stoprate
+              |  FROM tq
+              |), qual AS (
+              |  SELECT doc_id,
+              |    round(least(n / 200.0, 1.0) * 0.5 + ttr * 0.3
+              |          + least(stoprate * 5.0, 1.0) * 0.2, 6) AS quality
+              |  FROM cq
+              |), j AS (
+              |  SELECT lab3.node AS doc_id, lab3.label AS community, qual.quality
+              |  FROM lab3 JOIN qual ON qual.doc_id = lab3.node
+              |)
+              |SELECT doc_id, community, quality, rank FROM (
+              |  SELECT doc_id, community, quality,
+              |         row_number() OVER (PARTITION BY community
+              |                            ORDER BY quality DESC, doc_id) AS rank
+              |  FROM j) t
+              |WHERE rank <= 20
+              |ORDER BY community, rank""".stripMargin))
   )
 }

@@ -187,7 +187,7 @@ object SimilarityPack extends QueryPack {
     * bit-identical to the gate's (same operator, same index, same
     * regime), so every oracle still replays the same knn CTE.
     */
-  private def knnEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[queries] def knnEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
     val path = graft.util.TempFixtures.dir(s, "knn_edges", d) { p =>
       val corpus = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val queries = T.embeddings(s, d)
@@ -244,7 +244,7 @@ object SimilarityPack extends QueryPack {
     * `knn(query_id, rank, vec_id, score)` — shared by the kNN-graph
     * gate and the PageRank-over-kNN gate.
     */
-  private val KnnCteSql =
+  private[queries] val KnnCteSql =
     s"""idx AS (SELECT unnest(range(1, 65)) AS i),
        |cent AS (
        |  SELECT e.label AS cell, idx.i,
