@@ -17,7 +17,7 @@ class ScratchTimingSpec extends SparkSpec {
     r
   }
 
-  test("pagerank steady-state at sf0.1") {
+  ignore("pagerank steady-state at sf0.1 (archived: kNN fixture now shared across the graph gates)") {
     val all = graft.SparkEntry.queries
     (1 to 2).foreach(_ => spark.range(1).count())
     (1 to 3).foreach { r =>
