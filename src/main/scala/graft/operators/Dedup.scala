@@ -400,6 +400,17 @@ object Dedup {
     * (Int vs String bsig), a mismatched geometry is the caller's bug.
     * Duplicate doc_ids across batches are the caller's contract, as with
     * any append-only sink.
+    *
+    * Delivery contract (the Bloom-ingest epoch discipline does not fit
+    * an append-only layout, so state it instead): the two appends are
+    * not atomic together — a crash between them leaves the batch's sets
+    * landed but its bands absent, which UNDER-reports (the new docs are
+    * simply not discoverable as candidates until the batch is retried;
+    * no wrong match is possible). A retry of a fully-successful append,
+    * however, duplicates the batch's sets rows and therefore duplicates
+    * that batch's rows in probe results — so drive this from an
+    * exactly-once scheduler (e.g. foreachBatch with a committed-batch
+    * check), not a blind at-least-once retry loop.
     */
   def appendToLshIndex(path: String, newDocs: DataFrame, n: Int = 3,
       numPerms: Int = 32, rowsPerBand: Int = 2,
