@@ -892,10 +892,32 @@ object Similarity {
     val loL = typedLit(lo); val hiL = typedLit(hi)
     transform(x, (v, i) => {
       val l = element_at(loL, i + 1); val h = element_at(hiL, i + 1)
+      // clamp: a no-op for the fitting corpus (inside its own bounds by
+      // construction — the original gates' hashes cannot move) but
+      // total for APPENDED vectors that drift outside the frozen
+      // bounds, which saturate to 0/255 — the standard SQ behavior,
+      // and plain least/greatest arithmetic the oracle replays
       when(h === l, lit(0)).otherwise(
-        round((v.cast(DoubleType) - l) * lit(255.0) / (h - l), 0)
-          .cast(IntegerType))
+        least(lit(255), greatest(lit(0),
+          round((v.cast(DoubleType) - l) * lit(255.0) / (h - l), 0)
+            .cast(IntegerType))))
     })
+  }
+
+  /** Append new vectors to a persisted SQ8 index under its FROZEN
+    * (lo, hi) bounds — the same maintenance contract as
+    * [[appendToIvfIndex]]'s frozen centroids and [[Dedup.appendToLshIndex]]'s
+    * frozen hash geometry: the quantizer is fitted once; batches encode
+    * themselves against it and land as appended code files, nothing
+    * rewritten, no refit. Values outside the frozen bounds saturate to
+    * 0/255 (deterministically — see [[sq8Encode]]); refit + rewrite is a
+    * separate, rarer maintenance pass, exactly as in FAISS-style
+    * deployments.
+    */
+  def appendToSq8Index(spark: SparkSession, path: String,
+      newVecs: DataFrame): Unit = {
+    val (_, lo, hi) = readSq8Index(spark, path)
+    sq8Encode(newVecs, lo, hi).write.mode("append").parquet(s"$path/codes")
   }
 
   /** The decoded (reconstructed) vector of a codes column:

@@ -1039,6 +1039,76 @@ object SimilarityPack extends QueryPack {
              |WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // SQ8 index APPEND under frozen bounds (round 15 late): the
+    // quantizer-maintenance story completed — writeSq8Index fits the
+    // bounds on the FIRST half of the corpus only, appendToSq8Index
+    // lands the second half encoded against those FROZEN bounds
+    // (values that drift outside saturate to 0/255 — the standard SQ
+    // behavior, plain least/greatest arithmetic), and the gate queries
+    // the grown index pure-ADC. Load-bearing twice over: a no-op
+    // append erases the second half from every top-k list, and a
+    // missing clamp shifts every saturated code's decode — either
+    // fails the hash. The oracle replays half-corpus bounds, clamped
+    // codes for ALL vectors, reconstruction and ranking.
+    QueryDef(
+      "sim_sq8_append",
+      (s, d) => {
+        val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val idx = graft.util.TempFixtures.dir(s, "sq8_grown", d) { path =>
+          Similarity.writeSq8Index(base.filter(col("vec_id") < 250), path)
+          Similarity.appendToSq8Index(s, path,
+            base.filter(col("vec_id") >= 250))
+        }
+        val (codes, lo, hi) = Similarity.readSq8Index(s, idx)
+        Similarity.topKSq8(base, queriesDf(s, d), 10, rerank = 0,
+            stats = Some((lo, hi)), encodedIndex = Some(codes))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding AS qvec
+             |  FROM embeddings WHERE vec_id < 10
+             |),
+             |st AS (
+             |  SELECT i AS dim, min(CAST(x AS DOUBLE)) AS lo,
+             |         max(CAST(x AS DOUBLE)) AS hi
+             |  FROM (SELECT unnest(embedding) AS x,
+             |               generate_subscripts(embedding, 1) AS i
+             |        FROM embeddings WHERE vec_id < 250)
+             |  GROUP BY i
+             |),
+             |b AS (SELECT list(lo ORDER BY dim) AS lov,
+             |             list(hi ORDER BY dim) AS hiv FROM st),
+             |dv AS (
+             |  SELECT e.vec_id,
+             |    list_transform(e.embedding, (x, i) ->
+             |      CASE WHEN b.hiv[i] = b.lov[i] THEN b.lov[i]
+             |           ELSE b.lov[i]
+             |                + LEAST(255, GREATEST(0,
+             |                    round((CAST(x AS DOUBLE) - b.lov[i]) * 255.0
+             |                          / (b.hiv[i] - b.lov[i]))))
+             |                  * (b.hiv[i] - b.lov[i]) / 255.0 END) AS d
+             |  FROM embeddings e CROSS JOIN b
+             |),
+             |scored AS (
+             |  SELECT q.query_id, dv.vec_id,
+             |    round(
+             |      list_sum(list_transform(list_zip(q.qvec, dv.d),
+             |        p -> CAST(p[1] AS DOUBLE) * p[2]))
+             |      / (sqrt(list_sum(list_transform(q.qvec,
+             |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform(dv.d, x -> x * x)))),
+             |      5) AS score
+             |  FROM q CROSS JOIN dv
+             |  WHERE q.query_id != dv.vec_id
+             |)
+             |SELECT query_id, rank, vec_id, score FROM (
+             |  SELECT query_id, vec_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY score DESC, vec_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // IVF × SQ8 (round 15): the COMPOSED production ANN shape —
     // pruning (nprobe=2 of 10 cells, ~80% of the corpus never scored)
     // × compression (1-byte codes scored by decoded-cosine ADC). With

@@ -195,6 +195,31 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan.take(2000))
   }
 
+  test("SQ8 append: frozen bounds, clamped drift codes, grown == fresh-encode") {
+    val half = corpus.filter(col("vec_id") < 250)
+    val rest = corpus.filter(col("vec_id") >= 250)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/sq8app_${spark.sparkContext.applicationId}"
+    Similarity.writeSq8Index(half, dir)
+    Similarity.appendToSq8Index(spark, dir, rest)
+    val (codes, lo, hi) = Similarity.readSq8Index(spark, dir)
+    // the grown code table == encoding the full corpus under the SAME
+    // frozen half-corpus bounds
+    val fresh = Similarity.sq8Encode(corpus, lo, hi)
+    assert(codes.exceptAll(fresh).isEmpty && fresh.exceptAll(codes).isEmpty,
+      "grown code table != fresh encode under frozen bounds")
+    // drift really happened AND really clamped: appended dims exist
+    // strictly outside the frozen half-corpus bounds (so an unclamped
+    // encode would emit codes < 0 or > 255), yet every stored code is
+    // in 0..255 — together these prove the saturation path ran
+    val loL = typedLit(lo); val hiL = typedLit(hi)
+    val oob = rest.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .filter(col("x").cast("double") < element_at(loL, col("i") + 1) ||
+        col("x").cast("double") > element_at(hiL, col("i") + 1)).count()
+    assert(oob > 0, "no appended value drifted outside the frozen bounds — clamp untested")
+    assert(codes.filter(exists(col("codes"),
+      c => c < 0 || c > 255)).count() == 0)
+  }
+
   test("IVF×SQ8: exhaustive probe == pure-ADC SQ8; pruned rows keep exact ADC scores") {
     // probing every cell makes the composed operator score every pair —
     // it must then equal the single-effect SQ8 ranking exactly
