@@ -279,11 +279,17 @@ class WarcSpec extends AnyFunSuite {
     val spark = graft.SparkSpec.session
     val dir = java.nio.file.Files.createTempDirectory("warc_ms").toFile
     dir.deleteOnExit()
-    def land(name: String, ids: Range): Unit =
-      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+    def land(name: String, ids: Range): Unit = {
+      // atomic land: the running stream's listing must never observe a
+      // half-written archive
+      val tmp = new java.io.File(dir, s".$name.tmp").toPath
+      java.nio.file.Files.write(tmp,
         writeGz(ids.map(i => WarcRecord("response", s"http://s/$i",
           s"<urn:uuid:s$i>",
           ("HTTP/1.1 200 OK\r\n\r\nstream doc " + i).getBytes("UTF-8")))))
+      java.nio.file.Files.move(tmp, new java.io.File(dir, name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     land("s1.warc.gz", 0 until 6)
     val q = spark.readStream.format("warcgz")
       .option("splitSize", 1 << 10)
@@ -324,10 +330,15 @@ class WarcSpec extends AnyFunSuite {
         s"<html><head><title>Doc $i</title><script>t();</script></head>" +
         s"<body><p>crawl doc number $i body text</p></body></html>")
         .getBytes("UTF-8")
-    def land(name: String, ids: Range): Unit =
-      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+    def land(name: String, ids: Range): Unit = {
+      // atomic land: see the DSv2 streaming test above
+      val tmp = new java.io.File(dir, s".$name.tmp").toPath
+      java.nio.file.Files.write(tmp,
         writeGz(ids.map(i => WarcRecord("response", s"http://h/$i",
           s"<urn:uuid:h-$i>", page(i)))))
+      java.nio.file.Files.move(tmp, new java.io.File(dir, name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     def curate(df: org.apache.spark.sql.DataFrame) = {
       val pages = df.filter(col("warc_type") === "response")
         .select(regexp_extract(col("record_id"), "-(\\d+)>$", 1)

@@ -167,10 +167,18 @@ class FilePipelineSpec extends SparkSpec {
         s"<body><p>the quick crawl document number $i of the corpus " +
         ("text and filler words of the stream " * (1 + i % 3)) +
         s"</p></body></html>").getBytes("UTF-8")
-    def land(name: String, ids: Range): Unit =
-      java.nio.file.Files.write(new File(dir, name).toPath,
+    def land(name: String, ids: Range): Unit = {
+      // land ATOMICALLY (tmp + rename): file stream sources contractually
+      // assume atomic placement — a direct write races the source's
+      // directory listing, which can observe (and mark processed) a
+      // half-written gz (flaked once under a slow host)
+      val tmp = new File(dir, s".$name.tmp").toPath
+      java.nio.file.Files.write(tmp,
         Warc.writeGz(ids.map(i => Warc.WarcRecord("response", s"http://q/$i",
           s"<urn:uuid:page-$i>", page(i)))))
+      java.nio.file.Files.move(tmp, new File(dir, name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     val dim = (0L until 12L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
     def face(df: org.apache.spark.sql.DataFrame) =

@@ -264,8 +264,13 @@ class StreamingSpec extends SparkSpec {
         Warc.WarcRecord("response", s"http://x/$i", s"<urn:uuid:resp-$i>",
           ("HTTP/1.1 200 OK\r\n\r\nbody of document " + i).getBytes("UTF-8"))
       }
-      java.nio.file.Files.write(
-        new java.io.File(dir, name).toPath, Warc.writeGz(recs))
+      // atomic land (tmp + rename): file sources contractually assume
+      // atomic placement; a direct write races the running stream's
+      // directory listing
+      val tmp = new java.io.File(dir, s".$name.tmp").toPath
+      java.nio.file.Files.write(tmp, Warc.writeGz(recs))
+      java.nio.file.Files.move(tmp, new java.io.File(dir, name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     writeFile("b1.warc.gz", 0 until 5)
     val binarySchema = org.apache.spark.sql.types.StructType(Seq(
