@@ -121,8 +121,18 @@ object Layout {
     * table, copy-on-write scoped to TOUCHED partitions only — the
     * table-maintenance primitive behind every "re-crawl updated some
     * documents" / "late facts arrived for two days" pipeline. Rows in
-    * `updates` REPLACE existing rows with the same `keyCol` inside their
-    * partition and INSERT otherwise.
+    * `updates` REPLACE existing rows with the same (`keyCol`, `partCol`)
+    * inside their own partition and INSERT otherwise: a key that
+    * legitimately recurs across partitions loses only the row in the
+    * partition the update addresses — the anti-join carries BOTH columns,
+    * so a two-day late-facts merge cannot silently drop the other day's
+    * row for a shared key.
+    *
+    * `updates` must carry every column of the existing table (checked
+    * loudly), and must not carry null partition values (also checked:
+    * dynamic overwrite would route them to the default partition while
+    * the pruned read excluded existing null-partition rows — silent row
+    * loss either way, so it is an error, not a guess).
     *
     * Scale shape: the update batch's distinct partition values are
     * collected (bounded by |touched partitions| — days touched, not
@@ -132,11 +142,18 @@ object Layout {
     * opens the rest. The write goes through Spark's DYNAMIC partition
     * overwrite, which replaces only the partitions present in the
     * written data — untouched partition FILES are not even touched
-    * (byte-identical, MergeSpec pins it). The merged frame is
-    * local-checkpointed (bounded by the touched partitions' size)
-    * because Spark refuses to overwrite a path that is also an input
-    * of the writing plan — the checkpoint cuts that lineage; it is
-    * unpersisted before return.
+    * (byte-identical, MergeSpec pins it).
+    *
+    * Crash-safety: Spark refuses to overwrite a path that is also an
+    * input of the writing plan, so the merged frame must materialize
+    * first. A localCheckpoint would do it in executor memory — but an
+    * executor loss between checkpoint and write then kills the job
+    * MID-overwrite of live partitions. Instead the merged rows land
+    * DURABLY in an underscore-prefixed staging dir inside the table
+    * (invisible to readers — Hadoop's hidden-file filter skips `_`/`.`
+    * paths), and the overwrite job reads that staging copy: any crash
+    * before or during the overwrite leaves the staged merge on disk to
+    * re-drive, and no executor state is load-bearing.
     */
   def mergeIntoPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, updates: DataFrame, keyCol: String,
@@ -144,23 +161,39 @@ object Layout {
     val touched = updates.select(partCol).distinct()
       .collect().map(_.get(0)).toSeq // bounded: one row per touched partition
     if (touched.isEmpty) return
+    require(!touched.contains(null),
+      s"mergeIntoPartitioned: updates contain null $partCol values; " +
+        "dynamic partition overwrite cannot address the null partition " +
+        "safely — filter or default them before merging")
     val existing = spark.read.parquet(path)
       .filter(col(partCol).isInCollection(touched))
+    val missing = existing.columns.filterNot(updates.columns.contains)
+    require(missing.isEmpty,
+      s"mergeIntoPartitioned: updates are missing table column(s) " +
+        s"${missing.mkString(", ")}; upserted rows must carry the full schema")
     val merged = existing
-      .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(updates.select(col(keyCol), col(partCol)),
+        Seq(keyCol, partCol), "left_anti")
       .unionByName(updates.select(existing.columns.map(col): _*))
-      .localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$path/_merge_staging"
     val key = "spark.sql.sources.partitionOverwriteMode"
     val saved = spark.conf.getOption(key)
     try {
+      merged.select(existing.columns.map(col): _*)
+        .write.mode("overwrite").partitionBy(partCol).parquet(stage)
       spark.conf.set(key, "dynamic")
-      merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
+      // explicit schema: partition-column type must round-trip, not be
+      // re-inferred from directory names
+      spark.read.schema(existing.schema).parquet(stage)
+        .write.mode("overwrite").partitionBy(partCol).parquet(path)
     } finally {
       saved match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-      merged.unpersist(): Unit
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
     }
   }
 }

@@ -162,7 +162,8 @@ object Sketches {
     }: _*)
 
   /** Membership probe against a [[bloomBits]] filter: (id, seen) with
-    * seen ⇔ all k bits present. The filter side is ≤ mBits/64 rows —
+    * seen ⇔ all k bits present. The filter side is ≤ mBits/32 rows
+    * (32 bits ride per BIGINT word, see [[bloomBits]]) —
     * broadcast — and the probe is one explode + one conditional-count
     * aggregate per id (duplicate positions within a value are harmless:
     * each exploded row tests its own bit, and seen requires EVERY row

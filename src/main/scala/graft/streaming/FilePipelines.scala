@@ -92,9 +92,12 @@ object FilePipelines {
     import graft.operators.Sketches
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
+    // Resolve the filesystem FROM the path (as Layout/Warc do): on a
+    // non-local stateDir (HDFS/S3) a local listing would silently report
+    // no prior epochs and every batch would read novel — wrong verdicts
+    // with no error.
     val sPath = new Path(stateDir)
+    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochs: Seq[Long] =
       if (!fs.exists(sPath)) Seq.empty
       else fs.listStatus(sPath).toSeq.map(_.getPath.getName)
@@ -173,10 +176,11 @@ object FilePipelines {
     */
   def upsertBatch(batch: DataFrame, targetDir: String): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    recoverTarget(fs, targetDir)
     val tPath = new org.apache.hadoop.fs.Path(targetDir)
+    // fs resolved from the path (not getLocal) so HDFS/S3 targets take
+    // the same swap path instead of mis-reading an empty local mirror
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverTarget(fs, targetDir)
     val incoming = batch.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"), lit(1).as("_gen"))
     val merged =

@@ -68,4 +68,72 @@ class MergeSpec extends SparkSpec {
       updates.filter(col("k") < 0), "k", "part")
     assert(fileState(dir) == after, "empty merge modified the table")
   }
+
+  test("a key recurring across partitions loses only its own partition's row") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dir = s"$tmp/graft_spec_merge_xpart_${spark.sparkContext.applicationId}"
+    // key 1 legitimately appears in BOTH touched partitions (the
+    // "late facts arrived for two days" case): an update addressed to
+    // p1 must not delete p2's key-1 row even when p2 is also touched
+    // by a different key's update.
+    Seq((1L, "day1", "p1"), (1L, "day2", "p2"), (2L, "x", "p2"))
+      .toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val updates = Seq((1L, "day1-fixed", "p1"), (2L, "x-fixed", "p2"))
+      .toDF("k", "v", "part")
+    Layout.mergeIntoPartitioned(spark, dir, updates, "k", "part")
+    val got = spark.read.parquet(dir).select(col("k"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "day1-fixed", "p1"), (1L, "day2", "p2"), (2L, "x-fixed", "p2")),
+      s"cross-partition key was not partition-scoped: $got")
+  }
+
+  test("null partition values and missing columns are rejected loudly") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dir = s"$tmp/graft_spec_merge_guard_${spark.sparkContext.applicationId}"
+    Seq((1L, "a", "p1")).toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val nullPart = Seq((2L, "b")).toDF("k", "v")
+      .withColumn("part", lit(null).cast("string"))
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.mergeIntoPartitioned(spark, dir, nullPart, "k", "part")
+    }
+    assert(e1.getMessage.contains("null"), e1.getMessage)
+    val narrow = Seq((2L, "p1")).toDF("k", "part") // missing v
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.mergeIntoPartitioned(spark, dir, narrow, "k", "part")
+    }
+    assert(e2.getMessage.contains("missing table column"), e2.getMessage)
+    // table untouched by either rejected merge
+    val got = spark.read.parquet(dir).select(col("k"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "a", "p1")))
+  }
+
+  test("merge staging dir never leaks into reads and is cleaned up") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dir = s"$tmp/graft_spec_merge_stage_${spark.sparkContext.applicationId}"
+    Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    Layout.mergeIntoPartitioned(spark, dir,
+      Seq((1L, "a2", "p1")).toDF("k", "v", "part"), "k", "part")
+    assert(!new File(s"$dir/_merge_staging").exists(),
+      "staging dir survived a successful merge")
+    assert(spark.read.parquet(dir).count() == 2)
+    // a crash-orphaned staging dir (simulated) must be invisible to
+    // readers — Hadoop's hidden-path filter skips underscore dirs —
+    // and a subsequent merge must recover by overwriting it
+    Seq((99L, "ghost", "p9")).toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$dir/_merge_staging")
+    assert(spark.read.parquet(dir).count() == 2,
+      "orphaned staging rows leaked into table reads")
+    Layout.mergeIntoPartitioned(spark, dir,
+      Seq((3L, "c", "p2")).toDF("k", "v", "part"), "k", "part")
+    val got = spark.read.parquet(dir).select(col("k"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "a2", "p1"), (2L, "b", "p2"), (3L, "c", "p2")))
+    assert(!new File(s"$dir/_merge_staging").exists())
+  }
 }
