@@ -409,8 +409,8 @@ object Dedup {
     * no wrong match is possible). A retry of a fully-successful append,
     * however, duplicates the batch's sets rows and therefore duplicates
     * that batch's rows in probe results — so drive this from an
-    * exactly-once scheduler (e.g. foreachBatch with a committed-batch
-    * check), not a blind at-least-once retry loop.
+    * exactly-once scheduler, or use [[appendToLshIndexCommitted]], which
+    * builds that discipline in and can be retried blindly.
     */
   def appendToLshIndex(path: String, newDocs: DataFrame, n: Int = 3,
       numPerms: Int = 32, rowsPerBand: Int = 2,
@@ -426,6 +426,73 @@ object Dedup {
         .repartition(col("band")).sortWithinPartitions("band", "bsig")
         .write.mode("append").partitionBy("band").parquet(s"$path/bands")
     } finally { sh.unpersist(); () }
+  }
+
+  /** Exactly-once [[appendToLshIndex]]: the committed-batch variant an
+    * at-least-once scheduler (foreachBatch, a retrying cron) can call
+    * blindly. Idempotence comes from three pieces:
+    *
+    *  1. a `_committed/batch-<id>` marker under the index — a fully
+    *     landed batch short-circuits to a no-op (returns false);
+    *  2. the batch stages DETERMINISTICALLY under `_staging/batch=<id>`
+    *     first (sets as ONE file; bands hash-routed on `band`, so each
+    *     staged band= dir holds exactly one file — AQE coalescing merges
+    *     whole shuffle partitions and cannot split a band across tasks),
+    *     so a retry regenerates row-equivalent staging;
+    *  3. promotion renames staged files to DETERMINISTIC live names
+    *     (`batch-<id>-<i>.parquet` under each target dir) and SKIPS
+    *     names already present — so a crash at ANY point (mid-staging,
+    *     mid-promotion, before the marker) replays to the exact same
+    *     live rows with none duplicated.
+    *
+    * The `_`-prefixed staging/marker dirs sit beside `sets`/`bands` and
+    * are never read by probes; nothing existing is rewritten. Returns
+    * true iff this call landed the batch (false = already committed).
+    */
+  def appendToLshIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, batchId: Long, n: Int = 3,
+      numPerms: Int = 32, rowsPerBand: Int = 2,
+      family: MinHashFamily = FastFamily): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$path/_committed/batch-$batchId")
+    if (fs.exists(marker)) return false
+    val stage = s"$path/_staging/batch=$batchId"
+    val sh = newDocs.select(col("doc_id"),
+      family.shingles(col("text"), n).as("sh")).cache()
+    try {
+      sh.repartition(1).write.mode("overwrite").parquet(s"$stage/sets")
+      val sig = sh.select(col("doc_id"),
+          family.signature(col("sh"), n, numPerms).as("mh"))
+        .filter(col("mh").isNotNull)
+      bandTable(sig, numPerms / rowsPerBand, rowsPerBand, family)
+        .repartition(col("band")).sortWithinPartitions("band", "bsig")
+        .write.mode("overwrite").partitionBy("band").parquet(s"$stage/bands")
+    } finally { sh.unpersist(); () }
+    def promote(srcDir: Path, dstDir: Path): Unit = {
+      if (!fs.exists(srcDir)) return
+      fs.mkdirs(dstDir)
+      val files = fs.listStatus(srcDir).filter(_.isFile).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .sortBy(_.getName)
+      files.zipWithIndex.foreach { case (src, i) =>
+        val dst = new Path(dstDir, s"batch-$batchId-$i.parquet")
+        if (fs.exists(dst)) { fs.delete(src, false); () }
+        else if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"promote: rename $src -> $dst failed")
+      }
+    }
+    promote(new Path(s"$stage/sets"), new Path(s"$path/sets"))
+    val stagedBands = new Path(s"$stage/bands")
+    if (fs.exists(stagedBands))
+      fs.listStatus(stagedBands).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("band="))
+        .foreach(bd => promote(bd, new Path(s"$path/bands/${bd.getName}")))
+    fs.mkdirs(new Path(s"$path/_committed"))
+    fs.create(marker, true).close()
+    fs.delete(new Path(stage), true)
+    true
   }
 
   /** Probe a persisted LSH index with a batch of query docs. Two regimes,

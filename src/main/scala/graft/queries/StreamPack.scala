@@ -312,6 +312,202 @@ object StreamPack extends QueryPack {
              |  GROUP BY 1, 2, 3
              |)
              |SELECT doc_id, segment, sum(h) = 4 AS seen
-             |FROM hit GROUP BY 1, 2 ORDER BY doc_id""".stripMargin))
+             |FROM hit GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
+
+    // Streaming incremental-ingest ADMISSION capstone (round 16): the
+    // REAL foreachBatch pipeline (FilePipelines.ingestAdmissionStream)
+    // runs inside the fixture — three NDJSON segments land in order
+    // against a prebuilt history LSH index + Bloom epoch, and each
+    // micro-batch gets (seen_exact, near_dup, admit) verdicts against
+    // everything BEFORE it, with its admitted docs appended to the
+    // index exactly-once (appendToLshIndexCommitted) so later segments
+    // probe them. The oracle replays the SEQUENTIAL state growth: the
+    // Bloom filter absorbs every earlier segment; the LSH index grows
+    // by each earlier segment's ADMITTED set (adm0/adm1 CTEs — the
+    // admission recursion unrolled). Planted outcomes all load-bearing:
+    // seg-2 mutants of seg-0 docs near-dup ONLY IF batch 0's append
+    // landed; seg-1/seg-2 verbatim copies of earlier-segment docs read
+    // seen ONLY IF the Bloom epoch published; fresh docs admit.
+    QueryDef(
+      "stream_incremental_ingest",
+      (s, d) => {
+        import graft.operators.{Dedup, Sketches}
+        val out = graft.util.TempFixtures.dir(s, "incr_ingest", d) { path =>
+          val base = T.documents(s, d).select(col("doc_id"), col("text"))
+          val hist = base.filter(col("doc_id") < 250)
+          Dedup.writeLshIndex(hist, s"$path/idx",
+            family = Dedup.ReplayableFamily)
+          Sketches.bloomBits(hist, col("text"))
+            .write.mode("overwrite").parquet(s"$path/bloom/epoch=-1")
+          val segA = base.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+          val segB = base.filter(col("doc_id") >= 300 && col("doc_id") < 330)
+            .unionByName(base
+              .filter(col("doc_id") >= 250 && col("doc_id") < 260)
+              .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+            .unionByName(Dedup.withMutants(
+                base.filter(col("doc_id") >= 20 && col("doc_id") < 30))
+              .filter(col("doc_id") >= 1000000L))
+          val segC = base.filter(col("doc_id") >= 330 && col("doc_id") < 350)
+            .unionByName(Dedup.withMutants(
+                base.filter(col("doc_id") >= 260 && col("doc_id") < 265),
+                2000000L)
+              .filter(col("doc_id") >= 2000000L))
+            .unionByName(base
+              .filter(col("doc_id") >= 300 && col("doc_id") < 305)
+              .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+          // land one NDJSON file per segment with well-separated mtimes
+          // so the file source's oldest-first order gives batch ids 0,1,2
+          val t0 = System.currentTimeMillis() - 60000
+          Seq(segA, segB, segC).zipWithIndex.foreach { case (seg, i) =>
+            val tmpSeg = s"$path/_segtmp$i"
+            seg.coalesce(1).write.mode("overwrite").json(tmpSeg)
+            val part = new java.io.File(tmpSeg).listFiles()
+              .filter(_.getName.endsWith(".json")).head
+            val dst = new java.io.File(s"$path/in/seg$i.json")
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            require(dst.setLastModified(t0 + i * 10000))
+          }
+          graft.streaming.FilePipelines.ingestAdmissionStream(s,
+              s"$path/in", s"$path/idx", s"$path/bloom", s"$path/out",
+              s"$path/ckpt", family = Dedup.ReplayableFamily)
+            .awaitTermination()
+        }
+        s.read.parquet(s"$out/out")
+          .select(col("doc_id"), col("batch").cast("long").as("seg"),
+            col("seen_exact"), col("near_dup"), col("best_jaccard"),
+            col("admit"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text, -1 AS seg FROM documents WHERE doc_id < 250
+             |  UNION ALL
+             |  SELECT doc_id, text, 0 FROM documents
+             |  WHERE doc_id >= 250 AND doc_id < 300
+             |  UNION ALL
+             |  SELECT doc_id, text, 1 FROM documents
+             |  WHERE doc_id >= 300 AND doc_id < 330
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, text, 1 FROM documents
+             |  WHERE doc_id >= 250 AND doc_id < 260
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |         array_to_string(list_filter(string_split(text, ' '),
+             |                                     (x, i) -> i % 10 != 0), ' '),
+             |         1
+             |  FROM documents WHERE doc_id >= 20 AND doc_id < 30
+             |  UNION ALL
+             |  SELECT doc_id, text, 2 FROM documents
+             |  WHERE doc_id >= 330 AND doc_id < 350
+             |  UNION ALL
+             |  SELECT doc_id + 2000000,
+             |         array_to_string(list_filter(string_split(text, ' '),
+             |                                     (x, i) -> i % 10 != 0), ' '),
+             |         2
+             |  FROM documents WHERE doc_id >= 260 AND doc_id < 265
+             |  UNION ALL
+             |  SELECT doc_id + 4000000, text, 2 FROM documents
+             |  WHERE doc_id >= 300 AND doc_id < 305
+             |),
+             |bpos AS (
+             |  SELECT doc_id, seg, j,
+             |    (CAST(('0x' || substr(md5('bloom-' || CAST(j AS VARCHAR) || ':' || text),1,15)) AS BIGINT) % 32768) AS p
+             |  FROM corpus CROSS JOIN range(4) r(j)
+             |),
+             |fbits AS (SELECT DISTINCT seg, p FROM bpos),
+             |hit AS (
+             |  SELECT o.doc_id, o.seg, o.j,
+             |    max(CASE WHEN f.p IS NOT NULL THEN 1 ELSE 0 END) AS h
+             |  FROM bpos o LEFT JOIN fbits f ON f.p = o.p AND f.seg < o.seg
+             |  WHERE o.seg >= 0
+             |  GROUP BY 1, 2, 3
+             |),
+             |seen AS (SELECT doc_id, seg, sum(h) = 4 AS seen FROM hit GROUP BY 1, 2),
+             |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+             |tri AS (
+             |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS s
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+             |        FROM w WHERE len(w) >= 3)
+             |),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |         CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) AS h
+             |  FROM tri
+             |),
+             |perm AS (
+             |  SELECT k,
+             |    CAST(('0x' || substr(md5('mh-a-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) | 1 AS a,
+             |    CAST(('0x' || substr(md5('mh-b-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) AS b
+             |  FROM range(32) r(k)
+             |),
+             |sig AS (
+             |  SELECT doc_id, k,
+             |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
+             |  FROM sh, perm GROUP BY doc_id, k
+             |),
+             |bands AS (
+             |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+             |    CAST(min(CASE WHEN k % 2 = 0 THEN v END) AS VARCHAR) || ':' ||
+             |    CAST(min(CASE WHEN k % 2 = 1 THEN v END) AS VARCHAR) AS bsig
+             |  FROM sig GROUP BY doc_id, k // 2
+             |),
+             |cand AS (
+             |  SELECT DISTINCT qc.doc_id AS q_id, ic.doc_id AS i_id,
+             |                  qc.seg AS q_seg, ic.seg AS i_seg
+             |  FROM bands qb JOIN bands ib
+             |    ON qb.band = ib.band AND qb.bsig = ib.bsig
+             |  JOIN corpus qc ON qc.doc_id = qb.doc_id
+             |  JOIN corpus ic ON ic.doc_id = ib.doc_id
+             |  WHERE qc.seg > ic.seg
+             |),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.q_id, c.i_id, c.q_seg, c.i_seg, count(*) AS i
+             |  FROM cand c
+             |  JOIN sh a ON a.doc_id = c.q_id
+             |  JOIN sh b ON b.doc_id = c.i_id AND b.h = a.h
+             |  GROUP BY 1, 2, 3, 4
+             |),
+             |jp AS (
+             |  SELECT q_id, i_id, q_seg, i_seg, i / (sq.n + si.n - i) AS jac
+             |  FROM inter
+             |  JOIN sz sq ON sq.doc_id = q_id
+             |  JOIN sz si ON si.doc_id = i_id
+             |  WHERE i / (sq.n + si.n - i) >= 0.5
+             |),
+             |adm0 AS (
+             |  SELECT s.doc_id FROM seen s
+             |  WHERE s.seg = 0 AND NOT s.seen
+             |    AND NOT EXISTS (SELECT 1 FROM jp
+             |                    WHERE jp.q_id = s.doc_id AND jp.i_seg = -1)
+             |),
+             |adm1 AS (
+             |  SELECT s.doc_id FROM seen s
+             |  WHERE s.seg = 1 AND NOT s.seen
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM jp
+             |      WHERE jp.q_id = s.doc_id
+             |        AND (jp.i_seg = -1
+             |             OR jp.i_id IN (SELECT doc_id FROM adm0)))
+             |),
+             |idxmem AS (
+             |  SELECT doc_id, -1 AS avail FROM corpus WHERE seg = -1
+             |  UNION ALL SELECT doc_id, 0 FROM adm0
+             |  UNION ALL SELECT doc_id, 1 FROM adm1
+             |),
+             |near AS (
+             |  SELECT s.doc_id, round(max(jp.jac), 6) AS best_jaccard
+             |  FROM seen s
+             |  JOIN jp ON jp.q_id = s.doc_id
+             |  JOIN idxmem m ON m.doc_id = jp.i_id AND m.avail < s.seg
+             |  GROUP BY 1
+             |)
+             |SELECT s.doc_id, CAST(s.seg AS BIGINT) AS seg,
+             |       s.seen AS seen_exact,
+             |       near.best_jaccard IS NOT NULL AS near_dup,
+             |       near.best_jaccard,
+             |       (NOT s.seen AND near.best_jaccard IS NULL) AS admit
+             |FROM seen s LEFT JOIN near ON near.doc_id = s.doc_id
+             |ORDER BY s.doc_id""".stripMargin))
   )
 }

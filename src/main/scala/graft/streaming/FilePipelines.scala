@@ -273,4 +273,134 @@ object FilePipelines {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** List the Bloom-state epoch ids under `stateDir` (empty if absent). */
+  private def bloomEpochs(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Seq[Long] = {
+    val sPath = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(sPath)) Seq.empty
+    else fs.listStatus(sPath).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+  }
+
+  /** One micro-batch of the incremental-ingest ADMISSION pipeline — the
+    * per-segment decision a 100 TB crawl runs when a new segment lands,
+    * composed from the engine's incremental pieces: exact "seen before"
+    * via the epoch-versioned Bloom state (constant-size in history) ∧
+    * near-dup via a probe of the PERSISTED LSH index (history never
+    * re-minhashed) → admit verdicts; admitted docs are then APPENDED to
+    * the LSH index so the NEXT segment probes them, and the batch's bits
+    * are OR'd into the Bloom state. The batch face of the same formula
+    * is the dedup_incremental_ingest gate; the streaming face is gated
+    * (stream_incremental_ingest) with the sequential index growth in the
+    * oracle.
+    *
+    * Exactly-once OUTPUT and STATE from foreachBatch's at-least-once
+    * delivery, with ORDERED commit points so every crash window replays
+    * to the same final state:
+    *
+    *  1. `_committed/batch-<id>` under outDir: fully-landed batches
+    *     short-circuit. (The only safe replay of a batch whose append
+    *     already published is NO recompute — the index now contains the
+    *     batch's own rows.)
+    *  2. verdicts land FIRST (overwrite of `batch=<id>`); a replay that
+    *     finds them durable (_SUCCESS) SKIPS recompute for the same
+    *     reason — verdicts freeze before any index mutation.
+    *  3. the admitted set is read BACK from the durable verdicts (never
+    *     recomputed) and appended via [[Dedup.appendToLshIndexCommitted]],
+    *     itself idempotent per batch id.
+    *  4. Bloom epoch publish + GC ([[bloomMergeBatch]]'s discipline: a
+    *     batch reads only epochs STRICTLY below its own id, so the
+    *     idempotent overwrite of `epoch=<id>` reproduces itself).
+    *  5. the committed marker, last.
+    *
+    * At 100 TB: the Bloom state is ≤ mBits/32 rows per epoch no matter
+    * how much history it has absorbed (always a broadcast), the LSH
+    * probe prunes on the bsig-sorted index layout, and the append lands
+    * only the segment's own rows — nothing here rescans or rewrites
+    * history.
+    */
+  def ingestAdmissionBatch(batch0: DataFrame, indexDir: String,
+      stateDir: String, outDir: String, batchId: Long,
+      threshold: Double = 0.5, n: Int = 3, numPerms: Int = 32,
+      rowsPerBand: Int = 2,
+      family: graft.operators.Dedup.MinHashFamily =
+        graft.operators.Dedup.FastFamily,
+      kHashes: Int = 4, mBits: Int = 32768): Unit = {
+    import graft.operators.{Dedup, Sketches}
+    import org.apache.hadoop.fs.Path
+    val spark = batch0.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outFs = new Path(outDir).getFileSystem(conf)
+    if (outFs.exists(new Path(s"$outDir/_committed/batch-$batchId"))) return
+    val batch = batch0.select(col("doc_id"), col("text")).cache()
+    try {
+      val sFs = new Path(stateDir).getFileSystem(conf)
+      val epochs = bloomEpochs(sFs, stateDir)
+      val priorEpochs = epochs.filter(_ < batchId)
+      val prior =
+        if (priorEpochs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("word", LongType),
+              StructField("bits", LongType))))
+        else spark.read.parquet(s"$stateDir/epoch=${priorEpochs.max}")
+      val verdictDir = s"$outDir/batch=$batchId"
+      if (!outFs.exists(new Path(s"$verdictDir/_SUCCESS"))) {
+        val seen = Sketches.bloomProbe(prior, batch, col("doc_id"),
+            col("text"), kHashes, mBits)
+          .withColumnRenamed("id", "doc_id")
+          .withColumnRenamed("seen", "seen_exact")
+        val near = Dedup.probeLshIndex(spark, indexDir, batch, threshold,
+            n, numPerms, rowsPerBand, family = family)
+          .groupBy(col("q_id").as("doc_id"))
+          .agg(round(max(col("jaccard")), 6).as("best_jaccard"))
+        batch.select(col("doc_id"))
+          .join(seen, "doc_id")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("seen_exact"),
+            col("best_jaccard").isNotNull.as("near_dup"),
+            col("best_jaccard"),
+            (!col("seen_exact") && col("best_jaccard").isNull).as("admit"))
+          .write.mode("overwrite").parquet(verdictDir)
+      }
+      val admitted = batch.join(
+        spark.read.parquet(verdictDir).filter(col("admit")).select("doc_id"),
+        "doc_id")
+      Dedup.appendToLshIndexCommitted(spark, indexDir, admitted, batchId,
+        n, numPerms, rowsPerBand, family): Unit
+      prior.unionByName(Sketches.bloomBits(batch, col("text"), kHashes, mBits))
+        .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+        .write.mode("overwrite").parquet(s"$stateDir/epoch=$batchId")
+      epochs.filter(_ < batchId - 1).foreach { e =>
+        sFs.delete(new Path(s"$stateDir/epoch=$e"), true) }
+      outFs.mkdirs(new Path(s"$outDir/_committed"))
+      outFs.create(new Path(s"$outDir/_committed/batch-$batchId"), true).close()
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Streaming incremental-ingest admission: NDJSON document segments
+    * land in `inDir`; each micro-batch gets (seen_exact, near_dup,
+    * admit) verdicts against everything that arrived before it, and its
+    * admitted docs join the persisted LSH index for the segments after
+    * it ([[ingestAdmissionBatch]] — exactly-once under at-least-once
+    * replay). The index and Bloom state seed from whatever history the
+    * deployment already has ([[graft.operators.Dedup.writeLshIndex]] +
+    * a pre-published epoch).
+    */
+  def ingestAdmissionStream(spark: SparkSession, inDir: String,
+      indexDir: String, stateDir: String, outDir: String,
+      checkpointDir: String,
+      family: graft.operators.Dedup.MinHashFamily =
+        graft.operators.Dedup.FastFamily): StreamingQuery =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inDir)
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        ingestAdmissionBatch(b, indexDir, stateDir, outDir, id,
+          family = family))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

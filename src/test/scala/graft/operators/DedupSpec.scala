@@ -155,6 +155,66 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"), plan.take(3000))
   }
 
+  test("committed LSH append: blind retries and crash windows land a batch exactly once") {
+    val base = docs.filter(col("doc_id") < 400)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val app = spark.sparkContext.applicationId
+    val full = s"$tmp/graft_spec_lshc_full_$app"
+    val idx = s"$tmp/graft_spec_lshc_grown_$app"
+    Dedup.writeLshIndex(base, full)
+    Dedup.writeLshIndex(base.filter(col("doc_id") < 200), idx)
+    val batch = base.filter(col("doc_id") >= 200)
+    assert(Dedup.appendToLshIndexCommitted(spark, idx, batch, 1L),
+      "first append must land the batch")
+    val sets1 = spark.read.parquet(s"$idx/sets").count()
+    val bands1 = spark.read.parquet(s"$idx/bands").count()
+
+    // blind retry of a fully-committed batch: no-op, nothing duplicated
+    assert(!Dedup.appendToLshIndexCommitted(spark, idx, batch, 1L))
+    assert(spark.read.parquet(s"$idx/sets").count() == sets1,
+      "retry duplicated sets rows")
+    assert(spark.read.parquet(s"$idx/bands").count() == bands1,
+      "retry duplicated bands rows")
+
+    // worst crash window for the plain append: batch fully promoted but
+    // the marker write was lost. Retry re-stages and must SKIP every
+    // already-promoted file rather than double the rows.
+    val marker = new java.io.File(s"$idx/_committed/batch-1")
+    assert(marker.exists())
+    assert(marker.delete())
+    assert(Dedup.appendToLshIndexCommitted(spark, idx, batch, 1L),
+      "post-crash retry must re-commit")
+    assert(spark.read.parquet(s"$idx/sets").count() == sets1,
+      "marker-lost retry duplicated sets rows")
+    assert(spark.read.parquet(s"$idx/bands").count() == bands1,
+      "marker-lost retry duplicated bands rows")
+
+    // crash MID-promotion: some promoted files present, some missing, no
+    // marker — retry must fill exactly the gaps
+    assert(marker.delete())
+    val lostBand = new java.io.File(s"$idx/bands/band=3/batch-1-0.parquet")
+    assert(lostBand.exists(), "expected deterministic promoted band file name")
+    assert(lostBand.delete())
+    assert(Dedup.appendToLshIndexCommitted(spark, idx, batch, 1L))
+    assert(spark.read.parquet(s"$idx/sets").count() == sets1)
+    assert(spark.read.parquet(s"$idx/bands").count() == bands1,
+      "mid-promotion retry did not restore exactly the missing rows")
+
+    // the converged index answers probes identically to a fresh full build
+    val probes = Dedup.withMutants(
+        base.filter(col("doc_id") < 10 ||
+          (col("doc_id") >= 200 && col("doc_id") < 210)))
+      .filter(col("doc_id") >= 1000000L)
+    def pairs(path: String) =
+      Dedup.probeLshIndex(spark, path, probes)
+        .select(col("q_id"), col("doc_id"), round(col("jaccard"), 9))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(idx) == pairs(full), "converged grown index != fresh full build")
+    // staging cleaned up; no probe-visible litter
+    assert(!new java.io.File(s"$idx/_staging").exists() ||
+      new java.io.File(s"$idx/_staging").list().isEmpty)
+  }
+
   test("edit-distance near-dups: banded blocking loses no qualifying pair") {
     import spark.implicits._
     val docs = Seq(

@@ -252,4 +252,92 @@ class FilePipelineSpec extends SparkSpec {
     val epochs = new File(state).list().filter(_.startsWith("epoch=")).sorted
     assert(epochs.toSeq == Seq(s"epoch=${lastId - 1}", s"epoch=$lastId"))
   }
+
+  test("incremental-ingest admission: stream == batch driving, replay idempotent, epoch GC") {
+    import graft.operators.{Dedup, Sketches}
+    import spark.implicits._
+    val root = tmpDir("ing")
+    val in = s"$root/in"; val idx = s"$root/idx"; val state = s"$root/bloom"
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new File(in).mkdirs()
+    val hist = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again"),
+      (1L, "pack my box with five dozen liquor jugs right now"))
+      .toDF("doc_id", "text")
+    Dedup.writeLshIndex(hist, idx)
+    Sketches.bloomBits(hist, col("text")).write.parquet(s"$state/epoch=-1")
+    def dj(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val segs = Seq(
+      // batch 0: fresh → admit, appended to the index
+      Seq((10L, "a completely fresh document about spark streaming state")),
+      // batch 1: verbatim copy of 10 → seen (bloom published by batch 0)
+      //          and near at 1.0 (10 was appended); 12 fresh → admit
+      Seq((11L, "a completely fresh document about spark streaming state"),
+        (12L, "another new document mentioning watermarks and triggers")),
+      // batch 2: 13 = one-word mutant of 10 → near-dup ONLY IF batch 0's
+      //          admitted doc landed in the index; 14 = mutant of history
+      Seq((13L, "a completely fresh document about spark streaming stuff"),
+        (14L, "pack my box with five dozen liquor jugs right here")))
+    val t0 = System.currentTimeMillis() - 60000
+    segs.zipWithIndex.foreach { case (seg, i) =>
+      writeNdjson(in, s"s$i.json", seg.map { case (id, t) => dj(id, t) })
+      assert(new File(in, s"s$i.json").setLastModified(t0 + i * 10000))
+    }
+    FilePipelines.ingestAdmissionStream(spark, in, idx, state, out, ckpt)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("seen_exact"), col("near_dup"), col("admit"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((false, false, true)), s"10: ${got(10L)}")
+    assert(got(11L) == ((true, true, false)), s"11: ${got(11L)}")
+    assert(got(12L) == ((false, false, true)), s"12: ${got(12L)}")
+    assert(got(13L) == ((false, true, false)),
+      s"13: ${got(13L)} — batch-0 admitted doc not probeable: append lost")
+    assert(got(14L) == ((false, true, false)), s"14: ${got(14L)}")
+
+    // stream == batch driving: the same segments through the batch face
+    // on fresh dirs give identical verdicts
+    val idx2 = s"$root/idx2"; val state2 = s"$root/bloom2"; val out2 = s"$root/out2"
+    Dedup.writeLshIndex(hist, idx2)
+    Sketches.bloomBits(hist, col("text")).write.parquet(s"$state2/epoch=-1")
+    segs.zipWithIndex.foreach { case (seg, i) =>
+      FilePipelines.ingestAdmissionBatch(seg.toDF("doc_id", "text"),
+        idx2, state2, out2, i.toLong)
+    }
+    val streamRows = spark.read.parquet(out).collect().toSet
+    val batchRows = spark.read.parquet(out2).collect().toSet
+    assert(streamRows == batchRows, "stream verdicts != batch driving")
+
+    // at-least-once replay of the LAST batch: verdicts, index and bloom
+    // state must not move — (a) committed-marker short-circuit, (b) even
+    // with the marker lost, the verdict _SUCCESS guard + committed append
+    // + idempotent epoch overwrite converge with no duplicated rows
+    val lastId = segs.size - 1L
+    val setsN = spark.read.parquet(s"$idx/sets").count()
+    val bandsN = spark.read.parquet(s"$idx/bands").count()
+    val verdicts = spark.read.parquet(s"$out/batch=$lastId").collect().toSet
+    val epoch = spark.read.parquet(s"$state/epoch=$lastId").collect().toSet
+    val lastDf = segs.last.toDF("doc_id", "text")
+    FilePipelines.ingestAdmissionBatch(lastDf, idx, state, out, lastId)
+    val marker = new File(s"$out/_committed/batch-$lastId")
+    assert(marker.exists())
+    assert(marker.delete())
+    FilePipelines.ingestAdmissionBatch(lastDf, idx, state, out, lastId)
+    assert(spark.read.parquet(s"$idx/sets").count() == setsN,
+      "replay duplicated index sets rows")
+    assert(spark.read.parquet(s"$idx/bands").count() == bandsN,
+      "replay duplicated index bands rows")
+    assert(spark.read.parquet(s"$out/batch=$lastId").collect().toSet == verdicts,
+      "replay changed verdicts")
+    assert(spark.read.parquet(s"$state/epoch=$lastId").collect().toSet == epoch,
+      "replay changed the published filter")
+    assert(marker.exists(), "replay did not re-commit")
+    // no doc ever appears twice in the index
+    assert(spark.read.parquet(s"$idx/sets").groupBy("doc_id").count()
+      .filter(col("count") > 1).isEmpty, "duplicated doc in index sets")
+    // epoch GC: exactly the crash-window epoch and the live one remain
+    val eps = new File(state).list().filter(_.startsWith("epoch=")).sorted
+    assert(eps.toSeq == Seq(s"epoch=${lastId - 1}", s"epoch=$lastId"), eps.toSeq)
+  }
 }
