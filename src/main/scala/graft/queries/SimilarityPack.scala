@@ -178,6 +178,77 @@ object SimilarityPack extends QueryPack {
   private def labelIndex(s: org.apache.spark.sql.SparkSession, d: String) =
     labelIndexOf(T.embeddings(s, d))
 
+  /** dedup_semdedup's fixture (corpus ∪ dim0-zeroed mutants through the
+    * label quantizer) at the given block count — shared by the plain
+    * gate (nBlocks = 1) and the hot-cell regime gate (nBlocks = 4),
+    * which must produce the IDENTICAL frame (block invariance), so both
+    * run against [[SemDeDupOracle]] verbatim.
+    */
+  private def semDeDupQuery(nBlocks: Int): (org.apache.spark.sql.SparkSession,
+      String) => org.apache.spark.sql.DataFrame =
+    (s, d) => {
+      val base = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"),
+        col("label"))
+      val corpus = base.unionByName(mutants)
+      Similarity.semDeDup(corpus, 0.9, index = Some(labelIndexOf(corpus)),
+          nBlocks = nBlocks)
+        .orderBy("vec_id")
+    }
+
+  private val SemDeDupOracle: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_transform(embedding, (x, i) ->
+       |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS embedding,
+       |         label
+       |  FROM embeddings
+       |), idx AS (SELECT unnest(range(1, 65)) AS i),
+       |cent AS (
+       |  SELECT e.label AS cell, idx.i,
+       |         round($ExactMeanSql, 6) AS m
+       |  FROM e CROSS JOIN idx GROUP BY 1, 2
+       |), centv AS (
+       |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+       |), pairs AS (
+       |  SELECT a.vec_id AS da, b.vec_id AS db
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 5) >= 0.9
+       |), edges AS (
+       |  SELECT da AS x, db AS y FROM pairs
+       |  UNION ALL SELECT db, da FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT x, x FROM edges
+       |  UNION
+       |  SELECT edges.y, reach.r FROM reach JOIN edges ON edges.x = reach.id
+       |), comp AS (
+       |  SELECT id, min(r) AS component FROM reach GROUP BY id
+       |), cs AS (
+       |  SELECT e.vec_id, e.label AS cell,
+       |         round(${cosSql("e.embedding", "cv.centroid")}, 5) AS cent_sim
+       |  FROM e JOIN centv cv ON cv.cell = e.label
+       |), lab AS (
+       |  SELECT cs.vec_id, cs.cell, cs.cent_sim,
+       |         coalesce(comp.component, cs.vec_id) AS component
+       |  FROM cs LEFT JOIN comp ON comp.id = cs.vec_id
+       |), elect AS (
+       |  SELECT component, vec_id AS keeper FROM (
+       |    SELECT component, vec_id,
+       |           row_number() OVER (PARTITION BY component
+       |                              ORDER BY cent_sim, vec_id) AS rn
+       |    FROM lab) t
+       |  WHERE rn = 1
+       |)
+       |SELECT l.vec_id, l.cell, l.cent_sim, l.component,
+       |       l.vec_id = k.keeper AS keep
+       |FROM lab l JOIN elect k USING (component)
+       |ORDER BY vec_id""".stripMargin
+
   /** The pruned kNN edge set persisted once per (session, sf) — the
     * build-once/analyze-many pattern of production graph pipelines: the
     * sim_knn_graph gate IS (and times) the build through the forced
@@ -822,6 +893,135 @@ object SimilarityPack extends QueryPack {
            |WHERE rank <= 10
            |ORDER BY query_id, rank""".stripMargin)),
 
+    // Hybrid retrieval over the COMPRESSED index (round 16): the
+    // production shape composing the engine's two newest ANN pieces —
+    // the BM25 sparse leg fused by RRF with a dense leg served by
+    // topKIvfSq8 (IVF pruning × 1-byte SQ8 codes scored by decoded-
+    // cosine ADC). Probe choice AND quantization error are both
+    // deterministic and SQL-replayable, so the whole funnel
+    // (sparse scores, centroid fit, probe pruning, per-dim bounds, code
+    // rounding, reconstruction, ADC ranking, rank fusion) hash-checks
+    // in ONE gate with no forced-exhaustive trick.
+    QueryDef(
+      "sim_hybrid_rrf_ivfsq8",
+      (s, d) => {
+        import s.implicits._
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val qterms = Seq(
+          (0L, Seq("hash", "join", "vector")),
+          (1L, Seq("scan", "filter", "batch")),
+          (2L, Seq("merge", "sort", "stream")),
+          (3L, Seq("window", "group", "agg")),
+          (4L, Seq("spark", "query", "fast"))).toDF("query_id", "terms")
+        val queries = qterms.join(
+          emb.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+          "query_id")
+        val dense = Similarity.topKIvfSq8(T.embeddings(s, d),
+            queries.select(col("query_id"), col("qvec")), 20, nprobe = 2,
+            index = Some(labelIndex(s, d)))
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+        graft.operators.Retrieval.hybridTopK(docs, emb, queries, k = 10,
+            legK = 20, denseLeg = Some(dense))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH qt AS (
+           |  SELECT CAST(query_id AS BIGINT) AS query_id, w FROM (VALUES
+           |    (0,'hash'),(0,'join'),(0,'vector'),
+           |    (1,'scan'),(1,'filter'),(1,'batch'),
+           |    (2,'merge'),(2,'sort'),(2,'stream'),
+           |    (3,'window'),(3,'group'),(3,'agg'),
+           |    (4,'spark'),(4,'query'),(4,'fast')) t(query_id, w)
+           |), dl AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           |  FROM documents
+           |), stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+           |), tf AS (
+           |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY doc_id, w
+           |), dfreq AS (
+           |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+           |), contrib AS (
+           |  SELECT t.doc_id, t.w,
+           |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           |      * (t.tf * (1.2 + 1.0))
+           |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS c
+           |  FROM tf t JOIN dfreq d USING (w) JOIN dl l USING (doc_id)
+           |  CROSS JOIN stats s
+           |), sscore AS (
+           |  SELECT qt.query_id, contrib.doc_id,
+           |    round(CAST(SUM(CAST(contrib.c AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+           |  FROM contrib JOIN qt USING (w)
+           |  GROUP BY qt.query_id, contrib.doc_id
+           |), sparse AS (
+           |  SELECT query_id, doc_id, rank FROM (
+           |    SELECT query_id, doc_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY score DESC, doc_id) AS rank
+           |    FROM sscore) t
+           |  WHERE rank <= 20
+           |), idx AS (SELECT unnest(range(1, 65)) AS i),
+           |cent AS (
+           |  SELECT e.label AS cell, idx.i,
+           |         round($ExactMeanSql, 6) AS m
+           |  FROM embeddings e CROSS JOIN idx GROUP BY 1, 2
+           |), centv AS (
+           |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+           |), q AS (
+           |  SELECT vec_id AS query_id, embedding AS qvec
+           |  FROM embeddings WHERE vec_id < 5
+           |), pc AS (
+           |  SELECT query_id, qvec, cell FROM (
+           |    SELECT q.query_id, q.qvec, v.cell,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
+           |                                       v.cell) AS crank
+           |    FROM q CROSS JOIN centv v) t
+           |  WHERE crank <= 2
+           |), st AS (
+           |  SELECT i AS dim, min(CAST(x AS DOUBLE)) AS lo,
+           |         max(CAST(x AS DOUBLE)) AS hi
+           |  FROM (SELECT unnest(embedding) AS x,
+           |               generate_subscripts(embedding, 1) AS i
+           |        FROM embeddings)
+           |  GROUP BY i
+           |), b AS (SELECT list(lo ORDER BY dim) AS lov,
+           |                list(hi ORDER BY dim) AS hiv FROM st),
+           |dv AS (
+           |  SELECT e.vec_id, e.label AS cell,
+           |    list_transform(e.embedding, (x, i) ->
+           |      CASE WHEN b.hiv[i] = b.lov[i] THEN b.lov[i]
+           |           ELSE b.lov[i]
+           |                + round((CAST(x AS DOUBLE) - b.lov[i]) * 255.0
+           |                        / (b.hiv[i] - b.lov[i]))
+           |                  * (b.hiv[i] - b.lov[i]) / 255.0 END) AS d
+           |  FROM embeddings e CROSS JOIN b
+           |), dense AS (
+           |  SELECT query_id, vec_id AS doc_id, rank FROM (
+           |    SELECT pc.query_id, dv.vec_id,
+           |      row_number() OVER (PARTITION BY pc.query_id
+           |                         ORDER BY round(${cosSql("pc.qvec", "dv.d")}, 5) DESC,
+           |                                  dv.vec_id) AS rank
+           |    FROM pc JOIN dv ON dv.cell = pc.cell
+           |    WHERE pc.query_id != dv.vec_id) t
+           |  WHERE rank <= 20
+           |), fused AS (
+           |  SELECT query_id, doc_id,
+           |    coalesce(1.0 / (60.0 + CAST(s.rank AS DOUBLE)), 0.0)
+           |      + coalesce(1.0 / (60.0 + CAST(d.rank AS DOUBLE)), 0.0) AS rrf
+           |  FROM sparse s FULL OUTER JOIN dense d USING (query_id, doc_id)
+           |)
+           |SELECT query_id, rank, doc_id, rrf FROM (
+           |  SELECT query_id, doc_id, rrf,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY rrf DESC, doc_id) AS rank
+           |  FROM fused) t
+           |WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
     // the corpus ∪ dim0-zeroed mutants (every base–mutant pair is a
     // planted ≥0.9 near-dup SHARING its cluster). Pairs are compared
@@ -836,65 +1036,23 @@ object SimilarityPack extends QueryPack {
     // SimilaritySpec pins its agreement on the planted fixture.)
     QueryDef(
       "dedup_semdedup",
-      (s, d) => {
-        val base = T.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), col("label"))
-        val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"),
-          col("label"))
-        val corpus = base.unionByName(mutants)
-        Similarity.semDeDup(corpus, 0.9, index = Some(labelIndexOf(corpus)))
-          .orderBy("vec_id")
-      },
-      Some(s"""WITH RECURSIVE e AS (
-              |  SELECT vec_id, embedding, label FROM embeddings
-              |  UNION ALL
-              |  SELECT vec_id + 1000000 AS vec_id,
-              |         list_transform(embedding, (x, i) ->
-              |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS embedding,
-              |         label
-              |  FROM embeddings
-              |), idx AS (SELECT unnest(range(1, 65)) AS i),
-              |cent AS (
-              |  SELECT e.label AS cell, idx.i,
-              |         round($ExactMeanSql, 6) AS m
-              |  FROM e CROSS JOIN idx GROUP BY 1, 2
-              |), centv AS (
-              |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
-              |), pairs AS (
-              |  SELECT a.vec_id AS da, b.vec_id AS db
-              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-              |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 5) >= 0.9
-              |), edges AS (
-              |  SELECT da AS x, db AS y FROM pairs
-              |  UNION ALL SELECT db, da FROM pairs
-              |), reach(id, r) AS (
-              |  SELECT x, x FROM edges
-              |  UNION
-              |  SELECT edges.y, reach.r FROM reach JOIN edges ON edges.x = reach.id
-              |), comp AS (
-              |  SELECT id, min(r) AS component FROM reach GROUP BY id
-              |), cs AS (
-              |  SELECT e.vec_id, e.label AS cell,
-              |         round(${cosSql("e.embedding", "cv.centroid")}, 5) AS cent_sim
-              |  FROM e JOIN centv cv ON cv.cell = e.label
-              |), lab AS (
-              |  SELECT cs.vec_id, cs.cell, cs.cent_sim,
-              |         coalesce(comp.component, cs.vec_id) AS component
-              |  FROM cs LEFT JOIN comp ON comp.id = cs.vec_id
-              |), elect AS (
-              |  SELECT component, vec_id AS keeper FROM (
-              |    SELECT component, vec_id,
-              |           row_number() OVER (PARTITION BY component
-              |                              ORDER BY cent_sim, vec_id) AS rn
-              |    FROM lab) t
-              |  WHERE rn = 1
-              |)
-              |SELECT l.vec_id, l.cell, l.cent_sim, l.component,
-              |       l.vec_id = k.keeper AS keep
-              |FROM lab l JOIN elect k USING (component)
-              |ORDER BY vec_id""".stripMargin)),
+      semDeDupQuery(nBlocks = 1),
+      Some(SemDeDupOracle)),
+
+    // SemDeDup HOT-CELL regime (round 16): the identical fixture through
+    // nBlocks = 4 — the triangular block join that splits ONE cell's
+    // |cell|² pair space across B(B+1)/2 independent shuffle keys (AQE
+    // splits hot shuffle PARTITIONS; this splits the hot KEY itself, the
+    // one skew no runtime replan can touch). The operator contract says
+    // the output is block-invariant, so the gate shares dedup_semdedup's
+    // oracle verbatim: a pair double-counted across blocks, a dropped
+    // cross-block pair, or an un-normalized (db, da) edge all fail the
+    // hash. Block invariance moves from spec-pinned to oracle-checked.
+    QueryDef(
+      "dedup_semdedup_hot",
+      semDeDupQuery(nBlocks = 4),
+      Some(SemDeDupOracle)),
+
 
     // Distributed k-means (round 13): two full Lloyd iterations over
     // ALL corpus vectors — the cluster-fit step SemDeDup-scale
