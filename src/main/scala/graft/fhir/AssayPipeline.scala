@@ -181,11 +181,15 @@ object AssayPipeline {
 
   def run(docs: DataFrame, groups: DataFrame, specimens: DataFrame): Result = {
     val links = groupLinks(groups, specimens)
-    val claimed = claimedGroups(links).cache()
+    // both caches are result-reachable (the Result frames read them), so
+    // they cannot self-unpersist — Scratch-registered for session-scoped
+    // release instead of leaking per invocation
+    val claimed = graft.util.Scratch.cached(claimedGroups(links))
 
     // A26: docs indexed by the id part of their subject ref (assay.py:47).
     // Cached: pass 1, pass 2, and the untouched anti-join all re-read it.
-    val keyedDocs = docs.withColumn("doc_key", refId(col("subject.reference"))).cache()
+    val keyedDocs = graft.util.Scratch.cached(
+      docs.withColumn("doc_key", refId(col("subject.reference"))))
 
     // No broadcast hint: claimed groups scale with the store; the planner
     // sizes the (cached) dim itself and picks BHJ at any realistic

@@ -37,17 +37,21 @@ object TransformJob {
       FhirIO.writeNdjson(out, outPath)
       Stats(df.count(), out.count(), 0L)
     } else {
+      // every action on the parsed frame happens inside this job, so the
+      // cache retires before the Stats return — no session-lived leak
       val parsed = FhirIO.readNdjsonPermissive(spark, inPath, schema).cache()
-      val valid = FhirIO.isValid(parsed)
-      val corrupt = FhirIO.isCorrupt(parsed)
-      val out = transformer(valid)
-      FhirIO.writeNdjson(out, outPath)
-      val nCorrupt = corrupt.count()
-      if (nCorrupt > 0) {
-        corrupt.select(FhirIO.CorruptCol)
-          .write.mode("overwrite").text(s"${outPath}_rejects")
-      }
-      Stats(parsed.count(), out.count(), nCorrupt)
+      try {
+        val valid = FhirIO.isValid(parsed)
+        val corrupt = FhirIO.isCorrupt(parsed)
+        val out = transformer(valid)
+        FhirIO.writeNdjson(out, outPath)
+        val nCorrupt = corrupt.count()
+        if (nCorrupt > 0) {
+          corrupt.select(FhirIO.CorruptCol)
+            .write.mode("overwrite").text(s"${outPath}_rejects")
+        }
+        Stats(parsed.count(), out.count(), nCorrupt)
+      } finally { parsed.unpersist(): Unit }
     }
   }
 }

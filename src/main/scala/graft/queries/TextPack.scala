@@ -1177,19 +1177,19 @@ object TextPack extends QueryPack {
     QueryDef(
       "text_warc_curation",
       (s, d) => {
-        val docs = graft.sources.Warc.readGzSplits(
+        // quality and fingerprint are ROW-LOCAL (qualityCol /
+        // fingerprintCol) — compute both in the decode pass; cached
+        // because the survivor election re-reads the scored frame;
+        // result-reachable, so Scratch-registered rather than leaked
+        val docs = graft.util.Scratch.cached(graft.sources.Warc.readGzSplits(
             s, s"${warcSplitFixture(s, d)}/*.warc.gz", splitSize = 64L << 10)
           .filter(col("warc_type") === "response")
           .select(
             regexp_extract(col("record_id"), "-(\\d+)>$", 1)
               .cast(LongType).as("doc_id"),
             col("body").cast(StringType).as("text"))
-          // quality and fingerprint are ROW-LOCAL (qualityCol /
-          // fingerprintCol) — compute both in the decode pass; cached
-          // because the survivor election re-reads the scored frame
           .withColumn("quality", TextOps.qualityCol(col("text")))
-          .withColumn("fp", TextOps.fingerprintCol(col("text")))
-          .cache()
+          .withColumn("fp", TextOps.fingerprintCol(col("text"))))
         // the ONE real aggregation: lowest doc per fingerprint class
         val surv = docs.groupBy("fp").agg(min(col("doc_id")).as("survivor"))
         docs.join(surv, "fp")

@@ -90,4 +90,33 @@ class PersistenceSpec extends SparkSpec {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
       "a dedup/text internal cache survived Scratch.release")
   }
+
+  test("full-pack composition: a gate battery holds a bounded, releasable cache set") {
+    // the round-16 completion of the cache audit: not operators in
+    // isolation but REAL GATES from five packs composed in one session —
+    // including the pack-local caches this round moved from raw cache()
+    // to Scratch (text_warc_curation's scored frame, fhir_reject_channel's
+    // permissive read, AssayPipeline's claimed/keyedDocs dims)
+    Scratch.release(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val sf = "/root/testdata/sf0.001"
+    val gates = Seq("fhir_assay_pass1", "fhir_reject_channel",
+      "text_warc_curation", "dedup_components", "dedup_semdedup",
+      "sample_dsir_weights")
+    val all = graft.SparkEntry.queries
+    gates.foreach(g =>
+      all(g)(spark, sf).write.format("noop").mode("overwrite").save())
+    val held = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(held.size <= 16,
+      s"six-gate battery holds ${held.size} persisted RDDs — unbounded growth")
+    assert(Scratch.outstanding(spark) > 0,
+      "expected the battery to register scratch caches")
+    Scratch.release(spark)
+    assert(Scratch.outstanding(spark) == 0)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only GC-managed localCheckpoints (connected components' deliberate
+    // lineage truncation) may survive a release
+    assert(leftover.size <= 3,
+      s"Scratch.release left ${leftover.size} caches behind")
+  }
 }

@@ -7,6 +7,16 @@ import graft.SparkSpec
 /** Throwaway profiling harness (kept out of CI paths by the `Scratch`
   * prefix convention): times sub-plans of the current optimization
   * target so fixes are measured, not guessed.
+  *
+  * EVERY test in this suite is `ignore` BY DESIGN — they are manual,
+  * wall-clock probes (minutes each, meaningful only on a known-idle
+  * host) run by flipping `ignore` → `test` locally; their findings are
+  * archived in the test titles/comments and in the round NOTES so the
+  * measured numbers survive the probe. The "N ignored" in `sbt test`
+  * output is exactly this suite and nothing else: no functional test in
+  * the repo is ignored, and no ignore here hides unimplemented scope
+  * (codec scope boundaries are REJECTED loudly in MultimodalSpec, not
+  * ignored).
   */
 class ScratchTimingSpec extends SparkSpec {
 
@@ -240,6 +250,10 @@ class ScratchTimingSpec extends SparkSpec {
   }
 
   ignore("minhash-lsh stage breakdown at sf0.1") {
+    // Splits the gate into signature build, candidate enumeration, and
+    // verify so a regression in any stage is attributable (archived:
+    // the r8 native minhash32 expression moved signatures off the
+    // explode/agg path; rerun when touching MinHashSig or bandTable).
     val docs = Dedup.withMutants(
       spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         .select(col("doc_id"), col("text")))
