@@ -495,6 +495,76 @@ object Dedup {
     true
   }
 
+  /** Compact a persisted LSH index in place — the maintenance step after
+    * many committed appends, where each band= dir holds one file per
+    * batch and sets/ one file per batch: probes stay CORRECT but pay
+    * file-count overhead (listing, open, one tiny row group per file)
+    * and per-file bsig min/max ranges overlap so footer pruning weakens.
+    * Compaction rewrites the bands into ONE bsig-sorted file per band
+    * partition and the sets into `setsFiles` files, via staged write +
+    * whole-dir generation swap (the upsertBatch discipline: stage →
+    * park live as `.old` → rename stage in → drop park), so every crash
+    * window leaves a complete generation on disk and
+    * [[recoverLshIndex]] — called here first, safe to call any time —
+    * restores it. Probe results are IDENTICAL before and after: the
+    * dedup_lsh_compact gate shares dedup_lsh_append's oracle verbatim.
+    * Single-maintainer contract: do not run concurrently with appends
+    * (the same rule as any table compaction).
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, setsFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverLshIndex(spark, path)
+    def mv(a: Path, b: Path): Unit =
+      if (!fs.rename(a, b))
+        throw new java.io.IOException(s"compact swap: rename $a -> $b failed")
+    def swapIn(live: String, stage: String): Unit = {
+      val l = new Path(live)
+      mv(l, new Path(live + ".old"))
+      mv(new Path(stage), l)
+      fs.delete(new Path(live + ".old"), true): Unit
+    }
+    val bandsStage = s"$path/_compact_bands"
+    spark.read.parquet(s"$path/bands")
+      .repartition(col("band")).sortWithinPartitions("band", "bsig")
+      .write.mode("overwrite").partitionBy("band").parquet(bandsStage)
+    swapIn(s"$path/bands", bandsStage)
+    val setsStage = s"$path/_compact_sets"
+    spark.read.parquet(s"$path/sets")
+      .repartition(setsFiles).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(setsStage)
+    swapIn(s"$path/sets", setsStage)
+  }
+
+  /** Restore a torn [[compactLshIndex]] swap: a live dir missing with
+    * its parked `.old` generation present is put back; both present
+    * means the swap completed and the park is dropped. Stray staging
+    * dirs are removed. Safe (and cheap) to call any time.
+    */
+  def recoverLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"$path/bands", s"$path/sets").foreach { live =>
+      val l = new Path(live)
+      val o = new Path(live + ".old")
+      if (fs.exists(o)) {
+        if (!fs.exists(l)) {
+          if (!fs.rename(o, l))
+            throw new java.io.IOException(
+              s"recover: rename $o -> $l failed")
+        } else { fs.delete(o, true): Unit }
+      }
+    }
+    Seq(s"$path/_compact_bands", s"$path/_compact_sets").foreach { st =>
+      val p = new Path(st)
+      if (fs.exists(p)) { fs.delete(p, true): Unit }
+    }
+  }
+
   /** Probe a persisted LSH index with a batch of query docs. Two regimes,
     * chosen by the probe batch's distinct band-signature count:
     *

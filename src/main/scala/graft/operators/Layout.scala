@@ -154,10 +154,22 @@ object Layout {
     * paths), and the overwrite job reads that staging copy: any crash
     * before or during the overwrite leaves the staged merge on disk to
     * re-drive, and no executor state is load-bearing.
+    *
+    * DELETES: with `deleteCol = Some(flag)`, update rows whose flag is
+    * true are TOMBSTONES — their (key, partition) row is removed and
+    * nothing is inserted in its place (MERGE ... WHEN MATCHED AND
+    * flag THEN DELETE). A partition whose rows are ALL deleted needs
+    * special handling: dynamic overwrite only replaces partitions
+    * PRESENT in the written data, so an emptied partition would
+    * silently keep its old files — the staged copy is therefore diffed
+    * against the touched set and emptied partitions' directories are
+    * dropped explicitly after the overwrite (partition values must
+    * render to their Hive path form via toString — true for
+    * string/integral/date partition columns).
     */
   def mergeIntoPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, updates: DataFrame, keyCol: String,
-      partCol: String): Unit = {
+      partCol: String, deleteCol: Option[String] = None): Unit = {
     val touched = updates.select(partCol).distinct()
       .collect().map(_.get(0)).toSeq // bounded: one row per touched partition
     if (touched.isEmpty) return
@@ -167,14 +179,21 @@ object Layout {
         "safely — filter or default them before merging")
     val existing = spark.read.parquet(path)
       .filter(col(partCol).isInCollection(touched))
-    val missing = existing.columns.filterNot(updates.columns.contains)
+    val upserts = deleteCol match {
+      case Some(dc) =>
+        updates.filter(!coalesce(col(dc), lit(false))).drop(dc)
+      case None => updates
+    }
+    val missing = existing.columns.filterNot(upserts.columns.contains)
     require(missing.isEmpty,
       s"mergeIntoPartitioned: updates are missing table column(s) " +
         s"${missing.mkString(", ")}; upserted rows must carry the full schema")
+    // the anti-join removes EVERY addressed (key, partition) row —
+    // tombstones included — and only non-tombstone rows come back
     val merged = existing
       .join(updates.select(col(keyCol), col(partCol)),
         Seq(keyCol, partCol), "left_anti")
-      .unionByName(updates.select(existing.columns.map(col): _*))
+      .unionByName(upserts.select(existing.columns.map(col): _*))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$path/_merge_staging"
@@ -183,11 +202,20 @@ object Layout {
     try {
       merged.select(existing.columns.map(col): _*)
         .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+      // bounded: distinct partitions of the (touched-partition-sized)
+      // staged copy — a touched partition with no surviving rows writes
+      // no staged dir and must be dropped explicitly below
+      val staged = spark.read.schema(existing.schema).parquet(stage)
+      val remaining = staged.select(partCol).distinct()
+        .collect().map(_.get(0)).toSet
       spark.conf.set(key, "dynamic")
       // explicit schema: partition-column type must round-trip, not be
       // re-inferred from directory names
-      spark.read.schema(existing.schema).parquet(stage)
-        .write.mode("overwrite").partitionBy(partCol).parquet(path)
+      staged.write.mode("overwrite").partitionBy(partCol).parquet(path)
+      touched.filterNot(remaining.contains).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/$partCol=${String.valueOf(v)}"), true): Unit
+      }
     } finally {
       saved match {
         case Some(v) => spark.conf.set(key, v)

@@ -33,6 +33,93 @@ object DedupPack extends QueryPack {
     */
   private val AppendSplit = 250
 
+  /** Grown-LSH-index probe shared by dedup_lsh_append and
+    * dedup_lsh_compact: mutants of docs from BOTH halves probe the
+    * fixture `build` produces; a correctly grown (and, for the compact
+    * gate, correctly rewritten) index answers exactly like a fresh full
+    * build, so both gates share [[LshGrownOracle]] verbatim.
+    */
+  private def lshGrownProbe(fixtureKey: String)(
+      build: (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.DataFrame, String) => Unit)
+    : (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame =
+    (s, d) => {
+      val base = T.documents(s, d).filter(col("doc_id") < JaccardCap)
+        .select(col("doc_id"), col("text"))
+      val idx = graft.util.TempFixtures.dir(s, fixtureKey, d) { path =>
+        build(s, base, path)
+      }
+      val probes = Dedup.withMutants(base.filter(col("doc_id") < 12 ||
+          (col("doc_id") >= AppendSplit &&
+            col("doc_id") < AppendSplit + 13)))
+        .filter(col("doc_id") >= 1000000L)
+      Dedup.probeLshIndex(s, idx, probes,
+          family = Dedup.ReplayableFamily)
+        .select(col("q_id"), col("doc_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("q_id", "doc_id")
+    }
+
+  private val LshGrownOracle = s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id < $JaccardCap
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id,
+              |         array_to_string(list_filter(string_split(text, ' '),
+              |                                     (x, i) -> i % 10 != 0), ' ') AS text
+              |  FROM documents
+              |  WHERE doc_id < 12 OR (doc_id >= $AppendSplit
+              |                        AND doc_id < ${AppendSplit + 13})
+              |),
+              |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+              |tri AS (
+              |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS s
+              |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+              |        FROM w WHERE len(w) >= 3)
+              |),
+              |sh AS (
+              |  SELECT DISTINCT doc_id,
+              |         CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) AS h
+              |  FROM tri
+              |),
+              |perm AS (
+              |  SELECT k,
+              |    CAST(('0x' || substr(md5('mh-a-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) | 1 AS a,
+              |    CAST(('0x' || substr(md5('mh-b-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) AS b
+              |  FROM range(32) r(k)
+              |),
+              |sig AS (
+              |  SELECT doc_id, k,
+              |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
+              |  FROM sh, perm GROUP BY doc_id, k
+              |),
+              |bands AS (
+              |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+              |    CAST(min(CASE WHEN k % 2 = 0 THEN v END) AS VARCHAR) || ':' ||
+              |    CAST(min(CASE WHEN k % 2 = 1 THEN v END) AS VARCHAR) AS bsig
+              |  FROM sig GROUP BY doc_id, k // 2
+              |),
+              |cand AS (
+              |  SELECT DISTINCT q.doc_id AS q_id, i.doc_id AS doc_id
+              |  FROM bands q JOIN bands i
+              |    ON q.band = i.band AND q.bsig = i.bsig
+              |  WHERE q.doc_id >= 1000000 AND i.doc_id < 1000000
+              |),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.q_id, c.doc_id, count(*) AS i
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.q_id
+              |  JOIN sh b ON b.doc_id = c.doc_id AND b.h = a.h
+              |  GROUP BY c.q_id, c.doc_id
+              |)
+              |SELECT q_id, inter.doc_id AS doc_id,
+              |       round(i / (sq.n + si.n - i), 6) AS jaccard
+              |FROM inter
+              |JOIN sz sq ON sq.doc_id = q_id JOIN sz si ON si.doc_id = inter.doc_id
+              |WHERE i / (sq.n + si.n - i) >= 0.5
+              |ORDER BY q_id, doc_id""".stripMargin
+
   private val MutantCorpus =
     s"""corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id < $JaccardCap
@@ -335,84 +422,41 @@ object DedupPack extends QueryPack {
     // banding over the full union the grown index must equal.
     QueryDef(
       "dedup_lsh_append",
-      (s, d) => {
-        val base = T.documents(s, d).filter(col("doc_id") < JaccardCap)
-          .select(col("doc_id"), col("text"))
-        val idx = graft.util.TempFixtures.dir(s, "lsh_idx61_grown", d) { path =>
-          Dedup.writeLshIndex(base.filter(col("doc_id") < AppendSplit),
-            path, family = Dedup.ReplayableFamily)
-          Dedup.appendToLshIndex(path,
-            base.filter(col("doc_id") >= AppendSplit),
-            family = Dedup.ReplayableFamily)
-        }
-        val probes = Dedup.withMutants(base.filter(col("doc_id") < 12 ||
-            (col("doc_id") >= AppendSplit &&
-              col("doc_id") < AppendSplit + 13)))
-          .filter(col("doc_id") >= 1000000L)
-        Dedup.probeLshIndex(s, idx, probes,
-            family = Dedup.ReplayableFamily)
-          .select(col("q_id"), col("doc_id"),
-            round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("q_id", "doc_id")
+      lshGrownProbe("lsh_idx61_grown") { (s, base, path) =>
+        Dedup.writeLshIndex(base.filter(col("doc_id") < AppendSplit),
+          path, family = Dedup.ReplayableFamily)
+        Dedup.appendToLshIndex(path,
+          base.filter(col("doc_id") >= AppendSplit),
+          family = Dedup.ReplayableFamily)
       },
-      Some(s"""WITH corpus AS (
-              |  SELECT doc_id, text FROM documents WHERE doc_id < $JaccardCap
-              |  UNION ALL
-              |  SELECT doc_id + 1000000 AS doc_id,
-              |         array_to_string(list_filter(string_split(text, ' '),
-              |                                     (x, i) -> i % 10 != 0), ' ') AS text
-              |  FROM documents
-              |  WHERE doc_id < 12 OR (doc_id >= $AppendSplit
-              |                        AND doc_id < ${AppendSplit + 13})
-              |),
-              |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
-              |tri AS (
-              |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS s
-              |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
-              |        FROM w WHERE len(w) >= 3)
-              |),
-              |sh AS (
-              |  SELECT DISTINCT doc_id,
-              |         CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) AS h
-              |  FROM tri
-              |),
-              |perm AS (
-              |  SELECT k,
-              |    CAST(('0x' || substr(md5('mh-a-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) | 1 AS a,
-              |    CAST(('0x' || substr(md5('mh-b-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) AS b
-              |  FROM range(32) r(k)
-              |),
-              |sig AS (
-              |  SELECT doc_id, k,
-              |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
-              |  FROM sh, perm GROUP BY doc_id, k
-              |),
-              |bands AS (
-              |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
-              |    CAST(min(CASE WHEN k % 2 = 0 THEN v END) AS VARCHAR) || ':' ||
-              |    CAST(min(CASE WHEN k % 2 = 1 THEN v END) AS VARCHAR) AS bsig
-              |  FROM sig GROUP BY doc_id, k // 2
-              |),
-              |cand AS (
-              |  SELECT DISTINCT q.doc_id AS q_id, i.doc_id AS doc_id
-              |  FROM bands q JOIN bands i
-              |    ON q.band = i.band AND q.bsig = i.bsig
-              |  WHERE q.doc_id >= 1000000 AND i.doc_id < 1000000
-              |),
-              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-              |inter AS (
-              |  SELECT c.q_id, c.doc_id, count(*) AS i
-              |  FROM cand c
-              |  JOIN sh a ON a.doc_id = c.q_id
-              |  JOIN sh b ON b.doc_id = c.doc_id AND b.h = a.h
-              |  GROUP BY c.q_id, c.doc_id
-              |)
-              |SELECT q_id, inter.doc_id AS doc_id,
-              |       round(i / (sq.n + si.n - i), 6) AS jaccard
-              |FROM inter
-              |JOIN sz sq ON sq.doc_id = q_id JOIN sz si ON si.doc_id = inter.doc_id
-              |WHERE i / (sq.n + si.n - i) >= 0.5
-              |ORDER BY q_id, doc_id""".stripMargin)),
+      Some(LshGrownOracle)),
+
+    // LSH index COMPACTION (round 16): the maintenance step closing the
+    // append story — two committed appends leave one file per batch in
+    // every band= partition; compactLshIndex rewrites each band into one
+    // bsig-sorted file (and the sets into one doc_id-sorted file) via a
+    // staged write + crash-recoverable generation swap. Probe results
+    // must be IDENTICAL on the compacted layout, so this gate shares
+    // dedup_lsh_append's oracle verbatim: a row lost or duplicated by
+    // the rewrite, or a torn swap, fails the hash. The appends here run
+    // through the exactly-once committed path (appendToLshIndexCommitted),
+    // so the gate also exercises promotion + markers end to end.
+    QueryDef(
+      "dedup_lsh_compact",
+      lshGrownProbe("lsh_idx61_compact") { (s, base, path) =>
+        Dedup.writeLshIndex(base.filter(col("doc_id") < AppendSplit),
+          path, family = Dedup.ReplayableFamily)
+        Dedup.appendToLshIndexCommitted(s, path,
+          base.filter(col("doc_id") >= AppendSplit &&
+            col("doc_id") < AppendSplit + 125),
+          batchId = 1L, family = Dedup.ReplayableFamily): Unit
+        Dedup.appendToLshIndexCommitted(s, path,
+          base.filter(col("doc_id") >= AppendSplit + 125),
+          batchId = 2L, family = Dedup.ReplayableFamily): Unit
+        Dedup.compactLshIndex(s, path)
+      },
+      Some(LshGrownOracle)),
+
 
     // Incremental "seen-before" novelty check (Dedup.bloomSeen): the
     // deterministic Bloom filter of a history corpus probed by a new

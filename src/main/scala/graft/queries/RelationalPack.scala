@@ -774,6 +774,73 @@ object RelationalPack extends QueryPack {
              |WHERE o_month IN ('1997-03', '1997-04', '1997-05')
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // MERGE with DELETES (round 16): tombstone rows (WHEN MATCHED AND
+    // flag THEN DELETE) remove their (key, partition) row; a partition
+    // whose rows are ALL tombstoned must drop its FILES too — dynamic
+    // overwrite alone can't empty a partition (it only replaces
+    // partitions present in the written data), so the operator diffs
+    // the staged merge against the touched set and drops emptied
+    // partition dirs explicitly. Here 1997-05 is wiped entirely (its
+    // absence from the output is load-bearing), %97 keys are tombstoned
+    // and non-overlapping %203 keys are replaced in 03/04, and the
+    // untouched shoulder months prove merge scoping.
+    QueryDef(
+      "q55_merge_delete",
+      (s, d) => {
+        val out = graft.util.TempFixtures.dir(s, "merge_del_orders", d) { path =>
+          val base = T.orders(s, d)
+            .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          base.write.mode("overwrite").partitionBy("o_month").parquet(path)
+          val touched = base.filter(
+            col("o_month").isin("1997-03", "1997-04", "1997-05"))
+          val tombs = touched.filter(
+              col("o_month").isin("1997-03", "1997-04") &&
+                col("o_orderkey") % 97 === 0)
+            .withColumn("_deleted", lit(true))
+          val wipe05 = touched.filter(col("o_month") === "1997-05")
+            .withColumn("_deleted", lit(true))
+          val replaced = touched.filter(
+              col("o_month").isin("1997-03", "1997-04") &&
+                col("o_orderkey") % 203 === 0 &&
+                col("o_orderkey") % 97 =!= 0)
+            .withColumn("o_orderstatus", lit("U"))
+            .withColumn("_deleted", lit(false))
+          graft.operators.Layout.mergeIntoPartitioned(s, path,
+            tombs.unionByName(wipe05).unionByName(replaced),
+            "o_orderkey", "o_month", deleteCol = Some("_deleted"))
+        }
+        s.read.parquet(out)
+          .filter(col("o_month").isin("1997-02", "1997-03", "1997-04",
+            "1997-05", "1997-06"))
+          .groupBy(col("o_month"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_month", "o_orderstatus")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |         strftime(o_orderdate, '%Y-%m') AS o_month
+             |  FROM orders
+             |),
+             |final AS (
+             |  SELECT * FROM base
+             |  WHERE o_month NOT IN ('1997-03', '1997-04', '1997-05')
+             |  UNION ALL
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 203 = 0 THEN 'U'
+             |              ELSE o_orderstatus END AS o_orderstatus,
+             |         o_totalprice, o_month
+             |  FROM base
+             |  WHERE o_month IN ('1997-03', '1997-04')
+             |    AND o_orderkey % 97 <> 0
+             |)
+             |SELECT o_month, o_orderstatus, COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM final
+             |WHERE o_month IN ('1997-02', '1997-03', '1997-04',
+             |                  '1997-05', '1997-06')
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----------------------------------------------------------------
     // C8 math battery — restricted to IEEE-exact operations (abs, ceil,
     // floor, round-half-up on 2dp, sqrt, sign, mod, greatest/least) so

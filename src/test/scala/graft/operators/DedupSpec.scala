@@ -213,6 +213,32 @@ class DedupSpec extends SparkSpec {
     // staging cleaned up; no probe-visible litter
     assert(!new java.io.File(s"$idx/_staging").exists() ||
       new java.io.File(s"$idx/_staging").list().isEmpty)
+
+    // --- compaction: one file per band dir, one sets file, probes
+    // identical, torn swap recoverable ---
+    def parquets(dir: java.io.File): Array[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    val bandDirs = new java.io.File(s"$idx/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band="))
+    assert(bandDirs.exists(parquets(_).length > 1),
+      "fixture should have multi-file band dirs before compaction")
+    val wanted = pairs(idx)
+    Dedup.compactLshIndex(spark, idx)
+    bandDirs.foreach(bd => assert(parquets(bd).length == 1,
+      s"band dir ${bd.getName} not compacted to one file"))
+    assert(parquets(new java.io.File(s"$idx/sets")).length == 1,
+      "sets not compacted to one file")
+    assert(spark.read.parquet(s"$idx/sets").count() == sets1)
+    assert(spark.read.parquet(s"$idx/bands").count() == bands1)
+    assert(pairs(idx) == wanted, "compaction changed probe results")
+    // torn swap: live bands parked as .old with no live dir — recovery
+    // (run implicitly by the next compaction) restores it
+    val bandsDir = new java.io.File(s"$idx/bands")
+    assert(bandsDir.renameTo(new java.io.File(s"$idx/bands.old")))
+    Dedup.compactLshIndex(spark, idx)
+    assert(pairs(idx) == wanted, "torn-swap recovery lost probe rows")
+    assert(!new java.io.File(s"$idx/bands.old").exists())
   }
 
   test("edit-distance near-dups: banded blocking loses no qualifying pair") {

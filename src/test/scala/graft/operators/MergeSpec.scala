@@ -111,6 +111,30 @@ class MergeSpec extends SparkSpec {
     assert(got == Set((1L, "a", "p1")))
   }
 
+  test("merge deletes: tombstones remove rows; fully-deleted partitions drop their files") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dir = s"$tmp/graft_spec_merge_del_${spark.sparkContext.applicationId}"
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p2"))
+      .toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val updates = Seq(
+      (1L, "a", "p1", true), // tombstone
+      (3L, "c", "p2", true), (4L, "d", "p2", true), // wipe p2 entirely
+      (5L, "e", "p1", false)) // plain insert
+      .toDF("k", "v", "part", "_deleted")
+    Layout.mergeIntoPartitioned(spark, dir, updates, "k", "part",
+      deleteCol = Some("_deleted"))
+    val got = spark.read.parquet(dir).select(col("k"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((2L, "b", "p1"), (5L, "e", "p1")),
+      s"delete merge wrong: $got")
+    // the emptied partition's DIRECTORY is gone, not just its rows —
+    // dynamic overwrite alone cannot do this
+    assert(!new File(s"$dir/part=p2").exists(),
+      "fully-deleted partition kept its files")
+    assert(!new File(s"$dir/_merge_staging").exists())
+  }
+
   test("merge staging dir never leaks into reads and is cleaned up") {
     val tmp = System.getProperty("java.io.tmpdir")
     val dir = s"$tmp/graft_spec_merge_stage_${spark.sparkContext.applicationId}"
