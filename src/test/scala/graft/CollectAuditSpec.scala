@@ -31,6 +31,8 @@ class CollectAuditSpec extends AnyFunSuite {
       "one aggregate row: min/max envelope for z-value literals"),
     ("Layout.scala", ".collect().map(_.get(0)).toSeq",
       "merge touched-partition values — one row per touched PARTITION (days touched, not rows), the partition-prune key set"),
+    ("Layout.scala", ".collect().map(_.get(0)).toSet",
+      "merge surviving-partition values from the staged (touched-sized) copy — one row per touched partition; the diff vs touched finds partitions a delete emptied"),
     ("Dedup.scala", ".collect().map(_.get(0)).toSeq",
       "LSH probe small regime — limit(maxPushdownSigs + 1) before collect; large regime stays distributed"),
     ("Dedup.scala", ".head().getLong(0)",

@@ -269,4 +269,41 @@ class ScratchTimingSpec extends SparkSpec {
       Dedup.lshNearDups(docs, 3, 0.5, 32, 2).write.format("noop")
         .mode("overwrite").save())
   }
+
+  ignore("cells-prop-to-corpus scaling: semDeDup/kNN at constant cell size, sf0.1 vs sf1") {
+    // The gates pin ncells to the 10 data labels (oracle replayability),
+    // which makes the within-cell pair space grow |cell|² — the §4/§5
+    // fixture artifact behind the 16× sf1 rows. This probe measures the
+    // OPERATORS under the documented 100 TB rule instead: cells ∝ corpus
+    // (here ~500 vectors/cell via kmeansFit), so per-cell pair work is
+    // constant and growth should track corpus size ~linearly.
+    Seq("/root/testdata/sf0.1", "/root/repo/target/sf1").foreach { sf =>
+      val base = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val mutants = base.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+      val corpus = mutants.unionByName(base)
+      val n = corpus.count()
+      val k = math.max(8, (n / 500).toInt)
+      info(s"$sf: n=$n k=$k")
+      val fit = timeIt(s"$sf kmeansFit(k=$k)") {
+        val f = Similarity.kmeansFit(corpus, k = k, iters = 2)
+        f._1.write.format("noop").mode("overwrite").save(); f
+      }
+      timeIt(s"$sf semDeDup") {
+        Similarity.semDeDup(corpus, 0.9, index = Some(fit))
+          .write.format("noop").mode("overwrite").save()
+      }
+      timeIt(s"$sf kNN k=5 (forced shuffle regime)") {
+        Similarity.topKIvf(corpus,
+            corpus.select(col("vec_id").as("query_id"),
+              col("embedding").as("qvec")),
+            5, nprobe = 2, index = Some(fit), queryBroadcastCap = 0)
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.util.Scratch.release(spark)
+      spark.catalog.clearCache()
+    }
+  }
 }
