@@ -270,7 +270,11 @@ class ScratchTimingSpec extends SparkSpec {
         .mode("overwrite").save())
   }
 
-  ignore("cells-prop-to-corpus scaling: semDeDup/kNN at constant cell size, sf0.1 vs sf1") {
+  ignore("cells-prop-to-corpus scaling: semDeDup/kNN at constant cell size, sf0.1 vs sf1 " +
+      "(r16 measured: n=4k k=8 -> kmeansFit 6.3 / semDeDup 2.5 / kNN 3.3 s; " +
+      "n=40k k=80 -> 5.6 / 8.1 / 13.6 s — at 10x the corpus semDeDup 3.3x, " +
+      "kNN 4.1x, fit sub-linear: ~linear under the cells-prop-to-corpus rule " +
+      "vs the 16x fixed-cell fixture artifact)") {
     // The gates pin ncells to the 10 data labels (oracle replayability),
     // which makes the within-cell pair space grow |cell|² — the §4/§5
     // fixture artifact behind the 16× sf1 rows. This probe measures the
