@@ -430,70 +430,32 @@ object Dedup {
 
   /** Exactly-once [[appendToLshIndex]]: the committed-batch variant an
     * at-least-once scheduler (foreachBatch, a retrying cron) can call
-    * blindly. Idempotence comes from three pieces:
-    *
-    *  1. a `_committed/batch-<id>` marker under the index — a fully
-    *     landed batch short-circuits to a no-op (returns false);
-    *  2. the batch stages DETERMINISTICALLY under `_staging/batch=<id>`
-    *     first (sets as ONE file; bands hash-routed on `band`, so each
-    *     staged band= dir holds exactly one file — AQE coalescing merges
-    *     whole shuffle partitions and cannot split a band across tasks),
-    *     so a retry regenerates row-equivalent staging;
-    *  3. promotion renames staged files to DETERMINISTIC live names
-    *     (`batch-<id>-<i>.parquet` under each target dir) and SKIPS
-    *     names already present — so a crash at ANY point (mid-staging,
-    *     mid-promotion, before the marker) replays to the exact same
-    *     live rows with none duplicated.
-    *
-    * The `_`-prefixed staging/marker dirs sit beside `sets`/`bands` and
-    * are never read by probes; nothing existing is rewritten. Returns
-    * true iff this call landed the batch (false = already committed).
+    * blindly — [[graft.util.CommittedAppend]]'s marker + deterministic
+    * staging + skip-existing promotion discipline over this index's
+    * layout (sets as ONE staged file; bands hash-routed on `band`, so
+    * each staged band= dir holds exactly one file). Every crash window
+    * (mid-staging, mid-promotion, marker lost) replays to the exact
+    * same live rows with none duplicated; probes never see staging.
+    * Returns true iff this call landed the batch.
     */
   def appendToLshIndexCommitted(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, batchId: Long, n: Int = 3,
       numPerms: Int = 32, rowsPerBand: Int = 2,
-      family: MinHashFamily = FastFamily): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$path/_committed/batch-$batchId")
-    if (fs.exists(marker)) return false
-    val stage = s"$path/_staging/batch=$batchId"
-    val sh = newDocs.select(col("doc_id"),
-      family.shingles(col("text"), n).as("sh")).cache()
-    try {
-      sh.repartition(1).write.mode("overwrite").parquet(s"$stage/sets")
-      val sig = sh.select(col("doc_id"),
-          family.signature(col("sh"), n, numPerms).as("mh"))
-        .filter(col("mh").isNotNull)
-      bandTable(sig, numPerms / rowsPerBand, rowsPerBand, family)
-        .repartition(col("band")).sortWithinPartitions("band", "bsig")
-        .write.mode("overwrite").partitionBy("band").parquet(s"$stage/bands")
-    } finally { sh.unpersist(); () }
-    def promote(srcDir: Path, dstDir: Path): Unit = {
-      if (!fs.exists(srcDir)) return
-      fs.mkdirs(dstDir)
-      val files = fs.listStatus(srcDir).filter(_.isFile).map(_.getPath)
-        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-        .sortBy(_.getName)
-      files.zipWithIndex.foreach { case (src, i) =>
-        val dst = new Path(dstDir, s"batch-$batchId-$i.parquet")
-        if (fs.exists(dst)) { fs.delete(src, false); () }
-        else if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"promote: rename $src -> $dst failed")
-      }
+      family: MinHashFamily = FastFamily): Boolean =
+    graft.util.CommittedAppend.run(spark, path, batchId) { stage =>
+      val sh = newDocs.select(col("doc_id"),
+        family.shingles(col("text"), n).as("sh")).cache()
+      try {
+        sh.repartition(1).write.mode("overwrite").parquet(s"$stage/sets")
+        val sig = sh.select(col("doc_id"),
+            family.signature(col("sh"), n, numPerms).as("mh"))
+          .filter(col("mh").isNotNull)
+        bandTable(sig, numPerms / rowsPerBand, rowsPerBand, family)
+          .repartition(col("band")).sortWithinPartitions("band", "bsig")
+          .write.mode("overwrite").partitionBy("band")
+          .parquet(s"$stage/bands")
+      } finally { sh.unpersist(); () }
     }
-    promote(new Path(s"$stage/sets"), new Path(s"$path/sets"))
-    val stagedBands = new Path(s"$stage/bands")
-    if (fs.exists(stagedBands))
-      fs.listStatus(stagedBands).filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.startsWith("band="))
-        .foreach(bd => promote(bd, new Path(s"$path/bands/${bd.getName}")))
-    fs.mkdirs(new Path(s"$path/_committed"))
-    fs.create(marker, true).close()
-    fs.delete(new Path(stage), true)
-    true
-  }
 
   /** Compact a persisted LSH index in place — the maintenance step after
     * many committed appends, where each band= dir holds one file per
@@ -513,56 +475,31 @@ object Dedup {
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, setsFiles: Int = 1): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverLshIndex(spark, path)
-    def mv(a: Path, b: Path): Unit =
-      if (!fs.rename(a, b))
-        throw new java.io.IOException(s"compact swap: rename $a -> $b failed")
-    def swapIn(live: String, stage: String): Unit = {
-      val l = new Path(live)
-      mv(l, new Path(live + ".old"))
-      mv(new Path(stage), l)
-      fs.delete(new Path(live + ".old"), true): Unit
-    }
     val bandsStage = s"$path/_compact_bands"
     spark.read.parquet(s"$path/bands")
       .repartition(col("band")).sortWithinPartitions("band", "bsig")
       .write.mode("overwrite").partitionBy("band").parquet(bandsStage)
-    swapIn(s"$path/bands", bandsStage)
+    graft.util.Generations.swapIn(fs, s"$path/bands", bandsStage)
     val setsStage = s"$path/_compact_sets"
     spark.read.parquet(s"$path/sets")
       .repartition(setsFiles).sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(setsStage)
-    swapIn(s"$path/sets", setsStage)
+    graft.util.Generations.swapIn(fs, s"$path/sets", setsStage)
   }
 
-  /** Restore a torn [[compactLshIndex]] swap: a live dir missing with
-    * its parked `.old` generation present is put back; both present
-    * means the swap completed and the park is dropped. Stray staging
-    * dirs are removed. Safe (and cheap) to call any time.
+  /** Restore a torn [[compactLshIndex]] swap ([[graft.util.Generations]]
+    * recovery over this index's two live dirs). Safe to call any time.
     */
   def recoverLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"$path/bands", s"$path/sets").foreach { live =>
-      val l = new Path(live)
-      val o = new Path(live + ".old")
-      if (fs.exists(o)) {
-        if (!fs.exists(l)) {
-          if (!fs.rename(o, l))
-            throw new java.io.IOException(
-              s"recover: rename $o -> $l failed")
-        } else { fs.delete(o, true): Unit }
-      }
-    }
-    Seq(s"$path/_compact_bands", s"$path/_compact_sets").foreach { st =>
-      val p = new Path(st)
-      if (fs.exists(p)) { fs.delete(p, true): Unit }
-    }
+    graft.util.Generations.recover(fs,
+      lives = Seq(s"$path/bands", s"$path/sets"),
+      stages = Seq(s"$path/_compact_bands", s"$path/_compact_sets"))
   }
 
   /** Probe a persisted LSH index with a batch of query docs. Two regimes,

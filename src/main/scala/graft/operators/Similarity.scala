@@ -282,6 +282,57 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Exactly-once [[appendToIvfIndex]]: the committed-batch variant an
+    * at-least-once scheduler can call blindly —
+    * [[graft.util.CommittedAppend]]'s marker + deterministic staging +
+    * skip-existing promotion over the `cells/cell=N` layout (staged
+    * hash-routed on `cell`, one file per staged cell dir). The plain
+    * append's retry trap — a replay after a lost acknowledgment lands
+    * the batch's vectors twice and every probe double-scores them —
+    * cannot happen here. Returns true iff this call landed the batch.
+    */
+  def appendToIvfIndexCommitted(spark: SparkSession, path: String,
+      newVecs: DataFrame, batchId: Long): Boolean =
+    graft.util.CommittedAppend.run(spark, path, batchId) { stage =>
+      val centers = centersOf(readIvfCentroids(spark, path))
+      newVecs.select(col("vec_id"), col("embedding"))
+        .withColumn("cell",
+          element_at(assignCells(centers, nassign = 1, euclid = true), 1))
+        .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/cells")
+    }
+
+  /** Compact a persisted IVF index in place — the maintenance step after
+    * many committed appends, where each cell= dir holds one file per
+    * batch: probes stay correct but the probed-cell scan pays
+    * file-count overhead (listing, open, a tiny row group per file).
+    * Rewrites each cell into ONE vec_id-sorted file via staged write +
+    * crash-recoverable generation swap ([[graft.util.Generations]] —
+    * [[recoverIvfIndex]] restores any torn swap and runs first). Probe
+    * results are IDENTICAL before and after: the sim_ivf_compact gate
+    * shares sim_ivf_append's oracle verbatim. Single-maintainer
+    * contract: do not run concurrently with appends. Frozen centroids
+    * are untouched (metadata, not part of the rewrite).
+    */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIvfIndex(spark, path)
+    val stage = s"$path/_compact_cells"
+    spark.read.parquet(s"$path/cells")
+      .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    graft.util.Generations.swapIn(fs, s"$path/cells", stage)
+  }
+
+  /** Restore a torn [[compactIvfIndex]] swap. Safe to call any time. */
+  def recoverIvfIndex(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.Generations.recover(fs, lives = Seq(s"$path/cells"),
+      stages = Seq(s"$path/_compact_cells"))
+  }
+
   /** `nassign` nearest cells per embedding, nearest first, as a native
     * fused-loop column ([[graft.functions.IvfAssignExpr]]).
     */

@@ -178,6 +178,80 @@ object SimilarityPack extends QueryPack {
   private def labelIndex(s: org.apache.spark.sql.SparkSession, d: String) =
     labelIndexOf(T.embeddings(s, d))
 
+  /** Grown-IVF-index probe shared by sim_ivf_append and sim_ivf_compact:
+    * a half-corpus label index grows by the other half under its FROZEN
+    * centroids, then answers a pruned nprobe=2 query; a correctly grown
+    * (and, for the compact gate, correctly rewritten) index equals the
+    * oracle's replay of the centroids, every appended assignment, the
+    * probe choice and the cell-restricted scoring — both gates share
+    * [[IvfGrownOracle]] verbatim.
+    */
+  private def ivfGrownProbe(fixtureKey: String)(
+      build: (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.DataFrame, String) => Unit)
+    : (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame =
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val path = graft.util.TempFixtures.dir(s, fixtureKey, d) { p =>
+        build(s, emb, p)
+      }
+      Similarity.topKIvf(emb.select(col("vec_id"), col("embedding")),
+          queriesDf(s, d), 10, nprobe = 2,
+          index = Some(Similarity.readIvfIndex(s, path)))
+        .orderBy("query_id", "rank")
+    }
+
+  private val IvfGrownOracle: String =
+    s"""WITH h1 AS (
+           |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 2 = 0
+           |), idx AS (SELECT unnest(range(1, 65)) AS i),
+           |cent AS (
+           |  SELECT e.label AS cell, idx.i,
+           |         round($ExactMeanSql, 6) AS m
+           |  FROM h1 e CROSS JOIN idx GROUP BY 1, 2
+           |), centv AS (
+           |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+           |), a2 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_sum(list_transform(list_zip(e.embedding, c.centroid),
+           |                 p -> CAST(p[1] AS DOUBLE) * p[2]))
+           |          - list_sum(list_transform(c.centroid, x -> x*x)) / 2 DESC,
+           |        c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN centv c WHERE e.vec_id % 2 = 1) t
+           |  WHERE rn = 1
+           |), celled AS (
+           |  SELECT vec_id, embedding, label AS cell FROM h1
+           |  UNION ALL
+           |  SELECT e.vec_id, e.embedding, a2.cell
+           |  FROM embeddings e JOIN a2 USING (vec_id)
+           |), q AS (
+           |  SELECT vec_id AS query_id, embedding AS qvec
+           |  FROM embeddings WHERE vec_id < 10
+           |), pc AS (
+           |  SELECT query_id, qvec, cell FROM (
+           |    SELECT q.query_id, q.qvec, v.cell,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
+           |                                       v.cell) AS crank
+           |    FROM q CROSS JOIN centv v) t
+           |  WHERE crank <= 2
+           |), scored AS (
+           |  SELECT pc.query_id, c.vec_id,
+           |         round(${cosSql("pc.qvec", "c.embedding")}, 5) AS score
+           |  FROM pc JOIN celled c ON c.cell = pc.cell
+           |  WHERE pc.query_id != c.vec_id
+           |)
+           |SELECT query_id, rank, vec_id, score FROM (
+           |  SELECT query_id, vec_id, score,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY score DESC, vec_id) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin
+
   /** dedup_semdedup's fixture (corpus ∪ dim0-zeroed mutants through the
     * label quantizer) at the given block count — shared by the plain
     * gate (nBlocks = 1) and the hot-cell regime gate (nBlocks = 4),
@@ -628,69 +702,39 @@ object SimilarityPack extends QueryPack {
     // ids agree by construction.
     QueryDef(
       "sim_ivf_append",
-      (s, d) => {
-        val emb = T.embeddings(s, d)
-        val path = graft.util.TempFixtures.dir(s, "ivf_append", d) { p =>
-          Similarity.writeIvfIndex(
-            labelIndexOf(emb.filter(col("vec_id") % 2 === 0)), p)
-          Similarity.appendToIvfIndex(
-            emb.filter(col("vec_id") % 2 === 1)
-              .select(col("vec_id"), col("embedding")), p)
-        }
-        Similarity.topKIvf(emb.select(col("vec_id"), col("embedding")),
-            queriesDf(s, d), 10, nprobe = 2,
-            index = Some(Similarity.readIvfIndex(s, path)))
-          .orderBy("query_id", "rank")
+      ivfGrownProbe("ivf_append") { (s, emb, p) =>
+        Similarity.writeIvfIndex(
+          labelIndexOf(emb.filter(col("vec_id") % 2 === 0)), p)
+        Similarity.appendToIvfIndex(
+          emb.filter(col("vec_id") % 2 === 1)
+            .select(col("vec_id"), col("embedding")), p)
       },
-      Some(
-        s"""WITH h1 AS (
-           |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 2 = 0
-           |), idx AS (SELECT unnest(range(1, 65)) AS i),
-           |cent AS (
-           |  SELECT e.label AS cell, idx.i,
-           |         round($ExactMeanSql, 6) AS m
-           |  FROM h1 e CROSS JOIN idx GROUP BY 1, 2
-           |), centv AS (
-           |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
-           |), a2 AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT e.vec_id, c.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        list_sum(list_transform(list_zip(e.embedding, c.centroid),
-           |                 p -> CAST(p[1] AS DOUBLE) * p[2]))
-           |          - list_sum(list_transform(c.centroid, x -> x*x)) / 2 DESC,
-           |        c.cell) AS rn
-           |    FROM embeddings e CROSS JOIN centv c WHERE e.vec_id % 2 = 1) t
-           |  WHERE rn = 1
-           |), celled AS (
-           |  SELECT vec_id, embedding, label AS cell FROM h1
-           |  UNION ALL
-           |  SELECT e.vec_id, e.embedding, a2.cell
-           |  FROM embeddings e JOIN a2 USING (vec_id)
-           |), q AS (
-           |  SELECT vec_id AS query_id, embedding AS qvec
-           |  FROM embeddings WHERE vec_id < 10
-           |), pc AS (
-           |  SELECT query_id, qvec, cell FROM (
-           |    SELECT q.query_id, q.qvec, v.cell,
-           |           row_number() OVER (PARTITION BY q.query_id
-           |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
-           |                                       v.cell) AS crank
-           |    FROM q CROSS JOIN centv v) t
-           |  WHERE crank <= 2
-           |), scored AS (
-           |  SELECT pc.query_id, c.vec_id,
-           |         round(${cosSql("pc.qvec", "c.embedding")}, 5) AS score
-           |  FROM pc JOIN celled c ON c.cell = pc.cell
-           |  WHERE pc.query_id != c.vec_id
-           |)
-           |SELECT query_id, rank, vec_id, score FROM (
-           |  SELECT query_id, vec_id, score,
-           |         row_number() OVER (PARTITION BY query_id
-           |                            ORDER BY score DESC, vec_id) AS rank
-           |  FROM scored) t
-           |WHERE rank <= 10
-           |ORDER BY query_id, rank""".stripMargin)),
+      Some(IvfGrownOracle)),
+
+    // IVF index COMPACTION (round 16): the ANN mirror of
+    // dedup_lsh_compact — two exactly-once committed appends
+    // (appendToIvfIndexCommitted: CommittedAppend's marker +
+    // deterministic staging + skip-existing promotion, so a blind retry
+    // cannot double-score the batch in every probe) leave one file per
+    // batch in each cell= partition; compactIvfIndex rewrites each cell
+    // into one vec_id-sorted file via a staged write + crash-recoverable
+    // generation swap. Probe results must be IDENTICAL on the compacted
+    // layout, so this gate shares sim_ivf_append's oracle verbatim.
+    QueryDef(
+      "sim_ivf_compact",
+      ivfGrownProbe("ivf_compact") { (s, emb, p) =>
+        Similarity.writeIvfIndex(
+          labelIndexOf(emb.filter(col("vec_id") % 2 === 0)), p)
+        val odd = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("embedding"))
+        Similarity.appendToIvfIndexCommitted(s, p,
+          odd.filter(col("vec_id") < 250), batchId = 1L): Unit
+        Similarity.appendToIvfIndexCommitted(s, p,
+          odd.filter(col("vec_id") >= 250), batchId = 2L): Unit
+        Similarity.compactIvfIndex(s, p)
+      },
+      Some(IvfGrownOracle)),
+
 
     // Hybrid retrieval (round 15): BM25 sparse leg + dense cosine leg
     // fused by Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the

@@ -320,6 +320,46 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("dynamicpruning"))
   }
 
+  test("committed IVF append + compaction: blind retries exactly-once, one file per cell, probe identity") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/ivfcmt_${spark.sparkContext.applicationId}"
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val half2 = corpus.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(half1, ncells = 8, dir)
+    assert(Similarity.appendToIvfIndexCommitted(spark, dir, half2, 1L))
+    val n1 = spark.read.parquet(s"$dir/cells").count()
+    assert(n1 == half1.count() + half2.count())
+    // blind retry: no-op; marker-lost retry: skip-existing keeps rows single
+    assert(!Similarity.appendToIvfIndexCommitted(spark, dir, half2, 1L))
+    assert(spark.read.parquet(s"$dir/cells").count() == n1)
+    val marker = new java.io.File(s"$dir/_committed/batch-1")
+    assert(marker.exists() && marker.delete())
+    assert(Similarity.appendToIvfIndexCommitted(spark, dir, half2, 1L))
+    assert(spark.read.parquet(s"$dir/cells").count() == n1,
+      "marker-lost retry duplicated appended vectors")
+    // probe snapshot, compact, probe identity + one file per cell
+    def probe() = Similarity.topKIvf(corpus, queries, 10, ncells = 8,
+        nprobe = 2, index = Some(Similarity.readIvfIndex(spark, dir)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = probe()
+    Similarity.compactIvfIndex(spark, dir)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { cd =>
+      val n = cd.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${cd.getName}: $n files after compaction")
+    }
+    assert(spark.read.parquet(s"$dir/cells").count() == n1)
+    assert(probe() == before, "compaction changed probe results")
+    // torn swap recovers
+    assert(new java.io.File(s"$dir/cells")
+      .renameTo(new java.io.File(s"$dir/cells.old")))
+    Similarity.compactIvfIndex(spark, dir)
+    assert(probe() == before, "torn-swap recovery lost rows")
+  }
+
   test("minedNegatives: planted positives excluded, k per probe, native TopK") {
     import org.apache.spark.sql.functions.{transform => atransform, _}
     val base = corpus.select(col("vec_id"), col("embedding"))
