@@ -971,6 +971,37 @@ object Similarity {
     sq8Encode(newVecs, lo, hi).write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Exactly-once [[appendToSq8Index]] — [[graft.util.CommittedAppend]]
+    * over the flat `codes/` layout (one staged file per batch). Returns
+    * true iff this call landed the batch.
+    */
+  def appendToSq8IndexCommitted(spark: SparkSession, path: String,
+      newVecs: DataFrame, batchId: Long): Boolean =
+    graft.util.CommittedAppend.run(spark, path, batchId) { stage =>
+      val (_, lo, hi) = readSq8Index(spark, path)
+      sq8Encode(newVecs, lo, hi)
+        .repartition(1).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(s"$stage/codes")
+    }
+
+  /** Compact a persisted SQ8 index's code table into `files` vec_id-
+    * sorted files via the shared crash-recoverable generation swap —
+    * the flat-layout sibling of [[compactIvfIndex]]. Bounds metadata is
+    * untouched. Single-maintainer contract as with every compactor.
+    */
+  def compactSq8Index(spark: SparkSession, path: String,
+      files: Int = 1): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.Generations.recover(fs, lives = Seq(s"$path/codes"),
+      stages = Seq(s"$path/_compact_codes"))
+    val stage = s"$path/_compact_codes"
+    spark.read.parquet(s"$path/codes")
+      .repartition(files).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(stage)
+    graft.util.Generations.swapIn(fs, s"$path/codes", stage)
+  }
+
   /** The decoded (reconstructed) vector of a codes column:
     * d_i = lo_i + code_i · (hi_i − lo_i) / 255. Exact affine arithmetic
     * in a fixed order — the replayable core of the SQ8 ranking.

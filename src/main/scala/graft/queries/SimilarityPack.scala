@@ -735,6 +735,40 @@ object SimilarityPack extends QueryPack {
       },
       Some(IvfGrownOracle)),
 
+    // Streaming dense-index ingest (round 16): the ANN face of the
+    // crawl-ingest loop — embedding segments ARRIVE as parquet files
+    // (no text round-trip of floats) and each micro-batch joins the
+    // persisted IVF index under its frozen centroids through the
+    // exactly-once committed append, so probes see new segments
+    // immediately and a replayed batch can never double-score. The REAL
+    // foreachBatch stream (FilePipelines.ivfIngestStream) runs inside
+    // the fixture over two ordered segments; appends under frozen
+    // centroids commute with one big append, so the gate shares
+    // sim_ivf_append's oracle verbatim.
+    QueryDef(
+      "stream_ivf_append",
+      ivfGrownProbe("ivf_stream") { (s, emb, p) =>
+        Similarity.writeIvfIndex(
+          labelIndexOf(emb.filter(col("vec_id") % 2 === 0)), p)
+        val odd = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("embedding"))
+        val t0 = System.currentTimeMillis() - 60000
+        Seq(odd.filter(col("vec_id") < 250), odd.filter(col("vec_id") >= 250))
+          .zipWithIndex.foreach { case (seg, i) =>
+            val tmpSeg = s"$p/_segtmp$i"
+            seg.coalesce(1).write.mode("overwrite").parquet(tmpSeg)
+            val part = new java.io.File(tmpSeg).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(s"$p/in/seg$i.parquet")
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            require(dst.setLastModified(t0 + i * 10000))
+          }
+        graft.streaming.FilePipelines.ivfIngestStream(s, s"$p/in", p,
+          s"$p/ckpt").awaitTermination()
+      },
+      Some(IvfGrownOracle)),
+
 
     // Hybrid retrieval (round 15): BM25 sparse leg + dense cosine leg
     // fused by Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the

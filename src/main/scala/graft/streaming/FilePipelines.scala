@@ -403,4 +403,34 @@ object FilePipelines {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** (vec_id, embedding) schema for the dense-index ingest stream. */
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Streaming dense-index ingest: embedding segments (parquet files —
+    * no text round-trip of floats) land in `inDir`, and each micro-batch
+    * joins the persisted IVF index under its FROZEN centroids via
+    * [[graft.operators.Similarity.appendToIvfIndexCommitted]] — the
+    * committed-batch discipline makes foreachBatch's at-least-once
+    * delivery exactly-once in index STATE: a replayed batch's vectors
+    * can never land (and be double-scored by every probe) twice. The
+    * segments-arrive / index-grows / probes-see-them-immediately loop is
+    * the ANN face of the crawl-ingest story; run
+    * [[graft.operators.Similarity.compactIvfIndex]] between crawls.
+    */
+  def ivfIngestStream(spark: SparkSession, inDir: String,
+      indexDir: String, checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) => {
+        graft.operators.Similarity.appendToIvfIndexCommitted(
+          b.sparkSession, indexDir, b, id): Unit
+      })
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

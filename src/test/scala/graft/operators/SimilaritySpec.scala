@@ -220,6 +220,29 @@ class SimilaritySpec extends SparkSpec {
       c => c < 0 || c > 255)).count() == 0)
   }
 
+  test("SQ8 committed append + compaction: retries exactly-once, one sorted code file") {
+    val half = corpus.filter(col("vec_id") < 250)
+    val rest = corpus.filter(col("vec_id") >= 250)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/sq8cmt_${spark.sparkContext.applicationId}"
+    Similarity.writeSq8Index(half, dir)
+    assert(Similarity.appendToSq8IndexCommitted(spark, dir, rest, 1L))
+    val n1 = spark.read.parquet(s"$dir/codes").count()
+    assert(n1 == corpus.count())
+    assert(!Similarity.appendToSq8IndexCommitted(spark, dir, rest, 1L))
+    val marker = new java.io.File(s"$dir/_committed/batch-1")
+    assert(marker.exists() && marker.delete())
+    assert(Similarity.appendToSq8IndexCommitted(spark, dir, rest, 1L))
+    assert(spark.read.parquet(s"$dir/codes").count() == n1,
+      "marker-lost retry duplicated code rows")
+    val before = spark.read.parquet(s"$dir/codes").collect().toSet
+    Similarity.compactSq8Index(spark, dir)
+    val files = new java.io.File(s"$dir/codes").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"codes not compacted to one file: $files")
+    assert(spark.read.parquet(s"$dir/codes").collect().toSet == before,
+      "compaction changed the code table")
+  }
+
   test("IVF×SQ8: exhaustive probe == pure-ADC SQ8; pruned rows keep exact ADC scores") {
     // probing every cell makes the composed operator score every pair —
     // it must then equal the single-effect SQ8 ranking exactly
