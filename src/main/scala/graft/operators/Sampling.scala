@@ -95,6 +95,55 @@ object Sampling {
       .drop("cum")
   }
 
+  /** GLOBAL concat-and-cut sequence packing with document SPANNING — the
+    * GPT-pretraining batch builder: documents concatenate in
+    * deterministic `key` order into ONE token stream that is cut into
+    * fixed-`seqLen` training sequences; a document whose tokens cross a
+    * boundary SPANS consecutive sequences (nothing padded, nothing
+    * dropped — unlike [[packSequences]], which keeps documents whole
+    * inside per-source streams). Returns the per-(sequence, document)
+    * composition: (seq_id, doc_key, tok_start, tok_end, tokens_in_seq)
+    * with global stream offsets.
+    *
+    * Scale shape — the textbook TWO-PHASE DISTRIBUTED PREFIX SUM, no
+    * global single-partition window anywhere: range-partition on the
+    * order key (ascending ranges land in ascending partition ids), ONE
+    * bounded collect of per-range token sums (≤ nRanges rows), broadcast
+    * the running base offsets back, then a WITHIN-range window cumsum.
+    * Range-sampler boundary placement cannot move the OUTPUT (the global
+    * cumsum depends only on the key order), so the result is
+    * partitioning-deterministic and SQL-replayable.
+    */
+  def packSequencesGlobal(df: DataFrame, key: Column, text: Column,
+      seqLen: Int, nRanges: Int = 32): DataFrame = {
+    require(seqLen >= 1, s"seqLen=$seqLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = graft.util.Scratch.cached(
+      df.select(key.as("doc_key"), tokenEstimate(text).as("tok"))
+        .repartitionByRange(nRanges, col("doc_key"))
+        .withColumn("pid", spark_partition_id()))
+    val sums = base.groupBy("pid").agg(sum("tok").as("s"))
+      .orderBy("pid").collect() // bounded: one row per non-empty range
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val bases = sums.scanLeft((0, 0L, 0L)) { case ((_, _, acc), (pid, s)) =>
+      (pid, acc, acc + s)
+    }.drop(1).map { case (pid, b, _) => (pid, b) }
+    val basesDf = bases.toSeq.toDF("pid", "base")
+    val w = Window.partitionBy("pid").orderBy("doc_key")
+    base.join(broadcast(basesDf), "pid")
+      .withColumn("tok_end", col("base") + sum(col("tok")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("tok"))
+      // tok >= 1 (tokenEstimate floors at 1), so the span is well-formed
+      .withColumn("seq_id", explode(sequence(
+        expr(s"tok_start div $seqLen"), expr(s"(tok_end - 1) div $seqLen"))))
+      .select(col("seq_id"), col("doc_key"), col("tok_start"),
+        col("tok_end"),
+        (least(col("tok_end"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("tok_start"), col("seq_id") * seqLen))
+          .as("tokens_in_seq"))
+  }
+
   /** Distinct word-8-gram digests per document. The digest (md5 of the
     * shingle text) is what ships through the join shuffle — 16 bytes per
     * shingle instead of the ~50-char string.

@@ -111,6 +111,45 @@ object SamplePack extends QueryPack {
              |  CAST((cum - tok) // 512 AS BIGINT) AS seq_id
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // GLOBAL concat-and-cut packing with document SPANNING (round 16):
+    // the GPT-pretraining batch builder — one global token stream in
+    // doc_id order cut into 256-token sequences, a document crossing a
+    // boundary spanning consecutive sequences. The engine computes the
+    // global prefix sum with the two-phase distributed scan
+    // (range-partition → bounded per-range sums collect → broadcast
+    // base offsets → within-range window); the oracle computes it with
+    // ONE sequential window — equality proves the distributed scan
+    // loses/shifts nothing, and the exploded per-(sequence, document)
+    // composition puts the boundary arithmetic itself in the hash.
+    QueryDef(
+      "sample_pack_spans",
+      (s, d) =>
+        Sampling.packSequencesGlobal(T.documents(s, d), col("doc_id"),
+            col("text"), seqLen = 256)
+          .select(col("seq_id"), col("doc_key").as("doc_id"),
+            col("tok_start"), col("tok_end"), col("tokens_in_seq"))
+          .orderBy("seq_id", "doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    greatest(1, CAST(ceil(length(text)/4.0) AS BIGINT)) AS tok
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, tok,
+             |    CAST(SUM(tok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS tok_end
+             |  FROM t
+             |), s AS (
+             |  SELECT doc_id, tok, tok_end, tok_end - tok AS tok_start FROM c
+             |)
+             |SELECT gs.seq_id, s.doc_id, s.tok_start, s.tok_end,
+             |  least(s.tok_end, (gs.seq_id + 1) * 256)
+             |    - greatest(s.tok_start, gs.seq_id * 256) AS tokens_in_seq
+             |FROM s, unnest(generate_series(
+             |          CAST(s.tok_start // 256 AS BIGINT),
+             |          CAST((s.tok_end - 1) // 256 AS BIGINT))) AS gs(seq_id)
+             |ORDER BY gs.seq_id, s.doc_id""".stripMargin)),
+
     // Benchmark decontamination: docs sharing ≥1 distinct word-8-gram
     // with the benchmark set (here: doc_id % 10 = 0 plays the eval set).
     // Join key = md5 digest of the shingle (16-byte shuffle rows, text

@@ -60,6 +60,37 @@ class SamplingSpec extends SparkSpec {
     assert(holes.count() == 0)
   }
 
+  test("packSequencesGlobal: full sequences carry exactly seqLen tokens; range-count invariant") {
+    val L = 256
+    val packed = Sampling.packSequencesGlobal(docs, col("doc_id"),
+      col("text"), L).cache()
+    // every sequence except the last carries EXACTLY seqLen tokens —
+    // concat-and-cut drops and pads nothing
+    val maxSeq = packed.agg(max("seq_id")).head().getLong(0)
+    val short = packed.groupBy("seq_id")
+      .agg(sum(col("tokens_in_seq")).as("t"))
+      .filter(col("seq_id") < maxSeq && col("t") =!= L)
+    assert(short.isEmpty, "a non-final sequence does not hold seqLen tokens")
+    // total conservation: Σ tokens_in_seq == Σ tokenEstimate
+    val total = packed.agg(sum("tokens_in_seq")).head().getLong(0)
+    val want = docs.select(Sampling.tokenEstimate(col("text")).as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(total == want, s"token mass not conserved: $total != $want")
+    // spanning really happens (the boundary math is exercised)
+    assert(packed.groupBy("doc_key").count().filter(col("count") > 1)
+      .count() > 0, "no document spans a boundary — vacuous fixture")
+    // the distributed scan is range-count invariant: 1 range (one
+    // sequential scan) == 7 ranges (the two-phase path)
+    val one = Sampling.packSequencesGlobal(docs, col("doc_id"),
+      col("text"), L, nRanges = 1)
+    val seven = Sampling.packSequencesGlobal(docs, col("doc_id"),
+      col("text"), L, nRanges = 7)
+    assert(one.exceptAll(seven).isEmpty && seven.exceptAll(one).isEmpty,
+      "two-phase prefix sum diverges across range counts")
+    packed.unpersist()
+    graft.util.Scratch.release(spark)
+  }
+
   test("decontaminate finds a planted 8-gram overlap and nothing else") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
       .toDF("doc_id", "text")
