@@ -508,6 +508,69 @@ object StreamPack extends QueryPack {
              |       near.best_jaccard,
              |       (NOT s.seen AND near.best_jaccard IS NULL) AS admit
              |FROM seen s LEFT JOIN near ON near.doc_id = s.doc_id
-             |ORDER BY s.doc_id""".stripMargin))
+             |ORDER BY s.doc_id""".stripMargin)),
+
+    // Streaming partition-scoped MERGE (round 16): the "late facts
+    // arrived for some days" pipeline as a STREAM — arriving event
+    // segments upsert into a day-partitioned table through
+    // mergeIntoPartitioned inside foreachBatch (only touched day
+    // partitions rewrite; the whole-table last-wins rewrite is
+    // stream_dedup's upsertBatch). Segment 2 REPLACES half of segment
+    // 1's rows (value + 1000 — load-bearing: a merge that inserted
+    // instead of replacing doubles those rows and fails the hash) and
+    // inserts the rest; the oracle replays base ∪ inserts ∪ replaced.
+    QueryDef(
+      "stream_merge_upsert",
+      (s, d) => {
+        import graft.functions.Exact.dsum
+        val out = graft.util.TempFixtures.dir(s, "stream_merge", d) { path =>
+          val ev = T.events(s, d).select(col("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"))
+            .withColumn("day", to_date(col("ts")))
+          ev.filter(col("event_id") % 3 =!= 0)
+            .write.mode("overwrite").partitionBy("day")
+            .parquet(s"$path/table")
+          val seg1 = ev.filter(col("event_id") % 3 === 0 &&
+            col("event_id") % 2 === 0)
+          val seg2 = ev.filter(col("event_id") % 3 === 0 &&
+              col("event_id") % 2 =!= 0)
+            .unionByName(seg1.withColumn("value", col("value") + 1000.0))
+          val t0 = System.currentTimeMillis() - 60000
+          Seq(seg1, seg2).zipWithIndex.foreach { case (seg, i) =>
+            val tmpSeg = s"$path/_segtmp$i"
+            seg.coalesce(1).write.mode("overwrite").parquet(tmpSeg)
+            val part = new java.io.File(tmpSeg).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(s"$path/in/seg$i.parquet")
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            require(dst.setLastModified(t0 + i * 10000))
+          }
+          graft.streaming.FilePipelines.mergeUpsertStream(s, s"$path/in",
+              s"$path/table", s"$path/ckpt",
+              seg1.schema, "event_id", "day")
+            .awaitTermination()
+        }
+        s.read.parquet(s"$out/table")
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
+          .orderBy("day", "event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS day
+             |  FROM events
+             |),
+             |final AS (
+             |  SELECT event_type, value, day FROM ev WHERE event_id % 3 <> 0
+             |  UNION ALL
+             |  SELECT event_type, value, day FROM ev
+             |  WHERE event_id % 3 = 0 AND event_id % 2 <> 0
+             |  UNION ALL
+             |  SELECT event_type, value + 1000.0, day FROM ev
+             |  WHERE event_id % 3 = 0 AND event_id % 2 = 0
+             |)
+             |SELECT day, event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(38,3))) AS DOUBLE) AS sum_value
+             |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

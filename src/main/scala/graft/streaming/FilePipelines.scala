@@ -420,6 +420,31 @@ object FilePipelines {
     * the ANN face of the crawl-ingest story; run
     * [[graft.operators.Similarity.compactIvfIndex]] between crawls.
     */
+  /** Streaming partition-scoped MERGE: arriving parquet segments upsert
+    * into a hive-partitioned table via
+    * [[graft.operators.Layout.mergeIntoPartitioned]] — the scalable face
+    * of the [[upsertBatch]] last-wins table (which rewrites the WHOLE
+    * table per batch; this rewrites only the partitions the batch
+    * touches). Replay-safe under foreachBatch's at-least-once delivery
+    * because merging the identical batch twice is a no-op: the
+    * (key, partition) anti-join removes exactly the rows the reinserted
+    * copies replace, so the table state converges — the upsertBatch
+    * discipline, partition-scoped.
+    */
+  def mergeUpsertStream(spark: SparkSession, inDir: String,
+      tableDir: String, checkpointDir: String,
+      schema: StructType, keyCol: String, partCol: String): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        graft.operators.Layout.mergeIntoPartitioned(b.sparkSession,
+          tableDir, b, keyCol, partCol))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def ivfIngestStream(spark: SparkSession, inDir: String,
       indexDir: String, checkpointDir: String): StreamingQuery =
     spark.readStream.schema(vecSchema)

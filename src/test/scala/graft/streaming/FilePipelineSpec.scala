@@ -253,6 +253,57 @@ class FilePipelineSpec extends SparkSpec {
     assert(epochs.toSeq == Seq(s"epoch=${lastId - 1}", s"epoch=$lastId"))
   }
 
+  test("streaming partition-scoped merge: replacements win, replay converges, untouched days untouched") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val root = tmpDir("smrg")
+    val table = s"$root/table"; val in = s"$root/in"; val ckpt = s"$root/ckpt"
+    new File(in).mkdirs()
+    val base = Seq(
+      (1L, "a", 1.0, java.sql.Date.valueOf("2024-01-01")),
+      (2L, "b", 2.0, java.sql.Date.valueOf("2024-01-02")))
+      .toDF("event_id", "event_type", "value", "day")
+    base.write.partitionBy("day").parquet(table)
+    def fileState(dir: String): Set[(String, Long)] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.lastModified())).toSet
+    }
+    val day2Before = fileState(s"$table/day=2024-01-02")
+    val seg1 = Seq((3L, "c", 3.0, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("event_id", "event_type", "value", "day")
+    val seg2 = Seq((1L, "a", 100.0, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("event_id", "event_type", "value", "day") // replaces key 1
+    val t0 = System.currentTimeMillis() - 60000
+    Seq(seg1, seg2).zipWithIndex.foreach { case (seg, i) =>
+      val tmp = s"$root/_t$i"
+      seg.coalesce(1).write.parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new File(in, s"s$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0 + i * 10000))
+    }
+    FilePipelines.mergeUpsertStream(spark, in, table, ckpt,
+      seg1.schema, "event_id", "day").awaitTermination()
+    def rows() = spark.read.parquet(table)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("day").cast("string"))
+      .as[(Long, String, Double, String)].collect().toSet
+    val want = Set(
+      (1L, "a", 100.0, "2024-01-01"), // replaced, not duplicated
+      (3L, "c", 3.0, "2024-01-01"),
+      (2L, "b", 2.0, "2024-01-02"))
+    assert(rows() == want, s"merged table wrong: ${rows()}")
+    // untouched day's files never rewritten across both merges
+    assert(fileState(s"$table/day=2024-01-02") == day2Before,
+      "untouched partition rewritten by streaming merge")
+    // at-least-once replay of the last batch converges (no duplicates)
+    Layout.mergeIntoPartitioned(spark, table, seg2, "event_id", "day")
+    assert(rows() == want, "replayed merge batch changed the table")
+  }
+
   test("incremental-ingest admission: stream == batch driving, replay idempotent, epoch GC") {
     import graft.operators.{Dedup, Sketches}
     import spark.implicits._
