@@ -33,6 +33,8 @@ class CollectAuditSpec extends AnyFunSuite {
       "merge touched-partition values — one row per touched PARTITION (days touched, not rows), the partition-prune key set"),
     ("Layout.scala", ".collect().map(_.get(0)).toSet",
       "merge surviving-partition values from the staged (touched-sized) copy — one row per touched partition; the diff vs touched finds partitions a delete emptied"),
+    ("Sampling.scala", ".orderBy(\"pid\").collect()",
+      "two-phase prefix sum, phase 1: per-range token sums — one row per non-empty range (≤ nRanges), the broadcast base-offset table"),
     ("Dedup.scala", ".collect().map(_.get(0)).toSeq",
       "LSH probe small regime — limit(maxPushdownSigs + 1) before collect; large regime stays distributed"),
     ("Dedup.scala", ".head().getLong(0)",
