@@ -117,6 +117,41 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Dense 0-based global row ids in the given total `order` WITHOUT a
+    * global window — `monotonically_increasing_id()` is not dense (and
+    * not order-tied), and a bare `row_number() OVER (ORDER BY …)`
+    * collapses the table into ONE partition. This is the two-phase
+    * distributed count scan (the [[Sampling.packSequencesGlobal]]
+    * machinery at weight 1): range-partition on the order (ascending
+    * ranges land in ascending partition ids), ONE bounded collect of
+    * per-range row counts, broadcast the running base offsets, then a
+    * WITHIN-range row_number. Output = input columns + `gid`. The range
+    * sampler's boundary placement cannot move the result — gid depends
+    * only on the order, which must be TOTAL (ties would make it
+    * run-dependent; include a unique key as the last sort column).
+    */
+  def assignGlobalIds(df: DataFrame, order: Seq[Column],
+      nRanges: Int = 32): DataFrame = {
+    require(order.nonEmpty, "assignGlobalIds needs a total order")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ranged = graft.util.Scratch.cached(
+      df.repartitionByRange(nRanges, order: _*)
+        .withColumn("_pid", spark_partition_id()))
+    val counts = ranged.groupBy("_pid").count()
+      .orderBy("_pid").collect() // bounded: one row per non-empty range
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val bases = counts.scanLeft((0, 0L, 0L)) { case ((_, _, acc), (pid, c)) =>
+      (pid, acc, acc + c)
+    }.drop(1).map { case (pid, b, _) => (pid, b) }
+    val basesDf = bases.toSeq.toDF("_pid", "_base")
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    ranged.join(broadcast(basesDf), "_pid")
+      .withColumn("gid", col("_base") + row_number().over(w) - 1)
+      .drop("_pid", "_base")
+  }
+
   /** MERGE (upsert) a batch of rows into a hive-partitioned parquet
     * table, copy-on-write scoped to TOUCHED partitions only — the
     * table-maintenance primitive behind every "re-crawl updated some

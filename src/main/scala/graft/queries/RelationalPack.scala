@@ -841,6 +841,29 @@ object RelationalPack extends QueryPack {
              |                  '1997-05', '1997-06')
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Dense global row ids in a total order WITHOUT a global window
+    // (round 16): monotonically_increasing_id is not dense, and a bare
+    // global row_number collapses the table to one partition — the
+    // operator is the two-phase distributed count scan (range-partition,
+    // bounded per-range counts collect, broadcast base offsets,
+    // within-range row_number). Non-trivial order (length DESC, doc_id)
+    // makes the range routing itself load-bearing; the oracle computes
+    // the same ids with one sequential window.
+    QueryDef(
+      "q56_global_ids",
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), length(col("text")).as("n_chars"))
+        graft.operators.Layout.assignGlobalIds(docs,
+            Seq(col("n_chars").desc, col("doc_id")))
+          .select(col("doc_id"), col("n_chars"), col("gid"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+             |  CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id)
+             |       - 1 AS BIGINT) AS gid
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----------------------------------------------------------------
     // C8 math battery — restricted to IEEE-exact operations (abs, ceil,
     // floor, round-half-up on 2dp, sqrt, sign, mod, greatest/least) so

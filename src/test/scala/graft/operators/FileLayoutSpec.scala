@@ -10,6 +10,31 @@ import graft.SparkSpec
   */
 class FileLayoutSpec extends SparkSpec {
 
+  test("assignGlobalIds: dense 0..N-1 in order, range-count invariant") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val order = Seq(col("len").desc, col("doc_id"))
+    val ids = Layout.assignGlobalIds(df, order)
+    val n = df.count()
+    // dense: exactly 0..N-1 once each
+    assert(ids.select("gid").distinct().count() == n)
+    assert(ids.agg(min("gid"), max("gid")).as[(Long, Long)].head()
+      == ((0L, n - 1)))
+    // order-tied: gid ascending == the total order
+    val sorted = ids.orderBy("gid")
+      .select(col("len"), col("doc_id")).as[(Int, Long)].collect()
+    assert(sorted.sliding(2).forall {
+      case Array((l1, d1), (l2, d2)) => l1 > l2 || (l1 == l2 && d1 < d2)
+      case _ => true
+    }, "gid order diverges from the requested total order")
+    // the two-phase scan is range-count invariant
+    val one = Layout.assignGlobalIds(df, order, nRanges = 1)
+    val nine = Layout.assignGlobalIds(df, order, nRanges = 9)
+    assert(one.exceptAll(nine).isEmpty && nine.exceptAll(one).isEmpty)
+    graft.util.Scratch.release(spark)
+  }
+
   test("interleaveBits round-robins bits across columns") {
     import spark.implicits._
     // a=0b11, b=0b01 → z bits (low→high): a0=1, b0=1, a1=1, b1=0 → 0b0111
