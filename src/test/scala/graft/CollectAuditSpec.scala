@@ -35,6 +35,8 @@ class CollectAuditSpec extends AnyFunSuite {
       "merge surviving-partition values from the staged (touched-sized) copy — one row per touched partition; the diff vs touched finds partitions a delete emptied"),
     ("Sampling.scala", ".orderBy(\"pid\").collect()",
       "two-phase prefix sum, phase 1: per-range token sums — one row per non-empty range (≤ nRanges), the broadcast base-offset table"),
+    ("Layout.scala", ".orderBy(\"_pid\").collect()",
+      "two-phase count scan, phase 1: per-range row counts — one row per non-empty range (≤ nRanges), the broadcast base-offset table for dense global ids"),
     ("Dedup.scala", ".collect().map(_.get(0)).toSeq",
       "LSH probe small regime — limit(maxPushdownSigs + 1) before collect; large regime stays distributed"),
     ("Dedup.scala", ".head().getLong(0)",
