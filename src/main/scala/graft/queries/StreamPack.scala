@@ -571,6 +571,236 @@ object StreamPack extends QueryPack {
              |)
              |SELECT day, event_type, COUNT(*) AS n,
              |       CAST(SUM(CAST(value AS DECIMAL(38,3))) AS DOUBLE) AS sum_value
-             |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // CRAWL-ADMISSION capstone (round 16): the COMPOSED face a 100 TB
+    // crawl pipeline runs end to end — raw .warc.gz segments arrive
+    // through the engine's own splittable streaming source, each
+    // micro-batch extracts response bodies, scores row-local quality
+    // (rejects never reach the Bloom state or the index), and routes
+    // survivors through the incremental-ingest admission (Bloom
+    // seen-exact ∧ persisted-LSH near-dup → admit, admitted appended
+    // exactly-once for later segments to probe). Planted outcomes all
+    // load-bearing: junk docs in every segment vanish at the quality
+    // gate (present rows would fail the hash), seg-C mutants of seg-A
+    // docs near-dup only if batch 0's append landed, verbatim copies of
+    // earlier segments read seen only if the Bloom epoch published. The
+    // oracle replays quality filtering AND the sequential index growth.
+    QueryDef(
+      "stream_crawl_admission",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{Dedup, Sketches}
+        val out = graft.util.TempFixtures.dir(s, "crawl_adm", d) { path =>
+          val base = T.documents(s, d).select(col("doc_id"), col("text"))
+          val hist = base.filter(col("doc_id") < 250)
+          Dedup.writeLshIndex(hist, s"$path/idx",
+            family = Dedup.ReplayableFamily)
+          Sketches.bloomBits(hist, col("text"))
+            .write.mode("overwrite").parquet(s"$path/bloom/epoch=-1")
+          def junk(id: Long) = Seq((id, "zz zz zz zz")).toDF("doc_id", "text")
+          val segA = base.filter(col("doc_id") >= 350 && col("doc_id") < 400)
+            .unionByName(junk(9000001L))
+          val segB = base.filter(col("doc_id") >= 400 && col("doc_id") < 430)
+            .unionByName(base
+              .filter(col("doc_id") >= 350 && col("doc_id") < 356)
+              .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+            .unionByName(Dedup.withMutants(
+                base.filter(col("doc_id") >= 40 && col("doc_id") < 46))
+              .filter(col("doc_id") >= 1000000L))
+            .unionByName(junk(9000002L))
+          val segC = base.filter(col("doc_id") >= 430 && col("doc_id") < 450)
+            .unionByName(Dedup.withMutants(
+                base.filter(col("doc_id") >= 360 && col("doc_id") < 366),
+                2000000L)
+              .filter(col("doc_id") >= 2000000L))
+            .unionByName(base.filter(col("doc_id") === 400)
+              .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+            .unionByName(junk(9000003L))
+          val httpHdr = lit(
+            "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+              .getBytes("US-ASCII"))
+          val inDir = new java.io.File(s"$path/in")
+          inDir.mkdirs()
+          def land(seg: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+            val tmpSeg = s"$path/_segtmp$i"
+            seg.repartition(1)
+              .select(lit("response").as("warc_type"),
+                concat(lit("http://example.org/doc/"), col("doc_id"))
+                  .as("target_uri"),
+                concat(lit("<urn:uuid:resp-"), col("doc_id"), lit(">"))
+                  .as("record_id"),
+                concat(httpHdr, encode(col("text"), "UTF-8")).as("payload"))
+              .write.format("warcgz").mode("overwrite").save(tmpSeg)
+            new java.io.File(tmpSeg).listFiles()
+              .filter(_.getName.endsWith(".warc.gz")).zipWithIndex
+              .foreach { case (f, j) =>
+                // atomic placement: file stream sources assume it
+                java.nio.file.Files.move(f.toPath,
+                  new java.io.File(inDir, s"seg$i-$j.warc.gz").toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              }
+          }
+          land(segA, 0)
+          val q = graft.streaming.FilePipelines.crawlAdmissionStream(s,
+            s"$path/in/*.warc.gz", s"$path/idx", s"$path/bloom",
+            s"$path/out", s"$path/ckpt", minQuality = 0.3,
+            family = Dedup.ReplayableFamily)
+          try {
+            q.processAllAvailable()
+            land(segB, 1); q.processAllAvailable()
+            land(segC, 2); q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.read.parquet(s"$out/out")
+          .select(col("doc_id"), col("seen_exact"), col("near_dup"),
+            col("best_jaccard"), col("admit"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text, -1 AS seg FROM documents WHERE doc_id < 250
+             |  UNION ALL
+             |  SELECT doc_id, text, 0 FROM documents
+             |  WHERE doc_id >= 350 AND doc_id < 400
+             |  UNION ALL SELECT 9000001, 'zz zz zz zz', 0
+             |  UNION ALL
+             |  SELECT doc_id, text, 1 FROM documents
+             |  WHERE doc_id >= 400 AND doc_id < 430
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, text, 1 FROM documents
+             |  WHERE doc_id >= 350 AND doc_id < 356
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |         array_to_string(list_filter(string_split(text, ' '),
+             |                                     (x, i) -> i % 10 != 0), ' '),
+             |         1
+             |  FROM documents WHERE doc_id >= 40 AND doc_id < 46
+             |  UNION ALL SELECT 9000002, 'zz zz zz zz', 1
+             |  UNION ALL
+             |  SELECT doc_id, text, 2 FROM documents
+             |  WHERE doc_id >= 430 AND doc_id < 450
+             |  UNION ALL
+             |  SELECT doc_id + 2000000,
+             |         array_to_string(list_filter(string_split(text, ' '),
+             |                                     (x, i) -> i % 10 != 0), ' '),
+             |         2
+             |  FROM documents WHERE doc_id >= 360 AND doc_id < 366
+             |  UNION ALL
+             |  SELECT doc_id + 4000000, text, 2 FROM documents
+             |  WHERE doc_id = 400
+             |  UNION ALL SELECT 9000003, 'zz zz zz zz', 2
+             |),
+             |qual AS (
+             |  SELECT doc_id, seg, text,
+             |    round(least(CAST(len(w) AS DOUBLE) / 200.0, 1.0) * 0.5
+             |      + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.3
+             |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |              / len(w) * 5.0, 1.0) * 0.2, 6) AS q
+             |  FROM (SELECT doc_id, seg, text,
+             |               string_split(lower(text), ' ') AS w FROM raw)
+             |),
+             |corpus AS (
+             |  SELECT doc_id, text, seg FROM qual
+             |  WHERE seg = -1 OR q >= 0.3
+             |),
+             |bpos AS (
+             |  SELECT doc_id, seg, j,
+             |    (CAST(('0x' || substr(md5('bloom-' || CAST(j AS VARCHAR) || ':' || text),1,15)) AS BIGINT) % 32768) AS p
+             |  FROM corpus CROSS JOIN range(4) r(j)
+             |),
+             |fbits AS (SELECT DISTINCT seg, p FROM bpos),
+             |hit AS (
+             |  SELECT o.doc_id, o.seg, o.j,
+             |    max(CASE WHEN f.p IS NOT NULL THEN 1 ELSE 0 END) AS h
+             |  FROM bpos o LEFT JOIN fbits f ON f.p = o.p AND f.seg < o.seg
+             |  WHERE o.seg >= 0
+             |  GROUP BY 1, 2, 3
+             |),
+             |seen AS (SELECT doc_id, seg, sum(h) = 4 AS seen FROM hit GROUP BY 1, 2),
+             |w AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+             |tri AS (
+             |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') AS s
+             |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+             |        FROM w WHERE len(w) >= 3)
+             |),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |         CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) AS h
+             |  FROM tri
+             |),
+             |perm AS (
+             |  SELECT k,
+             |    CAST(('0x' || substr(md5('mh-a-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) | 1 AS a,
+             |    CAST(('0x' || substr(md5('mh-b-' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) AS b
+             |  FROM range(32) r(k)
+             |),
+             |sig AS (
+             |  SELECT doc_id, k,
+             |    min(CAST((CAST(a AS HUGEINT) * h + b) % 2305843009213693951 AS BIGINT)) AS v
+             |  FROM sh, perm GROUP BY doc_id, k
+             |),
+             |bands AS (
+             |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+             |    CAST(min(CASE WHEN k % 2 = 0 THEN v END) AS VARCHAR) || ':' ||
+             |    CAST(min(CASE WHEN k % 2 = 1 THEN v END) AS VARCHAR) AS bsig
+             |  FROM sig GROUP BY doc_id, k // 2
+             |),
+             |cand AS (
+             |  SELECT DISTINCT qc.doc_id AS q_id, ic.doc_id AS i_id,
+             |                  qc.seg AS q_seg, ic.seg AS i_seg
+             |  FROM bands qb JOIN bands ib
+             |    ON qb.band = ib.band AND qb.bsig = ib.bsig
+             |  JOIN corpus qc ON qc.doc_id = qb.doc_id
+             |  JOIN corpus ic ON ic.doc_id = ib.doc_id
+             |  WHERE qc.seg > ic.seg
+             |),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.q_id, c.i_id, c.q_seg, c.i_seg, count(*) AS i
+             |  FROM cand c
+             |  JOIN sh a ON a.doc_id = c.q_id
+             |  JOIN sh b ON b.doc_id = c.i_id AND b.h = a.h
+             |  GROUP BY 1, 2, 3, 4
+             |),
+             |jp AS (
+             |  SELECT q_id, i_id, q_seg, i_seg, i / (sq.n + si.n - i) AS jac
+             |  FROM inter
+             |  JOIN sz sq ON sq.doc_id = q_id
+             |  JOIN sz si ON si.doc_id = i_id
+             |  WHERE i / (sq.n + si.n - i) >= 0.5
+             |),
+             |adm0 AS (
+             |  SELECT s.doc_id FROM seen s
+             |  WHERE s.seg = 0 AND NOT s.seen
+             |    AND NOT EXISTS (SELECT 1 FROM jp
+             |                    WHERE jp.q_id = s.doc_id AND jp.i_seg = -1)
+             |),
+             |adm1 AS (
+             |  SELECT s.doc_id FROM seen s
+             |  WHERE s.seg = 1 AND NOT s.seen
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM jp
+             |      WHERE jp.q_id = s.doc_id
+             |        AND (jp.i_seg = -1
+             |             OR jp.i_id IN (SELECT doc_id FROM adm0)))
+             |),
+             |idxmem AS (
+             |  SELECT doc_id, -1 AS avail FROM corpus WHERE seg = -1
+             |  UNION ALL SELECT doc_id, 0 FROM adm0
+             |  UNION ALL SELECT doc_id, 1 FROM adm1
+             |),
+             |near AS (
+             |  SELECT s.doc_id, round(max(jp.jac), 6) AS best_jaccard
+             |  FROM seen s
+             |  JOIN jp ON jp.q_id = s.doc_id
+             |  JOIN idxmem m ON m.doc_id = jp.i_id AND m.avail < s.seg
+             |  GROUP BY 1
+             |)
+             |SELECT s.doc_id, s.seen AS seen_exact,
+             |       near.best_jaccard IS NOT NULL AS near_dup,
+             |       near.best_jaccard,
+             |       (NOT s.seen AND near.best_jaccard IS NULL) AS admit
+             |FROM seen s LEFT JOIN near ON near.doc_id = s.doc_id
+             |ORDER BY s.doc_id""".stripMargin))
   )
 }

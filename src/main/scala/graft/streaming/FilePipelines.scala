@@ -404,6 +404,41 @@ object FilePipelines {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The COMPOSED crawl-ingest capstone: raw `.warc.gz` segments arrive
+    * (the Common Crawl format, through the engine's own splittable
+    * streaming source), and each micro-batch extracts response bodies,
+    * scores row-local quality, and routes the SURVIVORS through the
+    * incremental-ingest ADMISSION pipeline ([[ingestAdmissionBatch]]:
+    * Bloom seen-exact ∧ persisted-LSH near-dup → admit, admitted docs
+    * appended exactly-once so later segments probe them). WARC decode and
+    * quality scoring stay map-side; every stateful step inherits
+    * ingestAdmissionBatch's ordered commit points, so the WHOLE
+    * crawl-arrival → admission face is exactly-once under at-least-once
+    * replay. Quality-rejected documents never reach the Bloom state or
+    * the index — they are dropped at the scan, exactly as a production
+    * pipeline prices it.
+    */
+  def crawlAdmissionStream(spark: SparkSession, inGlob: String,
+      indexDir: String, stateDir: String, outDir: String,
+      checkpointDir: String, minQuality: Double = 0.5,
+      family: graft.operators.Dedup.MinHashFamily =
+        graft.operators.Dedup.FastFamily): StreamingQuery =
+    spark.readStream.format("warcgz").load(inGlob)
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) => {
+        val docs = b.filter(col("warc_type") === "response")
+          .select(
+            regexp_extract(col("record_id"), "-(\\d+)>$", 1)
+              .cast(LongType).as("doc_id"),
+            col("body").cast(StringType).as("text"))
+          .filter(graft.operators.TextOps.qualityCol(col("text"))
+            >= minQuality)
+        ingestAdmissionBatch(docs, indexDir, stateDir, outDir, id,
+          family = family)
+      })
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** (vec_id, embedding) schema for the dense-index ingest stream. */
   val vecSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
