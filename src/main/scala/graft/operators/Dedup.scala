@@ -477,6 +477,7 @@ object Dedup {
       path: String, setsFiles: Int = 1): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.CommittedAppend.assertNoInflight(fs, path)
     recoverLshIndex(spark, path)
     val bandsStage = s"$path/_compact_bands"
     spark.read.parquet(s"$path/bands")

@@ -133,6 +133,11 @@ object Layout {
   def assignGlobalIds(df: DataFrame, order: Seq[Column],
       nRanges: Int = 32): DataFrame = {
     require(order.nonEmpty, "assignGlobalIds needs a total order")
+    val reserved = Seq("_pid", "_base", "gid").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"assignGlobalIds: input already has column(s) " +
+        s"${reserved.mkString(", ")} — rename them first (the operator " +
+        "uses _pid/_base internally and returns gid)")
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -198,9 +203,18 @@ object Layout {
     * PRESENT in the written data, so an emptied partition would
     * silently keep its old files — the staged copy is therefore diffed
     * against the touched set and emptied partitions' directories are
-    * dropped explicitly after the overwrite (partition values must
-    * render to their Hive path form via toString — true for
-    * string/integral/date partition columns).
+    * dropped explicitly after the overwrite (at their HIVE-ESCAPED
+    * path names, so string values with `%`/`:`/... delete correctly).
+    *
+    * Failure handling: the staging dir is deleted only AFTER the
+    * overwrite (and any emptied-partition drops) succeed. If the
+    * overwrite itself dies mid-commit, the complete staged merge
+    * SURVIVES on disk and [[recoverMerge]] — run first by every
+    * mergeIntoPartitioned call, and safe to call directly — replays
+    * the overwrite from it, so a torn commit can always be rolled
+    * FORWARD. (Emptied-partition drops are not re-derivable from the
+    * stage alone; re-running the original merge restores those too —
+    * the merge is idempotent from its `updates`.)
     */
   def mergeIntoPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, updates: DataFrame, keyCol: String,
@@ -212,6 +226,7 @@ object Layout {
       s"mergeIntoPartitioned: updates contain null $partCol values; " +
         "dynamic partition overwrite cannot address the null partition " +
         "safely — filter or default them before merging")
+    recoverMerge(spark, path, partCol)
     val existing = spark.read.parquet(path)
       .filter(col(partCol).isInCollection(touched))
     val upserts = deleteCol match {
@@ -249,14 +264,51 @@ object Layout {
       staged.write.mode("overwrite").partitionBy(partCol).parquet(path)
       touched.filterNot(remaining.contains).foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(
-          s"$path/$partCol=${String.valueOf(v)}"), true): Unit
+          s"$path/$partCol=" +
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(String.valueOf(v))), true): Unit
       }
+      // success: the staged copy has served its purpose — a failure
+      // above deliberately LEAVES it for recoverMerge to roll forward
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
     } finally {
       saved match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
     }
+  }
+
+  /** Roll an interrupted [[mergeIntoPartitioned]] FORWARD: a COMPLETE
+    * staged merge (`_merge_staging` with `_SUCCESS`) surviving a crash
+    * between staging and the overwrite commit is replayed into the
+    * table; a partial stage (no `_SUCCESS` — the crash hit during
+    * staging, before any live mutation) is dropped. Run first by every
+    * merge call; safe (and cheap) to call any time. Note: the replay
+    * restores touched-partition CONTENTS; emptied-partition directory
+    * drops from a delete-merge are restored by re-running the original
+    * merge (idempotent from its updates), not by this.
+    */
+  def recoverMerge(spark: org.apache.spark.sql.SparkSession,
+      path: String, partCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_merge_staging")
+    if (!fs.exists(stage)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_merge_staging/_SUCCESS"))) {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val saved = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key, "dynamic")
+        spark.read.parquet(stage.toString)
+          .write.mode("overwrite").partitionBy(partCol).parquet(path)
+      } finally {
+        saved match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+    fs.delete(stage, true): Unit
   }
 }

@@ -112,7 +112,9 @@ object Sampling {
     * the running base offsets back, then a WITHIN-range window cumsum.
     * Range-sampler boundary placement cannot move the OUTPUT (the global
     * cumsum depends only on the key order), so the result is
-    * partitioning-deterministic and SQL-replayable.
+    * partitioning-deterministic and SQL-replayable. `key` must be UNIQUE
+    * (a total order) — tied keys would make the stream order, and
+    * therefore the spans, run-dependent.
     */
   def packSequencesGlobal(df: DataFrame, key: Column, text: Column,
       seqLen: Int, nRanges: Int = 32): DataFrame = {
@@ -130,7 +132,12 @@ object Sampling {
       (pid, acc, acc + s)
     }.drop(1).map { case (pid, b, _) => (pid, b) }
     val basesDf = bases.toSeq.toDF("pid", "base")
+    // `key` MUST be unique (a TOTAL order): the cumsum is keyed by it,
+    // and the frame is ROWS — with the default RANGE frame, tied keys
+    // would share one running sum and their spans would overlap,
+    // silently inflating token mass
     val w = Window.partitionBy("pid").orderBy("doc_key")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.join(broadcast(basesDf), "pid")
       .withColumn("tok_end", col("base") + sum(col("tok")).over(w))
       .withColumn("tok_start", col("tok_end") - col("tok"))

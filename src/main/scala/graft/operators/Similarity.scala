@@ -317,6 +317,7 @@ object Similarity {
   def compactIvfIndex(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.CommittedAppend.assertNoInflight(fs, path)
     recoverIvfIndex(spark, path)
     val stage = s"$path/_compact_cells"
     spark.read.parquet(s"$path/cells")
@@ -993,6 +994,7 @@ object Similarity {
       files: Int = 1): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.CommittedAppend.assertNoInflight(fs, path)
     graft.util.Generations.recover(fs, lives = Seq(s"$path/codes"),
       stages = Seq(s"$path/_compact_codes"))
     val stage = s"$path/_compact_codes"

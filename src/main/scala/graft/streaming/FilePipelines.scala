@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -98,10 +98,7 @@ object FilePipelines {
     // with no error.
     val sPath = new Path(stateDir)
     val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val epochs: Seq[Long] =
-      if (!fs.exists(sPath)) Seq.empty
-      else fs.listStatus(sPath).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+    val epochs = bloomEpochs(fs, stateDir)
     val priorEpochs = epochs.filter(_ < batchId)
     val prior =
       if (priorEpochs.isEmpty)
@@ -333,6 +330,12 @@ object FilePipelines {
     val conf = spark.sparkContext.hadoopConfiguration
     val outFs = new Path(outDir).getFileSystem(conf)
     if (outFs.exists(new Path(s"$outDir/_committed/batch-$batchId"))) return
+    // scoped scratch release: internal caches operators register during
+    // this batch (e.g. probeLshIndex's band table) are garbage the
+    // moment the batch's sinks commit — a CONTINUOUS ingest would
+    // otherwise accrete one per micro-batch forever. Scoped, not a
+    // blanket release: other pipelines' session caches stay.
+    graft.util.Scratch.scoped(spark) {
     val batch = batch0.select(col("doc_id"), col("text")).cache()
     try {
       val sFs = new Path(stateDir).getFileSystem(conf)
@@ -346,7 +349,12 @@ object FilePipelines {
               StructField("bits", LongType))))
         else spark.read.parquet(s"$stateDir/epoch=${priorEpochs.max}")
       val verdictDir = s"$outDir/batch=$batchId"
-      if (!outFs.exists(new Path(s"$verdictDir/_SUCCESS"))) {
+      // the verdicts-frozen guard is OUR OWN marker, not the sink's
+      // _SUCCESS (optional committer behavior — cloud committers often
+      // disable marksuccessfuljobs, and a replay that recomputed
+      // verdicts against the already-grown index would diverge)
+      val verdictMark = new Path(s"$outDir/_verdicts/batch-$batchId")
+      if (!outFs.exists(verdictMark)) {
         val seen = Sketches.bloomProbe(prior, batch, col("doc_id"),
             col("text"), kHashes, mBits)
           .withColumnRenamed("id", "doc_id")
@@ -363,6 +371,8 @@ object FilePipelines {
             col("best_jaccard"),
             (!col("seen_exact") && col("best_jaccard").isNull).as("admit"))
           .write.mode("overwrite").parquet(verdictDir)
+        outFs.mkdirs(new Path(s"$outDir/_verdicts"))
+        outFs.create(verdictMark, true).close()
       }
       val admitted = batch.join(
         spark.read.parquet(verdictDir).filter(col("admit")).select("doc_id"),
@@ -377,6 +387,7 @@ object FilePipelines {
       outFs.mkdirs(new Path(s"$outDir/_committed"))
       outFs.create(new Path(s"$outDir/_committed/batch-$batchId"), true).close()
     } finally { batch.unpersist(); () }
+    }
   }
 
   /** Streaming incremental-ingest admission: NDJSON document segments
@@ -417,22 +428,37 @@ object FilePipelines {
     * replay. Quality-rejected documents never reach the Bloom state or
     * the index — they are dropped at the scan, exactly as a production
     * pipeline prices it.
+    *
+    * `docId` derives the numeric document key from the WARC columns.
+    * The default parses a trailing digit run out of `record_id` — the
+    * shape of this repo's fixtures, NOT of real Common Crawl ids
+    * (hex-tailed urn:uuid): production crawls pass e.g.
+    * `xxhash64(col("record_id"))`. A row whose key comes out null
+    * would silently drop through the admission joins, so nulls are
+    * rejected loudly instead.
     */
   def crawlAdmissionStream(spark: SparkSession, inGlob: String,
       indexDir: String, stateDir: String, outDir: String,
       checkpointDir: String, minQuality: Double = 0.5,
       family: graft.operators.Dedup.MinHashFamily =
-        graft.operators.Dedup.FastFamily): StreamingQuery =
+        graft.operators.Dedup.FastFamily,
+      docId: Column =
+        regexp_extract(col("record_id"), "-(\\d+)>$", 1).cast(LongType))
+      : StreamingQuery =
     spark.readStream.format("warcgz").load(inGlob)
       .writeStream
       .foreachBatch((b: DataFrame, id: Long) => {
         val docs = b.filter(col("warc_type") === "response")
-          .select(
-            regexp_extract(col("record_id"), "-(\\d+)>$", 1)
-              .cast(LongType).as("doc_id"),
+          .select(docId.as("doc_id"),
             col("body").cast(StringType).as("text"))
           .filter(graft.operators.TextOps.qualityCol(col("text"))
             >= minQuality)
+        val nNull = docs.filter(col("doc_id").isNull).limit(1).count()
+        require(nNull == 0,
+          "crawlAdmissionStream: docId produced null keys — the default " +
+            "extractor expects fixture-shaped record ids; pass a docId " +
+            "column matching this crawl's id scheme (e.g. " +
+            "xxhash64(col(\"record_id\")))")
         ingestAdmissionBatch(docs, indexDir, stateDir, outDir, id,
           family = family)
       })

@@ -33,6 +33,12 @@ import org.apache.spark.sql.SparkSession
   * The `_`-prefixed staging/marker dirs sit inside the root and are
   * invisible to readers (exact-subdir reads plus Hadoop's hidden-path
   * filter); nothing existing is rewritten.
+  *
+  * Promotion relies on atomic FILE rename (local FS, HDFS). Plain S3A
+  * emulates rename as copy+delete — still convergent here (a retry
+  * skips destinations that exist and re-stages the rest), but the
+  * copy is O(file size); prefer an atomic-rename layer for large
+  * segments on raw object storage.
   */
 object CommittedAppend {
 
@@ -41,15 +47,37 @@ object CommittedAppend {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$root/_committed/batch-$batchId")
-    if (fs.exists(marker)) return false
     val stage = s"$root/_staging/batch=$batchId"
-    stageWrites(stage)
     val stagePath = new Path(stage)
+    if (fs.exists(marker)) {
+      // already committed — also clear any staging the crash window
+      // between marker and cleanup left behind, so the in-flight signal
+      // ([[assertNoInflight]]) cannot stick permanently
+      if (fs.exists(stagePath)) { fs.delete(stagePath, true): Unit }
+      return false
+    }
+    stageWrites(stage)
     if (fs.exists(stagePath)) promote(fs, batchId, stagePath, rootPath)
     fs.mkdirs(new Path(s"$root/_committed"))
     fs.create(marker, true).close()
     fs.delete(stagePath, true): Unit
     true
+  }
+
+  /** Refuse index MAINTENANCE while a committed append is in flight: a
+    * compaction that folds a crashed-but-promoted batch's files away
+    * BEFORE its retry re-commits would erase the skip-existing
+    * promotion names, letting the retry land the batch a SECOND time.
+    * The staging dir outlives every crash window until the marker is
+    * written (and a committed retry clears leftovers), so its presence
+    * IS the in-flight signal.
+    */
+  def assertNoInflight(fs: FileSystem, root: String): Unit = {
+    val st = new Path(s"$root/_staging")
+    if (fs.exists(st) && fs.listStatus(st).nonEmpty)
+      throw new IllegalStateException(
+        s"$root has in-flight committed append(s) under _staging — " +
+          "retry them to completion before compacting")
   }
 
   private def promote(fs: FileSystem, batchId: Long, srcDir: Path,

@@ -10,6 +10,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * [[graft.streaming.FilePipelines.upsertBatch]]'s table swap, shared by
   * [[graft.operators.Dedup.compactLshIndex]] and
   * [[graft.operators.Similarity.compactIvfIndex]].
+  *
+  * The crash-window guarantee assumes the filesystem renames
+  * DIRECTORIES atomically (local FS, HDFS). Plain S3A emulates rename
+  * as O(data) copy+delete — a crash mid-"rename" leaves both trees
+  * partial there; run maintenance over an atomic-rename layer (HDFS,
+  * a consistent metadata store, or single-writer object versioning)
+  * when the index lives on raw object storage.
   */
 object Generations {
 

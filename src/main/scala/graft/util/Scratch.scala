@@ -77,4 +77,38 @@ object Scratch {
     val q = reg.get(spark)
     if (q == null) 0 else q.size()
   }
+
+  /** Run `f` and release ONLY the scratch frames it registered — the
+    * per-unit-of-work discipline a long-lived driver loop needs (e.g. a
+    * foreachBatch body that fully materializes its results within the
+    * batch: every internal cache an operator registered during the batch
+    * is garbage the moment the batch's sinks commit, but a blanket
+    * [[release]] would also drop caches OTHER pipelines in the session
+    * still rely on). Entries present before `f` are untouched; entries
+    * added during `f` are unpersisted even if `f` throws.
+    */
+  def scoped[A](spark: SparkSession)(f: => A): A = {
+    val before = {
+      val q = reg.get(spark)
+      if (q == null) java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+      else {
+        val s = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+        q.forEach(d => { s.add(d); () })
+        s
+      }
+    }
+    try f
+    finally {
+      val q = reg.get(spark)
+      if (q != null) {
+        val it = q.iterator()
+        while (it.hasNext) {
+          val d = it.next()
+          if (!before.contains(d)) { d.unpersist(); it.remove() }
+        }
+      }
+    }
+  }
 }

@@ -239,6 +239,21 @@ class DedupSpec extends SparkSpec {
     Dedup.compactLshIndex(spark, idx)
     assert(pairs(idx) == wanted, "torn-swap recovery lost probe rows")
     assert(!new java.io.File(s"$idx/bands.old").exists())
+
+    // compaction must REFUSE while a committed append is in flight —
+    // folding a promoted-but-unmarked batch's files away would let its
+    // retry land the batch twice
+    val inflight = new java.io.File(s"$idx/_staging/batch=99")
+    assert(inflight.mkdirs())
+    intercept[IllegalStateException] { Dedup.compactLshIndex(spark, idx) }
+    // a committed retry clears stale staging, unsticking the signal
+    assert(new java.io.File(s"$idx/_committed/batch-1").exists())
+    assert(inflight.renameTo(new java.io.File(s"$idx/_staging/batch=1")))
+    assert(!Dedup.appendToLshIndexCommitted(spark, idx, batch, 1L))
+    assert(!new java.io.File(s"$idx/_staging/batch=1").exists(),
+      "committed retry did not clear its stale staging")
+    Dedup.compactLshIndex(spark, idx) // unstuck
+    assert(pairs(idx) == wanted)
   }
 
   test("edit-distance near-dups: banded blocking loses no qualifying pair") {

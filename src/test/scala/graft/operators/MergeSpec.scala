@@ -135,7 +135,7 @@ class MergeSpec extends SparkSpec {
     assert(!new File(s"$dir/_merge_staging").exists())
   }
 
-  test("merge staging dir never leaks into reads and is cleaned up") {
+  test("merge staging: invisible to readers, cleaned on success, rolled FORWARD after a torn commit") {
     val tmp = System.getProperty("java.io.tmpdir")
     val dir = s"$tmp/graft_spec_merge_stage_${spark.sparkContext.applicationId}"
     Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "part")
@@ -145,19 +145,56 @@ class MergeSpec extends SparkSpec {
     assert(!new File(s"$dir/_merge_staging").exists(),
       "staging dir survived a successful merge")
     assert(spark.read.parquet(dir).count() == 2)
-    // a crash-orphaned staging dir (simulated) must be invisible to
-    // readers — Hadoop's hidden-path filter skips underscore dirs —
-    // and a subsequent merge must recover by overwriting it
-    Seq((99L, "ghost", "p9")).toDF("k", "v", "part")
+    def rows() = spark.read.parquet(dir)
+      .select(col("k"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet
+
+    // crash WINDOW 1: staging complete (_SUCCESS) but the overwrite
+    // never committed — simulated by planting the staged merge of
+    // "replace key 1 in p1, insert key 9". It must be invisible to
+    // readers, then ROLLED FORWARD by recovery (run implicitly by the
+    // next merge call), not discarded.
+    Seq((1L, "a3", "p1"), (9L, "i", "p1")).toDF("k", "v", "part")
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$dir/_merge_staging")
     assert(spark.read.parquet(dir).count() == 2,
-      "orphaned staging rows leaked into table reads")
+      "staging rows leaked into table reads")
     Layout.mergeIntoPartitioned(spark, dir,
       Seq((3L, "c", "p2")).toDF("k", "v", "part"), "k", "part")
+    assert(rows() == Set(
+      (1L, "a3", "p1"), (9L, "i", "p1"), // the torn merge rolled forward
+      (2L, "b", "p2"), (3L, "c", "p2")), s"roll-forward wrong: ${rows()}")
+    assert(!new File(s"$dir/_merge_staging").exists())
+
+    // crash WINDOW 2: staging PARTIAL (no _SUCCESS — the crash hit
+    // during staging, before any live mutation): recovery drops it and
+    // the table is untouched
+    Seq((50L, "half", "p1")).toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$dir/_merge_staging")
+    assert(new File(s"$dir/_merge_staging/_SUCCESS").delete())
+    val before = rows()
+    Layout.recoverMerge(spark, dir, "part")
+    assert(rows() == before, "partial staging mutated the table")
+    assert(!new File(s"$dir/_merge_staging").exists())
+  }
+
+  test("merge deletes escaped partition dirs correctly when emptied") {
+    // Hive path escaping: a partition value with a ':' lands in an
+    // escaped dir (part=a%3Ab); a delete-merge that empties it must
+    // drop THAT dir, not the raw-name path
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dir = s"$tmp/graft_spec_merge_esc_${spark.sparkContext.applicationId}"
+    Seq((1L, "x", "a:b"), (2L, "y", "plain")).toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    assert(new File(s"$dir/part=a%3Ab").exists(), "fixture assumption: escaped dir")
+    Layout.mergeIntoPartitioned(spark, dir,
+      Seq((1L, "x", "a:b", true)).toDF("k", "v", "part", "_deleted"),
+      "k", "part", deleteCol = Some("_deleted"))
+    assert(!new File(s"$dir/part=a%3Ab").exists(),
+      "emptied escaped partition kept its files")
     val got = spark.read.parquet(dir).select(col("k"), col("v"), col("part"))
       .as[(Long, String, String)].collect().toSet
-    assert(got == Set((1L, "a2", "p1"), (2L, "b", "p2"), (3L, "c", "p2")))
-    assert(!new File(s"$dir/_merge_staging").exists())
+    assert(got == Set((2L, "y", "plain")))
   }
 }
