@@ -38,6 +38,95 @@ object SamplePack extends QueryPack {
   private val mixTargets =
     Map("en" -> 0.40, "de" -> 0.20, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.10)
 
+
+  /** sample_curation_v3's oracle funnel as a reusable CTE chain (ends
+    * in `q`, `lm`, `dup`) — shared verbatim by the v3 gate and the
+    * packed-delivery capstone so the funnel replay cannot drift between
+    * them.
+    */
+  private val CurationV3Ctes: String =
+    s"""ttok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents WHERE doc_id % 2 = 0
+             |), uni AS (SELECT w, count(*) AS u FROM ttok GROUP BY w),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ttok),
+             |bgc AS (
+             |  SELECT pw, w, count(*) AS b FROM (
+             |    SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
+             |    FROM ttok) x
+             |  WHERE pw IS NOT NULL GROUP BY pw, w
+             |), stok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents WHERE doc_id % 2 = 1
+             |), sbg AS (
+             |  SELECT doc_id, pw, w FROM (
+             |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
+             |    FROM stok) x
+             |  WHERE pw IS NOT NULL
+             |), lpr AS (
+             |  SELECT sbg.doc_id,
+             |         CASE WHEN bgc.b IS NOT NULL
+             |              THEN log10(CAST(bgc.b AS DOUBLE) / up.u)
+             |              ELSE log10(coalesce(CAST(uw.u AS DOUBLE), 0.5)
+             |                         * (CAST(0.4 AS DOUBLE) / tot.t))
+             |         END AS lp
+             |  FROM sbg
+             |  LEFT JOIN bgc ON bgc.pw = sbg.pw AND bgc.w = sbg.w
+             |  LEFT JOIN uni up ON up.w = sbg.pw
+             |  LEFT JOIN uni uw ON uw.w = sbg.w
+             |  CROSS JOIN tot
+             |), lm AS (
+             |  SELECT doc_id,
+             |    round(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_logp
+             |  FROM lpr GROUP BY doc_id
+             |), lw AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id % 2 = 1
+             |), q AS (
+             |  SELECT doc_id,
+             |    round(least(CAST(len(w) AS DOUBLE)/200.0, 1.0)*0.5
+             |      + CAST(len(list_distinct(w)) AS DOUBLE)/len(w)*0.3
+             |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |              /len(w)*5.0, 1.0)*0.2, 6) AS quality
+             |  FROM lw
+             |), tri AS (
+             |  SELECT DISTINCT doc_id,
+             |         concat_ws(' ', cw,
+             |           lead(cw,1) OVER (PARTITION BY doc_id ORDER BY i),
+             |           lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i)) AS sh
+             |  FROM (SELECT doc_id, w AS cw, i FROM stok) c
+             |  QUALIFY lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+             |), sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+             |dup AS (
+             |  SELECT DISTINCT db AS doc_id FROM (
+             |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS icnt
+             |    FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |    GROUP BY 1, 2) p
+             |  JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db
+             |  WHERE icnt / least(sa.n, sb.n) >= 0.9
+             |)""".stripMargin
+
+  /** sample_curation_v3's funnel (quality floor AND stupid-backoff
+    * fluency band AND not containment-duplicated) as a frame builder —
+    * shared with the packed-delivery capstone.
+    */
+  private def curationV3Kept(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val all = T.documents(s, d).select(col("doc_id"), col("text"))
+    val ref = all.filter(col("doc_id") % 2 === 0)
+    val cand = all.filter(col("doc_id") % 2 === 1)
+    val lm = graft.operators.TextOps.stupidBackoffScore(ref, cand)
+      .select(col("doc_id"), col("avg_logp"))
+    val q = graft.operators.TextOps.qualityScore(cand)
+    val dupDrop = graft.operators.Dedup.containmentPairs(cand, 3, 0.9)
+      .select(col("db").as("doc_id")).distinct()
+    q.join(lm, "doc_id")
+      .join(dupDrop, Seq("doc_id"), "left_anti")
+      .filter(col("quality") >= 0.34 && col("avg_logp") >= -1.52)
+  }
+
   override val defs: Seq[QueryDef] = Seq(
 
     // Deterministic Bernoulli sample at p = 0.25: pure map-side filter on
@@ -417,88 +506,69 @@ object SamplePack extends QueryPack {
     // composing the round-13 signals end-to-end, full-formula oracle.
     QueryDef(
       "sample_curation_v3",
-      (s, d) => {
-        val all = T.documents(s, d).select(col("doc_id"), col("text"))
-        val ref = all.filter(col("doc_id") % 2 === 0)
-        val cand = all.filter(col("doc_id") % 2 === 1)
-        val lm = graft.operators.TextOps.stupidBackoffScore(ref, cand)
-          .select(col("doc_id"), col("avg_logp"))
-        val q = graft.operators.TextOps.qualityScore(cand)
-        val dupDrop = graft.operators.Dedup.containmentPairs(cand, 3, 0.9)
-          .select(col("db").as("doc_id")).distinct()
-        val kept = q.join(lm, "doc_id")
-          .join(dupDrop, Seq("doc_id"), "left_anti")
-          .filter(col("quality") >= 0.34 && col("avg_logp") >= -1.52)
-        Sampling.epochOrder(kept, col("doc_id"), epoch = 1)
-      },
-      Some("""WITH ttok AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-             |         generate_subscripts(string_split(text, ' '), 1) AS i
-             |  FROM documents WHERE doc_id % 2 = 0
-             |), uni AS (SELECT w, count(*) AS u FROM ttok GROUP BY w),
-             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ttok),
-             |bgc AS (
-             |  SELECT pw, w, count(*) AS b FROM (
-             |    SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
-             |    FROM ttok) x
-             |  WHERE pw IS NOT NULL GROUP BY pw, w
-             |), stok AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-             |         generate_subscripts(string_split(text, ' '), 1) AS i
-             |  FROM documents WHERE doc_id % 2 = 1
-             |), sbg AS (
-             |  SELECT doc_id, pw, w FROM (
-             |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw, w
-             |    FROM stok) x
-             |  WHERE pw IS NOT NULL
-             |), lpr AS (
-             |  SELECT sbg.doc_id,
-             |         CASE WHEN bgc.b IS NOT NULL
-             |              THEN log10(CAST(bgc.b AS DOUBLE) / up.u)
-             |              ELSE log10(coalesce(CAST(uw.u AS DOUBLE), 0.5)
-             |                         * (CAST(0.4 AS DOUBLE) / tot.t))
-             |         END AS lp
-             |  FROM sbg
-             |  LEFT JOIN bgc ON bgc.pw = sbg.pw AND bgc.w = sbg.w
-             |  LEFT JOIN uni up ON up.w = sbg.pw
-             |  LEFT JOIN uni uw ON uw.w = sbg.w
-             |  CROSS JOIN tot
-             |), lm AS (
-             |  SELECT doc_id,
-             |    round(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_logp
-             |  FROM lpr GROUP BY doc_id
-             |), lw AS (
-             |  SELECT doc_id, string_split(lower(text), ' ') AS w
-             |  FROM documents WHERE doc_id % 2 = 1
-             |), q AS (
-             |  SELECT doc_id,
-             |    round(least(CAST(len(w) AS DOUBLE)/200.0, 1.0)*0.5
-             |      + CAST(len(list_distinct(w)) AS DOUBLE)/len(w)*0.3
-             |      + least(CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-             |              /len(w)*5.0, 1.0)*0.2, 6) AS quality
-             |  FROM lw
-             |), tri AS (
-             |  SELECT DISTINCT doc_id,
-             |         concat_ws(' ', cw,
-             |           lead(cw,1) OVER (PARTITION BY doc_id ORDER BY i),
-             |           lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i)) AS sh
-             |  FROM (SELECT doc_id, w AS cw, i FROM stok) c
-             |  QUALIFY lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
-             |), sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
-             |dup AS (
-             |  SELECT DISTINCT db AS doc_id FROM (
-             |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS icnt
-             |    FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
-             |    GROUP BY 1, 2) p
-             |  JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db
-             |  WHERE icnt / least(sa.n, sb.n) >= 0.9
-             |)
+      (s, d) =>
+        Sampling.epochOrder(curationV3Kept(s, d), col("doc_id"), epoch = 1),
+      Some(s"""WITH $CurationV3Ctes
              |SELECT doc_id, quality, avg_logp,
              |       md5('1:' || CAST(doc_id AS VARCHAR)) AS sort_key
              |FROM q JOIN lm USING (doc_id)
              |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
              |  AND quality >= 0.34 AND avg_logp >= -1.52
              |ORDER BY sort_key, doc_id""".stripMargin)),
+
+    // Curation -> DELIVERY capstone (round 16): the curated corpus
+    // leaves the engine as fixed-length training sequences — v3's
+    // funnel survivors, in their deterministic epoch order, packed by
+    // packSequencesGlobal (the two-phase distributed prefix sum; docs
+    // crossing a 256-token boundary span consecutive sequences). The
+    // oracle replays the ENTIRE chain: the v3 funnel CTEs (shared
+    // verbatim with sample_curation_v3), the md5 epoch order, the
+    // sequential-window token stream, and the span boundary arithmetic
+    // — a drifted survivor set, a wrong order, or an off-by-one span
+    // all fail the hash.
+    QueryDef(
+      "sample_curation_packed",
+      (s, d) => {
+        val ordered = Sampling.epochOrder(curationV3Kept(s, d),
+            col("doc_id"), epoch = 1)
+          .select(col("doc_id"), col("sort_key"))
+        val withText = ordered.join(
+          T.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+        Sampling.packSequencesGlobal(withText, col("sort_key"),
+            col("text"), seqLen = 256)
+          .join(ordered.select(col("sort_key").as("doc_key"),
+            col("doc_id")), "doc_key")
+          .select(col("seq_id"), col("doc_id"), col("tok_start"),
+            col("tok_end"), col("tokens_in_seq"))
+          .orderBy("seq_id", "doc_id")
+      },
+      Some(s"""WITH $CurationV3Ctes,
+             |kept AS (
+             |  SELECT q.doc_id, md5('1:' || CAST(q.doc_id AS VARCHAR)) AS sk
+             |  FROM q JOIN lm USING (doc_id)
+             |  WHERE q.doc_id NOT IN (SELECT doc_id FROM dup)
+             |    AND quality >= 0.34 AND avg_logp >= -1.52
+             |),
+             |kt AS (
+             |  SELECT k.doc_id, k.sk,
+             |         greatest(1, CAST(ceil(length(d.text)/4.0) AS BIGINT)) AS tok
+             |  FROM kept k JOIN documents d USING (doc_id)
+             |),
+             |cum AS (
+             |  SELECT doc_id, sk, tok,
+             |    CAST(SUM(tok) OVER (ORDER BY sk
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS tok_end
+             |  FROM kt
+             |),
+             |sp AS (SELECT doc_id, tok, tok_end, tok_end - tok AS tok_start FROM cum)
+             |SELECT gs.seq_id, sp.doc_id, sp.tok_start, sp.tok_end,
+             |  least(sp.tok_end, (gs.seq_id + 1) * 256)
+             |    - greatest(sp.tok_start, gs.seq_id * 256) AS tokens_in_seq
+             |FROM sp, unnest(generate_series(
+             |        CAST(sp.tok_start // 256 AS BIGINT),
+             |        CAST((sp.tok_end - 1) // 256 AS BIGINT))) AS gs(seq_id)
+             |ORDER BY gs.seq_id, sp.doc_id""".stripMargin)),
 
     // Round-15 curation capstone v4: the SEMANTIC-dedup funnel — v3's
     // reference-model filters (quality floor ∧ stupid-backoff fluency
