@@ -1030,4 +1030,65 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Box-filter (area-average) DOWNSCALE of a PNG `media` column by
+    * integer factors — the mandated RESIZE step of the multimodal
+    * pipeline (decode / feature-extract / resize / frame-sample):
+    * decode → per-channel fw×fh block mean with FLOOR division
+    * (integer-exact, so the resized pixels replay in SQL from the
+    * synthesis digest) → RE-ENCODE as real PNG bytes. The mm_resize
+    * gate extracts features FROM the resized bytes through the standard
+    * codec, so the decode, the block arithmetic, the re-encode and the
+    * second decode are all in the hash. Map-side per row, decoder per
+    * partition — a scan-rate transform at any corpus scale, like every
+    * codec pass here (the thumbnail/downsample preprocessing a
+    * multimodal training pipeline runs on arrival).
+    */
+  def resizePng(media: DataFrame, fw: Int, fh: Int): DataFrame = {
+    require(fw >= 1 && fh >= 1, s"factors ${fw}x$fh")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = Png.decode(r.getAs[Array[Byte]](1))
+          require(img.bitDepth == 8,
+            s"resizePng: 8-bit images only, got depth ${img.bitDepth}")
+          require(img.width % fw == 0 && img.height % fh == 0,
+            s"resizePng: ${img.width}x${img.height} not divisible by ${fw}x$fh")
+          val ow = img.width / fw
+          val oh = img.height / fh
+          val ch = img.channels
+          val out = new Array[Byte](ow * oh * ch)
+          val area = fw * fh
+          var oy = 0
+          while (oy < oh) {
+            var ox = 0
+            while (ox < ow) {
+              var c = 0
+              while (c < ch) {
+                var s = 0
+                var dy = 0
+                while (dy < fh) {
+                  var dx = 0
+                  while (dx < fw) {
+                    s += img.sample(
+                      ((oy * fh + dy) * img.width + (ox * fw + dx)) * ch + c)
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                out((oy * ow + ox) * ch + c) = (s / area).toByte
+                c += 1
+              }
+              ox += 1
+            }
+            oy += 1
+          }
+          Row(r.getLong(0), Png.encode(ow, oh, ch, out))
+        }
+      }(enc)
+  }
 }

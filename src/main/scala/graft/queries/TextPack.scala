@@ -1322,6 +1322,41 @@ object TextPack extends QueryPack {
              |  CAST(list_sum(g) AS DOUBLE) / 16 AS mean_b
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // C12 RESIZE (round 16): the mandated decode → RESIZE →
+    // feature-extract chain — the 2×8 grayscale PNG box-downscaled by
+    // 1×2 (each output pixel = floor-mean of a vertical pixel pair) and
+    // RE-ENCODED as real PNG bytes, features then extracted from the
+    // resized stream through the standard codec. Decode, the block
+    // arithmetic, the re-encode and the second decode are all in the
+    // hash: the oracle replays every block mean from the digest bytes.
+    QueryDef(
+      "mm_resize",
+      (s, d) =>
+        Multimodal.extractFeatures(
+            Multimodal.resizePng(
+              Multimodal.withPngColumn(docsOf(s, d)), fw = 1, fh = 2),
+            Multimodal.PngCodec)
+          .select(col("doc_id"),
+            col("features").getField("width").as("width"),
+            col("features").getField("height").as("height"),
+            col("features").getField("channels").as("channels"),
+            col("features").getField("mean_r").as("mean_r"))
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |), rb AS (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(0, 7), j ->
+             |      (g[4 * (j // 2) + (j % 2) + 1]
+             |       + g[4 * (j // 2) + (j % 2) + 3]) // 2) AS b
+             |  FROM px
+             |)
+             |SELECT doc_id, 2 AS width, 4 AS height, 1 AS channels,
+             |  CAST(list_sum(b) AS DOUBLE) / 8 AS mean_r
+             |FROM rb ORDER BY doc_id""".stripMargin)),
+
     // C12 PNG, Adam7 + RGBA face: interlaced four-channel streams where
     // the color means replay from the digest (alpha varies but must
     // never leak into them) — the 7-pass reassembly, the 4-byte-pixel

@@ -25,6 +25,37 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.exceptAll(feats1).count() == 0)
   }
 
+  test("resizePng: box means exact, identity is lossless, RGB channels independent, guards loud") {
+    import spark.implicits._
+    // hand-computable 2x2 grayscale: [[10, 20], [30, 40]]
+    val px = Array[Byte](10, 20, 30, 40)
+    val one = Seq((1L, Png.encode(2, 2, 1, px))).toDF("doc_id", "media")
+    def feat(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.extractFeatures(df, Multimodal.PngCodec)
+        .select(col("features.width"), col("features.height"),
+          col("features.channels"), col("features.mean_r"))
+        .as[(Int, Int, Int, Double)].head()
+    // full 2x2 box -> one pixel = floor((10+20+30+40)/4) = 25
+    assert(feat(Multimodal.resizePng(one, 2, 2)) == ((1, 1, 1, 25.0)))
+    // identity factors decode to the identical image
+    assert(feat(Multimodal.resizePng(one, 1, 1)) == ((2, 2, 1, 25.0)))
+    val idPix = Png.decode(Multimodal.resizePng(one, 1, 1)
+      .select("media").as[Array[Byte]].head())
+    assert(idPix.pixels.toSeq == px.toSeq, "identity resize altered pixels")
+    // RGB: channels average independently
+    val rgb = Seq((2L, Png.encode(1, 2, 3,
+      Array[Byte](100, 0, 50, 20, 40, 70)))).toDF("doc_id", "media")
+    val r = Png.decode(Multimodal.resizePng(rgb, 1, 2)
+      .select("media").as[Array[Byte]].head())
+    assert(r.pixels.toSeq == Seq[Byte](60, 20, 60), s"${r.pixels.toSeq}")
+    // non-divisible factors fail loudly, not silently crop
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizePng(one, 3, 1).collect()
+    }
+    assert(e.getMessage.contains("not divisible")
+      || Option(e.getCause).exists(_.getMessage.contains("not divisible")))
+  }
+
   test("BMP codec: encode/decode round-trip recovers dimensions and exact channel means") {
     val gray = Array.tabulate[Byte](16)(i => (i * 16).toByte) // 0,16,…,240
     val bmp = Multimodal.bmpEncodeGray(8, 2, gray)
