@@ -252,21 +252,28 @@ object Layout {
     try {
       merged.select(existing.columns.map(col): _*)
         .write.mode("overwrite").partitionBy(partCol).parquet(stage)
-      // bounded: distinct partitions of the (touched-partition-sized)
-      // staged copy — a touched partition with no surviving rows writes
-      // no staged dir and must be dropped explicitly below
-      val staged = spark.read.schema(existing.schema).parquet(stage)
-      val remaining = staged.select(partCol).distinct()
-        .collect().map(_.get(0)).toSet
-      spark.conf.set(key, "dynamic")
       // explicit schema: partition-column type must round-trip, not be
       // re-inferred from directory names
+      val staged = spark.read.schema(existing.schema).parquet(stage)
+      spark.conf.set(key, "dynamic")
       staged.write.mode("overwrite").partitionBy(partCol).parquet(path)
-      touched.filterNot(remaining.contains).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$path/$partCol=" +
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .escapePathName(String.valueOf(v))), true): Unit
+      if (deleteCol.isDefined) {
+        // only a delete-merge can EMPTY a partition (plain upserts
+        // reinsert into every partition they touch), so only then pay
+        // the bounded staged-distinct job. Values are compared in their
+        // HIVE PATH STRING form — `touched` comes from the updates
+        // frame and `remaining` from the table-typed staged copy, and a
+        // mere numeric-width difference (Int 5 vs Long 5) must not
+        // classify a freshly-rewritten partition as emptied.
+        val remaining = staged.select(partCol).distinct()
+          .collect().map(r => String.valueOf(r.get(0))).toSet
+        touched.map(String.valueOf).filterNot(remaining.contains)
+          .foreach { v =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$path/$partCol=" +
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .escapePathName(v)), true): Unit
+          }
       }
       // success: the staged copy has served its purpose — a failure
       // above deliberately LEAVES it for recoverMerge to roll forward
@@ -300,7 +307,12 @@ object Layout {
       val saved = spark.conf.getOption(key)
       try {
         spark.conf.set(key, "dynamic")
-        spark.read.parquet(stage.toString)
+        // replay with the LIVE table's schema — the same
+        // no-partition-type-re-inference guard the main path uses (a
+        // string partition with numeric-looking values must not come
+        // back as ints and land in differently-named directories)
+        spark.read.schema(spark.read.parquet(path).schema)
+          .parquet(stage.toString)
           .write.mode("overwrite").partitionBy(partCol).parquet(path)
       } finally {
         saved match {

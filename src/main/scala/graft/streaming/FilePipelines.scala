@@ -113,8 +113,16 @@ object FilePipelines {
     prior.unionByName(Sketches.bloomBits(batch, col("text"), kHashes, mBits))
       .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
       .write.mode("overwrite").parquet(s"$stateDir/epoch=$batchId")
-    epochs.filter(_ < batchId - 1).foreach { e =>
-      fs.delete(new Path(s"$stateDir/epoch=$e"), true) }
+    // GC everything STRICTLY OLDER than the prior epoch this batch
+    // actually read (each epoch subsumes all before it). Keying the cut
+    // on the read prior — not batchId-1 — keeps replays correct under
+    // NON-contiguous batch ids too: batch 20 arriving after batch 10
+    // must retain epoch=10 for its own crash window, or a replay would
+    // rebuild epoch=20 from an empty prior and forget all history.
+    priorEpochs.sorted.lastOption.foreach { keep =>
+      epochs.filter(_ < keep).foreach { e =>
+        fs.delete(new Path(s"$stateDir/epoch=$e"), true) }
+    }
   }
 
   /** Streaming Bloom novelty ingest: NDJSON document segments land in
@@ -382,8 +390,13 @@ object FilePipelines {
       prior.unionByName(Sketches.bloomBits(batch, col("text"), kHashes, mBits))
         .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
         .write.mode("overwrite").parquet(s"$stateDir/epoch=$batchId")
-      epochs.filter(_ < batchId - 1).foreach { e =>
-        sFs.delete(new Path(s"$stateDir/epoch=$e"), true) }
+      // GC keyed on the prior epoch actually read (see bloomMergeBatch):
+      // correct under non-contiguous batch ids, identical under
+      // contiguous ones
+      priorEpochs.sorted.lastOption.foreach { keep =>
+        epochs.filter(_ < keep).foreach { e =>
+          sFs.delete(new Path(s"$stateDir/epoch=$e"), true) }
+      }
       outFs.mkdirs(new Path(s"$outDir/_committed"))
       outFs.create(new Path(s"$outDir/_committed/batch-$batchId"), true).close()
     } finally { batch.unpersist(); () }
@@ -448,19 +461,25 @@ object FilePipelines {
     spark.readStream.format("warcgz").load(inGlob)
       .writeStream
       .foreachBatch((b: DataFrame, id: Long) => {
+        // cached BEFORE the null-key guard: the guard's count fills the
+        // cache, so WARC decode + quality scoring run ONCE per batch
+        // (ingestAdmissionBatch's own select reads this cache)
         val docs = b.filter(col("warc_type") === "response")
           .select(docId.as("doc_id"),
             col("body").cast(StringType).as("text"))
           .filter(graft.operators.TextOps.qualityCol(col("text"))
             >= minQuality)
-        val nNull = docs.filter(col("doc_id").isNull).limit(1).count()
-        require(nNull == 0,
-          "crawlAdmissionStream: docId produced null keys — the default " +
-            "extractor expects fixture-shaped record ids; pass a docId " +
-            "column matching this crawl's id scheme (e.g. " +
-            "xxhash64(col(\"record_id\")))")
-        ingestAdmissionBatch(docs, indexDir, stateDir, outDir, id,
-          family = family)
+          .cache()
+        try {
+          val nNull = docs.filter(col("doc_id").isNull).limit(1).count()
+          require(nNull == 0,
+            "crawlAdmissionStream: docId produced null keys — the default " +
+              "extractor expects fixture-shaped record ids; pass a docId " +
+              "column matching this crawl's id scheme (e.g. " +
+              "xxhash64(col(\"record_id\")))")
+          ingestAdmissionBatch(docs, indexDir, stateDir, outDir, id,
+            family = family)
+        } finally { docs.unpersist(): Unit }
       })
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -470,17 +489,6 @@ object FilePipelines {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
-  /** Streaming dense-index ingest: embedding segments (parquet files —
-    * no text round-trip of floats) land in `inDir`, and each micro-batch
-    * joins the persisted IVF index under its FROZEN centroids via
-    * [[graft.operators.Similarity.appendToIvfIndexCommitted]] — the
-    * committed-batch discipline makes foreachBatch's at-least-once
-    * delivery exactly-once in index STATE: a replayed batch's vectors
-    * can never land (and be double-scored by every probe) twice. The
-    * segments-arrive / index-grows / probes-see-them-immediately loop is
-    * the ANN face of the crawl-ingest story; run
-    * [[graft.operators.Similarity.compactIvfIndex]] between crawls.
-    */
   /** Streaming partition-scoped MERGE: arriving parquet segments upsert
     * into a hive-partitioned table via
     * [[graft.operators.Layout.mergeIntoPartitioned]] — the scalable face
@@ -506,6 +514,17 @@ object FilePipelines {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming dense-index ingest: embedding segments (parquet files —
+    * no text round-trip of floats) land in `inDir`, and each micro-batch
+    * joins the persisted IVF index under its FROZEN centroids via
+    * [[graft.operators.Similarity.appendToIvfIndexCommitted]] — the
+    * committed-batch discipline makes foreachBatch's at-least-once
+    * delivery exactly-once in index STATE: a replayed batch's vectors
+    * can never land (and be double-scored by every probe) twice. The
+    * segments-arrive / index-grows / probes-see-them-immediately loop is
+    * the ANN face of the crawl-ingest story; run
+    * [[graft.operators.Similarity.compactIvfIndex]] between crawls.
+    */
   def ivfIngestStream(spark: SparkSession, inDir: String,
       indexDir: String, checkpointDir: String): StreamingQuery =
     spark.readStream.schema(vecSchema)

@@ -55,6 +55,8 @@ object Scratch {
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
     })
     q.add(df)
+    val scope = activeScope.get().peek()
+    if (scope != null) { scope.add(df): Unit }
     df
   }
 
@@ -78,36 +80,38 @@ object Scratch {
     if (q == null) 0 else q.size()
   }
 
-  /** Run `f` and release ONLY the scratch frames it registered — the
-    * per-unit-of-work discipline a long-lived driver loop needs (e.g. a
-    * foreachBatch body that fully materializes its results within the
-    * batch: every internal cache an operator registered during the batch
-    * is garbage the moment the batch's sinks commit, but a blanket
-    * [[release]] would also drop caches OTHER pipelines in the session
-    * still rely on). Entries present before `f` are untouched; entries
-    * added during `f` are unpersisted even if `f` throws.
+  /** Per-thread stack of open [[scoped]] collectors: registrations made
+    * on a thread with an open scope are ALSO recorded in that scope, so
+    * its release touches exactly the frames its own work registered —
+    * never a concurrent pipeline's (a snapshot diff of the shared queue
+    * could not tell the two apart).
+    */
+  private val activeScope =
+    new ThreadLocal[java.util.ArrayDeque[java.util.List[DataFrame]]] {
+      override def initialValue() =
+        new java.util.ArrayDeque[java.util.List[DataFrame]]()
+    }
+
+  /** Run `f` and release ONLY the scratch frames registered by `f`'s own
+    * thread — the per-unit-of-work discipline a long-lived driver loop
+    * needs (e.g. a foreachBatch body that fully materializes its results
+    * within the batch: every internal cache an operator registered
+    * during the batch is garbage the moment the batch's sinks commit,
+    * but a blanket [[release]] would also drop caches OTHER pipelines in
+    * the session still rely on, and concurrent pipelines' registrations
+    * must not be caught in this scope either). Scope-tracking is
+    * thread-local; released even if `f` throws.
     */
   def scoped[A](spark: SparkSession)(f: => A): A = {
-    val before = {
-      val q = reg.get(spark)
-      if (q == null) java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
-      else {
-        val s = java.util.Collections.newSetFromMap(
-          new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
-        q.forEach(d => { s.add(d); () })
-        s
-      }
-    }
+    val mine = new java.util.ArrayList[DataFrame]()
+    activeScope.get().push(mine)
     try f
     finally {
+      activeScope.get().pop(): Unit
       val q = reg.get(spark)
-      if (q != null) {
-        val it = q.iterator()
-        while (it.hasNext) {
-          val d = it.next()
-          if (!before.contains(d)) { d.unpersist(); it.remove() }
-        }
+      mine.forEach { d =>
+        d.unpersist()
+        if (q != null) { q.remove(d): Unit }
       }
     }
   }

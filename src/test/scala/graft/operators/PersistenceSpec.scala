@@ -91,6 +91,36 @@ class PersistenceSpec extends SparkSpec {
       "a dedup/text internal cache survived Scratch.release")
   }
 
+  test("Scratch.scoped releases its own thread's registrations only") {
+    Scratch.release(spark)
+    // a pre-existing cache outside the scope must survive
+    val outside = Scratch.cached(corpus.limit(10))
+    outside.count(): Unit
+    val beforeN = Scratch.outstanding(spark)
+    var inner: org.apache.spark.sql.DataFrame = null
+    Scratch.scoped(spark) {
+      inner = Scratch.cached(corpus.limit(20))
+      inner.count(): Unit
+      assert(Scratch.outstanding(spark) == beforeN + 1)
+      // a CONCURRENT thread's registration during the scope is NOT ours
+      val t = new Thread(() => {
+        val other = Scratch.cached(corpus.limit(5))
+        other.count(): Unit
+      })
+      t.start(); t.join()
+      assert(Scratch.outstanding(spark) == beforeN + 2)
+    }
+    // scope released its own frame; the outside cache AND the concurrent
+    // thread's registration survive
+    assert(Scratch.outstanding(spark) == beforeN + 1,
+      s"scoped released the wrong entries: ${Scratch.outstanding(spark)}")
+    assert(inner.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "scoped frame still cached")
+    assert(outside.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "outside frame was released by the scope")
+    Scratch.release(spark)
+  }
+
   test("full-pack composition: a gate battery holds a bounded, releasable cache set") {
     // the round-16 completion of the cache audit: not operators in
     // isolation but REAL GATES from five packs composed in one session —
