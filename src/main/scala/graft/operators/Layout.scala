@@ -219,29 +219,53 @@ object Layout {
   def mergeIntoPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, updates: DataFrame, keyCol: String,
       partCol: String, deleteCol: Option[String] = None): Unit = {
-    val touched = updates.select(partCol).distinct()
+    recoverMerge(spark, path, partCol)
+    val table = spark.read.parquet(path)
+    // schema guard, NAMES AND TYPES: a name-only check would let a
+    // type-mismatched update (DOUBLE partCol vs INT table) widen through
+    // unionByName, land partition dirs under DIFFERENT Hive names
+    // (part=5.0 vs part=5) and break the emptied-partition diff. Every
+    // update column must equal the table's type or widen into it
+    // LOSSLESSLY (canUpCast); anything else is an error, not a guess.
+    val missing = table.columns
+      .filterNot(updates.columns.contains)
+    require(missing.isEmpty,
+      s"mergeIntoPartitioned: updates are missing table column(s) " +
+        s"${missing.mkString(", ")}; upserted rows must carry the full schema")
+    val badTypes = table.schema.flatMap { f =>
+      val from = updates.schema(f.name).dataType
+      if (from == f.dataType ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, f.dataType))
+        None
+      else Some(s"${f.name}: ${from.simpleString} -> ${f.dataType.simpleString}")
+    }
+    require(badTypes.isEmpty,
+      s"mergeIntoPartitioned: updates column type(s) cannot losslessly " +
+        s"widen to the table's (${badTypes.mkString(", ")}); cast the " +
+        "updates explicitly before merging")
+    // everything downstream — the touched collect, the anti-join, the
+    // staged write, the emptied-partition diff — runs in the TABLE's
+    // types, so partition path names are computed consistently
+    val typed = updates.select(
+      table.schema.map(f => col(f.name).cast(f.dataType).as(f.name))
+        ++ deleteCol.map(col).toSeq: _*)
+    val touched = typed.select(partCol).distinct()
       .collect().map(_.get(0)).toSeq // bounded: one row per touched partition
     if (touched.isEmpty) return
     require(!touched.contains(null),
       s"mergeIntoPartitioned: updates contain null $partCol values; " +
         "dynamic partition overwrite cannot address the null partition " +
         "safely — filter or default them before merging")
-    recoverMerge(spark, path, partCol)
-    val existing = spark.read.parquet(path)
-      .filter(col(partCol).isInCollection(touched))
+    val existing = table.filter(col(partCol).isInCollection(touched))
     val upserts = deleteCol match {
       case Some(dc) =>
-        updates.filter(!coalesce(col(dc), lit(false))).drop(dc)
-      case None => updates
+        typed.filter(!coalesce(col(dc), lit(false))).drop(dc)
+      case None => typed
     }
-    val missing = existing.columns.filterNot(upserts.columns.contains)
-    require(missing.isEmpty,
-      s"mergeIntoPartitioned: updates are missing table column(s) " +
-        s"${missing.mkString(", ")}; upserted rows must carry the full schema")
     // the anti-join removes EVERY addressed (key, partition) row —
     // tombstones included — and only non-tombstone rows come back
     val merged = existing
-      .join(updates.select(col(keyCol), col(partCol)),
+      .join(typed.select(col(keyCol), col(partCol)),
         Seq(keyCol, partCol), "left_anti")
       .unionByName(upserts.select(existing.columns.map(col): _*))
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -252,6 +276,15 @@ object Layout {
     try {
       merged.select(existing.columns.map(col): _*)
         .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+      // staging-complete marker: OUR OWN, not the committer's optional
+      // _SUCCESS (cloud committers commonly run with
+      // marksuccessfuljobs=false — the ingestAdmissionBatch _verdicts
+      // discipline). recoverMerge keys roll-forward on THIS file; a
+      // crash mid-overwrite with no marker would otherwise read as a
+      // partial stage and recovery would DELETE the only complete copy
+      // of the merged rows — silent row loss.
+      fs.create(new org.apache.hadoop.fs.Path(s"$stage/$StagedMarker"), true)
+        .close()
       // explicit schema: partition-column type must round-trip, not be
       // re-inferred from directory names
       val staged = spark.read.schema(existing.schema).parquet(stage)
@@ -286,15 +319,25 @@ object Layout {
     }
   }
 
+  /** The merge's OWN staging-complete marker file name. Deliberately not
+    * `_SUCCESS`: that file is optional committer behavior
+    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false is common
+    * on cloud committers), and keying recovery on it would mis-classify
+    * a complete stage as partial there and delete it.
+    */
+  val StagedMarker = "_GRAFT_STAGED"
+
   /** Roll an interrupted [[mergeIntoPartitioned]] FORWARD: a COMPLETE
-    * staged merge (`_merge_staging` with `_SUCCESS`) surviving a crash
-    * between staging and the overwrite commit is replayed into the
-    * table; a partial stage (no `_SUCCESS` — the crash hit during
-    * staging, before any live mutation) is dropped. Run first by every
-    * merge call; safe (and cheap) to call any time. Note: the replay
-    * restores touched-partition CONTENTS; emptied-partition directory
-    * drops from a delete-merge are restored by re-running the original
-    * merge (idempotent from its updates), not by this.
+    * staged merge (`_merge_staging` with the merge's own
+    * [[StagedMarker]], written unconditionally after the stage — never
+    * the committer-optional `_SUCCESS`) surviving a crash between
+    * staging and the overwrite commit is replayed into the table; a
+    * partial stage (no marker — the crash hit during staging, before
+    * any live mutation) is dropped. Run first by every merge call; safe
+    * (and cheap) to call any time. Note: the replay restores
+    * touched-partition CONTENTS; emptied-partition directory drops from
+    * a delete-merge are restored by re-running the original merge
+    * (idempotent from its updates), not by this.
     */
   def recoverMerge(spark: org.apache.spark.sql.SparkSession,
       path: String, partCol: String): Unit = {
@@ -302,7 +345,8 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(s"$path/_merge_staging")
     if (!fs.exists(stage)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_merge_staging/_SUCCESS"))) {
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/_merge_staging/$StagedMarker"))) {
       val key = "spark.sql.sources.partitionOverwriteMode"
       val saved = spark.conf.getOption(key)
       try {

@@ -995,13 +995,26 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.util.CommittedAppend.assertNoInflight(fs, path)
-    graft.util.Generations.recover(fs, lives = Seq(s"$path/codes"),
-      stages = Seq(s"$path/_compact_codes"))
+    recoverSq8Index(spark, path)
     val stage = s"$path/_compact_codes"
     spark.read.parquet(s"$path/codes")
       .repartition(files).sortWithinPartitions("vec_id")
       .write.mode("overwrite").parquet(stage)
     graft.util.Generations.swapIn(fs, s"$path/codes", stage)
+  }
+
+  /** Restore a torn [[compactSq8Index]] swap — the documented
+    * "safe to call any time" recovery entry point every compactor
+    * exposes ([[recoverIvfIndex]], [[Dedup.recoverLshIndex]]): without
+    * it a torn swap leaves `codes/` parked as `codes.old` and every
+    * [[readSq8Index]]/probe fails until the NEXT compaction happens to
+    * run its inline recovery. Run first by [[compactSq8Index]].
+    */
+  def recoverSq8Index(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.Generations.recover(fs, lives = Seq(s"$path/codes"),
+      stages = Seq(s"$path/_compact_codes"))
   }
 
   /** The decoded (reconstructed) vector of a codes column:

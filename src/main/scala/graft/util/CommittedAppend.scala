@@ -28,7 +28,12 @@ import org.apache.spark.sql.SparkSession
   *     (`batch-<id>-<i>.parquet`, files sorted by name within each dir)
   *     and SKIPS names already present — so a crash at ANY point
   *     (mid-staging, mid-promotion, before the marker) replays to the
-  *     exact same live rows with none duplicated.
+  *     exact same live rows with none duplicated;
+  *  4. the determinism the caller promises is VERIFIED, not assumed: a
+  *     content fingerprint recorded before the first promotion is
+  *     compared on every retry, so a retry staging different rows
+  *     (caller bug, changed session config) fails loudly instead of
+  *     silently mixing two generations through skip-existing promotion.
   *
   * The `_`-prefixed staging/marker dirs sit inside the root and are
   * invisible to readers (exact-subdir reads plus Hadoop's hidden-path
@@ -49,6 +54,11 @@ object CommittedAppend {
     val marker = new Path(s"$root/_committed/batch-$batchId")
     val stage = s"$root/_staging/batch=$batchId"
     val stagePath = new Path(stage)
+    // the fingerprint lives beside the marker and is KEPT, like the
+    // marker itself — so even a retry arriving after full cleanup
+    // (marker lost to operator error rather than a crash) still
+    // validates against the content that actually promoted
+    val fpPath = new Path(s"$root/_committed/fp-batch-$batchId")
     if (fs.exists(marker)) {
       // already committed — also clear any staging the crash window
       // between marker and cleanup left behind, so the in-flight signal
@@ -57,11 +67,66 @@ object CommittedAppend {
       return false
     }
     stageWrites(stage)
-    if (fs.exists(stagePath)) promote(fs, batchId, stagePath, rootPath)
+    if (fs.exists(stagePath)) {
+      // determinism guard: skip-existing promotion is only exactly-once
+      // if a retry re-stages byte-equivalent rows. Record a content
+      // fingerprint (row count + order-free row-hash fold) beside the
+      // marker before the FIRST promotion; a retry whose re-staged
+      // content disagrees would otherwise silently mix files from two
+      // generations (old names kept, new names added) — fail it loudly
+      // instead. One bounded aggregate over the micro-batch-sized stage.
+      val fp = fingerprint(spark, stage)
+      if (fs.exists(fpPath)) {
+        val recorded = readSmall(fs, fpPath)
+        if (recorded != fp)
+          throw new IllegalStateException(
+            s"committed append batch $batchId: re-staged content " +
+              s"fingerprint $fp does not match the fingerprint $recorded " +
+              "recorded before first promotion — the caller's staging is " +
+              "not deterministic (data or session config changed between " +
+              "retries); promotion would mix two generations. Clear " +
+              "_staging and the partially-promoted batch files before " +
+              "re-landing this batch")
+      } else {
+        fs.mkdirs(new Path(s"$root/_committed"))
+        writeSmall(fs, fpPath, fp)
+      }
+      promote(fs, batchId, stagePath, rootPath)
+    }
     fs.mkdirs(new Path(s"$root/_committed"))
     fs.create(marker, true).close()
     fs.delete(stagePath, true): Unit
     true
+  }
+
+  /** Content fingerprint of a staged tree: row count plus a
+    * commutative XOR fold of per-row xxhash64 over every leaf parquet
+    * file (recursive lookup — partition DIRECTORY names are excluded,
+    * but the columns they derive from are in the rows). Order-free, so
+    * task scheduling cannot move it; cheap — one aggregate over one
+    * micro-batch.
+    */
+  private def fingerprint(spark: SparkSession, stage: String): String = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(stage)
+    val r = df.agg(count(lit(1)),
+      expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}))"))
+      .head()
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   /** Refuse index MAINTENANCE while a committed append is in flight: a

@@ -149,14 +149,21 @@ class MergeSpec extends SparkSpec {
       .select(col("k"), col("v"), col("part"))
       .as[(Long, String, String)].collect().toSet
 
-    // crash WINDOW 1: staging complete (_SUCCESS) but the overwrite
-    // never committed — simulated by planting the staged merge of
-    // "replace key 1 in p1, insert key 9". It must be invisible to
-    // readers, then ROLLED FORWARD by recovery (run implicitly by the
-    // next merge call), not discarded.
+    // crash WINDOW 1: staging complete (the merge's OWN marker present)
+    // but the overwrite never committed — simulated by planting the
+    // staged merge of "replace key 1 in p1, insert key 9" plus the
+    // marker the real merge writes after staging. It must be invisible
+    // to readers, then ROLLED FORWARD by recovery (run implicitly by
+    // the next merge call), not discarded. The committer's _SUCCESS is
+    // deliberately DELETED first: cloud committers often run with
+    // marksuccessfuljobs=false, and recovery must not depend on it
+    // (the ADVICE r16 silent-row-loss window).
     Seq((1L, "a3", "p1"), (9L, "i", "p1")).toDF("k", "v", "part")
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$dir/_merge_staging")
+    new File(s"$dir/_merge_staging/_SUCCESS").delete()
+    assert(new File(s"$dir/_merge_staging/${Layout.StagedMarker}")
+      .createNewFile())
     assert(spark.read.parquet(dir).count() == 2,
       "staging rows leaked into table reads")
     Layout.mergeIntoPartitioned(spark, dir,
@@ -166,17 +173,49 @@ class MergeSpec extends SparkSpec {
       (2L, "b", "p2"), (3L, "c", "p2")), s"roll-forward wrong: ${rows()}")
     assert(!new File(s"$dir/_merge_staging").exists())
 
-    // crash WINDOW 2: staging PARTIAL (no _SUCCESS — the crash hit
+    // crash WINDOW 2: staging PARTIAL (no staged marker — the crash hit
     // during staging, before any live mutation): recovery drops it and
-    // the table is untouched
+    // the table is untouched. The committer's _SUCCESS IS present (the
+    // plain write produced it) — recovery must ignore it: only the
+    // merge's own marker, written strictly after the stage completes,
+    // certifies completeness.
     Seq((50L, "half", "p1")).toDF("k", "v", "part")
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$dir/_merge_staging")
-    assert(new File(s"$dir/_merge_staging/_SUCCESS").delete())
+    assert(new File(s"$dir/_merge_staging/_SUCCESS").exists())
     val before = rows()
     Layout.recoverMerge(spark, dir, "part")
     assert(rows() == before, "partial staging mutated the table")
     assert(!new File(s"$dir/_merge_staging").exists())
+  }
+
+  test("merge type guard: lossy updates types rejected; lossless widening lands in the table's partition names") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dir = s"$tmp/graft_spec_merge_types_${spark.sparkContext.applicationId}"
+    // table: k long, v string, part INT
+    Seq((1L, "a", 5), (2L, "b", 6)).toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    // DOUBLE partCol vs INT table — the ADVICE r16 scenario: unionByName
+    // would widen and stage part=5.0 next to part=5. Must reject.
+    val lossy = Seq((1L, "a2", 5.0)).toDF("k", "v", "part")
+    val e = intercept[IllegalArgumentException] {
+      Layout.mergeIntoPartitioned(spark, dir, lossy, "k", "part")
+    }
+    assert(e.getMessage.contains("losslessly"), e.getMessage)
+    assert(spark.read.parquet(dir).where(col("v") === "a2").count() == 0,
+      "rejected merge mutated the table")
+    // INT updates into the INT table via an INT-typed frame, with the
+    // KEY arriving narrower (int k vs long table k): lossless upcast —
+    // allowed, and the delete-diff sees one consistent partition name
+    val ok = Seq((1, "a2", 5, false), (2, "b", 6, true))
+      .toDF("k", "v", "part", "_del")
+    Layout.mergeIntoPartitioned(spark, dir, ok, "k", "part",
+      deleteCol = Some("_del"))
+    val got = spark.read.parquet(dir).select(col("k"), col("v"), col("part"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a2", 5)), s"widened merge wrong: $got")
+    assert(!new File(s"$dir/part=6").exists(),
+      "emptied partition survived a type-widened delete merge")
   }
 
   test("merge deletes escaped partition dirs correctly when emptied") {

@@ -243,6 +243,45 @@ class SimilaritySpec extends SparkSpec {
       "compaction changed the code table")
   }
 
+  test("recoverSq8Index: a torn compaction swap is restorable WITHOUT running another compaction") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/sq8rec_${spark.sparkContext.applicationId}"
+    Similarity.writeSq8Index(corpus, dir)
+    val before = spark.read.parquet(s"$dir/codes").collect().toSet
+    // torn swapIn: live parked as .old, stage gone, nothing renamed in —
+    // every read/probe of codes/ now fails until recovery runs
+    assert(new java.io.File(s"$dir/codes")
+      .renameTo(new java.io.File(s"$dir/codes.old")))
+    Similarity.recoverSq8Index(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes").collect().toSet == before,
+      "recoverSq8Index did not restore the parked generation")
+    // idempotent: safe to call any time
+    Similarity.recoverSq8Index(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes").collect().toSet == before)
+  }
+
+  test("committed append rejects a retry whose re-staged content differs (fingerprint guard)") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/sq8fp_${spark.sparkContext.applicationId}"
+    val half = corpus.filter(col("vec_id") < 250)
+    val restA = corpus.filter(col("vec_id") >= 250 && col("vec_id") < 400)
+    val restB = corpus.filter(col("vec_id") >= 400)
+    Similarity.writeSq8Index(half, dir)
+    assert(Similarity.appendToSq8IndexCommitted(spark, dir, restA, 1L))
+    // lose the marker (the crash window a blind retry replays), then
+    // retry the SAME batch id with DIFFERENT rows — the caller-bug /
+    // changed-config case skip-existing promotion would silently mix:
+    // the recorded fingerprint must fail it loudly instead
+    assert(new java.io.File(s"$dir/_committed/batch-1").delete())
+    val e = intercept[IllegalStateException] {
+      Similarity.appendToSq8IndexCommitted(spark, dir, restB, 1L)
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+    // an HONEST deterministic retry of the same batch still lands clean
+    assert(Similarity.appendToSq8IndexCommitted(spark, dir, restA, 1L))
+    assert(spark.read.parquet(s"$dir/codes").count() ==
+      half.count() + restA.count(),
+      "fingerprint-guarded retry duplicated or lost rows")
+  }
+
   test("IVF×SQ8: exhaustive probe == pure-ADC SQ8; pruned rows keep exact ADC scores") {
     // probing every cell makes the composed operator score every pair —
     // it must then equal the single-effect SQ8 ranking exactly
