@@ -326,10 +326,81 @@ object Similarity {
     graft.util.Generations.swapIn(fs, s"$path/cells", stage)
   }
 
-  /** Restore a torn [[compactIvfIndex]] swap. Safe to call any time. */
+  /** REFIT a persisted IVF index's coarse quantizer in place — the
+    * maintenance pass that answers quantizer DRIFT, the one failure mode
+    * frozen-centroid appends cannot: after enough appended segments from
+    * a shifted distribution, the frozen cells stop representing the
+    * corpus (one cell absorbs the drifted mass, probe cost balloons at
+    * fixed recall). Refit = [[kmeansFit]] over the GROWN corpus (the
+    * full-corpus distributed Lloyd, not the driver-sample quantizer —
+    * the index has outgrown a sample by the time drift matters) →
+    * reassign every vector → swap BOTH generations (cells/ and
+    * centroids/) via the [[graft.util.Generations]] discipline.
+    *
+    * Crash safety across the TWO-directory swap: both stages are written
+    * completely BEFORE the first swap, cells swap first, centroids
+    * second, and [[recoverIvfIndex]] decides direction from what
+    * survives — a cells stage still present means no swap completed
+    * (roll BACK: restore parked generations, drop stages); a centroids
+    * stage present with the cells stage gone means the cells swap
+    * committed (roll FORWARD: complete the centroids swap) — so no crash
+    * window can leave new cells probed by old centroids. Equivalent to a
+    * fresh [[writeIvfIndex]]([[kmeansFit]](grown corpus)) — the
+    * sim_ivf_refit gate hash-checks exactly that. Single-maintainer
+    * contract; refuses while a committed append is in flight.
+    */
+  def refitIvfIndex(spark: SparkSession, path: String, ncells: Int,
+      iters: Int = 2): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.CommittedAppend.assertNoInflight(fs, path)
+    recoverIvfIndex(spark, path)
+    val corpus = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("embedding"))
+    val (assigned, cents) = kmeansFit(corpus, ncells, iters)
+    val cellsStage = s"$path/_refit_cells"
+    val centStage = s"$path/_refit_centroids"
+    // stage EVERYTHING first (the staged cells read the live tree, so
+    // both writes must complete before any swap), swap second
+    assigned.select(col("vec_id"), col("embedding"), col("cell"))
+      .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(cellsStage)
+    import spark.implicits._
+    val json = centersOf(cents)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    Seq(json).toDF("centroids").coalesce(1)
+      .write.mode("overwrite").json(centStage)
+    graft.util.Generations.swapIn(fs, s"$path/cells", cellsStage)
+    graft.util.Generations.swapIn(fs, s"$path/centroids", centStage)
+  }
+
+  /** Restore a torn [[compactIvfIndex]] swap or a torn [[refitIvfIndex]]
+    * two-directory swap. Safe to call any time; run first by both.
+    * Refit windows are direction-decidable: the cells stage still
+    * present ⇒ no swap committed ⇒ roll back; only the centroids stage
+    * present ⇒ the cells swap committed ⇒ roll the centroids swap
+    * FORWARD (old centroids must never probe new cells).
+    */
   def recoverIvfIndex(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellsStage = s"$path/_refit_cells"
+    val centStage = s"$path/_refit_centroids"
+    if (fs.exists(new org.apache.hadoop.fs.Path(cellsStage)))
+      // crash before (or during) the cells swap: the parked generations
+      // (if any) are the consistent pair — restore them, drop both stages
+      graft.util.Generations.recover(fs,
+        lives = Seq(s"$path/cells", s"$path/centroids"),
+        stages = Seq(cellsStage, centStage))
+    else if (fs.exists(new org.apache.hadoop.fs.Path(centStage))) {
+      // cells swap committed, centroids swap pending: heal any torn
+      // centroids rename, then complete the swap
+      graft.util.Generations.recover(fs,
+        lives = Seq(s"$path/cells", s"$path/centroids"), stages = Seq())
+      graft.util.Generations.swapIn(fs, s"$path/centroids", centStage)
+    } else
+      graft.util.Generations.recover(fs,
+        lives = Seq(s"$path/cells", s"$path/centroids"), stages = Seq())
     graft.util.Generations.recover(fs, lives = Seq(s"$path/cells"),
       stages = Seq(s"$path/_compact_cells"))
   }
@@ -857,6 +928,71 @@ object Similarity {
     import spark.implicits._
     Seq(json).toDF("codebook").coalesce(1)
       .write.mode("overwrite").json(s"$path/codebook")
+  }
+
+  /** Append new vectors to a persisted PQ index under its FROZEN
+    * codebooks — the same maintenance contract as
+    * [[appendToIvfIndex]]'s frozen centroids and [[appendToSq8Index]]'s
+    * frozen bounds: codebooks are fitted once; batches encode
+    * themselves against them (the identical [[pqEncode]] arithmetic —
+    * frozen-codebook appends commute with one big encode) and land as
+    * appended code files, nothing rewritten, no refit. Refit + rewrite
+    * ([[writePqIndex]] with fresh codebooks) is the separate, rarer
+    * maintenance pass when drift degrades the quantizer.
+    */
+  def appendToPqIndex(spark: SparkSession, path: String,
+      newVecs: DataFrame): Unit = {
+    val (_, cb) = readPqIndex(spark, path)
+    pqEncode(newVecs, cb).write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Exactly-once [[appendToPqIndex]] — [[graft.util.CommittedAppend]]
+    * over the flat `codes/` layout (one staged vec_id-sorted file per
+    * batch, the [[appendToSq8IndexCommitted]] shape): marker +
+    * deterministic staging + fingerprint-checked skip-existing
+    * promotion, so a blind retry after a lost acknowledgment can never
+    * land the batch's codes (and shortlist-score them) twice. Returns
+    * true iff this call landed the batch.
+    */
+  def appendToPqIndexCommitted(spark: SparkSession, path: String,
+      newVecs: DataFrame, batchId: Long): Boolean =
+    graft.util.CommittedAppend.run(spark, path, batchId) { stage =>
+      val (_, cb) = readPqIndex(spark, path)
+      pqEncode(newVecs, cb)
+        .repartition(1).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(s"$stage/codes")
+    }
+
+  /** Compact a persisted PQ index's code table into `files` vec_id-
+    * sorted files via the shared crash-recoverable generation swap —
+    * the PQ sibling of [[compactSq8Index]]. Codebook metadata is
+    * untouched (not part of the rewrite). Single-maintainer contract
+    * as with every compactor; refuses while a committed append is in
+    * flight.
+    */
+  def compactPqIndex(spark: SparkSession, path: String,
+      files: Int = 1): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.CommittedAppend.assertNoInflight(fs, path)
+    recoverPqIndex(spark, path)
+    val stage = s"$path/_compact_codes"
+    spark.read.parquet(s"$path/codes")
+      .repartition(files).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(stage)
+    graft.util.Generations.swapIn(fs, s"$path/codes", stage)
+  }
+
+  /** Restore a torn [[compactPqIndex]] swap — the "safe to call any
+    * time" recovery entry point every compactor exposes
+    * ([[recoverIvfIndex]], [[recoverSq8Index]], [[Dedup.recoverLshIndex]]).
+    * Run first by [[compactPqIndex]].
+    */
+  def recoverPqIndex(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.Generations.recover(fs, lives = Seq(s"$path/codes"),
+      stages = Seq(s"$path/_compact_codes"))
   }
 
   def readPqIndex(spark: SparkSession, path: String): (DataFrame, Array[Array[Array[Double]]]) = {

@@ -735,6 +735,60 @@ object SimilarityPack extends QueryPack {
       },
       Some(IvfGrownOracle)),
 
+    // IVF centroid REFIT (round 17): the maintenance gap frozen-centroid
+    // appends leave open — after N appended segments the quantizer has
+    // drifted, and refitIvfIndex re-fits kmeansFit over the GROWN corpus,
+    // reassigns every vector, and swaps BOTH generations (cells +
+    // centroids) crash-recoverably. The fixture grows a half-corpus
+    // label index by the other half under frozen centroids (exactly
+    // sim_ivf_append's drift setup), then refits with k=8; because
+    // kmeansFit's whole fixed-point is SQL-replayable (seeding by md5
+    // order, argmax dot − ‖c‖²/2 assignment, exact-decimal means rounded
+    // to 6 dp — the sim_kmeans_fit CTes verbatim), the oracle replays
+    // the refit ON THE UNION and the pruned nprobe=2 probe through the
+    // refit centroids end to end: a refit that forgot appended rows,
+    // kept stale centroids, or tore between the two swaps all fail the
+    // hash. Refit == fresh-build equivalence and the planted-drift
+    // probe-cost win are pinned in SimilaritySpec.
+    QueryDef(
+      "sim_ivf_refit",
+      ivfGrownProbe("ivf_refit") { (s, emb, p) =>
+        Similarity.writeIvfIndex(
+          labelIndexOf(emb.filter(col("vec_id") % 2 === 0)), p)
+        Similarity.appendToIvfIndexCommitted(s, p,
+          emb.filter(col("vec_id") % 2 === 1)
+            .select(col("vec_id"), col("embedding")), batchId = 1L): Unit
+        Similarity.refitIvfIndex(s, p, ncells = 8, iters = 2)
+      },
+      Some(s"""WITH ${kmeansReplayCtes("embeddings")},
+              |celled AS (
+              |  SELECT e.vec_id, e.embedding, af.cell
+              |  FROM embeddings e JOIN af USING (vec_id)
+              |), q AS (
+              |  SELECT vec_id AS query_id, embedding AS qvec
+              |  FROM embeddings WHERE vec_id < 10
+              |), pc AS (
+              |  SELECT query_id, qvec, cell FROM (
+              |    SELECT q.query_id, q.qvec, v.cell,
+              |           row_number() OVER (PARTITION BY q.query_id
+              |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
+              |                                       v.cell) AS crank
+              |    FROM q CROSS JOIN c2 v) t
+              |  WHERE crank <= 2
+              |), scored AS (
+              |  SELECT pc.query_id, c.vec_id,
+              |         round(${cosSql("pc.qvec", "c.embedding")}, 5) AS score
+              |  FROM pc JOIN celled c ON c.cell = pc.cell
+              |  WHERE pc.query_id != c.vec_id
+              |)
+              |SELECT query_id, rank, vec_id, score FROM (
+              |  SELECT query_id, vec_id, score,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY score DESC, vec_id) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 10
+              |ORDER BY query_id, rank""".stripMargin)),
+
     // Streaming dense-index ingest (round 16): the ANN face of the
     // crawl-ingest loop — embedding segments ARRIVE as parquet files
     // (no text round-trip of floats) and each micro-batch joins the
@@ -1208,6 +1262,45 @@ object SimilarityPack extends QueryPack {
         Similarity.topKPq(T.embeddings(s, d), queriesDf(s, d), 10,
             rerank = ((n + 9) / 10).toInt max 1,
             codebooks = Some(cb))
+          .orderBy("query_id", "rank")
+      },
+      Some(TopKOracleSql)),
+
+    // PQ index LIFECYCLE (round 17): the last quantizer family gains the
+    // same maintenance story IVF/SQ8/LSH already carry — writePqIndex
+    // fits codebooks on the FIRST half of the corpus only, two
+    // exactly-once committed appends (CommittedAppend's marker +
+    // deterministic staging + fingerprint-checked skip-existing
+    // promotion) land the second half encoded under those FROZEN
+    // codebooks, and compactPqIndex rewrites the accreted per-batch
+    // files into one vec_id-sorted file via the crash-recoverable
+    // generation swap. The gate then queries the grown+compacted index
+    // in the FORCED-EXHAUSTIVE rerank regime (sim_topk_pq's proven
+    // trick: a corpus-sized shortlist makes the exact-cosine rerank
+    // exact), so it shares the brute-force oracle — and a lost append
+    // erases the second half from every top-k list, a double-landed
+    // batch cannot happen by construction, and a torn compaction swap
+    // would fail the read outright. Torn-swap recovery and the pruned
+    // regime are pinned in SimilaritySpec.
+    QueryDef(
+      "sim_pq_append",
+      (s, d) => {
+        val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val idx = graft.util.TempFixtures.dir(s, "pq_grown", d) { path =>
+          val half = base.filter(col("vec_id") < 250)
+          Similarity.writePqIndex(half, Similarity.pqCodebooks(half), path)
+          val rest = base.filter(col("vec_id") >= 250)
+          Similarity.appendToPqIndexCommitted(s, path,
+            rest.filter(col("vec_id") < 400), batchId = 1L): Unit
+          Similarity.appendToPqIndexCommitted(s, path,
+            rest.filter(col("vec_id") >= 400), batchId = 2L): Unit
+          Similarity.compactPqIndex(s, path)
+        }
+        val (codes, cb) = Similarity.readPqIndex(s, idx)
+        val n = base.count()
+        Similarity.topKPq(base, queriesDf(s, d), 10,
+            rerank = ((n + 9) / 10).toInt max 1,
+            codebooks = Some(cb), encodedIndex = Some(codes))
           .orderBy("query_id", "rank")
       },
       Some(TopKOracleSql)),

