@@ -60,29 +60,58 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     * actually applied, so a caller combining `_since` with such types
     * gets a signal instead of a silently-full directory.
     *
+    * `_typeFilter` (the bulk-data spec's per-type search restriction):
+    * each element is a `Type?params` FHIR search expression; an exported
+    * type named by one or more filters exports only resources matching
+    * ANY of its filters (the spec's OR-of-filters semantics, id-deduped),
+    * planned by the SAME [[search]] machinery every search gate
+    * hash-checks — so every filter feature (tokens, dates, chains,
+    * `:modifiers`) works in export legs for free, and the filter
+    * predicate pushes into the leg's scan exactly as it does in a
+    * search. Filters compose with `_since` (filter first, floor second).
+    * A filter naming a type outside the export set is an error, not a
+    * silent no-op.
+    *
     * Returns the operation manifest — one (resource_type, n, path,
-    * since_applied) row per exported type, with `n` counted by READING
-    * BACK the written files, so the manifest certifies that what landed
-    * re-parses.
+    * since_applied, filter_applied) row per exported type, with `n`
+    * counted by READING BACK the written files, so the manifest
+    * certifies that what landed re-parses.
     */
   def export(destDir: String, types: Option[Seq[String]] = None,
-      since: Option[String] = None): DataFrame = {
+      since: Option[String] = None,
+      typeFilters: Seq[String] = Seq.empty): DataFrame = {
     import spark.implicits._
     val exportTypes = types.getOrElse(tables.keys.toSeq).sorted
     exportTypes.foreach(t => require(tables.contains(t),
       s"unknown type in export _type: $t"))
+    val filtersByType: Map[String, Seq[String]] = typeFilters.map { f =>
+      val t = f.takeWhile(_ != '?')
+      require(t.nonEmpty && f.contains('?'),
+        s"_typeFilter must be a Type?params search expression: $f")
+      require(exportTypes.contains(t),
+        s"_typeFilter targets a type not being exported: $f")
+      (t, f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val rows = exportTypes.map { t =>
       val applied = since.isDefined && MetaTypes(t)
+      val base = filtersByType.get(t) match {
+        case Some(fs) =>
+          // OR of filters, deduped by id (a resource matching two
+          // filters exports once — the bulk-data contract)
+          fs.map(search).reduce(_ unionByName _).dropDuplicates("id")
+        case None => table(t)
+      }
       val src =
         if (applied)
-          table(t).filter(col("meta").getField("lastUpdated") >= since.get)
-        else table(t)
+          base.filter(col("meta").getField("lastUpdated") >= since.get)
+        else base
       val path = s"$destDir/$t"
       FhirIO.writeNdjson(src, path)
       val n = FhirIO.readNdjson(spark, path, FhirSchemas.byType(t)).count()
-      (t, n, path, applied)
+      (t, n, path, applied, filtersByType.contains(t))
     }
-    rows.toDF("resource_type", "n", "path", "since_applied")
+    rows.toDF("resource_type", "n", "path", "since_applied",
+      "filter_applied")
   }
 
   /** `k=v&k2=v2` (possibly null/empty) → pairs; bare keys dropped. */
