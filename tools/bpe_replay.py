@@ -64,6 +64,30 @@ def encode_word(word, ranks):
     return syms
 
 
+def pack_digest(rows, ranks, seqlen):
+    """Replay packSequencesGlobalTok over the replayed BPE token counts:
+    one global token stream in doc_id order, cut into seqlen-token
+    sequences, a document crossing a boundary spanning consecutive ones.
+    Digest over `seq_id\\tdoc_id\\ttok_start\\ttok_end\\ttokens_in_seq`
+    lines in (seq_id, doc_id) order — the sample_pack_bpe gate's shape.
+    """
+    lines = []
+    tok_end = 0
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        n = 0
+        for w in JAVA_WS.split(r["text"].lower()):
+            if w:
+                n += len(encode_word(w, ranks))
+        n = max(1, n)  # the tokenEstimate >= 1 floor
+        start, end = tok_end, tok_end + n
+        tok_end = end
+        for seq in range(start // seqlen, (end - 1) // seqlen + 1):
+            tis = min(end, (seq + 1) * seqlen) - max(start, seq * seqlen)
+            lines.append(f"{seq}\t{r['doc_id']}\t{start}\t{end}\t{tis}")
+    lines.sort(key=lambda l: (int(l.split("\t")[0]), int(l.split("\t")[1])))
+    return hashlib.md5(("\n".join(lines) + "\n").encode()).hexdigest()
+
+
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     num_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -86,6 +110,8 @@ def main():
         lines.append(f"{r['doc_id']}\t" + " ".join(toks))
     digest = hashlib.md5(("\n".join(lines) + "\n").encode()).hexdigest()
     print(f"merges={len(merges)} first={merges[0]} digest={digest}")
+    # tokenizer-exact packing replay (the sample_pack_bpe pin)
+    print(f"pack256_digest={pack_digest(rows, ranks, 256)}")
 
 
 if __name__ == "__main__":
