@@ -117,12 +117,26 @@ object Sampling {
     * therefore the spans, run-dependent.
     */
   def packSequencesGlobal(df: DataFrame, key: Column, text: Column,
+      seqLen: Int, nRanges: Int = 32): DataFrame =
+    packSequencesGlobalTok(df, key, tokenEstimate(text), seqLen, nRanges)
+
+  /** [[packSequencesGlobal]] with a CALLER-SUPPLIED token-count column —
+    * the tokenizer-exact delivery path: a training job consumes REAL
+    * tokenizer counts (e.g. [[Bpe.encodeDocs]]'s n_tokens under a
+    * trained merge table), not the chars/4 estimate, and the packed
+    * boundaries must line up with what its data loader will see. The
+    * count is clamped to ≥ 1 (the [[tokenEstimate]] floor) so empty
+    * documents still occupy a position in the stream and the span
+    * arithmetic stays well-formed.
+    */
+  def packSequencesGlobalTok(df: DataFrame, key: Column, tok: Column,
       seqLen: Int, nRanges: Int = 32): DataFrame = {
     require(seqLen >= 1, s"seqLen=$seqLen")
     val spark = df.sparkSession
     import spark.implicits._
     val base = graft.util.Scratch.cached(
-      df.select(key.as("doc_key"), tokenEstimate(text).as("tok"))
+      df.select(key.as("doc_key"),
+          greatest(lit(1L), tok.cast("long")).as("tok"))
         .repartitionByRange(nRanges, col("doc_key"))
         .withColumn("pid", spark_partition_id()))
     val sums = base.groupBy("pid").agg(sum("tok").as("s"))

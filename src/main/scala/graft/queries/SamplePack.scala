@@ -239,6 +239,34 @@ object SamplePack extends QueryPack {
              |          CAST((s.tok_end - 1) // 256 AS BIGINT))) AS gs(seq_id)
              |ORDER BY gs.seq_id, s.doc_id""".stripMargin)),
 
+    // Tokenizer-EXACT packing (round 17): packSequencesGlobal composed
+    // with the REAL trained BPE tokenizer — the delivery artifact a
+    // training job actually consumes packs by the token counts its data
+    // loader will see (Bpe.train's 30-merge table → encodeDocs
+    // n_tokens), not the chars/4 estimate. Iteratively-trained BPE has
+    // no SQL oracle (the text_bpe_tokens precedent), so the gate is
+    // rows-only BY NECESSITY and carries an independent non-DuckDB pin
+    // instead: BpeSpec hashes this exact output on sf0.001 against
+    // tools/bpe_replay.py's pack256_digest (a from-the-algorithm Python
+    // replay of train + encode + the global concat-and-cut). The
+    // distributed prefix sum itself stays hash-checked through
+    // sample_pack_spans / sample_curation_packed's estimator-count
+    // oracles.
+    QueryDef(
+      "sample_pack_bpe",
+      (s, d) => {
+        val base = T.documents(s, d).select(col("doc_id"), col("text"))
+        val merges = graft.operators.Bpe.train(base, numMerges = 30)
+        val counts = graft.operators.Bpe.encodeDocs(base, merges)
+          .select(col("doc_id"), col("n_tokens"))
+        Sampling.packSequencesGlobalTok(counts, col("doc_id"),
+            col("n_tokens"), seqLen = 256)
+          .select(col("seq_id"), col("doc_key").as("doc_id"),
+            col("tok_start"), col("tok_end"), col("tokens_in_seq"))
+          .orderBy("seq_id", "doc_id")
+      },
+      None),
+
     // Benchmark decontamination: docs sharing ≥1 distinct word-8-gram
     // with the benchmark set (here: doc_id % 10 = 0 plays the eval set).
     // Join key = md5 digest of the shingle (16-byte shuffle rows, text

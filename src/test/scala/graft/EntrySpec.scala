@@ -17,8 +17,12 @@ class EntrySpec extends SparkSpec {
     // text_compress_ratio is rows-only by necessity: DuckDB cannot
     // deflate, so no SQL oracle can exist — TextOpsSpec pins exact
     // vectors against a direct JDK Deflater replay instead.
+    // sample_pack_bpe composes the trained BPE (no SQL oracle, same
+    // necessity as text_bpe_tokens) with the packing prefix sum; BpeSpec
+    // pins it against bpe_replay.py's pack digest, and the prefix sum
+    // itself stays hash-checked via sample_pack_spans.
     assert(noOracle == Set(
       "q27_approx_distinct", "q47_approx_quantile", "text_bpe_tokens",
-      "text_compress_ratio"))
+      "text_compress_ratio", "sample_pack_bpe"))
   }
 }

@@ -118,6 +118,31 @@ class BpeSpec extends SparkSpec {
       "token-stream digest drifted from the pinned independent replay")
   }
 
+  test("sf0.001 tokenizer-exact packing digest matches the independent Python replay (pinned)") {
+    // Pinned constant = tools/bpe_replay.py's pack256_digest on
+    // /root/testdata/sf0.001 — the sample_pack_bpe gate's rows-only pin:
+    // the replay recomputes BPE token counts from the algorithm
+    // definition and replays the global concat-and-cut sequentially, so
+    // a drifted merge table, a wrong token count, OR a prefix-sum/span
+    // boundary bug in packSequencesGlobalTok all flip this digest.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val merges = Bpe.train(docs, numMerges = 30)
+    val counts = Bpe.encodeDocs(docs, merges)
+      .select(col("doc_id"), col("n_tokens"))
+    val packed = graft.operators.Sampling.packSequencesGlobalTok(
+        counts, col("doc_id"), col("n_tokens"), seqLen = 256)
+      .orderBy("seq_id", "doc_key")
+      .collect()
+      .map(r => s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}" +
+        s"\t${r.getLong(3)}\t${r.getLong(4)}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((packed.mkString("\n") + "\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md == "9d37d4546679bc60263fbe2e7e28884e",
+      "packed-span digest drifted from the pinned independent replay")
+  }
+
   test("training is deterministic and bounded by available pairs") {
     val docs = corpus(1L -> "ab ab ab")
     // 'ab</w>' has 2 pairs; request more merges than exist
