@@ -598,6 +598,83 @@ object SamplePack extends QueryPack {
              |        CAST((sp.tok_end - 1) // 256 AS BIGINT))) AS gs(seq_id)
              |ORDER BY gs.seq_id, sp.doc_id""".stripMargin)),
 
+    // Streaming DELIVERY capstone (round 17): the stream face of
+    // sample_curation_packed — curated segments ARRIVE as NDJSON and
+    // each micro-batch is packed into fixed-256-token training
+    // sequences and appended to the packed store EXACTLY ONCE
+    // (FilePipelines.packedDeliveryBatch: CommittedAppend's marker +
+    // deterministic staging + fingerprint-checked promotion). Packing
+    // is EPOCH-SCOPED by documented contract — global concat-and-cut is
+    // order-total, so each segment packs its own token stream from
+    // offset 0 under epoch=<batchId>; readers consume (epoch, seq_id).
+    // The fixture splits the v3 funnel's survivors into two ordered
+    // segments (doc_id % 4), runs the REAL foreachBatch stream, and
+    // reads the store back; the oracle replays the funnel CTEs (shared
+    // verbatim with sample_curation_v3), the segment split, and each
+    // epoch's sequential-window packing — a dropped segment, a replayed
+    // double-append, or an off-by-one span all fail the hash.
+    // Stream == batch driving and replay idempotence are pinned in
+    // FilePipelineSpec.
+    QueryDef(
+      "stream_curation_packed",
+      (s, d) => {
+        val out = graft.util.TempFixtures.dir(s, "cur_packed_stream", d) { path =>
+          val kept = curationV3Kept(s, d)
+            .join(T.documents(s, d).select(col("doc_id"), col("text")),
+              "doc_id")
+            .select(col("doc_id"), col("text"))
+          val t0 = System.currentTimeMillis() - 60000
+          Seq(kept.filter(col("doc_id") % 4 === 1),
+              kept.filter(col("doc_id") % 4 === 3))
+            .zipWithIndex.foreach { case (seg, i) =>
+              val tmpSeg = s"$path/_segtmp$i"
+              seg.coalesce(1).write.mode("overwrite").json(tmpSeg)
+              val part = new java.io.File(tmpSeg).listFiles()
+                .filter(_.getName.endsWith(".json")).head
+              val dst = new java.io.File(s"$path/in/seg$i.json")
+              dst.getParentFile.mkdirs()
+              java.nio.file.Files.move(part.toPath, dst.toPath)
+              require(dst.setLastModified(t0 + i * 10000))
+            }
+          graft.streaming.FilePipelines.curationPackedStream(s,
+            s"$path/in", s"$path/store", s"$path/ckpt")
+            .awaitTermination()
+        }
+        s.read.parquet(s"$out/store")
+          .select(col("epoch").cast("long").as("epoch"), col("seq_id"),
+            col("doc_key").as("doc_id"), col("tok_start"), col("tok_end"),
+            col("tokens_in_seq"))
+          .orderBy("epoch", "seq_id", "doc_id")
+      },
+      Some(s"""WITH $CurationV3Ctes,
+             |kept AS (
+             |  SELECT q.doc_id FROM q JOIN lm USING (doc_id)
+             |  WHERE q.doc_id NOT IN (SELECT doc_id FROM dup)
+             |    AND quality >= 0.34 AND avg_logp >= -1.52
+             |),
+             |kt AS (
+             |  SELECT k.doc_id,
+             |         CAST(k.doc_id % 4 = 3 AS BIGINT) AS epoch,
+             |         greatest(1, CAST(ceil(length(d.text)/4.0) AS BIGINT)) AS tok
+             |  FROM kept k JOIN documents d USING (doc_id)
+             |),
+             |cum AS (
+             |  SELECT doc_id, epoch, tok,
+             |    CAST(SUM(tok) OVER (PARTITION BY epoch ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS tok_end
+             |  FROM kt
+             |),
+             |sp AS (SELECT doc_id, epoch, tok, tok_end,
+             |              tok_end - tok AS tok_start FROM cum)
+             |SELECT sp.epoch, gs.seq_id, sp.doc_id, sp.tok_start, sp.tok_end,
+             |  least(sp.tok_end, (gs.seq_id + 1) * 256)
+             |    - greatest(sp.tok_start, gs.seq_id * 256) AS tokens_in_seq
+             |FROM sp, unnest(generate_series(
+             |        CAST(sp.tok_start // 256 AS BIGINT),
+             |        CAST((sp.tok_end - 1) // 256 AS BIGINT))) AS gs(seq_id)
+             |ORDER BY sp.epoch, gs.seq_id, sp.doc_id""".stripMargin)),
+
     // Round-15 curation capstone v4: the SEMANTIC-dedup funnel — v3's
     // reference-model filters (quality floor ∧ stupid-backoff fluency
     // band ∧ not containment-duplicated) composed with a SemDeDup

@@ -514,6 +514,63 @@ object FilePipelines {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of the packed-sequence DELIVERY pipeline — the
+    * stream face of the curation → packing capstone
+    * (sample_curation_packed): an arriving CURATED segment is packed
+    * into fixed-`seqLen` training sequences
+    * ([[graft.operators.Sampling.packSequencesGlobal]] — documents
+    * spanning boundaries, the GPT-pretraining batch shape) and appended
+    * to the packed store EXACTLY ONCE via
+    * [[graft.util.CommittedAppend]] (marker + deterministic staging +
+    * fingerprint-checked skip-existing promotion), so an at-least-once
+    * replay can never deliver a segment's sequences twice — a training
+    * job reading the store sees each curated document exactly once.
+    *
+    * EPOCH-SCOPED packing contract (documented, deliberate): global
+    * concat-and-cut is ORDER-TOTAL over the corpus, so a stream cannot
+    * extend sequence ids across segments it has not seen without
+    * repacking history. Each segment therefore packs its OWN token
+    * stream from offset 0 and lands under `epoch=<batchId>` — training
+    * epochs are delivery units, readers consume (epoch, seq_id) — and a
+    * single-artifact global repack remains the batch operator
+    * (idempotent from the curated corpus). State touched per batch:
+    * only the segment's own rows; nothing in the store is rewritten.
+    */
+  def packedDeliveryBatch(batch: DataFrame, storeDir: String,
+      batchId: Long, seqLen: Int = 256): Boolean = {
+    val spark = batch.sparkSession
+    // scoped: packSequencesGlobal Scratch-caches its ranged frame; a
+    // continuous delivery would accrete one cache per micro-batch
+    graft.util.Scratch.scoped(spark) {
+      graft.util.CommittedAppend.run(spark, storeDir, batchId) { stage =>
+        graft.operators.Sampling.packSequencesGlobal(
+            batch.select(col("doc_id"), col("text")), col("doc_id"),
+            col("text"), seqLen)
+          .repartition(1).sortWithinPartitions("seq_id", "doc_key")
+          .write.mode("overwrite").parquet(s"$stage/epoch=$batchId")
+      }
+    }
+  }
+
+  /** Streaming packed-sequence delivery: curated NDJSON document
+    * segments land in `inDir`; each micro-batch is packed and appended
+    * to the store exactly-once ([[packedDeliveryBatch]]). Read the
+    * store root as parquet — `epoch` is the partition column.
+    */
+  def curationPackedStream(spark: SparkSession, inDir: String,
+      storeDir: String, checkpointDir: String,
+      seqLen: Int = 256): StreamingQuery =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(inDir)
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) => {
+        packedDeliveryBatch(b, storeDir, id, seqLen): Unit
+      })
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming dense-index ingest: embedding segments (parquet files —
     * no text round-trip of floats) land in `inDir`, and each micro-batch
     * joins the persisted IVF index under its FROZEN centroids via

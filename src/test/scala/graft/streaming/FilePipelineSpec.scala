@@ -304,6 +304,69 @@ class FilePipelineSpec extends SparkSpec {
     assert(rows() == want, "replayed merge batch changed the table")
   }
 
+  test("packed delivery: stream == batch driving, replay idempotent, epochs append-only") {
+    import spark.implicits._
+    def doc(id: Long, words: Int): String =
+      s"""{"doc_id":$id,"text":"${Seq.tabulate(words)(i => s"w$i").mkString(" ")}"}"""
+    val in = tmpDir("pdin"); val store = tmpDir("pdstore")
+    val ckpt = tmpDir("pdckpt")
+    // two curated segments; word counts sized so documents SPAN the
+    // 16-token boundary (spanning is the operator's point)
+    val seg0 = Seq(doc(1, 40), doc(3, 100), doc(5, 10))
+    val seg1 = Seq(doc(7, 70), doc(9, 30))
+    writeNdjson(in, "seg0.json", seg0)
+    assert(new File(in, "seg0.json").setLastModified(
+      System.currentTimeMillis() - 60000))
+    writeNdjson(in, "seg1.json", seg1)
+    FilePipelines.curationPackedStream(spark, in, store, ckpt, seqLen = 16)
+      .awaitTermination()
+    def snapshot() = spark.read.parquet(store)
+      .select(col("epoch").cast("long"), col("seq_id"), col("doc_key"),
+        col("tok_start"), col("tok_end"), col("tokens_in_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val streamed = snapshot()
+    assert(streamed.nonEmpty)
+    // stream == batch: the same segments through packedDeliveryBatch on
+    // a fresh store land the identical (epoch, seq, doc, span) rows
+    val store2 = tmpDir("pdstore2")
+    Seq(seg0, seg1).zipWithIndex.foreach { case (seg, i) =>
+      val batch = spark.read.schema(FilePipelines.docSchema)
+        .json(seg.toDS())
+      assert(FilePipelines.packedDeliveryBatch(batch, store2, i.toLong,
+        seqLen = 16))
+    }
+    val batched = spark.read.parquet(store2)
+      .select(col("epoch").cast("long"), col("seq_id"), col("doc_key"),
+        col("tok_start"), col("tok_end"), col("tokens_in_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(batched == streamed, "stream and batch driving diverged")
+    // epoch-scoped contract: each epoch's stream starts at offset 0
+    assert(streamed.filter(_._4 == 0L).map(_._1) == Set(0L, 1L),
+      "an epoch's token stream did not start at offset 0")
+    // spanning really happened inside an epoch
+    assert(streamed.exists(r => r._5 - r._4 > 16),
+      "no document spanned a sequence boundary — fixture not load-bearing")
+    // replay idempotence: a blind retry of the last batch (marker
+    // present) is a no-op; with the marker lost, the deterministic
+    // staging + fingerprint + skip-existing promotion converge to the
+    // identical store
+    val lastBatch = spark.read.schema(FilePipelines.docSchema)
+      .json(seg1.toDS())
+    assert(!FilePipelines.packedDeliveryBatch(lastBatch, store2, 1L,
+      seqLen = 16))
+    assert(new File(s"$store2/_committed/batch-1").delete())
+    assert(FilePipelines.packedDeliveryBatch(lastBatch, store2, 1L,
+      seqLen = 16))
+    val replayed = spark.read.parquet(store2)
+      .select(col("epoch").cast("long"), col("seq_id"), col("doc_key"),
+        col("tok_start"), col("tok_end"), col("tokens_in_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(replayed == streamed, "marker-lost replay changed the store")
+  }
+
   test("incremental-ingest admission: stream == batch driving, replay idempotent, epoch GC") {
     import graft.operators.{Dedup, Sketches}
     import spark.implicits._
