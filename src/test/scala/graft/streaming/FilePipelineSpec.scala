@@ -454,4 +454,97 @@ class FilePipelineSpec extends SparkSpec {
     val eps = new File(state).list().filter(_.startsWith("epoch=")).sorted
     assert(eps.toSeq == Seq(s"epoch=${lastId - 1}", s"epoch=$lastId"), eps.toSeq)
   }
+
+  test("two concurrent streaming pipelines on disjoint state: no cross-talk in markers, epochs, or caches") {
+    // the operational reality of a 100 TB cluster: more than one
+    // pipeline runs at once in one session. Admission ingest (LSH index
+    // + Bloom epochs + committed verdicts) and packed delivery
+    // (committed epoch appends) run CONCURRENTLY against disjoint
+    // dirs; each must land exactly what it lands when run alone, and
+    // neither's _committed/_staging/state files may appear in the
+    // other's tree. Scratch.scoped is per-thread (round 16), so the two
+    // foreachBatch threads releasing their own scratch must not evict
+    // each other's mid-batch caches — divergent output would expose it.
+    import graft.operators.{Dedup, Sketches}
+    import spark.implicits._
+    val root = tmpDir("conc")
+    def dj(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    // pipeline A: admission ingest
+    val aIn = s"$root/a_in"; val aIdx = s"$root/a_idx"
+    val aState = s"$root/a_bloom"; val aOut = s"$root/a_out"
+    new File(aIn).mkdirs()
+    val hist = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again"),
+      (1L, "pack my box with five dozen liquor jugs right now"))
+      .toDF("doc_id", "text")
+    val aSegs = Seq(
+      Seq((10L, "a completely fresh document about spark streaming state")),
+      Seq((11L, "a completely fresh document about spark streaming state"),
+        (12L, "another new document mentioning watermarks and triggers")),
+      Seq((13L, "a completely fresh document about spark streaming stuff")))
+    def seedA(idx: String, state: String): Unit = {
+      Dedup.writeLshIndex(hist, idx)
+      Sketches.bloomBits(hist, col("text")).write.parquet(s"$state/epoch=-1")
+    }
+    seedA(aIdx, aState)
+    // pipeline B: packed delivery
+    val bIn = s"$root/b_in"; val bStore = s"$root/b_store"
+    new File(bIn).mkdirs()
+    val bSegs = Seq(
+      Seq(dj(1, Seq.tabulate(40)(i => s"w$i").mkString(" ")),
+        dj(3, Seq.tabulate(100)(i => s"v$i").mkString(" "))),
+      Seq(dj(5, Seq.tabulate(70)(i => s"u$i").mkString(" "))))
+    val t0 = System.currentTimeMillis() - 60000
+    aSegs.zipWithIndex.foreach { case (seg, i) =>
+      writeNdjson(aIn, s"s$i.json", seg.map { case (id, t) => dj(id, t) })
+      assert(new File(aIn, s"s$i.json").setLastModified(t0 + i * 10000))
+    }
+    bSegs.zipWithIndex.foreach { case (seg, i) =>
+      writeNdjson(bIn, s"s$i.json", seg)
+      assert(new File(bIn, s"s$i.json").setLastModified(t0 + i * 10000))
+    }
+    // start BOTH, then await both — the micro-batches interleave on
+    // separate streaming threads in this one session
+    val qa = FilePipelines.ingestAdmissionStream(spark, aIn, aIdx, aState,
+      aOut, s"$root/a_ckpt")
+    val qb = FilePipelines.curationPackedStream(spark, bIn, bStore,
+      s"$root/b_ckpt", seqLen = 16)
+    qa.awaitTermination(); qb.awaitTermination()
+    // each pipeline == itself run ALONE on fresh dirs
+    val aIdx2 = s"$root/a2_idx"; val aState2 = s"$root/a2_bloom"
+    val aOut2 = s"$root/a2_out"
+    seedA(aIdx2, aState2)
+    aSegs.zipWithIndex.foreach { case (seg, i) =>
+      FilePipelines.ingestAdmissionBatch(seg.toDF("doc_id", "text"),
+        aIdx2, aState2, aOut2, i.toLong)
+    }
+    assert(spark.read.parquet(aOut).collect().toSet ==
+      spark.read.parquet(aOut2).collect().toSet,
+      "concurrent admission verdicts != solo run")
+    val bStore2 = s"$root/b2_store"
+    bSegs.zipWithIndex.foreach { case (seg, i) =>
+      val batch = spark.read.schema(FilePipelines.docSchema).json(seg.toDS())
+      assert(FilePipelines.packedDeliveryBatch(batch, bStore2, i.toLong,
+        seqLen = 16))
+    }
+    assert(spark.read.parquet(bStore).collect().toSet ==
+      spark.read.parquet(bStore2).collect().toSet,
+      "concurrent packed store != solo run")
+    // state isolation: every marker/state artifact sits in its own tree
+    // — B's store has only its own epochs + markers, A's out has only
+    // verdict batches, and neither tree contains the other's dirs
+    val bDirs = new File(bStore).list().toSet
+    assert(bDirs.filter(!_.startsWith("_")).forall(_.startsWith("epoch=")),
+      s"foreign dirs in the packed store: $bDirs")
+    val aOutDirs = new File(aOut).list().toSet
+    assert(aOutDirs.filter(!_.startsWith("_")).forall(_.startsWith("batch=")),
+      s"foreign dirs in the admission out tree: $aOutDirs")
+    assert(!new File(aOut, "epoch=0").exists()
+      && !new File(bStore, "batch=0").exists())
+    // no stuck in-flight staging anywhere (both pipelines committed)
+    Seq(aIdx, aOut, bStore).foreach { d =>
+      val st = new File(d, "_staging")
+      assert(!st.exists() || st.list().isEmpty, s"stuck staging under $d")
+    }
+  }
 }
