@@ -310,4 +310,43 @@ class ScratchTimingSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  ignore("containment hotCap cap-vs-recall curve at sf0.1 and sf1 " +
+      "(r17 measured: sf0.1 n=5k exact 6.1s/256 pairs, caps 32..2048 all " +
+      "recall 1.0; sf1 n=50k exact 394s/2282 pairs, cap=32 (0.06% docs) " +
+      "recall 0.053 — a CONSTANT cap breaks at 10x — cap=128 (0.26%) " +
+      "0.9996, cap=512 (1.02%) 1.0, cap=2048 1.0; rule: cap ∝ corpus, " +
+      "~1% of nDocs (max(64, nDocs/100)), the cells-∝-corpus discipline)") {
+    // dedup_containment ships a CONSTANT cap; this measures what the cap
+    // actually costs in recall and buys in time as the corpus grows 10x,
+    // to document an auto-tune rule next to the cells-∝-corpus one.
+    // Reference = the uncapped exact pair set at threshold 0.9; recall =
+    // |pairs(cap) ∩ pairs(exact)| / |pairs(exact)| (the capped metric
+    // excludes boilerplate shingles from the universe, so its pair SET
+    // can differ — set intersection is the honest recall).
+    Seq("/root/testdata/sf0.1", "/root/repo/target/sf1").foreach { sf =>
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nDocs = docs.count()
+      def pairSet(cap: Option[Int]): Set[(Long, Long)] =
+        Dedup.containmentPairs(docs, 3, 0.9, hotCap = cap)
+          .select(col("da"), col("db")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = timeIt(s"$sf exact (uncapped), nDocs=$nDocs") {
+        pairSet(None)
+      }
+      info(s"$sf exact pairs=${exact.size}")
+      Seq(32, 128, 512, 2048).foreach { cap =>
+        val got = timeIt(s"$sf cap=$cap") { pairSet(Some(cap)) }
+        val rec = if (exact.isEmpty) 1.0
+          else got.intersect(exact).size.toDouble / exact.size
+        info(f"$sf cap=$cap pairs=${got.size} recall=$rec%.4f " +
+          f"capPctDocs=${cap * 100.0 / nDocs}%.2f%%")
+        graft.util.Scratch.release(spark)
+        spark.catalog.clearCache()
+      }
+      graft.util.Scratch.release(spark)
+      spark.catalog.clearCache()
+    }
+  }
 }
