@@ -54,7 +54,10 @@ class CollectAuditSpec extends AnyFunSuite {
     ("Similarity.scala", ".orderBy(\"dim\").collect()",
       "SQ8 per-dim (lo, hi) bounds — ≤ dims rows by construction (the groupBy key is the embedding index)"),
     ("Similarity.scala", ".select(col(\"bounds\")).head().getString(0)",
-      "persisted-SQ8-index bounds JSON — one row"))
+      "persisted-SQ8-index bounds JSON — one row"),
+    ("CommittedAppend.scala", ".head()",
+      "staged-batch content fingerprint — one aggregate row (count + " +
+        "bit_xor of row hashes) over one micro-batch-sized staging tree"))
 
   /** A line is a Dataset-action candidate unless it is pure comment. */
   private[graft] def isActionSite(line: String): Boolean = {
