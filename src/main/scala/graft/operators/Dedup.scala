@@ -252,6 +252,18 @@ object Dedup {
     * regime; DedupSpec pins that the capped regime preserves the
     * planted near-superset pairs on the fixture.
     */
+  /** The measured hotCap rule (round-17 ScratchTimingSpec probe,
+    * NOTES_r17 §4): a CONSTANT cap silently breaks at scale — cap=32
+    * was recall-1.0 at 5 k docs and recall-0.053 at 50 k, because
+    * true-containment posting lists grow with the corpus and a cap
+    * below them deletes the evidence, not the boilerplate. The rule
+    * that held at both scales (recall 1.0): cap ∝ corpus, ~1 % of the
+    * document count, floored — the cells-∝-corpus discipline applied
+    * to the postings join.
+    */
+  def containmentAutoCap(nDocs: Long): Int =
+    math.max(64L, nDocs / 100L).toInt
+
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
       hotCap: Option[Int] = None): DataFrame = {
     val raw = docs

@@ -374,6 +374,29 @@ object Similarity {
     graft.util.Generations.swapIn(fs, s"$path/centroids", centStage)
   }
 
+  /** Cell-balance statistics of a persisted IVF index — the DRIFT
+    * SIGNAL that tells a deployment WHEN [[refitIvfIndex]] pays: under
+    * frozen centroids, appended segments from a shifted distribution
+    * pile into few cells, and probe cost at fixed nprobe grows with the
+    * hottest cell. One (vec_id-column-only) aggregation over the celled
+    * layout. Returns (ncells, total, maxCell, imbalance) where
+    * imbalance = maxCell / (total/ncells) — 1.0 is perfectly balanced;
+    * the refit-vs-frozen drift fixture in SimilaritySpec measures the
+    * imbalance dropping across a refit. Policy (how much imbalance to
+    * tolerate) stays the caller's; the engine ships the measurement and
+    * the repair.
+    */
+  def ivfCellStats(spark: SparkSession, path: String): (Long, Long, Long, Double) = {
+    val counts = spark.read.parquet(s"$path/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), sum("n"), max("n")).head()
+    val (ncells, total, maxCell) =
+      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    (ncells, total, maxCell,
+      if (total == 0 || ncells == 0) 1.0
+      else maxCell.toDouble * ncells / total)
+  }
+
   /** Restore a torn [[compactIvfIndex]] swap or a torn [[refitIvfIndex]]
     * two-directory swap. Safe to call any time; run first by both.
     * Refit windows are direction-decidable: the cells stage still

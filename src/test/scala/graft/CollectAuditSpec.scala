@@ -57,7 +57,10 @@ class CollectAuditSpec extends AnyFunSuite {
       "persisted-SQ8-index bounds JSON — one row"),
     ("CommittedAppend.scala", ".head()",
       "staged-batch content fingerprint — one aggregate row (count + " +
-        "bit_xor of row hashes) over one micro-batch-sized staging tree"))
+        "bit_xor of row hashes) over one micro-batch-sized staging tree"),
+    ("Similarity.scala", ".agg(count(lit(1)), sum(\"n\"), max(\"n\")).head()",
+      "IVF cell-balance stats (the refit drift signal) — one aggregate " +
+        "row over the per-cell counts"))
 
   /** A line is a Dataset-action candidate unless it is pure comment. */
   private[graft] def isActionSite(line: String): Boolean = {

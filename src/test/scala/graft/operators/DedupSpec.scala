@@ -400,6 +400,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(planted.forall(capped.contains),
       "hotCap regime lost a planted near-superset pair")
+    // the MEASURED auto-cap rule (r17 probe: a constant cap silently
+    // breaks at 10x scale — NOTES_r17 §4): ~1% of nDocs, floored at 64.
+    // On this fixture the rule-capped run == the exact pair set.
+    assert(Dedup.containmentAutoCap(5000) == 64
+      && Dedup.containmentAutoCap(50000) == 500
+      && Dedup.containmentAutoCap(10000000) == 100000)
+    val auto = Dedup.containmentPairs(corpus, 3, 0.9,
+        hotCap = Some(Dedup.containmentAutoCap(corpus.count())))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = got.keySet
+    assert(auto == exact, "auto-capped pair set diverged from exact")
   }
 
   test("electSurvivors: highest quality wins, not lowest id; ties break to lowest id") {

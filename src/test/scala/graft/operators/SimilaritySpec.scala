@@ -562,7 +562,16 @@ class SimilaritySpec extends SparkSpec {
       (rec, cost)
     }
     val (recFrozen, costFrozen) = recallAndCost(frozen)
+    // the drift SIGNAL: under frozen centroids the appended cluster
+    // piles into few cells — ivfCellStats reads high imbalance, and the
+    // refit must bring it down (this is the measurement a deployment's
+    // refit policy watches)
+    val (_, _, _, imbFrozen) = Similarity.ivfCellStats(spark, dir)
     Similarity.refitIvfIndex(spark, dir, ncells = 8, iters = 2)
+    val (_, _, _, imbRefit) = Similarity.ivfCellStats(spark, dir)
+    assert(imbFrozen > 1.5, s"drift fixture not imbalanced: $imbFrozen")
+    assert(imbRefit < imbFrozen,
+      s"refit did not improve cell balance: $imbRefit >= $imbFrozen")
     val (recRefit, costRefit) = recallAndCost(Similarity.readIvfIndex(spark, dir))
     assert(recRefit >= recFrozen,
       s"refit lost recall: $recRefit < $recFrozen (cost $costRefit vs $costFrozen)")
