@@ -824,6 +824,140 @@ object SimilarityPack extends QueryPack {
       Some(IvfGrownOracle)),
 
 
+    // Streaming SEMANTIC admission (round 17): the dense-embedding twin
+    // of stream_incremental_ingest — SemDeDup's decision made ONLINE.
+    // Embedding segments arrive; each micro-batch probes the persisted
+    // IVF index (frozen label centroids, nprobe=2 cosine-nearest cells)
+    // for its best cosine against everything admitted BEFORE it, gets
+    // (best_cos, near_dup, admit) verdicts at threshold 0.9 (the
+    // semDeDup default — dim0-zeroed mutants range ~0.989–0.9997 while
+    // the fixture's max natural cross-pair is ~0.46), and its
+    // admitted vectors join the index exactly-once so the next segment
+    // probes them (FilePipelines.semanticAdmissionStream). The oracle
+    // replays the SEQUENTIAL growth: seg-0 verdicts against the
+    // half-corpus index, admitted seg-0 vectors assigned under the
+    // frozen centroids (the sim_ivf_append a2 arithmetic), then seg-1
+    // probed against history ∪ admitted(0). Planted outcomes
+    // load-bearing: seg-1 mutants of seg-0 vectors can only read near
+    // IF batch 0's committed append landed (measured at sf0.01:
+    // 23/25 fire; the misses are genuine nprobe=2 pruning recall —
+    // the mutant's two cosine-nearest cells not containing the
+    // source's euclid-assigned cell — which the oracle replays
+    // exactly, THE approximate-by-construction trade every IVF gate
+    // documents); history mutants 17/25 for the same reason; fresh
+    // vectors admit 250/250. Stream == batch and replay idempotence
+    // pinned in FilePipelineSpec.
+    QueryDef(
+      "stream_semantic_admission",
+      (s, d) => {
+        val out = graft.util.TempFixtures.dir(s, "sem_admission", d) { path =>
+          val base = T.embeddings(s, d)
+          Similarity.writeIvfIndex(
+            labelIndexOf(base.filter(col("vec_id") % 2 === 0)),
+            s"$path/idx")
+          val odd = base.filter(col("vec_id") % 2 === 1)
+            .select(col("vec_id"), col("embedding"))
+          def mutants(src: org.apache.spark.sql.DataFrame, off: Long) =
+            src.select((col("vec_id") + off).as("vec_id"),
+              transform(col("embedding"), (x, i) =>
+                when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+          val seg0 = odd.filter(col("vec_id") < 250)
+          val seg1 = odd.filter(col("vec_id") >= 250)
+            .unionByName(mutants(odd.filter(col("vec_id") < 50), 1000000L))
+            .unionByName(mutants(
+              base.filter(col("vec_id") % 2 === 0 && col("vec_id") < 50)
+                .select(col("vec_id"), col("embedding")), 2000000L))
+          val t0 = System.currentTimeMillis() - 60000
+          Seq(seg0, seg1).zipWithIndex.foreach { case (seg, i) =>
+            val tmpSeg = s"$path/_segtmp$i"
+            seg.coalesce(1).write.mode("overwrite").parquet(tmpSeg)
+            val part = new java.io.File(tmpSeg).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(s"$path/in/seg$i.parquet")
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            require(dst.setLastModified(t0 + i * 10000))
+          }
+          graft.streaming.FilePipelines.semanticAdmissionStream(s,
+            s"$path/in", s"$path/idx", s"$path/out", s"$path/ckpt")
+            .awaitTermination()
+        }
+        s.read.parquet(s"$out/out")
+          .select(col("vec_id"), col("batch").cast("long").as("seg"),
+            col("best_cos"), col("near_dup"), col("admit"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def probe(qrel: String, crel: String) =
+          s"""SELECT q.vec_id, max(round(${cosSql("q.embedding", s"$crel.embedding")}, 6)) AS best_cos
+             |  FROM (SELECT query_id AS vec_id, qvec AS embedding, cell
+             |        FROM (SELECT q.vec_id AS query_id, q.embedding AS qvec, v.cell,
+             |                     row_number() OVER (PARTITION BY q.vec_id
+             |                        ORDER BY ${cosSql("q.embedding", "v.centroid")} DESC,
+             |                                 v.cell) AS crank
+             |              FROM $qrel q CROSS JOIN centv v) t
+             |        WHERE crank <= 2) q
+             |  JOIN $crel ON $crel.cell = q.cell
+             |  GROUP BY q.vec_id""".stripMargin
+        s"""WITH h1 AS (
+           |  SELECT vec_id, embedding, label AS cell FROM embeddings
+           |  WHERE vec_id % 2 = 0
+           |), idx AS (SELECT unnest(range(1, 65)) AS i),
+           |cent AS (
+           |  SELECT e.label AS cell, idx.i, round($ExactMeanSql, 6) AS m
+           |  FROM (SELECT vec_id, embedding, label FROM embeddings
+           |        WHERE vec_id % 2 = 0) e
+           |  CROSS JOIN idx GROUP BY 1, 2
+           |), centv AS (
+           |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+           |), s0 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id % 2 = 1 AND vec_id < 250
+           |), s1 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id % 2 = 1 AND vec_id >= 250
+           |  UNION ALL
+           |  SELECT vec_id + 1000000,
+           |         list_transform(embedding, (x, i) ->
+           |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END)
+           |  FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 50
+           |  UNION ALL
+           |  SELECT vec_id + 2000000,
+           |         list_transform(embedding, (x, i) ->
+           |           CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END)
+           |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 50
+           |), v0 AS (
+           |${probe("s0", "h1")}
+           |), a0 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_sum(list_transform(list_zip(e.embedding, c.centroid),
+           |                 p -> CAST(p[1] AS DOUBLE) * p[2]))
+           |          - list_sum(list_transform(c.centroid, x -> x*x)) / 2 DESC,
+           |        c.cell) AS rn
+           |    FROM s0 e JOIN v0 USING (vec_id) CROSS JOIN centv c
+           |    WHERE v0.best_cos < 0.9) t
+           |  WHERE rn = 1
+           |), celled1 AS (
+           |  SELECT * FROM h1
+           |  UNION ALL
+           |  SELECT s0.vec_id, s0.embedding, a0.cell
+           |  FROM s0 JOIN a0 USING (vec_id)
+           |), v1 AS (
+           |${probe("s1", "celled1")}
+           |)
+           |SELECT vec_id, seg, best_cos,
+           |       best_cos >= 0.9 AS near_dup,
+           |       best_cos < 0.9 AS admit
+           |FROM (
+           |  SELECT vec_id, CAST(0 AS BIGINT) AS seg, best_cos FROM v0
+           |  UNION ALL
+           |  SELECT vec_id, CAST(1 AS BIGINT), best_cos FROM v1
+           |)
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     // Hybrid retrieval (round 15): BM25 sparse leg + dense cosine leg
     // fused by Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the
     // default production hybrid-search shape, composed from the

@@ -514,6 +514,103 @@ object FilePipelines {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of the SEMANTIC admission pipeline — the
+    * dense-embedding twin of [[ingestAdmissionBatch]], the online face
+    * of SemDeDup-style curation: an arriving embedding segment is
+    * probed against the PERSISTED IVF index (frozen centroids — the
+    * probe prunes to each vector's `nprobe` cosine-nearest cells, so
+    * history is never re-scanned whole), each vector gets
+    * (best_cos, near_dup, admit) verdicts, and ADMITTED vectors join
+    * the index exactly-once ([[graft.operators.Similarity.appendToIvfIndexCommitted]])
+    * so the NEXT segment probes them. Ordered commit points, the
+    * ingestAdmissionBatch discipline: committed marker short-circuits;
+    * verdicts freeze (own `_verdicts` marker) BEFORE any index
+    * mutation; the admitted set is read BACK from durable verdicts;
+    * marker last — exactly-once output and state under at-least-once
+    * replay.
+    *
+    * At 100 TB: the centroid table is metadata-sized (broadcast), the
+    * candidate join prunes on the cell-partitioned index layout, and
+    * the append lands only the segment's own rows. Scores are
+    * round(cosine, 6) with max-aggregation — order-free and
+    * SQL-replayable, so the stream gate hash-checks the sequential
+    * index growth end to end.
+    */
+  def semanticAdmissionBatch(batch0: DataFrame, indexDir: String,
+      outDir: String, batchId: Long, threshold: Double = 0.9,
+      nprobe: Int = 2): Unit = {
+    import graft.operators.Similarity
+    import org.apache.hadoop.fs.Path
+    val spark = batch0.sparkSession
+    val outFs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (outFs.exists(new Path(s"$outDir/_committed/batch-$batchId"))) return
+    graft.util.Scratch.scoped(spark) {
+      val batch = batch0.select(col("vec_id"), col("embedding")).cache()
+      try {
+        val verdictDir = s"$outDir/batch=$batchId"
+        val verdictMark = new Path(s"$outDir/_verdicts/batch-$batchId")
+        if (!outFs.exists(verdictMark)) {
+          val (assigned, cents) = Similarity.readIvfIndex(spark, indexDir)
+          val queries = batch.select(col("vec_id").as("query_id"),
+            col("embedding").as("qvec"))
+          val wq = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cscore").desc, col("cell"))
+          val probes = queries.crossJoin(broadcast(cents))
+            .withColumn("cscore",
+              Similarity.cosine(col("qvec"), col("centroid")))
+            .withColumn("crank", row_number().over(wq))
+            .filter(col("crank") <= nprobe)
+            .select(col("query_id"), col("qvec"), col("cell"))
+          val best = assigned.join(probes, Seq("cell"))
+            .select(col("query_id").as("vec_id"),
+              round(Similarity.cosine(col("qvec"), col("embedding")), 6)
+                .as("c"))
+            .groupBy("vec_id").agg(max(col("c")).as("best_cos"))
+          batch.select(col("vec_id"))
+            .join(best, Seq("vec_id"), "left")
+            .select(col("vec_id"), col("best_cos"),
+              (coalesce(col("best_cos"), lit(-1.0)) >= threshold)
+                .as("near_dup"),
+              (coalesce(col("best_cos"), lit(-1.0)) < threshold)
+                .as("admit"))
+            .write.mode("overwrite").parquet(verdictDir)
+          outFs.mkdirs(new Path(s"$outDir/_verdicts"))
+          outFs.create(verdictMark, true).close()
+        }
+        val admitted = batch.join(
+          spark.read.parquet(verdictDir).filter(col("admit"))
+            .select("vec_id"),
+          "vec_id")
+        Similarity.appendToIvfIndexCommitted(spark, indexDir, admitted,
+          batchId): Unit
+        outFs.mkdirs(new Path(s"$outDir/_committed"))
+        outFs.create(new Path(s"$outDir/_committed/batch-$batchId"), true)
+          .close()
+      } finally { batch.unpersist(); () }
+    }
+  }
+
+  /** Streaming semantic admission: embedding segments (parquet) land in
+    * `inDir`; each micro-batch gets cosine near-dup verdicts against
+    * everything admitted before it and its admitted vectors join the
+    * persisted IVF index for later segments
+    * ([[semanticAdmissionBatch]]).
+    */
+  def semanticAdmissionStream(spark: SparkSession, inDir: String,
+      indexDir: String, outDir: String, checkpointDir: String,
+      threshold: Double = 0.9, nprobe: Int = 2): StreamingQuery =
+    spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        semanticAdmissionBatch(b, indexDir, outDir, id, threshold, nprobe))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One micro-batch of the packed-sequence DELIVERY pipeline — the
     * stream face of the curation → packing capstone
     * (sample_curation_packed): an arriving CURATED segment is packed

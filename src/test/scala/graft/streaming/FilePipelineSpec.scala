@@ -455,6 +455,87 @@ class FilePipelineSpec extends SparkSpec {
     assert(eps.toSeq == Seq(s"epoch=${lastId - 1}", s"epoch=$lastId"), eps.toSeq)
   }
 
+  test("semantic admission: stream == batch driving, replay idempotent, sequential growth load-bearing") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val root = tmpDir("sem")
+    val in = s"$root/in"; val idx = s"$root/idx"; val out = s"$root/out"
+    new File(in).mkdirs()
+    // tiny unit vectors: history along e1/e2; seg0 admits a fresh e3
+    // direction; seg1 plants a near-dup OF THE SEG0 VECTOR (near only
+    // if batch 0's append landed), a near-dup of history, and a fresh
+    // e4 direction
+    def v(xs: Double*): Seq[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat)
+    }
+    val hist = Seq(
+      (0L, v(1, 0, 0, 0), 0), (1L, v(0.95, 0.3, 0, 0), 0),
+      (2L, v(0, 1, 0, 0), 1), (3L, v(0.3, 0.95, 0, 0), 1))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.writeIvfIndex(
+      (hist.select(col("vec_id"), col("embedding"), col("label").as("cell")),
+        hist.select(col("label").as("cell"),
+          col("embedding").cast("array<double>").as("centroid"))
+          .groupBy("cell").agg(expr("transform(aggregate(collect_list(centroid), " +
+            "array_repeat(0d, 4), (a, x) -> zip_with(a, x, (p, q) -> p + q)), " +
+            "s -> round(s / 2, 6))").as("centroid"))),
+      idx)
+    val seg0 = Seq((10L, v(0, 0, 1, 0))).toDF("vec_id", "embedding")
+    val seg1 = Seq(
+      (11L, v(0, 0.05, 0.999, 0)), // near seg0's 10 — ONLY IF it landed
+      (12L, v(0.999, 0.05, 0, 0)), // near history 0
+      (13L, v(0, 0, 0, 1)))        // fresh
+      .toDF("vec_id", "embedding")
+    val t0 = System.currentTimeMillis() - 60000
+    Seq(seg0, seg1).zipWithIndex.foreach { case (seg, i) =>
+      val tmp = s"$root/_t$i"
+      seg.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new File(in, s"seg$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0 + i * 10000))
+    }
+    FilePipelines.semanticAdmissionStream(spark, in, idx, out, s"$root/ckpt",
+      threshold = 0.9, nprobe = 2).awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("vec_id"), col("near_dup"), col("admit"))
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((false, true)), s"10: ${got(10L)}")
+    assert(got(11L) == ((true, false)),
+      s"11: ${got(11L)} — seg0's admitted vector not probeable: append lost")
+    assert(got(12L) == ((true, false)), s"12: ${got(12L)}")
+    assert(got(13L) == ((false, true)), s"13: ${got(13L)}")
+    // stream == batch driving on fresh dirs
+    val idx2 = s"$root/idx2"; val out2 = s"$root/out2"
+    Similarity.writeIvfIndex(
+      (hist.select(col("vec_id"), col("embedding"), col("label").as("cell")),
+        Similarity.readIvfIndex(spark, idx)._2), idx2)
+    Seq(seg0, seg1).zipWithIndex.foreach { case (seg, i) =>
+      FilePipelines.semanticAdmissionBatch(seg, idx2, out2, i.toLong,
+        threshold = 0.9, nprobe = 2)
+    }
+    assert(spark.read.parquet(out).collect().toSet ==
+      spark.read.parquet(out2).collect().toSet,
+      "stream verdicts != batch driving")
+    // replay of the LAST batch: marker short-circuit, then marker-lost
+    // convergence — verdicts and index rows unchanged, no vector twice
+    val n1 = spark.read.parquet(s"$idx/cells").count()
+    val verdicts = spark.read.parquet(s"$out/batch=1").collect().toSet
+    FilePipelines.semanticAdmissionBatch(seg1, idx, out, 1L,
+      threshold = 0.9, nprobe = 2)
+    val marker = new File(s"$out/_committed/batch-1")
+    assert(marker.exists() && marker.delete())
+    FilePipelines.semanticAdmissionBatch(seg1, idx, out, 1L,
+      threshold = 0.9, nprobe = 2)
+    assert(spark.read.parquet(s"$idx/cells").count() == n1,
+      "replay duplicated index rows")
+    assert(spark.read.parquet(s"$out/batch=1").collect().toSet == verdicts,
+      "replay changed verdicts")
+    assert(spark.read.parquet(s"$idx/cells").groupBy("vec_id").count()
+      .filter(col("count") > 1).isEmpty, "a vector landed twice in the index")
+  }
+
   test("two concurrent streaming pipelines on disjoint state: no cross-talk in markers, epochs, or caches") {
     // the operational reality of a 100 TB cluster: more than one
     // pipeline runs at once in one session. Admission ingest (LSH index
