@@ -1178,7 +1178,10 @@ object Similarity {
 
   /** The decoded (reconstructed) vector of a codes column:
     * d_i = lo_i + code_i · (hi_i − lo_i) / 255. Exact affine arithmetic
-    * in a fixed order — the replayable core of the SQ8 ranking.
+    * in a fixed order — the replayable core of the SQ8 ranking. Kept as
+    * the readable spec of the decode; the HOT path (the ADC scan) uses
+    * [[sq8AdcCosine]], which fuses decode + cosine into one codegen'd
+    * loop with bit-identical arithmetic.
     */
   private def sq8Decode(codes: Column, lo: Array[Double],
       hi: Array[Double]): Column = {
@@ -1187,6 +1190,23 @@ object Similarity {
       val l = element_at(loL, i + 1); val h = element_at(hiL, i + 1)
       l + c.cast(DoubleType) * (h - l) / lit(255.0)
     })
+  }
+
+  /** cosine(q, decode(codes)) as one fused native loop
+    * ([[graft.functions.Sq8AdcCosineExpr]]) — replaces the interpreted
+    * transform-decode + HOF dot/norm pipeline on the ADC scan, the
+    * per-(query, vector) hot loop of the SQ8 path. Bit-identical
+    * arithmetic (decode op order, element-order sums, one division), so
+    * the hash-checked gate outputs cannot move.
+    */
+  private def sq8AdcCosine(q: Column, codes: Column, lo: Array[Double],
+      hi: Array[Double]): Column = {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def attr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+      UnresolvedAttribute(c.toString)
+    GraftSqlShims.columnOf(
+      graft.functions.Sq8AdcCosineExpr(attr(q), attr(codes), lo, hi))
   }
 
   /** Persist an SQ8 index: the code table as parquet plus the (lo, hi)
@@ -1251,10 +1271,8 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id"))
     candidates
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("dv", sq8Decode(col("codes"), lo, hi))
       .withColumn("score",
-        round(dot(col("qvec"), col("dv")) /
-          (norm(col("qvec")) * norm(col("dv"))), scale))
+        round(sq8AdcCosine(col("qvec"), col("codes"), lo, hi), scale))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
@@ -1279,13 +1297,10 @@ object Similarity {
       encodedIndex: Option[DataFrame] = None): DataFrame = {
     val (lo, hi) = stats.getOrElse(sq8Stats(corpus))
     val codes = encodedIndex.getOrElse(sq8Encode(corpus, lo, hi))
-    val dv = sq8Decode(col("codes"), lo, hi)
     val approx = codes.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("dv", dv)
       .withColumn("score",
-        round(dot(col("qvec"), col("dv")) /
-          (norm(col("qvec")) * norm(col("dv"))), scale))
+        round(sq8AdcCosine(col("qvec"), col("codes"), lo, hi), scale))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     if (rerank <= 0) {

@@ -311,6 +311,57 @@ class ScratchTimingSpec extends SparkSpec {
     }
   }
 
+  ignore("SQ8 ADC scan: fused native expression vs interpreted HOF decode+cosine " +
+      "(r17 measured at sf1, n=20k x 20 queries = 400k scored pairs: " +
+      "OLD interpreted 12.61 s -> NEW fused Sq8AdcCosineExpr 1.11 s, 11.4x)") {
+    // the per-(query, vector) hot loop of the SQ8 path: old = transform-
+    // decode into a dv column + HOF aggregate/zip_with dot and norms
+    // (interpreted, 4 passes, per-row allocation); new = Sq8AdcCosineExpr
+    // (one fused codegen'd loop). Same arithmetic bit-for-bit (the gates
+    // pin it); this measures only the speed.
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read.parquet("/root/repo/target/sf1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val (lo, hi) = Similarity.sq8Stats(base)
+    val codes = Similarity.sq8Encode(base, lo, hi).cache()
+    codes.count()
+    val queries = base.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val loL = typedLit(lo); val hiL = typedLit(hi)
+    def dv = transform(col("codes"), (c, i) => {
+      val l = element_at(loL, i + 1); val h = element_at(hiL, i + 1)
+      l + c.cast("double") * (h - l) / lit(255.0)
+    })
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def nrm(a: org.apache.spark.sql.Column) = sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    def run(scored: org.apache.spark.sql.DataFrame): Unit =
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .write.format("noop").mode("overwrite").save()
+    val joined = codes.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+    info(s"n=$n, 20 queries")
+    timeIt("OLD interpreted HOF decode+dot+norms") {
+      run(joined.withColumn("dvv", dv)
+        .withColumn("score",
+          round(hof(col("qvec"), col("dvv")) /
+            (nrm(col("qvec")) * nrm(col("dvv"))), 5)))
+    }
+    timeIt("NEW fused Sq8AdcCosineExpr") {
+      Similarity.topKSq8(base, queries, 10, rerank = 0,
+          stats = Some((lo, hi)), encodedIndex = Some(codes))
+        .write.format("noop").mode("overwrite").save()
+    }
+    codes.unpersist(): Unit
+  }
+
   ignore("containment hotCap cap-vs-recall curve at sf0.1 and sf1 " +
       "(r17 measured: sf0.1 n=5k exact 6.1s/256 pairs, caps 32..2048 all " +
       "recall 1.0; sf1 n=50k exact 394s/2282 pairs, cap=32 (0.06% docs) " +
