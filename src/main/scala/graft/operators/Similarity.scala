@@ -141,6 +141,18 @@ object Similarity {
         col("vec_id"), col("score"))
   }
 
+  /** The measured cells-∝-corpus rule (round-16 scale probe, NOTES_r16
+    * §4; the [[Dedup.containmentAutoCap]] discipline): a FIXED cell
+    * count makes the within-cell pair space grow |cell|² with the
+    * corpus, while cells of ~500 vectors keep per-cell work constant —
+    * measured ~linear total growth at 10× the corpus. Advisory default
+    * for [[ivfIndex]]/[[kmeansFit]]/[[refitIvfIndex]] cell counts; the
+    * gates pin small constants only because their oracles replay a
+    * fixed quantizer.
+    */
+  def cellsFor(nVectors: Long, perCell: Int = 500): Int =
+    math.max(8L, nVectors / perCell).toInt
+
   /** Coarse quantizer for IVF: k-means fitted LOCALLY on a bounded sample
     * (`sampleCap` rows collected to the driver), centroids broadcast,
     * cells assigned by a codegen'd exploded-dot argmax pass over the full

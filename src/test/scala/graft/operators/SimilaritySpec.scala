@@ -580,6 +580,14 @@ class SimilaritySpec extends SparkSpec {
         s"recall $recRefit vs $recFrozen, cost $costRefit vs $costFrozen")
   }
 
+  test("cellsFor: the cells-∝-corpus rule, floored") {
+    assert(Similarity.cellsFor(500) == 8)     // floor regime
+    assert(Similarity.cellsFor(4000) == 8)
+    assert(Similarity.cellsFor(40000) == 80)  // the r16 probe's scale point
+    assert(Similarity.cellsFor(10000000) == 20000)
+    assert(Similarity.cellsFor(10000000, perCell = 100000) == 100)
+  }
+
   test("minedNegatives: planted positives excluded, k per probe, native TopK") {
     import org.apache.spark.sql.functions.{transform => atransform, _}
     val base = corpus.select(col("vec_id"), col("embedding"))
