@@ -99,20 +99,57 @@ object CommittedAppend {
     true
   }
 
-  /** Content fingerprint of a staged tree: row count plus a
-    * commutative XOR fold of per-row xxhash64 over every leaf parquet
-    * file (recursive lookup — partition DIRECTORY names are excluded,
-    * but the columns they derive from are in the rows). Order-free, so
-    * task scheduling cannot move it; cheap — one aggregate over one
+  /** Content fingerprint of a staged tree: per TOP-LEVEL SUBTREE (a
+    * staged batch may hold several datasets with DIFFERENT schemas —
+    * the LSH stage carries `sets/` and `bands/` — and one mixed read
+    * would silently fingerprint only the first schema's columns), the
+    * row count plus a commutative XOR fold of per-row xxhash64 over
+    * every leaf parquet file (recursive lookup — partition DIRECTORY
+    * names are excluded, but the columns they derive from are in the
+    * rows). Subtrees compose in name order, so the whole fingerprint is
+    * deterministic; each aggregate is order-free, so task scheduling
+    * cannot move it; cheap — one bounded aggregate per subtree over one
     * micro-batch.
     */
   private def fingerprint(spark: SparkSession, stage: String): String = {
     import org.apache.spark.sql.functions._
-    val df = spark.read.option("recursiveFileLookup", "true").parquet(stage)
-    val r = df.agg(count(lit(1)),
-      expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}))"))
-      .head()
-    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    val fs = new Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(new Path(stage)).toSeq
+      .filter(e => !e.getPath.getName.startsWith("_")
+        && !e.getPath.getName.startsWith("."))
+    val dirs = entries.filter(_.isDirectory).map(_.getPath.getName).sorted
+    val rootFiles = entries.filter(_.isFile).map(_.getPath.toString).sorted
+    def fpOf(df: org.apache.spark.sql.DataFrame): String = {
+      val r = df.agg(count(lit(1)),
+        expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}))"))
+        .head()
+      s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    }
+    // root-level files (a flat stage) fingerprint as one subtree, read
+    // by explicit path so subtree contents are never double-counted
+    // a subtree can be EMPTY of data files (a dynamic-partitioned write
+    // of zero rows creates the dir but no part files — e.g. an
+    // admission batch that admitted nothing): schema inference would
+    // throw, and its honest fingerprint is "0 rows"
+    def hasParquet(p: Path): Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next().getPath.getName
+        found = f.endsWith(".parquet") && !f.startsWith("_") &&
+          !f.startsWith(".")
+      }
+      found
+    }
+    val rootPart =
+      if (rootFiles.isEmpty) Seq()
+      else Seq(s".=${fpOf(spark.read.parquet(rootFiles: _*))}")
+    (rootPart ++ dirs.map { d =>
+      if (!hasParquet(new Path(s"$stage/$d"))) s"$d=0:0"
+      else s"$d=${fpOf(spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$stage/$d"))}"
+    }).mkString("|")
   }
 
   private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {

@@ -200,6 +200,15 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/bands").count() == bands1,
       "mid-promotion retry did not restore exactly the missing rows")
 
+    // the recorded content fingerprint covers BOTH staged schemas —
+    // one mixed recursive read would silently fingerprint only the
+    // first schema's columns (sets and bands differ), letting a retry
+    // that drifted one dataset slip through skip-existing promotion
+    val fp = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$idx/_committed/fp-batch-1"))
+    assert(fp.contains("bands=") && fp.contains("sets="),
+      s"fingerprint does not cover both staged subtrees: $fp")
+
     // the converged index answers probes identically to a fresh full build
     val probes = Dedup.withMutants(
         base.filter(col("doc_id") < 10 ||
