@@ -551,30 +551,7 @@ object FilePipelines {
         val verdictDir = s"$outDir/batch=$batchId"
         val verdictMark = new Path(s"$outDir/_verdicts/batch-$batchId")
         if (!outFs.exists(verdictMark)) {
-          val (assigned, cents) = Similarity.readIvfIndex(spark, indexDir)
-          val queries = batch.select(col("vec_id").as("query_id"),
-            col("embedding").as("qvec"))
-          val wq = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("query_id"))
-            .orderBy(col("cscore").desc, col("cell"))
-          val probes = queries.crossJoin(broadcast(cents))
-            .withColumn("cscore",
-              Similarity.cosine(col("qvec"), col("centroid")))
-            .withColumn("crank", row_number().over(wq))
-            .filter(col("crank") <= nprobe)
-            .select(col("query_id"), col("qvec"), col("cell"))
-          val best = assigned.join(probes, Seq("cell"))
-            .select(col("query_id").as("vec_id"),
-              round(Similarity.cosine(col("qvec"), col("embedding")), 6)
-                .as("c"))
-            .groupBy("vec_id").agg(max(col("c")).as("best_cos"))
-          batch.select(col("vec_id"))
-            .join(best, Seq("vec_id"), "left")
-            .select(col("vec_id"), col("best_cos"),
-              (coalesce(col("best_cos"), lit(-1.0)) >= threshold)
-                .as("near_dup"),
-              (coalesce(col("best_cos"), lit(-1.0)) < threshold)
-                .as("admit"))
+          semanticVerdicts(spark, indexDir, batch, threshold, nprobe)
             .write.mode("overwrite").parquet(verdictDir)
           outFs.mkdirs(new Path(s"$outDir/_verdicts"))
           outFs.create(verdictMark, true).close()
@@ -590,6 +567,48 @@ object FilePipelines {
           .close()
       } finally { batch.unpersist(); () }
     }
+  }
+
+  /** One segment's (vec_id, best_cos, near_dup, admit) verdict frame
+    * against the persisted IVF index — the probe plan of
+    * [[semanticAdmissionBatch]], exposed for plan auditing. The probe
+    * side is BROADCAST (a micro-batch is bounded by the trigger — the
+    * topKIvf small-regime contract), which is what lets the candidate
+    * join dynamically PRUNE the cell-partitioned index scan to the
+    * probed cells: without it the join may shuffle and read EVERY cell
+    * per micro-batch — the exact full-history rescan this pipeline
+    * exists to avoid (FilePipelineSpec pins the dynamicpruning plan).
+    * Scores are round(cosine, 6) with max aggregation — order-free,
+    * SQL-replayable.
+    */
+  def semanticVerdicts(spark: SparkSession, indexDir: String,
+      batch: DataFrame, threshold: Double = 0.9,
+      nprobe: Int = 2): DataFrame = {
+    import graft.operators.Similarity
+    val (assigned, cents) = Similarity.readIvfIndex(spark, indexDir)
+    val queries = batch.select(col("vec_id").as("query_id"),
+      col("embedding").as("qvec"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        Similarity.cosine(col("qvec"), col("centroid")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val best = assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id").as("vec_id"),
+        round(Similarity.cosine(col("qvec"), col("embedding")), 6)
+          .as("c"))
+      .groupBy("vec_id").agg(max(col("c")).as("best_cos"))
+    batch.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("best_cos"),
+        (coalesce(col("best_cos"), lit(-1.0)) >= threshold)
+          .as("near_dup"),
+        (coalesce(col("best_cos"), lit(-1.0)) < threshold)
+          .as("admit"))
   }
 
   /** Streaming semantic admission: embedding segments (parquet) land in

@@ -534,6 +534,23 @@ class FilePipelineSpec extends SparkSpec {
       "replay changed verdicts")
     assert(spark.read.parquet(s"$idx/cells").groupBy("vec_id").count()
       .filter(col("count") > 1).isEmpty, "a vector landed twice in the index")
+    // the scale shape: the verdict probe dynamically PRUNES the
+    // cell-partitioned index scan to the probed cells — history is
+    // never re-scanned whole per micro-batch. Pinned on a
+    // realistically-sized index (DPP's cost check rightly declines on
+    // the 4-vector toy above; the 500-vector/10-cell store is the same
+    // fixture the topKIvf DPP pin uses).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val realIdx = s"$root/idx_real"
+    Similarity.writeIvfIndex(
+      (emb.select(col("vec_id"), col("embedding"), col("label").as("cell")),
+        emb.groupBy(col("label").as("cell"))
+          .agg(first(col("embedding")).cast("array<double>").as("centroid"))),
+      realIdx)
+    val plan = FilePipelines.semanticVerdicts(spark, realIdx,
+        emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
   }
 
   test("two concurrent streaming pipelines on disjoint state: no cross-talk in markers, epochs, or caches") {
