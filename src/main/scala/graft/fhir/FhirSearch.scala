@@ -90,6 +90,21 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
         s"_typeFilter must be a Type?params search expression: $f")
       require(exportTypes.contains(t),
         s"_typeFilter targets a type not being exported: $f")
+      // the bulk-data spec restricts _typeFilter to SEARCH parameters;
+      // result-modifying CONTROL params would otherwise pass verbatim
+      // into search() and corrupt the export silently — `_count=10`
+      // truncates the NDJSON (and the read-back manifest would certify
+      // the truncation), `_elements=` exports projected resources,
+      // `_total`/`_include`/`_revinclude` change the row shape and break
+      // the OR-of-filters union/dedup on id. Error, not a silent no-op.
+      // Underscore SEARCH params (_id, _lastUpdated, _tag, _security,
+      // _profile, _text, _content, _filter, _has) stay legal.
+      parseQs(f.dropWhile(_ != '?').drop(1)).foreach { case (k, _) =>
+        val base = k.takeWhile(_ != ':')
+        require(!ExportControlParams(base),
+          s"_typeFilter may only carry search parameters; control " +
+            s"parameter $base is not allowed in: $f")
+      }
       (t, f)
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val rows = exportTypes.map { t =>
@@ -701,6 +716,14 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
 }
 
 object FhirSearch {
+
+  /** Result-MODIFYING control params illegal inside `_typeFilter`
+    * (bulk-data spec: filters carry search parameters only). Matched on
+    * the `:`-modifier-stripped key.
+    */
+  private val ExportControlParams: Set[String] = Set(
+    "_count", "_page", "_total", "_elements", "_include", "_revinclude",
+    "_sort", "_summary")
 
   /** `CompType/{id}/{Type}` compartment request, optionally with ?params. */
   private val compartmentRx = "^([A-Za-z]+)/([^/?]+)/([A-Za-z]+)(?:\\?(.*))?$".r

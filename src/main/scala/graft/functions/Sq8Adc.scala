@@ -26,10 +26,18 @@ import org.apache.spark.sql.types._
   */
 object Sq8AdcFn {
 
+  /** Dimension agreement — a query/codes/bounds length mismatch means a
+    * WRONG index or a wrong embedding model, never valid data. The
+    * replaced HOF form (zip_with null-padding) surfaced it as a null
+    * score; scoring the common prefix would return a plausible cosine
+    * that silently masks the bug, so the expression nulls out too.
+    */
+  def dimsAgree(q: ArrayData, codes: ArrayData, lo: Array[Double]): Boolean =
+    q.numElements() == codes.numElements() && q.numElements() == lo.length
+
   def compute(q: ArrayData, qFloat: Boolean, codes: ArrayData,
       lo: Array[Double], hi: Array[Double]): Double = {
-    val n = math.min(q.numElements(),
-      math.min(codes.numElements(), lo.length))
+    val n = q.numElements()
     var ab = 0.0
     var aa = 0.0
     var bb = 0.0
@@ -49,7 +57,8 @@ object Sq8AdcFn {
 }
 
 /** `sq8_adc_cosine(qvec, codes)` under fitted (lo, hi) bounds — null iff
-  * either side is null; qvec FLOAT or DOUBLE array, codes INT array.
+  * either side is null OR the dimensions disagree (see
+  * [[Sq8AdcFn.dimsAgree]]); qvec FLOAT or DOUBLE array, codes INT array.
   */
 case class Sq8AdcCosineExpr(left: Expression, right: Expression,
     lo: Array[Double], hi: Array[Double]) extends BinaryExpression {
@@ -69,16 +78,27 @@ case class Sq8AdcCosineExpr(left: Expression, right: Expression,
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sq8_adc_cosine"
   override def foldable: Boolean = left.foldable && right.foldable
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(q: Any, codes: Any): Any =
-    Sq8AdcFn.compute(q.asInstanceOf[ArrayData], qFloat,
-      codes.asInstanceOf[ArrayData], lo, hi)
+  override protected def nullSafeEval(q: Any, codes: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val ca = codes.asInstanceOf[ArrayData]
+    if (!Sq8AdcFn.dimsAgree(qa, ca, lo)) null
+    else Sq8AdcFn.compute(qa, qFloat, ca, lo, hi)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val loRef = ctx.addReferenceObj("sq8lo", lo, "double[]")
     val hiRef = ctx.addReferenceObj("sq8hi", hi, "double[]")
-    defineCodeGen(ctx, ev, (q, c) =>
-      s"graft.functions.Sq8AdcFn.compute($q, $qFloat, $c, $loRef, $hiRef)")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"""
+         |if (!graft.functions.Sq8AdcFn.dimsAgree($q, $c, $loRef)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.Sq8AdcFn.compute(
+         |    $q, $qFloat, $c, $loRef, $hiRef);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(

@@ -262,7 +262,10 @@ object Dedup {
     * to the postings join.
     */
   def containmentAutoCap(nDocs: Long): Int =
-    math.max(64L, nDocs / 100L).toInt
+    // clamp: beyond ~2.1e11 docs the ratio exceeds Int.MaxValue and a
+    // bare toInt would wrap NEGATIVE — breaking the capped join at
+    // exactly the scale the rule exists for
+    math.min(math.max(64L, nDocs / 100L), Int.MaxValue.toLong).toInt
 
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
       hotCap: Option[Int] = None): DataFrame = {

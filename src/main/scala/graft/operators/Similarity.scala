@@ -151,7 +151,9 @@ object Similarity {
     * fixed quantizer.
     */
   def cellsFor(nVectors: Long, perCell: Int = 500): Int =
-    math.max(8L, nVectors / perCell).toInt
+    // clamp before toInt: a corpus past ~1e12 vectors would otherwise
+    // wrap the cell count negative ([[Dedup.containmentAutoCap]] ditto)
+    math.min(math.max(8L, nVectors / perCell), Int.MaxValue.toLong).toInt
 
   /** Coarse quantizer for IVF: k-means fitted LOCALLY on a bounded sample
     * (`sampleCap` rows collected to the driver), centroids broadcast,
@@ -399,9 +401,12 @@ object Similarity {
     * the repair.
     */
   def ivfCellStats(spark: SparkSession, path: String): (Long, Long, Long, Double) = {
+    // coalesce: on an EMPTY cells table sum/max are null and getLong
+    // would NPE before the total == 0 guard below could run
     val counts = spark.read.parquet(s"$path/cells")
       .groupBy("cell").agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)), sum("n"), max("n")).head()
+      .agg(count(lit(1)), coalesce(sum("n"), lit(0L)),
+        coalesce(max("n"), lit(0L))).head()
     val (ncells, total, maxCell) =
       (counts.getLong(0), counts.getLong(1), counts.getLong(2))
     (ncells, total, maxCell,

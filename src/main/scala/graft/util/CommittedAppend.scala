@@ -104,9 +104,19 @@ object CommittedAppend {
     * the LSH stage carries `sets/` and `bands/` — and one mixed read
     * would silently fingerprint only the first schema's columns), the
     * row count plus a commutative XOR fold of per-row xxhash64 over
-    * every leaf parquet file (recursive lookup — partition DIRECTORY
-    * names are excluded, but the columns they derive from are in the
-    * rows). Subtrees compose in name order, so the whole fingerprint is
+    * every leaf parquet file (recursive lookup), with the file's
+    * DIRECTORY path folded into each row's hash: under a partitionBy
+    * staging the partition column lives ONLY in directory names
+    * (`cells/cell=N/…`) and a recursive-lookup read drops it — without
+    * the fold, a retry re-staging identical (vec_id, embedding) rows
+    * under DRIFTED partition routing (changed centroids — the exact
+    * caller-bug case this guard exists for) would fingerprint equal and
+    * skip-existing promotion would land the batch a second time under
+    * new `cell=` dirs. File BASENAMES are excluded (Spark part-file
+    * names carry a per-write UUID, so they differ across byte-identical
+    * re-stagings); the stage path is fixed per (root, batchId), so
+    * directory paths are retry-deterministic.
+    * Subtrees compose in name order, so the whole fingerprint is
     * deterministic; each aggregate is order-free, so task scheduling
     * cannot move it; cheap — one bounded aggregate per subtree over one
     * micro-batch.
@@ -121,8 +131,11 @@ object CommittedAppend {
     val dirs = entries.filter(_.isDirectory).map(_.getPath.getName).sorted
     val rootFiles = entries.filter(_.isFile).map(_.getPath.toString).sorted
     def fpOf(df: org.apache.spark.sql.DataFrame): String = {
-      val r = df.agg(count(lit(1)),
-        expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}))"))
+      val withDir = df.withColumn("_graft_fp_dir",
+        regexp_replace(input_file_name(), "/[^/]*$", ""))
+      val cols = (df.columns.map(c => s"`$c`") :+ "`_graft_fp_dir`")
+        .mkString(", ")
+      val r = withDir.agg(count(lit(1)), expr(s"bit_xor(xxhash64($cols))"))
         .head()
       s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
     }

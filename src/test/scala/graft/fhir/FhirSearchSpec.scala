@@ -311,4 +311,29 @@ class FhirSearchSpec extends SparkSpec {
     val err = intercept[RuntimeException](eng2.search("Patient?_content=x"))
     assert(err.getMessage.contains("raw-source"))
   }
+
+  test("export _typeFilter rejects result-modifying control params " +
+      "(bulk-data spec: search parameters only)") {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_ctl_${spark.sparkContext.applicationId}"
+    // every control param that would corrupt the export silently —
+    // _count truncates (and the read-back manifest would CERTIFY the
+    // truncation), _elements projects, _total/_include/_revinclude
+    // change the row shape under the OR-of-filters union
+    Seq("Patient?gender=female&_count=10",
+        "Patient?_elements=id",
+        "Patient?gender=female&_total=accurate",
+        "Patient?gender=female&_include=Patient:organization",
+        "Patient?gender=female&_revinclude=Specimen:subject",
+        "Patient?_sort=name&gender=female",
+        "Patient?_summary=true",
+        "Patient?_page=2&gender=female").foreach { f =>
+      val e = intercept[IllegalArgumentException](
+        eng.export(out, types = Some(Seq("Patient")), typeFilters = Seq(f)))
+      assert(e.getMessage.contains("control parameter"), s"$f: ${e.getMessage}")
+    }
+    // underscore SEARCH params stay legal in filters
+    val m = eng.export(out, types = Some(Seq("Patient")),
+      typeFilters = Seq("Patient?_id=p-021")).collect()
+    assert(m.length == 1 && m.head.getLong(1) == 1L)
+  }
 }

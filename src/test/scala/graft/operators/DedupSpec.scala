@@ -415,6 +415,9 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.containmentAutoCap(5000) == 64
       && Dedup.containmentAutoCap(50000) == 500
       && Dedup.containmentAutoCap(10000000) == 100000)
+    // clamped, never wrapped negative at extreme corpus sizes
+    assert(Dedup.containmentAutoCap(Long.MaxValue) == Int.MaxValue)
+    assert(Dedup.containmentAutoCap(3L * Int.MaxValue * 100L) == Int.MaxValue)
     val auto = Dedup.containmentPairs(corpus, 3, 0.9,
         hotCap = Some(Dedup.containmentAutoCap(corpus.count())))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -586,6 +586,8 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.cellsFor(40000) == 80)  // the r16 probe's scale point
     assert(Similarity.cellsFor(10000000) == 20000)
     assert(Similarity.cellsFor(10000000, perCell = 100000) == 100)
+    // clamped, never wrapped negative at extreme corpus sizes
+    assert(Similarity.cellsFor(Long.MaxValue) == Int.MaxValue)
   }
 
   test("minedNegatives: planted positives excluded, k per probe, native TopK") {
@@ -781,5 +783,41 @@ class SimilaritySpec extends SparkSpec {
     // pairs (mutant grouped with base through the single hot cell)
     val kept = blocked.count(_.getBoolean(4))
     assert(kept > 0 && kept < blocked.size)
+  }
+
+  test("committed IVF append retry under drifted centroids fails loudly " +
+      "(fingerprint covers partition routing)") {
+    // the ADVICE r17 scenario: a batch promotes, its marker is lost to
+    // operator error, the quantizer is refit in between, and the retry
+    // re-stages the SAME (vec_id, embedding) rows under DIFFERENT cell
+    // routing. The rows are identical — only the cell= partition
+    // DIRECTORIES differ — so a fingerprint that drops partition-derived
+    // columns would pass and skip-existing promotion would land the
+    // batch's vectors a second time under new cell= dirs. The directory
+    // fold must turn that into the promised loud failure.
+    val dir = s"${System.getProperty("java.io.tmpdir")}/ivfdrift_${spark.sparkContext.applicationId}"
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val half2 = corpus.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(half1, ncells = 8, dir)
+    assert(Similarity.appendToIvfIndexCommitted(spark, dir, half2, 2L))
+    val marker = new java.io.File(s"$dir/_committed/batch-2")
+    assert(marker.exists() && marker.delete())
+    Similarity.refitIvfIndex(spark, dir, ncells = 3, iters = 2)
+    val ex = intercept[IllegalStateException] {
+      Similarity.appendToIvfIndexCommitted(spark, dir, half2, 2L)
+    }
+    assert(ex.getMessage.contains("fingerprint"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("ivfCellStats: empty cells table returns zeros, not an NPE") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/ivfempty_${spark.sparkContext.applicationId}"
+    corpus.limit(0).select(col("vec_id"), col("embedding"))
+      .withColumn("cell", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    val (ncells, total, maxCell, imb) = Similarity.ivfCellStats(spark, dir)
+    assert(ncells == 0L && total == 0L && maxCell == 0L && imb == 1.0)
   }
 }
