@@ -329,9 +329,28 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     // a raw-line scan of the store → matching ids → left-semi join back
     // to the parsed frame: at scale both sides are one pass, the id list
     // is small, and AQE turns the semi-join into a broadcast.
+    //
+    // SIZE GUARD: _content is definitionally a full scan of the raw
+    // store — no param path to push down, no index to prune. Fine at
+    // store scale; on a 100 TB deployment a MISDIRECTED _content query
+    // (a typo'd param name falling through to content search, an ad-hoc
+    // exploration) would silently burn a full-corpus scan. The scan is
+    // admitted only while the raw source's metadata size (file-relation
+    // stats — no data read) is under `graft.fhir.contentScanMaxBytes`
+    // (default 10 GiB); over it, the query fails loudly with the knob to
+    // raise — error, not a silent cap, the engine's standing contract.
     controls.collect { case ("_content", v) => v }.foreach { v =>
       val raw = rawSource.getOrElse(sys.error(
         "_content requires a raw-source provider (FhirSearch.overFixtures)"))(resType)
+      val cap = BigInt(spark.conf.get("graft.fhir.contentScanMaxBytes",
+        (10L << 30).toString))
+      val sz = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (sz > cap) sys.error(
+        s"_content over $resType would scan ~$sz bytes of raw store, " +
+          s"over the graft.fhir.contentScanMaxBytes guard ($cap). " +
+          "_content has no pushdown path (it matches the whole " +
+          "serialized resource) — raise the conf if the full scan is " +
+          "intended")
       val ids = raw
         .filter(lower(col("value")).contains(v.toLowerCase))
         .select(get_json_object(col("value"), "$.id").as("id"))

@@ -572,18 +572,23 @@ object FilePipelines {
   /** One segment's (vec_id, best_cos, near_dup, admit) verdict frame
     * against the persisted IVF index — the probe plan of
     * [[semanticAdmissionBatch]], exposed for plan auditing. The probe
-    * side is BROADCAST (a micro-batch is bounded by the trigger — the
-    * topKIvf small-regime contract), which is what lets the candidate
-    * join dynamically PRUNE the cell-partitioned index scan to the
-    * probed cells: without it the join may shuffle and read EVERY cell
-    * per micro-batch — the exact full-history rescan this pipeline
-    * exists to avoid (FilePipelineSpec pins the dynamicpruning plan).
-    * Scores are round(cosine, 6) with max aggregation — order-free,
-    * SQL-replayable.
+    * join is TWO-REGIME, the [[graft.operators.Similarity.topKIvf]]
+    * discipline: under `probeBroadcastCap` the probe side is BROADCAST,
+    * which is what lets the candidate join dynamically PRUNE the
+    * cell-partitioned index scan to the probed cells (FilePipelineSpec
+    * pins the dynamicpruning plan); OVER the cap it falls back to a
+    * shuffle equi-join on `cell`. A micro-batch is usually bounded by
+    * the trigger, but that contract is not enforceable — a backlog
+    * replay via AvailableNow over one oversized file arrives as a
+    * single "micro-batch", and an unconditional broadcast would OOM
+    * the driver silently right when an outage recovery needs the
+    * pipeline most. The shuffle regime reads more cells per batch but
+    * stays correct and bounded. Scores are round(cosine, 6) with max
+    * aggregation — order-free, SQL-replayable.
     */
   def semanticVerdicts(spark: SparkSession, indexDir: String,
       batch: DataFrame, threshold: Double = 0.9,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, probeBroadcastCap: Int = 1 << 16): DataFrame = {
     import graft.operators.Similarity
     val (assigned, cents) = Similarity.readIvfIndex(spark, indexDir)
     val queries = batch.select(col("vec_id").as("query_id"),
@@ -597,7 +602,11 @@ object FilePipelines {
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
-    val best = assigned.join(broadcast(probes), Seq("cell"))
+    val small = batch.limit(probeBroadcastCap + 1).count() <= probeBroadcastCap
+    val candidates =
+      if (small) assigned.join(broadcast(probes), Seq("cell"))
+      else assigned.join(probes, Seq("cell"))
+    val best = candidates
       .select(col("query_id").as("vec_id"),
         round(Similarity.cosine(col("qvec"), col("embedding")), 6)
           .as("c"))

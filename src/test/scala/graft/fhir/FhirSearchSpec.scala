@@ -310,6 +310,17 @@ class FhirSearchSpec extends SparkSpec {
     val eng2 = new FhirSearch(spark, Map("Patient" -> Seq("p-1").toDF("id")))
     val err = intercept[RuntimeException](eng2.search("Patient?_content=x"))
     assert(err.getMessage.contains("raw-source"))
+    // the 100 TB footgun guard: _content is a full raw-store scan by
+    // definition, so over the configured byte cap it fails LOUDLY with
+    // the knob named, instead of silently scanning everything
+    spark.conf.set("graft.fhir.contentScanMaxBytes", "1")
+    try {
+      val big = intercept[RuntimeException](
+        eng.search("Patient?_content=example.org/tags"))
+      assert(big.getMessage.contains("contentScanMaxBytes"))
+    } finally spark.conf.unset("graft.fhir.contentScanMaxBytes")
+    // back under the default cap, the scan is admitted again
+    assert(eng.search("Patient?_content=given021").count() == 1)
   }
 
   test("export _typeFilter rejects result-modifying control params " +

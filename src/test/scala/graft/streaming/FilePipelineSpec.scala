@@ -551,6 +551,21 @@ class FilePipelineSpec extends SparkSpec {
         emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")))
       .queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan.take(3000))
+    // two-regime probe (round 18): an OVER-CAP batch — a backlog replay
+    // arriving as one oversized "micro-batch" — must NOT be broadcast:
+    // the probe side takes the shuffle equi-join on cell instead, so an
+    // outage recovery cannot OOM the driver. Verdicts are identical
+    // either way (same join, different strategy).
+    val bigBatch = emb.select(col("vec_id"), col("embedding"))
+    val overCap = FilePipelines.semanticVerdicts(spark, realIdx, bigBatch,
+      probeBroadcastCap = 4)
+    val overPlan = overCap.queryExecution.executedPlan.toString
+    assert(!overPlan.contains("dynamicpruning"),
+      "over-cap batch still took the broadcast regime")
+    val smallSide = FilePipelines.semanticVerdicts(spark, realIdx, bigBatch)
+    assert(overCap.exceptAll(smallSide).isEmpty
+        && smallSide.exceptAll(overCap).isEmpty,
+      "regimes diverged on verdicts")
   }
 
   test("two concurrent streaming pipelines on disjoint state: no cross-talk in markers, epochs, or caches") {
