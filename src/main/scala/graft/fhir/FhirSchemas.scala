@@ -114,11 +114,16 @@ object FhirSchemas {
       StructField("entity", reference))))),
     StructField("meta", resourceMeta)))
 
-  /** ImagingStudy: R5 series[].modality CodeableConcept → R4 Coding. */
+  /** ImagingStudy: R5 series[].modality CodeableConcept → R4 Coding.
+    * `subject`/`started` serve the R4 search params (modality/subject/
+    * started) — the transform passes them through untouched.
+    */
   val imagingStudy: StructType = StructType(Seq(
     StructField("resourceType", StringType),
     StructField("id", StringType),
     StructField("status", StringType),
+    StructField("subject", reference),
+    StructField("started", StringType),
     StructField("basedOn", ArrayType(reference)),
     StructField("procedureReference", ArrayType(reference)),
     StructField("series", ArrayType(StructType(Seq(

@@ -780,7 +780,8 @@ object FhirSearch {
     * [[compartmentRefParam]] places in the patient compartment).
     */
   val EverythingTypes: Seq[String] = Seq(
-    "Condition", "DocumentReference", "Observation", "Procedure",
+    "Condition", "DocumentReference", "ImagingStudy",
+    "MedicationAdministration", "Observation", "Procedure",
     "ResearchSubject", "Specimen")
 
   /** Types whose fixtures carry server-maintained `meta`
@@ -797,7 +798,8 @@ object FhirSearch {
     */
   def compartmentRefParam(childType: String): String = childType match {
     case "Observation" | "Condition" | "Procedure" => "patient"
-    case "Specimen" | "DocumentReference" | "ResearchSubject" => "subject"
+    case "Specimen" | "DocumentReference" | "ResearchSubject"
+       | "ImagingStudy" | "MedicationAdministration" => "subject"
     case other => sys.error(s"type not in the patient compartment: $other")
   }
 
@@ -987,6 +989,33 @@ object FhirSearch {
       missingTest = _ => col("name").isNull)
     case ("Encounter", "status") => strParam(col("status"))
     case ("Encounter", "class") => tokenCodingParam(col("class").getField("coding"))
+    // ImagingStudy (R4 params modality/subject/started) — modality is a
+    // token over EVERY series' modality codings (any-series semantics)
+    case ("ImagingStudy", "status") => strParam(col("status"))
+    case ("ImagingStudy", "subject" | "patient") =>
+      refParam(col("subject").getField("reference"))
+    case ("ImagingStudy", "started") => dateParam(col("started"))
+    case ("ImagingStudy", "modality") => ParamDef(
+      (v, m) => exists(col("series"), se =>
+        tokenCodingParam(se.getField("modality").getField("coding"))
+          .predicate(v, m)),
+      missingTest = _ => col("series").isNull)
+    // MedicationAdministration (R4 params medication/effective-time/
+    // subject) — the raw store carries the R5-shaped medication.concept
+    // and occurenceDateTime [sic]; coalesce covers rows already in the
+    // transformed R4 spelling
+    case ("MedicationAdministration", "status") => strParam(col("status"))
+    case ("MedicationAdministration", "subject" | "patient") =>
+      refParam(col("subject").getField("reference"))
+    case ("MedicationAdministration", "medication") => ParamDef(
+      (v, m) => tokenCodingParam(coalesce(
+        col("medication").getField("concept").getField("coding"),
+        col("medicationCodeableConcept").getField("coding")))
+        .predicate(v, m),
+      missingTest = _ => col("medication").isNull
+        && col("medicationCodeableConcept").isNull)
+    case ("MedicationAdministration", "effective-time") =>
+      dateParam(coalesce(col("effectiveDateTime"), col("occurenceDateTime")))
     case ("Specimen", "subject") => refParam(col("subject").getField("reference"))
     case ("Specimen", "processing") =>
       ParamDef((v, _) => exists(col("processing"), p =>
@@ -1054,6 +1083,8 @@ object FhirSearch {
     case "Condition" => Seq("subject")
     case "Procedure" => Seq("subject", "encounter")
     case "Group" => Seq("member")
+    case "ImagingStudy" => Seq("subject")
+    case "MedicationAdministration" => Seq("subject")
     case _ => Seq()
   }
 
@@ -1070,6 +1101,10 @@ object FhirSearch {
     case ("Condition", "subject" | "patient") => col("subject").getField("reference")
     case ("Procedure", "subject" | "patient") => col("subject").getField("reference")
     case ("Procedure", "encounter") => col("encounter").getField("reference")
+    case ("ImagingStudy", "subject" | "patient") =>
+      col("subject").getField("reference")
+    case ("MedicationAdministration", "subject" | "patient") =>
+      col("subject").getField("reference")
     case _ => sys.error(s"unknown reference param $resType.$refParam")
   }
 
@@ -1154,6 +1189,9 @@ object FhirSearch {
       "Observation" -> load("Observation", FhirSchemas.observation),
       "Condition" -> load("Condition", FhirSchemas.condition),
       "Procedure" -> load("Procedure", FhirSchemas.procedure),
+      "ImagingStudy" -> load("ImagingStudy", FhirSchemas.imagingStudy),
+      "MedicationAdministration" ->
+        load("MedicationAdministration", FhirSchemas.medicationAdministration),
       "ValueSet" -> load("ValueSet", FhirSchemas.valueSet),
       "CodeSystem" -> load("CodeSystem", FhirSchemas.codeSystem)),
       historySource = Map(

@@ -179,6 +179,16 @@ object SearchPack extends QueryPack {
               |FROM ${rj("Specimen")} sp WHERE EXISTS (
               |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
               |  AND sp.subject.reference = 'Patient/' || p.id)
+              |UNION ALL
+              |SELECT DISTINCT 'ImagingStudy', im.id, 'revinclude'
+              |FROM ${rj("ImagingStudy")} im WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
+              |  AND im.subject.reference = 'Patient/' || p.id)
+              |UNION ALL
+              |SELECT DISTINCT 'MedicationAdministration', ma.id, 'revinclude'
+              |FROM ${rj("MedicationAdministration")} ma WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
+              |  AND ma.subject.reference = 'Patient/' || p.id)
               |ORDER BY mode, resourceType, id""".stripMargin)),
 
     // B10: paging (_count + _page over a total sort order)
@@ -1001,6 +1011,10 @@ object SearchPack extends QueryPack {
               |FROM ${rj("Condition")} WHERE subject.reference = 'Patient/p-001'
               |UNION ALL SELECT 'DocumentReference', id, 'match'
               |FROM ${rj("DocumentReference")} WHERE subject.reference = 'Patient/p-001'
+              |UNION ALL SELECT 'ImagingStudy', id, 'match'
+              |FROM ${rj("ImagingStudy")} WHERE subject.reference = 'Patient/p-001'
+              |UNION ALL SELECT 'MedicationAdministration', id, 'match'
+              |FROM ${rj("MedicationAdministration")} WHERE subject.reference = 'Patient/p-001'
               |UNION ALL SELECT 'Observation', id, 'match'
               |FROM ${rj("Observation")} WHERE subject.reference = 'Patient/p-001'
               |UNION ALL SELECT 'Procedure', id, 'match'
@@ -1065,6 +1079,68 @@ object SearchPack extends QueryPack {
               |               timestampformat='%d__%m')
               |WHERE len(list_filter(meta.tag, t -> t.code = 'routine')) > 0
               |  AND status = 'final' AND meta.lastUpdated < '2024-10'
-              |ORDER BY id""".stripMargin))
+              |ORDER BY id""".stripMargin)),
+
+    // Round 18: search params for the remaining transformed store types
+    // (verdict r17 #4 — ImagingStudy / MedicationAdministration /
+    // Encounter were transformable but ImagingStudy + MedAdmin had no
+    // search surface; a user querying `ImagingStudy?modality=…` — a
+    // query the reference store serves — got an unknown-type error).
+
+    // Encounter: class token (bare code, any coding) + status, conjunctive
+    QueryDef(
+      "search_encounter",
+      (s, _) => eng(s).search("Encounter?class=IMP&status=completed")
+        .select(col("id"), col("status")).orderBy("id"),
+      Some(s"""SELECT id, status FROM ${rj("Encounter")} e
+              |WHERE len(list_filter(e."class".coding, c -> c.code = 'IMP')) > 0
+              |  AND status = 'completed' ORDER BY id""".stripMargin)),
+
+    // ImagingStudy: modality token over ANY series' codings + started
+    // date floor (R4 params modality/started; subject is the
+    // compartment leg exercised by search_everything)
+    QueryDef(
+      "search_imagingstudy",
+      (s, _) => eng(s).search("ImagingStudy?modality=CT&started=ge2021-06-01")
+        .select(col("id"), col("started"),
+          col("subject").getField("reference").as("subject_ref"))
+        .orderBy("id"),
+      Some {
+        def mj(name: String) =
+          s"""read_json('$Fix/$name.ndjson', format='newline_delimited',
+             |          timestampformat='%d__%m')""".stripMargin
+        s"""SELECT id, started, subject.reference AS subject_ref
+           |FROM ${mj("ImagingStudy")} i
+           |WHERE len(list_filter(i.series, se ->
+           |        len(list_filter(se.modality.coding, c -> c.code = 'CT')) > 0)) > 0
+           |  AND started >= '2021-06-01'
+           |ORDER BY id""".stripMargin
+      }),
+
+    // MedicationAdministration: medication token (R5-shaped
+    // medication.concept in the raw store) + effective-time range over
+    // occurenceDateTime [sic] + subject output
+    QueryDef(
+      "search_medadmin",
+      (s, _) => eng(s).search("MedicationAdministration?medication=second" +
+        "&effective-time=ge2020-05-01&effective-time=lt2020-11-01")
+        .select(col("id"),
+          col("subject").getField("reference").as("subject_ref"),
+          coalesce(col("effectiveDateTime"), col("occurenceDateTime"))
+            .as("effective"))
+        .orderBy("id"),
+      Some {
+        def mj(name: String) =
+          s"""read_json('$Fix/$name.ndjson', format='newline_delimited',
+             |          timestampformat='%d__%m')""".stripMargin
+        s"""SELECT id, subject.reference AS subject_ref,
+           |       occurenceDateTime AS effective
+           |FROM ${mj("MedicationAdministration")} m
+           |WHERE len(list_filter(m.medication.concept.coding,
+           |        c -> c.code = 'second')) > 0
+           |  AND occurenceDateTime >= '2020-05-01'
+           |  AND occurenceDateTime < '2020-11-01'
+           |ORDER BY id""".stripMargin
+      })
   )
 }

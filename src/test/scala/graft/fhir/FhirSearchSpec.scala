@@ -218,8 +218,17 @@ class FhirSearchSpec extends SparkSpec {
   test("$everything _type restricts child types but keeps the patient; _since filters on meta") {
     val typed = eng.search("Patient/p-001/$everything?_type=Observation").collect()
     assert(typed.map(_.getString(0)).toSet == Set("Patient", "Observation"))
-    // _since later than every fixture update → nothing at all
-    assert(eng.search("Patient/p-001/$everything?_since=2030-01").count() == 0)
+    // _since later than every fixture update → only the types WITHOUT
+    // server meta survive: they cannot honor the floor and sweep whole
+    // (the export `since_applied` semantics — FhirSearch.MetaTypes is
+    // the filterable set); restricting _type to meta-carrying types
+    // gives the strict-incremental empty result
+    val late = eng.search("Patient/p-001/$everything?_since=2030-01")
+      .collect().map(_.getString(0)).toSet
+    assert(late == Set("ImagingStudy", "MedicationAdministration"),
+      s"unexpected late-_since sweep: $late")
+    assert(eng.search("Patient/p-001/$everything" +
+      "?_since=2030-01&_type=Observation,Specimen").count() == 0)
     // _since before everything → identical to the unfiltered sweep
     assert(eng.search("Patient/p-001/$everything?_since=2000-01").count() ==
       eng.search("Patient/p-001/$everything").count())
