@@ -364,12 +364,66 @@ object Similarity {
     * contract; refuses while a committed append is in flight.
     */
   def refitIvfIndex(spark: SparkSession, path: String, ncells: Int,
-      iters: Int = 2): Unit = {
+      iters: Int = 2): Unit =
+    refitIvfIndexLive(spark, path, ncells, iters)
+
+  /** [[refitIvfIndex]] that TOLERATES CONCURRENT committed appends — the
+    * operator a continuously-ingesting deployment actually runs
+    * (stream_ivf_append / stream_semantic_admission never leave a
+    * stop-the-world refit window). Refit-under-ingest, in phases:
+    *
+    *  1. SNAPSHOT: list the live data files under `cells/` — the refit
+    *     generation is defined by this file set, not by the directory,
+    *     so appends landing later never leak into the quantizer fit.
+    *  2. FIT (long, unfenced): [[kmeansFit]] over the snapshot corpus;
+    *     stage the reassigned cells and new centroids. Concurrent
+    *     committed appends land freely in the live tree meanwhile.
+    *  3. FENCE (short): raise the [[graft.util.CommittedAppend]]
+    *     maintenance fence — from here until the swap commits, a
+    *     committed append refuses at staging AND at promotion (an
+    *     at-least-once scheduler just retries after). Wait out
+    *     in-flight stagings (assertNoInflight — if one is mid-promote,
+    *     refuse and retry the refit later; the finally drops the
+    *     fence).
+    *  4. DELTA: files now under `cells/` minus the snapshot = batches
+    *     that committed DURING the fit. Re-assign exactly those rows
+    *     under the NEW centroids (one bounded job — delta-sized, not
+    *     corpus-sized) and append them to the staged cells, so the new
+    *     generation carries every vector the old one did.
+    *  5. SWAP cells then centroids (the [[recoverIvfIndex]]
+    *     direction-decidable two-directory discipline), drop the fence.
+    *
+    * The ingest-blocked window is delta-reassign + two renames — NOT
+    * the quantizer fit. Result is hash-equivalent to a fresh
+    * assign-everything under kmeansFit(snapshot): the snapshot rows get
+    * kmeansFit's own final assignment, the delta rows the identical
+    * [[assignCells]] argmin under the same final centroids (the
+    * sim_ivf_refit_live gate replays exactly that in SQL).
+    *
+    * `afterFit` is a test seam: it runs between staging and the fence,
+    * where concurrent appends are most interesting to interleave.
+    */
+  def refitIvfIndexLive(spark: SparkSession, path: String, ncells: Int,
+      iters: Int = 2, afterFit: () => Unit = () => ()): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.util.CommittedAppend.assertNoInflight(fs, path)
     recoverIvfIndex(spark, path)
-    val corpus = spark.read.parquet(s"$path/cells")
+    def liveFiles(): Set[String] = {
+      val out = Set.newBuilder[String]
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+            && !f.getName.startsWith("."))
+          out += f.toString
+      }
+      out.result()
+    }
+    val snapshot = liveFiles()
+    require(snapshot.nonEmpty, s"refit of an empty index: $path/cells")
+    // explicit-path read: the fit NEVER sees files appended after the
+    // snapshot, even though they share the directory
+    val corpus = spark.read.parquet(snapshot.toSeq.sorted: _*)
       .select(col("vec_id"), col("embedding"))
     val (assigned, cents) = kmeansFit(corpus, ncells, iters)
     val cellsStage = s"$path/_refit_cells"
@@ -384,8 +438,23 @@ object Similarity {
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     Seq(json).toDF("centroids").coalesce(1)
       .write.mode("overwrite").json(centStage)
-    graft.util.Generations.swapIn(fs, s"$path/cells", cellsStage)
-    graft.util.Generations.swapIn(fs, s"$path/centroids", centStage)
+    afterFit()
+    graft.util.CommittedAppend.raiseFence(fs, path)
+    try {
+      graft.util.CommittedAppend.assertNoInflight(fs, path)
+      val delta = (liveFiles() -- snapshot).toSeq.sorted
+      if (delta.nonEmpty) {
+        val centers = centersOf(cents)
+        spark.read.parquet(delta: _*)
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("cell",
+            element_at(assignCells(centers, nassign = 1, euclid = true), 1))
+          .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
+          .write.mode("append").partitionBy("cell").parquet(cellsStage)
+      }
+      graft.util.Generations.swapIn(fs, s"$path/cells", cellsStage)
+      graft.util.Generations.swapIn(fs, s"$path/centroids", centStage)
+    } finally graft.util.CommittedAppend.dropFence(fs, path)
   }
 
   /** Cell-balance statistics of a persisted IVF index — the DRIFT
@@ -424,6 +493,10 @@ object Similarity {
   def recoverIvfIndex(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash inside the fenced window leaves the maintenance fence up
+    // and would refuse ingest forever — recovery owns dropping it (the
+    // swap itself is restored below, so the fence has nothing to guard)
+    graft.util.CommittedAppend.dropFence(fs, path)
     val cellsStage = s"$path/_refit_cells"
     val centStage = s"$path/_refit_centroids"
     if (fs.exists(new org.apache.hadoop.fs.Path(cellsStage)))

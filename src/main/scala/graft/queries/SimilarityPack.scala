@@ -789,6 +789,79 @@ object SimilarityPack extends QueryPack {
               |WHERE rank <= 10
               |ORDER BY query_id, rank""".stripMargin)),
 
+    // REFIT-UNDER-INGEST (round 18, verdict r17 #1): the refit a 24/7
+    // deployment actually runs — the quantizer re-fits against a FILE
+    // SNAPSHOT of the index while committed appends keep landing; at
+    // swap time a short maintenance fence blocks new promotions, the
+    // delta (batches that committed during the fit) is re-assigned
+    // under the NEW centroids in one bounded job, and both generations
+    // swap. The fixture starts from the even half, then two committed
+    // appends (the odd quarters) land AFTER the fit staged — exactly
+    // the interleaving assertNoInflight used to forbid. The oracle
+    // replays kmeansFit on the SNAPSHOT (the even half — appends must
+    // NOT leak into the fit) and assigns the WHOLE union under those
+    // centroids: a refit that lost a delta batch, let the delta leak
+    // into the fit, or probed new cells with old centroids all fail the
+    // hash.
+    QueryDef(
+      "sim_ivf_refit_live",
+      ivfGrownProbe("ivf_refit_live") { (s, emb, p) =>
+        Similarity.writeIvfIndex(
+          labelIndexOf(emb.filter(col("vec_id") % 2 === 0)), p)
+        Similarity.refitIvfIndexLive(s, p, ncells = 8, iters = 2,
+          afterFit = () => {
+            Similarity.appendToIvfIndexCommitted(s, p,
+              emb.filter(col("vec_id") % 4 === 1)
+                .select(col("vec_id"), col("embedding")), batchId = 21L): Unit
+            Similarity.appendToIvfIndexCommitted(s, p,
+              emb.filter(col("vec_id") % 4 === 3)
+                .select(col("vec_id"), col("embedding")), batchId = 22L): Unit
+          })
+      },
+      Some {
+        val score =
+          s"""list_sum(list_transform(list_zip(e.embedding, c.centroid),
+             |               p -> CAST(p[1] AS DOUBLE) * p[2]))
+             |           - list_sum(list_transform(c.centroid, x -> x*x)) / 2""".stripMargin
+        s"""WITH snap AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+           |), ${kmeansReplayCtes("snap")},
+           |afall AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |               ORDER BY $score DESC, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN c2 c) t
+           |  WHERE rn = 1
+           |), celled AS (
+           |  SELECT e.vec_id, e.embedding, a.cell
+           |  FROM embeddings e JOIN afall a USING (vec_id)
+           |), q AS (
+           |  SELECT vec_id AS query_id, embedding AS qvec
+           |  FROM embeddings WHERE vec_id < 10
+           |), pc AS (
+           |  SELECT query_id, qvec, cell FROM (
+           |    SELECT q.query_id, q.qvec, v.cell,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
+           |                                       v.cell) AS crank
+           |    FROM q CROSS JOIN c2 v) t
+           |  WHERE crank <= 2
+           |), scored AS (
+           |  SELECT pc.query_id, c.vec_id,
+           |         round(${cosSql("pc.qvec", "c.embedding")}, 5) AS score
+           |  FROM pc JOIN celled c ON c.cell = pc.cell
+           |  WHERE pc.query_id != c.vec_id
+           |)
+           |SELECT query_id, rank, vec_id, score FROM (
+           |  SELECT query_id, vec_id, score,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY score DESC, vec_id) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+
     // Streaming dense-index ingest (round 16): the ANN face of the
     // crawl-ingest loop — embedding segments ARRIVE as parquet files
     // (no text round-trip of floats) and each micro-batch joins the

@@ -66,6 +66,7 @@ object CommittedAppend {
       if (fs.exists(stagePath)) { fs.delete(stagePath, true): Unit }
       return false
     }
+    assertNotFenced(fs, root, batchId)
     stageWrites(stage)
     if (fs.exists(stagePath)) {
       // determinism guard: skip-existing promotion is only exactly-once
@@ -76,7 +77,8 @@ object CommittedAppend {
       // generations (old names kept, new names added) — fail it loudly
       // instead. One bounded aggregate over the micro-batch-sized stage.
       val fp = fingerprint(spark, stage)
-      if (fs.exists(fpPath)) {
+      val fpWasAbsent = !fs.exists(fpPath)
+      if (!fpWasAbsent) {
         val recorded = readSmall(fs, fpPath)
         if (recorded != fp)
           throw new IllegalStateException(
@@ -91,6 +93,25 @@ object CommittedAppend {
         fs.mkdirs(new Path(s"$root/_committed"))
         writeSmall(fs, fpPath, fp)
       }
+      // fence re-check at the promotion point: the fence may have gone
+      // up while this batch staged, and promoting now would land files
+      // into a generation the maintenance swap is about to PARK —
+      // silently losing the batch after its marker certifies it. If no
+      // prior attempt promoted anything (the fingerprint was absent
+      // until this call), unwind fully so a post-fence retry with
+      // re-fit routing starts clean; if the fingerprint pre-existed, a
+      // crashed attempt may have half-promoted, so leave staging as the
+      // in-flight signal that BLOCKS the fence holder's swap.
+      if (fenced(fs, root)) {
+        if (fpWasAbsent) {
+          fs.delete(fpPath, false): Unit
+          fs.delete(stagePath, true): Unit
+        }
+        throw new IllegalStateException(
+          s"$root was fenced while batch $batchId staged (index refit " +
+            "swap in progress) — promotion would land files into a " +
+            "generation about to be parked; retry after the fence drops")
+      }
       promote(fs, batchId, stagePath, rootPath)
     }
     fs.mkdirs(new Path(s"$root/_committed"))
@@ -98,6 +119,36 @@ object CommittedAppend {
     fs.delete(stagePath, true): Unit
     true
   }
+
+  /** Maintenance FENCE: while up, [[run]] refuses to stage or promote —
+    * the mutual-exclusion point that lets a refit swap generations
+    * under continuous ingest ([[graft.operators.Similarity.refitIvfIndexLive]]).
+    * The fence holder raises it, waits out in-flight stagings
+    * ([[assertNoInflight]]), catches up the delta, swaps, and drops it;
+    * an at-least-once scheduler simply retries fenced batches after.
+    * The fence bounds the ingest-blocked window to delta-reassign + two
+    * directory renames — NOT the quantizer fit.
+    */
+  def fencePath(root: String): Path = new Path(s"$root/_maintenance_fence")
+
+  def fenced(fs: FileSystem, root: String): Boolean =
+    fs.exists(fencePath(root))
+
+  def raiseFence(fs: FileSystem, root: String): Unit = {
+    fs.mkdirs(new Path(root)): Unit
+    fs.create(fencePath(root), true).close()
+  }
+
+  def dropFence(fs: FileSystem, root: String): Unit = {
+    fs.delete(fencePath(root), false): Unit
+  }
+
+  private def assertNotFenced(fs: FileSystem, root: String,
+      batchId: Long): Unit =
+    if (fenced(fs, root))
+      throw new IllegalStateException(
+        s"$root is under a maintenance fence (index refit swap in " +
+          s"progress) — retry batch $batchId after the fence drops")
 
   /** Content fingerprint of a staged tree: per TOP-LEVEL SUBTREE (a
     * staged batch may hold several datasets with DIFFERENT schemas —

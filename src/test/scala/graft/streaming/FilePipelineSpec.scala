@@ -660,4 +660,65 @@ class FilePipelineSpec extends SparkSpec {
       assert(!st.exists() || st.list().isEmpty, s"stuck staging under $d")
     }
   }
+
+  test("refit-under-ingest: stream appends during the fit are delta-" +
+      "reassigned on swap; fence refuses promotions; recovery drops a " +
+      "crashed fence") {
+    import graft.operators.Similarity
+    val root = tmpDir("refitlive")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val even = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val idx = s"$root/idx"
+    Similarity.writeIvfIndex(even, ncells = 8, idx)
+    // one embedding segment waiting in the stream's inbox
+    val tmpSeg = s"$root/_segtmp"
+    odd.coalesce(1).write.mode("overwrite").parquet(tmpSeg)
+    val part = new File(tmpSeg).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new File(s"$root/in/seg0.parquet")
+    dst.getParentFile.mkdirs()
+    Files.move(part.toPath, dst.toPath)
+    // the REAL ingest stream lands its committed append INSIDE the fit
+    // window (after the snapshot + staged fit, before the fence) — the
+    // interleaving the old stop-the-world refit could never survive
+    Similarity.refitIvfIndexLive(spark, idx, ncells = 8, iters = 2,
+      afterFit = () =>
+        FilePipelines.ivfIngestStream(spark, s"$root/in", idx,
+          s"$root/ckpt").awaitTermination())
+    val cells = spark.read.parquet(s"$idx/cells")
+    assert(cells.count() == even.count() + odd.count(),
+      "a batch committed during the fit was lost across the swap")
+    assert(cells.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+      "a vector landed twice across snapshot + delta")
+    // exhaustive probe over the refit index == brute force on the union
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val loaded = Similarity.readIvfIndex(spark, idx)
+    val viaIdx = Similarity.topKIvf(emb.select(col("vec_id"), col("embedding")),
+      queries, 10, nprobe = 8, index = Some(loaded))
+    val brute = Similarity.topKBruteForce(
+      emb.select(col("vec_id"), col("embedding")), queries, 10)
+    assert(viaIdx.exceptAll(brute).isEmpty && brute.exceptAll(viaIdx).isEmpty,
+      "refit-under-ingest index diverged from brute force under " +
+        "exhaustive probing")
+    // fence semantics: while up, a committed append refuses LOUDLY at
+    // the staging gate (an at-least-once scheduler retries after)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.CommittedAppend.raiseFence(fs, idx)
+    val extra = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 900000).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalStateException](
+      Similarity.appendToIvfIndexCommitted(spark, idx, extra, 77L))
+    assert(e.getMessage.contains("fence"), e.getMessage)
+    // a crash inside the fenced window leaves the fence up — recovery
+    // owns dropping it, and the retried batch then lands exactly once
+    Similarity.recoverIvfIndex(spark, idx)
+    assert(Similarity.appendToIvfIndexCommitted(spark, idx, extra, 77L))
+    assert(spark.read.parquet(s"$idx/cells").count() ==
+      even.count() + odd.count() + 5)
+  }
 }
