@@ -1049,9 +1049,9 @@ object Similarity {
     * frozen bounds: codebooks are fitted once; batches encode
     * themselves against them (the identical [[pqEncode]] arithmetic —
     * frozen-codebook appends commute with one big encode) and land as
-    * appended code files, nothing rewritten, no refit. Refit + rewrite
-    * ([[writePqIndex]] with fresh codebooks) is the separate, rarer
-    * maintenance pass when drift degrades the quantizer.
+    * appended code files, nothing rewritten, no refit. When drift
+    * degrades the quantizer, [[refitPqIndex]] retrains from co-located
+    * raw vectors (codes alone are lossy — refit needs the vectors).
     */
   def appendToPqIndex(spark: SparkSession, path: String,
       newVecs: DataFrame): Unit = {
@@ -1096,14 +1096,80 @@ object Similarity {
     graft.util.Generations.swapIn(fs, s"$path/codes", stage)
   }
 
-  /** Restore a torn [[compactPqIndex]] swap — the "safe to call any
-    * time" recovery entry point every compactor exposes
-    * ([[recoverIvfIndex]], [[recoverSq8Index]], [[Dedup.recoverLshIndex]]).
-    * Run first by [[compactPqIndex]].
+  /** REFIT a persisted PQ index's codebooks — the maintenance pass for
+    * quantizer drift, possible exactly when the PQ index sits BESIDE an
+    * IVF celled layout (one index root serving the pruning leg AND the
+    * compression leg, the composed [[topKIvfSq8]]-style production
+    * shape): PQ codes are LOSSY, so refit needs the raw vectors, and
+    * `cells/` IS the vector store. Retrains [[pqCodebooks]] on the
+    * celled corpus (grown through however many committed appends),
+    * re-encodes EVERY vector under the new codebooks, and swaps codes
+    * then codebook via the [[refitIvfIndexLive]] two-directory
+    * discipline — both stages written before either swap,
+    * [[recoverPqIndex]] decides direction from which stage survives, so
+    * no torn window is unrecoverable. Without co-located vectors the
+    * refit refuses loudly (the codes cannot be decoded back into
+    * training data). Equivalent to a fresh
+    * [[writePqIndex]]([[pqCodebooks]](celled corpus)) — SimilaritySpec
+    * pins refit == fresh-encode on codes AND codebook. Single-maintainer
+    * contract; refuses while a committed append is in flight.
+    */
+  def refitPqIndex(spark: SparkSession, path: String, m: Int = 8,
+      kcodes: Int = 16, seed: Long = 42L, sampleCap: Int = 4096,
+      iters: Int = 20, files: Int = 1,
+      vectorsDir: Option[String] = None): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.CommittedAppend.assertNoInflight(fs, path)
+    recoverPqIndex(spark, path)
+    val src = vectorsDir.getOrElse(s"$path/cells")
+    require(fs.exists(new org.apache.hadoop.fs.Path(src)),
+      s"PQ refit needs the raw vectors (codes are lossy) — no celled " +
+        s"vector store at $src; co-locate the PQ index with an IVF " +
+        "layout or pass vectorsDir")
+    val corpus = spark.read.parquet(src)
+      .select(col("vec_id"), col("embedding"))
+    val cb = pqCodebooks(corpus, m, kcodes, seed, sampleCap, iters)
+    val codesStage = s"$path/_refit_codes"
+    val cbStage = s"$path/_refit_codebook"
+    pqEncode(corpus, cb)
+      .repartition(files).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(codesStage)
+    val json = cb.map(_.map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")).mkString("[", ",", "]")
+    import spark.implicits._
+    Seq(json).toDF("codebook").coalesce(1)
+      .write.mode("overwrite").json(cbStage)
+    graft.util.Generations.swapIn(fs, s"$path/codes", codesStage)
+    graft.util.Generations.swapIn(fs, s"$path/codebook", cbStage)
+  }
+
+  /** Restore a torn [[compactPqIndex]] swap or a torn [[refitPqIndex]]
+    * two-directory swap — the "safe to call any time" recovery entry
+    * point every compactor exposes ([[recoverIvfIndex]],
+    * [[recoverSq8Index]], [[Dedup.recoverLshIndex]]). Run first by
+    * both. Refit windows are direction-decidable, the
+    * [[recoverIvfIndex]] discipline: the codes stage still present ⇒ no
+    * swap committed ⇒ roll back; only the codebook stage present ⇒ the
+    * codes swap committed ⇒ roll the codebook swap FORWARD (old
+    * codebooks must never decode new codes).
     */
   def recoverPqIndex(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codesStage = s"$path/_refit_codes"
+    val cbStage = s"$path/_refit_codebook"
+    if (fs.exists(new org.apache.hadoop.fs.Path(codesStage)))
+      graft.util.Generations.recover(fs,
+        lives = Seq(s"$path/codes", s"$path/codebook"),
+        stages = Seq(codesStage, cbStage))
+    else if (fs.exists(new org.apache.hadoop.fs.Path(cbStage))) {
+      graft.util.Generations.recover(fs,
+        lives = Seq(s"$path/codes", s"$path/codebook"), stages = Seq())
+      graft.util.Generations.swapIn(fs, s"$path/codebook", cbStage)
+    } else
+      graft.util.Generations.recover(fs,
+        lives = Seq(s"$path/codes", s"$path/codebook"), stages = Seq())
     graft.util.Generations.recover(fs, lives = Seq(s"$path/codes"),
       stages = Seq(s"$path/_compact_codes"))
   }

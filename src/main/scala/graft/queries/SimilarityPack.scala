@@ -1512,6 +1512,45 @@ object SimilarityPack extends QueryPack {
       },
       Some(TopKOracleSql)),
 
+    // PQ REFIT-FROM-CELLS (round 18, verdict r17 #6): the last row of
+    // the index-maintenance matrix — "codes are lossy, refit needs the
+    // vectors" stops being a limitation exactly when the PQ index sits
+    // BESIDE an IVF celled layout (the composed production shape: one
+    // index root, cells/ for pruning AND as the raw vector store,
+    // codes/ for compression). The fixture fits codebooks on the first
+    // half only, lands the second half through committed appends into
+    // BOTH faces (raw vectors → cells, frozen-codebook codes → codes —
+    // the drifted-append state), then refitPqIndex retrains the
+    // codebooks from the celled corpus, re-encodes everything, and
+    // swaps codes+codebook crash-decidably. The grown-and-refit index
+    // answers in the forced-exhaustive rerank regime, so the brute-force
+    // oracle hash-checks the whole read path; refit == fresh-encode
+    // (codes AND codebook), the refuse-without-vectors contract, and
+    // both torn-swap directions are pinned in SimilaritySpec.
+    QueryDef(
+      "sim_pq_refit",
+      (s, d) => {
+        val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val idx = graft.util.TempFixtures.dir(s, "pq_refit", d) { path =>
+          val half = base.filter(col("vec_id") < 250)
+          val rest = base.filter(col("vec_id") >= 250)
+          Similarity.writeIvfIndex(half, ncells = 8, path)
+          Similarity.writePqIndex(half, Similarity.pqCodebooks(half), path)
+          Similarity.appendToIvfIndexCommitted(s, path, rest,
+            batchId = 31L): Unit
+          Similarity.appendToPqIndexCommitted(s, path, rest,
+            batchId = 32L): Unit
+          Similarity.refitPqIndex(s, path)
+        }
+        val (codes, cb) = Similarity.readPqIndex(s, idx)
+        val n = base.count()
+        Similarity.topKPq(base, queriesDf(s, d), 10,
+            rerank = ((n + 9) / 10).toInt max 1,
+            codebooks = Some(cb), encodedIndex = Some(codes))
+          .orderBy("query_id", "rank")
+      },
+      Some(TopKOracleSql)),
+
     // SQ8 scalar quantization (round 15): the OTHER standard
     // memory-resident index format next to PQ — per-dim affine 8-bit
     // codes, 4× smaller scans, no codebook training. Unlike IVF/PQ no

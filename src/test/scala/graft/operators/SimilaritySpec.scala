@@ -795,7 +795,7 @@ class SimilaritySpec extends SparkSpec {
     // columns would pass and skip-existing promotion would land the
     // batch's vectors a second time under new cell= dirs. The directory
     // fold must turn that into the promised loud failure.
-    val dir = s"${System.getProperty("java.io.tmpdir")}/ivfdrift_${spark.sparkContext.applicationId}"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/ivfdriftretry_${spark.sparkContext.applicationId}"
     val half1 = corpus.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"))
     val half2 = corpus.filter(col("vec_id") % 2 === 1)
@@ -810,6 +810,66 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("fingerprint"),
       s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("refitPqIndex: retrains from co-located cells, refit == fresh-encode; " +
+      "refuses without vectors; torn two-directory swaps recover both ways") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/pqref_${spark.sparkContext.applicationId}"
+    val half = corpus.filter(col("vec_id") < 250)
+      .select(col("vec_id"), col("embedding"))
+    val rest = corpus.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+    // composed index root: IVF cells are the raw vector store, PQ codes
+    // the compression leg — the shape that makes lossy-code refit possible
+    Similarity.writeIvfIndex(half, ncells = 8, dir)
+    Similarity.writePqIndex(half, Similarity.pqCodebooks(half), dir)
+    assert(Similarity.appendToIvfIndexCommitted(spark, dir, rest, 41L))
+    assert(Similarity.appendToPqIndexCommitted(spark, dir, rest, 42L))
+    Similarity.refitPqIndex(spark, dir)
+    val (codes, cb) = Similarity.readPqIndex(spark, dir)
+    // fresh-encode equivalence on the SAME celled corpus read: codebook
+    // bit-equal, code table row-equal
+    val celled = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("embedding"))
+    val freshDir = s"${dir}_fresh"
+    Similarity.writePqIndex(celled, Similarity.pqCodebooks(celled), freshDir)
+    val (fCodes, fCb) = Similarity.readPqIndex(spark, freshDir)
+    assert(cb.flatten.flatten.toSeq == fCb.flatten.flatten.toSeq,
+      "refit codebook != fresh fit on the celled corpus")
+    assert(codes.exceptAll(fCodes).isEmpty && fCodes.exceptAll(codes).isEmpty,
+      "refit code table != fresh encode")
+    assert(codes.count() == half.count() + rest.count())
+    // no co-located vectors -> the lossy-codes contract refuses loudly
+    val bare = s"${dir}_bare"
+    Similarity.writePqIndex(half, Similarity.pqCodebooks(half), bare)
+    val e = intercept[IllegalArgumentException](
+      Similarity.refitPqIndex(spark, bare))
+    assert(e.getMessage.contains("lossy"), e.getMessage)
+    // torn window A: crash BEFORE any swap (both stages present) —
+    // recovery rolls BACK and drops both stages
+    def dumpCodes() = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val before = dumpCodes()
+    spark.read.parquet(s"$dir/codes")
+      .write.mode("overwrite").parquet(s"$dir/_refit_codes")
+    spark.read.json(s"$dir/codebook")
+      .write.mode("overwrite").json(s"$dir/_refit_codebook")
+    Similarity.recoverPqIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/_refit_codes").exists()
+      && !new java.io.File(s"$dir/_refit_codebook").exists(),
+      "roll-back left refit stages behind")
+    assert(dumpCodes() == before)
+    // torn window B: codes swap committed, codebook swap pending —
+    // recovery rolls FORWARD (old codebooks never decode new codes)
+    val cbBefore = spark.read.json(s"$dir/codebook")
+      .select("codebook").head().getString(0)
+    spark.read.json(s"$dir/codebook")
+      .write.mode("overwrite").json(s"$dir/_refit_codebook")
+    Similarity.recoverPqIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/_refit_codebook").exists(),
+      "roll-forward left the codebook stage behind")
+    assert(spark.read.json(s"$dir/codebook")
+      .select("codebook").head().getString(0) == cbBefore)
   }
 
   test("ivfCellStats: empty cells table returns zeros, not an NPE") {
