@@ -284,13 +284,50 @@ object Dedup {
     }.cache()
     graft.util.Scratch.register(sh): Unit // result-reachable; see Scratch
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+    // LOSSLESS min-side PREFIX FILTER (the AllPairs/PPJoin candidate
+    // discipline — Bayardo et al. WWW'07, Xiao et al. ICDE'08): a pair
+    // at containment ≥ t shares ≥ ⌈t·min(|a|,|b|)⌉ shingles, so the
+    // SMALLER doc's first |d| − ⌈t·|d|⌉ + 1 shingles (in any canonical
+    // order — rarest-first makes the filter selective) must include a
+    // shared one; if none did, the shared set would fit inside the
+    // other ⌈t·|d|⌉ − 1 shingles — contradiction. Candidates therefore
+    // come from (min-side prefix ⋈ other side's postings) instead of
+    // the full self-join: the r18 sf1 probe measured 31 M pair-group
+    // rows from mid-frequency CHANCE trigrams (each contributing 1-2
+    // shared shingles, all discarded by the ≥ t filter) collapse to
+    // ~3 M candidates, because chance co-occurrence lives in common
+    // shingles and common shingles land at the END of the rarest-first
+    // order, outside every prefix. Equal sizes: both docs are the min
+    // side, either orientation generates the pair — `<=` keeps both.
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("nd"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("nd"), col("sh"))
+    val pfx = sh.join(dfreq, "sh").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id").as("pda"), col("sh"), col("sz").as("psz"))
+    val cands = pfx.join(
+        sh.join(sizes, "doc_id")
+          .select(col("doc_id").as("pdb"), col("sh"), col("sz").as("bsz")),
+        Seq("sh"))
+      .filter(col("pda") =!= col("pdb") && col("psz") <= col("bsz"))
+      .select(least(col("pda"), col("pdb")).as("da"),
+        greatest(col("pda"), col("pdb")).as("db"))
+      .distinct()
+    // verify candidates with the EXACT intersection over per-doc sorted
+    // shingle arrays (shingle hashes are distinct per doc, so
+    // |array_intersect| IS the intersection count the self-join
+    // aggregated) — candidate-count × array-size work, codegen'd, no
+    // quadratic pair-group aggregation
+    val arrays = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"),
+        count(lit(1)).as("sz"))
+    cands
+      .join(arrays.select(col("doc_id").as("da"), col("shs").as("sha"),
+        col("sz").as("sa")), "da")
+      .join(arrays.select(col("doc_id").as("db"), col("shs").as("shb"),
+        col("sz").as("sb")), "db")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("containment", col("i") / least(col("sa"), col("sb")))
       .filter(col("containment") >= threshold)
       .select(col("da"), col("db"), col("containment"))

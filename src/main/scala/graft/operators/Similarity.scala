@@ -155,6 +155,25 @@ object Similarity {
     // wrap the cell count negative ([[Dedup.containmentAutoCap]] ditto)
     math.min(math.max(8L, nVectors / perCell), Int.MaxValue.toLong).toInt
 
+  /** Triangular-block count for [[semDeDup]]'s hot-cell regime, sized so
+    * one block-pair key carries ~`targetPairs` cosine evaluations: B =
+    * ⌈s / √(2·target)⌉ for expected cell size s = n/ncells. The blocked
+    * join is OUTPUT-INVARIANT (spec-pinned), so callers stuck with a
+    * fixed replayable quantizer (the curation gates) can still split
+    * the |cell|² pair space across B(B+1)/2 shuffle keys — without
+    * this, a fixed-k fixture at 10× the corpus runs its whole pair
+    * space on k tasks no matter how many cores exist (r18 measured:
+    * sample_curation_v4's k=8 SemDeDup leg at sf1 went 115 s → the
+    * blocked regime's number below). Production paths size ncells by
+    * [[cellsFor]] instead, where B stays 1.
+    */
+  def blocksFor(nVectors: Long, ncells: Int,
+      targetPairs: Long = 2000000L): Int = {
+    val s = math.max(1L, nVectors / math.max(1, ncells))
+    val b = math.ceil(s.toDouble / math.sqrt(2.0 * targetPairs)).toInt
+    math.max(1, math.min(b, 64))
+  }
+
   /** Coarse quantizer for IVF: k-means fitted LOCALLY on a bounded sample
     * (`sampleCap` rows collected to the driver), centroids broadcast,
     * cells assigned by a codegen'd exploded-dot argmax pass over the full

@@ -98,11 +98,16 @@ object SamplePack extends QueryPack {
              |           lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i)) AS sh
              |  FROM (SELECT doc_id, w AS cw, i FROM stok) c
              |  QUALIFY lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
-             |), sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+             |), keepsh AS (
+             |  SELECT sh FROM (SELECT sh, count(*) AS nd FROM tri GROUP BY sh)
+             |  WHERE nd <= (SELECT greatest(64, count(*) // 100)
+             |               FROM documents WHERE doc_id % 2 = 1)
+             |), utri AS (SELECT tri.doc_id, tri.sh FROM tri JOIN keepsh USING (sh)),
+             |sz AS (SELECT doc_id, count(*) AS n FROM utri GROUP BY doc_id),
              |dup AS (
              |  SELECT DISTINCT db AS doc_id FROM (
              |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS icnt
-             |    FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |    FROM utri a JOIN utri b ON a.sh = b.sh AND a.doc_id < b.doc_id
              |    GROUP BY 1, 2) p
              |  JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db
              |  WHERE icnt / least(sa.n, sb.n) >= 0.9
@@ -120,7 +125,11 @@ object SamplePack extends QueryPack {
     val lm = graft.operators.TextOps.stupidBackoffScore(ref, cand)
       .select(col("doc_id"), col("avg_logp"))
     val q = graft.operators.TextOps.qualityScore(cand)
-    val dupDrop = graft.operators.Dedup.containmentPairs(cand, 3, 0.9)
+    // the MEASURED hotCap rule (r17 probe + r18 sf1 funnel row: the
+    // uncapped postings join was the funnel's super-linear leg —
+    // 2.8 s → 78 s at 10× the corpus, vs recall 1.0 at cap ∝ corpus)
+    val dupDrop = graft.operators.Dedup.containmentPairs(cand, 3, 0.9,
+        hotCap = Some(graft.operators.Dedup.containmentAutoCap(cand.count())))
       .select(col("db").as("doc_id")).distinct()
     q.join(lm, "doc_id")
       .join(dupDrop, Seq("doc_id"), "left_anti")
@@ -698,7 +707,14 @@ object SamplePack extends QueryPack {
             when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
         val semc = base.unionByName(mutants)
         val fit = Similarity.kmeansFit(semc, k = 8, iters = 2)
-        val semKeep = Similarity.semDeDup(semc, 0.9, index = Some(fit))
+        // the oracle replays THIS fixed k=8 quantizer, so cells cannot
+        // scale with the corpus here — the blocked pair join (output-
+        // invariant) splits each cell's |cell|² space across B(B+1)/2
+        // keys instead (blocksFor: B=1 at the gated scale, plan
+        // unchanged; B>1 exactly when the fixed-k fixture outgrows its
+        // cells)
+        val semKeep = Similarity.semDeDup(semc, 0.9, index = Some(fit),
+            nBlocks = Similarity.blocksFor(2L * base.count(), 8))
           .filter(col("keep") && col("vec_id") < 1000000)
           .select(col("vec_id").as("doc_id"))
         val ref = docs.filter(col("doc_id") % 2 === 0)
@@ -706,7 +722,10 @@ object SamplePack extends QueryPack {
         val lm = TextOps.stupidBackoffScore(ref, cand)
           .select(col("doc_id"), col("avg_logp"))
         val q = TextOps.qualityScore(cand)
-        val dupDrop = Dedup.containmentPairs(cand, 3, 0.9)
+        // autoCap ∝ corpus — the v3 funnel's discipline (see
+        // curationV3Kept); the oracle replays the same capped universe
+        val dupDrop = Dedup.containmentPairs(cand, 3, 0.9,
+            hotCap = Some(Dedup.containmentAutoCap(cand.count())))
           .select(col("db").as("doc_id")).distinct()
         val kept = q.join(lm, "doc_id")
           .join(dupDrop, Seq("doc_id"), "left_anti")
@@ -813,11 +832,16 @@ object SamplePack extends QueryPack {
            |           lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i)) AS sh
            |  FROM (SELECT doc_id, w AS cw, i FROM stok) c
            |  QUALIFY lead(cw,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
-           |), sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+           |), keepsh AS (
+           |  SELECT sh FROM (SELECT sh, count(*) AS nd FROM tri GROUP BY sh)
+           |  WHERE nd <= (SELECT greatest(64, count(*) // 100)
+           |               FROM documents WHERE doc_id % 2 = 1)
+           |), utri AS (SELECT tri.doc_id, tri.sh FROM tri JOIN keepsh USING (sh)),
+           |sz AS (SELECT doc_id, count(*) AS n FROM utri GROUP BY doc_id),
            |dup AS (
            |  SELECT DISTINCT db AS doc_id FROM (
            |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS icnt
-           |    FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |    FROM utri a JOIN utri b ON a.sh = b.sh AND a.doc_id < b.doc_id
            |    GROUP BY 1, 2) p
            |  JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db
            |  WHERE icnt / least(sa.n, sb.n) >= 0.9

@@ -27,6 +27,37 @@ class ScratchTimingSpec extends SparkSpec {
     r
   }
 
+  ignore("r18 probe: v3 funnel leg breakdown at sf1 (MEASURED: before — " +
+      "quality 0.4, lm 6.3, containment-capped(250) 42.6, whole gate 57.8 s: " +
+      "the capped postings self-join carried 31M pair-group rows from " +
+      "mid-frequency CHANCE trigrams (nd 16-83, all below any sane cap, " +
+      "contributing 1-2 shared shingles each — discarded by the >=0.9 " +
+      "filter); after the lossless min-side PREFIX FILTER (AllPairs/PPJoin) " +
+      "+ array-intersect verify — containment 7.2 s, whole gate 17.5 s; " +
+      "candidates 31M -> ~1.6M because chance co-occurrence lives in " +
+      "common shingles, which sort to the END of the rarest-first order, " +
+      "outside every prefix)") {
+    assume(new java.io.File("/root/repo/target/sf1/documents.parquet").exists())
+    val docs = spark.read.parquet("/root/repo/target/sf1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val cand = docs.filter(col("doc_id") % 2 === 1)
+    val n = timeIt("cand.count")(cand.count())
+    timeIt("quality")(graft.operators.TextOps.qualityScore(cand).count())
+    graft.util.Scratch.release(spark)
+    timeIt("lm backoff")(
+      graft.operators.TextOps.stupidBackoffScore(ref, cand).count())
+    graft.util.Scratch.release(spark)
+    val cap = Dedup.containmentAutoCap(n)
+    timeIt(s"containment capped($cap)")(
+      Dedup.containmentPairs(cand, 3, 0.9, hotCap = Some(cap)).count())
+    graft.util.Scratch.release(spark)
+    timeIt("whole v3 gate")(
+      graft.SparkEntry.queries("sample_curation_v3")(spark,
+        "/root/repo/target/sf1").write.format("noop").mode("overwrite").save())
+    graft.util.Scratch.release(spark)
+  }
+
   ignore("pagerank steady-state at sf0.1 (archived: kNN fixture now shared across the graph gates)") {
     val all = graft.SparkEntry.queries
     (1 to 2).foreach(_ => spark.range(1).count())
