@@ -58,9 +58,10 @@ class CollectAuditSpec extends AnyFunSuite {
     ("CommittedAppend.scala", ".head()",
       "staged-batch content fingerprint — one aggregate row (count + " +
         "bit_xor of row hashes) over one micro-batch-sized staging tree"),
-    ("Similarity.scala", ".agg(count(lit(1)), sum(\"n\"), max(\"n\")).head()",
+    ("Similarity.scala", "coalesce(max(\"n\"), lit(0L))).head()",
       "IVF cell-balance stats (the refit drift signal) — one aggregate " +
-        "row over the per-cell counts"))
+        "row over the per-cell counts (sum/max coalesced so an empty " +
+        "index reads as zeros, not an NPE)"))
 
   /** A line is a Dataset-action candidate unless it is pure comment. */
   private[graft] def isActionSite(line: String): Boolean = {
