@@ -1337,16 +1337,77 @@ object Similarity {
     graft.util.Generations.swapIn(fs, s"$path/codes", stage)
   }
 
-  /** Restore a torn [[compactSq8Index]] swap — the documented
-    * "safe to call any time" recovery entry point every compactor
-    * exposes ([[recoverIvfIndex]], [[Dedup.recoverLshIndex]]): without
-    * it a torn swap leaves `codes/` parked as `codes.old` and every
+  /** REFIT a persisted SQ8 index's (lo, hi) bounds — the drift repair
+    * for the third quantizer family, closing the refit column of the
+    * maintenance matrix ([[refitIvfIndexLive]] for centroids,
+    * [[refitPqIndex]] for codebooks): after enough appended segments
+    * saturate against the frozen bounds (out-of-range values clamp to
+    * 0/255 and lose resolution), retrain [[sq8Stats]] on the co-located
+    * raw vectors (`cells/` of an IVF layout sharing the index root —
+    * SQ8 codes, like PQ codes, are lossy: refit NEEDS the vectors, and
+    * refuses loudly without them), re-encode everything, and swap codes
+    * then bounds via the [[refitPqIndex]] direction-decidable
+    * discipline. Equivalent to a fresh [[writeSq8Index]] over the
+    * celled corpus — the sim_sq8_refit gate hash-checks exactly that in
+    * the pure-ADC regime, where stale saturated codes would move the
+    * scores. Single-maintainer contract; refuses while a committed
+    * append is in flight.
+    */
+  def refitSq8Index(spark: SparkSession, path: String, files: Int = 1,
+      vectorsDir: Option[String] = None): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.CommittedAppend.assertNoInflight(fs, path)
+    recoverSq8Index(spark, path)
+    val src = vectorsDir.getOrElse(s"$path/cells")
+    require(fs.exists(new org.apache.hadoop.fs.Path(src)),
+      s"SQ8 refit needs the raw vectors (codes are lossy) — no celled " +
+        s"vector store at $src; co-locate the SQ8 index with an IVF " +
+        "layout or pass vectorsDir")
+    val corpus = spark.read.parquet(src)
+      .select(col("vec_id"), col("embedding"))
+    val (lo, hi) = sq8Stats(corpus)
+    val codesStage = s"$path/_refit_codes"
+    val bndStage = s"$path/_refit_bounds"
+    sq8Encode(corpus, lo, hi)
+      .repartition(files).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(codesStage)
+    import spark.implicits._
+    Seq(lo.mkString("[", ",", "]") + "|" + hi.mkString("[", ",", "]"))
+      .toDF("bounds").coalesce(1)
+      .write.mode("overwrite").json(bndStage)
+    graft.util.Generations.swapIn(fs, s"$path/codes", codesStage)
+    graft.util.Generations.swapIn(fs, s"$path/bounds", bndStage)
+  }
+
+  /** Restore a torn [[compactSq8Index]] swap or a torn [[refitSq8Index]]
+    * two-directory swap — the documented "safe to call any time"
+    * recovery entry point every compactor exposes
+    * ([[recoverIvfIndex]], [[Dedup.recoverLshIndex]]): without it a
+    * torn swap leaves `codes/` parked as `codes.old` and every
     * [[readSq8Index]]/probe fails until the NEXT compaction happens to
-    * run its inline recovery. Run first by [[compactSq8Index]].
+    * run its inline recovery. Run first by [[compactSq8Index]] and
+    * [[refitSq8Index]]. Refit windows are direction-decidable (the
+    * [[recoverIvfIndex]] discipline): codes stage present ⇒ roll back;
+    * only the bounds stage ⇒ roll FORWARD (old bounds must never
+    * decode new codes).
     */
   def recoverSq8Index(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codesStage = s"$path/_refit_codes"
+    val bndStage = s"$path/_refit_bounds"
+    if (fs.exists(new org.apache.hadoop.fs.Path(codesStage)))
+      graft.util.Generations.recover(fs,
+        lives = Seq(s"$path/codes", s"$path/bounds"),
+        stages = Seq(codesStage, bndStage))
+    else if (fs.exists(new org.apache.hadoop.fs.Path(bndStage))) {
+      graft.util.Generations.recover(fs,
+        lives = Seq(s"$path/codes", s"$path/bounds"), stages = Seq())
+      graft.util.Generations.swapIn(fs, s"$path/bounds", bndStage)
+    } else
+      graft.util.Generations.recover(fs,
+        lives = Seq(s"$path/codes", s"$path/bounds"), stages = Seq())
     graft.util.Generations.recover(fs, lives = Seq(s"$path/codes"),
       stages = Seq(s"$path/_compact_codes"))
   }

@@ -1684,6 +1684,85 @@ object SimilarityPack extends QueryPack {
              |WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // SQ8 BOUNDS REFIT (round 18): the drift repair for the third
+    // quantizer family — closes the refit column of the maintenance
+    // matrix (IVF centroids: sim_ivf_refit/_live; PQ codebooks:
+    // sim_pq_refit; SQ8 bounds: here). The fixture fits bounds on the
+    // first half only, appends the second half through the committed
+    // append (values outside the frozen bounds SATURATE to 0/255 —
+    // sim_sq8_append pins that the drift is real on this data), then
+    // refitSq8Index retrains (lo, hi) from the co-located IVF cells,
+    // re-encodes everything, and swaps codes+bounds crash-decidably.
+    // Queried in the PURE-ADC regime, the hash holds ONLY IF the refit
+    // actually happened: stale saturated codes decode to clamped values
+    // and move the scores. Oracle = per-dim min/max over the WHOLE
+    // corpus + encode/decode/rank — bounds-on-union is exactly a fresh
+    // writeSq8Index, which is the refit's contract.
+    QueryDef(
+      "sim_sq8_refit",
+      (s, d) => {
+        val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val idx = graft.util.TempFixtures.dir(s, "sq8_refit", d) { path =>
+          val half = base.filter(col("vec_id") < 250)
+          val rest = base.filter(col("vec_id") >= 250)
+          Similarity.writeIvfIndex(half, ncells = 8, path)
+          Similarity.writeSq8Index(half, path)
+          Similarity.appendToIvfIndexCommitted(s, path, rest,
+            batchId = 51L): Unit
+          Similarity.appendToSq8IndexCommitted(s, path, rest,
+            batchId = 52L): Unit
+          Similarity.refitSq8Index(s, path)
+        }
+        val (codes, lo, hi) = Similarity.readSq8Index(s, idx)
+        Similarity.topKSq8(base, queriesDf(s, d), 10, rerank = 0,
+            stats = Some((lo, hi)), encodedIndex = Some(codes))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding AS qvec
+             |  FROM embeddings WHERE vec_id < 10
+             |),
+             |st AS (
+             |  SELECT i AS dim, min(CAST(x AS DOUBLE)) AS lo,
+             |         max(CAST(x AS DOUBLE)) AS hi
+             |  FROM (SELECT unnest(embedding) AS x,
+             |               generate_subscripts(embedding, 1) AS i
+             |        FROM embeddings)
+             |  GROUP BY i
+             |),
+             |b AS (SELECT list(lo ORDER BY dim) AS lov,
+             |             list(hi ORDER BY dim) AS hiv FROM st),
+             |dv AS (
+             |  SELECT e.vec_id,
+             |    list_transform(e.embedding, (x, i) ->
+             |      CASE WHEN b.hiv[i] = b.lov[i] THEN b.lov[i]
+             |           ELSE b.lov[i]
+             |                + LEAST(255, GREATEST(0,
+             |                    round((CAST(x AS DOUBLE) - b.lov[i]) * 255.0
+             |                          / (b.hiv[i] - b.lov[i]))))
+             |                  * (b.hiv[i] - b.lov[i]) / 255.0 END) AS d
+             |  FROM embeddings e CROSS JOIN b
+             |),
+             |scored AS (
+             |  SELECT q.query_id, dv.vec_id,
+             |    round(
+             |      list_sum(list_transform(list_zip(q.qvec, dv.d),
+             |        p -> CAST(p[1] AS DOUBLE) * p[2]))
+             |      / (sqrt(list_sum(list_transform(q.qvec,
+             |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform(dv.d, x -> x * x)))),
+             |      5) AS score
+             |  FROM q CROSS JOIN dv
+             |  WHERE q.query_id != dv.vec_id
+             |)
+             |SELECT query_id, rank, vec_id, score FROM (
+             |  SELECT query_id, vec_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY score DESC, vec_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // IVF × SQ8 (round 15): the COMPOSED production ANN shape —
     // pruning (nprobe=2 of 10 cells, ~80% of the corpus never scored)
     // × compression (1-byte codes scored by decoded-cosine ADC). With

@@ -872,6 +872,64 @@ class SimilaritySpec extends SparkSpec {
       .select("codebook").head().getString(0) == cbBefore)
   }
 
+  test("refitSq8Index: retrains bounds from co-located cells, refit == " +
+      "fresh write; refuses without vectors; torn swaps recover both ways") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/sq8ref_${spark.sparkContext.applicationId}"
+    val half = corpus.filter(col("vec_id") < 250)
+      .select(col("vec_id"), col("embedding"))
+    val rest = corpus.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(half, ncells = 8, dir)
+    Similarity.writeSq8Index(half, dir)
+    assert(Similarity.appendToIvfIndexCommitted(spark, dir, rest, 61L))
+    assert(Similarity.appendToSq8IndexCommitted(spark, dir, rest, 62L))
+    Similarity.refitSq8Index(spark, dir)
+    val (codes, lo, hi) = Similarity.readSq8Index(spark, dir)
+    val celled = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("embedding"))
+    val freshDir = s"${dir}_fresh"
+    Similarity.writeSq8Index(celled, freshDir)
+    val (fCodes, fLo, fHi) = Similarity.readSq8Index(spark, freshDir)
+    assert(lo.toSeq == fLo.toSeq && hi.toSeq == fHi.toSeq,
+      "refit bounds != fresh fit on the celled corpus")
+    assert(codes.exceptAll(fCodes).isEmpty && fCodes.exceptAll(codes).isEmpty,
+      "refit code table != fresh encode")
+    // the drift was REAL: the refit widened at least one bound beyond
+    // the half-corpus fit (else saturation never happened and the gate
+    // would pass vacuously)
+    val (hLo, hHi) = Similarity.sq8Stats(half)
+    assert(lo.zip(hLo).exists { case (a, b) => a < b }
+        || hi.zip(hHi).exists { case (a, b) => a > b },
+      "fixture has no out-of-bounds drift — refit untestable")
+    // no co-located vectors -> refuse loudly
+    val bare = s"${dir}_bare"
+    Similarity.writeSq8Index(half, bare)
+    val e = intercept[IllegalArgumentException](
+      Similarity.refitSq8Index(spark, bare))
+    assert(e.getMessage.contains("lossy"), e.getMessage)
+    // torn window A: both stages present -> roll back, stages dropped
+    def dumpCodes() = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val before = dumpCodes()
+    spark.read.parquet(s"$dir/codes")
+      .write.mode("overwrite").parquet(s"$dir/_refit_codes")
+    spark.read.json(s"$dir/bounds")
+      .write.mode("overwrite").json(s"$dir/_refit_bounds")
+    Similarity.recoverSq8Index(spark, dir)
+    assert(!new java.io.File(s"$dir/_refit_codes").exists()
+      && !new java.io.File(s"$dir/_refit_bounds").exists())
+    assert(dumpCodes() == before)
+    // torn window B: codes swapped, bounds pending -> roll forward
+    val bBefore = spark.read.json(s"$dir/bounds")
+      .select("bounds").head().getString(0)
+    spark.read.json(s"$dir/bounds")
+      .write.mode("overwrite").json(s"$dir/_refit_bounds")
+    Similarity.recoverSq8Index(spark, dir)
+    assert(!new java.io.File(s"$dir/_refit_bounds").exists())
+    assert(spark.read.json(s"$dir/bounds")
+      .select("bounds").head().getString(0) == bBefore)
+  }
+
   test("ivfCellStats: empty cells table returns zeros, not an NPE") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/ivfempty_${spark.sparkContext.applicationId}"
     corpus.limit(0).select(col("vec_id"), col("embedding"))
