@@ -978,19 +978,44 @@ object Dedup {
     * (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands identical).
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSigs(docs)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bkey", expr("(simhash >> (band * 15)) & 32767"))
-    val cands = banded.as("a").join(banded.as("b"),
+    // widen BEFORE the signature map: simhash60 hashes every token
+    // (md5-class work, ~200 hashes/doc), and the input's file layout —
+    // not the operator — decides how many tasks run it; a compact
+    // corpus is ONE parquet split, so the whole corpus hashed on one
+    // core (r18 sf1 probe: 100 k docs ≈ 20 M token hashes ≈ 19 s of a
+    // 22 s gate, single task; 4.4 s widened). Conditional
+    // ([[graft.util.Widen]]): a many-split 100 TB input skips the
+    // shuffle entirely.
+    val sigs = simhashSigs(graft.util.Widen.forHeavyMap(docs))
+    // cached: BOTH self-join sides read the banded signatures — without
+    // it each side recomputes the whole signature pipeline (tokenize →
+    // explode → two aggregations) and the r18 sf1 probe measured the
+    // uncached join at 26 s vs 2.7 s cached on 100 k docs. The
+    // [[graft.operators.Similarity.semDeDup]] discipline: the cache
+    // fills during the caller's action, so Scratch-register rather than
+    // unpersist here.
+    val banded = graft.util.Scratch.cached(
+      sigs.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey", expr("(simhash >> (band * 15)) & 32767")))
+    // hamming verify BEFORE the distinct: both signatures ride the join
+    // row, so the xor+bit_count check is map-side — the distinct then
+    // shuffles only TRUE near-dups (a pair matching in several bands
+    // dedups there), not the raw candidate mass. The old order
+    // (distinct first) shuffled every banded collision: the r18 sf1
+    // probe measured 104 M candidate pairs from correlated signatures
+    // (common-word-dominated documents pile into hot buckets — top
+    // bucket 4,997 docs ⇒ 12.5 M pairs alone), all exchanged just to be
+    // discarded by the ≤ maxHamming filter. 24.7 s → the re-measured
+    // number in the probe title at sf1; results identical (hamming is a
+    // function of the pair, so distinct-after == distinct-before).
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("a.simhash").as("ha"),
-        col("b.doc_id").as("db"), col("b.simhash").as("hb"))
-      .distinct()
-    cands
-      .withColumn("hamming", bit_count(expr("ha ^ hb")))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select(col("da"), col("db"), col("hamming").cast(LongType).as("hamming"))
   }
 

@@ -297,7 +297,12 @@ object Sampling {
         // form's filter gets mis-pushed onto the broadcast side under
         // column pruning (invalid !Filter, binding failure — see
         // ArrayMaxCosineExpr's scaladoc).
-        train
+        // widen conditionally: the train×broadcast-bench cosine map is
+        // |train|·|bench|·dims work running on the SCAN's split count —
+        // one compact file means one core does all of it
+        // ([[graft.util.Widen]]; round-robin, so the PlanAuditSpec
+        // "train rows never hash-shuffled" contract holds)
+        graft.util.Widen.forHeavyMap(train)
           .crossJoin(broadcast(benchArr))
           .select(col("vec_id"),
             call_function("array_max_cosine", col("_bench"), col("embedding")).as("raw"))

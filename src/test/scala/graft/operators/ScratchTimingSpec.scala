@@ -58,6 +58,39 @@ class ScratchTimingSpec extends SparkSpec {
     graft.util.Scratch.release(spark)
   }
 
+  test("r18 probe: simhash band-bucket distribution and stage times at sf1") {
+    assume(new java.io.File("/root/repo/target/sf1/documents.parquet").exists())
+    val docs = Dedup.withMutants(
+      spark.read.parquet("/root/repo/target/sf1/documents.parquet")
+        .select(col("doc_id"), col("text")))
+    val sigs = timeIt("sigs")(graft.util.Scratch.cached(
+      Dedup.simhashSigs(docs)))
+    info(s"n sigs: ${sigs.count()}")
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("(simhash >> (band * 15)) & 32767"))
+    val hist = timeIt("bucket histogram")(
+      banded.groupBy("band", "bkey").count()
+        .orderBy(col("count").desc).limit(10).collect())
+    hist.foreach(r => info(s"band=${r.get(0)} bkey=${r.get(1)} n=${r.get(2)}"))
+    val mass = banded.groupBy("band", "bkey").count()
+      .agg(sum(expr("count * (count - 1) / 2"))).head().get(0)
+    info(s"candidate pair mass: $mass")
+    val bandedC = graft.util.Scratch.cached(banded)
+    info(s"banded rows: ${bandedC.count()}")
+    timeIt("join+filter only (no distinct), cached banded")(
+      bandedC.as("a").join(bandedC.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .write.format("noop").mode("overwrite").save())
+    timeIt("full simhashNearDups")(
+      Dedup.simhashNearDups(docs).write.format("noop").mode("overwrite").save())
+    graft.util.Scratch.release(spark)
+  }
+
   ignore("pagerank steady-state at sf0.1 (archived: kNN fixture now shared across the graph gates)") {
     val all = graft.SparkEntry.queries
     (1 to 2).foreach(_ => spark.range(1).count())
