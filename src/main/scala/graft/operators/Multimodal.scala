@@ -460,7 +460,13 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("media", BinaryType)))
     val enc = Encoders.row(outSchema)
-    docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg"))
+    // widen BEFORE synthesis, where a row is (doc_id, 16-byte digest) —
+    // the shuffle is ~free and both the builder and every downstream
+    // decode map inherit full-width parallelism; a compact corpus'
+    // single split would otherwise serialize the whole media pipeline
+    // on one core ([[graft.util.Widen]]: no-op on many-split inputs)
+    graft.util.Widen.forHeavyMap(
+        docs.select(col("doc_id"), unhex(md5(col("text"))).as("dg")))
       .mapPartitions { rows =>
         rows.map(r => Row(r.getLong(0), build(r.getAs[Array[Byte]](1))))
       }(enc)
@@ -1022,6 +1028,11 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("features", codec.featureType)))
     val enc = Encoders.row(outSchema)
+    // deliberately NO repartition here: widening would shuffle the
+    // binary media itself (the r18 probe measured the synthesized-GIF
+    // shuffle DOUBLING the gate) — parallelism is the SOURCE's job
+    // (withDigestColumn widens before synthesis, where rows are
+    // 24-byte digests; a real store has many splits)
     media.select(col("doc_id"), col("media"))
       .mapPartitions { rows =>
         // per-partition decoder init happens here

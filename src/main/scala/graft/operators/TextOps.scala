@@ -370,6 +370,14 @@ object TextOps {
     * quads must not be half-eaten by phone), then phones.
     */
   def piiScrub(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    // six regex passes per document — heavy enough that the input's
+    // split layout must not serialize it ([[graft.util.Widen]]:
+    // conditional, no-op on a many-split input)
+    val wide = graft.util.Widen.forHeavyMap(docs)
+    return piiScrubOn(wide, text)
+  }
+
+  private def piiScrubOn(docs: DataFrame, text: Column): DataFrame = {
     // each count runs on the PREVIOUS stage's output, so counts always
     // equal the number of replacements that stage actually made
     val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
