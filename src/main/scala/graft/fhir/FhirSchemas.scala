@@ -128,7 +128,8 @@ object FhirSchemas {
     StructField("procedureReference", ArrayType(reference)),
     StructField("series", ArrayType(StructType(Seq(
       StructField("uid", StringType),
-      StructField("modality", codeableConcept)))))))
+      StructField("modality", codeableConcept))))),
+    StructField("meta", resourceMeta)))
 
   val medicationAdministration: StructType = StructType(Seq(
     StructField("resourceType", StringType),
@@ -142,7 +143,8 @@ object FhirSchemas {
     StructField("medicationReference", reference),
     StructField("occurenceDateTime", StringType),
     StructField("effectiveDateTime", StringType),
-    StructField("category", ArrayType(codeableConcept))))
+    StructField("category", ArrayType(codeableConcept)),
+    StructField("meta", resourceMeta)))
 
   val researchStudy: StructType = StructType(Seq(
     StructField("resourceType", StringType),
@@ -274,7 +276,13 @@ object FhirSchemas {
     StructField("effectiveDateTime", StringType),
     StructField("category", codeableConcept)))
 
-  /** ServiceRequest ("Assay") output shape — assay.py:156-191. */
+  /** ServiceRequest ("Assay") output shape — assay.py:156-191. The store
+    * fixture IS the assay pipeline's output (the reference's linking model
+    * exists so Patient ↔ Specimen ↔ ServiceRequest ↔ DocumentReference
+    * traversals are queryable, scripts/README-assay.md:7-9). `basedOn` is
+    * the R4 field the search param `based-on` serves; the assay output
+    * never populates it, so it reads null (`:missing` semantics apply).
+    */
   val serviceRequest: StructType = StructType(Seq(
     StructField("resourceType", StringType),
     StructField("id", StringType),
@@ -286,7 +294,8 @@ object FhirSchemas {
     StructField("text", StructType(Seq(
       StructField("status", StringType),
       StructField("div", StringType)))),
-    StructField("specimen", ArrayType(reference))))
+    StructField("specimen", ArrayType(reference)),
+    StructField("basedOn", ArrayType(reference))))
 
   /** Schema by resourceType — the dispatch table's type universe
     * (transform.py:112-129) plus Patient (search substrate).
@@ -304,6 +313,7 @@ object FhirSchemas {
     "ResearchStudy" -> researchStudy,
     "ResearchSubject" -> researchSubject,
     "Specimen" -> specimen,
+    "ServiceRequest" -> serviceRequest,
     "Patient" -> patient,
     "Observation" -> observation,
     "Condition" -> condition,

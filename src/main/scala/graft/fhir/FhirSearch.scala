@@ -434,6 +434,9 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
           case "member" if t == "Group" =>
             coalesce(transform(col("member"),
               m => m.getField("entity").getField("reference")), array())
+          case "specimen" if t == "ServiceRequest" =>
+            coalesce(transform(col("specimen"),
+              r => r.getField("reference")), array())
           case p => array(referencePath(t, p))
         }
         flatten(array(arrays: _*))
@@ -625,6 +628,18 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
       // (e.g. `subject.name=co e`) is corpus-sized at 100 TB and would
       // OOM a forced broadcast. AQE still picks BHJ when the filtered
       // side turns out small at runtime.
+      //
+      // Array-valued ref params (ServiceRequest.specimen) chain through
+      // an exploded (id, _ref) semi-join — still equi-joins end to end
+      // (never an array-contains theta join, which would plan as a
+      // nested-loop at scale); the matching-id side is result-set-sized
+      // and AQE broadcasts it unforced.
+      if (ArrayRefParams((resType, refParam))) {
+        val ids = refSources(resType, refParam, df)
+          .join(target, col("_ref") === col("_target_ref"), "left_semi")
+          .select(col("id").as("_chain_id"))
+        return df.join(ids, df("id") === col("_chain_id"), "left_semi")
+      }
       val refPath = referencePath(resType, refParam)
       return df.join(target, refPath === col("_target_ref"), "left_semi")
     }
@@ -744,6 +759,13 @@ object FhirSearch {
     "_count", "_page", "_total", "_elements", "_include", "_revinclude",
     "_sort", "_summary")
 
+  /** Reference params whose value is an ARRAY of references — routed
+    * through [[refSources]]/[[refTargets]] (explode) instead of
+    * [[referencePath]] (scalar) by chains and include legs.
+    */
+  private val ArrayRefParams: Set[(String, String)] = Set(
+    ("Group", "member"), ("ServiceRequest", "specimen"))
+
   /** `CompType/{id}/{Type}` compartment request, optionally with ?params. */
   private val compartmentRx = "^([A-Za-z]+)/([^/?]+)/([A-Za-z]+)(?:\\?(.*))?$".r
 
@@ -780,17 +802,20 @@ object FhirSearch {
     * [[compartmentRefParam]] places in the patient compartment).
     */
   val EverythingTypes: Seq[String] = Seq(
-    "Condition", "DocumentReference", "ImagingStudy",
+    "BodyStructure", "Condition", "DocumentReference", "ImagingStudy",
     "MedicationAdministration", "Observation", "Procedure",
-    "ResearchSubject", "Specimen")
+    "ResearchSubject", "ServiceRequest", "Specimen")
 
   /** Types whose fixtures carry server-maintained `meta`
     * (FhirSchemas.resourceMeta) — the `_lastUpdated`/`_tag` surface.
+    * ServiceRequest and BodyStructure are deliberately absent: the assay
+    * output carries no server meta (assay.py:156-191), matching a
+    * fresh-import store where the server has not yet stamped them.
     */
   val MetaTypes: Set[String] = Set(
     "Patient", "Observation", "Specimen", "Group", "Encounter",
     "DocumentReference", "ResearchStudy", "ResearchSubject", "Condition",
-    "Procedure")
+    "Procedure", "ImagingStudy", "MedicationAdministration")
 
   /** The reference param that places a resource type in the patient
     * compartment (the FHIR patient CompartmentDefinition, restricted to
@@ -798,8 +823,10 @@ object FhirSearch {
     */
   def compartmentRefParam(childType: String): String = childType match {
     case "Observation" | "Condition" | "Procedure" => "patient"
+    case "BodyStructure" => "patient"
     case "Specimen" | "DocumentReference" | "ResearchSubject"
-       | "ImagingStudy" | "MedicationAdministration" => "subject"
+       | "ImagingStudy" | "MedicationAdministration"
+       | "ServiceRequest" => "subject"
     case other => sys.error(s"type not in the patient compartment: $other")
   }
 
@@ -1016,6 +1043,37 @@ object FhirSearch {
         && col("medicationCodeableConcept").isNull)
     case ("MedicationAdministration", "effective-time") =>
       dateParam(coalesce(col("effectiveDateTime"), col("occurenceDateTime")))
+    // ServiceRequest ("Assay", assay.py:156-191) — the store's 2nd-largest
+    // type and the output of the repo's own assay pipeline; its linking
+    // design exists so Patient ↔ Specimen ↔ ServiceRequest ↔ Document-
+    // Reference traversals are queryable (scripts/README-assay.md:7-9)
+    case ("ServiceRequest", "status") => strParam(col("status"))
+    case ("ServiceRequest", "intent") => strParam(col("intent"))
+    case ("ServiceRequest", "code") => tokenConceptParam(col("code"))
+    case ("ServiceRequest", "category") => ParamDef(
+      (v, _) => exists(col("category"), cc =>
+        tokenCodingParam(cc.getField("coding")).predicate(v, None)),
+      _ => col("category").isNull)
+    case ("ServiceRequest", "subject" | "patient") =>
+      refParam(col("subject").getField("reference"))
+    // "which ServiceRequests reference this Specimen?" — the first query
+    // a store user asks after the assay import (array-valued reference)
+    case ("ServiceRequest", "specimen") => ParamDef(
+      (v, _) => exists(col("specimen"), r => r.getField("reference") === v),
+      _ => col("specimen").isNull)
+    case ("ServiceRequest", "based-on") => ParamDef(
+      (v, _) => exists(col("basedOn"), r => r.getField("reference") === v),
+      _ => col("basedOn").isNull)
+    // BodyStructure (transform.py:31-35 fields): patient anchor +
+    // morphology token over the R5 includedStructure[].structure concepts
+    case ("BodyStructure", "patient") =>
+      refParam(col("patient").getField("reference"))
+    case ("BodyStructure", "morphology") => ParamDef(
+      (v, m) => exists(col("includedStructure"), s =>
+        tokenCodingParam(s.getField("structure").getField("coding"))
+          .predicate(v, m)),
+      _ => col("includedStructure").isNull)
+    case ("BodyStructure", "location") => tokenConceptParam(col("location"))
     case ("Specimen", "subject") => refParam(col("subject").getField("reference"))
     case ("Specimen", "processing") =>
       ParamDef((v, _) => exists(col("processing"), p =>
@@ -1085,6 +1143,8 @@ object FhirSearch {
     case "Group" => Seq("member")
     case "ImagingStudy" => Seq("subject")
     case "MedicationAdministration" => Seq("subject")
+    case "ServiceRequest" => Seq("subject", "specimen")
+    case "BodyStructure" => Seq("patient")
     case _ => Seq()
   }
 
@@ -1105,6 +1165,9 @@ object FhirSearch {
       col("subject").getField("reference")
     case ("MedicationAdministration", "subject" | "patient") =>
       col("subject").getField("reference")
+    case ("ServiceRequest", "subject" | "patient") =>
+      col("subject").getField("reference")
+    case ("BodyStructure", "patient") => col("patient").getField("reference")
     case _ => sys.error(s"unknown reference param $resType.$refParam")
   }
 
@@ -1118,6 +1181,9 @@ object FhirSearch {
       case ("Group", "member") => src
         .select(explode(col("member")).as("_m"))
         .select(col("_m").getField("entity").getField("reference").as("_ref"))
+      case ("ServiceRequest", "specimen") => src
+        .select(explode(col("specimen")).as("_m"))
+        .select(col("_m").getField("reference").as("_ref"))
       case _ => src.select(referencePath(resType, refParam).as("_ref"))
     }
 
@@ -1132,6 +1198,9 @@ object FhirSearch {
       case ("Group", "member") => src
         .select(col("id"), explode(col("member")).as("_m"))
         .select(col("id"), col("_m").getField("entity").getField("reference").as("_ref"))
+      case ("ServiceRequest", "specimen") => src
+        .select(col("id"), explode(col("specimen")).as("_m"))
+        .select(col("id"), col("_m").getField("reference").as("_ref"))
       case _ => src.select(col("id"), referencePath(resType, refParam).as("_ref"))
     }
 
@@ -1144,6 +1213,9 @@ object FhirSearch {
   def chainTarget(resType: String, refParam: String): String = (resType, refParam) match {
     case ("ResearchSubject", "subject") => "Patient"
     case ("Specimen", "subject") => "Patient"
+    case ("ServiceRequest", "subject" | "patient") => "Patient"
+    case ("ServiceRequest", "specimen") => "Specimen"
+    case ("BodyStructure", "patient") => "Patient"
     case ("ResearchSubject", "study") => "ResearchStudy"
     case ("Condition", "subject" | "patient") => "Patient"
     case ("Observation", "subject") =>
@@ -1181,6 +1253,11 @@ object FhirSearch {
     new FhirSearch(spark, rawSource = Some(raw), tables = Map(
       "Patient" -> load("Patient", FhirSchemas.patient),
       "Specimen" -> load("Specimen", FhirSchemas.specimen),
+      // the assay pipeline's output (ServiceRequest.ndjson IS the committed
+      // Assay golden) — the store's 2nd-largest type in the reference's
+      // populated graph (docs/images/graph-view.png: 24,452 resources)
+      "ServiceRequest" -> load("ServiceRequest", FhirSchemas.serviceRequest),
+      "BodyStructure" -> load("BodyStructure", FhirSchemas.bodyStructure),
       "Group" -> load("Group", FhirSchemas.group),
       "Encounter" -> load("Encounter", FhirSchemas.encounter),
       "DocumentReference" -> load("DocumentReference", FhirSchemas.documentReference),
@@ -1196,6 +1273,11 @@ object FhirSearch {
       "CodeSystem" -> load("CodeSystem", FhirSchemas.codeSystem)),
       historySource = Map(
         "Patient" -> load("Patient.history", FhirSchemas.patient),
-        "Observation" -> load("Observation.history", FhirSchemas.observation)))
+        "Observation" -> load("Observation.history", FhirSchemas.observation),
+        // the churn-heavy type: the assay pipeline rewrites every linked
+        // doc (assay.py:193-226), so doc audit trails are the history
+        // feed a store user polls first
+        "DocumentReference" ->
+          load("DocumentReference.history", FhirSchemas.documentReference)))
   }
 }

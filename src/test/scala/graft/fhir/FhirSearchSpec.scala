@@ -223,9 +223,12 @@ class FhirSearchSpec extends SparkSpec {
     // (the export `since_applied` semantics — FhirSearch.MetaTypes is
     // the filterable set); restricting _type to meta-carrying types
     // gives the strict-incremental empty result
+    // r19: ImagingStudy/MedicationAdministration joined MetaTypes, so the
+    // only survivor is BodyStructure (no server meta on the raw R5 rows;
+    // ServiceRequest also lacks meta but has no p-001 compartment row)
     val late = eng.search("Patient/p-001/$everything?_since=2030-01")
       .collect().map(_.getString(0)).toSet
-    assert(late == Set("ImagingStudy", "MedicationAdministration"),
+    assert(late == Set("BodyStructure"),
       s"unexpected late-_since sweep: $late")
     assert(eng.search("Patient/p-001/$everything" +
       "?_since=2030-01&_type=Observation,Specimen").count() == 0)
@@ -330,6 +333,39 @@ class FhirSearchSpec extends SparkSpec {
     } finally spark.conf.unset("graft.fhir.contentScanMaxBytes")
     // back under the default cap, the scan is admitted again
     assert(eng.search("Patient?_content=given021").count() == 1)
+  }
+
+  test("ServiceRequest: array-ref chain, based-on :missing, _has from Specimen") {
+    // chain THROUGH the specimen array: ServiceRequests whose any
+    // specimen belongs to p-001 — exploded equi-join, not array-contains
+    val viaSpecimen = eng.search("ServiceRequest?specimen.subject=Patient/p-001")
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(viaSpecimen == Seq("g-01")) // sp-001/sp-002 → p-001
+    // based-on is registered but the assay output never populates it:
+    // :missing=true matches everything, =ref matches nothing
+    val all = eng.search("ServiceRequest").count()
+    assert(all == 23)
+    assert(eng.search("ServiceRequest?based-on:missing=true").count() == all)
+    assert(eng.search("ServiceRequest?based-on=ServiceRequest/x").count() == 0)
+    // _has from Specimen through the scalar subject param still works
+    assert(eng.search(
+      "Patient?_has:ServiceRequest:subject:status=completed").count() > 0)
+  }
+
+  test("BodyStructure: location token rejects nothing valid; :missing splits the type") {
+    val n = eng.search("BodyStructure").count()
+    assert(n == 8)
+    assert(eng.search("BodyStructure?location:missing=true").count() == n)
+    val morph = eng.search("BodyStructure?morphology:missing=true").count()
+    assert(morph == 2) // i % 4 == 0 rows carry no includedStructure
+    assert(eng.search("BodyStructure?patient=Patient/p-003").count() == 1)
+  }
+
+  test("DocumentReference history: vread surfaces the superseded status") {
+    assert(eng.search("DocumentReference/doc-010/_history").count() == 3)
+    assert(eng.search("DocumentReference/doc-010/_history/1")
+      .select("status").head().getString(0) == "superseded")
+    assert(eng.search("DocumentReference/doc-001/_history").count() == 1)
   }
 
   test("export _typeFilter rejects result-modifying control params " +

@@ -49,9 +49,17 @@ def mutate_observation(v, k):
     v["status"] = "preliminary"
 
 
+def mutate_docref(v, k):
+    # superseded versions of the churn-heavy type the assay pipeline
+    # rewrites (assay.py touches every linked doc) — vread must surface
+    # the pre-rewrite status
+    v["status"] = "superseded"
+
+
 def main():
     for t, mutate in [("Patient", mutate_patient),
-                      ("Observation", mutate_observation)]:
+                      ("Observation", mutate_observation),
+                      ("DocumentReference", mutate_docref)]:
         rows = [json.loads(l) for l in open(os.path.join(FIX, f"{t}.ndjson"))]
         with open(os.path.join(FIX, f"{t}.history.ndjson"), "w") as f:
             for row in rows:
