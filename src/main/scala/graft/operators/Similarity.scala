@@ -427,17 +427,7 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverIvfIndex(spark, path)
-    def liveFiles(): Set[String] = {
-      val out = Set.newBuilder[String]
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
-            && !f.getName.startsWith("."))
-          out += f.toString
-      }
-      out.result()
-    }
+    def liveFiles(): Set[String] = listDataFiles(fs, s"$path/cells")
     val snapshot = liveFiles()
     require(snapshot.nonEmpty, s"refit of an empty index: $path/cells")
     // explicit-path read: the fit NEVER sees files appended after the
@@ -458,7 +448,7 @@ object Similarity {
     Seq(json).toDF("centroids").coalesce(1)
       .write.mode("overwrite").json(centStage)
     afterFit()
-    graft.util.CommittedAppend.raiseFence(fs, path)
+    val fenceToken = graft.util.CommittedAppend.raiseFence(fs, path)
     try {
       graft.util.CommittedAppend.assertNoInflight(fs, path)
       val delta = (liveFiles() -- snapshot).toSeq.sorted
@@ -471,10 +461,55 @@ object Similarity {
           .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
           .write.mode("append").partitionBy("cell").parquet(cellsStage)
       }
+      assertFenceHeld(fs, path, fenceToken)
       graft.util.Generations.swapIn(fs, s"$path/cells", cellsStage)
       graft.util.Generations.swapIn(fs, s"$path/centroids", centStage)
-    } finally graft.util.CommittedAppend.dropFence(fs, path)
+    } finally graft.util.CommittedAppend.dropFenceOwned(fs, path, fenceToken)
   }
+
+  /** Scheme-normalized path string ("file:///x" and "file:/x" spell the
+    * same file) — DataFrame.inputFiles and Hadoop listings disagree on
+    * the spelling, and a snapshot diff across the two must not invent a
+    * phantom delta.
+    */
+  private def normalizePath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Recursive listing of the live data files under `dir` — the FILE-SET
+    * SNAPSHOT that defines a refit generation (appends landing later
+    * share the directory but never the snapshot).
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Set[String] = {
+    val out = Set.newBuilder[String]
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+        out += f.toString
+    }
+    out.result()
+  }
+
+  /** The refit-holder's LAST check before a generation swap: the fence
+    * must still be up AND carry OUR token. A concurrently mis-invoked
+    * recovery ([[recoverIvfIndex]] is documented single-maintainer, but
+    * "safe to call any time" invites it) may have dropped the fence —
+    * and committed appends may then have promoted into the live
+    * generation this swap is about to PARK. Aborting here turns that
+    * silent lost-batch window into a loud retry; the delta those appends
+    * represent is picked up by the rerun's snapshot.
+    */
+  private def assertFenceHeld(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, token: String): Unit =
+    if (!graft.util.CommittedAppend.fenceToken(fs, path).contains(token))
+      throw new IllegalStateException(
+        s"$path: maintenance fence was dropped (or re-raised by another " +
+          "maintainer) during the refit window — committed appends may " +
+          "have promoted into the generation this swap would park; " +
+          "aborting the swap. Re-run the refit (its snapshot will " +
+          "include the landed batches)")
 
   /** Cell-balance statistics of a persisted IVF index — the DRIFT
     * SIGNAL that tells a deployment WHEN [[refitIvfIndex]] pays: under
@@ -514,7 +549,11 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a crash inside the fenced window leaves the maintenance fence up
     // and would refuse ingest forever — recovery owns dropping it (the
-    // swap itself is restored below, so the fence has nothing to guard)
+    // swap itself is restored below, so the fence has nothing to guard).
+    // A LIVE refit that loses its fence to a mis-sequenced concurrent
+    // recovery is protected by its own pre-swap owner-token check
+    // (assertFenceHeld), so this unconditional drop cannot cause the
+    // lost-batch window it otherwise would.
     graft.util.CommittedAppend.dropFence(fs, path)
     val cellsStage = s"$path/_refit_cells"
     val centStage = s"$path/_refit_centroids"
@@ -1130,13 +1169,25 @@ object Similarity {
     * refit refuses loudly (the codes cannot be decoded back into
     * training data). Equivalent to a fresh
     * [[writePqIndex]]([[pqCodebooks]](celled corpus)) — SimilaritySpec
-    * pins refit == fresh-encode on codes AND codebook. Single-maintainer
-    * contract; refuses while a committed append is in flight.
+    * pins refit == fresh-encode on codes AND codebook.
+    *
+    * Ingest-tolerant, the [[refitIvfIndexLive]] discipline: the corpus
+    * is a FILE-SET SNAPSHOT of the vector store, the long retrain +
+    * re-encode runs unfenced, then the maintenance fence goes up for a
+    * short window — re-assert no in-flight stagings, re-encode the
+    * DELTA (vector files that committed during the retrain) under the
+    * new codebooks into the staged codes, verify fence ownership, swap
+    * codes then codebook. Without the fence+delta, a committed append
+    * promoting into `codes/` during the retrain would be silently
+    * erased at swapIn — its `_committed` marker making the retry a
+    * no-op, the vectors present in `cells/` but permanently absent from
+    * `codes/`.
     */
   def refitPqIndex(spark: SparkSession, path: String, m: Int = 8,
       kcodes: Int = 16, seed: Long = 42L, sampleCap: Int = 4096,
       iters: Int = 20, files: Int = 1,
-      vectorsDir: Option[String] = None): Unit = {
+      vectorsDir: Option[String] = None,
+      afterFit: () => Unit = () => ()): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.util.CommittedAppend.assertNoInflight(fs, path)
@@ -1146,8 +1197,15 @@ object Similarity {
       s"PQ refit needs the raw vectors (codes are lossy) — no celled " +
         s"vector store at $src; co-locate the PQ index with an IVF " +
         "layout or pass vectorsDir")
-    val corpus = spark.read.parquet(src)
-      .select(col("vec_id"), col("embedding"))
+    // snapshot = the exact file set behind THIS directory read (its
+    // cached FileIndex) — race-free, and the fit reads through the
+    // directory exactly like a fresh writePqIndex would, so the
+    // order-sensitive sample (pqCodebooks' limit) stays bit-equal to the
+    // refit==fresh-encode contract the gates pin
+    val corpusDf = spark.read.parquet(src)
+    val snapshot = corpusDf.inputFiles.map(normalizePath).toSet
+    require(snapshot.nonEmpty, s"PQ refit of an empty vector store: $src")
+    val corpus = corpusDf.select(col("vec_id"), col("embedding"))
     val cb = pqCodebooks(corpus, m, kcodes, seed, sampleCap, iters)
     val codesStage = s"$path/_refit_codes"
     val cbStage = s"$path/_refit_codebook"
@@ -1159,8 +1217,21 @@ object Similarity {
     import spark.implicits._
     Seq(json).toDF("codebook").coalesce(1)
       .write.mode("overwrite").json(cbStage)
-    graft.util.Generations.swapIn(fs, s"$path/codes", codesStage)
-    graft.util.Generations.swapIn(fs, s"$path/codebook", cbStage)
+    afterFit()
+    val fenceToken = graft.util.CommittedAppend.raiseFence(fs, path)
+    try {
+      graft.util.CommittedAppend.assertNoInflight(fs, path)
+      val delta = (listDataFiles(fs, src).map(normalizePath)
+        -- snapshot).toSeq.sorted
+      if (delta.nonEmpty)
+        pqEncode(spark.read.parquet(delta: _*)
+            .select(col("vec_id"), col("embedding")), cb)
+          .repartition(1).sortWithinPartitions("vec_id")
+          .write.mode("append").parquet(codesStage)
+      assertFenceHeld(fs, path, fenceToken)
+      graft.util.Generations.swapIn(fs, s"$path/codes", codesStage)
+      graft.util.Generations.swapIn(fs, s"$path/codebook", cbStage)
+    } finally graft.util.CommittedAppend.dropFenceOwned(fs, path, fenceToken)
   }
 
   /** Restore a torn [[compactPqIndex]] swap or a torn [[refitPqIndex]]
@@ -1176,6 +1247,10 @@ object Similarity {
   def recoverPqIndex(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash inside the refit's fenced window leaves the fence up and
+    // would refuse ingest forever — recovery drops it (a LIVE holder is
+    // protected by its own pre-swap assertFenceHeld owner-token check)
+    graft.util.CommittedAppend.dropFence(fs, path)
     val codesStage = s"$path/_refit_codes"
     val cbStage = s"$path/_refit_codebook"
     if (fs.exists(new org.apache.hadoop.fs.Path(codesStage)))
@@ -1350,11 +1425,16 @@ object Similarity {
     * discipline. Equivalent to a fresh [[writeSq8Index]] over the
     * celled corpus — the sim_sq8_refit gate hash-checks exactly that in
     * the pure-ADC regime, where stale saturated codes would move the
-    * scores. Single-maintainer contract; refuses while a committed
-    * append is in flight.
+    * scores.
+    *
+    * Ingest-tolerant like [[refitPqIndex]]: snapshot the vector files,
+    * retrain/re-encode unfenced, then fence → re-assert no in-flight →
+    * delta-re-encode vectors that committed during the retrain → verify
+    * fence ownership → swap codes then bounds.
     */
   def refitSq8Index(spark: SparkSession, path: String, files: Int = 1,
-      vectorsDir: Option[String] = None): Unit = {
+      vectorsDir: Option[String] = None,
+      afterFit: () => Unit = () => ()): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.util.CommittedAppend.assertNoInflight(fs, path)
@@ -1364,7 +1444,9 @@ object Similarity {
       s"SQ8 refit needs the raw vectors (codes are lossy) — no celled " +
         s"vector store at $src; co-locate the SQ8 index with an IVF " +
         "layout or pass vectorsDir")
-    val corpus = spark.read.parquet(src)
+    val snapshot = listDataFiles(fs, src)
+    require(snapshot.nonEmpty, s"SQ8 refit of an empty vector store: $src")
+    val corpus = spark.read.parquet(snapshot.toSeq.sorted: _*)
       .select(col("vec_id"), col("embedding"))
     val (lo, hi) = sq8Stats(corpus)
     val codesStage = s"$path/_refit_codes"
@@ -1376,8 +1458,20 @@ object Similarity {
     Seq(lo.mkString("[", ",", "]") + "|" + hi.mkString("[", ",", "]"))
       .toDF("bounds").coalesce(1)
       .write.mode("overwrite").json(bndStage)
-    graft.util.Generations.swapIn(fs, s"$path/codes", codesStage)
-    graft.util.Generations.swapIn(fs, s"$path/bounds", bndStage)
+    afterFit()
+    val fenceToken = graft.util.CommittedAppend.raiseFence(fs, path)
+    try {
+      graft.util.CommittedAppend.assertNoInflight(fs, path)
+      val delta = (listDataFiles(fs, src) -- snapshot).toSeq.sorted
+      if (delta.nonEmpty)
+        sq8Encode(spark.read.parquet(delta: _*)
+            .select(col("vec_id"), col("embedding")), lo, hi)
+          .repartition(1).sortWithinPartitions("vec_id")
+          .write.mode("append").parquet(codesStage)
+      assertFenceHeld(fs, path, fenceToken)
+      graft.util.Generations.swapIn(fs, s"$path/codes", codesStage)
+      graft.util.Generations.swapIn(fs, s"$path/bounds", bndStage)
+    } finally graft.util.CommittedAppend.dropFenceOwned(fs, path, fenceToken)
   }
 
   /** Restore a torn [[compactSq8Index]] swap or a torn [[refitSq8Index]]
@@ -1395,6 +1489,8 @@ object Similarity {
   def recoverSq8Index(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same fence ownership discipline as recoverIvfIndex/recoverPqIndex
+    graft.util.CommittedAppend.dropFence(fs, path)
     val codesStage = s"$path/_refit_codes"
     val bndStage = s"$path/_refit_bounds"
     if (fs.exists(new org.apache.hadoop.fs.Path(codesStage)))

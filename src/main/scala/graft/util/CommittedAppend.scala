@@ -134,14 +134,50 @@ object CommittedAppend {
   def fenced(fs: FileSystem, root: String): Boolean =
     fs.exists(fencePath(root))
 
-  def raiseFence(fs: FileSystem, root: String): Unit = {
+  /** Raise the fence, stamping it with a fresh OWNER TOKEN (returned).
+    * The token closes the lost-batch race between a live refit and a
+    * concurrently-invoked recovery: recovery may legitimately drop a
+    * fence it believes crashed ([[dropFence]]), so the refit re-checks
+    * [[fenceToken]] == its own token immediately before each swap — if
+    * the fence was dropped (and possibly re-raised by someone else)
+    * while it worked, committed appends may have promoted into the
+    * generation it is about to park, and the swap aborts loudly instead
+    * of silently erasing those batches.
+    */
+  def raiseFence(fs: FileSystem, root: String): String = {
     fs.mkdirs(new Path(root)): Unit
-    fs.create(fencePath(root), true).close()
+    val token = java.util.UUID.randomUUID().toString
+    val out = fs.create(fencePath(root), true)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    token
   }
 
+  /** The current fence's owner token, if a fence is up. (Pre-token fence
+    * files read as Some("") — never equal to a generated token, so an
+    * ownership check against one fails safe.)
+    */
+  def fenceToken(fs: FileSystem, root: String): Option[String] =
+    if (!fenced(fs, root)) None
+    else Some(readSmall(fs, fencePath(root)))
+
+  /** Unconditional drop — the CRASH-RECOVERY entry point (recover*Index):
+    * under the single-maintainer contract a recovery only runs when no
+    * refit is live, and a live refit that loses its fence to a
+    * mis-sequenced recovery is protected by its own pre-swap
+    * [[fenceToken]] ownership check, not by this call refusing.
+    */
   def dropFence(fs: FileSystem, root: String): Unit = {
     fs.delete(fencePath(root), false): Unit
   }
+
+  /** Drop the fence only if WE still own it — the refit-holder's exit
+    * path. A no-op when the fence is already gone or was re-raised by
+    * another maintainer (whose window must not be un-fenced by our
+    * cleanup).
+    */
+  def dropFenceOwned(fs: FileSystem, root: String, token: String): Unit =
+    if (fenceToken(fs, root).contains(token)) dropFence(fs, root)
 
   private def assertNotFenced(fs: FileSystem, root: String,
       batchId: Long): Unit =
@@ -156,17 +192,21 @@ object CommittedAppend {
     * would silently fingerprint only the first schema's columns), the
     * row count plus a commutative XOR fold of per-row xxhash64 over
     * every leaf parquet file (recursive lookup), with the file's
-    * DIRECTORY path folded into each row's hash: under a partitionBy
-    * staging the partition column lives ONLY in directory names
-    * (`cells/cell=N/…`) and a recursive-lookup read drops it — without
-    * the fold, a retry re-staging identical (vec_id, embedding) rows
-    * under DRIFTED partition routing (changed centroids — the exact
+    * STAGE-RELATIVE directory subpath folded into each row's hash: under
+    * a partitionBy staging the partition column lives ONLY in directory
+    * names (`cells/cell=N/…`) and a recursive-lookup read drops it —
+    * without the fold, a retry re-staging identical (vec_id, embedding)
+    * rows under DRIFTED partition routing (changed centroids — the exact
     * caller-bug case this guard exists for) would fingerprint equal and
     * skip-existing promotion would land the batch a second time under
-    * new `cell=` dirs. File BASENAMES are excluded (Spark part-file
-    * names carry a per-write UUID, so they differ across byte-identical
-    * re-stagings); the stage path is fixed per (root, batchId), so
-    * directory paths are retry-deterministic.
+    * new `cell=` dirs. Only the subpath BELOW `_staging/batch=<id>` is
+    * folded (never the absolute URI): a legitimate retry through a
+    * different-but-equivalent root spelling — moved index root, `file:/`
+    * vs scheme-qualified, a different mount — must not fail the
+    * determinism check, while partition-routing drift still lives
+    * entirely inside the relative subpath. File BASENAMES are excluded
+    * (Spark part-file names carry a per-write UUID, so they differ
+    * across byte-identical re-stagings).
     * Subtrees compose in name order, so the whole fingerprint is
     * deterministic; each aggregate is order-free, so task scheduling
     * cannot move it; cheap — one bounded aggregate per subtree over one
@@ -182,8 +222,12 @@ object CommittedAppend {
     val dirs = entries.filter(_.isDirectory).map(_.getPath.getName).sorted
     val rootFiles = entries.filter(_.isFile).map(_.getPath.toString).sorted
     def fpOf(df: org.apache.spark.sql.DataFrame): String = {
+      // group 1 = the directory subpath between the stage root and the
+      // file basename ("" for a flat stage, "/cells/cell=3" under
+      // partitionBy routing) — root-addressing-invariant by construction
       val withDir = df.withColumn("_graft_fp_dir",
-        regexp_replace(input_file_name(), "/[^/]*$", ""))
+        regexp_extract(input_file_name(),
+          "_staging/batch=[^/]+((?:/[^/]+)*)/[^/]+$", 1))
       val cols = (df.columns.map(c => s"`$c`") :+ "`_graft_fp_dir`")
         .mkString(", ")
       val r = withDir.agg(count(lit(1)), expr(s"bit_xor(xxhash64($cols))"))

@@ -930,6 +930,80 @@ class SimilaritySpec extends SparkSpec {
       .select("bounds").head().getString(0) == bBefore)
   }
 
+  test("refitPqIndex under concurrent ingest: a batch committed during the " +
+      "retrain survives into the new codes generation (r19 fence+delta)") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/pqing_${spark.sparkContext.applicationId}"
+    val half = corpus.filter(col("vec_id") < 250)
+      .select(col("vec_id"), col("embedding"))
+    val late = corpus.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(half, ncells = 8, dir)
+    Similarity.writePqIndex(half, Similarity.pqCodebooks(half), dir)
+    // the batch lands in BOTH legs of the composed root mid-retrain —
+    // without the fence+delta discipline its codes would be silently
+    // erased at swapIn (and the _committed marker makes a retry a no-op)
+    Similarity.refitPqIndex(spark, dir, afterFit = () => {
+      assert(Similarity.appendToIvfIndexCommitted(spark, dir, late, 91L))
+      assert(Similarity.appendToPqIndexCommitted(spark, dir, late, 92L))
+    })
+    val (codes, cb) = Similarity.readPqIndex(spark, dir)
+    assert(codes.count() == half.count() + late.count(),
+      "mid-retrain batch missing from the refit codes generation")
+    // the delta rows carry NEW-codebook codes (the frozen-codebook
+    // append arithmetic under the refit codebooks, exactly replayable)
+    val lateCodes = codes.filter(col("vec_id") >= 250)
+    val expect = Similarity.pqEncode(late, cb)
+    assert(lateCodes.exceptAll(expect).isEmpty
+      && expect.exceptAll(lateCodes).isEmpty,
+      "delta rows not re-encoded under the refit codebooks")
+    // fence dropped on exit; a later committed append proceeds
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!graft.util.CommittedAppend.fenced(fs, dir))
+  }
+
+  test("refitSq8Index under concurrent ingest: mid-retrain batch survives " +
+      "with frozen-new-bounds encoding") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/sq8ing_${spark.sparkContext.applicationId}"
+    val half = corpus.filter(col("vec_id") < 250)
+      .select(col("vec_id"), col("embedding"))
+    val late = corpus.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(half, ncells = 8, dir)
+    Similarity.writeSq8Index(half, dir)
+    Similarity.refitSq8Index(spark, dir, afterFit = () => {
+      assert(Similarity.appendToIvfIndexCommitted(spark, dir, late, 93L))
+      assert(Similarity.appendToSq8IndexCommitted(spark, dir, late, 94L))
+    })
+    val (codes, lo, hi) = Similarity.readSq8Index(spark, dir)
+    assert(codes.count() == half.count() + late.count())
+    val lateCodes = codes.filter(col("vec_id") >= 250)
+    val expect = Similarity.sq8Encode(late, lo, hi)
+    assert(lateCodes.exceptAll(expect).isEmpty
+      && expect.exceptAll(lateCodes).isEmpty,
+      "delta rows not re-encoded under the refit bounds")
+  }
+
+  test("fence owner token: a stale holder's cleanup cannot drop a fence it " +
+      "no longer owns") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/fence_${spark.sparkContext.applicationId}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t1 = graft.util.CommittedAppend.raiseFence(fs, root)
+    assert(graft.util.CommittedAppend.fenceToken(fs, root).contains(t1))
+    // a recovery drops the fence (crash assumption) and a NEW maintainer
+    // raises their own window
+    graft.util.CommittedAppend.dropFence(fs, root)
+    val t2 = graft.util.CommittedAppend.raiseFence(fs, root)
+    // the stale holder's exit cleanup must be a no-op on the new fence
+    graft.util.CommittedAppend.dropFenceOwned(fs, root, t1)
+    assert(graft.util.CommittedAppend.fenced(fs, root),
+      "stale holder un-fenced a live maintenance window")
+    assert(graft.util.CommittedAppend.fenceToken(fs, root).contains(t2))
+    graft.util.CommittedAppend.dropFenceOwned(fs, root, t2)
+    assert(!graft.util.CommittedAppend.fenced(fs, root))
+  }
+
   test("ivfCellStats: empty cells table returns zeros, not an NPE") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/ivfempty_${spark.sparkContext.applicationId}"
     corpus.limit(0).select(col("vec_id"), col("embedding"))
