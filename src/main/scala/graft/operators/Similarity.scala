@@ -917,16 +917,21 @@ object Similarity {
       scale: Int = 6): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     val vecs = corpus.select(col("vec_id"), col("embedding")).cache()
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(graft.operators.Sampling.hashDraw(col("vec_id")), col("vec_id"))
-    // seed frame is k rows — the row_number window runs on the already
-    // TakeOrdered-limited frame, never on the corpus
-    var cents = vecs
+    // seed = the k md5-order-first vectors, drawn ONCE to the driver —
+    // k rows, the exact bounded footprint centersOf already holds every
+    // iteration. (A partition-less row_number window over the k-row
+    // TakeOrdered frame computes the same ids but plans a
+    // single-partition WindowExec that WARNs on every kmeans call,
+    // burying real warnings in the bench tail.)
+    val session = corpus.sparkSession
+    import session.implicits._
+    val seedK = vecs
       .orderBy(graft.operators.Sampling.hashDraw(col("vec_id")), col("vec_id"))
       .limit(k)
-      .withColumn("cell", row_number().over(w) - 1)
-      .select(col("cell"),
-        col("embedding").cast(ArrayType(DoubleType)).as("centroid"))
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toSeq)
+    var cents = seedK.zipWithIndex
+      .map { case (e, i) => (i, e) }.toSeq.toDF("cell", "centroid")
     for (_ <- 1 to iters) {
       val centers = centersOf(cents)
       val assigned = vecs.withColumn("cell",
@@ -960,8 +965,6 @@ object Similarity {
     // k-row array (a literal), not the iteration-deep lazy join chain —
     // re-evaluating it costs nothing and touches no released cache.
     vecs.unpersist()
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val centsOut = centers.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
       .toSeq.toDF("cell", "centroid")
     (assigned, centsOut)

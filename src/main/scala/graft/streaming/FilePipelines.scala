@@ -660,10 +660,23 @@ object FilePipelines {
     * single-artifact global repack remains the batch operator
     * (idempotent from the curated corpus). State touched per batch:
     * only the segment's own rows; nothing in the store is rewritten.
+    *
+    * The sink is PARALLEL (r19): `repartitionByRange(seq_id, doc_key)`
+    * + per-partition sort, so a multi-GB segment's packed output writes
+    * through every core instead of serializing one task — file order is
+    * range order, and readers consume (epoch, seq_id) as before. Range
+    * boundaries come from seeded sampling over the same micro-batch
+    * lineage, so a retry re-stages row-equivalent files per position
+    * (the CommittedAppend determinism contract; the fingerprint check
+    * still fails loudly if data or session config drifted between
+    * retries). `outFiles` <= 0 derives the width from
+    * spark.sql.shuffle.partitions; empty range slices write no file.
     */
   def packedDeliveryBatch(batch: DataFrame, storeDir: String,
-      batchId: Long, seqLen: Int = 256): Boolean = {
+      batchId: Long, seqLen: Int = 256, outFiles: Int = 0): Boolean = {
     val spark = batch.sparkSession
+    val n = if (outFiles > 0) outFiles
+      else spark.sessionState.conf.numShufflePartitions
     // scoped: packSequencesGlobal Scratch-caches its ranged frame; a
     // continuous delivery would accrete one cache per micro-batch
     graft.util.Scratch.scoped(spark) {
@@ -671,7 +684,8 @@ object FilePipelines {
         graft.operators.Sampling.packSequencesGlobal(
             batch.select(col("doc_id"), col("text")), col("doc_id"),
             col("text"), seqLen)
-          .repartition(1).sortWithinPartitions("seq_id", "doc_key")
+          .repartitionByRange(n, col("seq_id"), col("doc_key"))
+          .sortWithinPartitions("seq_id", "doc_key")
           .write.mode("overwrite").parquet(s"$stage/epoch=$batchId")
       }
     }

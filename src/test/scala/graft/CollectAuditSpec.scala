@@ -45,6 +45,10 @@ class CollectAuditSpec extends AnyFunSuite {
       "scalar edge-set signature aggregate (one row per contraction round)"),
     ("Similarity.scala", ".limit(sampleCap).collect()",
       "k-means/PQ training sample — limit(sampleCap) contract (IVF + PQ sites)"),
+    ("Similarity.scala", ".collect().map(_.getSeq[Double](0).toSeq)",
+      "kmeansFit seed draw — limit(k) rows, the same bounded footprint " +
+        "centersOf holds per iteration (replaces the partition-less " +
+        "seed window that warned on every fit)"),
     ("Similarity.scala", "cents.orderBy(\"cell\").collect()",
       "centroid frame — ncells rows by construction, metadata-sized"),
     ("Similarity.scala", ".select(col(\"centroids\")).head().getString(0)",
