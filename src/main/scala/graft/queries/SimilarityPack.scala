@@ -178,6 +178,79 @@ object SimilarityPack extends QueryPack {
   private def labelIndex(s: org.apache.spark.sql.SparkSession, d: String) =
     labelIndexOf(T.embeddings(s, d))
 
+  /** Corpus-proportional, SQL-replayable quantizer for the `_sized`
+    * twins (r19, verdict r18 task 6): ncells follows the PRODUCTION
+    * sizing rule ([[Similarity.cellsFor]] — cells ∝ corpus, ~500
+    * vectors/cell), realized by splitting each label into
+    * S = ⌈ncells / nlabels⌉ sub-cells on the vec_id residue:
+    * cell = label·S + vec_id % S, centroid = per-cell 6-dp-rounded
+    * exact mean. At the driver's gated scales S = 1 (the label
+    * quantizer exactly — proven parity regime); at sf1+ the cell count
+    * grows with the corpus so the within-cell pair space stays bounded
+    * (the fixed-k gates' documented super-linearity is exactly what
+    * this sizing removes), and the oracle still replays assignment and
+    * centroids verbatim — no prose disclaimer needed.
+    */
+  private def sizedLabelIndex(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val e = T.embeddings(s, d)
+    val n = e.count()
+    val nl = e.select(countDistinct(col("label"))).head().getLong(0)
+    val ncells = Similarity.cellsFor(n).toLong
+    val sp = math.max(1L, (ncells + nl - 1) / nl)
+    val withCell = e.select(col("vec_id"), col("embedding"),
+      (col("label").cast("long") * sp + col("vec_id") % sp).as("cell"))
+    val cents = withCell
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg(graft.functions.Exact.davg(col("x").cast("double"), 15).as("m"))
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("s"))
+      .select(col("cell"), expr("transform(s, e -> round(e.m, 6))").as("centroid"))
+    (withCell, cents)
+  }
+
+  /** The sized quantizer's oracle CTE chain: `sp(s)` = the sub-cell
+    * split factor (integer arithmetic spelled exactly like the engine:
+    * ncells = greatest(8, n // 500), S = (ncells + nl - 1) // nl),
+    * `e(vec_id, embedding, cell)` the assignment, `centv` the rounded
+    * centroids, `pc` each query's nprobe=2 probe choice, `scored` the
+    * cell-restricted scoring — shared by both `_sized` gates.
+    */
+  private def sizedCteSql(qSql: String): String =
+    s"""sp AS (
+       |  SELECT greatest(1,
+       |           (greatest(8, count(*) // 500) + count(DISTINCT label) - 1)
+       |           // count(DISTINCT label)) AS s
+       |  FROM embeddings
+       |), e AS (
+       |  SELECT vec_id, embedding,
+       |         CAST(label AS BIGINT) * sp.s + vec_id % sp.s AS cell
+       |  FROM embeddings CROSS JOIN sp
+       |), idx AS (SELECT unnest(range(1, 65)) AS i),
+       |cent AS (
+       |  SELECT e.cell, idx.i,
+       |         round($ExactMeanSql, 6) AS m
+       |  FROM e CROSS JOIN idx GROUP BY 1, 2
+       |), centv AS (
+       |  SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell
+       |), q AS (
+       |  $qSql
+       |), pc AS (
+       |  SELECT query_id, qvec, cell FROM (
+       |    SELECT q.query_id, q.qvec, v.cell,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ${cosSql("q.qvec", "v.centroid")} DESC,
+       |                                       v.cell) AS crank
+       |    FROM q CROSS JOIN centv v) t
+       |  WHERE crank <= 2
+       |), scored AS (
+       |  SELECT pc.query_id, c.vec_id,
+       |         round(${cosSql("pc.qvec", "c.embedding")}, 5) AS score
+       |  FROM pc JOIN e c ON c.cell = pc.cell
+       |  WHERE pc.query_id != c.vec_id
+       |)""".stripMargin
+
   /** Grown-IVF-index probe shared by sim_ivf_append and sim_ivf_compact:
     * a half-corpus label index grows by the other half under its FROZEN
     * centroids, then answers a pruned nprobe=2 query; a correctly grown
@@ -504,6 +577,60 @@ object SimilarityPack extends QueryPack {
       },
       Some(s"""WITH $KnnCteSql
               |SELECT query_id, rank, vec_id, score FROM knn
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // kNN-graph build, PRODUCTION-SIZED regime (r19, verdict r18 #6):
+    // same operator/regime as sim_knn_graph (all-corpus queries, forced
+    // shuffle join, nprobe=2 pruning) but the quantizer is sized by the
+    // cellsFor rule — cells ∝ corpus — via the SQL-replayable sub-label
+    // split, so the gated regime IS the production regime: within-cell
+    // pair mass stays ~perCell·n instead of growing n²/k at fixed k. At
+    // the gated scales S=1 (label quantizer — proven parity); the sf1
+    // twin-vs-fixed timing evidence lives in ScratchTimingSpec/NOTES.
+    QueryDef(
+      "sim_knn_graph_sized",
+      (s, d) => {
+        val corpus = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val queries = T.embeddings(s, d)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        Similarity.topKIvf(corpus, queries, 5, nprobe = 2,
+            index = Some(sizedLabelIndex(s, d)), queryBroadcastCap = 0)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${sizedCteSql(
+                "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings")}
+              |SELECT query_id, rank, vec_id, score FROM (
+              |  SELECT query_id, vec_id, score,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY score DESC, vec_id) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)),
+
+    // Hard-negative mining, PRODUCTION-SIZED regime: probe set = the
+    // whole corpus (the contrastive-pretraining shape whose sf1 sweep
+    // exposed the fixed-k super-linearity) against the cellsFor-sized
+    // quantizer — candidates per probe bounded by nprobe·perCell
+    // regardless of corpus growth, forced shuffle regime, exclusion
+    // threshold and rank machinery identical to the fixed gates.
+    QueryDef(
+      "sim_mined_negatives_sized",
+      (s, d) => {
+        val corpus = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val probes = T.embeddings(s, d)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        Similarity.minedNegativesIvf(corpus, probes, 5, 0.9, nprobe = 2,
+            index = Some(sizedLabelIndex(s, d)), probeBroadcastCap = 0)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${sizedCteSql(
+                "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings")}
+              |SELECT query_id, rank, vec_id, score FROM (
+              |  SELECT query_id, vec_id, score,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY score DESC, vec_id) AS rank
+              |  FROM scored WHERE score < 0.9) t
+              |WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin)),
 
     // PageRank over the kNN graph (round 13): the link-graph centrality

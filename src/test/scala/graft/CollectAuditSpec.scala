@@ -62,6 +62,9 @@ class CollectAuditSpec extends AnyFunSuite {
     ("CommittedAppend.scala", ".head()",
       "staged-batch content fingerprint — one aggregate row (count + " +
         "bit_xor of row hashes) over one micro-batch-sized staging tree"),
+    ("SimilarityPack.scala", "countDistinct(col(\"label\"))).head().getLong(0)",
+      "sized-quantizer split factor — one aggregate row (distinct label " +
+        "count) at gate-build time"),
     ("Similarity.scala", "coalesce(max(\"n\"), lit(0L))).head()",
       "IVF cell-balance stats (the refit drift signal) — one aggregate " +
         "row over the per-cell counts (sum/max coalesced so an empty " +

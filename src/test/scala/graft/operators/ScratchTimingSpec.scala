@@ -58,6 +58,28 @@ class ScratchTimingSpec extends SparkSpec {
     graft.util.Scratch.release(spark)
   }
 
+  ignore("r19 probe: fixed-k vs cellsFor-sized quantizer (MEASURED, idle host: " +
+      "sf0.1 -> sf1 (10x data) — sim_knn_graph FIXED 10 cells 8.52 -> 24.48 s; " +
+      "sim_knn_graph_sized (cellsFor: 8 -> 40 cells) 3.17 -> 9.15 s, 2.9x time " +
+      "for 10x data and 2.7x faster than fixed at sf1; " +
+      "sim_mined_negatives_ivf_pruned (10 fixed probes) 1.41 -> 2.57 s; " +
+      "sim_mined_negatives_sized (corpus-sized probe set) 3.03 -> 12.10 s, 4.0x " +
+      "for 100x pair mass — the sized quantizer keeps per-probe candidates at " +
+      "nprobe*perCell so the gated regime IS the production regime)") {
+    assume(new java.io.File("/root/repo/target/sf1/embeddings.parquet").exists())
+    val all = graft.SparkEntry.queries
+    def run(name: String, d: String): Unit = {
+      spark.catalog.clearCache()
+      timeIt(s"$name @ $d")(
+        all(name)(spark, d).write.format("noop").mode("overwrite").save())
+      graft.util.Scratch.release(spark)
+    }
+    for (d <- Seq("/root/testdata/sf0.1", "/root/repo/target/sf1");
+         n <- Seq("sim_knn_graph", "sim_knn_graph_sized",
+           "sim_mined_negatives_ivf_pruned", "sim_mined_negatives_sized"))
+      run(n, d)
+  }
+
   test("r18 probe: simhash band-bucket distribution and stage times at sf1") {
     assume(new java.io.File("/root/repo/target/sf1/documents.parquet").exists())
     val docs = Dedup.withMutants(
