@@ -147,15 +147,22 @@ object Bench {
         name -> timeOne(name, fn)
       }
     calSeries += calibrate() // close the last window
-    // Rerun pass: flagged = finished gates >2.5× their committed baseline
+    // Rerun pass: flagged = finished gates >3× their committed baseline
     // row (0.4 s absolute floor — ±50% wobble on sub-second gates is not
     // signal). Worst inflation first, capped so a fully-contended run
-    // cannot double its own wall clock. The bar was 3× through round 17;
-    // that round's only distorted charge (stream_incremental_ingest at
-    // 2.6× — plainly the same host-contention band as the ten spikes the
-    // reruns DID recover) sat just under it, so 2.5× is the armed bar.
+    // cannot double its own wall clock. Policy history: 3× through round
+    // 17; round 18 lowered to 2.5× off a single observation
+    // (stream_incremental_ingest at 2.6×) IN THE SAME COMMIT that
+    // re-recorded BASELINE — the round-18 advisor flagged that a
+    // measurement-policy change must not ride a re-baselining commit and
+    // needs multi-round validation, so round 19 restores the
+    // two-round-validated 3× default; a borderline case under
+    // investigation is what SPARK_GRAFT_BENCH_RERUN_FACTOR exists for.
+    // (total_adj charges min(first, rerun), so a GENUINE regression
+    // reproduces on the rerun either way — the bar only decides how many
+    // contention spikes get a second look.)
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RERUNS", "40").toInt
-    val rerunFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_FACTOR", "2.5").toDouble
+    val rerunFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_FACTOR", "3.0").toDouble
     val flagged = results
       .collect { case (n, t) if t > 0.4 && baseline.get(n).exists(b => t > rerunFactor * b) =>
         (n, t, t / baseline(n)) }
