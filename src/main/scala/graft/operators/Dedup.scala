@@ -267,8 +267,25 @@ object Dedup {
     // exactly the scale the rule exists for
     math.min(math.max(64L, nDocs / 100L), Int.MaxValue.toLong).toInt
 
+  /** Round-19 scale guard (the sf10 decade probe, NOTES_r19 §4): the
+    * candidate join's cost IS the prefix mass Σ_{prefix rows} nd, and on
+    * a SHINGLE-SATURATED corpus — a closed template vocabulary where the
+    * distinct-shingle count stops growing with the corpus — it grows
+    * ∝ n²: every posting list lengthens with n, NO shingle is rare, and
+    * neither the hot-cap (max nd sat far under cap at the measured
+    * saturation: 624 vs 2500) nor the rarest-first prefix filter has any
+    * rarity to exploit (measured: 10× docs → 115× mass at n-gram 3 on
+    * the saturated fixture, vs ~8× distinct-shingle growth — i.e.
+    * near-linear mass — at n-gram 5). `maxCandidatesPerDoc` budgets the
+    * mass at one cheap aggregation over the already-built prefix frame
+    * and REFUSES loudly over budget — a diagnosis naming the remedy
+    * (wider shingles, upstream boilerplate/span removal, or a raised
+    * budget) instead of a silently quadratic join. 0 disables; the
+    * exact small-N regime (hotCap = None) never measures.
+    */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
-      hotCap: Option[Int] = None): DataFrame = {
+      hotCap: Option[Int] = None,
+      maxCandidatesPerDoc: Long = 1024L): DataFrame = {
     val raw = docs
       .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
     val sh = hotCap.fold(raw) { cap =>
@@ -302,10 +319,35 @@ object Dedup {
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("nd"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("nd"), col("sh"))
-    val pfx = sh.join(dfreq, "sh").join(sizes, "doc_id")
+    val pfxNd0 = sh.join(dfreq, "sh").join(sizes, "doc_id")
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("doc_id").as("pda"), col("sh"), col("sz").as("psz"))
+      .select(col("doc_id").as("pda"), col("sh"), col("sz").as("psz"),
+        col("nd"))
+    // cached when the guard runs: the guard's aggregate fills it, the
+    // candidate join reuses it — the prefix window runs ONCE either way
+    // (prefix rows are doc-count-scale, a tiny cache)
+    val pfxNd =
+      if (hotCap.isDefined && maxCandidatesPerDoc > 0)
+        graft.util.Scratch.cached(pfxNd0)
+      else pfxNd0
+    if (hotCap.isDefined && maxCandidatesPerDoc > 0) {
+      val r = pfxNd.agg(
+        coalesce(sum(col("nd")), lit(0L)),
+        count_distinct(col("pda"))).head()
+      val (mass, nDocs) = (r.getLong(0), r.getLong(1))
+      if (nDocs > 0 && mass > maxCandidatesPerDoc * nDocs)
+        throw new IllegalStateException(
+          f"containmentPairs: prefix-candidate mass $mass%,d exceeds " +
+            f"the $maxCandidatesPerDoc%,d-per-doc budget over $nDocs%,d " +
+            "docs — the shingle space is SATURATED (closed template " +
+            "vocabulary: every n-gram is mid-frequency, so no prefix " +
+            "is rare and the candidate join is quadratic in the " +
+            "corpus). Widen the shingles (larger n), remove " +
+            "boilerplate/spans upstream, or raise maxCandidatesPerDoc " +
+            "if the mass is intended")
+    }
+    val pfx = pfxNd.drop("nd")
     val cands = pfx.join(
         sh.join(sizes, "doc_id")
           .select(col("doc_id").as("pdb"), col("sh"), col("sz").as("bsz")),

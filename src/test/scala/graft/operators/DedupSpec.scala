@@ -425,6 +425,26 @@ class DedupSpec extends SparkSpec {
     assert(auto == exact, "auto-capped pair set diverged from exact")
   }
 
+  test("containmentPairs saturation guard: over-budget prefix mass refuses " +
+      "loudly in the capped regime; exact regime and default budget unaffected") {
+    val corpus = docs.filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
+    // a 1-per-doc budget trips on any real prefix mass — the mechanism
+    // under test is the loud refusal with the saturation diagnosis (the
+    // realistic trigger is the sf10 closed-vocabulary fixture, where
+    // trigram mass measured 115x for 10x docs — NOTES_r19 §4)
+    val e = intercept[IllegalStateException](
+      Dedup.containmentPairs(corpus, 3, 0.9, hotCap = Some(250),
+        maxCandidatesPerDoc = 1L).count())
+    assert(e.getMessage.contains("SATURATED")
+      && e.getMessage.contains("maxCandidatesPerDoc"), e.getMessage)
+    // default budget passes this organic-shaped fixture; exact regime
+    // (hotCap = None — the oracle twin) never measures, even at budget 1
+    assert(Dedup.containmentPairs(corpus, 3, 0.9,
+      hotCap = Some(250)).count() ==
+      Dedup.containmentPairs(corpus, 3, 0.9, hotCap = None,
+        maxCandidatesPerDoc = 1L).count())
+  }
+
   test("electSurvivors: highest quality wins, not lowest id; ties break to lowest id") {
     import spark.implicits._
     val d2 = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")

@@ -80,6 +80,60 @@ class ScratchTimingSpec extends SparkSpec {
       run(n, d)
   }
 
+  ignore("r19 probe: sf10 decade check of the r18 scale fixes — and the " +
+      "saturation cliff the decade EXPOSED (MEASURED, see NOTES_r19 §4: " +
+      "guard fires on the sf10 trigram regime at mass 602,871,568 over the " +
+      "1,024/doc budget; de-saturated n=5 containment 9.75 -> 135.66 s for " +
+      "10x docs (~n^1.14, pairs 447 -> 1,140); semDeDup over " +
+      "kmeansFit(cellsFor 40 -> 400) 20.41 -> 72.97 s STANDALONE — 3.6x for " +
+      "10x data, sub-linear; an in-JVM combined run read 353 s at sf1 from " +
+      "cache/GC pressure, the bench-measurement pitfall NOTES warns about)") {
+    // What the first sf10 attempt found (MEASURED, 32 g heap): at
+    // n-gram 3 this fixture's shingle space SATURATES — 28,861 -> 29,725
+    // distinct trigrams for 10x the docs (the word-shuffle decorrelation
+    // recombines a closed vocabulary), so every posting list grows 10x
+    // (median nd 47 -> 475, max 83 -> 624 — all under the 2,500 auto-cap)
+    // and the prefix-candidate mass went 5.23 M -> 602.9 M: 115x for 10x
+    // docs, quadratic BY CONSTRUCTION, and the join died after 30+ min.
+    // No rarity exists for the prefix filter to exploit — that is a
+    // corpus property (template-heavy/closed-vocab data hits it in
+    // production), not an operator bug. Response: containmentPairs now
+    // BUDGETS the mass (one cheap aggregate on the cached prefix frame,
+    // maxCandidatesPerDoc) and refuses loudly with the diagnosis.
+    // At n-gram 5 the same fixture de-saturates (1.19 M -> 9.73 M
+    // distinct shingles, median nd 1) and the decade check below runs
+    // the real near-linear regime.
+    assume(new java.io.File("/root/repo/target/sf10/documents.parquet").exists())
+    // the guard fires on the saturated trigram regime at sf10
+    val sat = spark.read.parquet("/root/repo/target/sf10/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 2 === 1)
+    val eSat = intercept[IllegalStateException](
+      Dedup.containmentPairs(sat, 3, 0.9,
+        hotCap = Some(Dedup.containmentAutoCap(250000))).count())
+    info(s"sf10 trigram guard: ${eSat.getMessage.take(120)}")
+    graft.util.Scratch.release(spark)
+    for (d <- Seq("/root/repo/target/sf1", "/root/repo/target/sf10")) {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") % 2 === 1)
+      val n = docs.count()
+      val cap = Dedup.containmentAutoCap(n)
+      val pairs = timeIt(s"containment n=5 capped($cap) @ $d (n=$n)")(
+        Dedup.containmentPairs(docs, 5, 0.9, hotCap = Some(cap)).count())
+      info(s"  verified containment pairs: $pairs")
+      graft.util.Scratch.release(spark)
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val ne = emb.count()
+      val k = Similarity.cellsFor(ne)
+      timeIt(s"semDeDup kmeans(cellsFor=$k) @ $d (n=$ne)") {
+        val idx = Similarity.kmeansFit(emb, k, iters = 2)
+        Similarity.semDeDup(emb, 0.95, index = Some(idx))
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.util.Scratch.release(spark)
+    }
+  }
+
   test("r18 probe: simhash band-bucket distribution and stage times at sf1") {
     assume(new java.io.File("/root/repo/target/sf1/documents.parquet").exists())
     val docs = Dedup.withMutants(
