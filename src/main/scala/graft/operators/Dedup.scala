@@ -276,16 +276,20 @@ object Dedup {
     * saturation: 624 vs 2500) nor the rarest-first prefix filter has any
     * rarity to exploit (measured: 10× docs → 115× mass at n-gram 3 on
     * the saturated fixture, vs ~8× distinct-shingle growth — i.e.
-    * near-linear mass — at n-gram 5). `maxCandidatesPerDoc` budgets the
-    * mass at one cheap aggregation over the already-built prefix frame
-    * and REFUSES loudly over budget — a diagnosis naming the remedy
-    * (wider shingles, upstream boilerplate/span removal, or a raised
-    * budget) instead of a silently quadratic join. 0 disables; the
-    * exact small-N regime (hotCap = None) never measures.
+    * near-linear mass — at n-gram 5). `maxCandidatesPerDoc` budgets an
+    * ESTIMATE of that mass (prefix-row count × mean posting-list length
+    * — one aggregate over the already-cached postings, exact when nd is
+    * uniform i.e. saturated, a deliberate overestimate on organic
+    * rarity-skewed data: measured ~6× over actual at the sf1 boundary,
+    * which the 4096 default absorbs) and REFUSES loudly over budget —
+    * a diagnosis naming the remedy (wider shingles, upstream
+    * boilerplate/span removal, or a raised budget) instead of a
+    * silently quadratic join. 0 disables; the exact small-N regime
+    * (hotCap = None) never measures.
     */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
       hotCap: Option[Int] = None,
-      maxCandidatesPerDoc: Long = 1024L): DataFrame = {
+      maxCandidatesPerDoc: Long = 4096L): DataFrame = {
     val raw = docs
       .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
     val sh = hotCap.fold(raw) { cap =>
@@ -319,35 +323,42 @@ object Dedup {
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("nd"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("nd"), col("sh"))
-    val pfxNd0 = sh.join(dfreq, "sh").join(sizes, "doc_id")
+    if (hotCap.isDefined && maxCandidatesPerDoc > 0) {
+      // ESTIMATED mass = (Σ per-doc prefix length) × (mean posting-list
+      // length over the capped universe): exact for the saturated case
+      // (uniform nd — the case the guard exists for) and an OVERestimate
+      // for organic data (the rarest-first prefix draws from below the
+      // mean), so a pass is trustworthy and the budget carries headroom
+      // for the estimate's bias. Both aggregates read the ALREADY-CACHED
+      // postings frame — the measured alternative (caching the exact
+      // prefix frame and summing its nd) re-ran the per-doc window and
+      // broke its codegen fusion, inflating every containment gate ~1.5×.
+      val r = sh.agg(count(lit(1)), count_distinct(col("sh")),
+        count_distinct(col("doc_id"))).head()
+      val (postings, distinctSh, nDocs) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (nDocs > 0 && distinctSh > 0) {
+        // Σ prefLen = Σ (sz − ⌈t·sz⌉ + 1) ≤ (1−t)·postings + nDocs
+        val prefixRows = ((1.0 - threshold) * postings).toLong + nDocs
+        val estMass = (prefixRows.toDouble * postings / distinctSh).toLong
+        if (estMass > maxCandidatesPerDoc * nDocs)
+          throw new IllegalStateException(
+            f"containmentPairs: estimated prefix-candidate mass " +
+              f"$estMass%,d (≈$prefixRows%,d prefix rows × mean " +
+              f"posting-list length ${postings / distinctSh}%,d) exceeds " +
+              f"the $maxCandidatesPerDoc%,d-per-doc budget over " +
+              f"$nDocs%,d docs — the shingle space is SATURATED (closed " +
+              "template vocabulary: every n-gram is mid-frequency, so " +
+              "no prefix is rare and the candidate join is quadratic " +
+              "in the corpus). Widen the shingles (larger n), remove " +
+              "boilerplate/spans upstream, or raise " +
+              "maxCandidatesPerDoc if the mass is intended")
+      }
+    }
+    val pfx = sh.join(dfreq, "sh").join(sizes, "doc_id")
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("doc_id").as("pda"), col("sh"), col("sz").as("psz"),
-        col("nd"))
-    // cached when the guard runs: the guard's aggregate fills it, the
-    // candidate join reuses it — the prefix window runs ONCE either way
-    // (prefix rows are doc-count-scale, a tiny cache)
-    val pfxNd =
-      if (hotCap.isDefined && maxCandidatesPerDoc > 0)
-        graft.util.Scratch.cached(pfxNd0)
-      else pfxNd0
-    if (hotCap.isDefined && maxCandidatesPerDoc > 0) {
-      val r = pfxNd.agg(
-        coalesce(sum(col("nd")), lit(0L)),
-        count_distinct(col("pda"))).head()
-      val (mass, nDocs) = (r.getLong(0), r.getLong(1))
-      if (nDocs > 0 && mass > maxCandidatesPerDoc * nDocs)
-        throw new IllegalStateException(
-          f"containmentPairs: prefix-candidate mass $mass%,d exceeds " +
-            f"the $maxCandidatesPerDoc%,d-per-doc budget over $nDocs%,d " +
-            "docs — the shingle space is SATURATED (closed template " +
-            "vocabulary: every n-gram is mid-frequency, so no prefix " +
-            "is rare and the candidate join is quadratic in the " +
-            "corpus). Widen the shingles (larger n), remove " +
-            "boilerplate/spans upstream, or raise maxCandidatesPerDoc " +
-            "if the mass is intended")
-    }
-    val pfx = pfxNd.drop("nd")
+      .select(col("doc_id").as("pda"), col("sh"), col("sz").as("psz"))
     val cands = pfx.join(
         sh.join(sizes, "doc_id")
           .select(col("doc_id").as("pdb"), col("sh"), col("sz").as("bsz")),

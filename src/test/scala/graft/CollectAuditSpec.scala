@@ -41,10 +41,11 @@ class CollectAuditSpec extends AnyFunSuite {
       "LSH probe small regime — limit(maxPushdownSigs + 1) before collect; large regime stays distributed"),
     ("Dedup.scala", ".head().getLong(0)",
       "scalar convergence aggregate (one row per label-propagation round)"),
-    ("Dedup.scala", "count_distinct(col(\"pda\"))).head()",
-      "containment saturation guard — one aggregate row (prefix mass + " +
-        "doc count) over the cached doc-count-scale prefix frame, " +
-        "measured BEFORE the candidate join can go quadratic"),
+    ("Dedup.scala", "count_distinct(col(\"doc_id\"))).head()",
+      "containment saturation guard — one aggregate row (postings, " +
+        "distinct shingles, docs) over the cached postings frame, the " +
+        "mass ESTIMATE measured BEFORE the candidate join can go " +
+        "quadratic"),
     ("Dedup.scala", "lit(0L))).head()",
       "scalar edge-set signature aggregate (one row per contraction round)"),
     ("Similarity.scala", ".limit(sampleCap).collect()",

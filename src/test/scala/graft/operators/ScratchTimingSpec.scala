@@ -82,8 +82,9 @@ class ScratchTimingSpec extends SparkSpec {
 
   ignore("r19 probe: sf10 decade check of the r18 scale fixes — and the " +
       "saturation cliff the decade EXPOSED (MEASURED, see NOTES_r19 §4: " +
-      "guard fires on the sf10 trigram regime at mass 602,871,568 over the " +
-      "1,024/doc budget; de-saturated n=5 containment 9.75 -> 135.66 s for " +
+      "guard fires on the sf10 trigram regime — actual mass 602,871,568, " +
+      "estimate ~12,060/doc over the 4,096/doc budget; de-saturated n=5 " +
+      "containment 9.75 -> 135.66 s for " +
       "10x docs (~n^1.14, pairs 447 -> 1,140); semDeDup over " +
       "kmeansFit(cellsFor 40 -> 400) 20.41 -> 72.97 s STANDALONE — 3.6x for " +
       "10x data, sub-linear; an in-JVM combined run read 353 s at sf1 from " +
