@@ -358,13 +358,20 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     }
 
     // B7 _has:Type:refParam:param=value — keep resources referenced by a
-    // matching resource of another type (left-semi join)
+    // matching resource of another type (left-semi join). Array-valued
+    // ref params (ServiceRequest.specimen, Group.member) route through
+    // refSources (explode) — "which Specimens have a completed assay?"
+    // is `Specimen?_has:ServiceRequest:specimen:status=completed`.
     controls.collect { case (n, v) if n.startsWith("_has:") => (n, v) }
       .foreach { case (n, v) =>
         val Array(_, hasType, refParam, param) = n.split(":", 4)
-        val refPath = referencePath(hasType, refParam)
-        val matching = applyParam(hasType, table(hasType), param, v)
-          .select(split(refPath, "/").getItem(1).as("_ref_id"))
+        val matched = applyParam(hasType, table(hasType), param, v)
+        val refs =
+          if (ArrayRefParams((hasType, refParam)))
+            refSources(hasType, refParam, matched).select(col("_ref"))
+          else matched.select(referencePath(hasType, refParam).as("_ref"))
+        val matching = refs
+          .select(split(col("_ref"), "/").getItem(1).as("_ref_id"))
         df = df.join(matching, df("id") === col("_ref_id"), "left_semi")
       }
 

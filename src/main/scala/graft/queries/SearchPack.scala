@@ -1265,6 +1265,25 @@ object SearchPack extends QueryPack {
               |  AND meta.lastUpdated >= '2024-05'
               |ORDER BY id""".stripMargin)),
 
+    // _has through an ARRAY reference param: "which Specimens have a
+    // completed assay?" — the reverse of search_servicerequest_specimen,
+    // routed through the exploded refSources semi-join
+    QueryDef(
+      "search_has_specimen",
+      (s, _) => eng(s).search(
+        "Specimen?_has:ServiceRequest:specimen:status=completed")
+        .select(col("id"),
+          col("subject").getField("reference").as("subject_ref"))
+        .orderBy("id"),
+      Some(s"""SELECT s.id, s.subject.reference AS subject_ref
+              |FROM ${rj("Specimen")} s
+              |WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("ServiceRequest")} sr,
+              |       UNNEST(sr.specimen) AS t(r)
+              |  WHERE sr.status = 'completed'
+              |    AND r.reference = 'Specimen/' || s.id)
+              |ORDER BY s.id""".stripMargin)),
+
     // Round 19 (verdict r18 #5): DocumentReference history — the
     // churn-heavy type (the assay pipeline rewrites every linked doc),
     // served through the same append-only feed machinery as Patient

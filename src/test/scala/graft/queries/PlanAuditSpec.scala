@@ -229,6 +229,23 @@ class PlanAuditSpec extends SparkSpec {
       "train rows were shuffled — the map-side max was lost")
   }
 
+  test("ServiceRequest array-ref chain and _has: exploded equi-joins, " +
+      "never an array-contains nested loop") {
+    for (g <- Seq("search_servicerequest_specimen", "search_has_specimen")) {
+      val p = plan(g)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$g plans a non-equi join:\n${p.take(1500)}")
+    }
+    // the chain through the specimen array is two semi-joins on equi keys
+    val chain = graft.fhir.FhirSearch
+      .overFixtures(spark, "/root/repo/fixtures/fhir")
+      .search("ServiceRequest?specimen.subject=Patient/p-001")
+      .queryExecution.executedPlan.toString
+    assert(!chain.contains("BroadcastNestedLoopJoin") &&
+      !chain.contains("CartesianProduct"), chain.take(1500))
+  }
+
   test("global sweep: no query ever plans a CartesianProduct") {
     // cross joins in the repo are all 1-row/tiny broadcast sides (stats,
     // LUTs, invariant counters) and plan as BroadcastNestedLoopJoin; an
