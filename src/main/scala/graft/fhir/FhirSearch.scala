@@ -1131,6 +1131,7 @@ object FhirSearch {
     case "Condition" => Seq("id", "onsetDateTime", "recordedDate")
     case "Procedure" => Seq("id", "status", "performedDateTime")
     case "Encounter" => Seq("id", "status")
+    case "ServiceRequest" => Seq("id", "status", "intent")
     case _ => Seq("id")
   }
 

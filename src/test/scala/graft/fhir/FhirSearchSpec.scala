@@ -201,6 +201,8 @@ class FhirSearchSpec extends SparkSpec {
     val s = eng.search("Patient?_summary=true")
     assert(s.columns.toSeq == Seq("id", "gender", "birthDate", "active"))
     assert(eng.search("Observation?_summary=count").head().getLong(0) == 60)
+    assert(eng.search("ServiceRequest?_summary=true").columns.toSeq ==
+      Seq("id", "status", "intent"))
   }
 
   test("$everything returns the patient plus every compartment resource, all as matches") {
