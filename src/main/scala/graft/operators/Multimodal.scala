@@ -556,6 +556,98 @@ object Multimodal {
       }(enc)
   }
 
+  /** Block-matching MOTION ANALYSIS over an MJPEG stream — the
+    * motion-compensation signal of a video curation pipeline (motion
+    * magnitude and residual energy separate static slides from real
+    * footage, the per-crawl video-quality prior), and the exact full-pel
+    * SAD search every motion-compensated codec runs as its first stage.
+    * Motion-compensated DECODE (H.264-class entropy coding) remains the
+    * documented codec-scope stub; this is the ANALYSIS half a training
+    * pipeline computes over frames the engine can already decode.
+    *
+    * Per consecutive frame pair (each frame decoded ONCE — a
+    * partition-preserving mapPartitions like [[sampleVideoFrames]]; at
+    * GB-blob scale chunk first, see [[chunk]]) and per `blockSize` block
+    * of the target frame: scan displacements (dy, dx) ∈ [−radius ..
+    * radius]² at `step` granularity over the PREVIOUS frame's first
+    * plane, candidates clipped to the frame (no invented padding), and
+    * keep the FIRST SAD minimum in (dy, dx) scan order — a total,
+    * engine-independent tie-break. `step = blockSize` is the
+    * coarse/aligned first pass of a hierarchical search (the gate's
+    * regime: block-aligned candidates over the constant-block fixture
+    * make every SAD a pure digest formula the oracle replays);
+    * `step = 1` is the exhaustive full-pel search, spec-pinned to
+    * recover a planted shift exactly. Emits one row per (target frame,
+    * block): (doc_id, frame_no, bx, by, dx, dy, sad).
+    */
+  def motionEstimate(media: DataFrame, blockSize: Int = 8,
+      radius: Int = 8, step: Int = 1): DataFrame = {
+    require(blockSize > 0 && radius >= 0 && step > 0,
+      s"bad motion search geometry: block=$blockSize r=$radius step=$step")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_no", LongType),
+      StructField("bx", IntegerType),
+      StructField("by", IntegerType),
+      StructField("dx", IntegerType),
+      StructField("dy", IntegerType),
+      StructField("sad", LongType)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val docId = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val ranges = Jpeg.frameRanges(bytes)
+          val frames = ranges.map { case (s, e) =>
+            Jpeg.decode(java.util.Arrays.copyOfRange(bytes, s, e))
+          }
+          (1 until frames.length).iterator.flatMap { f =>
+            val cur = frames(f); val prev = frames(f - 1)
+            val (w, h) = (cur.width, cur.height)
+            val cp = cur.planes(0); val pp = prev.planes(0)
+            for (by <- (0 until h / blockSize).iterator;
+                 bx <- (0 until w / blockSize).iterator) yield {
+              val (x0, y0) = (bx * blockSize, by * blockSize)
+              var bestSad = Long.MaxValue; var bestDx = 0; var bestDy = 0
+              var dy = -radius
+              while (dy <= radius) {
+                val ry = y0 + dy
+                if (ry >= 0 && ry + blockSize <= h) {
+                  var dx = -radius
+                  while (dx <= radius) {
+                    val rx = x0 + dx
+                    if (rx >= 0 && rx + blockSize <= w) {
+                      var sad = 0L; var j = 0
+                      while (j < blockSize && sad < bestSad) {
+                        var i = 0
+                        val co = (y0 + j) * w + x0
+                        val ro = (ry + j) * w + rx
+                        while (i < blockSize) {
+                          sad += math.abs(cp(co + i) - pp(ro + i)); i += 1
+                        }
+                        j += 1
+                      }
+                      // strict <: the FIRST minimum in (dy, dx) scan
+                      // order wins ties (the early-exit row loop can
+                      // only overshoot a non-improving sad, never
+                      // undershoot the true one)
+                      if (sad < bestSad) {
+                        bestSad = sad; bestDx = dx; bestDy = dy
+                      }
+                    }
+                    dx += step
+                  }
+                }
+                dy += step
+              }
+              Row(docId, f.toLong, bx, by, bestDx, bestDy, bestSad)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Encode interleaved 16-bit PCM samples as a minimal RIFF/WAVE file
     * (44-byte canonical header, little-endian).
     */

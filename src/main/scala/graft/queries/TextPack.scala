@@ -1510,6 +1510,57 @@ object TextPack extends QueryPack {
              |FROM px CROSS JOIN (VALUES (0), (2)) f(fno)
              |ORDER BY doc_id, frame_no""".stripMargin)),
 
+    // C12 REAL motion analysis (round 19): block-matching SAD search
+    // between consecutive MJPEG frames — the motion-compensation signal
+    // of a video curation pipeline, over the same 4-frame fixture as
+    // mm_video. The fixture's frames rotate the digest bytes through the
+    // 16 constant 8x8 blocks, so content genuinely MOVES one block left
+    // per frame (with row wrap); the gate runs the block-aligned coarse
+    // regime (step = blockSize = radius = 8), where every candidate SAD
+    // is 64·|digest byte − digest byte| — a pure formula the oracle
+    // replays, including the (sad, dy, dx) first-minimum tie-break.
+    // Interior blocks recover the true motion (dx=+8, sad=0); row-edge
+    // blocks (where the wrap breaks translation) get the deterministic
+    // argmin over imperfect candidates. The exhaustive step=1 regime is
+    // spec-pinned to recover a planted shift exactly (MultimodalSpec).
+    QueryDef(
+      "mm_motion",
+      (s, d) =>
+        Multimodal.motionEstimate(
+            Multimodal.withMjpegColumn(
+              docsOf(s, d).repartition(s.sparkContext.defaultParallelism)),
+            blockSize = 8, radius = 8, step = 8)
+          .orderBy("doc_id", "frame_no", "by", "bx"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 15),
+             |    i -> CAST(('0x' || substr(md5(text), i*2+1, 2)) AS INT)) AS g
+             |  FROM documents
+             |), grid AS (
+             |  SELECT doc_id, g, f.f, b.by, b2.bx
+             |  FROM px
+             |  CROSS JOIN (VALUES (1), (2), (3)) f(f)
+             |  CROSS JOIN (VALUES (0), (1), (2), (3)) b(by)
+             |  CROSS JOIN (VALUES (0), (1), (2), (3)) b2(bx)
+             |), cand AS (
+             |  SELECT doc_id, g, f, by, bx, dyb.dyb, dxb.dxb,
+             |         64 * abs(g[((by*4 + bx) + f) % 16 + 1]
+             |                - g[((by + dyb.dyb)*4 + (bx + dxb.dxb) + f - 1) % 16 + 1]) AS sad
+             |  FROM grid
+             |  CROSS JOIN (VALUES (-1), (0), (1)) dyb(dyb)
+             |  CROSS JOIN (VALUES (-1), (0), (1)) dxb(dxb)
+             |  WHERE by + dyb.dyb BETWEEN 0 AND 3
+             |    AND bx + dxb.dxb BETWEEN 0 AND 3
+             |)
+             |SELECT doc_id, frame_no, bx, by, dx, dy, sad FROM (
+             |  SELECT doc_id, CAST(f AS BIGINT) AS frame_no, bx, by,
+             |         dxb * 8 AS dx, dyb * 8 AS dy, CAST(sad AS BIGINT) AS sad,
+             |         row_number() OVER (
+             |           PARTITION BY doc_id, f, by, bx
+             |           ORDER BY sad, dyb, dxb) AS rn
+             |  FROM cand) t
+             |WHERE rn = 1
+             |ORDER BY doc_id, frame_no, by, bx""".stripMargin)),
+
     // C12 multimodal: binary media column + mapPartitions feature
     // extraction (stub decoder, real plumbing — see operators.Multimodal).
     QueryDef(

@@ -417,4 +417,59 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("first_px") =!= col("want"))
     assert(check.count() == 0)
   }
+
+  test("motion estimation: full-pel search recovers a planted aligned shift " +
+      "exactly; fixture regime finds the rotation's true motion") {
+    import spark.implicits._
+    // hand-built 2-frame MJPEG: 16 DISTINCT constant 8x8 blocks (exact
+    // JPEG reconstruction), frame 1 = frame 0 shifted RIGHT one block —
+    // cur block (by,bx>0) matches prev at dx=-8 with sad 0
+    def plane(vals: Int => Int): Array[Int] = Array.tabulate(32 * 32) { i =>
+      vals((i / (32 * 8)) * 4 + (i % 32) / 8)
+    }
+    val v0 = (bi: Int) => bi * 16 + 8
+    val v1 = (bi: Int) => if (bi % 4 == 0) 3 else v0(bi - 1)
+    val quant = Jpeg.flatQuant(8)
+    val stream = Multimodal.mjpegEncode(Seq(
+      Jpeg.encode(32, 32, Array(plane(v0)), quant),
+      Jpeg.encode(32, 32, Array(plane(v1)), quant)))
+    val media = Seq((1L, stream)).toDF("doc_id", "media")
+    // exhaustive full-pel regime: 17x17 = 289 candidates per block
+    val mv = Multimodal.motionEstimate(media, blockSize = 8, radius = 8,
+      step = 1).collect().map(r => (r.getInt(2), r.getInt(3)) ->
+        (r.getInt(4), r.getInt(5), r.getLong(6))).toMap
+    assert(mv.size == 16)
+    for (by <- 0 to 3; bx <- 1 to 3)
+      assert(mv((bx, by)) == ((-8, 0, 0L)),
+        s"block ($bx,$by): ${mv((bx, by))} — planted shift not recovered")
+    // determinism: a second run returns identical vectors (tie-break is
+    // the first minimum in (dy, dx) scan order, never map/task order)
+    val mv2 = Multimodal.motionEstimate(media, blockSize = 8, radius = 8,
+      step = 1).collect().map(r => (r.getInt(2), r.getInt(3)) ->
+        (r.getInt(4), r.getInt(5), r.getLong(6))).toMap
+    assert(mv == mv2)
+    // the gate's coarse regime on the REAL rotating fixture: interior
+    // blocks (bx <= 2) recover the rotation's true motion — content
+    // moves one block left per frame, so the vector points right at
+    // (dx=+8, dy=0) with sad 0
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(10)
+    val coarse = Multimodal.motionEstimate(
+      Multimodal.withMjpegColumn(docs, nFrames = 4),
+      blockSize = 8, radius = 8, step = 8)
+    assert(coarse.count() == 10 * 3 * 16)
+    // every interior block has a PERFECT match one block right (the
+    // rotation guarantees it), so sad must be 0; the exact winning
+    // vector is (8, 0) except where a repeated digest byte ties an
+    // earlier-scanned candidate at sad 0 — the oracle gate (mm_motion)
+    // replays that tie-break per row, the spec pins the invariant part
+    val interior = coarse.filter(col("bx") <= 2).cache()
+    val n = interior.count()
+    assert(interior.filter(col("sad") =!= 0L).count() == 0,
+      "an interior block missed its guaranteed zero-SAD match")
+    val exact = interior.filter(col("dx") === 8 && col("dy") === 0).count()
+    assert(exact * 3 >= n * 2,
+      s"only $exact/$n interior blocks found the true motion — " +
+        "digest-byte ties cannot plausibly explain this many misses")
+  }
 }
