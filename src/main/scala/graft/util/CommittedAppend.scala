@@ -155,11 +155,14 @@ object CommittedAppend {
 
   /** The current fence's owner token, if a fence is up. (Pre-token fence
     * files read as Some("") — never equal to a generated token, so an
-    * ownership check against one fails safe.)
+    * ownership check against one fails safe. A fence deleted between
+    * the existence check and the read — a concurrent recovery — reads
+    * as None, which every caller already treats as "not ours".)
     */
   def fenceToken(fs: FileSystem, root: String): Option[String] =
     if (!fenced(fs, root)) None
-    else Some(readSmall(fs, fencePath(root)))
+    else try Some(readSmall(fs, fencePath(root)))
+    catch { case _: java.io.FileNotFoundException => None }
 
   /** Unconditional drop — the CRASH-RECOVERY entry point (recover*Index):
     * under the single-maintainer contract a recovery only runs when no
