@@ -80,6 +80,16 @@ object FhirSchemas {
     StructField("basedOn", ArrayType(reference)),
     StructField("meta", resourceMeta)))
 
+  /** The POST-ASSAY store view of DocumentReference (the rewritten docs
+    * the assay pipeline PUTs back, assay.py:193-226) plus the server-side
+    * `date` element (R4 `date` search param). The raw R5 input keeps
+    * [[documentReference]] — the two states genuinely differ for this
+    * type (tools/gen_docref_store.py).
+    */
+  val documentReferenceStore: StructType =
+    StructType(documentReference.fields :+
+      StructField("date", StringType))
+
   val bodyStructure: StructType = StructType(Seq(
     StructField("resourceType", StringType),
     StructField("id", StringType),

@@ -444,6 +444,9 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
           case "specimen" if t == "ServiceRequest" =>
             coalesce(transform(col("specimen"),
               r => r.getField("reference")), array())
+          case "related" if t == "DocumentReference" =>
+            coalesce(transform(col("context").getField("related"),
+              r => r.getField("reference")), array())
           case p => array(referencePath(t, p))
         }
         flatten(array(arrays: _*))
@@ -771,7 +774,8 @@ object FhirSearch {
     * [[referencePath]] (scalar) by chains and include legs.
     */
   private val ArrayRefParams: Set[(String, String)] = Set(
-    ("Group", "member"), ("ServiceRequest", "specimen"))
+    ("Group", "member"), ("ServiceRequest", "specimen"),
+    ("DocumentReference", "related"))
 
   /** `CompType/{id}/{Type}` compartment request, optionally with ?params. */
   private val compartmentRx = "^([A-Za-z]+)/([^/?]+)/([A-Za-z]+)(?:\\?(.*))?$".r
@@ -1089,8 +1093,28 @@ object FhirSearch {
     case ("ResearchSubject", "study") => refParam(col("study").getField("reference"))
     case ("ResearchSubject", "subject") => refParam(col("subject").getField("reference"))
     case ("ResearchSubject", "status") => strParam(col("status"))
+    // DocumentReference — the store's highest-cardinality type (27k docs).
+    // `related` is THE assay back-link: assay.py:215-222 writes
+    // `ServiceRequest/<assay_id>` into context.related, so "which
+    // documents belong to this Assay?" (scripts/README-assay.md:7-9) is
+    // `DocumentReference?related=ServiceRequest/<id>` — an array-exists
+    // predicate that pushes into the scan, never a join
     case ("DocumentReference", "status") => strParam(col("status"))
-    case ("DocumentReference", "subject") => refParam(col("subject").getField("reference"))
+    case ("DocumentReference", "subject" | "patient") =>
+      refParam(col("subject").getField("reference"))
+    case ("DocumentReference", "related") => ParamDef(
+      (v, _) => exists(col("context").getField("related"),
+        r => r.getField("reference") === v),
+      _ => col("context").getField("related").isNull)
+    case ("DocumentReference", "date") => dateParam(col("date"))
+    // attachment MIME type (the A33-inferred column, fhir/Mime.scala) —
+    // token over every content[] attachment, any-attachment semantics
+    case ("DocumentReference", "contenttype") => ParamDef(
+      (v, _) => exists(col("content"),
+        c => c.getField("attachment").getField("contentType") === v),
+      _ => !coalesce(exists(col("content"),
+        c => c.getField("attachment").getField("contentType").isNotNull),
+        lit(false)))
     case ("Group", "type") => strParam(col("type"))
     // Observation — the store graph's largest analytical type
     case ("Observation", "_id") => strParam(col("id"))
@@ -1144,7 +1168,7 @@ object FhirSearch {
   def referenceParams(resType: String): Seq[String] = resType match {
     case "ResearchSubject" => Seq("subject", "study")
     case "Specimen" => Seq("subject")
-    case "DocumentReference" => Seq("subject")
+    case "DocumentReference" => Seq("subject", "related")
     case "Observation" => Seq("subject", "encounter")
     case "Condition" => Seq("subject")
     case "Procedure" => Seq("subject", "encounter")
@@ -1192,6 +1216,9 @@ object FhirSearch {
       case ("ServiceRequest", "specimen") => src
         .select(explode(col("specimen")).as("_m"))
         .select(col("_m").getField("reference").as("_ref"))
+      case ("DocumentReference", "related") => src
+        .select(explode(col("context").getField("related")).as("_m"))
+        .select(col("_m").getField("reference").as("_ref"))
       case _ => src.select(referencePath(resType, refParam).as("_ref"))
     }
 
@@ -1208,6 +1235,9 @@ object FhirSearch {
         .select(col("id"), col("_m").getField("entity").getField("reference").as("_ref"))
       case ("ServiceRequest", "specimen") => src
         .select(col("id"), explode(col("specimen")).as("_m"))
+        .select(col("id"), col("_m").getField("reference").as("_ref"))
+      case ("DocumentReference", "related") => src
+        .select(col("id"), explode(col("context").getField("related")).as("_m"))
         .select(col("id"), col("_m").getField("reference").as("_ref"))
       case _ => src.select(col("id"), referencePath(resType, refParam).as("_ref"))
     }
@@ -1229,6 +1259,9 @@ object FhirSearch {
     case ("Observation", "subject") =>
       sys.error("ambiguous chain Observation.subject (Patient|Group): " +
         "qualify the target type, e.g. subject:Patient.name")
+    case ("DocumentReference", "related") =>
+      sys.error("ambiguous chain DocumentReference.related (targets Any): " +
+        "qualify the target type, e.g. related:ServiceRequest.status")
     case _ => sys.error(s"unknown chain $resType.$refParam")
   }
 
@@ -1255,9 +1288,17 @@ object FhirSearch {
     * re-list the store).
     */
   def overFixtures(spark: SparkSession, dir: String): FhirSearch = {
+    // Store-table filename indirection: DocumentReference's SEARCHABLE
+    // state is the post-assay store (rewritten docs + server `date`,
+    // tools/gen_docref_store.py); the flat DocumentReference.ndjson name
+    // stays the raw R5 transform/assay INPUT. Applied to the raw-line
+    // source too so _text/_content scan the same bytes the table serves.
+    val storeFile = (name: String) =>
+      if (name == "DocumentReference") "DocumentReference.store" else name
     val load = (name: String, schema: org.apache.spark.sql.types.StructType) =>
-      FhirIO.readNdjsonCached(spark, s"$dir/$name.ndjson", schema)
-    val raw = (name: String) => FhirIO.readTextCached(spark, s"$dir/$name.ndjson")
+      FhirIO.readNdjsonCached(spark, s"$dir/${storeFile(name)}.ndjson", schema)
+    val raw = (name: String) =>
+      FhirIO.readTextCached(spark, s"$dir/${storeFile(name)}.ndjson")
     new FhirSearch(spark, rawSource = Some(raw), tables = Map(
       "Patient" -> load("Patient", FhirSchemas.patient),
       "Specimen" -> load("Specimen", FhirSchemas.specimen),
@@ -1268,7 +1309,8 @@ object FhirSearch {
       "BodyStructure" -> load("BodyStructure", FhirSchemas.bodyStructure),
       "Group" -> load("Group", FhirSchemas.group),
       "Encounter" -> load("Encounter", FhirSchemas.encounter),
-      "DocumentReference" -> load("DocumentReference", FhirSchemas.documentReference),
+      "DocumentReference" ->
+        load("DocumentReference", FhirSchemas.documentReferenceStore),
       "ResearchStudy" -> load("ResearchStudy", FhirSchemas.researchStudy),
       "ResearchSubject" -> load("ResearchSubject", FhirSchemas.researchSubject),
       "Observation" -> load("Observation", FhirSchemas.observation),

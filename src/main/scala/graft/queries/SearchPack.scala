@@ -150,9 +150,11 @@ object SearchPack extends QueryPack {
               |  AND c.subject.reference = 'Patient/' || p.id)
               |UNION ALL
               |SELECT DISTINCT 'DocumentReference', d.id, 'revinclude'
-              |FROM ${rj("DocumentReference")} d WHERE EXISTS (
+              |FROM ${rj("DocumentReference.store")} d WHERE EXISTS (
               |  SELECT 1 FROM ${rj("Patient")} p WHERE p.gender = 'female'
-              |  AND d.subject.reference = 'Patient/' || p.id)
+              |  AND (d.subject.reference = 'Patient/' || p.id
+              |       OR list_contains(list_transform(d.context.related,
+              |            r -> r.reference), 'Patient/' || p.id)))
               |UNION ALL
               |SELECT DISTINCT 'Group', g.id, 'revinclude'
               |FROM ${rj("Group")} g WHERE EXISTS (
@@ -948,7 +950,7 @@ object SearchPack extends QueryPack {
         .orderBy("id"),
       Some(s"""SELECT id, last_updated FROM (
               |  SELECT id, meta.lastUpdated AS last_updated
-              |  FROM read_json('$Fix/DocumentReference.ndjson',
+              |  FROM read_json('$Fix/DocumentReference.store.ndjson',
               |                 format='newline_delimited',
               |                 timestampformat='%d__%m')
               |  WHERE len(list_filter(meta.tag, t -> t.code = 'ingest-a')) > 0
@@ -1033,7 +1035,8 @@ object SearchPack extends QueryPack {
               |UNION ALL SELECT 'Condition', id, 'match'
               |FROM ${rj("Condition")} WHERE subject.reference = 'Patient/p-001'
               |UNION ALL SELECT 'DocumentReference', id, 'match'
-              |FROM ${rj("DocumentReference")} WHERE subject.reference = 'Patient/p-001'
+              |FROM ${rj("DocumentReference.store")}
+              |WHERE subject.reference = 'Patient/p-001'
               |UNION ALL SELECT 'ImagingStudy', id, 'match'
               |FROM ${rj("ImagingStudy")} WHERE subject.reference = 'Patient/p-001'
               |UNION ALL SELECT 'MedicationAdministration', id, 'match'
@@ -1071,7 +1074,7 @@ object SearchPack extends QueryPack {
            |WHERE subject.reference = 'Patient/p-001'
            |  AND meta.lastUpdated >= '2024-06'
            |UNION ALL SELECT 'DocumentReference', id, 'match'
-           |FROM ${mj("DocumentReference")}
+           |FROM ${mj("DocumentReference.store")}
            |WHERE subject.reference = 'Patient/p-001'
            |  AND meta.lastUpdated >= '2024-06'
            |ORDER BY resourceType, id""".stripMargin
@@ -1297,6 +1300,98 @@ object SearchPack extends QueryPack {
               |       status
               |FROM ${rj("DocumentReference.history")}
               |WHERE id = 'doc-010'
-              |ORDER BY CAST(version_id AS INT) DESC""".stripMargin))
+              |ORDER BY CAST(version_id AS INT) DESC""".stripMargin)),
+
+    // Round 20 (verdict r19 #1): the assay BACK-link. assay.py:215-222
+    // writes `ServiceRequest/<assay_id>` into context.related — "which
+    // documents belong to this Assay?" (README-assay.md:7-9) is the
+    // first question a user of the linked store asks. The search table
+    // is the post-assay store (DocumentReference.store.ndjson, the
+    // engine's own rewriteDocs golden) — an array-exists predicate over
+    // context.related, pushed into the scan
+    QueryDef(
+      "search_docref_related",
+      (s, _) => eng(s).search("DocumentReference?related=ServiceRequest/g-01")
+        .select(col("id"), col("status"),
+          col("subject").getField("reference").as("subject_ref"))
+        .orderBy("id"),
+      Some(s"""SELECT id, status, subject.reference AS subject_ref
+              |FROM ${rj("DocumentReference.store")}
+              |WHERE len(list_filter(context.related, r ->
+              |  r.reference = 'ServiceRequest/g-01')) > 0
+              |ORDER BY id""".stripMargin)),
+
+    // …and the _revinclude spelling of the same traversal: read the
+    // Assay, pull its documents in one request
+    QueryDef(
+      "search_docref_related_rev",
+      (s, _) => eng(s).search(
+        "ServiceRequest?_id=g-01,g-02&_revinclude=DocumentReference:related"),
+      Some(s"""SELECT 'ServiceRequest' AS resourceType, id, 'match' AS mode
+              |FROM ${rj("ServiceRequest")} WHERE id IN ('g-01', 'g-02')
+              |UNION ALL
+              |SELECT DISTINCT 'DocumentReference', d.id, 'revinclude'
+              |FROM ${rj("DocumentReference.store")} d
+              |WHERE len(list_filter(d.context.related, r ->
+              |  r.reference IN ('ServiceRequest/g-01', 'ServiceRequest/g-02'))) > 0
+              |ORDER BY mode, resourceType, id""".stripMargin)),
+
+    // chained search THROUGH the related array, type-qualified (related
+    // targets Any): documents whose linked assay used a given specimen —
+    // the exploded equi-semi-join routing, never an array-contains theta
+    QueryDef(
+      "search_docref_related_chain",
+      (s, _) => eng(s).search("DocumentReference?related:ServiceRequest" +
+        ".specimen=Specimen/sp-003&status=current")
+        .select(col("id"),
+          col("subject").getField("reference").as("subject_ref"))
+        .orderBy("id"),
+      Some(s"""SELECT d.id, d.subject.reference AS subject_ref
+              |FROM ${rj("DocumentReference.store")} d
+              |WHERE d.status = 'current' AND EXISTS (
+              |  SELECT 1 FROM ${rj("ServiceRequest")} sr,
+              |       UNNEST(sr.specimen) AS t(r)
+              |  WHERE r.reference = 'Specimen/sp-003'
+              |    AND list_contains(list_transform(d.context.related,
+              |          x -> x.reference), 'ServiceRequest/' || sr.id))
+              |ORDER BY d.id""".stripMargin)),
+
+    // attachment MIME type (verdict r19 #1: the A33-inferred column —
+    // fhir/Mime.scala — finally searchable) with value-OR, any-attachment
+    // semantics over content[]
+    QueryDef(
+      "search_docref_contenttype",
+      (s, _) => eng(s).search(
+        "DocumentReference?contenttype=text/csv,application/json&status=current")
+        .select(col("id"),
+          element_at(col("content"), 1)
+            .getField("attachment").getField("contentType").as("mime"))
+        .orderBy("id"),
+      Some(s"""SELECT id, content[1].attachment.contentType AS mime
+              |FROM ${rj("DocumentReference.store")}
+              |WHERE status = 'current'
+              |  AND len(list_filter(content, c ->
+              |    c.attachment.contentType IN ('text/csv', 'application/json'))) > 0
+              |ORDER BY id""".stripMargin)),
+
+    // the R4 `date` param (creation instant, tools/gen_docref_store.py's
+    // deterministic backfill) as a range + :missing composition with the
+    // MIME token
+    QueryDef(
+      "search_docref_date",
+      (s, _) => eng(s).search("DocumentReference?date=ge2023-04-01" +
+        "&date=lt2023-08-01&contenttype:missing=false")
+        .select(col("id"), col("date"),
+          element_at(col("content"), 1)
+            .getField("attachment").getField("contentType").as("mime"))
+        .orderBy("id"),
+      Some(s"""SELECT id, "date", content[1].attachment.contentType AS mime
+              |FROM read_json('$Fix/DocumentReference.store.ndjson',
+              |               format='newline_delimited',
+              |               timestampformat='%d__%m')
+              |WHERE "date" >= '2023-04-01' AND "date" < '2023-08-01'
+              |  AND len(list_filter(content, c ->
+              |    c.attachment.contentType IS NOT NULL)) > 0
+              |ORDER BY id""".stripMargin))
   )
 }

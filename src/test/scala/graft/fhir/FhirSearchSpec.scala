@@ -363,6 +363,36 @@ class FhirSearchSpec extends SparkSpec {
     assert(eng.search("BodyStructure?patient=Patient/p-003").count() == 1)
   }
 
+  test("DocumentReference.related: the assay back-link (r20) — value-OR, " +
+      ":missing, and the unqualified chain is an ambiguity error") {
+    // 67 of 100 store docs were claimed by an assay (the golden's
+    // ServiceRequest refs); value-OR unions two assays' documents
+    val one = eng.search("DocumentReference?related=ServiceRequest/g-01").count()
+    val two = eng.search(
+      "DocumentReference?related=ServiceRequest/g-01,ServiceRequest/g-02").count()
+    assert(one > 0 && two > one)
+    // unclaimed docs carry no context at all in the rewritten store
+    assert(eng.search("DocumentReference?related:missing=true").count()
+      + eng.search("DocumentReference?related:missing=false").count() == 100)
+    // related targets Any — unqualified chain must refuse, qualified runs
+    intercept[RuntimeException](
+      eng.search("DocumentReference?related.status=completed"))
+    assert(eng.search(
+      "DocumentReference?related:ServiceRequest.status=completed").count() > 0)
+  }
+
+  test("DocumentReference contenttype/date (r20): MIME token over any " +
+      "attachment; date range composes; :missing semantics") {
+    val typed = eng.search("DocumentReference?contenttype:missing=false").count()
+    val untyped = eng.search("DocumentReference?contenttype:missing=true").count()
+    assert(typed + untyped == 100 && typed > 0 && untyped > 0)
+    // every date is backfilled deterministically — a full-year range is total
+    assert(eng.search(
+      "DocumentReference?date=ge2023-01-01&date=lt2024-01-01").count() == 100)
+    assert(eng.search("DocumentReference?date=ge2023-04-01&date=lt2023-08-01")
+      .count() < 100)
+  }
+
   test("DocumentReference history: vread surfaces the superseded status") {
     assert(eng.search("DocumentReference/doc-010/_history").count() == 3)
     assert(eng.search("DocumentReference/doc-010/_history/1")
