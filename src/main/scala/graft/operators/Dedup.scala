@@ -537,21 +537,29 @@ object Dedup {
     * at-least-once scheduler (foreachBatch, a retrying cron) can call
     * blindly — [[graft.util.CommittedAppend]]'s marker + deterministic
     * staging + skip-existing promotion discipline over this index's
-    * layout (sets as ONE staged file; bands hash-routed on `band`, so
-    * each staged band= dir holds exactly one file). Every crash window
-    * (mid-staging, mid-promotion, marker lost) replays to the exact
-    * same live rows with none duplicated; probes never see staging.
-    * Returns true iff this call landed the batch.
+    * layout (sets range-partitioned on doc_id into `setsFiles` sorted
+    * files, ≤0 → spark.sql.shuffle.partitions — a backfill-sized batch
+    * shingles through every core, and per-file doc_id stats keep the
+    * verify join's scan pruned; bands hash-routed on `band`, so each
+    * staged band= dir holds exactly one file and probe-side bsig
+    * pushdown keeps pruning). Every crash window (mid-staging,
+    * mid-promotion, marker lost) replays to the exact same live rows
+    * with none duplicated; probes never see staging. Returns true iff
+    * this call landed the batch.
     */
   def appendToLshIndexCommitted(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, batchId: Long, n: Int = 3,
       numPerms: Int = 32, rowsPerBand: Int = 2,
-      family: MinHashFamily = FastFamily): Boolean =
+      family: MinHashFamily = FastFamily, setsFiles: Int = 0): Boolean =
     graft.util.CommittedAppend.run(spark, path, batchId) { stage =>
       val sh = newDocs.select(col("doc_id"),
         family.shingles(col("text"), n).as("sh")).cache()
       try {
-        sh.repartition(1).write.mode("overwrite").parquet(s"$stage/sets")
+        val nf = if (setsFiles > 0) setsFiles
+          else spark.sessionState.conf.numShufflePartitions
+        sh.repartitionByRange(nf, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$stage/sets")
         val sig = sh.select(col("doc_id"),
             family.signature(col("sh"), n, numPerms).as("mh"))
           .filter(col("mh").isNotNull)

@@ -1121,19 +1121,30 @@ object Similarity {
   }
 
   /** Exactly-once [[appendToPqIndex]] — [[graft.util.CommittedAppend]]
-    * over the flat `codes/` layout (one staged vec_id-sorted file per
-    * batch, the [[appendToSq8IndexCommitted]] shape): marker +
-    * deterministic staging + fingerprint-checked skip-existing
-    * promotion, so a blind retry after a lost acknowledgment can never
-    * land the batch's codes (and shortlist-score them) twice. Returns
-    * true iff this call landed the batch.
+    * over the flat `codes/` layout (the [[appendToSq8IndexCommitted]]
+    * shape): marker + deterministic staging + fingerprint-checked
+    * skip-existing promotion, so a blind retry after a lost
+    * acknowledgment can never land the batch's codes (and
+    * shortlist-score them) twice. Returns true iff this call landed the
+    * batch.
+    *
+    * The staged codes range-partition on vec_id into `outFiles` sorted
+    * files (≤0 derives the width from spark.sql.shuffle.partitions —
+    * the [[graft.streaming.FilePipelines.packedDeliveryBatch]] sink
+    * policy): a backfill-sized batch encodes through every core instead
+    * of ONE task, each file keeps tight vec_id row-group stats, and
+    * range sampling over the same batch lineage stays deterministic for
+    * the retry fingerprint. Compaction restores file-count hygiene.
     */
   def appendToPqIndexCommitted(spark: SparkSession, path: String,
-      newVecs: DataFrame, batchId: Long): Boolean =
+      newVecs: DataFrame, batchId: Long, outFiles: Int = 0): Boolean =
     graft.util.CommittedAppend.run(spark, path, batchId) { stage =>
       val (_, cb) = readPqIndex(spark, path)
+      val n = if (outFiles > 0) outFiles
+        else spark.sessionState.conf.numShufflePartitions
       pqEncode(newVecs, cb)
-        .repartition(1).sortWithinPartitions("vec_id")
+        .repartitionByRange(n, col("vec_id"))
+        .sortWithinPartitions("vec_id")
         .write.mode("overwrite").parquet(s"$stage/codes")
     }
 
@@ -1224,12 +1235,22 @@ object Similarity {
     val fenceToken = graft.util.CommittedAppend.raiseFence(fs, path)
     try {
       graft.util.CommittedAppend.assertNoInflight(fs, path)
-      val delta = (listDataFiles(fs, src).map(normalizePath)
-        -- snapshot).toSeq.sorted
+      // set-difference on NORMALIZED paths (the snapshot came from the
+      // DataFrame's inputFiles, whose URI spelling differs from the fs
+      // listing), but READ via the fs listing's full URIs — a stripped
+      // path would resolve against fs.defaultFS and miss a scheme-
+      // qualified or non-default-authority index root
+      val delta = listDataFiles(fs, src).toSeq
+        .filter(f => !snapshot.contains(normalizePath(f))).sorted
       if (delta.nonEmpty)
         pqEncode(spark.read.parquet(delta: _*)
             .select(col("vec_id"), col("embedding")), cb)
-          .repartition(1).sortWithinPartitions("vec_id")
+          // the fenced window's cost IS this encode: range-partition it
+          // across the cores (sorted multi-file layout, same policy as
+          // the committed append) instead of ONE task
+          .repartitionByRange(
+            spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+          .sortWithinPartitions("vec_id")
           .write.mode("append").parquet(codesStage)
       assertFenceHeld(fs, path, fenceToken)
       graft.util.Generations.swapIn(fs, s"$path/codes", codesStage)
@@ -1385,15 +1406,22 @@ object Similarity {
   }
 
   /** Exactly-once [[appendToSq8Index]] — [[graft.util.CommittedAppend]]
-    * over the flat `codes/` layout (one staged file per batch). Returns
-    * true iff this call landed the batch.
+    * over the flat `codes/` layout. The staged codes range-partition on
+    * vec_id into `outFiles` sorted files (≤0 → spark.sql.shuffle
+    * .partitions — the [[appendToPqIndexCommitted]] policy: encode
+    * through every core, keep per-file vec_id stats tight, compaction
+    * restores file-count hygiene). Returns true iff this call landed
+    * the batch.
     */
   def appendToSq8IndexCommitted(spark: SparkSession, path: String,
-      newVecs: DataFrame, batchId: Long): Boolean =
+      newVecs: DataFrame, batchId: Long, outFiles: Int = 0): Boolean =
     graft.util.CommittedAppend.run(spark, path, batchId) { stage =>
       val (_, lo, hi) = readSq8Index(spark, path)
+      val n = if (outFiles > 0) outFiles
+        else spark.sessionState.conf.numShufflePartitions
       sq8Encode(newVecs, lo, hi)
-        .repartition(1).sortWithinPartitions("vec_id")
+        .repartitionByRange(n, col("vec_id"))
+        .sortWithinPartitions("vec_id")
         .write.mode("overwrite").parquet(s"$stage/codes")
     }
 
@@ -1469,7 +1497,10 @@ object Similarity {
       if (delta.nonEmpty)
         sq8Encode(spark.read.parquet(delta: _*)
             .select(col("vec_id"), col("embedding")), lo, hi)
-          .repartition(1).sortWithinPartitions("vec_id")
+          // parallel fenced-window encode, the refitPqIndex policy
+          .repartitionByRange(
+            spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+          .sortWithinPartitions("vec_id")
           .write.mode("append").parquet(codesStage)
       assertFenceHeld(fs, path, fenceToken)
       graft.util.Generations.swapIn(fs, s"$path/codes", codesStage)

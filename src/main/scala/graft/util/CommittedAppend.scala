@@ -14,9 +14,14 @@ import org.apache.spark.sql.SparkSession
   * the live tree's relative layout (e.g. `<stage>/cells/cell=X/…` for a
   * live `<root>/cells/cell=X/…`). Deterministic means a retry
   * regenerates row-equivalent files per position: fixed repartitioning
-  * — `repartition(1)` or `repartition(col(partitionCol))` (hash routing
+  * — `repartition(1)`, `repartition(col(partitionCol))` (hash routing
   * is stable, and AQE coalescing merges whole shuffle partitions so it
-  * can never split one partition value across tasks).
+  * can never split one partition value across tasks), or
+  * `repartitionByRange(n, keys)` over the SAME batch lineage (range
+  * sampling is seeded per input partition, so an identical re-read
+  * resamples identical bounds — the packedDeliveryBatch /
+  * appendTo*IndexCommitted sink policy; the fingerprint check verifies
+  * rather than assumes this, order-free across files).
   *
   * `run` then gives exactly-once from three pieces:
   *  1. a `_committed/batch-<id>` marker under the root — a fully landed

@@ -223,11 +223,23 @@ class DedupSpec extends SparkSpec {
     assert(!new java.io.File(s"$idx/_staging").exists() ||
       new java.io.File(s"$idx/_staging").list().isEmpty)
 
-    // --- compaction: one file per band dir, one sets file, probes
-    // identical, torn swap recoverable ---
+    // --- parallel sets encode (r20, verdict r19 #3): the staged sets
+    // side range-partitions on doc_id instead of repartition(1), so a
+    // backfill-sized batch writes through every core — pin the
+    // multi-file promoted layout (one file per non-empty range slice,
+    // width = shuffle partitions here) and that band pruning above and
+    // probe parity below survive it ---
     def parquets(dir: java.io.File): Array[java.io.File] =
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
+    val batchSetFiles = parquets(new java.io.File(s"$idx/sets"))
+      .count(_.getName.startsWith("batch-1-"))
+    assert(batchSetFiles > 1,
+      s"committed sets append still single-file ($batchSetFiles) — the " +
+        "parallel range-partitioned encode is not in effect")
+
+    // --- compaction: one file per band dir, one sets file, probes
+    // identical, torn swap recoverable ---
     val bandDirs = new java.io.File(s"$idx/bands").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("band="))
     assert(bandDirs.exists(parquets(_).length > 1),
