@@ -599,11 +599,22 @@ object Multimodal {
           val docId = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val ranges = Jpeg.frameRanges(bytes)
-          val frames = ranges.map { case (s, e) =>
+          // sliding two-frame decode: the search only ever needs the
+          // (prev, cur) pair, so memory stays O(2 frames) however long
+          // the stream is (the sampleVideoFrames per-need discipline) —
+          // decoding and RETAINING every frame up front would grow the
+          // heap with stream length. The iterator advances sequentially,
+          // so `cur` becomes the next step's `prev` with no re-decode.
+          def decodeAt(i: Int) = {
+            val (s, e) = ranges(i)
             Jpeg.decode(java.util.Arrays.copyOfRange(bytes, s, e))
           }
-          (1 until frames.length).iterator.flatMap { f =>
-            val cur = frames(f); val prev = frames(f - 1)
+          var carried = -1
+          var carriedFrame: Jpeg.Image = null
+          (1 until ranges.length).iterator.flatMap { f =>
+            val prev = if (carried == f - 1) carriedFrame else decodeAt(f - 1)
+            val cur = decodeAt(f)
+            carried = f; carriedFrame = cur
             val (w, h) = (cur.width, cur.height)
             val cp = cur.planes(0); val pp = prev.planes(0)
             for (by <- (0 until h / blockSize).iterator;

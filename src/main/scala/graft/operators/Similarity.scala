@@ -463,6 +463,10 @@ object Similarity {
       }
       assertFenceHeld(fs, path, fenceToken)
       graft.util.Generations.swapIn(fs, s"$path/cells", cellsStage)
+      // re-assert between the swaps: a mis-invoked recovery can drop
+      // the fence after the first check — cheap, and it shrinks the
+      // unprotected window to one rename
+      assertFenceHeld(fs, path, fenceToken)
       graft.util.Generations.swapIn(fs, s"$path/centroids", centStage)
     } finally graft.util.CommittedAppend.dropFenceOwned(fs, path, fenceToken)
   }
@@ -551,9 +555,12 @@ object Similarity {
     // and would refuse ingest forever — recovery owns dropping it (the
     // swap itself is restored below, so the fence has nothing to guard).
     // A LIVE refit that loses its fence to a mis-sequenced concurrent
-    // recovery is protected by its own pre-swap owner-token check
-    // (assertFenceHeld), so this unconditional drop cannot cause the
-    // lost-batch window it otherwise would.
+    // recovery is protected by its own owner-token checks immediately
+    // before EACH swap, which NARROW the lost-batch window this
+    // unconditional drop opens to the check→rename instants (full
+    // closure would need an atomic compare-and-rename the filesystem
+    // API does not offer; the single-maintainer contract is what makes
+    // the residue acceptable).
     graft.util.CommittedAppend.dropFence(fs, path)
     val cellsStage = s"$path/_refit_cells"
     val centStage = s"$path/_refit_centroids"
@@ -1254,6 +1261,7 @@ object Similarity {
           .write.mode("append").parquet(codesStage)
       assertFenceHeld(fs, path, fenceToken)
       graft.util.Generations.swapIn(fs, s"$path/codes", codesStage)
+      assertFenceHeld(fs, path, fenceToken) // between-swap re-assert
       graft.util.Generations.swapIn(fs, s"$path/codebook", cbStage)
     } finally graft.util.CommittedAppend.dropFenceOwned(fs, path, fenceToken)
   }
@@ -1504,6 +1512,7 @@ object Similarity {
           .write.mode("append").parquet(codesStage)
       assertFenceHeld(fs, path, fenceToken)
       graft.util.Generations.swapIn(fs, s"$path/codes", codesStage)
+      assertFenceHeld(fs, path, fenceToken) // between-swap re-assert
       graft.util.Generations.swapIn(fs, s"$path/bounds", bndStage)
     } finally graft.util.CommittedAppend.dropFenceOwned(fs, path, fenceToken)
   }

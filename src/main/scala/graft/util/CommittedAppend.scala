@@ -232,14 +232,31 @@ object CommittedAppend {
     def fpOf(df: org.apache.spark.sql.DataFrame): String = {
       // group 1 = the directory subpath between the stage root and the
       // file basename ("" for a flat stage, "/cells/cell=3" under
-      // partitionBy routing) — root-addressing-invariant by construction
-      val withDir = df.withColumn("_graft_fp_dir",
-        regexp_extract(input_file_name(),
-          "_staging/batch=[^/]+((?:/[^/]+)*)/[^/]+$", 1))
+      // partitionBy routing) — root-addressing-invariant by construction.
+      // The greedy `^.*` anchors the match to the LAST `_staging/batch=`
+      // segment: a root path that itself contains one (a staged tree
+      // copied under another index's staging, a pathological mount name)
+      // must not leak root-derived segments into the fold — that would
+      // re-introduce the root-spelling sensitivity the subpath fold
+      // removed. A file that matches no stage layout at all folds as a
+      // LOUD error (below), never as "" — an empty fold would silently
+      // drop the partition-drift protection this fingerprint exists for.
+      val stageRx = "^.*_staging/batch=[^/]+((?:/[^/]+)*)/[^/]+$"
+      val withDir = df
+        .withColumn("_graft_fp_file", input_file_name())
+        .withColumn("_graft_fp_dir",
+          regexp_extract(col("_graft_fp_file"), stageRx, 1))
       val cols = (df.columns.map(c => s"`$c`") :+ "`_graft_fp_dir`")
         .mkString(", ")
-      val r = withDir.agg(count(lit(1)), expr(s"bit_xor(xxhash64($cols))"))
-        .head()
+      val r = withDir.agg(count(lit(1)), expr(s"bit_xor(xxhash64($cols))"),
+        max(when(!col("_graft_fp_file").rlike(stageRx),
+          col("_graft_fp_file")))).head()
+      if (!r.isNullAt(2))
+        throw new IllegalStateException(
+          s"committed append fingerprint: staged file '${r.getString(2)}' " +
+            "is not under a _staging/batch=<id> layout — the stage tree " +
+            "is malformed; refusing to fingerprint (an empty dir-fold " +
+            "would silently lose partition-drift protection)")
       s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
     }
     // root-level files (a flat stage) fingerprint as one subtree, read
