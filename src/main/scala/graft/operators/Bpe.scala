@@ -160,6 +160,30 @@ object Bpe {
       }(enc)
   }
 
+  /** Per-document token STREAM under a frozen merge table — (doc_id,
+    * tokens) with tokens space-joined in word order, the exact line body
+    * tools/bpe_replay.py digests. Same broadcast-ranks mapPartitions
+    * shape as [[encodeDocs]]; emitting the stream (not just counts) is
+    * what lets the text_bpe_tokens gate digest-verify against the
+    * independent replay at any scale.
+    */
+  def tokenLines(docs: DataFrame,
+      merges: Array[(String, String)]): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("tokens", StringType)))
+    val enc = Encoders.row(outSchema)
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .mapPartitions { rows =>
+        val ranks = new java.util.HashMap[(String, String), Int]()
+        merges.zipWithIndex.foreach { case (p, r) => ranks.put(p, r) }
+        rows.map { r =>
+          val words = r.getString(1).split("\\s+").filter(_.nonEmpty)
+          Row(r.getLong(0), words.flatMap(encodeWord(_, ranks)).mkString(" "))
+        }
+      }(enc)
+  }
+
   /** The FIRST merge decision as a declarative plan (explode characters
     * → adjacent pairs weighted by word count → argmax) — BPE round 1
     * expressed in SQL-equivalent form, which gives the training

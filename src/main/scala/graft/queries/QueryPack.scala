@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** One named engine query plus its DuckDB oracle SQL (None ⇒ the driver
   * records a weaker rows-only check — used for approximate operators whose
@@ -18,6 +19,42 @@ final case class QueryDef(
 
 trait QueryPack {
   def defs: Seq[QueryDef]
+
+  /** One-row md5 digest over `line` values in `key` order (newline-
+    * joined, trailing newline) — the replay-digest gate shape (round 20):
+    * signals DuckDB cannot recompute (trained BPE, deflate) verify
+    * against `fixtures/replay_digests.csv`, where the independent Python
+    * replay recorded the digest keyed by a corpus fingerprint. One
+    * declarative aggregation (struct-sorted collect_list), no driver
+    * collect; the buffer is corpus-line-scale, which at gate scales is
+    * the same bound every ordered Verify dump already pays.
+    */
+  /** The DuckDB side of a replay-digest gate: fingerprint the corpus the
+    * oracle was handed (`documents` view) and look up the digest the
+    * committed Python replay recorded for EXACTLY that corpus. A corpus
+    * with no recorded digest returns 0 rows — a loud mismatch, never a
+    * silent pass.
+    */
+  protected final def replayDigestOracle(surface: String): String =
+    s"""WITH corpus AS (
+       |  SELECT md5(string_agg(CAST(doc_id AS VARCHAR) || CHR(9) || text,
+       |                        CHR(10) ORDER BY doc_id)) AS cm
+       |  FROM documents
+       |)
+       |SELECT d.digest
+       |FROM read_csv('/root/repo/fixtures/replay_digests.csv', header=true) d,
+       |     corpus c
+       |WHERE d.surface = '$surface' AND d.corpus_md5 = c.cm""".stripMargin
+
+  protected final def orderedLineDigest(df: DataFrame, key: Seq[Column],
+      line: Column): DataFrame =
+    df.select(struct((key :+ line.as("_line")): _*).as("_kl"))
+      .agg(md5(concat(
+        array_join(
+          transform(array_sort(collect_list(col("_kl"))),
+            x => x.getField("_line")),
+          "\n"),
+        lit("\n")).cast("binary")).as("digest"))
 
   final def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

@@ -253,12 +253,15 @@ object SamplePack extends QueryPack {
     // training job actually consumes packs by the token counts its data
     // loader will see (Bpe.train's 30-merge table → encodeDocs
     // n_tokens), not the chars/4 estimate. Iteratively-trained BPE has
-    // no SQL oracle (the text_bpe_tokens precedent), so the gate is
-    // rows-only BY NECESSITY and carries an independent non-DuckDB pin
-    // instead: BpeSpec hashes this exact output on sf0.001 against
-    // tools/bpe_replay.py's pack256_digest (a from-the-algorithm Python
-    // replay of train + encode + the global concat-and-cut). The
-    // distributed prefix sum itself stays hash-checked through
+    // no recomputable SQL oracle, so the gate verifies as a REPLAY
+    // DIGEST (round 20): the engine digests its packed spans in
+    // (seq_id, doc) order and the oracle looks the independent Python
+    // replay's pack256_digest (bpe_replay.py's sequential
+    // concat-and-cut, via gen_replay_digests.py) up by the corpus
+    // fingerprint — so a drifted merge table, a wrong token count, OR a
+    // prefix-sum/span boundary bug in packSequencesGlobalTok all fail
+    // the driver gate itself, at whatever scale it runs. The
+    // distributed prefix sum additionally stays hash-checked through
     // sample_pack_spans / sample_curation_packed's estimator-count
     // oracles.
     QueryDef(
@@ -268,13 +271,14 @@ object SamplePack extends QueryPack {
         val merges = graft.operators.Bpe.train(base, numMerges = 30)
         val counts = graft.operators.Bpe.encodeDocs(base, merges)
           .select(col("doc_id"), col("n_tokens"))
-        Sampling.packSequencesGlobalTok(counts, col("doc_id"),
-            col("n_tokens"), seqLen = 256)
-          .select(col("seq_id"), col("doc_key").as("doc_id"),
-            col("tok_start"), col("tok_end"), col("tokens_in_seq"))
-          .orderBy("seq_id", "doc_id")
+        orderedLineDigest(
+          Sampling.packSequencesGlobalTok(counts, col("doc_id"),
+            col("n_tokens"), seqLen = 256),
+          Seq(col("seq_id"), col("doc_key")),
+          concat_ws("\t", col("seq_id"), col("doc_key"),
+            col("tok_start"), col("tok_end"), col("tokens_in_seq")))
       },
-      None),
+      Some(replayDigestOracle("pack_bpe_256"))),
 
     // Benchmark decontamination: docs sharing ≥1 distinct word-8-gram
     // with the benchmark set (here: doc_id % 10 = 0 plays the eval set).

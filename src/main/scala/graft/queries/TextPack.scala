@@ -200,30 +200,44 @@ object TextPack extends QueryPack {
     // REAL trained BPE, full pipeline: learn 30 merges from the corpus'
     // word-frequency table (one corpus pass; K vocab-scale rounds,
     // deterministic tie-breaks), then tokenize every document by merge
-    // rank. Iteratively-trained ⇒ no SQL oracle (rows-only); BpeSpec
-    // pins the merge sequence on a hand-computed corpus, token/word
-    // reconstruction, and train/apply agreement.
+    // rank. DuckDB cannot replay iterative training, so the gate
+    // verifies as a REPLAY DIGEST (round 20, verdict r19 #4): the
+    // engine digests its full token stream in doc order, and the oracle
+    // looks the INDEPENDENT Python replay's digest
+    // (tools/bpe_replay.py via gen_replay_digests.py) up by the
+    // fingerprint of the exact corpus it was handed — scale-proof, and
+    // an unrecorded corpus fails loudly as a 0-row oracle. BpeSpec
+    // still pins the merge sequence on a hand-computed corpus and the
+    // token/pack digests at the dev AND gated scales.
     QueryDef(
       "text_bpe_tokens",
       (s, d) => {
         val base = docsOf(s, d)
         val merges = graft.operators.Bpe.train(base, numMerges = 30)
-        graft.operators.Bpe.encodeDocs(base, merges).orderBy("doc_id")
+        orderedLineDigest(
+          graft.operators.Bpe.tokenLines(base, merges),
+          Seq(col("doc_id")),
+          concat_ws("\t", col("doc_id"), col("tokens")))
       },
-      None),
+      Some(replayDigestOracle("bpe_tokens"))),
 
     // Compression-ratio quality signal (round 12, the last standard
     // Gopher/CCNet signal): per-doc raw-DEFLATE ratio via the native
-    // deflate_len expression — map-side, zero shuffle. Rows-only BY
-    // NECESSITY: DuckDB has no deflate function, so no SQL oracle can
-    // exist; TextOpsSpec pins exact vectors against a direct JDK
-    // Deflater replay plus the repetitive<prose<noise ordering that
-    // makes the signal useful (the documented-rationale pattern).
+    // deflate_len expression — map-side, zero shuffle. DuckDB has no
+    // deflate function, so the gate verifies as a replay digest against
+    // the CPython-zlib replay (tools/compress_replay.py — the JDK
+    // Deflater at DEFAULT_COMPRESSION/nowrap IS zlib raw deflate at
+    // level 6); digest covers (doc_id, n_bytes, deflate_bytes), the
+    // ratio being their quotient. TextOpsSpec additionally pins exact
+    // vectors against a direct JDK Deflater replay plus the
+    // repetitive<prose<noise ordering that makes the signal useful.
     QueryDef(
       "text_compress_ratio",
-      (s, d) =>
-        TextOps.compressionRatio(docsOf(s, d)).orderBy("doc_id"),
-      None),
+      (s, d) => orderedLineDigest(
+        TextOps.compressionRatio(docsOf(s, d)),
+        Seq(col("doc_id")),
+        concat_ws("\t", col("doc_id"), col("n_bytes"), col("deflate_bytes"))),
+      Some(replayDigestOracle("compress_ratio"))),
 
     // PII scrub (C4-style detect-then-redact): the corpus has no PII, so
     // the gate PLANTS it deterministically — every doc an email, every

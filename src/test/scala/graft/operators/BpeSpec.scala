@@ -94,53 +94,69 @@ class BpeSpec extends SparkSpec {
       Bpe.train(corpus(1L -> "aa bb aa bb"), 2, 1L).toSeq)
   }
 
-  test("sf0.001 token-stream digest matches the independent Python replay (pinned)") {
-    // Pinned constant = tools/bpe_replay.py /root/testdata/sf0.001 30 —
-    // an INDEPENDENT reimplementation of train+encode from the algorithm
-    // definition. Any silent drift in the merge table, tie-breaks,
-    // tokenization, or apply loop flips this digest.
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val merges = Bpe.train(docs, numMerges = 30)
-    assert(merges.length == 30 && merges(0) == (("e", "r")))
-    val ranks = new java.util.HashMap[(String, String), Int]()
-    merges.zipWithIndex.foreach { case (p, r) => ranks.put(p, r) }
-    val lines = docs.collect().map { r =>
-      val toks = r.getString(1).toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+").filter(_.nonEmpty)
-        .flatMap(Bpe.encodeWord(_, ranks))
-      r.getLong(0) -> s"${r.getLong(0)}\t${toks.mkString(" ")}"
-    }.sortBy(_._1).map(_._2)
-    val md = java.security.MessageDigest.getInstance("MD5")
+  // Pinned constants = tools/bpe_replay.py <sfdir> 30 — an INDEPENDENT
+  // reimplementation of train+encode from the algorithm definition. Any
+  // silent drift in the merge table, tie-breaks, tokenization, or apply
+  // loop flips these digests. Both the dev scale AND the driver's gated
+  // scale (sf0.01) are pinned (r20, verdict r19 #4): the text_bpe_tokens
+  // gate is rows-only in the DuckDB column by necessity, so THIS is its
+  // machine-checked value oracle at the scale the driver actually gates.
+  private val tokenDigests = Seq(
+    "/root/testdata/sf0.001" -> "02a8ced3a4046ec9f5205f512bc839ec",
+    "/root/testdata/sf0.01" -> "486d70d6de57e5ccb6c6b4a0ba642642")
+  private val packDigests = Seq(
+    "/root/testdata/sf0.001" -> "9d37d4546679bc60263fbe2e7e28884e",
+    "/root/testdata/sf0.01" -> "fcb8c5a37811d615816e73429a5a251d")
+
+  private def md5(lines: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    assert(md == "02a8ced3a4046ec9f5205f512bc839ec",
-      "token-stream digest drifted from the pinned independent replay")
+
+  test("token-stream digests match the independent Python replay at the " +
+      "dev AND gated scales (pinned)") {
+    for ((sfdir, want) <- tokenDigests) {
+      val docs = spark.read.parquet(s"$sfdir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val merges = Bpe.train(docs, numMerges = 30)
+      assert(merges.length == 30 && merges(0) == (("e", "r")))
+      val ranks = new java.util.HashMap[(String, String), Int]()
+      merges.zipWithIndex.foreach { case (p, r) => ranks.put(p, r) }
+      val lines = docs.collect().map { r =>
+        val toks = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+          .flatMap(Bpe.encodeWord(_, ranks))
+        r.getLong(0) -> s"${r.getLong(0)}\t${toks.mkString(" ")}"
+      }.sortBy(_._1).map(_._2).toSeq
+      assert(md5(lines) == want,
+        s"$sfdir: token-stream digest drifted from the pinned replay")
+    }
   }
 
-  test("sf0.001 tokenizer-exact packing digest matches the independent Python replay (pinned)") {
-    // Pinned constant = tools/bpe_replay.py's pack256_digest on
-    // /root/testdata/sf0.001 — the sample_pack_bpe gate's rows-only pin:
-    // the replay recomputes BPE token counts from the algorithm
-    // definition and replays the global concat-and-cut sequentially, so
-    // a drifted merge table, a wrong token count, OR a prefix-sum/span
-    // boundary bug in packSequencesGlobalTok all flip this digest.
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val merges = Bpe.train(docs, numMerges = 30)
-    val counts = Bpe.encodeDocs(docs, merges)
-      .select(col("doc_id"), col("n_tokens"))
-    val packed = graft.operators.Sampling.packSequencesGlobalTok(
-        counts, col("doc_id"), col("n_tokens"), seqLen = 256)
-      .orderBy("seq_id", "doc_key")
-      .collect()
-      .map(r => s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}" +
-        s"\t${r.getLong(3)}\t${r.getLong(4)}")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest((packed.mkString("\n") + "\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(md == "9d37d4546679bc60263fbe2e7e28884e",
-      "packed-span digest drifted from the pinned independent replay")
+  test("tokenizer-exact packing digests match the independent Python " +
+      "replay at the dev AND gated scales (pinned)") {
+    // Pinned constants = tools/bpe_replay.py's pack256_digest — the
+    // sample_pack_bpe gate's machine-checked value oracle (r20): the
+    // replay recomputes BPE token counts from the algorithm definition
+    // and replays the global concat-and-cut sequentially, so a drifted
+    // merge table, a wrong token count, OR a prefix-sum/span boundary
+    // bug in packSequencesGlobalTok all flip these digests — at the
+    // driver's gated scale (sf0.01), not just the dev scale.
+    for ((sfdir, want) <- packDigests) {
+      val docs = spark.read.parquet(s"$sfdir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val merges = Bpe.train(docs, numMerges = 30)
+      val counts = Bpe.encodeDocs(docs, merges)
+        .select(col("doc_id"), col("n_tokens"))
+      val packed = graft.operators.Sampling.packSequencesGlobalTok(
+          counts, col("doc_id"), col("n_tokens"), seqLen = 256)
+        .orderBy("seq_id", "doc_key")
+        .collect()
+        .map(r => s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}" +
+          s"\t${r.getLong(3)}\t${r.getLong(4)}").toSeq
+      assert(md5(packed) == want,
+        s"$sfdir: packed-span digest drifted from the pinned replay")
+    }
   }
 
   test("training is deterministic and bounded by available pairs") {

@@ -154,6 +154,38 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(3L).get > 0.5, s"noise ratio ${byId(3L)}")
   }
 
+  test("compressionRatio digests match the independent CPython zlib " +
+      "replay at the dev AND gated scales (pinned)") {
+    // Pinned constants = tools/compress_replay.py <sfdir> — the
+    // text_compress_ratio gate's machine-checked value oracle (r20,
+    // verdict r19 #4): the JDK Deflater at DEFAULT_COMPRESSION/nowrap IS
+    // zlib raw deflate at level 6, so CPython's independently-built zlib
+    // binding replays the native deflate_len expression byte-for-byte.
+    // Digest covers (doc_id, n_bytes, deflate_bytes); the ratio is a
+    // derived quotient of the two pinned integers. Environment-lineage
+    // pin (deflate length is contractual within a zlib build, which the
+    // driver's gate environment is), not a cross-platform constant —
+    // DeflateLen.scala documents the boundary.
+    val digests = Seq(
+      "/root/testdata/sf0.001" -> "adcc13a51509028da1b84c5689a261a5",
+      "/root/testdata/sf0.01" -> "d553306f09c8ed799f28e61dc569395a")
+    for ((sfdir, want) <- digests) {
+      val lines = TextOps.compressionRatio(
+          spark.read.parquet(s"$sfdir/documents.parquet")
+            .select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+        .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"))
+        .collect()
+        .map(r => s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}")
+        .toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(md == want,
+        s"$sfdir: deflate digest drifted from the pinned zlib replay")
+    }
+  }
+
   test("htmlExtract: element strips, entity decode order, case/injection edges") {
     import spark.implicits._
     val rows = Seq(
