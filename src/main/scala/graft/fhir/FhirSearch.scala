@@ -444,6 +444,9 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
           case "specimen" if t == "ServiceRequest" =>
             coalesce(transform(col("specimen"),
               r => r.getField("reference")), array())
+          case "based-on" if t == "ServiceRequest" =>
+            coalesce(transform(col("basedOn"),
+              r => r.getField("reference")), array())
           case "related" if t == "DocumentReference" =>
             coalesce(transform(col("context").getField("related"),
               r => r.getField("reference")), array())
@@ -775,7 +778,7 @@ object FhirSearch {
     */
   private val ArrayRefParams: Set[(String, String)] = Set(
     ("Group", "member"), ("ServiceRequest", "specimen"),
-    ("DocumentReference", "related"))
+    ("ServiceRequest", "based-on"), ("DocumentReference", "related"))
 
   /** `CompType/{id}/{Type}` compartment request, optionally with ?params. */
   private val compartmentRx = "^([A-Za-z]+)/([^/?]+)/([A-Za-z]+)(?:\\?(.*))?$".r
@@ -1175,7 +1178,7 @@ object FhirSearch {
     case "Group" => Seq("member")
     case "ImagingStudy" => Seq("subject")
     case "MedicationAdministration" => Seq("subject")
-    case "ServiceRequest" => Seq("subject", "specimen")
+    case "ServiceRequest" => Seq("subject", "specimen", "based-on")
     case "BodyStructure" => Seq("patient")
     case _ => Seq()
   }
@@ -1216,6 +1219,9 @@ object FhirSearch {
       case ("ServiceRequest", "specimen") => src
         .select(explode(col("specimen")).as("_m"))
         .select(col("_m").getField("reference").as("_ref"))
+      case ("ServiceRequest", "based-on") => src
+        .select(explode(col("basedOn")).as("_m"))
+        .select(col("_m").getField("reference").as("_ref"))
       case ("DocumentReference", "related") => src
         .select(explode(col("context").getField("related")).as("_m"))
         .select(col("_m").getField("reference").as("_ref"))
@@ -1235,6 +1241,9 @@ object FhirSearch {
         .select(col("id"), col("_m").getField("entity").getField("reference").as("_ref"))
       case ("ServiceRequest", "specimen") => src
         .select(col("id"), explode(col("specimen")).as("_m"))
+        .select(col("id"), col("_m").getField("reference").as("_ref"))
+      case ("ServiceRequest", "based-on") => src
+        .select(col("id"), explode(col("basedOn")).as("_m"))
         .select(col("id"), col("_m").getField("reference").as("_ref"))
       case ("DocumentReference", "related") => src
         .select(col("id"), explode(col("context").getField("related")).as("_m"))
@@ -1259,6 +1268,10 @@ object FhirSearch {
     case ("Observation", "subject") =>
       sys.error("ambiguous chain Observation.subject (Patient|Group): " +
         "qualify the target type, e.g. subject:Patient.name")
+    case ("ServiceRequest", "based-on") =>
+      sys.error("ambiguous chain ServiceRequest.based-on (CarePlan|" +
+        "ServiceRequest|MedicationRequest): qualify the target type, " +
+        "e.g. based-on:ServiceRequest.status")
     case ("DocumentReference", "related") =>
       sys.error("ambiguous chain DocumentReference.related (targets Any): " +
         "qualify the target type, e.g. related:ServiceRequest.status")

@@ -1302,6 +1302,44 @@ object SearchPack extends QueryPack {
               |WHERE id = 'doc-010'
               |ORDER BY CAST(version_id AS INT) DESC""".stripMargin)),
 
+    // Round 20 (verdict r19 #5): based-on is LOAD-BEARING — follow-up
+    // assays reference the assay they extend (tools/gen_sr_basedon.py
+    // plants 7 of 23; legal R4: basedOn targets ServiceRequest), so the
+    // param genuinely partitions the type, value-OR excludes the
+    // non-planted rows, and the type-qualified chain traverses a real
+    // edge through the exploded ArrayRefParams routing
+    QueryDef(
+      "search_servicerequest_basedon",
+      (s, _) => eng(s).search("ServiceRequest?based-on=" +
+        "ServiceRequest/g-01,ServiceRequest/g-04&status=completed")
+        .select(col("id"),
+          col("basedOn")(0).getField("reference").as("based_on_ref"))
+        .orderBy("id"),
+      Some(s"""SELECT id, basedOn[1].reference AS based_on_ref
+              |FROM ${rj("ServiceRequest")}
+              |WHERE status = 'completed'
+              |  AND len(list_filter(basedOn, r -> r.reference IN
+              |    ('ServiceRequest/g-01', 'ServiceRequest/g-04'))) > 0
+              |ORDER BY id""".stripMargin)),
+
+    // the chain: requests based on an assay that used a given specimen
+    QueryDef(
+      "search_servicerequest_basedon_chain",
+      (s, _) => eng(s).search("ServiceRequest?based-on:ServiceRequest" +
+        ".specimen=Specimen/sp-001,Specimen/sp-007")
+        .select(col("id"),
+          col("basedOn")(0).getField("reference").as("based_on_ref"))
+        .orderBy("id"),
+      Some(s"""SELECT sr.id, sr.basedOn[1].reference AS based_on_ref
+              |FROM ${rj("ServiceRequest")} sr
+              |WHERE EXISTS (
+              |  SELECT 1 FROM ${rj("ServiceRequest")} parent,
+              |       UNNEST(parent.specimen) AS t(r)
+              |  WHERE r.reference IN ('Specimen/sp-001', 'Specimen/sp-007')
+              |    AND list_contains(list_transform(sr.basedOn,
+              |          x -> x.reference), 'ServiceRequest/' || parent.id))
+              |ORDER BY sr.id""".stripMargin)),
+
     // Round 20 (verdict r19 #1): the assay BACK-link. assay.py:215-222
     // writes `ServiceRequest/<assay_id>` into context.related — "which
     // documents belong to this Assay?" (README-assay.md:7-9) is the

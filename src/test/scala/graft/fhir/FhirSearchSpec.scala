@@ -343,12 +343,20 @@ class FhirSearchSpec extends SparkSpec {
     val viaSpecimen = eng.search("ServiceRequest?specimen.subject=Patient/p-001")
       .select("id").collect().map(_.getString(0)).toSeq
     assert(viaSpecimen == Seq("g-01")) // sp-001/sp-002 → p-001
-    // based-on is registered but the assay output never populates it:
-    // :missing=true matches everything, =ref matches nothing
+    // based-on is LOAD-BEARING (r20): 7 planted follow-up links split
+    // the type — :missing partitions it exactly, the ref filter excludes
+    // the non-planted rows, the unqualified chain refuses (multi-target)
     val all = eng.search("ServiceRequest").count()
     assert(all == 23)
-    assert(eng.search("ServiceRequest?based-on:missing=true").count() == all)
+    assert(eng.search("ServiceRequest?based-on:missing=true").count() == 16)
+    assert(eng.search("ServiceRequest?based-on:missing=false").count() == 7)
+    assert(eng.search(
+      "ServiceRequest?based-on=ServiceRequest/g-01").count() == 1)
     assert(eng.search("ServiceRequest?based-on=ServiceRequest/x").count() == 0)
+    intercept[RuntimeException](
+      eng.search("ServiceRequest?based-on.status=completed"))
+    assert(eng.search("ServiceRequest?based-on:ServiceRequest" +
+      ".subject=Patient/p-002").count() == 1) // g-03 <- g-01 (p-002's assay)
     // _has from Specimen through the scalar subject param still works
     assert(eng.search(
       "Patient?_has:ServiceRequest:subject:status=completed").count() > 0)
