@@ -161,7 +161,14 @@ object Bench {
     // (total_adj charges min(first, rerun), so a GENUINE regression
     // reproduces on the rerun either way — the bar only decides how many
     // contention spikes get a second look.)
-    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RERUNS", "40").toInt
+    // Round 20 (verdict r19 #6): the rerun pass must DRAIN the >3× set —
+    // the r19 driver run flagged 55 gates and the old cap of 40 left 15
+    // contention spikes charged at full first-pass value in total_adj,
+    // making the harness unable to prove its own band-noise claim. The
+    // default is now a backstop far above any plausible flagged-set size
+    // (worst case = one extra full pass, which is exactly the evidence a
+    // spiked run needs); the env override remains for iteration.
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RERUNS", "1000").toInt
     val rerunFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_FACTOR", "3.0").toDouble
     val flagged = results
       .collect { case (n, t) if t > 0.4 && baseline.get(n).exists(b => t > rerunFactor * b) =>
