@@ -344,7 +344,13 @@ object FhirSchemas {
         StructField("system", StringType),
         StructField("concept", ArrayType(StructType(Seq(
           StructField("code", StringType),
-          StructField("display", StringType))))))))))))))
+          StructField("display", StringType))))),
+        // intensional include: is-a filters expand through the
+        // CodeSystem hierarchy at plan time ($expand / :in)
+        StructField("filter", ArrayType(StructType(Seq(
+          StructField("property", StringType),
+          StructField("op", StringType),
+          StructField("value", StringType))))))))))))))
 
   /** CodeSystem — the terminology hierarchy behind token :below/:above
     * subsumption. FHIR nests child concepts under `concept`; a static

@@ -1302,6 +1302,122 @@ object SearchPack extends QueryPack {
               |WHERE id = 'doc-010'
               |ORDER BY CAST(version_id AS INT) DESC""".stripMargin)),
 
+    // Round 20 (verdict r19 #8): terminology operations as callable
+    // surface — the managed store exposes $expand/$lookup; previously
+    // the machinery existed only as plan-time internals of :in/:below.
+
+    // extensional $expand: explicit concept lists, deduped + ordered
+    QueryDef(
+      "fhir_expand",
+      (s, _) => eng(s).search("ValueSet/$expand?url=" +
+        "http://example.org/fhir/ValueSet/metabolic-conditions"),
+      Some(s"""SELECT i.system, c.code, c.display
+              |FROM ${rj("ValueSet")} vs,
+              |     UNNEST(vs.compose.include) AS a(i),
+              |     UNNEST(i.concept) AS b(c)
+              |WHERE vs.url = 'http://example.org/fhir/ValueSet/metabolic-conditions'
+              |ORDER BY i.system, c.code""".stripMargin)),
+
+    // intensional $expand: an is-a filter include expands through the
+    // CodeSystem hierarchy (recursive-CTE closure oracle, the
+    // search_token_below discipline) and composes with an explicit
+    // include in the same ValueSet
+    QueryDef(
+      "fhir_expand_isa",
+      (s, _) => eng(s).search("ValueSet/$expand?url=" +
+        "http://example.org/fhir/ValueSet/diabetes-isa"),
+      Some(s"""WITH RECURSIVE nodes AS (
+              |  SELECT l1.code AS code, l1.display AS display,
+              |         CAST(NULL AS VARCHAR) AS parent
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |  UNION ALL
+              |  SELECT l2.code, l2.display, l1.code
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1),
+              |       UNNEST(l1.concept) AS b(l2)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |  UNION ALL
+              |  SELECT l3.code, l3.display, l2.code
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1),
+              |       UNNEST(l1.concept) AS b(l2), UNNEST(l2.concept) AS c(l3)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |), closure AS (
+              |  SELECT '73211009' AS code
+              |  UNION
+              |  SELECT n.code FROM nodes n JOIN closure cl ON n.parent = cl.code
+              |)
+              |SELECT * FROM (
+              |  SELECT 'http://snomed.info/sct' AS system, n.code, n.display
+              |  FROM nodes n JOIN closure cl ON n.code = cl.code
+              |  UNION
+              |  SELECT i.system, c.code, c.display
+              |  FROM ${rj("ValueSet")} vs,
+              |       UNNEST(vs.compose.include) AS a(i),
+              |       UNNEST(i.concept) AS b(c)
+              |  WHERE vs.url = 'http://example.org/fhir/ValueSet/diabetes-isa'
+              |)
+              |ORDER BY system, code""".stripMargin)),
+
+    // $lookup: one concept's display, parent, and sorted children from
+    // the flattened hierarchy
+    QueryDef(
+      "fhir_lookup",
+      (s, _) => eng(s).search("CodeSystem/$lookup?" +
+        "system=http://snomed.info/sct&code=73211009"),
+      Some(s"""WITH nodes AS (
+              |  SELECT l1.code AS code, l1.display AS display,
+              |         CAST(NULL AS VARCHAR) AS parent,
+              |         list_sort(list_transform(COALESCE(l1.concept, []),
+              |                                  x -> x.code)) AS child_codes
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |  UNION ALL
+              |  SELECT l2.code, l2.display, l1.code,
+              |         list_sort(list_transform(COALESCE(l2.concept, []),
+              |                                  x -> x.code))
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1),
+              |       UNNEST(l1.concept) AS b(l2)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |  UNION ALL
+              |  SELECT l3.code, l3.display, l2.code, []
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1),
+              |       UNNEST(l1.concept) AS b(l2), UNNEST(l2.concept) AS c(l3)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |)
+              |SELECT 'http://snomed.info/sct' AS system, code, display,
+              |       parent AS parent_code, child_codes
+              |FROM nodes WHERE code = '73211009'""".stripMargin)),
+
+    // :in through an intensional ValueSet — the modifier now expands
+    // is-a filter includes exactly as $expand does
+    QueryDef(
+      "search_token_in_isa",
+      (s, _) => eng(s).search("Condition?code:in=" +
+        "http://example.org/fhir/ValueSet/diabetes-isa")
+        .select(col("id"), col("code.text").as("code_text")).orderBy("id"),
+      Some(s"""WITH RECURSIVE edges AS (
+              |  SELECT l1.code AS parent, l2.code AS child
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1),
+              |       UNNEST(l1.concept) AS b(l2)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |  UNION ALL
+              |  SELECT l2.code, l3.code
+              |  FROM ${rj("CodeSystem")} cs, UNNEST(cs.concept) AS a(l1),
+              |       UNNEST(l1.concept) AS b(l2), UNNEST(l2.concept) AS c(l3)
+              |  WHERE cs.url = 'http://snomed.info/sct'
+              |), closure AS (
+              |  SELECT '73211009' AS code
+              |  UNION
+              |  SELECT e.child FROM edges e JOIN closure cl ON e.parent = cl.code
+              |)
+              |SELECT DISTINCT c.id, c.code.text AS code_text
+              |FROM ${rj("Condition")} c, UNNEST(c.code.coding) AS t(cd)
+              |WHERE (cd."system" = 'http://snomed.info/sct'
+              |       AND cd.code IN (SELECT code FROM closure))
+              |   OR (cd."system" = 'http://example.org/local'
+              |       AND cd.code = 'dm-x')
+              |ORDER BY id""".stripMargin)),
+
     // Round 20 (verdict r19 #5): based-on is LOAD-BEARING — follow-up
     // assays reference the assay they extend (tools/gen_sr_basedon.py
     // plants 7 of 23; legal R4: basedOn targets ServiceRequest), so the

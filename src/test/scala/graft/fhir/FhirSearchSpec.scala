@@ -401,6 +401,30 @@ class FhirSearchSpec extends SparkSpec {
       .count() < 100)
   }
 
+  test("$expand/$lookup terminology operations (r20): edges and errors") {
+    // unknown url is an error, not an empty expansion
+    intercept[RuntimeException](
+      eng.search("ValueSet/$expand?url=http://example.org/nope"))
+    intercept[RuntimeException](eng.search("ValueSet/$expand?x=1"))
+    // is-a include: self + both descendants + the explicit local concept
+    val isa = eng.search("ValueSet/$expand?url=" +
+      "http://example.org/fhir/ValueSet/diabetes-isa").collect()
+    assert(isa.length == 4)
+    assert(isa.map(_.getString(1)).toSet ==
+      Set("73211009", "44054006", "46635009", "dm-x"))
+    // lookup: display + parent + sorted children; unknown code = 0 rows;
+    // unknown system errors
+    val lk = eng.search("CodeSystem/$lookup?" +
+      "system=http://snomed.info/sct&code=73211009").head()
+    assert(lk.getString(2) == "Diabetes mellitus")
+    assert(lk.getString(3) == "64572001")
+    assert(lk.getSeq[String](4) == Seq("44054006", "46635009"))
+    assert(eng.search("CodeSystem/$lookup?" +
+      "system=http://snomed.info/sct&code=zzz").count() == 0)
+    intercept[RuntimeException](eng.search(
+      "CodeSystem/$lookup?system=http://example.org/nope&code=1"))
+  }
+
   test("DocumentReference history: vread surfaces the superseded status") {
     assert(eng.search("DocumentReference/doc-010/_history").count() == 3)
     assert(eng.search("DocumentReference/doc-010/_history/1")
