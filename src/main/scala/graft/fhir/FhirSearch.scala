@@ -748,13 +748,15 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
         col("con").getField("display").as("display"))
     val filterSpecs =
       if (!inc.columns.contains("inc") || !hasField(inc, "inc", "filter")) Seq()
-      else inc
-        .select(col("inc").getField("system").as("system"),
-          explode(col("inc").getField("filter")).as("f"))
-        .select(col("system"), col("f").getField("op").as("op"),
-          col("f").getField("value").as("value"))
-        .collect().toSeq
-        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      else {
+        import spark.implicits._
+        inc
+          .select(col("inc").getField("system").as("system"),
+            explode(col("inc").getField("filter")).as("f"))
+          .select(col("system"), col("f").getField("op").as("op"),
+            col("f").getField("value").as("value"))
+          .as[(String, String, String)].collect().toSeq
+      }
     val legs = filterSpecs.map {
       case (sys0, "is-a", v) =>
         val codes = expandHierarchy(sys0, v, below = true)

@@ -25,6 +25,10 @@ class CollectAuditSpec extends AnyFunSuite {
       "ValueSet expansion at plan time — terminology tables are metadata-scale"),
     ("FhirSearch.scala", ".select(col(\"concept\")).collect()",
       "CodeSystem hierarchy closure at plan time — terminology-scale"),
+    ("FhirSearch.scala", ".as[(String, String, String)].collect().toSeq",
+      "$expand intensional include specs — one row per compose.include " +
+        "FILTER of one ValueSet (terminology metadata, never data-scale); " +
+        "the closure they drive becomes scan-pushable literals"),
     ("Bpe.scala", ".as[(String, Long)].collect()",
       "training vocab, bounded by orderBy(cnt desc, w).limit(vocabCap) — top-N TakeOrdered"),
     ("Layout.scala", "df.agg(aggs.head, aggs.tail: _*).head()",

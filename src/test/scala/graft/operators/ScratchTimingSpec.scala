@@ -102,6 +102,45 @@ class ScratchTimingSpec extends SparkSpec {
     }
   }
 
+  ignore("r20 probe: committed-append encode width — single-file vs " +
+      "range-partitioned (the verdict r19 #3 sized-batch row; MEASURED, " +
+      "idle host, 1M-vector backfill batch into a PQ index, the full " +
+      "committed path warmed on a tiny batch first so neither leg pays " +
+      "first-use JIT: outFiles=1 (the old repartition(1) shape) 16.89 s " +
+      "vs core-wide range-partitioned 4.04 s — 4.2x; at micro-batch " +
+      "scale (100k rows) both legs measure ~3 s because the fixed " +
+      "fingerprint + promotion cost dominates, i.e. the parallel encode " +
+      "costs nothing where it is not needed and buys the cores back " +
+      "exactly where the old shape bottlenecked)") {
+    assume(new java.io.File("/root/repo/target/sf10/embeddings.parquet").exists())
+    import graft.operators.Similarity
+    val vecs = spark.read.parquet("/root/repo/target/sf10/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val half = vecs.filter(col("vec_id") % 2 === 0)
+    // BACKFILL-sized batch: 10 vec_id-disjoint replicas of the odd half
+    // (1M rows) so the encode stage, not the fixed commit overhead,
+    // dominates the measurement
+    val rest = (0 until 10).map(i => vecs.filter(col("vec_id") % 2 === 1)
+        .select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+    info("batch rows = " + rest.count())
+    for (w <- Seq(1, 0)) { // 1 = the old single-task shape; 0 = core-wide
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_r20_enc_w${w}_${spark.sparkContext.applicationId}"
+      graft.util.TempFixtures.deleteOnExit(dir)
+      Similarity.writePqIndex(half, Similarity.pqCodebooks(half), dir)
+      // warm the full committed-append path (encode, fingerprint,
+      // promote) on a tiny batch so neither timed leg pays first-use JIT
+      Similarity.appendToPqIndexCommitted(spark, dir,
+        half.limit(512), 99L, outFiles = w)
+      timeIt(s"appendToPqIndexCommitted outFiles=$w (1M rows)")(
+        Similarity.appendToPqIndexCommitted(spark, dir, rest, 1L,
+          outFiles = w))
+      graft.util.Scratch.release(spark)
+      spark.catalog.clearCache()
+    }
+  }
+
   ignore("r18 probe: v3 funnel leg breakdown at sf1 (MEASURED: before — " +
       "quality 0.4, lm 6.3, containment-capped(250) 42.6, whole gate 57.8 s: " +
       "the capped postings self-join carried 31M pair-group rows from " +
