@@ -18,8 +18,15 @@ def main(bench_path, duck_path, baseline="BASELINE.md"):
     out = lines[:hdr]
     out.append("| query | spark sec (sf0.1) | duckdb sec (sf0.1) |\n")
     out.append("|---|---|---|\n")
+    # charge min(first, rerun) — the same number total_adj charges: a
+    # contention-spiked first pass must not become the committed row
+    # (it would blind the 3x rerun detector for that gate AND flatter
+    # every future run's ratio against an inflated denominator)
+    reruns = bench.get("reruns", {})
     for q in sorted(bench["queries"]):
         s = bench["queries"][q]
+        if q in reruns and reruns[q][1] > 0:
+            s = min(s, reruns[q][1])
         d = f"{duck[q]:.2f}" if q in duck else "—"
         out.append(f"| {q} | {s:.2f} | {d} |\n")
     open(baseline, "w").writelines(out)
