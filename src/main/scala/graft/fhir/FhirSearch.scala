@@ -740,6 +740,11 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
     */
   def expand(url: String): DataFrame = {
     val vs = table("ValueSet").filter(col("url") === url)
+    // unknown url is an error, not an empty expansion — probed on the
+    // ValueSet TABLE alone (metadata-scale, one tiny scan), never by
+    // executing the whole expansion twice
+    require(!vs.select(col("id")).limit(1).isEmpty,
+      s"unknown ValueSet: $url")
     val inc = vs.select(explode(col("compose").getField("include")).as("inc"))
     val explicit = inc
       .select(col("inc").getField("system").as("system"),
@@ -747,7 +752,7 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
       .select(col("system"), col("con").getField("code").as("code"),
         col("con").getField("display").as("display"))
     val filterSpecs =
-      if (!inc.columns.contains("inc") || !hasField(inc, "inc", "filter")) Seq()
+      if (!hasField(inc, "inc", "filter")) Seq()
       else {
         import spark.implicits._
         inc
@@ -766,11 +771,8 @@ class FhirSearch(spark: SparkSession, tables: Map[String, DataFrame],
         sys.error(s"unsupported ValueSet filter op '$op' (system $sys0): " +
           "this engine expands is-a filters")
     }
-    val all = legs.foldLeft(explicit)(_ unionByName _).distinct()
+    legs.foldLeft(explicit)(_ unionByName _).distinct()
       .orderBy("system", "code")
-    require(all.limit(1).count() == 1 || filterSpecs.nonEmpty,
-      s"empty or unknown ValueSet: $url")
-    all
   }
 
   /** Does struct column `field` of `outer` carry `sub`? (schema probe —

@@ -37,6 +37,18 @@ object FhirStore {
     */
   def updateCreateRows(feed: DataFrame, batch: DataFrame,
       lastUpdated: String): DataFrame = {
+    // versions are assigned per BATCH (prior max + 1 joined to every
+    // row), so two updates of one id inside one batch would land the
+    // SAME versionId twice and corrupt the feed's (id, version)
+    // uniqueness — refuse loudly (one bounded aggregate over the
+    // micro-batch); intra-batch update sequences belong in sequential
+    // batches, where each sees the other's version
+    val idStats = batch.agg(count(lit(1)), count_distinct(col("id"))).head()
+    require(idStats.getLong(0) == idStats.getLong(1),
+      s"update-create batch carries duplicate ids " +
+        s"(${idStats.getLong(0)} rows, ${idStats.getLong(1)} distinct): " +
+        "versions are assigned per batch — split intra-batch updates " +
+        "of one resource across sequential batches")
     val prior = feed.groupBy(col("id"))
       .agg(max(col("meta").getField("versionId").cast("int")).as("_prior"))
     val metaType = feed.schema("meta").dataType.asInstanceOf[StructType]

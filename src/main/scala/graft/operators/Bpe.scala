@@ -130,20 +130,20 @@ object Bpe {
     syms
   }
 
-  /** Tokenize the corpus with a trained merge table: per-doc token
-    * count, distinct-token count, and the first/last tokens (enough to
-    * pin which merges fired without hashing engine-specific renderings).
-    * The rank map builds once per partition (mapPartitions, the
-    * MediaCodec pattern) — per-word work is imperative by nature.
+  /** THE tokenization — one definition: (doc_id, tokens ARRAY) under a
+    * frozen merge table; the rank map builds once per partition
+    * (mapPartitions, the MediaCodec pattern — per-word work is
+    * imperative by nature). Both
+    * public faces ([[encodeDocs]] counts, [[tokenLines]] the digestable
+    * stream) derive from this declaratively, so the token stream the
+    * replay-digest gate verifies and the token counts sample_pack_bpe
+    * packs by can never drift apart.
     */
-  def encodeDocs(docs: DataFrame,
+  private def tokenStream(docs: DataFrame,
       merges: Array[(String, String)]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
-      StructField("n_tokens", LongType),
-      StructField("n_distinct_tokens", LongType),
-      StructField("first_token", StringType),
-      StructField("last_token", StringType)))
+      StructField("toks", ArrayType(StringType))))
     val enc = Encoders.row(outSchema)
     docs.select(col("doc_id"), lower(col("text")).as("t"))
       .mapPartitions { rows =>
@@ -151,38 +151,37 @@ object Bpe {
         merges.zipWithIndex.foreach { case (p, r) => ranks.put(p, r) }
         rows.map { r =>
           val words = r.getString(1).split("\\s+").filter(_.nonEmpty)
-          val toks = words.flatMap(encodeWord(_, ranks))
-          Row(r.getLong(0), toks.length.toLong,
-            toks.distinct.length.toLong,
-            if (toks.isEmpty) null else toks.head,
-            if (toks.isEmpty) null else toks.last)
+          Row(r.getLong(0), words.flatMap(encodeWord(_, ranks)).toSeq)
         }
       }(enc)
   }
 
+  /** Tokenize the corpus with a trained merge table: per-doc token
+    * count, distinct-token count, and the first/last tokens (enough to
+    * pin which merges fired without hashing engine-specific renderings).
+    */
+  def encodeDocs(docs: DataFrame,
+      merges: Array[(String, String)]): DataFrame =
+    tokenStream(docs, merges).select(
+      col("doc_id"),
+      size(col("toks")).cast(LongType).as("n_tokens"),
+      size(array_distinct(col("toks"))).cast(LongType)
+        .as("n_distinct_tokens"),
+      when(size(col("toks")) > 0, element_at(col("toks"), 1))
+        .as("first_token"),
+      when(size(col("toks")) > 0, element_at(col("toks"), -1))
+        .as("last_token"))
+
   /** Per-document token STREAM under a frozen merge table — (doc_id,
     * tokens) with tokens space-joined in word order, the exact line body
-    * tools/bpe_replay.py digests. Same broadcast-ranks mapPartitions
-    * shape as [[encodeDocs]]; emitting the stream (not just counts) is
-    * what lets the text_bpe_tokens gate digest-verify against the
+    * tools/bpe_replay.py digests. Emitting the stream (not just counts)
+    * is what lets the text_bpe_tokens gate digest-verify against the
     * independent replay at any scale.
     */
   def tokenLines(docs: DataFrame,
-      merges: Array[(String, String)]): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("tokens", StringType)))
-    val enc = Encoders.row(outSchema)
-    docs.select(col("doc_id"), lower(col("text")).as("t"))
-      .mapPartitions { rows =>
-        val ranks = new java.util.HashMap[(String, String), Int]()
-        merges.zipWithIndex.foreach { case (p, r) => ranks.put(p, r) }
-        rows.map { r =>
-          val words = r.getString(1).split("\\s+").filter(_.nonEmpty)
-          Row(r.getLong(0), words.flatMap(encodeWord(_, ranks)).mkString(" "))
-        }
-      }(enc)
-  }
+      merges: Array[(String, String)]): DataFrame =
+    tokenStream(docs, merges).select(
+      col("doc_id"), array_join(col("toks"), " ").as("tokens"))
 
   /** The FIRST merge decision as a declarative plan (explode characters
     * → adjacent pairs weighted by word count → argmax) — BPE round 1

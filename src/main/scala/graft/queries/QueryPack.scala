@@ -20,15 +20,6 @@ final case class QueryDef(
 trait QueryPack {
   def defs: Seq[QueryDef]
 
-  /** One-row md5 digest over `line` values in `key` order (newline-
-    * joined, trailing newline) — the replay-digest gate shape (round 20):
-    * signals DuckDB cannot recompute (trained BPE, deflate) verify
-    * against `fixtures/replay_digests.csv`, where the independent Python
-    * replay recorded the digest keyed by a corpus fingerprint. One
-    * declarative aggregation (struct-sorted collect_list), no driver
-    * collect; the buffer is corpus-line-scale, which at gate scales is
-    * the same bound every ordered Verify dump already pays.
-    */
   /** The DuckDB side of a replay-digest gate: fingerprint the corpus the
     * oracle was handed (`documents` view) and look up the digest the
     * committed Python replay recorded for EXACTLY that corpus. A corpus
@@ -46,6 +37,15 @@ trait QueryPack {
        |     corpus c
        |WHERE d.surface = '$surface' AND d.corpus_md5 = c.cm""".stripMargin
 
+  /** One-row md5 digest over `line` values in `key` order (newline-
+    * joined, trailing newline) — the Spark side of a replay-digest gate
+    * (round 20): signals DuckDB cannot recompute (trained BPE, deflate)
+    * digest themselves this way and verify against
+    * [[replayDigestOracle]]'s lookup. One declarative aggregation
+    * (struct-sorted collect_list), no driver collect; the buffer is
+    * corpus-line-scale, which at gate scales is the same bound every
+    * ordered Verify dump already pays.
+    */
   protected final def orderedLineDigest(df: DataFrame, key: Seq[Column],
       line: Column): DataFrame =
     df.select(struct((key :+ line.as("_line")): _*).as("_kl"))

@@ -10,18 +10,22 @@ import org.apache.spark.sql.SparkSession
   * [[graft.operators.Similarity.appendToIvfIndexCommitted]].
   *
   * Caller contract: `stageWrites(stagingDir)` writes the batch's rows
-  * DETERMINISTICALLY in mode(overwrite) under `stagingDir`, mirroring
-  * the live tree's relative layout (e.g. `<stage>/cells/cell=X/…` for a
-  * live `<root>/cells/cell=X/…`). Deterministic means a retry
-  * regenerates row-equivalent files per position: fixed repartitioning
-  * — `repartition(1)`, `repartition(col(partitionCol))` (hash routing
-  * is stable, and AQE coalescing merges whole shuffle partitions so it
-  * can never split one partition value across tasks), or
-  * `repartitionByRange(n, keys)` over the SAME batch lineage (range
-  * sampling is seeded per input partition, so an identical re-read
-  * resamples identical bounds — the packedDeliveryBatch /
-  * appendTo*IndexCommitted sink policy; the fingerprint check verifies
-  * rather than assumes this, order-free across files).
+  * CONTENT-DETERMINISTICALLY in mode(overwrite) under `stagingDir`,
+  * mirroring the live tree's relative layout (e.g.
+  * `<stage>/cells/cell=X/…` for a live `<root>/cells/cell=X/…`).
+  * Content-deterministic means a retry regenerates the same ROWS under
+  * the same relative DIRECTORIES (the fingerprint below verifies
+  * exactly that, order-free across files). The row-to-FILE split
+  * within a directory need not reproduce: `repartitionByRange(n,
+  * keys)` resamples its bounds per attempt (Spark seeds the reservoir
+  * by rdd id), so promotion converges by WHOLESALE REPLACE — a retry
+  * first clears every file a crashed prior attempt promoted for this
+  * batch (uncommitted: no marker yet), then renames its own staging in
+  * — never by a skip-existing merge of two attempts' splits, which
+  * could duplicate or drop rows that moved across a file boundary.
+  * Directory ROUTING (partitionBy columns) must still reproduce:
+  * `repartition(col(partitionCol))` hash routing is stable, and the
+  * fingerprint folds the relative subpath to verify it.
   *
   * `run` then gives exactly-once from three pieces:
   *  1. a `_committed/batch-<id>` marker under the root — a fully landed
@@ -29,16 +33,19 @@ import org.apache.spark.sql.SparkSession
   *  2. the deterministic staging above — a retry that finds no marker
   *     rewrites staging from scratch (overwrite), so partial staging is
   *     never promoted;
-  *  3. promotion renames staged files to DETERMINISTIC live names
-  *     (`batch-<id>-<i>.parquet`, files sorted by name within each dir)
-  *     and SKIPS names already present — so a crash at ANY point
+  *  3. promotion first CLEARS any files a crashed prior attempt
+  *     promoted for this batch (uncommitted — no marker — so this is
+  *     rollback, not data loss), then renames the fresh staging to
+  *     deterministic live names (`batch-<id>-<i>.parquet`, files
+  *     sorted by name within each dir) — so a crash at ANY point
   *     (mid-staging, mid-promotion, before the marker) replays to the
-  *     exact same live rows with none duplicated;
-  *  4. the determinism the caller promises is VERIFIED, not assumed: a
-  *     content fingerprint recorded before the first promotion is
-  *     compared on every retry, so a retry staging different rows
+  *     exact same live rows with none duplicated, regardless of how
+  *     the retry split rows across files;
+  *  4. the content-determinism the caller promises is VERIFIED, not
+  *     assumed: a fingerprint recorded before the first promotion is
+  *     compared on every retry, so a retry staging different ROWS
   *     (caller bug, changed session config) fails loudly instead of
-  *     silently mixing two generations through skip-existing promotion.
+  *     silently replacing one generation's content with another's.
   *
   * The `_`-prefixed staging/marker dirs sit inside the root and are
   * invisible to readers (exact-subdir reads plus Hadoop's hidden-path
@@ -117,6 +124,19 @@ object CommittedAppend {
             "swap in progress) — promotion would land files into a " +
             "generation about to be parked; retry after the fence drops")
       }
+      // Convergence must not depend on the retry reproducing the SAME
+      // row-to-file SPLIT: range-partitioned stagings resample their
+      // bounds per attempt (Spark seeds the reservoir by rdd id), and
+      // the content fingerprint is deliberately split-invariant — so a
+      // skip-existing merge of two attempts' files could duplicate or
+      // drop the rows that moved across a file boundary between them.
+      // Instead, clear every file a crashed PRIOR attempt already
+      // promoted for THIS batch (they are uncommitted — no marker —
+      // so removing them is a rollback, not data loss) and promote the
+      // fresh staging wholesale. Idempotent across repeated crashes;
+      // the fingerprint still catches content drift (a caller bug),
+      // it just no longer has to certify the split.
+      clearPromoted(fs, batchId, rootPath)
       promote(fs, batchId, stagePath, rootPath)
     }
     fs.mkdirs(new Path(s"$root/_committed"))
@@ -313,6 +333,24 @@ object CommittedAppend {
       throw new IllegalStateException(
         s"$root has in-flight committed append(s) under _staging — " +
           "retry them to completion before compacting")
+  }
+
+  /** Remove every live file a prior (crashed, unmarked) attempt of
+    * `batchId` promoted under `dstDir` — recursive, matching the
+    * deterministic `batch-<id>-<i>.parquet` names [[promote]] assigns.
+    * Run before each (re)promotion so convergence is wholesale-replace,
+    * never a skip-existing merge of two attempts' file splits.
+    */
+  private def clearPromoted(fs: FileSystem, batchId: Long,
+      dstDir: Path): Unit = {
+    if (!fs.exists(dstDir)) return
+    val prefix = s"batch-$batchId-"
+    val it = fs.listFiles(dstDir, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith(prefix) && f.getName.endsWith(".parquet"))
+        fs.delete(f, false): Unit
+    }
   }
 
   private def promote(fs: FileSystem, batchId: Long, srcDir: Path,

@@ -68,6 +68,9 @@ class CollectAuditSpec extends AnyFunSuite {
       "SQ8 per-dim (lo, hi) bounds — ≤ dims rows by construction (the groupBy key is the embedding index)"),
     ("Similarity.scala", ".select(col(\"bounds\")).head().getString(0)",
       "persisted-SQ8-index bounds JSON — one row"),
+    ("FhirStore.scala", "count_distinct(col(\"id\"))).head()",
+      "update-create duplicate-id guard — one aggregate row (count + " +
+        "distinct count) over one micro-batch"),
     ("CommittedAppend.scala", ".head()",
       "staged-batch content fingerprint — one aggregate row (count + " +
         "bit_xor of row hashes) over one micro-batch-sized staging tree"),

@@ -91,6 +91,19 @@ class FhirStoreSpec extends SparkSpec {
     assert(p10.count() == 5)
   }
 
+  test("a batch with duplicate ids is refused loudly (versions are " +
+      "assigned per batch)") {
+    val feed = freshFeed("dupids")
+    val doubled = batch().unionByName(batch().limit(2))
+    val e = intercept[IllegalArgumentException](
+      FhirStore.updateCreate(spark, feed, doubled, 11L, stamp))
+    assert(e.getMessage.contains("duplicate ids"))
+    // nothing landed: the guard fires before any staging
+    assert(spark.read.parquet(feed).count() ==
+      FhirIO.readNdjson(spark, s"$fix/Patient.history.ndjson",
+        FhirSchemas.patient).count())
+  }
+
   test("ingest respects the maintenance fence (shared CommittedAppend " +
       "lifecycle)") {
     val feed = freshFeed("fence")

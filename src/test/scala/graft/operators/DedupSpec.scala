@@ -190,7 +190,7 @@ class DedupSpec extends SparkSpec {
       "marker-lost retry duplicated bands rows")
 
     // crash MID-promotion: some promoted files present, some missing, no
-    // marker — retry must fill exactly the gaps
+    // marker — retry must converge to exactly the batch's rows
     assert(marker.delete())
     val lostBand = new java.io.File(s"$idx/bands/band=3/batch-1-0.parquet")
     assert(lostBand.exists(), "expected deterministic promoted band file name")
@@ -199,6 +199,24 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/sets").count() == sets1)
     assert(spark.read.parquet(s"$idx/bands").count() == bands1,
       "mid-promotion retry did not restore exactly the missing rows")
+
+    // SPLIT-DRIFT convergence (r20): a range-partitioned staging may
+    // split the same rows across files DIFFERENTLY on retry (Spark
+    // seeds range sampling by rdd id), so promotion must converge by
+    // wholesale replace, never a skip-existing merge. Simulate a prior
+    // attempt's leftover under a drifted split: a stray batch file
+    // whose rows the fresh staging also carries — the retry must CLEAR
+    // it, or those rows land twice.
+    assert(marker.delete())
+    val firstSet = new java.io.File(s"$idx/sets").listFiles()
+      .filter(f => f.getName.startsWith("batch-1-")
+        && f.getName.endsWith(".parquet")).minBy(_.getName)
+    java.nio.file.Files.copy(firstSet.toPath,
+      new java.io.File(s"$idx/sets/batch-1-97.parquet").toPath)
+    assert(Dedup.appendToLshIndexCommitted(spark, idx, batch, 1L))
+    assert(spark.read.parquet(s"$idx/sets").count() == sets1,
+      "retry merged a stale prior-split file instead of replacing it — " +
+        "rows duplicated")
 
     // the recorded content fingerprint covers BOTH staged schemas —
     // one mixed recursive read would silently fingerprint only the

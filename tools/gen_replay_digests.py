@@ -29,7 +29,14 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import bpe_replay  # noqa: E402
 
-SCALES = ["sf0.001", "sf0.01", "sf0.1"]
+# driver scales plus the sweep fixtures (target/sf1, target/sf10 —
+# recorded when present so the sf1/sf10 heavy-gate sweeps keep their
+# oracle instead of regressing to a 0-row lookup)
+SCALES = [("sf0.001", "/root/testdata/sf0.001"),
+          ("sf0.01", "/root/testdata/sf0.01"),
+          ("sf0.1", "/root/testdata/sf0.1"),
+          ("sf1", "/root/repo/target/sf1"),
+          ("sf10", "/root/repo/target/sf10")]
 OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures",
                    "replay_digests.csv")
 
@@ -75,8 +82,12 @@ def compress_digest(rows):
 
 def main():
     recs = []
-    for sf in SCALES:
-        rows = pq.read_table(f"/root/testdata/{sf}/documents.parquet",
+    for sf, base in SCALES:
+        path = f"{base}/documents.parquet"
+        if not os.path.exists(path):
+            print(f"{sf}: {path} absent, skipped")
+            continue
+        rows = pq.read_table(path,
                              columns=["doc_id", "text"]).to_pylist()
         cm = corpus_md5(rows)
         tok, pack = bpe_digests(rows)
