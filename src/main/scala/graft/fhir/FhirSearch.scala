@@ -1219,8 +1219,8 @@ object FhirSearch {
     // `related` is THE assay back-link: assay.py:215-222 writes
     // `ServiceRequest/<assay_id>` into context.related, so "which
     // documents belong to this Assay?" (scripts/README-assay.md:7-9) is
-    // `DocumentReference?related=ServiceRequest/<id>` — an array-exists
-    // predicate that pushes into the scan, never a join
+    // `DocumentReference?related=ServiceRequest/<id>` — an scan-local
+    // array-exists predicate — one filtered scan, no join (PlanAuditSpec)
     case ("DocumentReference", "status") => strParam(col("status"))
     case ("DocumentReference", "subject" | "patient") =>
       refParam(col("subject").getField("reference"))

@@ -265,4 +265,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
       p.take(1500))
   }
+
+  test("search_docref_related (r20): the assay back-link is a scan-local " +
+      "array-exists predicate — no join of any kind; the chain through " +
+      "the array stays equi-joins end to end") {
+    // "which documents belong to this Assay?" must cost one filtered
+    // scan of the doc store at 100 TB, never a join against
+    // ServiceRequest; the exists predicate evaluates per row at the scan
+    val p = plan("search_docref_related")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.toLowerCase.contains("exists"), p.take(1500))
+    // the type-qualified chain routes through the exploded equi-semi-join
+    // (ArrayRefParams) — never an array-contains theta join, which would
+    // plan a nested loop at scale
+    val chain = plan("search_docref_related_chain")
+    assert(!chain.contains("BroadcastNestedLoopJoin") &&
+      !chain.contains("CartesianProduct"), chain.take(1500))
+  }
+
+  test("fhir_update_create (r20): the prior-version map is one " +
+      "shuffle-on-id aggregation — no window sort, no forced broadcast") {
+    // version assignment must scale like the log-to-snapshot compaction
+    // it mirrors: HashAggregate on id, the micro-batch joined by AQE's
+    // choice (unforced), never a global Window over the feed
+    val df = graft.fhir.FhirStore.updateCreateRows(
+      graft.fhir.FhirIO.readNdjson(spark,
+        "/root/repo/fixtures/fhir/Patient.history.ndjson",
+        graft.fhir.FhirSchemas.patient),
+      graft.fhir.FhirIO.readNdjson(spark,
+        "/root/repo/fixtures/fhir/Patient.ingest.ndjson",
+        graft.fhir.FhirSchemas.patient),
+      "2025-01-15T00:00:00Z")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("broadcast(") || !p.contains("ResolvedHint"),
+      "forced broadcast hint on the feed side")
+  }
 }
