@@ -20,8 +20,9 @@ import graft.util.CommittedAppend
   * side uses — no window sort), and the batch joins it on id; the batch
   * is micro-batch-sized, so AQE broadcasts it unforced. Nothing is
   * collected; exactly-once under an at-least-once scheduler comes from
-  * [[CommittedAppend]] (marker + deterministic staging + skip-existing
-  * promotion), the same lifecycle as the LSH/IVF index appends.
+  * [[CommittedAppend]] (marker + deterministic staging +
+  * clear-then-promote wholesale replace), the same lifecycle as the
+  * LSH/IVF index appends.
   */
 object FhirStore {
 
@@ -68,22 +69,31 @@ object FhirStore {
     * batch, false when a prior attempt already committed it (replay =
     * no-op). Crash-safe at every point: the prior-version map is
     * computed over the feed EXCLUDING this batch's own promoted files,
-    * so a retry after a crash mid-promotion re-stages byte-identical
-    * rows (the [[CommittedAppend]] determinism fingerprint verifies
-    * this) and skip-existing promotion converges on exactly one copy of
+    * so a retry after a crash mid-promotion re-stages row-identical
+    * content (the [[CommittedAppend]] determinism fingerprint verifies
+    * this) and clear-then-promote convergence lands exactly one copy of
     * each version row.
     */
   def updateCreate(spark: SparkSession, feedDir: String, batch: DataFrame,
       batchId: Long, lastUpdated: String): Boolean =
     CommittedAppend.run(spark, feedDir, batchId) { stage =>
-      updateCreateRows(feedWithout(spark, feedDir, batchId), batch,
-        lastUpdated)
-        // one micro-batch, one file: the deterministic-staging contract
-        // (batch-scale data; a backfill-sized ingest should split into
-        // several updateCreate batches, which also bounds retry cost)
-        .repartition(1)
-        .sortWithinPartitions(col("id"))
-        .write.mode("overwrite").parquet(stage)
+      // scale-adaptive staged width (the outFiles policy of the other
+      // committed appends, r21): a micro-batch still lands one id-sorted
+      // file, but a backfill-sized batch encodes core-wide instead of
+      // serializing through a single repartition(1) task — the last
+      // single-task encode the r20 parallel-append pass left behind.
+      // The batch is cached first so the width count, the duplicate-id
+      // guard aggregate, and the prior-version join all read ONE
+      // execution of what may be a derived plan.
+      val b = batch.cache()
+      try {
+        updateCreateRows(feedWithout(spark, feedDir, batchId), b,
+          lastUpdated)
+          .repartitionByRange(
+            CommittedAppend.outFilesFor(spark, b.count()), col("id"))
+          .sortWithinPartitions(col("id"))
+          .write.mode("overwrite").parquet(stage)
+      } finally { b.unpersist(); () }
     }
 
   /** The feed's data files minus the ones `batchId` itself promoted —
@@ -99,7 +109,19 @@ object FhirStore {
     val root = new Path(feedDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val own = s"batch-$batchId-"
-    val files = fs.listStatus(root).toSeq
+    val entries = fs.listStatus(root).toSeq
+    // the listing below is deliberately top-level-only; a partitioned or
+    // subdir-compacted feed would silently vanish from the prior-version
+    // map and updateCreate would assign COLLIDING (id, versionId) pairs —
+    // fail loudly instead of corrupting version assignment
+    val dataDirs = entries.filter(e => e.isDirectory &&
+      !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+    require(dataDirs.isEmpty,
+      s"update-create feed $feedDir contains data subdirectories " +
+        s"(${dataDirs.map(_.getPath.getName).mkString(", ")}) — the feed " +
+        "layout contract is flat top-level files; a partitioned feed " +
+        "would silently drop rows from the prior-version map")
+    val files = entries
       .filter(_.isFile)
       .map(_.getPath)
       .filter { p =>

@@ -536,13 +536,14 @@ object Dedup {
   /** Exactly-once [[appendToLshIndex]]: the committed-batch variant an
     * at-least-once scheduler (foreachBatch, a retrying cron) can call
     * blindly — [[graft.util.CommittedAppend]]'s marker + deterministic
-    * staging + skip-existing promotion discipline over this index's
+    * staging + clear-then-promote (wholesale replace) discipline over this index's
     * layout (sets range-partitioned on doc_id into `setsFiles` sorted
-    * files, ≤0 → spark.sql.shuffle.partitions — a backfill-sized batch
-    * shingles through every core, and per-file doc_id stats keep the
-    * verify join's scan pruned; bands hash-routed on `band`, so each
-    * staged band= dir holds exactly one file and probe-side bsig
-    * pushdown keeps pruning). Every crash window (mid-staging,
+    * files, ≤0 → batch-row-count adaptive via
+    * [[graft.util.CommittedAppend.outFilesFor]] — a backfill-sized batch
+    * shingles through every core while a micro-batch stages one file,
+    * and per-file doc_id stats keep the verify join's scan pruned;
+    * bands hash-routed on `band`, so each staged band= dir holds
+    * exactly one file and probe-side bsig pushdown keeps pruning). Every crash window (mid-staging,
     * mid-promotion, marker lost) replays to the exact same live rows
     * with none duplicated; probes never see staging. Returns true iff
     * this call landed the batch.
@@ -555,8 +556,11 @@ object Dedup {
       val sh = newDocs.select(col("doc_id"),
         family.shingles(col("text"), n).as("sh")).cache()
       try {
+        // scale-adaptive width (one count on the cached batch frame —
+        // it fills the cache both sinks consume): a micro-batch stages
+        // one sets file, a backfill still shingles core-wide
         val nf = if (setsFiles > 0) setsFiles
-          else spark.sessionState.conf.numShufflePartitions
+          else graft.util.CommittedAppend.outFilesFor(spark, sh.count())
         sh.repartitionByRange(nf, col("doc_id"))
           .sortWithinPartitions("doc_id")
           .write.mode("overwrite").parquet(s"$stage/sets")

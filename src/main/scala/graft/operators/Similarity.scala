@@ -1136,23 +1136,30 @@ object Similarity {
     * batch.
     *
     * The staged codes range-partition on vec_id into `outFiles` sorted
-    * files (≤0 derives the width from spark.sql.shuffle.partitions —
-    * the [[graft.streaming.FilePipelines.packedDeliveryBatch]] sink
-    * policy): a backfill-sized batch encodes through every core instead
-    * of ONE task, each file keeps tight vec_id row-group stats, and
-    * range sampling over the same batch lineage stays deterministic for
-    * the retry fingerprint. Compaction restores file-count hygiene.
+    * files (≤0 derives the width from the batch's row count —
+    * [[graft.util.CommittedAppend.outFilesFor]]): a backfill-sized
+    * batch encodes through every core instead of ONE task while a
+    * micro-batch stages a single file, each file keeps tight vec_id
+    * row-group stats, and range sampling over the same batch lineage
+    * stays deterministic for the retry fingerprint. Compaction
+    * restores file-count hygiene.
     */
   def appendToPqIndexCommitted(spark: SparkSession, path: String,
       newVecs: DataFrame, batchId: Long, outFiles: Int = 0): Boolean =
     graft.util.CommittedAppend.run(spark, path, batchId) { stage =>
       val (_, cb) = readPqIndex(spark, path)
-      val n = if (outFiles > 0) outFiles
-        else spark.sessionState.conf.numShufflePartitions
-      pqEncode(newVecs, cb)
-        .repartitionByRange(n, col("vec_id"))
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite").parquet(s"$stage/codes")
+      // cache before the adaptive-width count: the batch may be a derived
+      // plan, and the count should fill the cache the encode consumes,
+      // not add a second execution of it
+      val vecs = newVecs.select(col("vec_id"), col("embedding")).cache()
+      try {
+        val n = if (outFiles > 0) outFiles
+          else graft.util.CommittedAppend.outFilesFor(spark, vecs.count())
+        pqEncode(vecs, cb)
+          .repartitionByRange(n, col("vec_id"))
+          .sortWithinPartitions("vec_id")
+          .write.mode("overwrite").parquet(s"$stage/codes")
+      } finally { vecs.unpersist(); () }
     }
 
   /** Compact a persisted PQ index's code table into `files` vec_id-
@@ -1415,22 +1422,27 @@ object Similarity {
 
   /** Exactly-once [[appendToSq8Index]] — [[graft.util.CommittedAppend]]
     * over the flat `codes/` layout. The staged codes range-partition on
-    * vec_id into `outFiles` sorted files (≤0 → spark.sql.shuffle
-    * .partitions — the [[appendToPqIndexCommitted]] policy: encode
-    * through every core, keep per-file vec_id stats tight, compaction
-    * restores file-count hygiene). Returns true iff this call landed
-    * the batch.
+    * vec_id into `outFiles` sorted files (≤0 → batch-row-count adaptive,
+    * [[graft.util.CommittedAppend.outFilesFor]] — the
+    * [[appendToPqIndexCommitted]] policy: a backfill encodes through
+    * every core, a micro-batch stages one file, per-file vec_id stats
+    * stay tight, compaction restores file-count hygiene). Returns true
+    * iff this call landed the batch.
     */
   def appendToSq8IndexCommitted(spark: SparkSession, path: String,
       newVecs: DataFrame, batchId: Long, outFiles: Int = 0): Boolean =
     graft.util.CommittedAppend.run(spark, path, batchId) { stage =>
       val (_, lo, hi) = readSq8Index(spark, path)
-      val n = if (outFiles > 0) outFiles
-        else spark.sessionState.conf.numShufflePartitions
-      sq8Encode(newVecs, lo, hi)
-        .repartitionByRange(n, col("vec_id"))
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite").parquet(s"$stage/codes")
+      // cache-then-count, the appendToPqIndexCommitted discipline
+      val vecs = newVecs.select(col("vec_id"), col("embedding")).cache()
+      try {
+        val n = if (outFiles > 0) outFiles
+          else graft.util.CommittedAppend.outFilesFor(spark, vecs.count())
+        sq8Encode(vecs, lo, hi)
+          .repartitionByRange(n, col("vec_id"))
+          .sortWithinPartitions("vec_id")
+          .write.mode("overwrite").parquet(s"$stage/codes")
+      } finally { vecs.unpersist(); () }
     }
 
   /** Compact a persisted SQ8 index's code table into `files` vec_id-

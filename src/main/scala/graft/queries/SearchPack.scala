@@ -1359,11 +1359,15 @@ object SearchPack extends QueryPack {
               |ORDER BY system, code""".stripMargin)),
 
     // $lookup: one concept's display, parent, and sorted children from
-    // the flattened hierarchy
+    // the flattened hierarchy. child_codes is serialized to a
+    // comma-joined string on BOTH sides: the driver's pandas comparator
+    // sorts result frames and cannot hash array cells (r20: the board's
+    // only red gate was this harness limitation, not a semantic miss).
     QueryDef(
       "fhir_lookup",
       (s, _) => eng(s).search("CodeSystem/$lookup?" +
-        "system=http://snomed.info/sct&code=73211009"),
+        "system=http://snomed.info/sct&code=73211009")
+        .withColumn("child_codes", array_join(col("child_codes"), ",")),
       Some(s"""WITH nodes AS (
               |  SELECT l1.code AS code, l1.display AS display,
               |         CAST(NULL AS VARCHAR) AS parent,
@@ -1385,7 +1389,8 @@ object SearchPack extends QueryPack {
               |  WHERE cs.url = 'http://snomed.info/sct'
               |)
               |SELECT 'http://snomed.info/sct' AS system, code, display,
-              |       parent AS parent_code, child_codes
+              |       parent AS parent_code,
+              |       array_to_string(child_codes, ',') AS child_codes
               |FROM nodes WHERE code = '73211009'""".stripMargin)),
 
     // :in through an intensional ValueSet — the modifier now expands

@@ -647,7 +647,7 @@ object FilePipelines {
     * spanning boundaries, the GPT-pretraining batch shape) and appended
     * to the packed store EXACTLY ONCE via
     * [[graft.util.CommittedAppend]] (marker + deterministic staging +
-    * fingerprint-checked skip-existing promotion), so an at-least-once
+    * fingerprint-checked clear-then-promote), so an at-least-once
     * replay can never deliver a segment's sequences twice — a training
     * job reading the store sees each curated document exactly once.
     *
@@ -669,21 +669,32 @@ object FilePipelines {
     * lineage, so a retry re-stages row-equivalent files per position
     * (the CommittedAppend determinism contract; the fingerprint check
     * still fails loudly if data or session config drifted between
-    * retries). `outFiles` <= 0 derives the width from
-    * spark.sql.shuffle.partitions; empty range slices write no file.
+    * retries). `outFiles` <= 0 derives the width from the batch's row
+    * count ([[graft.util.CommittedAppend.outFilesFor]] — a micro-batch
+    * delivers one file, a backfill packs core-wide); empty range slices
+    * write no file.
     */
   def packedDeliveryBatch(batch: DataFrame, storeDir: String,
       batchId: Long, seqLen: Int = 256, outFiles: Int = 0): Boolean = {
     val spark = batch.sparkSession
-    val n = if (outFiles > 0) outFiles
-      else spark.sessionState.conf.numShufflePartitions
     // scoped: packSequencesGlobal Scratch-caches its ranged frame; a
     // continuous delivery would accrete one cache per micro-batch
     graft.util.Scratch.scoped(spark) {
+      // the batch may be an EXPENSIVE plan (a whole curation funnel, not
+      // just a file read), so the adaptive-width row count must not
+      // recompute it: cache first — the count fills the cache the
+      // packing pass then consumes, keeping the funnel at ONE execution
+      val docs = graft.util.Scratch.cached(
+        batch.select(col("doc_id"), col("text")))
+      // width from the batch's own document count (packed-sequence rows
+      // are <= document rows at any seqLen above the mean doc length, so
+      // this over-provisions slightly, never starves): a micro-batch
+      // delivers one file per epoch, a backfill packs core-wide
+      val n = if (outFiles > 0) outFiles
+        else graft.util.CommittedAppend.outFilesFor(spark, docs.count())
       graft.util.CommittedAppend.run(spark, storeDir, batchId) { stage =>
         graft.operators.Sampling.packSequencesGlobal(
-            batch.select(col("doc_id"), col("text")), col("doc_id"),
-            col("text"), seqLen)
+            docs, col("doc_id"), col("text"), seqLen)
           .repartitionByRange(n, col("seq_id"), col("doc_key"))
           .sortWithinPartitions("seq_id", "doc_key")
           .write.mode("overwrite").parquet(s"$stage/epoch=$batchId")

@@ -52,12 +52,36 @@ import org.apache.spark.sql.SparkSession
   * filter); nothing existing is rewritten.
   *
   * Promotion relies on atomic FILE rename (local FS, HDFS). Plain S3A
-  * emulates rename as copy+delete — still convergent here (a retry
-  * skips destinations that exist and re-stages the rest), but the
-  * copy is O(file size); prefer an atomic-rename layer for large
-  * segments on raw object storage.
+  * emulates rename as copy+delete — convergence (clear-then-promote
+  * wholesale replace) still holds because a retry re-clears and
+  * re-promotes from scratch, but the window where a batch's live files
+  * are partially cleared/copied is LONGER than a rename (each copy is
+  * O(file size)); prefer an atomic-rename layer for large segments on
+  * raw object storage.
   */
 object CommittedAppend {
+
+  /** Scale-adaptive staged-file width for a committed append: enough
+    * range slices that a backfill-sized batch parquet-encodes core-wide
+    * (the r20-measured 4.2× on a 1M-row backfill), but a micro-batch
+    * stages ONE file instead of `spark.sql.shuffle.partitions`
+    * near-empty ones — every staged file is paid for three more times
+    * downstream (fingerprint read, promote rename, compaction fold),
+    * and at 100 TB sink health is file-SIZE driven (guide §6), not
+    * core-count driven. Deliberately row-based, not plan-stats based:
+    * the caller has the batch in hand (usually cached), a row count is
+    * deterministic across retries, and size estimates from JSON/stream
+    * sources are unreliable. `spark.graft.append.rowsPerStagedFile`
+    * (default 32768) tunes the slice size per deployment; the width is
+    * capped at spark.sql.shuffle.partitions as before.
+    */
+  def outFilesFor(spark: SparkSession, rows: Long): Int = {
+    val rowsPerFile = spark.conf
+      .getOption("spark.graft.append.rowsPerStagedFile")
+      .map(_.toLong).getOrElse(32768L)
+    val cap = spark.sessionState.conf.numShufflePartitions.toLong
+    math.min(cap, math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile)).toInt
+  }
 
   def run(spark: SparkSession, root: String, batchId: Long)(
       stageWrites: String => Unit): Boolean = {
@@ -81,13 +105,14 @@ object CommittedAppend {
     assertNotFenced(fs, root, batchId)
     stageWrites(stage)
     if (fs.exists(stagePath)) {
-      // determinism guard: skip-existing promotion is only exactly-once
-      // if a retry re-stages byte-equivalent rows. Record a content
-      // fingerprint (row count + order-free row-hash fold) beside the
-      // marker before the FIRST promotion; a retry whose re-staged
-      // content disagrees would otherwise silently mix files from two
-      // generations (old names kept, new names added) — fail it loudly
-      // instead. One bounded aggregate over the micro-batch-sized stage.
+      // determinism guard: promotion is only exactly-once if a retry
+      // re-stages row-equivalent content. Record a content fingerprint
+      // (row count + order-free row-hash fold) beside the marker before
+      // the FIRST promotion; a retry whose re-staged content disagrees
+      // would otherwise silently replace one generation's content with
+      // another's (caller bug: data or session config drifted between
+      // retries) — fail it loudly instead. One bounded aggregate over
+      // the micro-batch-sized stage.
       val fp = fingerprint(spark, stage)
       val fpWasAbsent = !fs.exists(fpPath)
       if (!fpWasAbsent) {
@@ -136,7 +161,7 @@ object CommittedAppend {
       // fresh staging wholesale. Idempotent across repeated crashes;
       // the fingerprint still catches content drift (a caller bug),
       // it just no longer has to certify the split.
-      clearPromoted(fs, batchId, rootPath)
+      clearPromoted(fs, batchId, stagePath, rootPath)
       promote(fs, batchId, stagePath, rootPath)
     }
     fs.mkdirs(new Path(s"$root/_committed"))
@@ -226,8 +251,9 @@ object CommittedAppend {
     * without the fold, a retry re-staging identical (vec_id, embedding)
     * rows under DRIFTED partition routing (changed centroids — the exact
     * caller-bug case this guard exists for) would fingerprint equal and
-    * skip-existing promotion would land the batch a second time under
-    * new `cell=` dirs. Only the subpath BELOW `_staging/batch=<id>` is
+    * promotion would land the batch a second time under
+    * new `cell=` dirs (which clearPromoted, mirroring only the CURRENT
+    * staging tree, would not address). Only the subpath BELOW `_staging/batch=<id>` is
     * folded (never the absolute URI): a legitimate retry through a
     * different-but-equivalent root spelling — moved index root, `file:/`
     * vs scheme-qualified, a different mount — must not fail the
@@ -321,8 +347,9 @@ object CommittedAppend {
 
   /** Refuse index MAINTENANCE while a committed append is in flight: a
     * compaction that folds a crashed-but-promoted batch's files away
-    * BEFORE its retry re-commits would erase the skip-existing
-    * promotion names, letting the retry land the batch a SECOND time.
+    * BEFORE its retry re-commits would erase the `batch-<id>-*` names
+    * clearPromoted keys its rollback on, letting the retry land the
+    * batch a SECOND time.
     * The staging dir outlives every crash window until the marker is
     * written (and a committed retry clears leftovers), so its presence
     * IS the in-flight signal.
@@ -336,21 +363,35 @@ object CommittedAppend {
   }
 
   /** Remove every live file a prior (crashed, unmarked) attempt of
-    * `batchId` promoted under `dstDir` — recursive, matching the
-    * deterministic `batch-<id>-<i>.parquet` names [[promote]] assigns.
-    * Run before each (re)promotion so convergence is wholesale-replace,
-    * never a skip-existing merge of two attempts' file splits.
+    * `batchId` promoted — matching the deterministic
+    * `batch-<id>-<i>.parquet` names [[promote]] assigns. Run before each
+    * (re)promotion so convergence is wholesale-replace, never a
+    * skip-existing merge of two attempts' file splits.
+    *
+    * Walks only the live dirs that MIRROR the staging tree's relative
+    * layout (the same recursion [[promote]] performs), never the whole
+    * index: a full `fs.listFiles(root, true)` here made per-micro-batch
+    * commit cost grow with index LIFETIME (every committed batch's
+    * files, all band/cell dirs) instead of with staged-file count.
+    * Completeness argument: any promoted file of this batch lives in a
+    * dir mirroring the staging tree of the attempt that promoted it, and
+    * the content fingerprint — recorded BEFORE the first promotion and
+    * verified on every retry — pins that attempt's directory ROUTING to
+    * this attempt's (the dir subpath is folded into every row's hash),
+    * so the current staging tree addresses every dir a prior attempt
+    * could have written.
     */
   private def clearPromoted(fs: FileSystem, batchId: Long,
-      dstDir: Path): Unit = {
+      srcDir: Path, dstDir: Path): Unit = {
     if (!fs.exists(dstDir)) return
     val prefix = s"batch-$batchId-"
-    val it = fs.listFiles(dstDir, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.startsWith(prefix) && f.getName.endsWith(".parquet"))
-        fs.delete(f, false): Unit
-    }
+    fs.listStatus(dstDir).filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) &&
+        p.getName.endsWith(".parquet"))
+      .foreach(p => fs.delete(p, false): Unit)
+    fs.listStatus(srcDir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .foreach(d => clearPromoted(fs, batchId, d, new Path(dstDir, d.getName)))
   }
 
   private def promote(fs: FileSystem, batchId: Long, srcDir: Path,
@@ -362,8 +403,18 @@ object CommittedAppend {
     if (files.nonEmpty) { fs.mkdirs(dstDir): Unit }
     files.zipWithIndex.foreach { case (src, i) =>
       val dst = new Path(dstDir, s"batch-$batchId-$i.parquet")
-      if (fs.exists(dst)) { fs.delete(src, false): Unit }
-      else if (!fs.rename(src, dst))
+      // After clearPromoted the destination can never legitimately exist:
+      // convergence is wholesale-replace, so an existing name here means
+      // two concurrent attempts of the SAME batch raced past
+      // clearPromoted — a silent skip would merge two range-partitioned
+      // splits (exactly the duplicate/drop hazard wholesale-replace
+      // eliminates). Fail loudly instead.
+      if (fs.exists(dst))
+        throw new IllegalStateException(
+          s"promote: $dst already exists after clearPromoted — two " +
+            s"concurrent attempts of batch $batchId are racing; committed " +
+            "appends require one writer per batch id")
+      if (!fs.rename(src, dst))
         throw new java.io.IOException(s"promote: rename $src -> $dst failed")
     }
     entries.filter(_.isDirectory).map(_.getPath)

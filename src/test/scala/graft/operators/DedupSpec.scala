@@ -164,6 +164,11 @@ class DedupSpec extends SparkSpec {
     Dedup.writeLshIndex(base, full)
     Dedup.writeLshIndex(base.filter(col("doc_id") < 200), idx)
     val batch = base.filter(col("doc_id") >= 200)
+    // staged width is batch-row-count adaptive (r21): at the default
+    // 32768 rows/file this 200-doc batch would stage ONE file, so pin
+    // the slice knob low for this test — the multi-file promoted layout
+    // and every crash window below then exercise the wide regime
+    spark.conf.set("spark.graft.append.rowsPerStagedFile", "64")
     assert(Dedup.appendToLshIndexCommitted(spark, idx, batch, 1L),
       "first append must land the batch")
     val sets1 = spark.read.parquet(s"$idx/sets").count()
@@ -293,6 +298,17 @@ class DedupSpec extends SparkSpec {
       "committed retry did not clear its stale staging")
     Dedup.compactLshIndex(spark, idx) // unstuck
     assert(pairs(idx) == wanted)
+    spark.conf.unset("spark.graft.append.rowsPerStagedFile")
+
+    // adaptive width, micro-batch regime (default slice size): a tiny
+    // batch stages exactly ONE sets file instead of one per shuffle
+    // partition — the file-hygiene half of the r21 adaptive policy
+    val micro = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    assert(Dedup.appendToLshIndexCommitted(spark, idx, micro, 2L))
+    assert(parquets(new java.io.File(s"$idx/sets"))
+      .count(_.getName.startsWith("batch-2-")) == 1,
+      "micro-batch staged more than one sets file under the adaptive width")
   }
 
   test("edit-distance near-dups: banded blocking loses no qualifying pair") {

@@ -225,6 +225,9 @@ class SimilaritySpec extends SparkSpec {
     val rest = corpus.filter(col("vec_id") >= 250)
     val dir = s"${System.getProperty("java.io.tmpdir")}/sq8cmt_${spark.sparkContext.applicationId}"
     Similarity.writeSq8Index(half, dir)
+    // wide-regime staging for this 250-vec batch (see the PQ lifecycle
+    // test): the adaptive default would stage one file
+    spark.conf.set("spark.graft.append.rowsPerStagedFile", "64")
     assert(Similarity.appendToSq8IndexCommitted(spark, dir, rest, 1L))
     val n1 = spark.read.parquet(s"$dir/codes").count()
     assert(n1 == corpus.count())
@@ -246,6 +249,7 @@ class SimilaritySpec extends SparkSpec {
     assert(files == 1, s"codes not compacted to one file: $files")
     assert(spark.read.parquet(s"$dir/codes").collect().toSet == before,
       "compaction changed the code table")
+    spark.conf.unset("spark.graft.append.rowsPerStagedFile")
   }
 
   test("recoverSq8Index: a torn compaction swap is restorable WITHOUT running another compaction") {
@@ -273,8 +277,9 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.appendToSq8IndexCommitted(spark, dir, restA, 1L))
     // lose the marker (the crash window a blind retry replays), then
     // retry the SAME batch id with DIFFERENT rows — the caller-bug /
-    // changed-config case skip-existing promotion would silently mix:
-    // the recorded fingerprint must fail it loudly instead
+    // changed-config case that would silently replace one generation's
+    // content with another's: the recorded fingerprint must fail it
+    // loudly instead
     assert(new java.io.File(s"$dir/_committed/batch-1").delete())
     val e = intercept[IllegalStateException] {
       Similarity.appendToSq8IndexCommitted(spark, dir, restB, 1L)
@@ -292,6 +297,10 @@ class SimilaritySpec extends SparkSpec {
     val half = corpus.filter(col("vec_id") < 250)
     val rest = corpus.filter(col("vec_id") >= 250)
     Similarity.writePqIndex(half, Similarity.pqCodebooks(half), dir)
+    // pin the adaptive-width slice knob low so this 250-vec batch
+    // exercises the wide (backfill) staging regime (r21: default 32768
+    // rows/file stages micro-batches as ONE file)
+    spark.conf.set("spark.graft.append.rowsPerStagedFile", "64")
     assert(Similarity.appendToPqIndexCommitted(spark, dir, rest, 1L))
     val n1 = spark.read.parquet(s"$dir/codes").count()
     assert(n1 == corpus.count())
@@ -309,7 +318,7 @@ class SimilaritySpec extends SparkSpec {
         && f.getName.endsWith(".parquet"))
     assert(batchFiles > 1,
       s"committed PQ append still single-file ($batchFiles)")
-    // blind retry no-op; marker-lost retry converges via skip-existing
+    // blind retry no-op; marker-lost retry converges via clear-then-promote
     assert(!Similarity.appendToPqIndexCommitted(spark, dir, rest, 1L))
     val marker = new java.io.File(s"$dir/_committed/batch-1")
     assert(marker.exists() && marker.delete())
@@ -343,6 +352,7 @@ class SimilaritySpec extends SparkSpec {
       .intersect(brute.select("query_id", "vec_id")).count()
     assert(hit >= (brute.count() * 6) / 10,
       s"grown-index pruned recall too low: $hit / ${brute.count()}")
+    spark.conf.unset("spark.graft.append.rowsPerStagedFile")
   }
 
   test("IVF×SQ8: exhaustive probe == pure-ADC SQ8; pruned rows keep exact ADC scores") {
@@ -455,7 +465,7 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.appendToIvfIndexCommitted(spark, dir, half2, 1L))
     val n1 = spark.read.parquet(s"$dir/cells").count()
     assert(n1 == half1.count() + half2.count())
-    // blind retry: no-op; marker-lost retry: skip-existing keeps rows single
+    // blind retry: no-op; marker-lost retry: wholesale replace keeps rows single
     assert(!Similarity.appendToIvfIndexCommitted(spark, dir, half2, 1L))
     assert(spark.read.parquet(s"$dir/cells").count() == n1)
     val marker = new java.io.File(s"$dir/_committed/batch-1")
@@ -805,8 +815,9 @@ class SimilaritySpec extends SparkSpec {
     // re-stages the SAME (vec_id, embedding) rows under DIFFERENT cell
     // routing. The rows are identical — only the cell= partition
     // DIRECTORIES differ — so a fingerprint that drops partition-derived
-    // columns would pass and skip-existing promotion would land the
-    // batch's vectors a second time under new cell= dirs. The directory
+    // columns would pass and promotion would land the batch's vectors a
+    // second time under new cell= dirs (which clearPromoted, mirroring
+    // only the CURRENT staging tree, would not address). The directory
     // fold must turn that into the promised loud failure.
     val dir = s"${System.getProperty("java.io.tmpdir")}/ivfdriftretry_${spark.sparkContext.applicationId}"
     val half1 = corpus.filter(col("vec_id") % 2 === 0)
