@@ -274,7 +274,16 @@ object Layout {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val saved = spark.conf.getOption(key)
     try {
+      // REBALANCE on the partition column before the dynamic-partitioned
+      // write (guide §6): without it every write task holds rows of
+      // every touched partition and opens one file per (task, partition)
+      // — tasks × partitions near-empty files, paid again when the
+      // overwrite job re-reads and re-writes them. The rebalance hint
+      // clusters rows by partition at AQE's advisory size, so each
+      // touched partition lands as ~one right-sized file (and a skewed
+      // partition still splits — unlike a plain repartition(partCol)).
       merged.select(existing.columns.map(col): _*)
+        .hint("rebalance", col(partCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(stage)
       // staging-complete marker: OUR OWN, not the committer's optional
       // _SUCCESS (cloud committers commonly run with

@@ -723,7 +723,11 @@ object RelationalPack extends QueryPack {
         val out = graft.util.TempFixtures.dir(s, "merge_orders", d) { path =>
           val base = T.orders(s, d)
             .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-          base.write.mode("overwrite").partitionBy("o_month").parquet(path)
+          // rebalance on the partition column: without it every scan
+          // task opens one file per month — splits x ~80 months of
+          // near-empty files the merge then re-lists (guide §6)
+          base.hint("rebalance", col("o_month"))
+            .write.mode("overwrite").partitionBy("o_month").parquet(path)
           val touched = base.filter(col("o_month").isin("1997-03", "1997-04"))
           val replaced = touched.filter(col("o_orderkey") % 97 === 0)
             .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
@@ -790,7 +794,11 @@ object RelationalPack extends QueryPack {
         val out = graft.util.TempFixtures.dir(s, "merge_del_orders", d) { path =>
           val base = T.orders(s, d)
             .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-          base.write.mode("overwrite").partitionBy("o_month").parquet(path)
+          // rebalance on the partition column: without it every scan
+          // task opens one file per month — splits x ~80 months of
+          // near-empty files the merge then re-lists (guide §6)
+          base.hint("rebalance", col("o_month"))
+            .write.mode("overwrite").partitionBy("o_month").parquet(path)
           val touched = base.filter(
             col("o_month").isin("1997-03", "1997-04", "1997-05"))
           val tombs = touched.filter(
@@ -1241,6 +1249,7 @@ object RelationalPack extends QueryPack {
         val out = graft.util.TempFixtures.dir(s, "part_orders", d) { path =>
           T.orders(s, d)
             .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+            .hint("rebalance", col("o_month")) // one file per month, not per (task, month)
             .write.mode("overwrite").partitionBy("o_month").parquet(path)
         }
         s.read.parquet(out)

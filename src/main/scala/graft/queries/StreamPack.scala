@@ -528,6 +528,7 @@ object StreamPack extends QueryPack {
               col("user_id"), col("event_type"), col("value"))
             .withColumn("day", to_date(col("ts")))
           ev.filter(col("event_id") % 3 =!= 0)
+            .hint("rebalance", col("day")) // one file per day, not per (task, day)
             .write.mode("overwrite").partitionBy("day")
             .parquet(s"$path/table")
           val seg1 = ev.filter(col("event_id") % 3 === 0 &&
