@@ -264,7 +264,9 @@ object CommittedAppend {
     * Subtrees compose in name order, so the whole fingerprint is
     * deterministic; each aggregate is order-free, so task scheduling
     * cannot move it; cheap — one bounded aggregate per subtree over one
-    * micro-batch.
+    * micro-batch, all of them unioned into a SINGLE collect job (r21:
+    * the per-subtree head() loop paid one job round-trip per staged
+    * schema per append).
     */
   private def fingerprint(spark: SparkSession, stage: String): String = {
     import org.apache.spark.sql.functions._
@@ -275,7 +277,8 @@ object CommittedAppend {
         && !e.getPath.getName.startsWith("."))
     val dirs = entries.filter(_.isDirectory).map(_.getPath.getName).sorted
     val rootFiles = entries.filter(_.isFile).map(_.getPath.toString).sorted
-    def fpOf(df: org.apache.spark.sql.DataFrame): String = {
+    def fpFrame(df: org.apache.spark.sql.DataFrame,
+        label: String): org.apache.spark.sql.DataFrame = {
       // group 1 = the directory subpath between the stage root and the
       // file basename ("" for a flat stage, "/cells/cell=3" under
       // partitionBy routing) — root-addressing-invariant by construction.
@@ -294,16 +297,12 @@ object CommittedAppend {
           regexp_extract(col("_graft_fp_file"), stageRx, 1))
       val cols = (df.columns.map(c => s"`$c`") :+ "`_graft_fp_dir`")
         .mkString(", ")
-      val r = withDir.agg(count(lit(1)), expr(s"bit_xor(xxhash64($cols))"),
-        max(when(!col("_graft_fp_file").rlike(stageRx),
-          col("_graft_fp_file")))).head()
-      if (!r.isNullAt(2))
-        throw new IllegalStateException(
-          s"committed append fingerprint: staged file '${r.getString(2)}' " +
-            "is not under a _staging/batch=<id> layout — the stage tree " +
-            "is malformed; refusing to fingerprint (an empty dir-fold " +
-            "would silently lose partition-drift protection)")
-      s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+      withDir.agg(count(lit(1)).as("cnt"),
+          expr(s"bit_xor(xxhash64($cols))").as("fold"),
+          max(when(!col("_graft_fp_file").rlike(stageRx),
+            col("_graft_fp_file"))).as("badfile"))
+        .select(lit(label).as("sub"), col("cnt"), col("fold"),
+          col("badfile"))
     }
     // root-level files (a flat stage) fingerprint as one subtree, read
     // by explicit path so subtree contents are never double-counted
@@ -321,13 +320,45 @@ object CommittedAppend {
       }
       found
     }
-    val rootPart =
+    // every subtree's aggregate in ONE Spark job (the per-subtree agg
+    // frames share a uniform (sub, cnt, fold, badfile) schema, so they
+    // union and collect together): an LSH stage carries sets/ + bands/,
+    // and the old one-job-per-subtree loop paid a full job-scheduling
+    // round-trip per schema per micro-batch. The fingerprint STRING is
+    // unchanged — same per-subtree aggregates, composed in the same
+    // name order — so fingerprints recorded by earlier builds still
+    // compare equal on retry.
+    val rootFrames =
       if (rootFiles.isEmpty) Seq()
-      else Seq(s".=${fpOf(spark.read.parquet(rootFiles: _*))}")
+      else Seq(fpFrame(spark.read.parquet(rootFiles: _*), "."))
+    val emptyDirs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val dirFrames = dirs.flatMap { d =>
+      if (!hasParquet(new Path(s"$stage/$d"))) {
+        emptyDirs(d) = "0:0"; None
+      } else Some(fpFrame(spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$stage/$d"), d))
+    }
+    val frames = rootFrames ++ dirFrames
+    val agged: Map[String, (Long, Long, Option[String])] =
+      if (frames.isEmpty) Map.empty
+      else frames.reduce(_ unionByName _).collect()
+        .map(r => r.getString(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          Option(r.getString(3)))).toMap
+    agged.collectFirst { case (_, (_, _, Some(bad))) => bad }.foreach { bad =>
+      throw new IllegalStateException(
+        s"committed append fingerprint: staged file '$bad' " +
+          "is not under a _staging/batch=<id> layout — the stage tree " +
+          "is malformed; refusing to fingerprint (an empty dir-fold " +
+          "would silently lose partition-drift protection)")
+    }
+    val rootPart = if (rootFiles.isEmpty) Seq()
+      else { val (c, f, _) = agged("."); Seq(s".=$c:$f") }
     (rootPart ++ dirs.map { d =>
-      if (!hasParquet(new Path(s"$stage/$d"))) s"$d=0:0"
-      else s"$d=${fpOf(spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$stage/$d"))}"
+      emptyDirs.get(d) match {
+        case Some(e) => s"$d=$e"
+        case None => val (c, f, _) = agged(d); s"$d=$c:$f"
+      }
     }).mkString("|")
   }
 
