@@ -71,9 +71,11 @@ class CollectAuditSpec extends AnyFunSuite {
     ("FhirStore.scala", "count_distinct(col(\"id\"))).head()",
       "update-create duplicate-id guard — one aggregate row (count + " +
         "distinct count) over one micro-batch"),
-    ("CommittedAppend.scala", ".head()",
-      "staged-batch content fingerprint — one aggregate row (count + " +
-        "bit_xor of row hashes) over one micro-batch-sized staging tree"),
+    ("CommittedAppend.scala", "else frames.reduce(_ unionByName _).collect()",
+      "staged-batch content fingerprint — one aggregate row PER TOP-LEVEL " +
+        "staged subtree (count + bit_xor of row hashes; ≤ a handful of " +
+        "schemas per batch), unioned into one job over one " +
+        "micro-batch-sized staging tree"),
     ("SimilarityPack.scala", "countDistinct(col(\"label\"))).head().getLong(0)",
       "sized-quantizer split factor — one aggregate row (distinct label " +
         "count) at gate-build time"),
