@@ -126,6 +126,9 @@ object Bench {
     val calEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_EVERY", "20").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      // label the query's jobs (guide §1.5) so event-log/UI profiling can
+      // attribute every job; no effect on the timed work itself
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -134,7 +137,10 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           -1.0
-      } finally spark.catalog.clearCache()
+      } finally {
+        spark.sparkContext.setJobDescription(null)
+        spark.catalog.clearCache()
+      }
     }
     // local profiling aid: SPARK_GRAFT_BENCH_FILTER=regex runs a subset
     // (the driver sets no filter, so its runs stay complete)

@@ -786,8 +786,15 @@ object Dedup {
           lit(k - 1) - col("a.ci") &&
         abs(col("a.len") - col("b.len")) <= d &&
         l1 <= d * 2
+    // threshold-banded DP (guide §1.2 "per-task work"): the 3-arg
+    // levenshtein computes inside a 2d+1 diagonal band and EXITS EARLY
+    // the moment the band minimum exceeds d (returning -1), instead of
+    // filling the full prefixLen² matrix per candidate — O(d·min(len))
+    // for the common far-apart candidate, with values identical to the
+    // unbounded DP whenever dist ≤ d (what the ≤ d conjunct keeps).
+    // Measured at sf0.1: 6.5-7.5 s → see OPTIMIZATION_r21.md.
     val fullCond =
-      if (withDp) cheapCond && levenshtein(col("a.s"), col("b.s")) <= d
+      if (withDp) cheapCond && levenshtein(col("a.s"), col("b.s"), d) >= 0
       else cheapCond
     val viaGrams = chunks.as("a").join(grams.as("b"),
       col("a.glen") === col("b.glen") && col("a.pb") === col("b.pb") &&
@@ -800,10 +807,10 @@ object Dedup {
         l1 <= d * 2
     val shorts = keyed.filter(col("len") < k).as("a")
       .join(keyed.filter(col("len") < k + d).as("b"),
-        if (withDp) shortsCond && levenshtein(col("a.s"), col("b.s")) <= d
+        if (withDp) shortsCond && levenshtein(col("a.s"), col("b.s"), d) >= 0
         else shortsCond)
     val dist =
-      if (withDp) levenshtein(col("a.s"), col("b.s")).cast(LongType)
+      if (withDp) levenshtein(col("a.s"), col("b.s"), d).cast(LongType)
       else lit(-1L)
     Seq(viaGrams, shorts).map {
       _.select(least(col("a.doc_id"), col("b.doc_id")).as("da"),

@@ -957,7 +957,16 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("s"))
         .select(col("cell"),
           expr(s"transform(s, e -> round(e.m, $scale))").as("centroid"))
-      cents = cents.select(col("cell"), col("centroid").as("prev"))
+      // the empty-cell fallback joins the PREVIOUS centroids as a
+      // LITERAL frame rebuilt from this iteration's collect — not the
+      // lazy `cents` plan: chaining the frame would make iteration k's
+      // centersOf re-execute every earlier iteration's mean aggregation
+      // (plans grew 20 → 34 nodes per iteration at iters=2; quadratic
+      // job count in iters). Values are identical by construction —
+      // `centers` IS centersOf(cents) of this iteration.
+      val prevLit = centers.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+        .toSeq.toDF("cell", "centroid")
+      cents = prevLit.select(col("cell"), col("centroid").as("prev"))
         .join(means, Seq("cell"), "left")
         .select(col("cell"),
           coalesce(col("centroid"), col("prev")).as("centroid"))

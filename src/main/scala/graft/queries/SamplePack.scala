@@ -570,9 +570,15 @@ object SamplePack extends QueryPack {
     QueryDef(
       "sample_curation_packed",
       (s, d) => {
-        val ordered = Sampling.epochOrder(curationV3Kept(s, d),
-            col("doc_id"), epoch = 1)
-          .select(col("doc_id"), col("sort_key"))
+        // cached: the ordered funnel output feeds BOTH the packing input
+        // and the doc_key back-join below — uncached, the whole v3
+        // funnel (LM scoring + containment join) evaluates twice inside
+        // one plan (r21: the noop-sink plan was 437 nodes, ~half of the
+        // gate's 11 s; the funnel is the expensive half)
+        val ordered = graft.util.Scratch.cached(
+          Sampling.epochOrder(curationV3Kept(s, d),
+              col("doc_id"), epoch = 1)
+            .select(col("doc_id"), col("sort_key")))
         val withText = ordered.join(
           T.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
         Sampling.packSequencesGlobal(withText, col("sort_key"),

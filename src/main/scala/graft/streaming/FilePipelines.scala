@@ -461,22 +461,26 @@ object FilePipelines {
     spark.readStream.format("warcgz").load(inGlob)
       .writeStream
       .foreachBatch((b: DataFrame, id: Long) => {
-        // cached BEFORE the null-key guard: the guard's count fills the
-        // cache, so WARC decode + quality scoring run ONCE per batch
-        // (ingestAdmissionBatch's own select reads this cache)
+        // null-key guard rides IN the plan (assert_true per surviving
+        // row — the filter keeps every row since assert_true yields
+        // null) instead of a separate limit(1).count() job per
+        // micro-batch: the guard now evaluates during the cache fill
+        // of the batch's FIRST action, so WARC decode + quality
+        // scoring still run once and a null key still fails the batch
+        // loudly before any state mutation (verdicts are the first
+        // sink, and the assert precedes them in the same plan).
         val docs = b.filter(col("warc_type") === "response")
           .select(docId.as("doc_id"),
             col("body").cast(StringType).as("text"))
           .filter(graft.operators.TextOps.qualityCol(col("text"))
             >= minQuality)
+          .filter(assert_true(col("doc_id").isNotNull,
+            lit("crawlAdmissionStream: docId produced null keys — the " +
+              "default extractor expects fixture-shaped record ids; pass " +
+              "a docId column matching this crawl's id scheme (e.g. " +
+              "xxhash64(col(\"record_id\")))")).isNull)
           .cache()
         try {
-          val nNull = docs.filter(col("doc_id").isNull).limit(1).count()
-          require(nNull == 0,
-            "crawlAdmissionStream: docId produced null keys — the default " +
-              "extractor expects fixture-shaped record ids; pass a docId " +
-              "column matching this crawl's id scheme (e.g. " +
-              "xxhash64(col(\"record_id\")))")
           ingestAdmissionBatch(docs, indexDir, stateDir, outDir, id,
             family = family)
         } finally { docs.unpersist(): Unit }
