@@ -98,8 +98,13 @@ object Bench {
     // SessionCache'd builds happen here and the timed loop measures the
     // query — a layout job is one-time cost a deployment amortizes over
     // every subsequent query, not per-query cost.
+    // graph_label_prop is here for its knn_edges fixture: the kNN edge
+    // table is the documented build-once/analyze-many artifact the three
+    // graph-analytics gates share (the BUILD is timed by sim_knn_graph),
+    // but alphabetical order otherwise lands the one-time build inside
+    // graph_harmonic's timed run.
     Seq("q44_partition_pruning", "q45_bucketed_join", "q51_zorder_scan",
-      "q52_compaction", "dedup_lsh_probe").foreach { n =>
+      "q52_compaction", "dedup_lsh_probe", "graph_label_prop").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -148,9 +148,30 @@ object Sketches {
     require(mBits >= 32 && mBits % 32 == 0, s"mBits=$mBits")
     df.select(explode(bloomPositions(value, kHashes, mBits)).as("p"))
       .select(shiftright(col("p"), 5).as("word"),
-        col("p").bitwiseAND(lit(31L)).as("b"))
+        expr("shiftleft(1L, cast(p & 31 AS int))").as("bits"))
       .groupBy("word")
-      .agg(expr("bit_or(shiftleft(1L, cast(b AS int)))").as("bits"))
+      .agg(expr("bit_or(bits)").as("bits"))
+  }
+
+  /** `prior` Bloom register table OR'd with the bits of a new batch, as
+    * ONE aggregation: the batch's per-position single-bit rows union the
+    * prior's (word, bits) rows BEFORE the (word) bit_or — bit_or is
+    * associative/commutative, so the result equals
+    * `prior.unionByName(bloomBits(batch)).groupBy(word).bit_or` while
+    * paying one shuffle instead of two (the epoch-publish step of every
+    * Bloom-ingest micro-batch runs this).
+    */
+  def bloomMerge(prior: DataFrame, batch: DataFrame, value: Column,
+      kHashes: Int = 4, mBits: Int = 32768): DataFrame = {
+    require(kHashes >= 1, s"kHashes=$kHashes")
+    require(mBits >= 32 && mBits % 32 == 0, s"mBits=$mBits")
+    batch
+      .select(explode(bloomPositions(value, kHashes, mBits)).as("p"))
+      .select(shiftright(col("p"), 5).as("word"),
+        expr("shiftleft(1L, cast(p & 31 AS int))").as("bits"))
+      .unionByName(prior.select(col("word"), col("bits")))
+      .groupBy("word")
+      .agg(expr("bit_or(bits)").as("bits"))
   }
 
   /** The k md5-derived bit positions of one value — shared by build and

@@ -638,10 +638,13 @@ object SamplePack extends QueryPack {
       "stream_curation_packed",
       (s, d) => {
         val out = graft.util.TempFixtures.dir(s, "cur_packed_stream", d) { path =>
-          val kept = curationV3Kept(s, d)
+          // cached: BOTH landed segments filter this frame — uncached,
+          // the v3 funnel (LM scoring + containment join) executes once
+          // per segment write (r21)
+          val kept = graft.util.Scratch.cached(curationV3Kept(s, d)
             .join(T.documents(s, d).select(col("doc_id"), col("text")),
               "doc_id")
-            .select(col("doc_id"), col("text"))
+            .select(col("doc_id"), col("text")))
           val t0 = System.currentTimeMillis() - 60000
           Seq(kept.filter(col("doc_id") % 4 === 1),
               kept.filter(col("doc_id") % 4 === 3))

@@ -110,8 +110,7 @@ object FilePipelines {
         kHashes, mBits)
       .withColumnRenamed("id", "doc_id")
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    prior.unionByName(Sketches.bloomBits(batch, col("text"), kHashes, mBits))
-      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    Sketches.bloomMerge(prior, batch, col("text"), kHashes, mBits)
       .write.mode("overwrite").parquet(s"$stateDir/epoch=$batchId")
     // GC everything STRICTLY OLDER than the prior epoch this batch
     // actually read (each epoch subsumes all before it). Keying the cut
@@ -362,6 +361,11 @@ object FilePipelines {
       // disable marksuccessfuljobs, and a replay that recomputed
       // verdicts against the already-grown index would diverge)
       val verdictMark = new Path(s"$outDir/_verdicts/batch-$batchId")
+      // admitted-row count observed ON the verdict write (free metric in
+      // the same job) so the committed append's scale-adaptive staging
+      // width needs no separate count job per micro-batch; a replay that
+      // skips the write falls back to the append's own count (rare path)
+      var admitFiles = 0
       if (!outFs.exists(verdictMark)) {
         val seen = Sketches.bloomProbe(prior, batch, col("doc_id"),
             col("text"), kHashes, mBits)
@@ -371,6 +375,7 @@ object FilePipelines {
             n, numPerms, rowsPerBand, family = family)
           .groupBy(col("q_id").as("doc_id"))
           .agg(round(max(col("jaccard")), 6).as("best_jaccard"))
+        val obs = org.apache.spark.sql.Observation()
         batch.select(col("doc_id"))
           .join(seen, "doc_id")
           .join(near, Seq("doc_id"), "left")
@@ -378,17 +383,22 @@ object FilePipelines {
             col("best_jaccard").isNotNull.as("near_dup"),
             col("best_jaccard"),
             (!col("seen_exact") && col("best_jaccard").isNull).as("admit"))
+          .observe(obs, sum(col("admit").cast("long")).as("admits"))
           .write.mode("overwrite").parquet(verdictDir)
         outFs.mkdirs(new Path(s"$outDir/_verdicts"))
         outFs.create(verdictMark, true).close()
+        val admits = Option(obs.get("admits")).collect {
+          case l: java.lang.Long => l.longValue() } // null when 0 rows
+        admitFiles = admits
+          .map(a => graft.util.CommittedAppend.outFilesFor(spark, a))
+          .getOrElse(1) // an empty batch stages one (empty) file
       }
       val admitted = batch.join(
         spark.read.parquet(verdictDir).filter(col("admit")).select("doc_id"),
         "doc_id")
       Dedup.appendToLshIndexCommitted(spark, indexDir, admitted, batchId,
-        n, numPerms, rowsPerBand, family): Unit
-      prior.unionByName(Sketches.bloomBits(batch, col("text"), kHashes, mBits))
-        .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+        n, numPerms, rowsPerBand, family, setsFiles = admitFiles): Unit
+      Sketches.bloomMerge(prior, batch, col("text"), kHashes, mBits)
         .write.mode("overwrite").parquet(s"$stateDir/epoch=$batchId")
       // GC keyed on the prior epoch actually read (see bloomMergeBatch):
       // correct under non-contiguous batch ids, identical under
