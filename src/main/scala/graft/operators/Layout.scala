@@ -271,61 +271,106 @@ object Layout {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$path/_merge_staging"
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val saved = spark.conf.getOption(key)
-    try {
-      // REBALANCE on the partition column before the dynamic-partitioned
-      // write (guide §6): without it every write task holds rows of
-      // every touched partition and opens one file per (task, partition)
-      // — tasks × partitions near-empty files, paid again when the
-      // overwrite job re-reads and re-writes them. The rebalance hint
-      // clusters rows by partition at AQE's advisory size, so each
-      // touched partition lands as ~one right-sized file (and a skewed
-      // partition still splits — unlike a plain repartition(partCol)).
-      merged.select(existing.columns.map(col): _*)
-        .hint("rebalance", col(partCol))
-        .write.mode("overwrite").partitionBy(partCol).parquet(stage)
-      // staging-complete marker: OUR OWN, not the committer's optional
-      // _SUCCESS (cloud committers commonly run with
-      // marksuccessfuljobs=false — the ingestAdmissionBatch _verdicts
-      // discipline). recoverMerge keys roll-forward on THIS file; a
-      // crash mid-overwrite with no marker would otherwise read as a
-      // partial stage and recovery would DELETE the only complete copy
-      // of the merged rows — silent row loss.
-      fs.create(new org.apache.hadoop.fs.Path(s"$stage/$StagedMarker"), true)
-        .close()
-      // explicit schema: partition-column type must round-trip, not be
-      // re-inferred from directory names
-      val staged = spark.read.schema(existing.schema).parquet(stage)
-      spark.conf.set(key, "dynamic")
-      staged.write.mode("overwrite").partitionBy(partCol).parquet(path)
-      if (deleteCol.isDefined) {
-        // only a delete-merge can EMPTY a partition (plain upserts
-        // reinsert into every partition they touch), so only then pay
-        // the bounded staged-distinct job. Values are compared in their
-        // HIVE PATH STRING form — `touched` comes from the updates
-        // frame and `remaining` from the table-typed staged copy, and a
-        // mere numeric-width difference (Int 5 vs Long 5) must not
-        // classify a freshly-rewritten partition as emptied.
-        val remaining = staged.select(partCol).distinct()
-          .collect().map(r => String.valueOf(r.get(0))).toSet
-        touched.map(String.valueOf).filterNot(remaining.contains)
-          .foreach { v =>
-            fs.delete(new org.apache.hadoop.fs.Path(
-              s"$path/$partCol=" +
-                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                  .escapePathName(v)), true): Unit
-          }
-      }
-      // success: the staged copy has served its purpose — a failure
-      // above deliberately LEAVES it for recoverMerge to roll forward
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
-    } finally {
-      saved match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    // REBALANCE on the partition column before the dynamic-partitioned
+    // write (guide §6): without it every write task holds rows of
+    // every touched partition and opens one file per (task, partition)
+    // — tasks × partitions near-empty files, paid again by every later
+    // scan. The rebalance hint clusters rows by partition at AQE's
+    // advisory size, so each touched partition lands as ~one
+    // right-sized file (and a skewed partition still splits — unlike a
+    // plain repartition(partCol)).
+    merged.select(existing.columns.map(col): _*)
+      .hint("rebalance", col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+    // staging-complete marker: OUR OWN, not the committer's optional
+    // _SUCCESS (cloud committers commonly run with
+    // marksuccessfuljobs=false — the ingestAdmissionBatch _verdicts
+    // discipline). recoverMerge keys roll-forward on THIS file; a
+    // crash mid-promotion with no marker would otherwise read as a
+    // partial stage and recovery would DELETE the only complete copy
+    // of the merged rows — silent row loss.
+    fs.create(new org.apache.hadoop.fs.Path(s"$stage/$StagedMarker"), true)
+      .close()
+    // Promotion is per-partition DIRECTORY RENAME (r21, guide §6): the
+    // staged copy IS the new generation of every touched partition, so
+    // re-encoding it through a second dynamic-overwrite write doubled
+    // the merge's data writes (and re-read the stage) for nothing.
+    // Capture the staged partition dir names FIRST — promotion moves
+    // them, and a delete-merge diffs them against `touched` to find
+    // partitions the merge emptied (their staged dir never existed —
+    // zero surviving rows write no directory).
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val stagedNames = fs.listStatus(stagePath)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.contains("=")).toSet
+    promoteStagedMerge(fs, new org.apache.hadoop.fs.Path(path), stagePath)
+    if (deleteCol.isDefined) {
+      // only a delete-merge can EMPTY a partition (plain upserts
+      // reinsert into every partition they touch). Values compare in
+      // their HIVE PATH STRING form — the staged dir names were
+      // written from the table-typed rows, and `touched` was collected
+      // from the same table-typed frame, so both spell values
+      // identically (Int 5 and a widened update both read "5").
+      touched.map(String.valueOf).map(v =>
+          s"$partCol=" +
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(v))
+        .filterNot(stagedNames.contains)
+        .foreach { name =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$name"), true): Unit
+        }
     }
+    // success: the (now-empty) stage has served its purpose — a failure
+    // above deliberately LEAVES it for recoverMerge to roll forward
+    fs.delete(stagePath, true): Unit
+  }
+
+  /** Promote a COMPLETE staged merge into the live tree: every staged
+    * partition directory replaces its live counterpart by the
+    * park-rename-drop generation swap (live `part=X` → hidden
+    * `._merge_pre_part=X` park; staged dir renamed in; park dropped) —
+    * the [[graft.streaming.FilePipelines.upsertBatch]] discipline per
+    * partition, so untouched partitions are never opened and the merged
+    * bytes move ONCE (no second encode). Idempotent under replay from
+    * any crash point: a partition whose live dir is already parked skips
+    * the park step; one whose staged dir is gone was fully promoted and
+    * only its park (if any) remains to sweep. Readers see a brief window
+    * where a touched partition's dir is absent (between park and
+    * promote) — the same non-atomic window as every generation swap in
+    * this engine; the park dir itself is dot-prefixed, invisible to
+    * readers. Concurrent ATTEMPTS of one merge are not supported (the
+    * single-maintainer contract every table mutation here carries): the
+    * live+park conflict below fails loudly rather than guessing.
+    */
+  private def promoteStagedMerge(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      stage: org.apache.hadoop.fs.Path): Unit = {
+    def renameOrFail(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"merge promote: rename $src -> $dst failed")
+    fs.listStatus(stage).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.contains("="))
+      .foreach { sp =>
+        val dst = new org.apache.hadoop.fs.Path(live, sp.getName)
+        val park = new org.apache.hadoop.fs.Path(live,
+          s"._merge_pre_${sp.getName}")
+        if (fs.exists(dst)) {
+          if (fs.exists(park))
+            throw new IllegalStateException(
+              s"merge promote: both $dst and $park exist — two concurrent " +
+                "attempts of one merge are racing; merges require a single " +
+                "maintainer per table")
+          renameOrFail(dst, park)
+        }
+        renameOrFail(sp, dst)
+        if (fs.exists(park)) { fs.delete(park, true): Unit }
+      }
+    // parks whose staged dir already promoted (crash hit between the
+    // promote rename and the park drop of a prior attempt)
+    fs.listStatus(live).map(_.getPath)
+      .filter(_.getName.startsWith("._merge_pre_"))
+      .foreach(p => fs.delete(p, true): Unit)
   }
 
   /** The merge's OWN staging-complete marker file name. Deliberately not
@@ -356,23 +401,11 @@ object Layout {
     if (!fs.exists(stage)) return
     if (fs.exists(new org.apache.hadoop.fs.Path(
         s"$path/_merge_staging/$StagedMarker"))) {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val saved = spark.conf.getOption(key)
-      try {
-        spark.conf.set(key, "dynamic")
-        // replay with the LIVE table's schema — the same
-        // no-partition-type-re-inference guard the main path uses (a
-        // string partition with numeric-looking values must not come
-        // back as ints and land in differently-named directories)
-        spark.read.schema(spark.read.parquet(path).schema)
-          .parquet(stage.toString)
-          .write.mode("overwrite").partitionBy(partCol).parquet(path)
-      } finally {
-        saved match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-      }
+      // roll forward by the same rename promotion the main path runs —
+      // pure filesystem metadata, no Spark job, and directory names
+      // carry over verbatim so partition-column types can never be
+      // re-inferred differently than they were staged
+      promoteStagedMerge(fs, new org.apache.hadoop.fs.Path(path), stage)
     }
     fs.delete(stage, true): Unit
   }
