@@ -56,6 +56,47 @@ trait QueryPack {
           "\n"),
         lit("\n")).cast("binary")).as("digest"))
 
+  /** Land `segs` as single-file streaming-source segments
+    * `<dir>/in/seg<i>.<ext>` with strictly increasing mtimes (so the
+    * file source's oldest-first order assigns batch ids 0..n-1) — in
+    * ONE Spark write: the segments union with a routing column and
+    * write partitioned by it (hash-routing each segment to one task ⇒
+    * exactly one file per segment dir), where the previous
+    * per-segment `coalesce(1)` writes paid one job round-trip per
+    * segment. Row order within a segment file is NOT part of the
+    * contract (every consumer is order-free per batch).
+    */
+  protected final def landSegments(segs: Seq[DataFrame], dir: String,
+      ext: String): Unit = {
+    val tmp = s"$dir/_segtmp"
+    val all = segs.zipWithIndex
+      .map { case (s, i) => s.withColumn("_seg", lit(i)) }
+      .reduce(_ unionByName _)
+      .repartition(col("_seg"))
+    val w = all.write.mode("overwrite").partitionBy("_seg")
+    (ext match {
+      case "json" => w.json(tmp)
+      case "parquet" => w.parquet(tmp)
+      case other => sys.error(s"landSegments: unsupported ext $other")
+    }): Unit
+    val t0 = System.currentTimeMillis() - 60000
+    segs.indices.foreach { i =>
+      val segDir = new java.io.File(s"$tmp/_seg=$i")
+      val parts = segDir.listFiles()
+        .filter(f => f.getName.endsWith(s".$ext") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      require(parts.length == 1,
+        s"landSegments: segment $i wrote ${parts.length} files (want 1); " +
+          "empty fixture segment or routing drift")
+      val part = parts.head
+      val dst = new java.io.File(s"$dir/in/seg$i.$ext")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      require(dst.setLastModified(t0 + i * 10000))
+    }
+  }
+
   final def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap
 

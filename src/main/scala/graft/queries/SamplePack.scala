@@ -645,19 +645,8 @@ object SamplePack extends QueryPack {
             .join(T.documents(s, d).select(col("doc_id"), col("text")),
               "doc_id")
             .select(col("doc_id"), col("text")))
-          val t0 = System.currentTimeMillis() - 60000
-          Seq(kept.filter(col("doc_id") % 4 === 1),
-              kept.filter(col("doc_id") % 4 === 3))
-            .zipWithIndex.foreach { case (seg, i) =>
-              val tmpSeg = s"$path/_segtmp$i"
-              seg.coalesce(1).write.mode("overwrite").json(tmpSeg)
-              val part = new java.io.File(tmpSeg).listFiles()
-                .filter(_.getName.endsWith(".json")).head
-              val dst = new java.io.File(s"$path/in/seg$i.json")
-              dst.getParentFile.mkdirs()
-              java.nio.file.Files.move(part.toPath, dst.toPath)
-              require(dst.setLastModified(t0 + i * 10000))
-            }
+          landSegments(Seq(kept.filter(col("doc_id") % 4 === 1),
+            kept.filter(col("doc_id") % 4 === 3)), path, "json")
           graft.streaming.FilePipelines.curationPackedStream(s,
             s"$path/in", s"$path/store", s"$path/ckpt")
             .awaitTermination()

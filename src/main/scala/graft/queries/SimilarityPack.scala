@@ -1006,18 +1006,8 @@ object SimilarityPack extends QueryPack {
           labelIndexOf(emb.filter(col("vec_id") % 2 === 0)), p)
         val odd = emb.filter(col("vec_id") % 2 === 1)
           .select(col("vec_id"), col("embedding"))
-        val t0 = System.currentTimeMillis() - 60000
-        Seq(odd.filter(col("vec_id") < 250), odd.filter(col("vec_id") >= 250))
-          .zipWithIndex.foreach { case (seg, i) =>
-            val tmpSeg = s"$p/_segtmp$i"
-            seg.coalesce(1).write.mode("overwrite").parquet(tmpSeg)
-            val part = new java.io.File(tmpSeg).listFiles()
-              .filter(_.getName.endsWith(".parquet")).head
-            val dst = new java.io.File(s"$p/in/seg$i.parquet")
-            dst.getParentFile.mkdirs()
-            java.nio.file.Files.move(part.toPath, dst.toPath)
-            require(dst.setLastModified(t0 + i * 10000))
-          }
+        landSegments(Seq(odd.filter(col("vec_id") < 250),
+          odd.filter(col("vec_id") >= 250)), p, "parquet")
         graft.streaming.FilePipelines.ivfIngestStream(s, s"$p/in", p,
           s"$p/ckpt").awaitTermination()
       },
@@ -1067,17 +1057,7 @@ object SimilarityPack extends QueryPack {
             .unionByName(mutants(
               base.filter(col("vec_id") % 2 === 0 && col("vec_id") < 50)
                 .select(col("vec_id"), col("embedding")), 2000000L))
-          val t0 = System.currentTimeMillis() - 60000
-          Seq(seg0, seg1).zipWithIndex.foreach { case (seg, i) =>
-            val tmpSeg = s"$path/_segtmp$i"
-            seg.coalesce(1).write.mode("overwrite").parquet(tmpSeg)
-            val part = new java.io.File(tmpSeg).listFiles()
-              .filter(_.getName.endsWith(".parquet")).head
-            val dst = new java.io.File(s"$path/in/seg$i.parquet")
-            dst.getParentFile.mkdirs()
-            java.nio.file.Files.move(part.toPath, dst.toPath)
-            require(dst.setLastModified(t0 + i * 10000))
-          }
+          landSegments(Seq(seg0, seg1), path, "parquet")
           graft.streaming.FilePipelines.semanticAdmissionStream(s,
             s"$path/in", s"$path/idx", s"$path/out", s"$path/ckpt")
             .awaitTermination()

@@ -357,17 +357,7 @@ object StreamPack extends QueryPack {
               .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
           // land one NDJSON file per segment with well-separated mtimes
           // so the file source's oldest-first order gives batch ids 0,1,2
-          val t0 = System.currentTimeMillis() - 60000
-          Seq(segA, segB, segC).zipWithIndex.foreach { case (seg, i) =>
-            val tmpSeg = s"$path/_segtmp$i"
-            seg.coalesce(1).write.mode("overwrite").json(tmpSeg)
-            val part = new java.io.File(tmpSeg).listFiles()
-              .filter(_.getName.endsWith(".json")).head
-            val dst = new java.io.File(s"$path/in/seg$i.json")
-            dst.getParentFile.mkdirs()
-            java.nio.file.Files.move(part.toPath, dst.toPath)
-            require(dst.setLastModified(t0 + i * 10000))
-          }
+          landSegments(Seq(segA, segB, segC), path, "json")
           graft.streaming.FilePipelines.ingestAdmissionStream(s,
               s"$path/in", s"$path/idx", s"$path/bloom", s"$path/out",
               s"$path/ckpt", family = Dedup.ReplayableFamily)
@@ -536,17 +526,7 @@ object StreamPack extends QueryPack {
           val seg2 = ev.filter(col("event_id") % 3 === 0 &&
               col("event_id") % 2 =!= 0)
             .unionByName(seg1.withColumn("value", col("value") + 1000.0))
-          val t0 = System.currentTimeMillis() - 60000
-          Seq(seg1, seg2).zipWithIndex.foreach { case (seg, i) =>
-            val tmpSeg = s"$path/_segtmp$i"
-            seg.coalesce(1).write.mode("overwrite").parquet(tmpSeg)
-            val part = new java.io.File(tmpSeg).listFiles()
-              .filter(_.getName.endsWith(".parquet")).head
-            val dst = new java.io.File(s"$path/in/seg$i.parquet")
-            dst.getParentFile.mkdirs()
-            java.nio.file.Files.move(part.toPath, dst.toPath)
-            require(dst.setLastModified(t0 + i * 10000))
-          }
+          landSegments(Seq(seg1, seg2), path, "parquet")
           graft.streaming.FilePipelines.mergeUpsertStream(s, s"$path/in",
               s"$path/table", s"$path/ckpt",
               seg1.schema, "event_id", "day")
