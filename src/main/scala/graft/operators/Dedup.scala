@@ -1212,26 +1212,38 @@ object Dedup {
     graft.util.Scratch.register(pos): Unit // result-reachable; see Scratch
     val carriers = pos.select(col("doc_key"), col("sh")).distinct()
       .groupBy("sh").agg(count(lit(1)).as("nd"))
-    val covered = pos
+    // covered positions as ONE per-doc set aggregation (collect_set
+    // dedups, so no separate distinct shuffle), then the kept text
+    // reassembles DOC-LOCALLY: kept positions = sequence(1, |w|) minus
+    // the covered set (array_except keeps first-array order, so position
+    // order — and with it the cleaned string — is preserved exactly),
+    // tokens looked up by element_at. This replaces the r20 shape's two
+    // corpus-token-level shuffles (the (doc, p) anti-join and the
+    // sort_array(collect_list) reassembly) with one covered-positions
+    // shuffle: shuffled rows are only the SHARED positions, and the
+    // reassembly is a map over the already-cached token arrays.
+    val covSets = pos
       .join(carriers.filter(col("nd") >= 2), "sh")
       .select(col("doc_key"),
         explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
-      .distinct()
-    val tokenRows = toks.select(col("doc_key"),
-      posexplode(col("w")).as(Seq("p0", "tok")))
-      .select(col("doc_key"), (col("p0") + 1).as("p"), col("tok"))
-    val kept = tokenRows.join(covered, Seq("doc_key", "p"), "left_anti")
-    val stats = tokenRows.groupBy("doc_key")
-      .agg(count(lit(1)).as("n_tokens"))
-    val cleaned = kept.groupBy("doc_key")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(array_join(transform(
-          sort_array(collect_list(struct(col("p"), col("tok")))),
-          s => s.getField("tok")), " ")).as("cleaned_md5"))
-    stats.join(cleaned, Seq("doc_key"), "left")
+      .groupBy("doc_key")
+      .agg(collect_set(col("p")).as("cov"))
+    toks.join(covSets, Seq("doc_key"), "left")
+      .select(col("doc_key"), col("w"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_key"),
+        size(col("w")).cast("long").as("n_tokens"),
+        transform(
+          array_except(
+            // guarded: sequence(1, 0) would count DOWN ([1, 0]) on a
+            // zero-token doc and element_at(w, 0) throws
+            when(size(col("w")) >= 1, sequence(lit(1), size(col("w"))))
+              .otherwise(array().cast("array<int>")),
+            col("cov")),
+          p => element_at(col("w"), p)).as("keptw"))
       .select(col("doc_key"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+        (col("n_tokens") - size(col("keptw")).cast("long")).as("n_removed"),
+        md5(array_join(col("keptw"), " ")).as("cleaned_md5"))
   }
 
   def spanCoverage(docs: DataFrame, key: Column, text: Column,

@@ -243,25 +243,32 @@ object Sampling {
     val hits =
       if (small) pos.join(broadcast(benchSh), "sh")
       else pos.join(benchSh, "sh")
-    val covered = hits
+    // doc-local reassembly (the r21 removeSharedSpans shape): covered
+    // positions aggregate to one per-doc set, kept positions =
+    // sequence(1, |w|) minus that set (array_except keeps first-array
+    // order ⇒ the cleaned string is position-ordered exactly as before),
+    // tokens looked up by element_at — shuffles carry only the covered
+    // positions, never the corpus's token rows.
+    val covSets = hits
       .select(col("doc_key"),
         explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
-      .distinct()
-    val tokenRows = toks.select(col("doc_key"),
-      posexplode(col("w")).as(Seq("p0", "tok")))
-      .select(col("doc_key"), (col("p0") + 1).as("p"), col("tok"))
-    val kept = tokenRows.join(covered, Seq("doc_key", "p"), "left_anti")
-    val stats = tokenRows.groupBy("doc_key")
-      .agg(count(lit(1)).as("n_tokens"))
-    val cleaned = kept.groupBy("doc_key")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(array_join(transform(
-          sort_array(collect_list(struct(col("p"), col("tok")))),
-          s => s.getField("tok")), " ")).as("cleaned_md5"))
-    stats.join(cleaned, Seq("doc_key"), "left")
+      .groupBy("doc_key")
+      .agg(collect_set(col("p")).as("cov"))
+    toks.join(covSets, Seq("doc_key"), "left")
+      .select(col("doc_key"), col("w"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_key"),
+        size(col("w")).cast("long").as("n_tokens"),
+        transform(
+          array_except(
+            // sequence(1, 0) would count DOWN on a zero-token doc
+            when(size(col("w")) >= 1, sequence(lit(1), size(col("w"))))
+              .otherwise(array().cast("array<int>")),
+            col("cov")),
+          p => element_at(col("w"), p)).as("keptw"))
       .select(col("doc_key"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+        (col("n_tokens") - size(col("keptw")).cast("long")).as("n_removed"),
+        md5(array_join(col("keptw"), " ")).as("cleaned_md5"))
   }
 
   /** SEMANTIC decontamination — the embedding-level sibling of

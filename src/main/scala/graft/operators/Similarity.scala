@@ -318,7 +318,7 @@ object Similarity {
   /** Exactly-once [[appendToIvfIndex]]: the committed-batch variant an
     * at-least-once scheduler can call blindly —
     * [[graft.util.CommittedAppend]]'s marker + deterministic staging +
-    * skip-existing promotion over the `cells/cell=N` layout (staged
+    * clear-then-promote (wholesale-replace) promotion over the `cells/cell=N` layout (staged
     * hash-routed on `cell`, one file per staged cell dir). The plain
     * append's retry trap — a replay after a lost acknowledgment lands
     * the batch's vectors twice and every probe double-scores them —
@@ -1139,7 +1139,7 @@ object Similarity {
   /** Exactly-once [[appendToPqIndex]] — [[graft.util.CommittedAppend]]
     * over the flat `codes/` layout (the [[appendToSq8IndexCommitted]]
     * shape): marker + deterministic staging + fingerprint-checked
-    * skip-existing promotion, so a blind retry after a lost
+    * clear-then-promote (wholesale-replace) promotion, so a blind retry after a lost
     * acknowledgment can never land the batch's codes (and
     * shortlist-score them) twice. Returns true iff this call landed the
     * batch.

@@ -841,7 +841,7 @@ object SimilarityPack extends QueryPack {
     // IVF index COMPACTION (round 16): the ANN mirror of
     // dedup_lsh_compact — two exactly-once committed appends
     // (appendToIvfIndexCommitted: CommittedAppend's marker +
-    // deterministic staging + skip-existing promotion, so a blind retry
+    // deterministic staging + clear-then-promote promotion, so a blind retry
     // cannot double-score the batch in every probe) leave one file per
     // batch in each cell= partition; compactIvfIndex rewrites each cell
     // into one vec_id-sorted file via a staged write + crash-recoverable
@@ -1584,7 +1584,7 @@ object SimilarityPack extends QueryPack {
     // same maintenance story IVF/SQ8/LSH already carry — writePqIndex
     // fits codebooks on the FIRST half of the corpus only, two
     // exactly-once committed appends (CommittedAppend's marker +
-    // deterministic staging + fingerprint-checked skip-existing
+    // deterministic staging + fingerprint-checked clear-then-promote
     // promotion) land the second half encoded under those FROZEN
     // codebooks, and compactPqIndex rewrites the accreted per-batch
     // files into one vec_id-sorted file via the crash-recoverable

@@ -226,7 +226,7 @@ class DedupSpec extends SparkSpec {
     // the recorded content fingerprint covers BOTH staged schemas —
     // one mixed recursive read would silently fingerprint only the
     // first schema's columns (sets and bands differ), letting a retry
-    // that drifted one dataset slip through skip-existing promotion
+    // that drifted one dataset slip through promotion unnoticed
     val fp = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$idx/_committed/fp-batch-1"))
     assert(fp.contains("bands=") && fp.contains("sets="),

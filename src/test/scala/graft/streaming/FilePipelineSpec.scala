@@ -350,7 +350,7 @@ class FilePipelineSpec extends SparkSpec {
       "no document spanned a sequence boundary — fixture not load-bearing")
     // replay idempotence: a blind retry of the last batch (marker
     // present) is a no-op; with the marker lost, the deterministic
-    // staging + fingerprint + skip-existing promotion converge to the
+    // staging + fingerprint + clear-then-promote promotion converge to the
     // identical store
     val lastBatch = spark.read.schema(FilePipelines.docSchema)
       .json(seg1.toDS())
