@@ -210,28 +210,42 @@ object TextOps {
   def stupidBackoffScore(train: DataFrame, scored: DataFrame,
       alpha: Double = 0.4): DataFrame = {
     import graft.functions.Exact.dsum
-    def toks(docs: DataFrame): DataFrame =
-      docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
-    def transitions(tok: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("i")
-      tok.withColumn("pw", lag("w", 1).over(w))
-        .filter(col("pw").isNotNull)
-    }
-    val trainTok = graft.util.Scratch.cached(toks(train))
-    val uniCounts = trainTok.groupBy("w").agg(count(lit(1)).as("u"))
-    val total = trainTok.count().toDouble
-    val bgCounts = transitions(trainTok).groupBy(col("pw"), col("w"))
+    // token transitions come MAP-SIDE from the split array (adjacent
+    // elements zipped) — the r20 shape derived them with a per-doc
+    // lag() window, paying a shuffle + sort of every token row on BOTH
+    // corpora for what is a row-local adjacency. The train token total
+    // likewise rides as a broadcast 1-row aggregate instead of a
+    // driver-side count action (alpha/total evaluates to the identical
+    // IEEE double either way).
+    def bigrams(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), split(col("text"), " ").as("wa"))
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("wa"), lit(1), greatest(size(col("wa")) - 1, lit(0))),
+          slice(col("wa"), lit(2), greatest(size(col("wa")) - 1, lit(0))),
+          (a, b) => struct(a.as("pw"), b.as("w")))).as("t"))
+        .select(col("doc_id"), col("t.pw").as("pw"), col("t.w").as("w"))
+    val trainArr = graft.util.Scratch.cached(
+      train.select(col("doc_id"), split(col("text"), " ").as("wa")))
+    val uniCounts = trainArr.select(explode(col("wa")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("u"))
+    val totalDf = broadcast(
+      trainArr.agg(sum(size(col("wa"))).cast(DoubleType).as("_total")))
+    val bgCounts = trainArr
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("wa"), lit(1), greatest(size(col("wa")) - 1, lit(0))),
+        slice(col("wa"), lit(2), greatest(size(col("wa")) - 1, lit(0))),
+        (a, b) => struct(a.as("pw"), b.as("w")))).as("t"))
+      .groupBy(col("t.pw").as("pw"), col("t.w").as("w"))
       .agg(count(lit(1)).as("b"))
-    transitions(toks(scored))
+    bigrams(scored)
       .join(bgCounts, Seq("pw", "w"), "left")
       .join(uniCounts.select(col("w").as("pw"), col("u").as("u_pw")), Seq("pw"), "left")
       .join(uniCounts, Seq("w"), "left")
+      .crossJoin(totalDf)
       .withColumn("lp",
         when(col("b").isNotNull, log10(col("b").cast(DoubleType) / col("u_pw")))
           .otherwise(log10(coalesce(col("u").cast(DoubleType), lit(0.5)) *
-            (alpha / total))))
+            (lit(alpha) / col("_total")))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"),
         round(dsum(col("lp"), 12) / count(lit(1)), 6).as("avg_logp"))
