@@ -474,11 +474,13 @@ object FilePipelines {
         // null-key guard rides IN the plan (assert_true per surviving
         // row — the filter keeps every row since assert_true yields
         // null) instead of a separate limit(1).count() job per
-        // micro-batch: the guard now evaluates during the cache fill
-        // of the batch's FIRST action, so WARC decode + quality
-        // scoring still run once and a null key still fails the batch
-        // loudly before any state mutation (verdicts are the first
-        // sink, and the assert precedes them in the same plan).
+        // micro-batch: the guard evaluates during the cache fill of
+        // the batch's first action, so WARC decode + quality scoring
+        // still run once and a null key still fails the batch loudly
+        // before any state mutation (verdicts are the first sink, and
+        // the assert precedes them in the same plan). Caching is
+        // ingestAdmissionBatch's own (it caches its projected batch) —
+        // a second cache here stored the same rows twice.
         val docs = b.filter(col("warc_type") === "response")
           .select(docId.as("doc_id"),
             col("body").cast(StringType).as("text"))
@@ -489,11 +491,8 @@ object FilePipelines {
               "default extractor expects fixture-shaped record ids; pass " +
               "a docId column matching this crawl's id scheme (e.g. " +
               "xxhash64(col(\"record_id\")))")).isNull)
-          .cache()
-        try {
-          ingestAdmissionBatch(docs, indexDir, stateDir, outDir, id,
-            family = family)
-        } finally { docs.unpersist(): Unit }
+        ingestAdmissionBatch(docs, indexDir, stateDir, outDir, id,
+          family = family)
       })
       .option("checkpointLocation", checkpointDir)
       .start()
