@@ -35,8 +35,9 @@ class CollectAuditSpec extends AnyFunSuite {
       "one aggregate row: min/max envelope for z-value literals"),
     ("Layout.scala", ".collect().map(_.get(0)).toSeq",
       "merge touched-partition values — one row per touched PARTITION (days touched, not rows), the partition-prune key set"),
-    ("Layout.scala", ".collect().map(r => String.valueOf(r.get(0))).toSet",
-      "merge surviving-partition values from the staged (touched-sized) copy, in Hive path string form — one row per touched partition; the diff vs touched finds partitions a delete emptied"),
+    // (the merge's staged-distinct collect was removed in r21: emptied
+    // partitions now come from diffing staged DIRECTORY NAMES — pure
+    // filesystem metadata, no driver materialization at all)
     ("Sampling.scala", ".orderBy(\"pid\").collect()",
       "two-phase prefix sum, phase 1: per-range token sums — one row per non-empty range (≤ nRanges), the broadcast base-offset table"),
     ("Layout.scala", ".orderBy(\"_pid\").collect()",
