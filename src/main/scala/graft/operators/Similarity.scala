@@ -266,12 +266,16 @@ object Similarity {
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
     val spark = assigned.sparkSession
-    import spark.implicits._
     val json = centersOf(cents)
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    Seq(json).toDF("centroids").coalesce(1)
-      .write.mode("overwrite").json(s"$path/centroids")
+    graft.util.MetaJson.write(fsOf(spark, path), s"$path/centroids",
+      "centroids", json)
   }
+
+  /** Hadoop FileSystem of `path` under this session's configuration. */
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Load a persisted IVF index: (celled corpus, centroid table) in the
     * shape [[ivfIndex]] returns, so every query path accepts either a
@@ -283,12 +287,13 @@ object Similarity {
   }
 
   /** Only the centroid table of a persisted index — a metadata-sized
-    * JSON read, no scan of the celled corpus (what [[appendToIvfIndex]]
-    * needs: assignment touches centroids, never existing cells).
+    * driver-side read ([[graft.util.MetaJson]] — zero Spark jobs), no
+    * scan of the celled corpus (what [[appendToIvfIndex]] needs:
+    * assignment touches centroids, never existing cells).
     */
   def readIvfCentroids(spark: SparkSession, path: String): DataFrame = {
-    val json = spark.read.json(s"$path/centroids")
-      .select(col("centroids")).head().getString(0)
+    val json = graft.util.MetaJson.read(fsOf(spark, path),
+      s"$path/centroids", "centroids")
     val centers = json.stripPrefix("[[").stripSuffix("]]")
       .split("\\],\\[").map(_.split(",").map(_.toDouble))
     import spark.implicits._
@@ -442,11 +447,9 @@ object Similarity {
     assigned.select(col("vec_id"), col("embedding"), col("cell"))
       .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(cellsStage)
-    import spark.implicits._
     val json = centersOf(cents)
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    Seq(json).toDF("centroids").coalesce(1)
-      .write.mode("overwrite").json(centStage)
+    graft.util.MetaJson.write(fs, centStage, "centroids", json)
     afterFit()
     val fenceToken = graft.util.CommittedAppend.raiseFence(fs, path)
     try {
@@ -1115,9 +1118,8 @@ object Similarity {
     val json = cb.map(_.map(_.mkString("[", ",", "]"))
         .mkString("[", ",", "]")).mkString("[", ",", "]")
     val spark = corpus.sparkSession
-    import spark.implicits._
-    Seq(json).toDF("codebook").coalesce(1)
-      .write.mode("overwrite").json(s"$path/codebook")
+    graft.util.MetaJson.write(fsOf(spark, path), s"$path/codebook",
+      "codebook", json)
   }
 
   /** Append new vectors to a persisted PQ index under its FROZEN
@@ -1251,9 +1253,7 @@ object Similarity {
       .write.mode("overwrite").parquet(codesStage)
     val json = cb.map(_.map(_.mkString("[", ",", "]"))
         .mkString("[", ",", "]")).mkString("[", ",", "]")
-    import spark.implicits._
-    Seq(json).toDF("codebook").coalesce(1)
-      .write.mode("overwrite").json(cbStage)
+    graft.util.MetaJson.write(fs, cbStage, "codebook", json)
     afterFit()
     val fenceToken = graft.util.CommittedAppend.raiseFence(fs, path)
     try {
@@ -1318,8 +1318,8 @@ object Similarity {
 
   def readPqIndex(spark: SparkSession, path: String): (DataFrame, Array[Array[Array[Double]]]) = {
     val codes = spark.read.parquet(s"$path/codes")
-    val json = spark.read.json(s"$path/codebook")
-      .select(col("codebook")).head().getString(0)
+    val json = graft.util.MetaJson.read(fsOf(spark, path),
+      s"$path/codebook", "codebook")
     // tiny fixed-shape parse (m × kcodes × sub doubles), no JSON library
     val cb = json.stripPrefix("[[[").stripSuffix("]]]")
       .split("\\]\\],\\[\\[").map(_.split("\\],\\[").map(
@@ -1514,10 +1514,8 @@ object Similarity {
     sq8Encode(corpus, lo, hi)
       .repartition(files).sortWithinPartitions("vec_id")
       .write.mode("overwrite").parquet(codesStage)
-    import spark.implicits._
-    Seq(lo.mkString("[", ",", "]") + "|" + hi.mkString("[", ",", "]"))
-      .toDF("bounds").coalesce(1)
-      .write.mode("overwrite").json(bndStage)
+    graft.util.MetaJson.write(fs, bndStage, "bounds",
+      lo.mkString("[", ",", "]") + "|" + hi.mkString("[", ",", "]"))
     afterFit()
     val fenceToken = graft.util.CommittedAppend.raiseFence(fs, path)
     try {
@@ -1614,16 +1612,14 @@ object Similarity {
     val (lo, hi) = sq8Stats(corpus)
     sq8Encode(corpus, lo, hi).write.mode("overwrite").parquet(s"$path/codes")
     val spark = corpus.sparkSession
-    import spark.implicits._
-    Seq(lo.mkString("[", ",", "]") + "|" + hi.mkString("[", ",", "]"))
-      .toDF("bounds").coalesce(1)
-      .write.mode("overwrite").json(s"$path/bounds")
+    graft.util.MetaJson.write(fsOf(spark, path), s"$path/bounds", "bounds",
+      lo.mkString("[", ",", "]") + "|" + hi.mkString("[", ",", "]"))
   }
 
   def readSq8Index(spark: SparkSession, path: String): (DataFrame, Array[Double], Array[Double]) = {
     val codes = spark.read.parquet(s"$path/codes")
-    val s = spark.read.json(s"$path/bounds")
-      .select(col("bounds")).head().getString(0)
+    val s = graft.util.MetaJson.read(fsOf(spark, path),
+      s"$path/bounds", "bounds")
     val Array(loS, hiS) = s.split("\\|")
     def arr(a: String) =
       a.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble)

@@ -61,14 +61,10 @@ class CollectAuditSpec extends AnyFunSuite {
         "seed window that warned on every fit)"),
     ("Similarity.scala", "cents.orderBy(\"cell\").collect()",
       "centroid frame — ncells rows by construction, metadata-sized"),
-    ("Similarity.scala", ".select(col(\"centroids\")).head().getString(0)",
-      "persisted-index centroid JSON — one row"),
-    ("Similarity.scala", ".select(col(\"codebook\")).head().getString(0)",
-      "persisted-index codebook JSON — one row"),
+    // persisted-index centroid/codebook/bounds JSON reads moved to
+    // graft.util.MetaJson (driver-side FS read, no Dataset action)
     ("Similarity.scala", ".orderBy(\"dim\").collect()",
       "SQ8 per-dim (lo, hi) bounds — ≤ dims rows by construction (the groupBy key is the embedding index)"),
-    ("Similarity.scala", ".select(col(\"bounds\")).head().getString(0)",
-      "persisted-SQ8-index bounds JSON — one row"),
     ("FhirStore.scala", "count_distinct(col(\"id\"))).head()",
       "update-create duplicate-id guard — one aggregate row (count + " +
         "distinct count) over one micro-batch"),
