@@ -338,7 +338,7 @@ object StreamPack extends QueryPack {
           Dedup.writeLshIndex(hist, s"$path/idx",
             family = Dedup.ReplayableFamily)
           Sketches.bloomBits(hist, col("text"))
-            .write.mode("overwrite").parquet(s"$path/bloom/epoch=-1")
+            .write.mode("overwrite").json(s"$path/bloom/epoch=-1")
           val segA = base.filter(col("doc_id") >= 250 && col("doc_id") < 300)
           val segB = base.filter(col("doc_id") >= 300 && col("doc_id") < 330)
             .unionByName(base
@@ -578,7 +578,7 @@ object StreamPack extends QueryPack {
           Dedup.writeLshIndex(hist, s"$path/idx",
             family = Dedup.ReplayableFamily)
           Sketches.bloomBits(hist, col("text"))
-            .write.mode("overwrite").parquet(s"$path/bloom/epoch=-1")
+            .write.mode("overwrite").json(s"$path/bloom/epoch=-1")
           def junk(id: Long) = Seq((id, "zz zz zz zz")).toDF("doc_id", "text")
           val segA = base.filter(col("doc_id") >= 350 && col("doc_id") < 400)
             .unionByName(junk(9000001L))

@@ -84,7 +84,8 @@ object FilePipelines {
     * epoch is retained for the crash window, the WarcGz manifest rule).
     *
     * At 100 TB the state is ≤ mBits/32 BIGINT rows per epoch — constant
-    * in history size — so the probe join broadcasts no matter how many
+    * in history size — so it reads DRIVER-SIDE ([[graft.util.BloomState]])
+    * and the probe verdict is a map-side projection no matter how many
     * petabytes the filter has absorbed.
     */
   def bloomMergeBatch(batch: DataFrame, stateDir: String, outDir: String,
@@ -100,18 +101,20 @@ object FilePipelines {
     val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochs = bloomEpochs(fs, stateDir)
     val priorEpochs = epochs.filter(_ < batchId)
-    val prior =
-      if (priorEpochs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("word", LongType),
-            StructField("bits", LongType))))
-      else spark.read.parquet(s"$stateDir/epoch=${priorEpochs.max}")
-    Sketches.bloomProbe(prior, batch, col("doc_id"), col("text"),
-        kHashes, mBits)
+    // epoch state is ≤ mBits/32 rows no matter the history — read it
+    // DRIVER-SIDE (graft.util.BloomState: no scan stage, no collect
+    // execution) and feed the publish union a local relation; the probe
+    // verdict is a map-side projection over the dense register array
+    val priorRows =
+      if (priorEpochs.isEmpty) Seq.empty[(Option[Long], Option[Long])]
+      else graft.util.BloomState.read(fs, s"$stateDir/epoch=${priorEpochs.max}")
+    val prior = priorLocalRelation(spark, priorRows)
+    Sketches.bloomProbeRegister(graft.util.BloomState.dense(priorRows, mBits),
+        batch, col("doc_id"), col("text"), kHashes, mBits)
       .withColumnRenamed("id", "doc_id")
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     Sketches.bloomMerge(prior, batch, col("text"), kHashes, mBits)
-      .write.mode("overwrite").parquet(s"$stateDir/epoch=$batchId")
+      .write.mode("overwrite").json(s"$stateDir/epoch=$batchId")
     // GC everything STRICTLY OLDER than the prior epoch this batch
     // actually read (each epoch subsumes all before it). Keying the cut
     // on the read prior — not batchId-1 — keeps replays correct under
@@ -278,6 +281,22 @@ object FilePipelines {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Driver-read epoch rows as a LOCAL relation for the publish union —
+    * no scan job; nulls preserved (see [[graft.util.BloomState.read]]).
+    */
+  private def priorLocalRelation(spark: SparkSession,
+      rows: Seq[(Option[Long], Option[Long])]): DataFrame = {
+    val jrows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList(rows.size)
+    rows.foreach { case (w, b) =>
+      jrows.add(org.apache.spark.sql.Row(
+        w.map(java.lang.Long.valueOf).orNull,
+        b.map(java.lang.Long.valueOf).orNull)): Unit }
+    spark.createDataFrame(jrows,
+      StructType(Seq(StructField("word", LongType),
+        StructField("bits", LongType))))
+  }
+
   /** List the Bloom-state epoch ids under `stateDir` (empty if absent). */
   private def bloomEpochs(fs: org.apache.hadoop.fs.FileSystem,
       stateDir: String): Seq[Long] = {
@@ -319,7 +338,8 @@ object FilePipelines {
     *  5. the committed marker, last.
     *
     * At 100 TB: the Bloom state is ≤ mBits/32 rows per epoch no matter
-    * how much history it has absorbed (always a broadcast), the LSH
+    * how much history it has absorbed (driver-read, a map-side register
+    * literal in the verdict plan — [[graft.util.BloomState]]), the LSH
     * probe prunes on the bsig-sorted index layout, and the append lands
     * only the segment's own rows — nothing here rescans or rewrites
     * history.
@@ -348,13 +368,15 @@ object FilePipelines {
       val sFs = new Path(stateDir).getFileSystem(conf)
       val epochs = bloomEpochs(sFs, stateDir)
       val priorEpochs = epochs.filter(_ < batchId)
-      val prior =
-        if (priorEpochs.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("word", LongType),
-              StructField("bits", LongType))))
-        else spark.read.parquet(s"$stateDir/epoch=${priorEpochs.max}")
+      // driver-read state ([[bloomMergeBatch]]'s discipline): the probe
+      // rides as a register-array projection inside the verdict plan and
+      // the publish unions a local relation — no bloom-side scan stage,
+      // broadcast build, or per-id aggregation exchange per micro-batch
+      val priorRows =
+        if (priorEpochs.isEmpty) Seq.empty[(Option[Long], Option[Long])]
+        else graft.util.BloomState.read(sFs,
+          s"$stateDir/epoch=${priorEpochs.max}")
+      val prior = priorLocalRelation(spark, priorRows)
       val verdictDir = s"$outDir/batch=$batchId"
       // the verdicts-frozen guard is OUR OWN marker, not the sink's
       // _SUCCESS (optional committer behavior — cloud committers often
@@ -367,8 +389,9 @@ object FilePipelines {
       // skips the write falls back to the append's own count (rare path)
       var admitFiles = 0
       if (!outFs.exists(verdictMark)) {
-        val seen = Sketches.bloomProbe(prior, batch, col("doc_id"),
-            col("text"), kHashes, mBits)
+        val seen = Sketches.bloomProbeRegister(
+            graft.util.BloomState.dense(priorRows, mBits), batch,
+            col("doc_id"), col("text"), kHashes, mBits)
           .withColumnRenamed("id", "doc_id")
           .withColumnRenamed("seen", "seen_exact")
         val near = Dedup.probeLshIndex(spark, indexDir, batch, threshold,
@@ -399,7 +422,7 @@ object FilePipelines {
       Dedup.appendToLshIndexCommitted(spark, indexDir, admitted, batchId,
         n, numPerms, rowsPerBand, family, setsFiles = admitFiles): Unit
       Sketches.bloomMerge(prior, batch, col("text"), kHashes, mBits)
-        .write.mode("overwrite").parquet(s"$stateDir/epoch=$batchId")
+        .write.mode("overwrite").json(s"$stateDir/epoch=$batchId")
       // GC keyed on the prior epoch actually read (see bloomMergeBatch):
       // correct under non-contiguous batch ids, identical under
       // contiguous ones

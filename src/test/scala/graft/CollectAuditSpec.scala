@@ -44,6 +44,12 @@ class CollectAuditSpec extends AnyFunSuite {
       "two-phase count scan, phase 1: per-range row counts — one row per non-empty range (≤ nRanges), the broadcast base-offset table for dense global ids"),
     ("Dedup.scala", ".collect().map(_.get(0)).toSeq",
       "LSH probe small regime — limit(maxPushdownSigs + 1) before collect; large regime stays distributed"),
+    ("Sketches.scala", ".select(col(\"word\"), col(\"bits\")).collect()",
+      "bloomProbe register fold — the Bloom register table is ≤ mBits/32 " +
+        "rows by bloomBits's construction (constant in corpus size, the " +
+        "same bound that let it broadcast); it rides into the probe plan " +
+        "as a dense literal array so the verdict needs no join or per-id " +
+        "aggregation exchange"),
     ("Dedup.scala", ".head().getLong(0)",
       "scalar convergence aggregate (one row per label-propagation round)"),
     ("Dedup.scala", "count_distinct(col(\"doc_id\"))).head()",

@@ -62,7 +62,7 @@ class ScratchTimingSpec extends SparkSpec {
           family = Dedup.ReplayableFamily))
       timeIt(s"$d: bloom epoch build")(
         Sketches.bloomBits(hist, col("text"))
-          .write.mode("overwrite").parquet(s"$path/bloom/epoch=-1"))
+          .write.mode("overwrite").json(s"$path/bloom/epoch=-1"))
       // three corpus-proportional segments, mtime-ordered
       val segs = Seq(
         docs.filter(col("doc_id") % 4 === 2 && col("doc_id") % 8 < 4),

@@ -19,6 +19,10 @@ class FilePipelineSpec extends SparkSpec {
     d.getAbsolutePath
   }
 
+  private def localFs: org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
   private def writeNdjson(dir: String, name: String, lines: Seq[String]): Unit = {
     val f = new File(dir, name)
     Files.writeString(f.toPath, lines.mkString("", "\n", "\n"))
@@ -240,13 +244,13 @@ class FilePipelineSpec extends SparkSpec {
     // one the checkpoint can replay) must reproduce identical verdicts
     // and state — epoch GC retains exactly the prior epoch a replay needs
     val lastId = segs.size - 1L
-    val epochBefore = spark.read.parquet(s"$state/epoch=$lastId").collect().toSet
+    val epochBefore = graft.util.BloomState.read(localFs, s"$state/epoch=$lastId").toSet
     val verdictsBefore = spark.read.parquet(s"$out/batch=$lastId").collect().toSet
     FilePipelines.bloomMergeBatch(
       segs.last.toDF("doc_id", "text"), state, out, lastId)
     assert(spark.read.parquet(s"$out/batch=$lastId").collect().toSet
       == verdictsBefore, "replayed batch changed its verdicts")
-    assert(spark.read.parquet(s"$state/epoch=$lastId").collect().toSet
+    assert(graft.util.BloomState.read(localFs, s"$state/epoch=$lastId").toSet
       == epochBefore, "replayed batch changed the published filter")
     // GC kept only the crash-window epoch and the live one
     val epochs = new File(state).list().filter(_.startsWith("epoch=")).sorted
@@ -379,7 +383,7 @@ class FilePipelineSpec extends SparkSpec {
       (1L, "pack my box with five dozen liquor jugs right now"))
       .toDF("doc_id", "text")
     Dedup.writeLshIndex(hist, idx)
-    Sketches.bloomBits(hist, col("text")).write.parquet(s"$state/epoch=-1")
+    Sketches.bloomBits(hist, col("text")).write.json(s"$state/epoch=-1")
     def dj(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
     val segs = Seq(
       // batch 0: fresh → admit, appended to the index
@@ -414,7 +418,7 @@ class FilePipelineSpec extends SparkSpec {
     // on fresh dirs give identical verdicts
     val idx2 = s"$root/idx2"; val state2 = s"$root/bloom2"; val out2 = s"$root/out2"
     Dedup.writeLshIndex(hist, idx2)
-    Sketches.bloomBits(hist, col("text")).write.parquet(s"$state2/epoch=-1")
+    Sketches.bloomBits(hist, col("text")).write.json(s"$state2/epoch=-1")
     segs.zipWithIndex.foreach { case (seg, i) =>
       FilePipelines.ingestAdmissionBatch(seg.toDF("doc_id", "text"),
         idx2, state2, out2, i.toLong)
@@ -431,7 +435,7 @@ class FilePipelineSpec extends SparkSpec {
     val setsN = spark.read.parquet(s"$idx/sets").count()
     val bandsN = spark.read.parquet(s"$idx/bands").count()
     val verdicts = spark.read.parquet(s"$out/batch=$lastId").collect().toSet
-    val epoch = spark.read.parquet(s"$state/epoch=$lastId").collect().toSet
+    val epoch = graft.util.BloomState.read(localFs, s"$state/epoch=$lastId").toSet
     val lastDf = segs.last.toDF("doc_id", "text")
     FilePipelines.ingestAdmissionBatch(lastDf, idx, state, out, lastId)
     val marker = new File(s"$out/_committed/batch-$lastId")
@@ -444,7 +448,7 @@ class FilePipelineSpec extends SparkSpec {
       "replay duplicated index bands rows")
     assert(spark.read.parquet(s"$out/batch=$lastId").collect().toSet == verdicts,
       "replay changed verdicts")
-    assert(spark.read.parquet(s"$state/epoch=$lastId").collect().toSet == epoch,
+    assert(graft.util.BloomState.read(localFs, s"$state/epoch=$lastId").toSet == epoch,
       "replay changed the published filter")
     assert(marker.exists(), "replay did not re-commit")
     // no doc ever appears twice in the index
@@ -597,7 +601,7 @@ class FilePipelineSpec extends SparkSpec {
       Seq((13L, "a completely fresh document about spark streaming stuff")))
     def seedA(idx: String, state: String): Unit = {
       Dedup.writeLshIndex(hist, idx)
-      Sketches.bloomBits(hist, col("text")).write.parquet(s"$state/epoch=-1")
+      Sketches.bloomBits(hist, col("text")).write.json(s"$state/epoch=-1")
     }
     seedA(aIdx, aState)
     // pipeline B: packed delivery
@@ -769,7 +773,7 @@ class FilePipelineSpec extends SparkSpec {
     def ingInit(root: String): Unit = {
       Dedup.writeLshIndex(histDocs, s"$root/idx")
       Sketches.bloomBits(histDocs, col("text"))
-        .write.parquet(s"$root/bloom/epoch=-1")
+        .write.json(s"$root/bloom/epoch=-1")
     }
     val ingSeq = tmpDir("blIngSeq"); ingInit(ingSeq)
     new File(s"$ingSeq/in").mkdirs()
