@@ -541,8 +541,10 @@ object DedupPack extends QueryPack {
             family = Dedup.ReplayableFamily)
           .groupBy(col("q_id").as("doc_id"))
           .agg(round(max(col("jaccard")), 6).as("best_jaccard"))
-        batch.select(col("doc_id"))
-          .join(seen, "doc_id")
+        // `seen` is a PROJECTION of batch (one row per batch row, the
+        // register-probe shape) — joining batch back onto it would only
+        // re-scan the batch union a second time for rows it already has
+        seen
           .join(near, Seq("doc_id"), "left")
           .select(col("doc_id"), col("seen").as("seen_exact"),
             col("best_jaccard").isNotNull.as("near_dup"),

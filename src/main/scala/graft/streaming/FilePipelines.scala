@@ -399,8 +399,10 @@ object FilePipelines {
           .groupBy(col("q_id").as("doc_id"))
           .agg(round(max(col("jaccard")), 6).as("best_jaccard"))
         val obs = org.apache.spark.sql.Observation()
-        batch.select(col("doc_id"))
-          .join(seen, "doc_id")
+        // `seen` is a register-probe PROJECTION of the cached batch (one
+        // row per batch row) — the old join of batch back onto it was a
+        // self-join left over from the aggregated-probe era
+        seen
           .join(near, Seq("doc_id"), "left")
           .select(col("doc_id"), col("seen_exact"),
             col("best_jaccard").isNotNull.as("near_dup"),
