@@ -118,17 +118,14 @@ object Similarity {
       scale: Int = 5, index: Option[(DataFrame, DataFrame)] = None,
       probeBroadcastCap: Int = 1 << 16): DataFrame = {
     val (assigned, cents) = index.getOrElse(ivfIndex(corpus, ncells))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cscore").desc, col("cell"))
-    val probeCells = probes.crossJoin(broadcast(cents))
-      .withColumn("cscore", cosine(col("qvec"), col("centroid")))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+    // map-side nprobe-cell selection ([[probeCells]]) — the crossJoin +
+    // window shape this replaces shuffled nq·ncells rows per probe plan
+    val probeCellRows = probes.select(col("query_id"), col("qvec"),
+      explode(probeCells(cents, "qvec", nprobe)).as("cell"))
     val small = probes.limit(probeBroadcastCap + 1).count() <= probeBroadcastCap
     val candidates =
-      if (small) assigned.join(broadcast(probeCells), Seq("cell"))
-      else assigned.join(probeCells, Seq("cell"))
+      if (small) assigned.join(broadcast(probeCellRows), Seq("cell"))
+      else assigned.join(probeCellRows, Seq("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     candidates
@@ -598,6 +595,27 @@ object Similarity {
       centers.length, nassign, euclid))
   }
 
+  /** The `nprobe` nearest cells of each PROBE vector (column `vecCol`),
+    * nearest first, as the same fused-loop expression cell assignment
+    * uses ([[graft.functions.IvfAssignExpr]], `euclid = false`: rank by
+    * dot/‖c‖, which orders cells identically to cosine for any fixed
+    * query — the query's own norm is a positive constant factor — with
+    * ties to the LOWER cell, exactly the `row_number() OVER (ORDER BY
+    * cscore DESC, cell ASC)` contract of the crossJoin+window shape it
+    * replaces). The window shape exploded nq·ncells rows through an
+    * exchange + sort per probe plan; with cells ∝ corpus ([[cellsFor]])
+    * that explosion GROWS with the index resolution, while this is one
+    * map-side pass of ncells·dims multiply-adds per probe row.
+    */
+  def probeCells(cents: DataFrame, vecCol: String, nprobe: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val centers = centersOf(cents)
+    GraftSqlShims.columnOf(graft.functions.IvfAssignExpr(
+      UnresolvedAttribute(vecCol), centers.flatten,
+      centers.length, nprobe, euclid = false))
+  }
+
   /** Session-scoped IVF index memoization: a real engine fits the coarse
     * quantizer ONCE and reuses it across queries, rather than re-running
     * k-means per invocation. Entries are evicted when the owning
@@ -622,13 +640,10 @@ object Similarity {
       index: Option[(DataFrame, DataFrame)] = None,
       queryBroadcastCap: Int = 1 << 16): DataFrame = {
     val (assigned, cents) = index.getOrElse(ivfIndex(corpus, ncells))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cscore").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("cscore", cosine(col("qvec"), col("centroid")))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+    // map-side nprobe-cell selection ([[probeCells]]) — the crossJoin +
+    // window shape this replaces shuffled nq·ncells rows per probe plan
+    val probes = queries.select(col("query_id"), col("qvec"),
+      explode(probeCells(cents, "qvec", nprobe)).as("cell"))
     val small = queries.limit(queryBroadcastCap + 1).count() <= queryBroadcastCap
     val candidates =
       if (small) assigned.join(broadcast(probes), Seq("cell"))
@@ -1648,13 +1663,10 @@ object Similarity {
     // shape: cell-partitionable, 1 byte/dim payload
     val codes = assigned.select(col("vec_id"), col("cell"),
       sq8EncodeCol(col("embedding"), lo, hi).as("codes"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cscore").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("cscore", cosine(col("qvec"), col("centroid")))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+    // map-side nprobe-cell selection ([[probeCells]]) — the crossJoin +
+    // window shape this replaces shuffled nq·ncells rows per probe plan
+    val probes = queries.select(col("query_id"), col("qvec"),
+      explode(probeCells(cents, "qvec", nprobe)).as("cell"))
     val small = queries.limit(queryBroadcastCap + 1).count() <= queryBroadcastCap
     val candidates =
       if (small) codes.join(broadcast(probes), Seq("cell"))

@@ -631,15 +631,11 @@ object FilePipelines {
     val (assigned, cents) = Similarity.readIvfIndex(spark, indexDir)
     val queries = batch.select(col("vec_id").as("query_id"),
       col("embedding").as("qvec"))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cscore").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("cscore",
-        Similarity.cosine(col("qvec"), col("centroid")))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+    // map-side nprobe-cell selection ([[graft.operators.Similarity.probeCells]])
+    // — the crossJoin + window shape this replaces shuffled nq·ncells
+    // rows per micro-batch verdict plan
+    val probes = queries.select(col("query_id"), col("qvec"),
+      explode(Similarity.probeCells(cents, "qvec", nprobe)).as("cell"))
     val small = batch.limit(probeBroadcastCap + 1).count() <= probeBroadcastCap
     val candidates =
       if (small) assigned.join(broadcast(probes), Seq("cell"))
