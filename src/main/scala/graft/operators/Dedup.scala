@@ -644,8 +644,11 @@ object Dedup {
       family: MinHashFamily = FastFamily): DataFrame = {
     val idxBands = spark.read.parquet(s"$path/bands")
     val idxSets = spark.read.parquet(s"$path/sets")
-    val qSh = queries.select(col("doc_id"),
-      family.shingles(col("text"), n).as("sh"))
+    // shingle the probe batch ONCE: the signature/band path and the
+    // verification qSets broadcast both derive from this cached frame
+    // (uncached, the per-token shingling ran twice per probe)
+    val qSh = graft.util.Scratch.cached(queries.select(col("doc_id"),
+      family.shingles(col("text"), n).as("sh")))
     val qSig = qSh.select(col("doc_id"),
         family.signature(col("sh"), n, numPerms).as("mh"))
       .filter(col("mh").isNotNull)
@@ -666,8 +669,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("q_id"))
       .select(col("q_id"), col("doc_id"))
       .distinct()
-    val qSets = queries.select(col("doc_id").as("q_id"),
-      family.shingles(col("text"), n).as("qsh"))
+    val qSets = qSh.select(col("doc_id").as("q_id"), col("sh").as("qsh"))
     cands
       .join(idxSets, "doc_id")
       .join(broadcast(qSets), "q_id")
