@@ -125,7 +125,13 @@ object Similarity {
     val small = probes.limit(probeBroadcastCap + 1).count() <= probeBroadcastCap
     val candidates =
       if (small) assigned.join(broadcast(probeCellRows), Seq("cell"))
-      else assigned.join(probeCellRows, Seq("cell"))
+      // the merge hint PINS the over-cap regime to a shuffle join: the
+      // map-side probe subtree's small static size estimate would
+      // otherwise let the planner auto-broadcast it, collapsing the
+      // candidate-scoring stage onto the corpus scan's input splits
+      // (measured at sf1: 2-task scoring stages, 4x the gate) — the
+      // exchange on cell is what spreads scoring across the cluster
+      else assigned.join(probeCellRows.hint("merge"), Seq("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     candidates
@@ -647,7 +653,10 @@ object Similarity {
     val small = queries.limit(queryBroadcastCap + 1).count() <= queryBroadcastCap
     val candidates =
       if (small) assigned.join(broadcast(probes), Seq("cell"))
-      else assigned.join(probes, Seq("cell"))
+      // merge hint: pin the over-cap regime to a shuffle join (see
+      // [[minedNegativesIvf]] — auto-broadcast of the small probe
+      // subtree collapses scoring onto the corpus scan's splits)
+      else assigned.join(probes.hint("merge"), Seq("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     candidates
@@ -1670,7 +1679,9 @@ object Similarity {
     val small = queries.limit(queryBroadcastCap + 1).count() <= queryBroadcastCap
     val candidates =
       if (small) codes.join(broadcast(probes), Seq("cell"))
-      else codes.join(probes, Seq("cell"))
+      // merge hint: pin the over-cap regime to a shuffle join (see
+      // [[minedNegativesIvf]])
+      else codes.join(probes.hint("merge"), Seq("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     candidates

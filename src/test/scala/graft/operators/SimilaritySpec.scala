@@ -680,6 +680,14 @@ class SimilaritySpec extends SparkSpec {
       queryBroadcastCap = 0)
     assert(sh.exceptAll(bc).isEmpty && bc.exceptAll(sh).isEmpty,
       "query-join regimes diverged")
+    // the over-cap candidate join must STAY a shuffle join: the map-side
+    // probe subtree's small static size estimate would otherwise let the
+    // planner auto-broadcast it, collapsing candidate scoring onto the
+    // corpus scan's input splits (measured at sf1: 2-task scoring
+    // stages, 4x the gate) — the merge hint pins the exchange on cell
+    val shuffleJoinPlan = sh.queryExecution.sparkPlan.toString
+    assert(shuffleJoinPlan.contains("SortMergeJoin"),
+      s"over-cap probe join lost its merge pin:\n$shuffleJoinPlan")
   }
 
   test("minedNegativesIvf: shuffle regime (probes above broadcast cap) is row-identical") {
